@@ -1,0 +1,229 @@
+"""Property-graph data model on Spark DataFrames.
+
+Reference semantics (SURVEY.md §1): vertices/edges carry one label each,
+64-bit ids pack a 16-bit label id with a 48-bit per-label local id
+(reference: src/types/graphid.rs:15-23), properties are schemaless JSON.
+
+Spark-first redesign (SURVEY.md §1.4):
+- one **columnar DataFrame per label**, properties promoted to typed
+  columns (the "promoted-column registry" is the default, not an
+  optimization — JSON-blob scans are untenable at 100 TB);
+- per-label frames give label pruning for free (each label is its own
+  Parquet dataset / partition at rest);
+- adjacency indices are not materialized — expansion is an equi-join on
+  ``src``/``dst`` that Catalyst plans as broadcast/shuffle/sort-merge.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+LABEL_BITS = 16
+LOCID_BITS = 48
+LOCID_MASK = (1 << LOCID_BITS) - 1
+MAX_LABID = (1 << LABEL_BITS) - 1
+
+# Reserved column names on vertex/edge frames; everything else is a property.
+VERTEX_META = ("id",)
+EDGE_META = ("id", "src", "dst")
+
+
+def pack_graphid(labid: Column | int, locid: Column) -> Column:
+    """64-bit graph id = (labid << 48) | (locid & MASK).
+
+    Mirrors the reference id scheme (src/types/graphid.rs:41-46) so a user
+    migrating data keeps identical entity ids.
+    """
+    labid_col = F.lit(labid) if isinstance(labid, int) else labid
+    return F.shiftleft(labid_col.cast("long"), LOCID_BITS).bitwiseOR(
+        locid.cast("long").bitwiseAND(F.lit(LOCID_MASK))
+    )
+
+
+def unpack_labid(id_col: Column) -> Column:
+    return F.shiftrightunsigned(id_col, LOCID_BITS).cast("int")
+
+
+def unpack_locid(id_col: Column) -> Column:
+    return id_col.bitwiseAND(F.lit(LOCID_MASK))
+
+
+def format_graphid(id_col: Column) -> Column:
+    """Display form ``labid.locid`` (reference: graphid.rs:77-81)."""
+    return F.concat_ws(".", unpack_labid(id_col), unpack_locid(id_col))
+
+
+class PropertyGraph:
+    """A multi-label property graph backed by per-label DataFrames.
+
+    Vertex frame schema:  id LONG, <property columns...>
+    Edge frame schema:    id LONG, src LONG, dst LONG, <property columns...>
+
+    The label catalog (label -> 16-bit labid) replaces the reference's
+    ``l:{graph}:{name}`` KV rows (src/storage/rocksdb_store.rs:153-222);
+    it is driver-side metadata, broadcast implicitly via the packed ids.
+    """
+
+    def __init__(self, spark: SparkSession, name: str = "graph"):
+        self.spark = spark
+        self.name = name
+        self._labels: dict[str, int] = {}  # shared vertex+edge label namespace
+        self._vertices: dict[str, DataFrame] = {}
+        self._edges: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------------ labels
+
+    def label_id(self, label: str) -> int:
+        if label not in self._labels:
+            labid = len(self._labels) + 1
+            if labid > MAX_LABID:
+                raise ValueError("label catalog exhausted (16-bit labid space)")
+            self._labels[label] = labid
+        return self._labels[label]
+
+    @property
+    def vertex_labels(self) -> list[str]:
+        return list(self._vertices)
+
+    @property
+    def edge_labels(self) -> list[str]:
+        return list(self._edges)
+
+    # ------------------------------------------------------------------ ingest
+
+    def put_vertices(self, label: str, df: DataFrame, locid_col: Optional[str] = None) -> None:
+        """Register a vertex set. ``locid_col`` (a unique numeric natural
+        key) yields deterministic packed ids; otherwise ids are assigned
+        via ``monotonically_increasing_id`` (unique, not dense — fits the
+        48-bit locid space for < 32768 input partitions; denseness in the
+        reference was a counter artifact, only uniqueness is semantic).
+        """
+        labid = self.label_id(label)
+        if locid_col is not None:
+            out = df.withColumn("id", pack_graphid(labid, F.col(locid_col)))
+        else:
+            out = df.withColumn("id", pack_graphid(labid, F.monotonically_increasing_id()))
+        props = [c for c in df.columns if c != "id"]
+        self._vertices[label] = out.select("id", *props)
+
+    def put_edges(
+        self,
+        label: str,
+        df: DataFrame,
+        src_col: str = "src",
+        dst_col: str = "dst",
+        locid_col: Optional[str] = None,
+    ) -> None:
+        """Register an edge set; ``src``/``dst`` must already be packed ids."""
+        labid = self.label_id(label)
+        out = df.withColumnRenamed(src_col, "src").withColumnRenamed(dst_col, "dst")
+        if locid_col is not None:
+            out = out.withColumn("id", pack_graphid(labid, F.col(locid_col)))
+        else:
+            out = out.withColumn("id", pack_graphid(labid, F.monotonically_increasing_id()))
+        props = [c for c in out.columns if c not in ("id", "src", "dst")]
+        self._edges[label] = out.select("id", "src", "dst", *props)
+
+    # ------------------------------------------------------------------ access
+
+    def vertex_frame(self, label: str) -> DataFrame:
+        if label not in self._vertices:
+            raise KeyError(f"unknown vertex label: {label!r}")
+        return self._vertices[label]
+
+    def edge_frame(self, label: str) -> DataFrame:
+        if label not in self._edges:
+            raise KeyError(f"unknown edge label: {label!r}")
+        return self._edges[label]
+
+    def vertices(self, label: Optional[str] = None) -> DataFrame:
+        """Vertices of one label, or the union of all labels (missing
+        property columns null-padded) with a ``label`` column."""
+        if label is not None:
+            return self.vertex_frame(label).withColumn("label", F.lit(label))
+        return self._union_labeled(self._vertices)
+
+    def edges(self, label: Optional[str] = None) -> DataFrame:
+        if label is not None:
+            return self.edge_frame(label).withColumn("label", F.lit(label))
+        return self._union_labeled(self._edges)
+
+    @staticmethod
+    def _union_labeled(frames: dict[str, DataFrame]) -> DataFrame:
+        if not frames:
+            raise ValueError("empty graph")
+        out = None
+        for label, df in frames.items():
+            cur = df.withColumn("label", F.lit(label))
+            out = cur if out is None else out.unionByName(cur, allowMissingColumns=True)
+        return out
+
+    # ------------------------------------------------------------ graph verbs
+
+    def get_vertex(self, vid: int) -> DataFrame:
+        """Point lookup (reference S3). Label-pruned: the packed labid
+        routes the probe to a single label frame."""
+        labid = vid >> LOCID_BITS
+        for label, lid in self._labels.items():
+            if lid == labid and label in self._vertices:
+                return self._vertices[label].where(F.col("id") == vid)
+        return self.vertices().where(F.col("id") == vid).drop("label")
+
+    def out_edges(self, vids: DataFrame | Iterable[int], label: Optional[str] = None) -> DataFrame:
+        """Outgoing expansion (reference S5): equi-join replaces the
+        ``o:`` adjacency index probe."""
+        frontier = self._as_id_frame(vids)
+        return self.edges(label).join(F.broadcast(frontier), F.col("src") == frontier["_vid"]).drop("_vid")
+
+    def in_edges(self, vids: DataFrame | Iterable[int], label: Optional[str] = None) -> DataFrame:
+        frontier = self._as_id_frame(vids)
+        return self.edges(label).join(F.broadcast(frontier), F.col("dst") == frontier["_vid"]).drop("_vid")
+
+    def _as_id_frame(self, vids) -> DataFrame:
+        if isinstance(vids, DataFrame):
+            return vids.select(F.col(vids.columns[0]).alias("_vid"))
+        return self.spark.createDataFrame([(int(v),) for v in vids], "_vid LONG")
+
+    def degrees(self, direction: str = "out") -> DataFrame:
+        e = self.edges()
+        key = "src" if direction == "out" else "dst"
+        return e.groupBy(F.col(key).alias("id")).agg(F.count("*").alias("degree"))
+
+    # ------------------------------------------------------------------ query
+
+    def cypher(self, query: str) -> DataFrame:
+        """Parse + compile a Cypher query to a lazy DataFrame plan."""
+        from rust_graph_db_spark.parser import parse_cypher
+        from rust_graph_db_spark.compiler import compile_query
+
+        return compile_query(self, parse_cypher(query))
+
+    # ------------------------------------------------------------------ persist
+
+    def write_parquet(self, base_path: str, mode: str = "overwrite") -> None:
+        """Persist per-label datasets — label pruning at rest: a scan of
+        one label touches one directory."""
+        for label, df in self._vertices.items():
+            df.write.mode(mode).parquet(f"{base_path}/vertices/{label}")
+        for label, df in self._edges.items():
+            df.write.mode(mode).parquet(f"{base_path}/edges/{label}")
+
+    @classmethod
+    def read_parquet(cls, spark: SparkSession, base_path: str) -> "PropertyGraph":
+        import os
+
+        g = cls(spark)
+        vdir = os.path.join(base_path, "vertices")
+        edir = os.path.join(base_path, "edges")
+        if os.path.isdir(vdir):
+            for label in sorted(os.listdir(vdir)):
+                g.label_id(label)
+                g._vertices[label] = spark.read.parquet(os.path.join(vdir, label))
+        if os.path.isdir(edir):
+            for label in sorted(os.listdir(edir)):
+                g.label_id(label)
+                g._edges[label] = spark.read.parquet(os.path.join(edir, label))
+        return g

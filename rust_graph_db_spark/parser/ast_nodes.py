@@ -1,0 +1,194 @@
+"""Cypher AST node definitions (reference analog: src/parser/ast.rs)."""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Union
+
+
+# ----------------------------------------------------------------- expressions
+
+@dataclass(frozen=True)
+class Literal:
+    value: object  # None | bool | int | float | str
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Prop:
+    """Property access ``base.a.b`` (nested paths supported,
+    reference: src/executor/set_executor.rs:157-202)."""
+    base: str
+    path: tuple  # tuple[str, ...], len >= 1
+
+
+@dataclass(frozen=True)
+class Unary:
+    op: str  # '-' | '+' | 'NOT'
+    operand: "Expr"
+
+
+@dataclass(frozen=True)
+class Binary:
+    op: str  # + - * / % = <> < > <= >= AND OR
+    left: "Expr"
+    right: "Expr"
+
+
+@dataclass(frozen=True)
+class FuncCall:
+    name: str  # lowercased
+    args: tuple
+    distinct: bool = False
+    star: bool = False  # count(*)
+
+
+@dataclass(frozen=True)
+class ListLit:
+    items: tuple
+
+
+@dataclass(frozen=True)
+class MapLit:
+    pairs: tuple  # tuple[(str, Expr), ...]
+
+
+@dataclass(frozen=True)
+class IsNull:
+    operand: "Expr"
+    negated: bool = False
+
+
+@dataclass(frozen=True)
+class InList:
+    needle: "Expr"
+    haystack: "Expr"
+
+
+Expr = Union[Literal, Var, Prop, Unary, Binary, FuncCall, ListLit, MapLit, IsNull, InList]
+
+AGGREGATE_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
+
+
+def contains_aggregate(e: Expr) -> bool:
+    if isinstance(e, FuncCall):
+        if e.name in AGGREGATE_FUNCS:
+            return True
+        return any(contains_aggregate(a) for a in e.args)
+    if isinstance(e, Unary):
+        return contains_aggregate(e.operand)
+    if isinstance(e, Binary):
+        return contains_aggregate(e.left) or contains_aggregate(e.right)
+    if isinstance(e, (IsNull,)):
+        return contains_aggregate(e.operand)
+    if isinstance(e, InList):
+        return contains_aggregate(e.needle) or contains_aggregate(e.haystack)
+    if isinstance(e, ListLit):
+        return any(contains_aggregate(i) for i in e.items)
+    if isinstance(e, MapLit):
+        return any(contains_aggregate(v) for _, v in e.pairs)
+    return False
+
+
+# -------------------------------------------------------------------- patterns
+
+@dataclass(frozen=True)
+class NodePattern:
+    var: Optional[str]
+    label: Optional[str]
+    props: Optional[MapLit]
+
+
+@dataclass(frozen=True)
+class RelPattern:
+    var: Optional[str]
+    label: Optional[str]
+    props: Optional[MapLit]
+    direction: str  # 'out' | 'in' | 'both'
+    var_length: Optional[tuple] = None  # (min, max) for [*min..max]
+
+
+@dataclass(frozen=True)
+class PathPattern:
+    """Alternating NodePattern / RelPattern, odd length >= 1."""
+    items: tuple
+
+
+# --------------------------------------------------------------------- clauses
+
+@dataclass(frozen=True)
+class ReturnItem:
+    expr: Expr
+    alias: Optional[str]
+
+
+@dataclass(frozen=True)
+class OrderItem:
+    expr: Expr
+    desc: bool = False
+
+
+@dataclass(frozen=True)
+class Match:
+    patterns: tuple  # tuple[PathPattern, ...]
+    where: Optional[Expr] = None
+    optional: bool = False
+
+
+@dataclass(frozen=True)
+class With:
+    items: tuple  # tuple[ReturnItem, ...]
+    distinct: bool = False
+    where: Optional[Expr] = None
+    order_by: tuple = ()
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Return:
+    items: tuple
+    distinct: bool = False
+    order_by: tuple = ()
+    skip: Optional[int] = None
+    limit: Optional[int] = None
+
+
+@dataclass(frozen=True)
+class Unwind:
+    expr: Expr
+    alias: str
+
+
+@dataclass(frozen=True)
+class Create:
+    patterns: tuple
+
+
+@dataclass(frozen=True)
+class SetItem:
+    target: Prop
+    value: Expr
+
+
+@dataclass(frozen=True)
+class SetClause:
+    items: tuple
+
+
+@dataclass(frozen=True)
+class Delete:
+    vars: tuple  # variable names
+    detach: bool = False
+
+
+Clause = Union[Match, With, Return, Unwind, Create, SetClause, Delete]
+
+
+@dataclass(frozen=True)
+class Query:
+    clauses: tuple

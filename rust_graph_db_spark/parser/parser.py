@@ -1,0 +1,464 @@
+"""Hand-rolled Cypher tokenizer + recursive-descent parser.
+
+Grammar surface per SURVEY.md §3.1 (reference: src/parser/cypher.pest).
+Pure Python, no dependencies; produces the AST in ``ast_nodes``.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional
+
+from rust_graph_db_spark.parser.ast_nodes import (
+    Binary, Create, Delete, FuncCall, InList, IsNull, ListLit, Literal,
+    MapLit, Match, NodePattern, OrderItem, PathPattern, Prop, Query,
+    RelPattern, Return, ReturnItem, SetClause, SetItem, Unary, Unwind,
+    Var, With,
+)
+
+
+class CypherSyntaxError(ValueError):
+    pass
+
+
+KEYWORDS = {
+    "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "ORDER", "BY", "ASC",
+    "ASCENDING", "DESC", "DESCENDING", "LIMIT", "SKIP", "DISTINCT", "AND",
+    "OR", "NOT", "XOR", "IN", "IS", "NULL", "TRUE", "FALSE", "CREATE",
+    "DELETE", "DETACH", "SET", "AS", "UNWIND",
+}
+
+_TOKEN_RE = re.compile(
+    r"""
+    (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
+  | (?P<num>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
+  | (?P<punct><=|>=|<>|!=|->|<-|\.\.|[()\[\]{},:.+\-*/%=<>|])
+    """,
+    re.VERBOSE | re.DOTALL,
+)
+
+
+class Token:
+    __slots__ = ("kind", "text", "pos")
+
+    def __init__(self, kind: str, text: str, pos: int):
+        self.kind = kind  # 'num' | 'str' | 'name' | 'kw' | 'punct' | 'eof'
+        self.text = text
+        self.pos = pos
+
+    def __repr__(self):
+        return f"Token({self.kind},{self.text!r})"
+
+
+def tokenize(src: str) -> list:
+    out, i = [], 0
+    while i < len(src):
+        m = _TOKEN_RE.match(src, i)
+        if not m:
+            raise CypherSyntaxError(f"unexpected character {src[i]!r} at {i}")
+        i = m.end()
+        kind = m.lastgroup
+        if kind == "ws":
+            continue
+        text = m.group()
+        if kind == "name":
+            if text.startswith("`"):
+                out.append(Token("name", text[1:-1], m.start()))
+            elif text.upper() in KEYWORDS:
+                out.append(Token("kw", text.upper(), m.start()))
+            else:
+                out.append(Token("name", text, m.start()))
+        else:
+            out.append(Token(kind, text, m.start()))
+    out.append(Token("eof", "", len(src)))
+    return out
+
+
+_ESCAPES = {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'", '"': '"'}
+
+
+def _unquote(s: str) -> str:
+    body = s[1:-1]
+    return re.sub(r"\\(.)", lambda m: _ESCAPES.get(m.group(1), m.group(1)), body)
+
+
+class Parser:
+    def __init__(self, src: str):
+        self.toks = tokenize(src)
+        self.i = 0
+
+    # ------------------------------------------------------------- token utils
+
+    @property
+    def cur(self) -> Token:
+        return self.toks[self.i]
+
+    def peek(self, k: int = 1) -> Token:
+        j = min(self.i + k, len(self.toks) - 1)
+        return self.toks[j]
+
+    def advance(self) -> Token:
+        t = self.cur
+        self.i += 1
+        return t
+
+    def at_kw(self, *kws: str) -> bool:
+        return self.cur.kind == "kw" and self.cur.text in kws
+
+    def at_punct(self, *ps: str) -> bool:
+        return self.cur.kind == "punct" and self.cur.text in ps
+
+    def eat_kw(self, kw: str) -> None:
+        if not self.at_kw(kw):
+            raise CypherSyntaxError(f"expected {kw} at {self.cur.pos}, got {self.cur.text!r}")
+        self.advance()
+
+    def eat_punct(self, p: str) -> None:
+        if not self.at_punct(p):
+            raise CypherSyntaxError(f"expected {p!r} at {self.cur.pos}, got {self.cur.text!r}")
+        self.advance()
+
+    def try_kw(self, kw: str) -> bool:
+        if self.at_kw(kw):
+            self.advance()
+            return True
+        return False
+
+    def try_punct(self, p: str) -> bool:
+        if self.at_punct(p):
+            self.advance()
+            return True
+        return False
+
+    def name(self) -> str:
+        if self.cur.kind == "name":
+            return self.advance().text
+        # allow non-reserved-ish keywords as identifiers where unambiguous
+        raise CypherSyntaxError(f"expected identifier at {self.cur.pos}, got {self.cur.text!r}")
+
+    # ----------------------------------------------------------------- queries
+
+    def parse_query(self) -> Query:
+        clauses = []
+        while not self.cur.kind == "eof":
+            if self.at_kw("OPTIONAL"):
+                self.advance()
+                self.eat_kw("MATCH")
+                clauses.append(self._match(optional=True))
+            elif self.try_kw("MATCH"):
+                clauses.append(self._match(optional=False))
+            elif self.try_kw("UNWIND"):
+                expr = self.expr()
+                self.eat_kw("AS")
+                clauses.append(Unwind(expr, self.name()))
+            elif self.try_kw("WITH"):
+                clauses.append(self._projection(With))
+            elif self.try_kw("RETURN"):
+                clauses.append(self._projection(Return))
+            elif self.try_kw("CREATE"):
+                clauses.append(Create(tuple(self._pattern_list())))
+            elif self.try_kw("SET"):
+                clauses.append(self._set_clause())
+            elif self.at_kw("DETACH"):
+                self.advance()
+                self.eat_kw("DELETE")
+                clauses.append(self._delete(detach=True))
+            elif self.try_kw("DELETE"):
+                clauses.append(self._delete(detach=False))
+            else:
+                raise CypherSyntaxError(
+                    f"unexpected token {self.cur.text!r} at {self.cur.pos}")
+        if not clauses:
+            raise CypherSyntaxError("empty query")
+        return Query(tuple(clauses))
+
+    def _match(self, optional: bool) -> Match:
+        patterns = self._pattern_list()
+        where = self.expr() if self.try_kw("WHERE") else None
+        return Match(tuple(patterns), where, optional)
+
+    def _pattern_list(self) -> list:
+        pats = [self._path_pattern()]
+        while self.try_punct(","):
+            pats.append(self._path_pattern())
+        return pats
+
+    def _path_pattern(self) -> PathPattern:
+        items = [self._node_pattern()]
+        while self.at_punct("-", "<-"):
+            rel = self._rel_pattern()
+            node = self._node_pattern()
+            items.extend([rel, node])
+        return PathPattern(tuple(items))
+
+    def _node_pattern(self) -> NodePattern:
+        self.eat_punct("(")
+        var = label = props = None
+        if self.cur.kind == "name" and not self.at_punct(")"):
+            var = self.name()
+        if self.try_punct(":"):
+            label = self.name()
+        if self.at_punct("{"):
+            props = self._map_literal()
+        self.eat_punct(")")
+        return NodePattern(var, label, props)
+
+    def _rel_pattern(self) -> RelPattern:
+        # '<-' '[' ... ']' '-'   → in
+        # '-'  '[' ... ']' '->'  → out
+        # '-'  '[' ... ']' '-'   → both
+        # bare '-->' / '<--' / '--' (no bracket) also accepted
+        if self.try_punct("<-"):
+            left_in = True
+        else:
+            self.eat_punct("-")
+            left_in = False
+        var = label = props = None
+        var_length = None
+        if self.try_punct("["):
+            if self.cur.kind == "name":
+                var = self.name()
+            if self.try_punct(":"):
+                label = self.name()
+            if self.try_punct("*"):
+                lo, hi = 1, None
+                if self.cur.kind == "num":
+                    lo = int(self.advance().text)
+                    hi = lo
+                if self.try_punct(".."):
+                    hi = int(self.advance().text) if self.cur.kind == "num" else None
+                var_length = (lo, hi)
+            if self.at_punct("{"):
+                props = self._map_literal()
+            self.eat_punct("]")
+        if self.try_punct("->"):
+            right_out = True
+        else:
+            self.eat_punct("-")
+            right_out = False
+        if left_in and right_out:
+            raise CypherSyntaxError("relationship cannot be directed both ways")
+        direction = "in" if left_in else ("out" if right_out else "both")
+        return RelPattern(var, label, props, direction, var_length)
+
+    def _map_literal(self) -> MapLit:
+        self.eat_punct("{")
+        pairs = []
+        if not self.at_punct("}"):
+            while True:
+                key = self.name()
+                self.eat_punct(":")
+                pairs.append((key, self.expr()))
+                if not self.try_punct(","):
+                    break
+        self.eat_punct("}")
+        return MapLit(tuple(pairs))
+
+    def _projection(self, cls):
+        distinct = self.try_kw("DISTINCT")
+        items = [self._return_item()]
+        while self.try_punct(","):
+            items.append(self._return_item())
+        where = None
+        if cls is With and self.at_kw("WHERE"):
+            # openCypher puts WHERE after ORDER BY/LIMIT is illegal; but the
+            # reference grammar allows WITH ... WHERE (cypher.pest:35-37).
+            self.advance()
+            where = self.expr()
+        order_by, skip, limit = self._order_skip_limit()
+        if cls is With and where is None and self.try_kw("WHERE"):
+            where = self.expr()
+        if cls is With:
+            return With(tuple(items), distinct, where, tuple(order_by), skip, limit)
+        return Return(tuple(items), distinct, tuple(order_by), skip, limit)
+
+    def _return_item(self) -> ReturnItem:
+        expr = self.expr()
+        alias = None
+        if self.try_kw("AS"):
+            alias = self.name()
+        return ReturnItem(expr, alias)
+
+    def _order_skip_limit(self):
+        order_by, skip, limit = [], None, None
+        if self.try_kw("ORDER"):
+            self.eat_kw("BY")
+            while True:
+                e = self.expr()
+                desc = False
+                if self.at_kw("ASC", "ASCENDING"):
+                    self.advance()
+                elif self.at_kw("DESC", "DESCENDING"):
+                    self.advance()
+                    desc = True
+                order_by.append(OrderItem(e, desc))
+                if not self.try_punct(","):
+                    break
+        if self.try_kw("SKIP"):
+            skip = int(self.advance().text)
+        if self.try_kw("LIMIT"):
+            limit = int(self.advance().text)
+        return order_by, skip, limit
+
+    def _set_clause(self) -> SetClause:
+        items = []
+        while True:
+            base = self.name()
+            path = []
+            while self.try_punct("."):
+                t = self.advance()
+                path.append(t.text if t.kind == "name" else t.text.lower())
+            if not path:
+                raise CypherSyntaxError("SET target must be a property path")
+            target = Prop(base, tuple(path))
+            self.eat_punct("=")
+            items.append(SetItem(target, self.expr()))
+            if not self.try_punct(","):
+                break
+        return SetClause(tuple(items))
+
+    def _delete(self, detach: bool) -> Delete:
+        names = [self.name()]
+        while self.try_punct(","):
+            names.append(self.name())
+        return Delete(tuple(names), detach)
+
+    # ------------------------------------------------------------- expressions
+    # precedence: OR < AND < NOT < comparison/IS/IN < add < mul < unary < postfix
+
+    def expr(self):
+        return self._or()
+
+    def _or(self):
+        left = self._and()
+        while self.at_kw("OR", "XOR"):
+            op = self.advance().text
+            left = Binary(op, left, self._and())
+        return left
+
+    def _and(self):
+        left = self._not()
+        while self.try_kw("AND"):
+            left = Binary("AND", left, self._not())
+        return left
+
+    def _not(self):
+        if self.try_kw("NOT"):
+            return Unary("NOT", self._not())
+        return self._comparison()
+
+    def _comparison(self):
+        left = self._additive()
+        while True:
+            if self.at_punct("=", "<>", "!=", "<", ">", "<=", ">="):
+                op = self.advance().text
+                if op == "!=":
+                    op = "<>"
+                left = Binary(op, left, self._additive())
+            elif self.at_kw("IS"):
+                self.advance()
+                negated = self.try_kw("NOT")
+                self.eat_kw("NULL")
+                left = IsNull(left, negated)
+            elif self.at_kw("IN"):
+                self.advance()
+                left = InList(left, self._additive())
+            else:
+                return left
+
+    def _additive(self):
+        left = self._multiplicative()
+        while self.at_punct("+", "-"):
+            op = self.advance().text
+            left = Binary(op, left, self._multiplicative())
+        return left
+
+    def _multiplicative(self):
+        left = self._unary()
+        while self.at_punct("*", "/", "%"):
+            op = self.advance().text
+            left = Binary(op, left, self._unary())
+        return left
+
+    def _unary(self):
+        if self.at_punct("-", "+"):
+            op = self.advance().text
+            return Unary(op, self._unary())
+        return self._postfix()
+
+    def _postfix(self):
+        e = self._primary()
+        path = []
+        while self.at_punct(".") and self.peek().kind in ("name", "kw"):
+            self.advance()
+            t = self.advance()
+            path.append(t.text if t.kind == "name" else t.text.lower())
+        if path:
+            if isinstance(e, Var):
+                return Prop(e.name, tuple(path))
+            raise CypherSyntaxError("property access only supported on variables")
+        return e
+
+    def _primary(self):
+        t = self.cur
+        if t.kind == "num":
+            self.advance()
+            text = t.text
+            if "." in text or "e" in text or "E" in text:
+                return Literal(float(text))
+            return Literal(int(text))
+        if t.kind == "str":
+            self.advance()
+            return Literal(_unquote(t.text))
+        if t.kind == "kw":
+            if t.text == "NULL":
+                self.advance()
+                return Literal(None)
+            if t.text == "TRUE":
+                self.advance()
+                return Literal(True)
+            if t.text == "FALSE":
+                self.advance()
+                return Literal(False)
+            raise CypherSyntaxError(f"unexpected keyword {t.text} at {t.pos}")
+        if t.kind == "name":
+            # function call?
+            if self.peek().kind == "punct" and self.peek().text == "(":
+                fname = self.advance().text.lower()
+                self.eat_punct("(")
+                distinct = self.try_kw("DISTINCT")
+                if self.try_punct("*"):
+                    self.eat_punct(")")
+                    return FuncCall(fname, (), distinct, star=True)
+                args = []
+                if not self.at_punct(")"):
+                    args.append(self.expr())
+                    while self.try_punct(","):
+                        args.append(self.expr())
+                self.eat_punct(")")
+                return FuncCall(fname, tuple(args), distinct)
+            self.advance()
+            return Var(t.text)
+        if self.try_punct("("):
+            e = self.expr()
+            self.eat_punct(")")
+            return e
+        if self.at_punct("["):
+            self.advance()
+            items = []
+            if not self.at_punct("]"):
+                items.append(self.expr())
+                while self.try_punct(","):
+                    items.append(self.expr())
+            self.eat_punct("]")
+            return ListLit(tuple(items))
+        if self.at_punct("{"):
+            return self._map_literal()
+        raise CypherSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+
+def parse_cypher(src: str) -> Query:
+    """Parse a Cypher query string into a ``Query`` AST."""
+    return Parser(src).parse_query()

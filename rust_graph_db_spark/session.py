@@ -1,0 +1,60 @@
+"""SparkSession factory with scale-oriented defaults.
+
+Tests/bench run on ``local[$SPARK_GRAFT_CPUS]`` (single JVM), but every
+config here is chosen so the same code runs unchanged on a 1000-executor
+cluster: AQE for runtime re-planning (skew joins, partition coalescing),
+Arrow for any Python exchange, and a shuffle-partition count that AQE can
+coalesce downward rather than a hand-tuned magic number.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(app_name: str = "rust_graph_db_spark", **extra_conf: str) -> SparkSession:
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime partition coalescing + skew-join splitting. At 100 TB
+        # the static shuffle.partitions value is a ceiling AQE trims, not a
+        # hand-tuned constant.
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(max(int(cpus) * 2, 8)))
+        # Arrow-batched transfer for every Pandas UDF / toPandas path.
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # Dimension tables (region/nation/label catalogs) should broadcast.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in extra_conf.items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
+
+
+TPCH_TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict:
+    """Load the driver's parquet tables from ``sf_dir`` as DataFrames."""
+    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TPCH_TABLES}
