@@ -1,38 +1,291 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` smoke-runs the flagship 2-hop graph pattern at sf0.001.
+``queries()`` exposes one callable per implemented operator from
+SURVEY.md §2 (graph patterns, aggregation, traversal, composite
+workloads); ``oracle_sql()`` gives the DuckDB-equivalent ANSI SQL over
+the same parquet tables. The Person/KNOWS graph is a pure function of
+``customer`` (graphs.knows_graph), so its oracle rebuilds the identical
+graph with CTEs.
 """
 
 from __future__ import annotations
 
+import sys
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+sys.path.insert(0, "/root/repo")
+
+_GRAPH_CACHE: dict = {}
+
+
+def _knows(spark: SparkSession, sf_dir: str):
+    from rust_graph_db_spark.graphs import knows_graph
+
+    key = ("knows", sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = knows_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def _tpch(spark: SparkSession, sf_dir: str):
+    from rust_graph_db_spark.graphs import tpch_graph
+
+    key = ("tpch", sf_dir)
+    if key not in _GRAPH_CACHE:
+        _GRAPH_CACHE[key] = tpch_graph(spark, sf_dir)
+    return _GRAPH_CACHE[key]
+
+
+def _knows_pre() -> str:
+    from rust_graph_db_spark.graphs import KNOWS_EDGE_CTE, KNOWS_PERSON_CTE
+
+    return f"WITH {KNOWS_PERSON_CTE.strip()}, {KNOWS_EDGE_CTE.strip()}"
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 2-hop heterogeneous pattern + implicit-group aggregate."""
+    g = _tpch(spark, "/root/testdata/sf0.001")
+    return g.cypher(
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "WHERE r.name = 'ASIA' "
+        "RETURN n.name AS nation, count(*) AS cnt ORDER BY nation")
+
+
+# ---------------------------------------------------------------- queries
+
+def _q_cypher_knows(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _knows(spark, sf_dir).cypher(q)
+
+    return run
+
+
+def _q_cypher_tpch(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return _tpch(spark, sf_dir).cypher(q)
+
+    return run
+
+
+def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1/G2: unweighted shortest distances from Person key 0, ≤8 hops."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import pack_graphid, unpack_locid
+    from rust_graph_db_spark.operators.traversal import bfs_distances
+
+    g = _knows(spark, sf_dir)
+    pid = g.label_id("Person")
+    start = (pid << 48) | 0
+    d = bfs_distances(g.edge_frame("KNOWS"), [start], max_hops=8)
+    return d.select(
+        unpack_locid(F.col("id")).cast("long").alias("key"),
+        F.col("dist").cast("long").alias("dist"))
+
+
+def _q_k_hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: distinct endpoints of exactly-2-hop simple paths from key 0."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import unpack_locid
+    from rust_graph_db_spark.operators.traversal import k_hop_neighbors
+
+    g = _knows(spark, sf_dir)
+    pid = g.label_id("Person")
+    start = (pid << 48) | 0
+    out = k_hop_neighbors(g.edge_frame("KNOWS"), [start], k=2)
+    return out.select(unpack_locid(F.col("b")).cast("long").alias("key"))
+
+
+def _q_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: distinct vertices within 1..3 hops of key 0."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import unpack_locid
+    from rust_graph_db_spark.operators.traversal import neighbors_within_k_hops
+
+    g = _knows(spark, sf_dir)
+    pid = g.label_id("Person")
+    start = (pid << 48) | 0
+    out = neighbors_within_k_hops(g.edge_frame("KNOWS"), [start], k=3)
+    return out.select(unpack_locid(F.col("b")).cast("long").alias("key"))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    return {
+        # S1/P3: label scan + WHERE filter
+        "s1_scan_filter": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age > 60 "
+            "RETURN p.name AS name, p.age AS age"),
+        # P1: node pattern with literal property map
+        "p1_pattern_props": _q_cypher_knows(
+            "MATCH (p:Person {city: 'NYC', active: true}) "
+            "RETURN p.name AS name"),
+        # J1: triple-pattern expand V⋈E⋈V
+        "j1_one_hop": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
+            "RETURN a.name AS an, b.name AS bn"),
+        # J2 generalized: 3-hop chain (reference caps at 2)
+        "j2_three_hop": _q_cypher_knows(
+            "MATCH (a:Person)-[:KNOWS]->(b)-[:KNOWS]->(c)-[:KNOWS]->(d:Person) "
+            "WHERE a.name = 'Person0' RETURN d.name AS dn"),
+        # J3: multi-MATCH composition joined on shared variables
+        "j3_multi_match": _q_cypher_knows(
+            "MATCH (a:Person)-[:KNOWS]->(b:Person) MATCH (b)-[:KNOWS]->(c:Person) "
+            "WHERE a.age = 30 RETURN c.name AS cn"),
+        # J4: OPTIONAL MATCH left join
+        "j4_optional_match": _q_cypher_knows(
+            "MATCH (a:Person) OPTIONAL MATCH (a)-[r:KNOWS]->(b:Person) "
+            "WHERE b.age > 75 RETURN a.name AS an, b.name AS bn"),
+        # J5: mutual out-neighbors (semi-join intersection)
+        "j5_mutual_knows": _q_cypher_knows(
+            "MATCH (a:Person {name:'Person0'})-[:KNOWS]->(m:Person)"
+            "<-[:KNOWS]-(b:Person {name:'Person4'}) RETURN m.name AS mn"),
+        # A1-A6: implicit grouping + all five aggregates
+        "a1_agg_group": _q_cypher_knows(
+            "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
+            "avg(p.age) AS avg_age, min(p.age) AS min_age, max(p.age) AS max_age "
+            "ORDER BY city"),
+        "a2_agg_global": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.active RETURN count(*) AS cnt, "
+            "sum(p.age) AS total, min(p.name) AS mn, max(p.age) AS mx"),
+        "a3_count_distinct": _q_cypher_knows(
+            "MATCH (p:Person) RETURN count(DISTINCT p.city) AS c"),
+        # O1-O3: multi-key sort + offset + top-k
+        "o1_top_k": _q_cypher_knows(
+            "MATCH (p:Person) RETURN p.name AS name, p.age AS age "
+            "ORDER BY p.age DESC, p.name ASC LIMIT 7"),
+        "o2_skip_limit": _q_cypher_knows(
+            "MATCH (p:Person) RETURN p.name AS name ORDER BY p.name "
+            "SKIP 5 LIMIT 3"),
+        # P6: WITH pipeline + post-projection WHERE
+        "p6_with_where": _q_cypher_knows(
+            "MATCH (p:Person) WITH p.city AS city, count(*) AS cnt "
+            "WHERE cnt > 25 RETURN city, cnt ORDER BY cnt DESC, city"),
+        # P4/§2.7: expression evaluator + scalar functions
+        "p4_scalar_funcs": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age % 10 = 0 AND p.age / 2 >= 20 "
+            "RETURN toupper(p.name) AS u, size(p.name) AS s, "
+            "p.age * 2 + 1 AS x, coalesce(p.email, 'none') AS em"),
+        # G3: variable-length expansion 1..3 with path length
+        "g3_vle": _q_cypher_knows(
+            "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b:Person) "
+            "RETURN b.name AS bn, toInteger(length(r)) AS hops"),
+        # G1/G2: BFS shortest distances
+        "g1_bfs_distances": _q_bfs,
+        # G5: exact-k neighbors
+        "g5_k_hop": _q_k_hop,
+        # G6: within-k neighbors
+        "g6_within_k": _q_within_k,
+        # X3-flavored: per-customer order totals, top-k (timeline shape)
+        "x3_order_totals": _q_cypher_tpch(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN c.name AS name, sum(o.totalprice) AS total "
+            "ORDER BY total DESC, name LIMIT 10"),
+        # flagship 2-hop heterogeneous pattern
+        "j2_two_hop_region": _q_cypher_tpch(
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+            "WHERE r.name = 'ASIA' RETURN n.name AS nation, count(*) AS cnt "
+            "ORDER BY nation"),
+        # TPC-H Q1 shape over HAS_ITEM edge properties
+        "a4_lineitem_pricing": _q_cypher_tpch(
+            "MATCH (o:Order)-[li:HAS_ITEM]->(p:Part) "
+            "RETURN li.returnflag AS returnflag, sum(li.quantity) AS sum_qty, "
+            "avg(li.extendedprice) AS avg_price, count(*) AS cnt "
+            "ORDER BY returnflag"),
+    }
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
 
+# ------------------------------------------------------------- oracle SQL
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    pre = _knows_pre()
+    return {
+        "s1_scan_filter": pre + " SELECT name, age FROM person WHERE age > 60",
+        "p1_pattern_props": pre + (
+            " SELECT name FROM person WHERE city='NYC' AND active"),
+        "j1_one_hop": pre + (
+            " SELECT p1.name AS an, p2.name AS bn FROM knows k "
+            "JOIN person p1 ON k.src=p1.key JOIN person p2 ON k.dst=p2.key "
+            "WHERE k.since=2021"),
+        "j2_three_hop": pre + (
+            " SELECT p4.name AS dn FROM knows k1 "
+            "JOIN knows k2 ON k1.dst=k2.src JOIN knows k3 ON k2.dst=k3.src "
+            "JOIN person p1 ON k1.src=p1.key JOIN person p4 ON k3.dst=p4.key "
+            "WHERE p1.name='Person0'"),
+        "j3_multi_match": pre + (
+            " SELECT p3.name AS cn FROM knows k1 "
+            "JOIN person p1 ON k1.src=p1.key "
+            "JOIN knows k2 ON k2.src=k1.dst JOIN person p3 ON k2.dst=p3.key "
+            "WHERE p1.age=30"),
+        "j4_optional_match": pre + (
+            " SELECT p1.name AS an, p2.name AS bn FROM person p1 LEFT JOIN "
+            "(SELECT k.src s, p2.* FROM knows k JOIN person p2 ON k.dst=p2.key "
+            "WHERE p2.age>75) p2 ON p1.key=p2.s"),
+        "j5_mutual_knows": pre + (
+            " SELECT pm.name AS mn FROM knows k1 "
+            "JOIN person pa ON k1.src=pa.key "
+            "JOIN knows k2 ON k1.dst=k2.dst "
+            "JOIN person pb ON k2.src=pb.key "
+            "JOIN person pm ON k1.dst=pm.key "
+            "WHERE pa.name='Person0' AND pb.name='Person4'"),
+        "a1_agg_group": pre + (
+            " SELECT city, count(*) AS cnt, avg(age) AS avg_age, "
+            "min(age) AS min_age, max(age) AS max_age "
+            "FROM person GROUP BY city ORDER BY city"),
+        "a2_agg_global": pre + (
+            " SELECT count(*) AS cnt, CAST(sum(age) AS BIGINT) AS total, "
+            "min(name) AS mn, max(age) AS mx FROM person WHERE active"),
+        "a3_count_distinct": pre + (
+            " SELECT count(DISTINCT city) AS c FROM person"),
+        "o1_top_k": pre + (
+            " SELECT name, age FROM person ORDER BY age DESC, name LIMIT 7"),
+        "o2_skip_limit": pre + (
+            " SELECT name FROM person ORDER BY name OFFSET 5 LIMIT 3"),
+        "p6_with_where": pre + (
+            " SELECT * FROM (SELECT city, count(*) AS cnt FROM person "
+            "GROUP BY city) WHERE cnt > 25 ORDER BY cnt DESC, city"),
+        "p4_scalar_funcs": pre + (
+            " SELECT upper(name) AS u, length(name) AS s, age*2+1 AS x, "
+            "coalesce(email,'none') AS em FROM person "
+            "WHERE age % 10 = 0 AND age // 2 >= 20"),
+        "g3_vle": pre.replace("WITH ", "WITH RECURSIVE ") + (
+            ", walk AS (SELECT src AS a, dst AS b, 1 AS hops, [src, dst] AS vp "
+            "FROM knows UNION ALL "
+            "SELECT w.a, k.dst, w.hops+1, list_append(w.vp, k.dst) "
+            "FROM walk w JOIN knows k ON w.b = k.src "
+            "WHERE w.hops < 3 AND NOT list_contains(w.vp, k.dst)) "
+            "SELECT p.name AS bn, CAST(t.hops AS BIGINT) AS hops FROM walk t "
+            "JOIN person p ON t.b = p.key JOIN person p0 ON t.a = p0.key "
+            "WHERE p0.name='Person0'"),
+        "g1_bfs_distances": pre.replace("WITH ", "WITH RECURSIVE ") + (
+            ", r AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS d "
+            "UNION SELECT k.dst, r.d+1 FROM r JOIN knows k ON r.id=k.src "
+            "WHERE r.d < 8) "
+            "SELECT id AS key, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY id"),
+        "g5_k_hop": pre + (
+            " SELECT DISTINCT k2.dst AS key FROM knows k1 "
+            "JOIN knows k2 ON k1.dst=k2.src "
+            "WHERE k1.src=0 AND k2.dst<>0 AND k2.dst<>k1.dst AND k1.dst<>0"),
+        "g6_within_k": pre.replace("WITH ", "WITH RECURSIVE ") + (
+            ", r AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS d "
+            "UNION SELECT k.dst, r.d+1 FROM r JOIN knows k ON r.id=k.src "
+            "WHERE r.d < 3) "
+            "SELECT DISTINCT id AS key FROM r WHERE d > 0"),
+        "x3_order_totals": (
+            "SELECT c_name AS name, sum(o_totalprice) AS total "
+            "FROM customer JOIN orders ON o_custkey=c_custkey "
+            "GROUP BY c_name ORDER BY total DESC, name LIMIT 10"),
+        "j2_two_hop_region": (
+            "SELECT n_name AS nation, count(*) AS cnt FROM customer "
+            "JOIN nation ON c_nationkey=n_nationkey "
+            "JOIN region ON n_regionkey=r_regionkey "
+            "WHERE r_name='ASIA' GROUP BY n_name ORDER BY n_name"),
+        "a4_lineitem_pricing": (
+            "SELECT l_returnflag AS returnflag, sum(l_quantity) AS sum_qty, "
+            "avg(l_extendedprice) AS avg_price, count(*) AS cnt "
+            "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+    }

@@ -1,0 +1,79 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR (default
+sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Times each query end-to-end (full plan execution forced via a noop-style
+count over every column-dependent operator; results are tiny so collect
+is the action). Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Comparison target (BASELINE.md §6 note): the reference's set-oriented
+throughput rows, not its µs-scale point ops — see SURVEY.md §6.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+# Headline subset of __spark_entry__.queries(): one per operator family.
+HEADLINE = [
+    "s1_scan_filter",      # filtered label scan
+    "j1_one_hop",          # V⋈E⋈V expand
+    "j2_three_hop",        # 3-hop chain
+    "j4_optional_match",   # left join
+    "a1_agg_group",        # implicit-group aggregation
+    "o1_top_k",            # TakeOrderedAndProject
+    "p6_with_where",       # WITH pipeline + HAVING-style filter
+    "g3_vle",              # variable-length expansion 1..3
+    "g1_bfs_distances",    # iterative BFS ≤8 hops
+    "j2_two_hop_region",   # heterogeneous 2-hop + agg
+    "x3_order_totals",     # join + group + top-k
+    "a4_lineitem_pricing", # TPC-H Q1 shape over edge properties
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "entry", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "__spark_entry__.py"))
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from rust_graph_db_spark import get_spark
+
+    spark = get_spark("bench")
+    qs = entry.queries()
+
+    # Warm the JVM + parquet footers once, outside the timed region.
+    spark.read.parquet(f"{sf_dir}/customer.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs[name]
+        t0 = time.perf_counter()
+        df = fn(spark, sf_dir)
+        n = df.count()  # executes the full plan (aggregates/joins/loops)
+        timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }))
+
+
+if __name__ == "__main__":
+    main()

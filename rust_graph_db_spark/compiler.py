@@ -1,0 +1,807 @@
+"""Cypher AST -> lazy DataFrame compiler.
+
+The reference interprets its AST row-at-a-time over ``Vec<Row>``
+(SURVEY.md §3.1); here every clause maps to declarative DataFrame
+operations so Catalyst supplies predicate pushdown, column pruning,
+join strategy selection, and AQE for free:
+
+  MATCH pattern      -> per-label scans + equi-joins (V ⋈ E ⋈ V)
+  multi-MATCH        -> equi-join on shared variables (standard
+                        openCypher; the reference's cross-product quirk
+                        §2.12-1 is deliberately NOT copied)
+  OPTIONAL MATCH     -> left join on shared variables
+  WHERE              -> df.filter (SQL 3-valued logic, not the
+                        reference's drop-on-error quirk §2.12-2)
+  WITH / RETURN      -> select / groupBy().agg() with proper implicit
+                        grouping keys (quirk §2.12-4 not copied)
+  ORDER/SKIP/LIMIT   -> orderBy(nulls last, §2.12-5 == DuckDB default) /
+                        offset / limit
+  CREATE/SET/DELETE  -> DataFrame appends / rebuilds on the PropertyGraph
+                        (micro-batched MERGE analog; Delta MERGE at scale)
+
+Variable binding model: each Cypher variable ``v`` owns a set of flat
+columns ``v__<prop>`` (plus ``v__id``/``v__src``/``v__dst``/``v__label``)
+so self-joins never collide and Catalyst sees plain column references.
+"""
+
+from __future__ import annotations
+
+import itertools
+from dataclasses import dataclass, field
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from rust_graph_db_spark.functions.scalar import compile_scalar_call
+from rust_graph_db_spark.parser.ast_nodes import (
+    AGGREGATE_FUNCS, Binary, Create, Delete, FuncCall, InList, IsNull,
+    ListLit, Literal, MapLit, Match, NodePattern, OrderItem, PathPattern,
+    Prop, Query, RelPattern, Return, ReturnItem, SetClause, SetItem,
+    Subscript, Unary, Unwind, Var, With, contains_aggregate,
+)
+
+SEP = "__"
+
+
+class CypherCompileError(ValueError):
+    pass
+
+
+@dataclass
+class Binding:
+    kind: str  # 'vertex' | 'edge' | 'scalar' | 'varlength'
+    label: Optional[str] = None
+    cols: dict = field(default_factory=dict)  # prop -> flat column name
+
+
+def _flat(var: str, col: str) -> str:
+    return f"{var}{SEP}{col}"
+
+
+def _qcol(name: str) -> Column:
+    """Column ref for a literal output name; backtick-quote names that
+    contain dots (e.g. the default RETURN key ``a.name``) so Spark does
+    not parse them as struct-field access."""
+    return F.col(f"`{name}`" if "." in name else name)
+
+
+class _Ctx:
+    """Mutable compile state: current DataFrame + variable environment."""
+
+    def __init__(self, graph):
+        self.graph = graph
+        self.spark = graph.spark
+        self.df: Optional[DataFrame] = None
+        self.env: dict[str, Binding] = {}
+        self._gensym = itertools.count()
+        self.write_stats: dict[str, int] = {}
+
+    def sym(self, prefix: str = "_a") -> str:
+        return f"{prefix}{next(self._gensym)}"
+
+
+# ------------------------------------------------------------------ type utils
+
+def _dtype_of(df: DataFrame, name: str) -> Optional[T.DataType]:
+    for f_ in df.schema.fields:
+        if f_.name == name:
+            return f_.dataType
+    return None
+
+
+def _is_string(dt) -> bool:
+    return isinstance(dt, T.StringType)
+
+
+def _is_integral(dt) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+# ------------------------------------------------------------ expression compile
+
+def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
+    """Compile an AST expression -> (Column, DataType|None)."""
+    df = df if df is not None else ctx.df
+
+    if isinstance(e, Literal):
+        v = e.value
+        if v is None:
+            return F.lit(None), T.NullType()
+        if isinstance(v, bool):
+            return F.lit(v), T.BooleanType()
+        if isinstance(v, int):
+            return F.lit(v).cast("long"), T.LongType()
+        if isinstance(v, float):
+            return F.lit(v), T.DoubleType()
+        return F.lit(v), T.StringType()
+
+    if isinstance(e, Var):
+        b = ctx.env.get(e.name)
+        if b is None:
+            raise CypherCompileError(f"unbound variable: {e.name}")
+        if b.kind == "scalar":
+            name = b.cols["_value"]
+            return _qcol(name), _dtype_of(df, name) if df is not None else None
+        return _entity_struct(b), None
+
+    if isinstance(e, Prop):
+        b = ctx.env.get(e.base)
+        if b is None:
+            raise CypherCompileError(f"unbound variable: {e.base}")
+        if b.kind == "scalar":
+            # property access on a scalar (e.g. map/struct column)
+            c = F.col(b.cols["_value"])
+            for p in e.path:
+                c = c.getItem(p)
+            return c, None
+        head = e.path[0]
+        flat = b.cols.get(head)
+        if flat is None:
+            # missing property -> NULL (openCypher; also OPTIONAL MATCH rows)
+            return F.lit(None), T.NullType()
+        c = F.col(flat)
+        dt = _dtype_of(df, flat) if df is not None else None
+        for p in e.path[1:]:
+            c = c.getItem(p)
+            if isinstance(dt, T.StructType) and p in dt.fieldNames():
+                dt = dt[p].dataType
+            elif isinstance(dt, T.MapType):
+                dt = dt.valueType
+            else:
+                dt = None
+        return c, dt
+
+    if isinstance(e, Unary):
+        c, dt = compile_expr(ctx, e.operand, df)
+        if e.op == "NOT":
+            return ~c.cast("boolean"), T.BooleanType()
+        if e.op == "-":
+            return -c, dt
+        return c, dt
+
+    if isinstance(e, Binary):
+        lc, lt = compile_expr(ctx, e.left, df)
+        rc, rt = compile_expr(ctx, e.right, df)
+        op = e.op
+        if op == "AND":
+            return lc & rc, T.BooleanType()
+        if op == "OR":
+            return lc | rc, T.BooleanType()
+        if op == "XOR":
+            return lc.cast("boolean") != rc.cast("boolean"), T.BooleanType()
+        if op == "=":
+            return lc == rc, T.BooleanType()
+        if op == "<>":
+            return lc != rc, T.BooleanType()
+        if op == "<":
+            return lc < rc, T.BooleanType()
+        if op == ">":
+            return lc > rc, T.BooleanType()
+        if op == "<=":
+            return lc <= rc, T.BooleanType()
+        if op == ">=":
+            return lc >= rc, T.BooleanType()
+        if op == "+":
+            if (lt and _is_string(lt)) or (rt and _is_string(rt)):
+                return F.concat(lc.cast("string"), rc.cast("string")), T.StringType()
+            if isinstance(lt, T.ArrayType) or isinstance(rt, T.ArrayType):
+                return F.concat(lc, rc), lt or rt
+            return lc + rc, _num_result(lt, rt)
+        if op == "-":
+            return lc - rc, _num_result(lt, rt)
+        if op == "*":
+            return lc * rc, _num_result(lt, rt)
+        if op == "/":
+            if lt is not None and rt is not None and _is_integral(lt) and _is_integral(rt):
+                # Cypher/Rust integer division truncates toward zero
+                return (lc / rc).cast("long"), T.LongType()
+            return lc / rc, T.DoubleType()
+        if op == "%":
+            return lc % rc, _num_result(lt, rt)
+        raise CypherCompileError(f"unsupported operator {op}")
+
+    if isinstance(e, IsNull):
+        c, _ = compile_expr(ctx, e.operand, df)
+        return (c.isNotNull() if e.negated else c.isNull()), T.BooleanType()
+
+    if isinstance(e, InList):
+        nc, _ = compile_expr(ctx, e.needle, df)
+        if isinstance(e.haystack, ListLit) and all(
+            isinstance(i, Literal) for i in e.haystack.items
+        ):
+            return nc.isin([i.value for i in e.haystack.items]), T.BooleanType()
+        hc, _ = compile_expr(ctx, e.haystack, df)
+        return F.array_contains(hc, nc), T.BooleanType()
+
+    if isinstance(e, ListLit):
+        cols = [compile_expr(ctx, i, df)[0] for i in e.items]
+        return F.array(*cols), None
+
+    if isinstance(e, MapLit):
+        kv = []
+        for k, v in e.pairs:
+            kv.append(F.lit(k))
+            kv.append(compile_expr(ctx, v, df)[0])
+        return F.create_map(*kv), None
+
+    if isinstance(e, Subscript):
+        bc, bt = compile_expr(ctx, e.base, df)
+        ic, _ = compile_expr(ctx, e.index, df)
+        if isinstance(e.index, Literal) and isinstance(e.index.value, int):
+            # openCypher lists are 0-based; element_at is 1-based
+            return F.element_at(bc, e.index.value + 1), (
+                bt.elementType if isinstance(bt, T.ArrayType) else None)
+        return F.element_at(bc, ic + F.lit(1)), None
+
+    if isinstance(e, FuncCall):
+        return _compile_func(ctx, e, df)
+
+    raise CypherCompileError(f"cannot compile expression {e!r}")
+
+
+def _num_result(lt, rt):
+    if isinstance(lt, T.DoubleType) or isinstance(rt, T.DoubleType):
+        return T.DoubleType()
+    if lt is not None and rt is not None and _is_integral(lt) and _is_integral(rt):
+        return T.LongType()
+    return None
+
+
+def _entity_struct(b: Binding) -> Column:
+    return F.struct(*[F.col(c).alias(p) for p, c in sorted(b.cols.items())])
+
+
+def _compile_func(ctx: _Ctx, e: FuncCall, df):
+    name = e.name
+    if name in AGGREGATE_FUNCS:
+        raise CypherCompileError(
+            f"aggregate {name}() only allowed in RETURN/WITH items")
+    # graph-aware functions need the binding, not the compiled arg
+    if name in ("type", "id", "labels", "properties", "startnode", "endnode", "degree"):
+        if len(e.args) != 1 or not isinstance(e.args[0], Var):
+            raise CypherCompileError(f"{name}() expects a single variable")
+        b = ctx.env.get(e.args[0].name)
+        if b is None:
+            raise CypherCompileError(f"unbound variable: {e.args[0].name}")
+        if name == "type":
+            return F.col(b.cols["label"]), T.StringType()
+        if name == "id":
+            return F.col(b.cols["id"]), T.LongType()
+        if name == "labels":
+            return F.array(F.col(b.cols["label"])), T.ArrayType(T.StringType())
+        if name == "properties":
+            props = {p: c for p, c in b.cols.items()
+                     if p not in ("id", "src", "dst", "label")}
+            return F.struct(*[F.col(c).alias(p) for p, c in sorted(props.items())]), None
+        if name == "startnode":
+            return F.col(b.cols["src"]), T.LongType()
+        if name == "endnode":
+            return F.col(b.cols["dst"]), T.LongType()
+    if name in ("length", "size") and len(e.args) == 1 and isinstance(e.args[0], Var):
+        b = ctx.env.get(e.args[0].name)
+        if b is not None and b.kind == "varlength":
+            return F.col(b.cols["hops"]), T.IntegerType()
+    args, dts = [], []
+    for a in e.args:
+        c, dt = compile_expr(ctx, a, df)
+        args.append(c)
+        dts.append(dt.simpleString() if dt is not None else None)
+    return compile_scalar_call(name, args, dts), None
+
+
+# --------------------------------------------------------------- pattern compile
+
+def _vertex_df(ctx: _Ctx, var: str, label: Optional[str]) -> tuple:
+    g = ctx.graph
+    if label is not None:
+        vf = g.vertex_frame(label).withColumn("label", F.lit(label))
+    else:
+        vf = g.vertices()
+    cols = {c: _flat(var, c) for c in vf.columns}
+    out = vf.select(*[F.col(c).alias(fc) for c, fc in cols.items()])
+    return out, Binding("vertex", label, cols)
+
+
+def _edge_df(ctx: _Ctx, var: str, label: Optional[str], direction: str) -> tuple:
+    """Edge frame with normalized __FROM/__TO join columns.
+
+    out:  FROM=src TO=dst;  in: FROM=dst TO=src;  both: union of the two
+    (reference 'Both' = either-endpoint resolution,
+    match_executor.rs:168-178).
+    """
+    g = ctx.graph
+    ef = g.edges(label) if label is not None else g.edges()
+    variants = []
+    if direction in ("out", "both"):
+        variants.append(ef.withColumn("_FROM", F.col("src")).withColumn("_TO", F.col("dst")))
+    if direction in ("in", "both"):
+        variants.append(ef.withColumn("_FROM", F.col("dst")).withColumn("_TO", F.col("src")))
+    u = variants[0]
+    for v in variants[1:]:
+        u = u.unionByName(v)
+    cols = {c: _flat(var, c) for c in ef.columns}
+    sel = [F.col(c).alias(fc) for c, fc in cols.items()]
+    sel += [F.col("_FROM").alias(_flat(var, "_FROM")), F.col("_TO").alias(_flat(var, "_TO"))]
+    return u.select(*sel), Binding("edge", label, cols)
+
+
+def _inline_filter(ctx: _Ctx, df: DataFrame, binding: Binding, props: Optional[MapLit]):
+    if props is None:
+        return df
+    for k, vexpr in props.pairs:
+        flat = binding.cols.get(k)
+        if flat is None:
+            # pattern asks for a property the label never has -> no match
+            return df.where(F.lit(False))
+        val, _ = compile_expr(ctx, vexpr, df)
+        df = df.where(F.col(flat) == val)
+    return df
+
+
+def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
+    """Compile one path pattern to (df, env_additions)."""
+    items = pat.items
+    env_add: dict[str, Binding] = {}
+
+    def node_frame(np: NodePattern):
+        var = np.var or ctx.sym()
+        label = np.label
+        if label is None:
+            hb = hint.get(var) or env_add.get(var)
+            if hb is not None and hb.label is not None:
+                label = hb.label
+        vdf, b = _vertex_df(ctx, var, label)
+        vdf = _inline_filter(ctx, vdf, b, np.props)
+        return var, vdf, b
+
+    var0, df, b0 = node_frame(items[0])
+    if var0 in env_add:
+        raise CypherCompileError(f"duplicate node variable {var0} in one path")
+    env_add[var0] = b0
+    prev = var0
+
+    for i in range(1, len(items), 2):
+        rel: RelPattern = items[i]
+        node: NodePattern = items[i + 1]
+        rvar = rel.var or ctx.sym("_r")
+
+        if rel.var_length is not None:
+            lo, hi = rel.var_length
+            hi = hi if hi is not None else max(lo, ctx.graph.max_var_length)
+            from rust_graph_db_spark.operators.traversal import expand_paths
+
+            edges = ctx.graph.edge_frame(rel.label) if rel.label else ctx.graph.edges()
+            pairs = expand_paths(edges, None, lo, hi, direction=rel.direction)
+            pdf = pairs.select(
+                F.col("a").alias(_flat(rvar, "_FROM")),
+                F.col("b").alias(_flat(rvar, "_TO")),
+                F.col("hops").alias(_flat(rvar, "hops")),
+                F.col("vpath").alias(_flat(rvar, "vpath")),
+            )
+            rb = Binding("varlength", rel.label,
+                         {"hops": _flat(rvar, "hops"), "vpath": _flat(rvar, "vpath")})
+            df = df.join(pdf, F.col(_flat(prev, "id")) == F.col(_flat(rvar, "_FROM")))
+        else:
+            pdf, rb = _edge_df(ctx, rvar, rel.label, rel.direction)
+            pdf = _inline_filter(ctx, pdf, rb, rel.props)
+            df = df.join(pdf, F.col(_flat(prev, "id")) == F.col(_flat(rvar, "_FROM")))
+        env_add[rvar] = rb
+
+        nvar = node.var or ctx.sym()
+        if nvar in env_add:
+            # revisiting a vertex bound earlier in THIS path (cycle pattern
+            # like (a)-[]->(b)-[]->(a)): close the cycle with a filter
+            # instead of a second scan
+            df = df.where(F.col(_flat(rvar, "_TO")) == F.col(env_add[nvar].cols["id"]))
+        else:
+            # fresh frame even if bound in an outer clause — the caller's
+            # shared-column equi-join reconciles the two occurrences
+            nvar, ndf, nb = node_frame(node)
+            df = df.join(ndf, F.col(_flat(rvar, "_TO")) == F.col(_flat(nvar, "id")))
+            env_add[nvar] = nb
+        prev = nvar
+
+    # internal join columns stay in the frame but out of bindings; drop the
+    # _FROM/_TO helpers now that joins are done
+    helper = [c for c in df.columns if c.endswith(f"{SEP}_FROM") or c.endswith(f"{SEP}_TO")]
+    if helper:
+        df = df.drop(*helper)
+    return df, env_add
+
+
+def _key_col(b: Binding) -> str:
+    if b.kind in ("vertex", "edge"):
+        return b.cols["id"]
+    if b.kind == "varlength":
+        return b.cols["hops"]
+    return b.cols["_value"]
+
+
+def _merge_frames(left: DataFrame, lenv: dict, right: DataFrame, renv: dict,
+                  how: str) -> tuple:
+    """Join two binding frames on the IDENTITY of shared variables.
+
+    Shared entity vars join on their id column ONLY — never on property
+    columns: nullable props under SQL equality (NULL = NULL -> NULL)
+    would silently drop rows. The right side's duplicate columns are
+    renamed away and dropped after the join.
+    """
+    shared = [v for v in renv if v in lenv]
+    if not shared:
+        return left.crossJoin(right), {**lenv, **renv}
+    ren = {}
+    for v in shared:
+        for p, c in renv[v].cols.items():
+            ren[c] = f"{c}__R"
+    right_r = right.select(*[F.col(c).alias(ren.get(c, c)) for c in right.columns])
+    cond = None
+    for v in shared:
+        k = ren[_key_col(renv[v])]
+        c = F.col(_key_col(lenv[v])) == F.col(k)
+        cond = c if cond is None else (cond & c)
+    joined = left.join(right_r, cond, how).drop(*ren.values())
+    env = dict(lenv)
+    for v, b in renv.items():
+        env.setdefault(v, b)
+    return joined, env
+
+
+def _apply_match(ctx: _Ctx, m: Match) -> None:
+    hint = dict(ctx.env)
+    pdf_all, penv_all = None, {}
+    for pat in m.patterns:
+        pdf, penv = _compile_path(ctx, pat, {**hint, **penv_all})
+        if pdf_all is None:
+            pdf_all, penv_all = pdf, penv
+        else:
+            pdf_all, penv_all = _merge_frames(pdf_all, penv_all, pdf, penv, "inner")
+
+    if m.optional and m.where is not None:
+        # WHERE belongs to the optional pattern: filter before the left join
+        tmp_env = dict(ctx.env)
+        ctx.env.update(penv_all)
+        cond, _ = compile_expr(ctx, m.where, pdf_all)
+        pdf_all = pdf_all.where(cond)
+        ctx.env = tmp_env
+
+    if ctx.df is None:
+        ctx.df = pdf_all
+        ctx.env.update(penv_all)
+    else:
+        how = "left" if m.optional else "inner"
+        ctx.df, ctx.env = _merge_frames(ctx.df, ctx.env, pdf_all, penv_all, how)
+
+    if m.where is not None and not m.optional:
+        cond, _ = compile_expr(ctx, m.where)
+        ctx.df = ctx.df.where(cond)
+
+
+# ----------------------------------------------------------------- projection
+
+def _expr_name(e) -> str:
+    if isinstance(e, Var):
+        return e.name
+    if isinstance(e, Prop):
+        return ".".join((e.base,) + e.path)
+    if isinstance(e, FuncCall):
+        inner = "*" if e.star else ", ".join(_expr_name(a) for a in e.args)
+        d = "DISTINCT " if e.distinct else ""
+        return f"{e.name}({d}{inner})"
+    if isinstance(e, Literal):
+        return repr(e.value)
+    return "expr"
+
+
+def _compile_aggregate(ctx: _Ctx, e: FuncCall, df) -> Column:
+    if e.name == "count":
+        if e.star:
+            return F.count(F.lit(1))
+        c, _ = compile_expr(ctx, e.args[0], df)
+        return F.count_distinct(c) if e.distinct else F.count(c)
+    c, _ = compile_expr(ctx, e.args[0], df)
+    if e.distinct:
+        if e.name == "sum":
+            return F.sum_distinct(c)
+        if e.name == "collect":
+            return F.collect_set(c)
+        if e.name in ("min", "max"):
+            pass  # DISTINCT is a no-op for min/max
+        else:
+            raise CypherCompileError(f"DISTINCT not supported for {e.name}()")
+    if e.name == "sum":
+        return F.sum(c)
+    if e.name == "avg":
+        return F.avg(c)
+    if e.name == "min":
+        return F.min(c)
+    if e.name == "max":
+        return F.max(c)
+    if e.name == "collect":
+        return F.collect_list(c)
+    raise CypherCompileError(f"unknown aggregate {e.name}")
+
+
+def _split_aggregates(e, counter):
+    """Replace aggregate sub-calls with scalar Var placeholders.
+
+    Returns (rewritten_expr, [(placeholder_name, FuncCall), ...]) so that
+    ``count(*) + 1`` compiles to agg then post-select arithmetic.
+    """
+    found = []
+
+    def walk(x):
+        if isinstance(x, FuncCall) and x.name in AGGREGATE_FUNCS:
+            name = f"_agg{next(counter)}"
+            found.append((name, x))
+            return Var(name)
+        if isinstance(x, Unary):
+            return Unary(x.op, walk(x.operand))
+        if isinstance(x, Binary):
+            return Binary(x.op, walk(x.left), walk(x.right))
+        if isinstance(x, IsNull):
+            return IsNull(walk(x.operand), x.negated)
+        if isinstance(x, InList):
+            return InList(walk(x.needle), walk(x.haystack))
+        if isinstance(x, FuncCall):
+            return FuncCall(x.name, tuple(walk(a) for a in x.args), x.distinct, x.star)
+        if isinstance(x, ListLit):
+            return ListLit(tuple(walk(i) for i in x.items))
+        return x
+
+    return walk(e), found
+
+
+def _apply_projection(ctx: _Ctx, clause) -> None:
+    items = clause.items
+    is_with = isinstance(clause, With)
+    has_agg = any(contains_aggregate(it.expr) for it in items)
+    if ctx.df is None:
+        ctx.df = ctx.spark.range(1).select(F.lit(1).alias("_one"))
+
+    df = ctx.df
+    new_env: dict[str, Binding] = {}
+    out_names: list[str] = []
+    item_names: list[tuple] = []  # (name, expr) for ORDER BY resolution
+
+    if not has_agg:
+        select_cols: list[Column] = []
+        for it in items:
+            name = it.alias or _expr_name(it.expr)
+            b = ctx.env.get(it.expr.name) if isinstance(it.expr, Var) else None
+            if b is not None and b.kind in ("vertex", "edge", "varlength"):
+                if is_with:
+                    newcols = {}
+                    for p, c in b.cols.items():
+                        nc = _flat(name, p)
+                        select_cols.append(F.col(c).alias(nc))
+                        newcols[p] = nc
+                    new_env[name] = Binding(b.kind, b.label, newcols)
+                else:
+                    select_cols.append(_entity_struct(b).alias(name))
+            else:
+                c, _ = compile_expr(ctx, it.expr, df)
+                select_cols.append(c.alias(name))
+                new_env[name] = Binding("scalar", None, {"_value": name})
+            out_names.append(name)
+            item_names.append((name, it.expr))
+
+        # hidden sort columns for ORDER BY expressions over pre-projection vars
+        hidden = []
+        for oi in clause.order_by:
+            if not _order_resolvable(oi.expr, out_names, item_names, new_env):
+                hname = f"_ord{len(hidden)}"
+                c, _ = compile_expr(ctx, oi.expr, df)
+                select_cols.append(c.alias(hname))
+                hidden.append((hname, oi))
+        proj = df.select(*select_cols)
+    else:
+        counter = itertools.count()
+        group_specs = []  # (name, expr)
+        agg_items = []    # (name, rewritten_expr, [(ph, call)])
+        for it in items:
+            name = it.alias or _expr_name(it.expr)
+            if contains_aggregate(it.expr):
+                rewritten, aggs = _split_aggregates(it.expr, counter)
+                agg_items.append((name, rewritten, aggs))
+            else:
+                group_specs.append((name, it.expr))
+            out_names.append(name)
+            item_names.append((name, it.expr))
+
+        key_cols = []
+        for name, ge in group_specs:
+            b = ctx.env.get(ge.name) if isinstance(ge, Var) else None
+            if b is not None and b.kind in ("vertex", "edge", "varlength"):
+                if is_with:
+                    # group on every column of the entity, keep the binding
+                    newcols = {}
+                    for p, c in b.cols.items():
+                        nc = _flat(name, p)
+                        key_cols.append(F.col(c).alias(nc))
+                        newcols[p] = nc
+                    new_env[name] = Binding(b.kind, b.label, newcols)
+                else:
+                    key_cols.append(_entity_struct(b).alias(name))
+                    new_env[name] = Binding("scalar", None, {"_value": name})
+            else:
+                c, _ = compile_expr(ctx, ge, df)
+                key_cols.append(c.alias(name))
+                new_env[name] = Binding("scalar", None, {"_value": name})
+
+        agg_cols = []
+        for name, rewritten, aggs in agg_items:
+            for ph, call in aggs:
+                agg_cols.append(_compile_aggregate(ctx, call, df).alias(ph))
+        if not agg_cols:
+            raise CypherCompileError("aggregate projection without aggregates")
+
+        grouped = df.groupBy(*key_cols).agg(*agg_cols) if key_cols else df.agg(*agg_cols)
+
+        # post-select to evaluate arithmetic around aggregates
+        post_env = dict(new_env)
+        for name, rewritten, aggs in agg_items:
+            for ph, _ in aggs:
+                post_env[ph] = Binding("scalar", None, {"_value": ph})
+        old_env = ctx.env
+        ctx.env = post_env
+        post_cols = []
+        for name, _ in group_specs:
+            post_cols.append(_qcol(name))
+        for name, rewritten, aggs in agg_items:
+            c, _ = compile_expr(ctx, rewritten, grouped)
+            post_cols.append(c.alias(name))
+            new_env[name] = Binding("scalar", None, {"_value": name})
+        ctx.env = old_env
+        # keep declared order of items
+        ordered = []
+        gi = iter([_qcol(n) for n, _ in group_specs])
+        ai = iter([c for c in post_cols[len(group_specs):]])
+        gnames = {n for n, _ in group_specs}
+        for it, name in zip(items, out_names):
+            ordered.append(next(gi) if name in gnames else next(ai))
+        proj = grouped.select(*ordered)
+        hidden = []
+
+    # WITH ... WHERE filters the projected rows
+    old_env = ctx.env
+    ctx.env = {**new_env}
+    if is_with and clause.where is not None:
+        cond, _ = compile_expr(ctx, clause.where, proj)
+        proj = proj.where(cond)
+
+    if clause.distinct:
+        proj = proj.dropDuplicates(out_names) if (not has_agg and hidden) else proj.distinct()
+
+    # ORDER BY: NULLS LAST in both directions (== reference quirk §2.12-5
+    # and DuckDB's default, so oracles agree)
+    if clause.order_by:
+        sort_cols = []
+        for oi in clause.order_by:
+            c = _resolve_order(ctx, oi.expr, out_names, item_names, proj)
+            if c is None:
+                hid = next((h for h, o in hidden if o is oi), None)
+                if hid is None:
+                    raise CypherCompileError(
+                        f"cannot resolve ORDER BY expression {oi.expr!r}")
+                c = F.col(hid)
+            sort_cols.append(c.desc_nulls_last() if oi.desc else c.asc_nulls_last())
+        proj = proj.orderBy(*sort_cols)
+    if hidden:
+        proj = proj.drop(*[h for h, _ in hidden])
+
+    if clause.skip is not None:
+        proj = proj.offset(clause.skip)
+    if clause.limit is not None:
+        proj = proj.limit(clause.limit)
+
+    ctx.df = proj
+    ctx.env = new_env
+
+
+def _order_resolvable(e, out_names, item_names, new_env) -> bool:
+    if isinstance(e, Var) and e.name in out_names:
+        return True
+    for name, ie in item_names:
+        if ie == e:
+            return True
+    # resolvable against the projected env?
+    return _vars_of(e) <= set(new_env)
+
+
+def _vars_of(e) -> set:
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, Prop):
+        return {e.base}
+    if isinstance(e, Unary):
+        return _vars_of(e.operand)
+    if isinstance(e, Binary):
+        return _vars_of(e.left) | _vars_of(e.right)
+    if isinstance(e, IsNull):
+        return _vars_of(e.operand)
+    if isinstance(e, InList):
+        return _vars_of(e.needle) | _vars_of(e.haystack)
+    if isinstance(e, FuncCall):
+        s = set()
+        for a in e.args:
+            s |= _vars_of(a)
+        return s
+    if isinstance(e, ListLit):
+        s = set()
+        for i in e.items:
+            s |= _vars_of(i)
+        return s
+    if isinstance(e, Subscript):
+        return _vars_of(e.base) | _vars_of(e.index)
+    return set()
+
+
+def _resolve_order(ctx: _Ctx, e, out_names, item_names, proj):
+    if isinstance(e, Var) and e.name in out_names:
+        return _qcol(e.name)
+    for name, ie in item_names:
+        if ie == e:
+            return _qcol(name)
+    if _vars_of(e) <= set(ctx.env):
+        try:
+            c, _ = compile_expr(ctx, e, proj)
+            return c
+        except CypherCompileError:
+            return None
+    return None
+
+
+# ------------------------------------------------------------------- DML
+
+def _apply_create(ctx: _Ctx, clause: Create) -> None:
+    from rust_graph_db_spark import dml
+
+    dml.apply_create(ctx, clause)
+
+
+def _apply_set(ctx: _Ctx, clause: SetClause) -> None:
+    from rust_graph_db_spark import dml
+
+    dml.apply_set(ctx, clause)
+
+
+def _apply_delete(ctx: _Ctx, clause: Delete) -> None:
+    from rust_graph_db_spark import dml
+
+    dml.apply_delete(ctx, clause)
+
+
+# ------------------------------------------------------------------- driver
+
+def compile_query(graph, query: Query) -> DataFrame:
+    ctx = _Ctx(graph)
+    last = None
+    for clause in query.clauses:
+        if isinstance(clause, Match):
+            _apply_match(ctx, clause)
+        elif isinstance(clause, (With, Return)):
+            _apply_projection(ctx, clause)
+        elif isinstance(clause, Unwind):
+            if ctx.df is None:
+                ctx.df = ctx.spark.range(1).select(F.lit(1).alias("_one"))
+            c, _ = compile_expr(ctx, clause.expr)
+            ctx.df = ctx.df.withColumn(clause.alias, F.explode(c))
+            ctx.env[clause.alias] = Binding("scalar", None, {"_value": clause.alias})
+        elif isinstance(clause, Create):
+            _apply_create(ctx, clause)
+        elif isinstance(clause, SetClause):
+            _apply_set(ctx, clause)
+        elif isinstance(clause, Delete):
+            _apply_delete(ctx, clause)
+        else:
+            raise CypherCompileError(f"unsupported clause {clause!r}")
+        last = clause
+
+    if isinstance(last, Return):
+        return ctx.df
+    # write-only query: return a one-row summary
+    stats = ctx.write_stats or {"rows": 0}
+    return ctx.spark.createDataFrame(
+        [tuple(stats.values())], list(stats.keys()))

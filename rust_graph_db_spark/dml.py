@@ -1,0 +1,293 @@
+"""Write operators: CREATE / SET / DELETE / DETACH DELETE.
+
+Reference semantics (SURVEY.md §2.9): CREATE requires labels and literal
+properties; DELETE of a vertex with remaining edges is an error; DETACH
+DELETE removes incident edges first; SET does read-modify-write on
+(possibly nested) property paths and may reference current properties.
+
+Spark-first design: mutations are COPY-ON-WRITE rebuilds of the per-label
+DataFrames (union for insert, anti-join for delete, join+coalesce for
+update). On real storage each of these maps 1:1 to a Delta Lake MERGE /
+DELETE / APPEND — the dataflow below IS the MERGE body. Cross-table
+atomicity (V+E in one CREATE pattern) follows the reference's ordering
+discipline: vertices first on create, edges first on delete
+(delete_executor.rs:109-129).
+
+Per-row id allocation uses a reserved range + row_number, the same
+batch-range strategy as the reference's bulk import
+(rocksdb_store.rs:390-401). The global window inside one micro-batch of
+creates is acceptable because DML batches are small relative to scans;
+bulk ingest goes through ``sources.bulk_load`` which salts ranges per
+partition instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.model import pack_graphid, unpack_locid
+from rust_graph_db_spark.parser.ast_nodes import (
+    Create, Delete, Literal, MapLit, NodePattern, PathPattern, Prop,
+    RelPattern, SetClause,
+)
+
+
+class CypherWriteError(ValueError):
+    pass
+
+
+def _literal_props(props) -> dict:
+    out = {}
+    if props is None:
+        return out
+    for k, v in props.pairs:
+        if not isinstance(v, Literal):
+            raise CypherWriteError(
+                "CREATE property maps accept literals only (reference "
+                "match_executor.rs:360-367)")
+        out[k] = v.value
+    return out
+
+
+def apply_create(ctx, clause: Create) -> None:
+    """CREATE patterns — standalone or driven by matched rows."""
+    from rust_graph_db_spark.compiler import Binding, _flat
+
+    g = ctx.graph
+    spark = ctx.spark
+    n_vertices = n_edges = 0
+
+    for pat in clause.patterns:
+        items = pat.items
+        # pass 1: create vertices for unbound node vars
+        for idx in range(0, len(items), 2):
+            node: NodePattern = items[idx]
+            var = node.var
+            if var is not None and var in ctx.env:
+                continue  # bound: edge endpoint from the match df
+            if node.label is None:
+                raise CypherWriteError("CREATE node requires a label "
+                                       "(create_executor.rs:113-131)")
+            props = _literal_props(node.props)
+            label = node.label
+            labid = g.label_id(label)
+
+            if ctx.df is None:
+                base = g.next_locids(label, 1)
+                row_df = spark.createDataFrame([tuple(props.values()) or (None,)],
+                                               list(props.keys()) or ["_dummy"])
+                if not props:
+                    row_df = row_df.drop("_dummy")
+                new = row_df.withColumn("id", pack_graphid(labid, F.lit(base)))
+            else:
+                cnt = ctx.df.count()
+                base = g.next_locids(label, cnt)
+                w = Window.orderBy(F.monotonically_increasing_id())
+                new = ctx.df.select(
+                    (F.row_number().over(w) - 1 + F.lit(base)).alias("_loc"))
+                new = new.withColumn("id", pack_graphid(labid, F.col("_loc"))).drop("_loc")
+                for k, v in props.items():
+                    new = new.withColumn(k, F.lit(v))
+
+            props_cols = [c for c in new.columns if c != "id"]
+            new = new.select("id", *props_cols)
+            if label in g._vertices:
+                g._vertices[label] = g._vertices[label].unionByName(
+                    new, allowMissingColumns=True).localCheckpoint(eager=True)
+            else:
+                g._vertices[label] = new.localCheckpoint(eager=True)
+            n_vertices += 1 if ctx.df is None else new.count()
+
+            # bind the var for edge pass / subsequent clauses
+            if var is not None:
+                if ctx.df is None:
+                    cols = {c: _flat(var, c) for c in new.columns}
+                    bound = new.select(*[F.col(c).alias(fc) for c, fc in cols.items()])
+                    cols["label"] = _flat(var, "label")
+                    bound = bound.withColumn(cols["label"], F.lit(label))
+                    ctx.df = bound if ctx.df is None else ctx.df.crossJoin(bound)
+                    ctx.env[var] = Binding("vertex", label, cols)
+                else:
+                    # per-row created vertex: attach id column to the row df
+                    w = Window.orderBy(F.monotonically_increasing_id())
+                    ctx.df = ctx.df.withColumn(
+                        _flat(var, "id"),
+                        pack_graphid(labid, F.row_number().over(w) - 1 + F.lit(base)))
+                    cols = {"id": _flat(var, "id"), "label": _flat(var, "label")}
+                    ctx.df = ctx.df.withColumn(cols["label"], F.lit(label))
+                    for k, v in props.items():
+                        fc = _flat(var, k)
+                        ctx.df = ctx.df.withColumn(fc, F.lit(v))
+                        cols[k] = fc
+                    ctx.env[var] = Binding("vertex", label, cols)
+
+        # pass 2: create edges
+        for idx in range(1, len(items), 2):
+            rel: RelPattern = items[idx]
+            left: NodePattern = items[idx - 1]
+            right: NodePattern = items[idx + 1]
+            if rel.direction == "both":
+                raise CypherWriteError(
+                    "CREATE requires a directed relationship "
+                    "(create_executor.rs:80-85)")
+            if rel.label is None:
+                raise CypherWriteError("CREATE relationship requires a label")
+            lvar, rvar = left.var, right.var
+            if lvar is None or rvar is None or lvar not in ctx.env or rvar not in ctx.env:
+                raise CypherWriteError("CREATE edge endpoints must be bound nodes")
+            props = _literal_props(rel.props)
+            elabel = rel.label
+            labid = g.label_id(elabel)
+
+            src_col = ctx.env[lvar].cols["id"]
+            dst_col = ctx.env[rvar].cols["id"]
+            if rel.direction == "in":
+                src_col, dst_col = dst_col, src_col
+
+            pairs = ctx.df.select(F.col(src_col).alias("src"),
+                                  F.col(dst_col).alias("dst")).distinct()
+            cnt = pairs.count()
+            base = g.next_locids(elabel, cnt)
+            w = Window.orderBy("src", "dst")
+            new = pairs.withColumn(
+                "id", pack_graphid(labid, F.row_number().over(w) - 1 + F.lit(base)))
+            for k, v in props.items():
+                new = new.withColumn(k, F.lit(v))
+            new = new.select("id", "src", "dst",
+                             *[c for c in new.columns if c not in ("id", "src", "dst")])
+            if elabel in g._edges:
+                g._edges[elabel] = g._edges[elabel].unionByName(
+                    new, allowMissingColumns=True).localCheckpoint(eager=True)
+            else:
+                g._edges[elabel] = new.localCheckpoint(eager=True)
+            n_edges += cnt
+
+    ctx.write_stats["created_vertices"] = ctx.write_stats.get("created_vertices", 0) + n_vertices
+    ctx.write_stats["created_edges"] = ctx.write_stats.get("created_edges", 0) + n_edges
+
+
+def apply_set(ctx, clause: SetClause) -> None:
+    """SET n.prop = expr / SET n.a.b = expr over the matched rows.
+
+    Groups items per entity variable into ONE read-modify-write join
+    (reference groups multiple SET items the same way,
+    set_executor.rs:29-107).
+    """
+    from rust_graph_db_spark.compiler import compile_expr
+
+    if ctx.df is None:
+        raise CypherWriteError("SET requires a preceding MATCH")
+    g = ctx.graph
+
+    by_var: dict[str, list] = {}
+    for item in clause.items:
+        by_var.setdefault(item.target.base, []).append(item)
+
+    n_updated = 0
+    for var, items in by_var.items():
+        b = ctx.env.get(var)
+        if b is None:
+            raise CypherWriteError(f"unbound variable in SET: {var}")
+        if b.label is None:
+            raise CypherWriteError("SET target must have a known label")
+        id_col = b.cols["id"]
+
+        upd_cols = [F.col(id_col).alias("_uid")]
+        names = []
+        for i, item in enumerate(items):
+            val, _ = compile_expr(ctx, item.value)
+            name = f"_v{i}"
+            upd_cols.append(val.alias(name))
+            names.append((name, item.target.path))
+        updates = ctx.df.select(*upd_cols).groupBy("_uid").agg(
+            *[F.first(n).alias(n) for n, _ in names]).withColumn("_m", F.lit(1))
+
+        if b.kind == "vertex":
+            frame = g.vertex_frame(b.label)
+        else:
+            frame = g.edge_frame(b.label)
+        joined = frame.join(F.broadcast(updates), frame["id"] == updates["_uid"], "left")
+
+        for name, path in names:
+            head = path[0]
+            if len(path) == 1:
+                if head in frame.columns:
+                    newc = F.when(F.col("_m") == 1, F.col(name)).otherwise(F.col(head))
+                else:
+                    newc = F.when(F.col("_m") == 1, F.col(name))
+                joined = joined.withColumn(head, newc)
+            else:
+                # nested path: parent struct must exist (reference
+                # set_executor.rs:157-202)
+                if head not in frame.columns:
+                    raise CypherWriteError(f"nested SET parent {head!r} missing")
+                nested = ".".join(path[1:])
+                joined = joined.withColumn(
+                    head,
+                    F.when(F.col("_m") == 1,
+                           F.col(head).withField(nested, F.col(name)))
+                    .otherwise(F.col(head)))
+        drop = ["_uid", "_m"] + [n for n, _ in names]
+        result = joined.drop(*drop).localCheckpoint(eager=True)
+        if b.kind == "vertex":
+            g._vertices[b.label] = result
+        else:
+            g._edges[b.label] = result
+        n_updated += updates.count()
+
+    ctx.write_stats["updated"] = ctx.write_stats.get("updated", 0) + n_updated
+
+
+def apply_delete(ctx, clause: Delete) -> None:
+    """DELETE / DETACH DELETE bound variables.
+
+    Vertex delete with remaining incident edges is an error unless DETACH
+    (reference delete_executor.rs:99-103); DETACH removes incident edges
+    in both directions first (delete_executor.rs:109-129).
+    """
+    if ctx.df is None:
+        raise CypherWriteError("DELETE requires a preceding MATCH")
+    g = ctx.graph
+    n_deleted = 0
+
+    for var in clause.vars:
+        b = ctx.env.get(var)
+        if b is None:
+            raise CypherWriteError(f"unbound variable in DELETE: {var}")
+        ids = ctx.df.select(F.col(b.cols["id"]).alias("id")).distinct() \
+                    .localCheckpoint(eager=True)
+
+        if b.kind == "edge":
+            labels = [b.label] if b.label else list(g._edges)
+            for lb in labels:
+                g._edges[lb] = g.edge_frame(lb).join(
+                    F.broadcast(ids), "id", "left_anti").localCheckpoint(eager=True)
+            n_deleted += ids.count()
+            continue
+
+        labels = [b.label] if b.label else list(g._vertices)
+        if clause.detach:
+            for lb in list(g._edges):
+                e = g.edge_frame(lb)
+                g._edges[lb] = e.join(
+                    F.broadcast(ids.select(F.col("id").alias("src"))), "src", "left_anti"
+                ).join(
+                    F.broadcast(ids.select(F.col("id").alias("dst"))), "dst", "left_anti"
+                ).localCheckpoint(eager=True)
+        else:
+            for lb in list(g._edges):
+                e = g.edge_frame(lb)
+                touching = e.join(
+                    F.broadcast(ids),
+                    (e["src"] == ids["id"]) | (e["dst"] == ids["id"])).limit(1)
+                if not touching.isEmpty():
+                    raise CypherWriteError(
+                        f"cannot delete vertex with edges (label {lb}); "
+                        "use DETACH DELETE (delete_executor.rs:99-103)")
+        for lb in labels:
+            g._vertices[lb] = g.vertex_frame(lb).join(
+                F.broadcast(ids), "id", "left_anti").localCheckpoint(eager=True)
+        n_deleted += ids.count()
+
+    ctx.write_stats["deleted"] = ctx.write_stats.get("deleted", 0) + n_deleted

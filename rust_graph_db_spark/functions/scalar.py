@@ -1,0 +1,64 @@
+"""Scalar function registry for the Cypher surface.
+
+The reference grammar reserves LENGTH SIZE TYPE ID LABELS PROPERTIES
+STARTNODE ENDNODE COALESCE TOSTRING TOINTEGER TOFLOAT TOBOOLEAN but only
+executes the five aggregates (SURVEY.md §2.7 — reference
+src/parser/cypher.pest:216-223, stubs at src/executor/mod.rs:583-592).
+This engine implements them for real, plus a whitelisted passthrough to
+``pyspark.sql.functions`` so the Cypher surface inherits Spark's scalar
+library (all JVM-side, codegen-friendly — no Python UDFs here).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# Directly-mapped pyspark functions a Cypher query may call by name.
+_PASSTHROUGH = {
+    "abs", "acos", "asin", "atan", "atan2", "ceil", "cos", "exp", "floor",
+    "log", "log2", "log10", "pow", "round", "sign", "sin", "sqrt", "tan",
+    "lower", "upper", "trim", "ltrim", "rtrim", "reverse", "concat",
+    "substring", "replace", "split", "left", "right", "initcap",
+    "greatest", "least", "sort_array", "array_distinct", "array_contains",
+    "array_max", "array_min", "element_at", "slice", "regexp_extract",
+    "regexp_replace", "date_trunc",
+}
+
+_CASTS = {
+    "tostring": "string",
+    "tointeger": "long",
+    "tofloat": "double",
+    "toboolean": "boolean",
+}
+
+
+def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
+    """Compile a non-aggregate function call to a Column.
+
+    ``arg_types`` carries Spark simpleString dtypes for the args when
+    resolvable (used for type-directed dispatch like length/size).
+    """
+    if name in _CASTS:
+        return args[0].cast(_CASTS[name])
+    if name == "coalesce":
+        return F.coalesce(*args)
+    if name in ("length", "size"):
+        t = arg_types[0] or ""
+        if t.startswith("array") or t.startswith("map"):
+            return F.size(args[0])
+        return F.length(args[0])
+    if name == "keys":
+        t = arg_types[0] or ""
+        if t.startswith("map"):
+            return F.map_keys(args[0])
+        return F.json_object_keys(args[0])
+    if name == "toupper":
+        return F.upper(args[0])
+    if name == "tolower":
+        return F.lower(args[0])
+    if name == "rand":
+        return F.rand(42)  # deterministic by default; seed fixed
+    if name in _PASSTHROUGH:
+        return getattr(F, name)(*args)
+    raise ValueError(f"unknown function: {name}")

@@ -73,6 +73,9 @@ class PropertyGraph:
         self._labels: dict[str, int] = {}  # shared vertex+edge label namespace
         self._vertices: dict[str, DataFrame] = {}
         self._edges: dict[str, DataFrame] = {}
+        self._counters: dict[str, int] = {}  # label -> next locid (DML)
+        # cap for unbounded [*min..] expansion in Cypher patterns
+        self.max_var_length = 10
 
     # ------------------------------------------------------------------ labels
 
@@ -191,6 +194,26 @@ class PropertyGraph:
         e = self.edges()
         key = "src" if direction == "out" else "dst"
         return e.groupBy(F.col(key).alias("id")).agg(F.count("*").alias("degree"))
+
+    def next_locids(self, label: str, n: int) -> int:
+        """Reserve a contiguous range of n per-label local ids; returns the
+        base. Mirrors the reference's range allocation for bulk import
+        (rocksdb_store.rs:390-401): a counter is a serialization point, so
+        allocate ranges per batch, never per row."""
+        if label not in self._counters:
+            base = 0
+            if label in self._vertices:
+                row = self._vertices[label].agg(
+                    F.max(unpack_locid(F.col("id")))).first()
+                base = (row[0] or 0) + 1
+            elif label in self._edges:
+                row = self._edges[label].agg(
+                    F.max(unpack_locid(F.col("id")))).first()
+                base = (row[0] or 0) + 1
+            self._counters[label] = base
+        base = self._counters[label]
+        self._counters[label] = base + n
+        return base
 
     # ------------------------------------------------------------------ query
 

@@ -1,0 +1,287 @@
+"""Pregel-style iterative traversal operators.
+
+Reference semantics (SURVEY.md §2.8): Dijkstra shortest path (uniform
+cost — src/algorithms/shortest_path.rs:53-174), variable-length
+expansion with min/max/cycle/max_paths caps (src/algorithms/vle.rs:85-153),
+k-hop neighborhoods (vle.rs:196-251).
+
+Spark-first redesign: the frontier is a DataFrame; one BFS level = one
+equi-join against the edge set; multiplicity and path identity live in
+ARRAY<LONG> columns. Scale levers, applied every iteration:
+- ``localCheckpoint(eager=True)`` truncates lineage (an N-hop loop would
+  otherwise build an N-deep plan and re-execute level 1 at level N);
+- the frontier is the only growing state; visited sets stay columnar;
+- per-level ``limit`` implements the reference's ``max_paths`` cap
+  *inside* the loop, before the blow-up, not after.
+
+On a cluster, edges should be pre-partitioned (bucketed) by ``src`` so
+every level's join is shuffle-free on the edge side; the frontier is
+usually small enough for AQE to broadcast it.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Optional, Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _edges(e: DataFrame, direction: str) -> DataFrame:
+    """Normalize to (a, b) hop pairs for the requested direction."""
+    out = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    if direction == "out":
+        return out
+    inn = e.select(F.col("dst").alias("a"), F.col("src").alias("b"))
+    if direction == "in":
+        return inn
+    if direction == "both":
+        return out.unionAll(inn)
+    raise ValueError(f"bad direction {direction!r}")
+
+
+def _start_frame(edges_or_df, start) -> DataFrame:
+    if isinstance(start, DataFrame):
+        return start.select(F.col(start.columns[0]).cast("long").alias("id"))
+    spark = edges_or_df.sparkSession
+    return spark.createDataFrame([(int(s),) for s in start], "id LONG")
+
+
+def bfs_distances(
+    edges: DataFrame,
+    start,
+    max_hops: int = 30,
+    direction: str = "out",
+    targets: Optional[Sequence[int]] = None,
+) -> DataFrame:
+    """Unweighted single/multi-source shortest distances.
+
+    Returns ``(start_id, id, dist)`` for every vertex reachable within
+    ``max_hops``. Equivalent of the reference's uniform-cost Dijkstra
+    (shortest_path.rs:77-141) — BFS levels are exact for unit weights.
+    """
+    hop = _edges(edges, direction)
+    src = _start_frame(edges, start)
+    visited = src.select(F.col("id").alias("start_id"), F.col("id"), F.lit(0).alias("dist"))
+    frontier = visited
+    target_set = set(int(t) for t in targets) if targets else None
+
+    for level in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(hop, frontier["id"] == hop["a"])
+            .select("start_id", F.col("b").alias("id"), F.lit(level).alias("dist"))
+            .dropDuplicates(["start_id", "id"])
+        )
+        new = nxt.join(visited, ["start_id", "id"], "left_anti").localCheckpoint(eager=True)
+        if new.isEmpty():
+            break
+        visited = visited.unionAll(new)
+        frontier = new
+        if target_set is not None:
+            reached = {r["id"] for r in new.where(F.col("id").isin(list(target_set))).collect()}
+            target_set -= reached
+            if not target_set:
+                break
+    return visited
+
+
+def shortest_path(
+    edges: DataFrame,
+    start: int,
+    end: int,
+    max_hops: int = 30,
+    direction: str = "out",
+) -> Optional[dict]:
+    """Single-pair shortest path with full path reconstruction
+    (reference G1: returns vertex path + cost; None if unreachable).
+
+    Path arrays ride along the frontier; ties broken by lexicographic
+    path order for determinism (min over STRUCT<dist, path>).
+    """
+    hop = _edges(edges, direction)
+    spark = edges.sparkSession
+    frontier = spark.createDataFrame([(int(start), 0)], "id LONG, dist INT").select(
+        "id", "dist", F.array(F.col("id")).alias("path")
+    )
+    visited_ids = frontier.select("id")
+
+    for level in range(1, max_hops + 1):
+        hit = frontier.where(F.col("id") == int(end)).collect()
+        if hit:
+            row = min(hit, key=lambda r: (r["dist"], r["path"]))
+            return {"path": list(row["path"]), "cost": row["dist"], "hops": row["dist"]}
+        nxt = (
+            frontier.join(hop, frontier["id"] == hop["a"])
+            .select(
+                F.col("b").alias("id"),
+                (F.col("dist") + 1).alias("dist"),
+                F.array_append("path", F.col("b")).alias("path"),
+            )
+            .join(visited_ids, "id", "left_anti")
+            .groupBy("id")
+            .agg(F.min(F.struct("dist", "path")).alias("s"))
+            .select("id", F.col("s.dist").alias("dist"), F.col("s.path").alias("path"))
+            .localCheckpoint(eager=True)
+        )
+        if nxt.isEmpty():
+            return None
+        visited_ids = visited_ids.unionAll(nxt.select("id")).localCheckpoint(eager=True)
+        frontier = nxt
+    # max_hops exhausted; one last check
+    hit = frontier.where(F.col("id") == int(end)).collect()
+    if hit:
+        row = min(hit, key=lambda r: (r["dist"], r["path"]))
+        return {"path": list(row["path"]), "cost": row["dist"], "hops": row["dist"]}
+    return None
+
+
+def weighted_shortest_distances(
+    edges: DataFrame,
+    start,
+    weight_col: str = "weight",
+    max_iter: int = 50,
+    direction: str = "out",
+) -> DataFrame:
+    """Weighted SSSP by iterative relaxation (distributed Bellman-Ford;
+    the cluster analog of the reference's driver-side Dijkstra heap).
+
+    Returns ``(id, dist)``. Converges when an iteration improves nothing.
+    """
+    if direction == "out":
+        hop = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                           F.col(weight_col).cast("double").alias("w"))
+    elif direction == "in":
+        hop = edges.select(F.col("dst").alias("a"), F.col("src").alias("b"),
+                           F.col(weight_col).cast("double").alias("w"))
+    else:
+        hop = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                           F.col(weight_col).cast("double").alias("w")).unionAll(
+            edges.select(F.col("dst"), F.col("src"), F.col(weight_col).cast("double")))
+
+    dist = _start_frame(edges, start).select("id", F.lit(0.0).alias("dist"))
+    # Relax only from vertices improved last round (delta optimization).
+    frontier = dist
+    for _ in range(max_iter):
+        cand = (
+            frontier.join(hop, frontier["id"] == hop["a"])
+            .select(F.col("b").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+            .groupBy("id").agg(F.min("dist").alias("dist"))
+        )
+        merged = (
+            dist.select("id", "dist").unionAll(cand)
+            .groupBy("id").agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+        improved = cand.alias("c").join(
+            dist.alias("d"), F.col("c.id") == F.col("d.id"), "left"
+        ).where(F.col("d.id").isNull() | (F.col("c.dist") < F.col("d.dist"))).select(
+            F.col("c.id").alias("id"), F.col("c.dist").alias("dist")
+        ).localCheckpoint(eager=True)
+        dist = merged
+        if improved.isEmpty():
+            break
+        frontier = improved
+    return dist
+
+
+def expand_paths(
+    edges: DataFrame,
+    start=None,
+    min_hops: int = 1,
+    max_hops: int = 3,
+    allow_cycles: bool = False,
+    max_paths: Optional[int] = None,
+    direction: str = "out",
+) -> DataFrame:
+    """Variable-length expansion (reference G3, vle.rs:85-153).
+
+    One row per path: ``(a, b, hops, vpath ARRAY<LONG>)``. ``start`` is
+    None (expand from every vertex — used by the Cypher compiler for
+    ``[:R*min..max]``), an id list, or a one-column DataFrame.
+    Cycle-freedom = no repeated vertex (reference default), enforced with
+    ``array_contains`` on the riding path column. ``max_paths`` caps
+    enumeration *per level* inside the loop (vle.rs:124-127).
+    """
+    hop = _edges(edges, direction)
+    paths = hop.select(
+        F.col("a"), F.col("b"), F.lit(1).alias("hops"),
+        F.array("a", "b").alias("vpath"),
+    )
+    if start is not None:
+        sf = _start_frame(edges, start).select(F.col("id").alias("a"))
+        paths = paths.join(F.broadcast(sf), "a")
+    if not allow_cycles:
+        paths = paths.where(F.col("a") != F.col("b"))
+    if max_paths is not None:
+        paths = paths.limit(max_paths)
+    paths = paths.localCheckpoint(eager=True)
+
+    out = [paths] if min_hops <= 1 else []
+    cur = paths
+    level = 1
+    while level < max_hops:
+        level += 1
+        ext = cur.join(
+            hop.select(F.col("a").alias("_ja"), F.col("b").alias("_jb")),
+            cur["b"] == F.col("_ja"),
+        )
+        if not allow_cycles:
+            ext = ext.where(~F.array_contains(F.col("vpath"), F.col("_jb")))
+        ext = ext.select(
+            F.col("a"), F.col("_jb").alias("b"), F.lit(level).alias("hops"),
+            F.array_append("vpath", F.col("_jb")).alias("vpath"),
+        )
+        if max_paths is not None:
+            ext = ext.limit(max_paths)
+        ext = ext.localCheckpoint(eager=True)
+        if ext.isEmpty():
+            break
+        if level >= min_hops:
+            out.append(ext)
+        cur = ext
+
+    if not out:
+        schema = "a LONG, b LONG, hops INT, vpath ARRAY<LONG>"
+        return edges.sparkSession.createDataFrame([], schema)
+    res = out[0]
+    for p in out[1:]:
+        res = res.unionAll(p)
+    return res
+
+
+def paths_between(
+    edges: DataFrame, start: int, end: int,
+    min_hops: int = 1, max_hops: int = 3,
+    allow_cycles: bool = False, max_paths: Optional[int] = None,
+    direction: str = "out",
+) -> DataFrame:
+    """Reference G4: VLE then filter on the target endpoint."""
+    return expand_paths(edges, [start], min_hops, max_hops, allow_cycles,
+                        max_paths, direction).where(F.col("b") == int(end))
+
+
+def k_hop_neighbors(edges: DataFrame, start, k: int, direction: str = "out") -> DataFrame:
+    """Reference G5: distinct endpoints of length-k simple paths;
+    k = 0 → the start set itself."""
+    sf = _start_frame(edges, start)
+    if k == 0:
+        return sf.select(F.col("id").alias("b")).distinct()
+    return (
+        expand_paths(edges, sf, min_hops=k, max_hops=k, direction=direction)
+        .select("b").distinct()
+    )
+
+
+def neighbors_within_k_hops(edges: DataFrame, start, k: int, direction: str = "out") -> DataFrame:
+    """Reference G6: distinct vertices reachable in 1..k hops.
+
+    Uses BFS distances (visited-set pruning), NOT path enumeration —
+    at 100 TB the simple-path count is exponential but the reachable
+    set is linear, and for a distinct-endpoint question BFS is the
+    correct physical plan. Matches vle.rs:231-251 semantics exactly:
+    a vertex on some simple path of length ≤ k is reachable in ≤ k BFS
+    levels and vice versa.
+    """
+    sf = _start_frame(edges, start)
+    d = bfs_distances(edges, sf, max_hops=k, direction=direction)
+    return d.where(F.col("dist") > 0).select(F.col("id").alias("b")).distinct()

@@ -69,7 +69,15 @@ class InList:
     haystack: "Expr"
 
 
-Expr = Union[Literal, Var, Prop, Unary, Binary, FuncCall, ListLit, MapLit, IsNull, InList]
+@dataclass(frozen=True)
+class Subscript:
+    """0-based list / key-based map subscript ``expr[i]`` (openCypher)."""
+    base: "Expr"
+    index: "Expr"
+
+
+Expr = Union[Literal, Var, Prop, Unary, Binary, FuncCall, ListLit, MapLit,
+             IsNull, InList, Subscript]
 
 AGGREGATE_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
 
@@ -91,6 +99,8 @@ def contains_aggregate(e: Expr) -> bool:
         return any(contains_aggregate(i) for i in e.items)
     if isinstance(e, MapLit):
         return any(contains_aggregate(v) for _, v in e.pairs)
+    if isinstance(e, Subscript):
+        return contains_aggregate(e.base) or contains_aggregate(e.index)
     return False
 
 

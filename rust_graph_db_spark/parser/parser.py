@@ -12,8 +12,8 @@ from typing import Optional
 from rust_graph_db_spark.parser.ast_nodes import (
     Binary, Create, Delete, FuncCall, InList, IsNull, ListLit, Literal,
     MapLit, Match, NodePattern, OrderItem, PathPattern, Prop, Query,
-    RelPattern, Return, ReturnItem, SetClause, SetItem, Unary, Unwind,
-    Var, With,
+    RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript, Unary,
+    Unwind, Var, With,
 )
 
 
@@ -67,7 +67,9 @@ def tokenize(src: str) -> list:
             if text.startswith("`"):
                 out.append(Token("name", text[1:-1], m.start()))
             elif text.upper() in KEYWORDS:
-                out.append(Token("kw", text.upper(), m.start()))
+                # keep original case: keywords double as labels/property
+                # names in identifier positions (e.g. a :Order label)
+                out.append(Token("kw", text, m.start()))
             else:
                 out.append(Token("name", text, m.start()))
         else:
@@ -105,7 +107,7 @@ class Parser:
         return t
 
     def at_kw(self, *kws: str) -> bool:
-        return self.cur.kind == "kw" and self.cur.text in kws
+        return self.cur.kind == "kw" and self.cur.text.upper() in kws
 
     def at_punct(self, *ps: str) -> bool:
         return self.cur.kind == "punct" and self.cur.text in ps
@@ -135,7 +137,11 @@ class Parser:
     def name(self) -> str:
         if self.cur.kind == "name":
             return self.advance().text
-        # allow non-reserved-ish keywords as identifiers where unambiguous
+        if self.cur.kind == "kw":
+            # every name() position follows an unambiguous introducer
+            # (AS / ':' / '(' / '.' / ','), so keywords are usable as
+            # labels, property names, and aliases (e.g. label `Order`)
+            return self.advance().text
         raise CypherSyntaxError(f"expected identifier at {self.cur.pos}, got {self.cur.text!r}")
 
     # ----------------------------------------------------------------- queries
@@ -334,7 +340,7 @@ class Parser:
     def _or(self):
         left = self._and()
         while self.at_kw("OR", "XOR"):
-            op = self.advance().text
+            op = self.advance().text.upper()
             left = Binary(op, left, self._and())
         return left
 
@@ -393,12 +399,17 @@ class Parser:
         path = []
         while self.at_punct(".") and self.peek().kind in ("name", "kw"):
             self.advance()
-            t = self.advance()
-            path.append(t.text if t.kind == "name" else t.text.lower())
+            path.append(self.advance().text)
         if path:
             if isinstance(e, Var):
-                return Prop(e.name, tuple(path))
-            raise CypherSyntaxError("property access only supported on variables")
+                e = Prop(e.name, tuple(path))
+            else:
+                raise CypherSyntaxError("property access only supported on variables")
+        while self.at_punct("["):
+            self.advance()
+            idx = self.expr()
+            self.eat_punct("]")
+            e = Subscript(e, idx)
         return e
 
     def _primary(self):
@@ -413,13 +424,14 @@ class Parser:
             self.advance()
             return Literal(_unquote(t.text))
         if t.kind == "kw":
-            if t.text == "NULL":
+            up = t.text.upper()
+            if up == "NULL":
                 self.advance()
                 return Literal(None)
-            if t.text == "TRUE":
+            if up == "TRUE":
                 self.advance()
                 return Literal(True)
-            if t.text == "FALSE":
+            if up == "FALSE":
                 self.advance()
                 return Literal(False)
             raise CypherSyntaxError(f"unexpected keyword {t.text} at {t.pos}")

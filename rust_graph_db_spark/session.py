@@ -33,6 +33,7 @@ def get_spark(app_name: str = "rust_graph_db_spark", **extra_conf: str) -> Spark
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
     )
     for k, v in extra_conf.items():
         builder = builder.config(k, v)

@@ -1,0 +1,157 @@
+"""Cypher read surface vs DuckDB oracle on the knows_graph (F1 fixture).
+
+Every case: our Cypher → DataFrame vs hand-written ANSI SQL over the same
+deterministic graph (CTEs in graphs.py). Mirrors the reference's
+executor/integration test corpus (SURVEY.md §5).
+"""
+
+import pytest
+
+CASES = {
+    "scan_filter": (
+        "MATCH (p:Person) WHERE p.age > 60 RETURN p.name AS name, p.age AS age",
+        "SELECT name, age FROM person WHERE age > 60"),
+    "pattern_prop_eq": (
+        "MATCH (p:Person {city: 'NYC', active: true}) RETURN p.name AS name",
+        "SELECT name FROM person WHERE city='NYC' AND active"),
+    "one_hop": (
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
+        "RETURN a.name AS an, b.name AS bn",
+        "SELECT p1.name, p2.name FROM knows k JOIN person p1 ON k.src=p1.key "
+        "JOIN person p2 ON k.dst=p2.key WHERE k.since=2021"),
+    "two_hop": (
+        "MATCH (a:Person)-[:KNOWS]->(b:Person)-[:KNOWS]->(c:Person) "
+        "WHERE a.age = 25 RETURN a.name AS an, c.name AS cn",
+        "SELECT p1.name, p3.name FROM knows k1 JOIN knows k2 ON k1.dst=k2.src "
+        "JOIN person p1 ON k1.src=p1.key JOIN person p3 ON k2.dst=p3.key "
+        "WHERE p1.age=25"),
+    "three_hop": (  # generalizes past the reference's 2-hop cap (J2)
+        "MATCH (a:Person)-[:KNOWS]->(b)-[:KNOWS]->(c)-[:KNOWS]->(d:Person) "
+        "WHERE a.name = 'Person0' RETURN d.name AS dn",
+        "SELECT p4.name FROM knows k1 JOIN knows k2 ON k1.dst=k2.src "
+        "JOIN knows k3 ON k2.dst=k3.src JOIN person p1 ON k1.src=p1.key "
+        "JOIN person p4 ON k3.dst=p4.key WHERE p1.name='Person0'"),
+    "agg_group": (
+        "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
+        "avg(p.age) AS avg_age ORDER BY city",
+        "SELECT city, count(*), avg(age) FROM person GROUP BY city ORDER BY city"),
+    "agg_global": (
+        "MATCH (p:Person) WHERE p.active RETURN count(*) AS cnt, "
+        "sum(p.age) AS total, min(p.name) AS mn, max(p.age) AS mx",
+        "SELECT count(*), sum(age), min(name), max(age) FROM person WHERE active"),
+    "count_null_skip": (
+        "MATCH (p:Person) RETURN count(p.email) AS ce, count(*) AS ca",
+        "SELECT count(email), count(*) FROM person"),
+    "count_distinct": (
+        "MATCH (p:Person) RETURN count(DISTINCT p.city) AS c",
+        "SELECT count(DISTINCT city) FROM person"),
+    "order_limit": (
+        "MATCH (p:Person) RETURN p.name AS name, p.age AS age "
+        "ORDER BY p.age DESC, p.name ASC LIMIT 7",
+        "SELECT name, age FROM person ORDER BY age DESC, name LIMIT 7"),
+    "skip_offset": (
+        "MATCH (p:Person) RETURN p.name AS name ORDER BY p.name SKIP 5 LIMIT 3",
+        "SELECT name FROM person ORDER BY name OFFSET 5 LIMIT 3"),
+    "with_where": (
+        "MATCH (p:Person) WITH p.city AS city, count(*) AS cnt WHERE cnt > 25 "
+        "RETURN city, cnt ORDER BY cnt DESC, city",
+        "SELECT * FROM (SELECT city, count(*) cnt FROM person GROUP BY city) "
+        "WHERE cnt > 25 ORDER BY cnt DESC, city"),
+    "with_pipeline": (
+        "MATCH (p:Person) WITH p WHERE p.age > 70 RETURN p.city AS city, count(*) AS c",
+        "SELECT city, count(*) FROM person WHERE age > 70 GROUP BY city"),
+    "optional_match": (
+        "MATCH (a:Person) OPTIONAL MATCH (a)-[r:KNOWS]->(b:Person) "
+        "WHERE b.age > 75 RETURN a.name AS an, b.name AS bn",
+        "SELECT p1.name, p2.name FROM person p1 LEFT JOIN "
+        "(SELECT k.src s, p2.* FROM knows k JOIN person p2 ON k.dst=p2.key "
+        "WHERE p2.age>75) p2 ON p1.key=p2.s"),
+    "distinct": (
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) RETURN DISTINCT b.city AS city",
+        "SELECT DISTINCT p2.city FROM knows k JOIN person p2 ON k.dst=p2.key"),
+    "arith": (
+        "MATCH (p:Person) WHERE p.age % 10 = 0 AND p.age / 2 >= 20 "
+        "RETURN p.name AS name, p.age * 2 + 1 AS x",
+        "SELECT name, age*2+1 FROM person WHERE age % 10 = 0 AND age // 2 >= 20"),
+    "in_isnull": (
+        "MATCH (p:Person) WHERE p.city IN ['NYC','LA'] AND p.email IS NOT NULL "
+        "RETURN count(*) AS c",
+        "SELECT count(*) FROM person WHERE city IN ('NYC','LA') AND email IS NOT NULL"),
+    "both_direction": (
+        "MATCH (a:Person {name: 'Person10'})-[r:KNOWS]-(b:Person) RETURN b.name AS bn",
+        "SELECT p2.name FROM knows k JOIN person p1 ON k.src=p1.key "
+        "JOIN person p2 ON k.dst=p2.key WHERE p1.name='Person10' "
+        "UNION ALL SELECT p1.name FROM knows k JOIN person p1 ON k.src=p1.key "
+        "JOIN person p2 ON k.dst=p2.key WHERE p2.name='Person10'"),
+    "incoming": (
+        "MATCH (a:Person {name:'Person5'})<-[r:KNOWS]-(b) RETURN b.name AS bn",
+        "SELECT p1.name FROM knows k JOIN person p1 ON k.src=p1.key "
+        "JOIN person p2 ON k.dst=p2.key WHERE p2.name='Person5'"),
+    "multi_match": (
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) MATCH (b)-[:KNOWS]->(c:Person) "
+        "WHERE a.age=30 RETURN c.name AS cn",
+        "SELECT p3.name FROM knows k1 JOIN person p1 ON k1.src=p1.key "
+        "JOIN knows k2 ON k2.src=k1.dst JOIN person p3 ON k2.dst=p3.key "
+        "WHERE p1.age=30"),
+    "comma_patterns": (
+        "MATCH (a:Person), (b:Person) WHERE a.age = 79 AND b.age = 78 "
+        "RETURN a.name AS an, b.name AS bn",
+        "SELECT a.name, b.name FROM person a, person b WHERE a.age=79 AND b.age=78"),
+    "scalar_funcs": (
+        "MATCH (p:Person) WHERE p.age = 77 RETURN toupper(p.name) AS u, "
+        "size(p.name) AS s, toString(p.age) AS ts, coalesce(p.email, 'none') AS em",
+        "SELECT upper(name), length(name), CAST(age AS VARCHAR), "
+        "coalesce(email,'none') FROM person WHERE age = 77"),
+    "agg_arith": (
+        "MATCH (p:Person) RETURN count(*) + 1 AS cp, sum(p.age) / count(*) AS mean_age",
+        "SELECT count(*)+1, sum(age) // count(*) FROM person"),
+    "var_length": (
+        "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b:Person) "
+        "RETURN b.name AS bn, length(r) AS hops",
+        "SELECT p.name, hops FROM (WITH RECURSIVE walk AS ("
+        "SELECT src AS a, dst AS b, 1 AS hops, [src, dst] AS vp FROM knows "
+        "UNION ALL SELECT w.a, k.dst, w.hops+1, list_append(w.vp, k.dst) "
+        "FROM walk w JOIN knows k ON w.b = k.src "
+        "WHERE w.hops < 3 AND NOT list_contains(w.vp, k.dst)) "
+        "SELECT * FROM walk) t JOIN person p ON t.b = p.key "
+        "JOIN person p0 ON t.a = p0.key WHERE p0.name='Person0'"),
+    "xor": (
+        "MATCH (p:Person) WHERE (p.active XOR p.age > 50) RETURN count(*) AS c",
+        "SELECT count(*) FROM person WHERE active != (age > 50)"),
+    "dotted_output_names": (  # un-aliased RETURN keys contain a literal dot
+        "MATCH (p:Person) WHERE p.age > 75 RETURN p.name, p.age ORDER BY p.name",
+        "SELECT name, age FROM person WHERE age > 75 ORDER BY name"),
+    "dotted_agg_names": (
+        "MATCH (p:Person) RETURN p.city, count(*) ORDER BY p.city",
+        "SELECT city, count(*) FROM person GROUP BY city ORDER BY city"),
+    "graph_funcs": (
+        "MATCH (a:Person {name:'Person3'})-[r:KNOWS]->(b) "
+        "RETURN type(r) AS t, labels(b)[0] AS lb, r.since AS s",
+        "SELECT 'KNOWS', 'Person', since FROM knows k "
+        "JOIN person p1 ON k.src=p1.key WHERE p1.name='Person3'"),
+}
+
+
+@pytest.mark.parametrize("name", list(CASES))
+def test_oracle(kg, oracle, name):
+    cy, sql = CASES[name]
+    oracle(kg.cypher(cy), sql)
+
+
+def test_entity_return(kg):
+    rows = kg.cypher("MATCH (p:Person {name:'Person7'}) RETURN p").collect()
+    assert len(rows) == 1
+    assert rows[0]["p"]["name"] == "Person7" and rows[0]["p"]["age"] == 27
+
+
+def test_tpch_graph_pattern(tg, oracle):
+    df = tg.cypher(
+        "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+        "WHERE r.name = 'ASIA' RETURN n.name AS nation, count(*) AS cnt "
+        "ORDER BY nation")
+    oracle(df,
+           "SELECT n_name AS nation, count(*) AS cnt FROM customer "
+           "JOIN nation ON c_nationkey=n_nationkey "
+           "JOIN region ON n_regionkey=r_regionkey "
+           "WHERE r_name='ASIA' GROUP BY n_name ORDER BY n_name",
+           knows=False)

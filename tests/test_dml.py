@@ -1,0 +1,80 @@
+"""DML semantics — mirrors the reference integration corpus
+(tests/integration_test.rs CRUD workflow, delete guard, DETACH DELETE,
+SET read-modify-write incl. expressions)."""
+
+import pytest
+
+from rust_graph_db_spark import PropertyGraph
+from rust_graph_db_spark.dml import CypherWriteError
+
+
+@pytest.fixture()
+def g(spark):
+    g = PropertyGraph(spark)
+    g.cypher("CREATE (a:Person {name: 'Alice', age: 30})-[:KNOWS {since: 2020}]->"
+             "(b:Person {name: 'Bob', age: 25})").collect()
+    g.cypher("CREATE (c:Person {name: 'Carol', age: 41})").collect()
+    return g
+
+
+def test_create(g):
+    assert sorted((r["name"], r["age"]) for r in g.vertex_frame("Person").collect()) == [
+        ("Alice", 30), ("Bob", 25), ("Carol", 41)]
+    assert g.edge_frame("KNOWS").count() == 1
+
+
+def test_match_create_edge(g):
+    g.cypher("MATCH (a:Person {name:'Bob'}), (c:Person {name:'Carol'}) "
+             "CREATE (a)-[:KNOWS {since: 2024}]->(c)").collect()
+    assert g.edge_frame("KNOWS").count() == 2
+    assert g.cypher("MATCH (:Person {name:'Bob'})-[r:KNOWS]->(c:Person) "
+                    "RETURN c.name AS n").collect()[0]["n"] == "Carol"
+
+
+def test_set_rmw_and_new_prop(g):
+    g.cypher("MATCH (n:Person) WHERE n.name = 'Alice' "
+             "SET n.age = n.age + 1, n.city = 'NYC'").collect()
+    row = g.vertex_frame("Person").where("name='Alice'").first()
+    assert row["age"] == 31 and row["city"] == "NYC"
+    # others untouched, new column null-padded
+    assert g.vertex_frame("Person").where("name='Bob'").first()["city"] is None
+
+
+def test_set_string_concat(g):
+    g.cypher("MATCH (n:Person {name:'Bob'}) SET n.name = n.name + '!'").collect()
+    assert g.vertex_frame("Person").where("age=25").first()["name"] == "Bob!"
+
+
+def test_delete_guard(g):
+    with pytest.raises(CypherWriteError):
+        g.cypher("MATCH (n:Person {name:'Bob'}) DELETE n").collect()
+
+
+def test_delete_leaf(g):
+    g.cypher("MATCH (n:Person {name:'Carol'}) DELETE n").collect()
+    assert g.vertex_frame("Person").count() == 2
+
+
+def test_detach_delete(g):
+    g.cypher("MATCH (n:Person {name:'Bob'}) DETACH DELETE n").collect()
+    assert g.vertex_frame("Person").count() == 2
+    assert g.edge_frame("KNOWS").count() == 0
+
+
+def test_create_undirected_rejected(g):
+    with pytest.raises(CypherWriteError):
+        g.cypher("MATCH (a:Person {name:'Alice'}), (b:Person {name:'Bob'}) "
+                 "CREATE (a)-[:LINKS]-(b)").collect()
+
+
+def test_create_requires_label(g):
+    with pytest.raises(CypherWriteError):
+        g.cypher("CREATE (x {name: 'NoLabel'})").collect()
+
+
+def test_ids_unique_and_packed(g):
+    g.cypher("CREATE (d:Person {name: 'Dave'})").collect()
+    ids = [r["id"] for r in g.vertex_frame("Person").collect()]
+    assert len(ids) == len(set(ids))
+    labid = g.label_id("Person")
+    assert all((i >> 48) == labid for i in ids)
