@@ -114,6 +114,83 @@ def _q_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(unpack_locid(F.col("b")).cast("long").alias("key"))
 
 
+# ------------------------------------------- training-data pipeline ops
+
+def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_graph_db_spark.operators.dedup import exact_dedup_keep_ids
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup_keep_ids(docs, "doc_id", "text")
+
+
+def _q_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = ngram_jaccard_pairs(docs, "doc_id", "text", k=5, threshold=0.5)
+    return out.select("i", "j", F.round("jac", 6).alias("jac"))
+
+
+def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
+                            threshold=0.5)
+    return out.select("i", "j", F.round("jac", 6).alias("jac"))
+
+
+def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_graph_db_spark.operators.dedup import simhash_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.functions import text as T
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("tok_cnt"),
+        T.bpe_token_count(F.col("text")).alias("bpe_cnt"),
+        T.language_id(F.col("text")).alias("lang_id"),
+        T.fingerprint(F.col("text")).alias("fp"),
+        F.round(T.quality_score(F.col("text")), 6).alias("quality"))
+
+
+def _q_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import cosine_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = cosine_topk(emb, qv, k=10, exclude_id=0)
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_graph_db_spark.operators.similarity import cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_pairs(emb, 0.45).select("i", "j")
+
+
+def _q_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_graph_db_spark.operators.similarity import lsh_cosine_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return lsh_cosine_pairs(emb, 0.45, dim=64).select("i", "j")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # S1/P3: label scan + WHERE filter
@@ -196,6 +273,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "RETURN li.returnflag AS returnflag, sum(li.quantity) AS sum_qty, "
             "avg(li.extendedprice) AS avg_price, count(*) AS cnt "
             "ORDER BY returnflag"),
+        # --------- training-data pipeline operators (beyond the reference)
+        "d1_exact_dedup": _q_exact_dedup,
+        "d2_ngram_jaccard": _q_ngram_jaccard,
+        "d3_minhash_lsh": _q_minhash_lsh,
+        "d4_simhash": _q_simhash,          # approximate — rows-only check
+        "t1_text_metrics": _q_text_metrics,
+        "e1_cosine_topk": _q_cosine_topk,
+        "e2_cosine_pairs": _q_cosine_pairs,
+        "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,  # approximate — rows-only
     }
 
 
@@ -288,4 +374,48 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag AS returnflag, sum(l_quantity) AS sum_qty, "
             "avg(l_extendedprice) AS avg_price, count(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "d1_exact_dedup": (
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id "
+            "FROM documents GROUP BY md5(text)"),
+        "d2_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        "d3_minhash_lsh": _JACCARD_PAIRS_SQL,  # verified LSH == exact join
+        "t1_text_metrics": _text_metrics_sql(),
+        "e1_cosine_topk": (
+            "SELECT b.vec_id AS id, "
+            "round(list_cosine_similarity(q.e, CAST(b.embedding AS DOUBLE[])), 6) "
+            "AS cos FROM embeddings b, "
+            "(SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id=0) q "
+            "WHERE b.vec_id <> 0 "
+            "ORDER BY list_cosine_similarity(q.e, CAST(b.embedding AS DOUBLE[])) "
+            "DESC, b.vec_id LIMIT 10"),
+        "e2_cosine_pairs": (
+            "SELECT a.vec_id AS i, b.vec_id AS j FROM embeddings a "
+            "JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45"),
     }
+
+
+_JACCARD_PAIRS_SQL = (
+    "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+    "generate_series(1, greatest(length(text)-4,1)), i -> substr(text,i,5))) s "
+    "FROM documents), "
+    "p AS (SELECT a.doc_id i, b.doc_id j, "
+    "CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)"
+    "/(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) jac "
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
+    "SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5")
+
+
+def _text_metrics_sql() -> str:
+    from rust_graph_db_spark.functions import text as T
+
+    return (
+        "SELECT doc_id, "
+        "CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) AS tok_cnt, "
+        f"CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS BIGINT) "
+        "AS bpe_cnt, "
+        f"{T.language_id_sql('text')} AS lang_id, "
+        f"{T.fingerprint_sql('text')} AS fp, "
+        f"round({T.quality_score_sql('text')}, 6) AS quality "
+        "FROM documents")

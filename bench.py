@@ -33,6 +33,13 @@ HEADLINE = [
     "j2_two_hop_region",   # heterogeneous 2-hop + agg
     "x3_order_totals",     # join + group + top-k
     "a4_lineitem_pricing", # TPC-H Q1 shape over edge properties
+    "d1_exact_dedup",      # hash-groupBy dedup
+    "d2_ngram_jaccard",    # exact similarity join (inverted index)
+    "d3_minhash_lsh",      # MinHash+LSH near-dup
+    "d4_simhash",          # SimHash near-dup (banded Hamming)
+    "t1_text_metrics",     # text analysis scan (lang-ID/quality/fingerprint)
+    "e1_cosine_topk",      # brute-force ANN top-k
+    "e3_lsh_cosine_pairs", # hyperplane-LSH near-neighbor pairs
 ]
 
 

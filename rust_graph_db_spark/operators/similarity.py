@@ -1,0 +1,166 @@
+"""Similarity search over embedding columns (ARRAY<FLOAT>).
+
+Brute-force cosine as the exact baseline; hyperplane-LSH bucketing as
+the scale path (restricts the candidate set before exact re-scoring, so
+the quadratic pair join becomes per-bucket). Dot products are
+``zip_with`` + ``aggregate`` Catalyst expressions — JVM-side, no Python.
+
+At cluster scale the brute-force top-k is a map-side partial top-k
+(TakeOrderedAndProject after a broadcast of the query vector); the LSH
+variant shuffles once on bucket id. An IVF refinement (k-means coarse
+quantizer) would replace the random hyperplanes with learned centroids —
+same dataflow, different bucket assignment.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Double-precision dot product (float32 inputs are exact in f64, so
+    accumulation matches a DuckDB oracle on CAST(... AS DOUBLE[]))."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(
+        F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return (dot(a, b) / (norm(a) * norm(b))).cast("double")
+
+
+def _vec_lit(vec: Sequence[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vec])
+
+
+def cosine_topk(
+    emb: DataFrame, query_vec: Sequence[float], k: int = 10,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """Exact top-k by cosine similarity to a literal query vector.
+
+    Ties break on id. Catalyst plans orderBy+limit as
+    TakeOrderedAndProject: each partition keeps its local top-k, the
+    driver merges — no full sort, no shuffle of the corpus.
+    """
+    q = _vec_lit(query_vec)
+    out = emb.select(F.col(id_col).alias("id"),
+                     cosine(F.col(vec_col), q).alias("cos"))
+    if exclude_id is not None:
+        out = out.where(F.col("id") != int(exclude_id))
+    return out.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
+
+
+def cosine_pairs(
+    emb: DataFrame, threshold: float,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact all-pairs (i < j) with cosine ≥ threshold (brute force).
+
+    Normalizes once, then the pair join carries unit vectors. Quadratic:
+    the baseline/oracle path — use lsh_cosine_pairs at scale.
+    """
+    unit = emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(vec_col, lambda x: (x / norm(F.col(vec_col))).cast("double"))
+         .alias("u"))
+    a, b = unit.alias("a"), unit.alias("b")
+    return (a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                     dot(F.col("a.u"), F.col("b.u")).alias("cos"))
+             .where(F.col("cos") >= threshold))
+
+
+def _hyperplane(dim: int, plane_idx: int) -> list:
+    """Deterministic pseudo-random unit-free hyperplane from xxhash64 —
+    same on every executor/run, no driver RNG state."""
+    import struct as _struct
+
+    def h64(i: int, j: int) -> int:
+        # splitmix64-style scramble; public-domain integer mix
+        z = (i * 0x9E3779B97F4A7C15 + j * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+        z = ((z ^ (z >> 30)) * 0xBF58476D1CE4E5B9) & (1 << 64) - 1
+        z = ((z ^ (z >> 27)) * 0x94D049BB133111EB) & (1 << 64) - 1
+        return z ^ (z >> 31)
+
+    return [((h64(plane_idx, j) % 2001) - 1000) / 1000.0 for j in range(dim)]
+
+
+def lsh_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
+    """Sign-of-projection bucket id: bit p = (vec · plane_p) > 0."""
+    bucket = F.lit(0).cast("long")
+    for p in range(planes):
+        proj = dot(vec, _vec_lit(_hyperplane(dim, p)))
+        bucket = bucket + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), p)) \
+                           .otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_cosine_pairs(
+    emb: DataFrame, threshold: float, dim: int,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    planes: int = 12, tables: int = 4,
+) -> DataFrame:
+    """Approximate near-neighbor pairs: `tables` independent
+    hyperplane-LSH bucketings; same-bucket pairs re-scored exactly.
+
+    Per-table bucket count 2^planes keeps buckets small; candidates =
+    union over tables, dedup'd, then exact cosine filter. Output ⊆
+    cosine_pairs(threshold) with recall rising in `tables`.
+    """
+    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
+    for t in range(tables):
+        bucket = F.lit(0).cast("long")
+        for p in range(planes):
+            proj = dot(F.col(vec_col), _vec_lit(_hyperplane(t * planes + p, dim)))
+            bucket = bucket + F.when(proj > 0,
+                                     F.shiftleft(F.lit(1).cast("long"), p)) \
+                               .otherwise(F.lit(0).cast("long"))
+        cols.append(bucket.alias(f"b{t}"))
+    tagged = emb.select(*cols)
+
+    cand = None
+    for t in range(tables):
+        a, b = tagged.alias("a"), tagged.alias("b")
+        c = (a.join(b, (F.col(f"a.b{t}") == F.col(f"b.b{t}"))
+                    & (F.col("a.id") < F.col("b.id")))
+              .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                      F.col("a.v").alias("va"), F.col("b.v").alias("vb")))
+        cand = c if cand is None else cand.unionByName(c)
+    cand = cand.dropDuplicates(["i", "j"])
+    return (cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+                .where(F.col("cos") >= threshold)
+                .select("i", "j", "cos"))
+
+
+def knn_join(
+    left: DataFrame, right: DataFrame, k: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """For every left vector, its k nearest right vectors by cosine.
+
+    Window rank over the cross join — exact; at scale, pre-bucket both
+    sides with lsh_bucket and rank within buckets.
+    """
+    from pyspark.sql import Window
+
+    a = left.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    b = right.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (a.crossJoin(b).where(F.col("qid") != F.col("nid"))
+               .withColumn("cos", cosine(F.col("qv"), F.col("nv"))))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("qid", "nid", "cos", "rank"))

@@ -1,0 +1,159 @@
+"""Training-data pipeline operators vs DuckDB oracles (sf0.001).
+
+Dedup (exact / n-gram Jaccard / MinHash-LSH / SimHash), text analysis,
+and embedding similarity — the §2-beyond operators the engine adds for
+100 TB corpus pipelines.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.functions import text as T
+from rust_graph_db_spark.operators import dedup, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+JACCARD_ORACLE = """
+WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+  generate_series(1, greatest(length(text)-4,1)), i -> substr(text,i,5))) s
+  FROM documents),
+p AS (SELECT a.doc_id i, b.doc_id j,
+  CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)
+    / (len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) jac
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+SELECT i, j FROM p WHERE jac >= 0.5
+"""
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF_DIR}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+
+
+@pytest.fixture(scope="module")
+def planted_pairs(duck):
+    return sorted(map(tuple, duck.execute(JACCARD_ORACLE).fetchall()))
+
+
+def test_exact_dedup(docs, duck):
+    got = sorted(r.doc_id for r in
+                 dedup.exact_dedup_keep_ids(docs, "doc_id", "text").collect())
+    exp = sorted(r[0] for r in duck.execute(
+        "SELECT CAST(min(doc_id) AS BIGINT) FROM documents GROUP BY md5(text)"
+    ).fetchall())
+    assert got == exp
+    # and the row-level variant keeps exactly those rows
+    assert dedup.exact_dedup(docs, "doc_id", "text").count() == len(exp)
+
+
+def test_ngram_jaccard_pairs(docs, planted_pairs):
+    got = sorted((r.i, r.j) for r in
+                 dedup.ngram_jaccard_pairs(docs, "doc_id", "text", 5, 0.5).collect())
+    assert got == planted_pairs
+
+
+def test_minhash_lsh_pairs(docs, planted_pairs):
+    got = sorted((r.i, r.j) for r in
+                 dedup.minhash_lsh_pairs(docs, "doc_id", "text",
+                                         num_hashes=64, bands=16,
+                                         threshold=0.5).collect())
+    # verified LSH == exact join on this data (recall 1-(1-t^4)^16)
+    assert got == planted_pairs
+
+
+def test_simhash_recall(docs, planted_pairs):
+    got = {(r.i, r.j) for r in
+           dedup.simhash_pairs(docs, "doc_id", "text", max_hamming=3).collect()}
+    planted = set(planted_pairs)
+    # simhash is approximate: demand ≥50% recall at hd≤3 and that
+    # found-pairs are mostly real near-dups (precision ≥ 50%)
+    assert len(got & planted) >= len(planted) * 0.5
+    if got:
+        assert len(got & planted) >= len(got) * 0.5
+
+
+def test_simhash_deterministic(docs):
+    a = sorted(tuple(r) for r in docs.limit(20).select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("s")).collect())
+    b = sorted(tuple(r) for r in docs.limit(20).select(
+        "doc_id", dedup.simhash64(F.col("text")).alias("s")).collect())
+    assert a == b
+
+
+def test_text_functions_parity(docs, duck):
+    got = sorted(tuple(r) for r in docs.select(
+        "doc_id",
+        T.token_count(F.col("text")).alias("tc"),
+        T.bpe_token_count(F.col("text")).alias("bc"),
+        T.language_id(F.col("text")).alias("lid"),
+        T.fingerprint(F.col("text")).alias("fp")).collect())
+    exp = sorted(map(tuple, duck.execute(f"""
+        SELECT doc_id,
+          CAST(len(string_split_regex(lower(text),'\\s+')) AS BIGINT) tc,
+          CAST(len(regexp_extract_all(text, '{T.TOKEN_PATTERN}')) AS BIGINT) bc,
+          {T.language_id_sql('text')} lid,
+          {T.fingerprint_sql('text')} fp
+        FROM documents""").fetchall()))
+    assert got == exp
+
+
+def test_quality_score_parity(docs, duck):
+    got = sorted((r[0], round(r[1], 9)) for r in docs.select(
+        "doc_id", T.quality_score(F.col("text"))).collect())
+    exp = sorted((r[0], round(r[1], 9)) for r in duck.execute(
+        f"SELECT doc_id, {T.quality_score_sql('text')} FROM documents"
+    ).fetchall())
+    assert got == exp
+
+
+def test_cosine_topk(emb, duck):
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    got = [r.id for r in similarity.cosine_topk(emb, qv, 10, exclude_id=0).collect()]
+    exp = [r[0] for r in duck.execute("""
+        SELECT b.vec_id FROM embeddings b,
+          (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id=0) q
+        WHERE b.vec_id <> 0
+        ORDER BY list_cosine_similarity(q.e, CAST(b.embedding AS DOUBLE[])) DESC,
+                 b.vec_id LIMIT 10""").fetchall()]
+    assert got == exp
+
+
+def test_cosine_pairs(emb, duck):
+    got = sorted((r.i, r.j) for r in similarity.cosine_pairs(emb, 0.45).collect())
+    exp = sorted(map(tuple, duck.execute("""
+        SELECT a.vec_id i, b.vec_id j FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """).fetchall()))
+    assert got == exp
+
+
+def test_lsh_cosine_pairs_subset(emb, duck):
+    exact = set(map(tuple, duck.execute("""
+        SELECT a.vec_id i, b.vec_id j FROM embeddings a
+        JOIN embeddings b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                                     CAST(b.embedding AS DOUBLE[])) >= 0.45
+    """).fetchall()))
+    got = {(r.i, r.j) for r in
+           similarity.lsh_cosine_pairs(emb, 0.45, dim=64).collect()}
+    assert got <= exact          # verified candidates never exceed exact
+    if exact:
+        assert len(got) >= len(exact) * 0.5  # reasonable recall
+
+
+def test_knn_join(emb):
+    out = similarity.knn_join(emb.limit(30), emb.limit(30), k=3).collect()
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    assert all(len(v) == 3 for v in by_q.values())
+    for v in by_q.values():
+        coss = [r.cos for r in sorted(v, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True)
