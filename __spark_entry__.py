@@ -191,6 +191,99 @@ def _q_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, 0.45, dim=64).select("i", "j")
 
 
+# -------------------------------------------------- social workloads (X2-X4)
+
+def _knows_raw_edges(spark: SparkSession, sf_dir: str):
+    """KNOWS edges as raw (src, dst) keys for the social library."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import unpack_locid
+
+    g = _knows(spark, sf_dir)
+    e = g.edge_frame("KNOWS")
+    return e.select(unpack_locid(F.col("src")).alias("src"),
+                    unpack_locid(F.col("dst")).alias("dst"))
+
+
+def _q_followers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark import social
+    from rust_graph_db_spark.model import unpack_locid
+
+    g = _knows(spark, sf_dir)
+    users = g.vertex_frame("Person").select(
+        unpack_locid(F.col("id")).alias("id"), "name")
+    return social.followers(_knows_raw_edges(spark, sf_dir), users, 5,
+                            limit=None).select("id", "name")
+
+
+def _q_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark import social
+
+    # posts = orders; unique surrogate ts (o_orderkey) keeps the top-k
+    # boundary deterministic for the oracle comparison
+    posts = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("author"),
+        F.col("o_orderkey").alias("post_id"),
+        F.col("o_orderkey").alias("ts"))
+    tl = social.timeline(_knows_raw_edges(spark, sf_dir), posts, user=0, k=10)
+    return tl.select("author", "post_id")
+
+
+def _q_suggestions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_graph_db_spark import social
+
+    return social.friend_suggestions(_knows_raw_edges(spark, sf_dir),
+                                     user=0, k=10)
+
+
+# --------------------------------------------- streaming/window analytics
+
+def _q_windowed_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.session import load_events
+    from rust_graph_db_spark.streaming import windowed_event_counts
+
+    ev = load_events(spark, sf_dir)
+    out = windowed_event_counts(ev, "1 hour")
+    return out.select(
+        F.date_format("window_start", "yyyy-MM-dd HH:mm:ss").alias("ws"),
+        "event_type", "cnt", F.round("total_value", 6).alias("total_value"))
+
+
+def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.session import load_events
+    from rust_graph_db_spark.streaming.ingest import sessionize
+
+    ev = load_events(spark, sf_dir)
+    out = sessionize(ev, "30 minutes")
+    return out.select(
+        F.date_format("session_start", "yyyy-MM-dd HH:mm:ss").alias("ss"),
+        "user_id", "cnt")
+
+
+def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking window function (engine extension §2.11): top-2 orders
+    per customer by totalprice."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_totalprice").desc(), F.col("o_orderkey"))
+    return (orders.withColumn("rk", F.row_number().over(w))
+            .where(F.col("rk") <= 2)
+            .select(F.col("o_custkey").alias("custkey"),
+                    F.col("o_orderkey").alias("orderkey"),
+                    F.col("rk").cast("long").alias("rk")))
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # S1/P3: label scan + WHERE filter
@@ -279,6 +372,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash": _q_simhash,          # approximate — rows-only check
         "t1_text_metrics": _q_text_metrics,
+        "x2_followers": _q_followers,
+        "x3_timeline": _q_timeline,
+        "x4_suggestions": _q_suggestions,
+        "w1_windowed_events": _q_windowed_events,
+        "w2_sessionize": _q_sessionize,
+        "w3_window_rank": _q_window_rank,
         "e1_cosine_topk": _q_cosine_topk,
         "e2_cosine_pairs": _q_cosine_pairs,
         "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,  # approximate — rows-only
@@ -377,6 +476,39 @@ def oracle_sql() -> dict[str, str]:
         "d1_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY md5(text)"),
+        "x2_followers": pre + (
+            " SELECT p.key AS id, p.name FROM knows k "
+            "JOIN person p ON k.src = p.key WHERE k.dst = 5"),
+        "x3_timeline": pre + (
+            " SELECT o_custkey AS author, o_orderkey AS post_id FROM orders "
+            "WHERE o_custkey IN (SELECT dst FROM knows WHERE src = 0) "
+            "ORDER BY o_orderkey DESC LIMIT 10"),
+        "w1_windowed_events": (
+            "SELECT strftime(time_bucket(INTERVAL 1 HOUR, ts), "
+            "'%Y-%m-%d %H:%M:%S') AS ws, event_type, count(*) AS cnt, "
+            "round(sum(value), 6) AS total_value "
+            "FROM events GROUP BY 1, event_type"),
+        "w2_sessionize": (
+            "WITH m AS (SELECT user_id, ts, CASE WHEN ts - lag(ts) OVER "
+            "(PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE "
+            "THEN 1 ELSE 0 END AS new FROM events), "
+            "s AS (SELECT user_id, ts, sum(new) OVER (PARTITION BY user_id "
+            "ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sess FROM m) "
+            "SELECT strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS ss, user_id, "
+            "count(*) AS cnt FROM s GROUP BY user_id, sess"),
+        "w3_window_rank": (
+            "SELECT o_custkey AS custkey, o_orderkey AS orderkey, "
+            "CAST(rk AS BIGINT) AS rk FROM ("
+            "SELECT o_custkey, o_orderkey, row_number() OVER "
+            "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rk "
+            "FROM orders) WHERE rk <= 2"),
+        "x4_suggestions": pre + (
+            ", mine AS (SELECT dst FROM knows WHERE src = 0), "
+            "fof AS (SELECT m.dst AS mid, k.dst AS cand FROM mine m "
+            "JOIN knows k ON k.src = m.dst WHERE k.dst <> 0), "
+            "nf AS (SELECT * FROM fof WHERE cand NOT IN (SELECT dst FROM mine)) "
+            "SELECT cand, count(DISTINCT mid) AS mutual_count FROM nf "
+            "GROUP BY cand ORDER BY mutual_count DESC, cand ASC LIMIT 10"),
         "d2_ngram_jaccard": _JACCARD_PAIRS_SQL,
         "d3_minhash_lsh": _JACCARD_PAIRS_SQL,  # verified LSH == exact join
         "t1_text_metrics": _text_metrics_sql(),

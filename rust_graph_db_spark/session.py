@@ -32,6 +32,9 @@ def get_spark(app_name: str = "rust_graph_db_spark", **extra_conf: str) -> Spark
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.sql.session.timeZone", "UTC")
+        # testdata events.parquet carries TIMESTAMP(NANOS); read as long
+        # and convert (see load_events)
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
@@ -58,4 +61,24 @@ TPCH_TABLES = (
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict:
     """Load the driver's parquet tables from ``sf_dir`` as DataFrames."""
-    return {name: spark.read.parquet(f"{sf_dir}/{name}.parquet") for name in TPCH_TABLES}
+    out = {}
+    for name in TPCH_TABLES:
+        out[name] = (load_events(spark, sf_dir) if name == "events"
+                     else spark.read.parquet(f"{sf_dir}/{name}.parquet"))
+    return out
+
+
+def load_events(spark: SparkSession, sf_dir: str):
+    """events.parquet stores TIMESTAMP(NANOS), which Spark's parquet
+    reader rejects; read nanos as long and truncate to microseconds
+    (exactly what DuckDB's micro-resolution TIMESTAMP does, so oracles
+    agree)."""
+    from pyspark.sql import functions as F
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts_type = dict(df.dtypes).get("ts")
+    if ts_type == "bigint":
+        df = df.withColumn(
+            "ts", F.timestamp_micros((F.col("ts") / 1000).cast("long")))
+    return df

@@ -1,0 +1,3 @@
+from rust_graph_db_spark.streaming.ingest import (  # noqa: F401
+    stream_edge_upserts, stream_vertex_upserts, windowed_event_counts,
+)

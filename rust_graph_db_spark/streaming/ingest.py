@@ -1,0 +1,143 @@
+"""Structured Streaming extension: streaming graph upserts + windowed
+event analytics.
+
+The reference has NO streaming (SURVEY.md §2.11 — exhaustive read of
+src/ finds no watermarks/windows/state); this module is the declared
+extension: vertex/edge mutation streams become ``readStream →
+foreachBatch`` micro-batch merges into the PropertyGraph, and event
+streams get watermarked windowed aggregation. At scale the foreachBatch
+body is a Delta MERGE; here it reuses the same copy-on-write dataflow as
+dml.py, so batch and streaming share one mutation path.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.model import PropertyGraph
+
+
+def stream_vertex_upserts(
+    g: PropertyGraph, label: str, stream: DataFrame,
+    id_col: str = "id",
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Apply a stream of vertex rows as per-micro-batch upserts.
+
+    Each batch: delete-then-union keyed on ``id`` (the MERGE
+    WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT dataflow). Returns the
+    StreamingQuery; with trigger_available_now the call drains the
+    source and stops (use for tests/backfills).
+    """
+    g.label_id(label)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        if label in g._vertices:
+            keep = g._vertices[label].join(
+                batch.select(F.col(id_col).alias("id")), "id", "left_anti")
+            g._vertices[label] = keep.unionByName(
+                batch.withColumnRenamed(id_col, "id"),
+                allowMissingColumns=True).localCheckpoint(eager=True)
+        else:
+            g._vertices[label] = batch.withColumnRenamed(id_col, "id") \
+                                      .localCheckpoint(eager=True)
+
+    writer = stream.writeStream.foreachBatch(upsert).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_edge_upserts(
+    g: PropertyGraph, label: str, stream: DataFrame,
+    id_col: str = "id",
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Edge-stream variant of stream_vertex_upserts (same MERGE shape,
+    keyed on edge id; src/dst must be packed graph ids)."""
+    g.label_id(label)
+
+    def upsert(batch: DataFrame, _batch_id: int) -> None:
+        batch = batch.dropDuplicates([id_col]).localCheckpoint(eager=True)
+        b = batch.withColumnRenamed(id_col, "id")
+        if label in g._edges:
+            keep = g._edges[label].join(b.select("id"), "id", "left_anti")
+            g._edges[label] = keep.unionByName(
+                b, allowMissingColumns=True).localCheckpoint(eager=True)
+        else:
+            g._edges[label] = b.localCheckpoint(eager=True)
+
+    writer = stream.writeStream.foreachBatch(upsert).outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    window_duration: str = "1 hour",
+    slide: Optional[str] = None,
+    watermark: str = "2 hours",
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+) -> DataFrame:
+    """Watermarked tumbling/sliding window counts + value sums.
+
+    Works on a streaming OR batch DataFrame (same expression tree —
+    Spark's unified model); batch mode is what the DuckDB oracle
+    checks (time_bucket equivalent).
+    """
+    df = events
+    if df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    w = F.window(F.col(ts_col), window_duration, slide) if slide else \
+        F.window(F.col(ts_col), window_duration)
+    return (df.groupBy(w.alias("w"), F.col(key_col))
+              .agg(F.count("*").alias("cnt"),
+                   F.sum("value").alias("total_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      key_col, "cnt", "total_value"))
+
+
+def sessionize(
+    events: DataFrame,
+    gap: str = "30 minutes",
+    ts_col: str = "ts",
+    user_col: str = "user_id",
+) -> DataFrame:
+    """Session windows per user (gap-based). Streaming: native session
+    window; batch: the classic lag/cumsum reformulation so the same API
+    works for backfills (and is oracle-checkable in SQL)."""
+    if events.isStreaming:
+        return (events.withWatermark(ts_col, gap)
+                .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
+                         F.col(user_col))
+                .agg(F.count("*").alias("cnt"))
+                .select(F.col("w.start").alias("session_start"),
+                        user_col, "cnt"))
+    from pyspark.sql import Window as W
+
+    gap_expr = F.expr(f"INTERVAL {gap}")
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    marked = events.withColumn(
+        "_new", F.when(
+            F.col(ts_col).cast("timestamp") - F.lag(F.col(ts_col)).over(w)
+            > gap_expr, 1).otherwise(0).cast("long"))
+    marked = marked.withColumn(
+        "_sess", F.sum("_new").over(
+            W.partitionBy(user_col).orderBy(ts_col)
+             .rowsBetween(W.unboundedPreceding, 0)))
+    return (marked.groupBy(user_col, "_sess")
+            .agg(F.min(ts_col).alias("session_start"),
+                 F.count("*").alias("cnt"))
+            .select("session_start", user_col, "cnt"))

@@ -1,0 +1,128 @@
+"""Streaming upserts, windowed event analytics, multimodal plumbing."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.model import PropertyGraph, pack_graphid
+from rust_graph_db_spark.operators import multimodal as mm
+from rust_graph_db_spark.streaming import (
+    stream_edge_upserts, stream_vertex_upserts, windowed_event_counts,
+)
+from rust_graph_db_spark.streaming.ingest import sessionize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_stream_vertex_upserts(spark, tmp_path):
+    src_dir = tmp_path / "stream_in"
+    src_dir.mkdir()
+    g = PropertyGraph(spark)
+    base = spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1)], "id LONG, name STRING, ver LONG")
+    g._vertices["User"] = base
+    g.label_id("User")
+
+    # two updates (ids 2,3): 2 is an update, 3 an insert
+    spark.createDataFrame([(2, "b2", 2), (3, "c", 2)],
+                          "id LONG, name STRING, ver LONG") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream.schema("id LONG, name STRING, ver LONG") \
+        .parquet(str(src_dir))
+    q = stream_vertex_upserts(g, "User", stream,
+                              checkpoint=str(tmp_path / "ckpt"))
+    q.awaitTermination(60)
+    rows = {r["id"]: (r["name"], r["ver"])
+            for r in g.vertex_frame("User").collect()}
+    assert rows == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 2)}
+
+
+def test_stream_edge_upserts(spark, tmp_path):
+    src_dir = tmp_path / "estream"
+    src_dir.mkdir()
+    g = PropertyGraph(spark)
+    lab = g.label_id("KNOWS")
+    spark.createDataFrame([(1, 10, 20, 2020)],
+                          "id LONG, src LONG, dst LONG, since LONG") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream \
+        .schema("id LONG, src LONG, dst LONG, since LONG").parquet(str(src_dir))
+    q = stream_edge_upserts(g, "KNOWS", stream,
+                            checkpoint=str(tmp_path / "eckpt"))
+    q.awaitTermination(60)
+    assert g.edge_frame("KNOWS").count() == 1
+
+
+def test_windowed_event_counts_oracle(spark, duck):
+    from rust_graph_db_spark.session import load_events
+
+    events = load_events(spark, SF_DIR)
+    got = sorted(
+        (str(r["window_start"]), r["event_type"], r["cnt"],
+         round(r["total_value"], 6))
+        for r in windowed_event_counts(events, "1 hour").collect())
+    exp = sorted(
+        (str(r[0]), r[1], r[2], round(r[3], 6))
+        for r in duck.execute("""
+            SELECT time_bucket(INTERVAL 1 HOUR, ts) ws, event_type,
+                   count(*) cnt, sum(value) tv
+            FROM events GROUP BY ws, event_type""").fetchall())
+    assert got == exp
+
+
+def test_windowed_streaming_mode(spark, tmp_path):
+    from rust_graph_db_spark.session import load_events
+
+    # the same expression tree must run as an actual stream
+    src = tmp_path / "ev"
+    src.mkdir()
+    batch = load_events(spark, SF_DIR).limit(100)
+    batch.coalesce(1).write.mode("overwrite").parquet(str(src))
+    stream = spark.readStream.schema(batch.schema).parquet(str(src))
+    out = windowed_event_counts(stream, "1 hour")
+    q = (out.writeStream.format("memory").queryName("wincounts")
+         .outputMode("complete").trigger(availableNow=True).start())
+    q.awaitTermination(60)
+    assert spark.sql("SELECT count(*) FROM wincounts").first()[0] > 0
+
+
+def test_sessionize_batch(spark):
+    rows = [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 10:10:00"),
+            (1, "2024-01-01 11:30:00"),  # > 30 min gap → new session
+            (2, "2024-01-01 09:00:00")]
+    df = spark.createDataFrame(rows, "user_id LONG, ts STRING") \
+        .withColumn("ts", F.col("ts").cast("timestamp"))
+    out = sessionize(df, "30 minutes").collect()
+    per_user = {}
+    for r in out:
+        per_user.setdefault(r["user_id"], []).append(r["cnt"])
+    assert sorted(per_user[1]) == [1, 2]
+    assert per_user[2] == [1]
+
+
+def test_image_features_stubbed(spark):
+    media = mm.synthetic_media(spark, 50, "image")
+    feats = mm.extract_image_features(media, deterministic_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 50
+    assert all(r["width"] >= 64 and 0 <= r["mean_luma"] <= 1 for r in rows)
+    # deterministic across runs
+    again = mm.extract_image_features(media, deterministic_fake=True).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+
+def test_image_decode_stub_raises(spark):
+    media = mm.synthetic_media(spark, 1, "image")
+    with pytest.raises(Exception):
+        mm.extract_image_features(media, deterministic_fake=False).collect()
+
+
+def test_frame_sampling(spark):
+    media = mm.synthetic_media(spark, 10, "video")
+    frames = mm.sample_frames(media, every_n=5, deterministic_fake=True)
+    rows = frames.collect()
+    assert rows and all(r["frame_idx"] % 5 == 0 for r in rows)
+    assert all(isinstance(bytes(r["frame"]), bytes) for r in rows)
+    # ≤ max_frames per video
+    from collections import Counter
+    c = Counter(r["media_id"] for r in rows)
+    assert max(c.values()) <= 8
