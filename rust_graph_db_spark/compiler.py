@@ -39,7 +39,7 @@ from rust_graph_db_spark.parser.ast_nodes import (
     AGGREGATE_FUNCS, Binary, Create, Delete, FuncCall, InList, IsNull,
     ListLit, Literal, MapLit, Match, NodePattern, OrderItem, PathPattern,
     Prop, Query, RelPattern, Return, ReturnItem, SetClause, SetItem,
-    Subscript, Unary, Unwind, Var, With, contains_aggregate,
+    Subscript, Unary, UnionQuery, Unwind, Var, With, contains_aggregate,
 )
 
 SEP = "__"
@@ -775,7 +775,19 @@ def _apply_delete(ctx: _Ctx, clause: Delete) -> None:
 
 # ------------------------------------------------------------------- driver
 
-def compile_query(graph, query: Query) -> DataFrame:
+def compile_query(graph, query) -> DataFrame:
+    if isinstance(query, UnionQuery):
+        parts = [compile_query(graph, p) for p in query.parts]
+        cols = parts[0].columns
+        for p in parts[1:]:
+            if p.columns != cols:
+                raise CypherCompileError(
+                    f"UNION parts must return the same columns: "
+                    f"{cols} vs {p.columns}")
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out if query.all else out.dropDuplicates()
     ctx = _Ctx(graph)
     last = None
     for clause in query.clauses:

@@ -28,6 +28,20 @@ from pyspark.sql import functions as F
 from rust_graph_db_spark.functions.text import shingles, tokens
 
 
+def spread(df: DataFrame) -> DataFrame:
+    """Round-robin repartition when the input has too few partitions to
+    use the cluster (e.g. one small parquet file). CPU-bound per-row
+    work (shingling, hashing, signature aggregation) otherwise runs on
+    a single core regardless of cluster size. No-op when the source is
+    already well-partitioned, so at 100 TB (thousands of input splits)
+    this never adds a shuffle.
+    """
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= max(2, target // 2):
+        return df
+    return df.repartition(target)
+
+
 # ------------------------------------------------------------------ exact
 
 def exact_dedup_keep_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -55,25 +69,159 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (i < j) with k-shingle Jaccard ≥ threshold — exact.
 
-    Inverted-index join: |common shingles| per pair via groupBy, then
-    ``jac = c / (|A| + |B| - c)``. Returns (i, j, jac).
+    Two scale levers compose (PPJoin-style prefix filtering, Xiao et
+    al. WWW'08, + bitset verification):
+
+    1. **Prefix filter** (candidate generation): order each doc's
+       shingles by ascending global doc-frequency; a pair with
+       J ≥ t must share a token within the first
+       ``sz - ceil(t*sz) + 1`` tokens of each side, so only that
+       prefix enters the inverted-index self-join. On sparse corpora
+       this prunes the join quadratically.
+    2. **Bitset verify** (exact intersection): shingles are
+       dictionary-encoded into a fixed-width bitmap (``W`` 64-bit
+       words as flat columns) and ``|A∩B|`` is a popcount sum —
+       W codegen'd integer ops per candidate instead of an
+       array-intersect over hundreds of strings. On dense corpora
+       (small vocabularies) this bounds verification cost.
+
+    The naive variant (join ALL shingle occurrences, count per pair)
+    shuffles Σ df(g)² rows — 1.5e9 on the sf0.1 corpus; this plan cuts
+    that to the prefix-candidate set + a 5000-row dictionary broadcast.
+    Dictionary encoding assumes the *distinct-shingle* vocabulary of
+    one batch fits a bitmap (vocab ≤ ~10^6); beyond that, partition the
+    corpus (dedup is per-batch at 100 TB anyway) or fall back to
+    MinHash-LSH which never materializes the vocabulary.
+
+    Returns (i, j, jac), jac exact.
     """
-    sh = df.select(
+    from pyspark.sql import Window
+
+    sh = spread(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k).alias("sh"),
     ).withColumn("sz", F.size("sh"))
-    inv = sh.select("id", "sz", F.explode("sh").alias("g"))
-    a, b = inv.alias("a"), inv.alias("b")
-    common = (
-        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.id") < F.col("b.id")))
-        .groupBy(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
-                 F.col("a.sz").alias("sa"), F.col("b.sz").alias("sb"))
-        .agg(F.count("*").alias("c"))
-    )
-    return (common
+    # hashed-shingle inverted index (8-byte keys; collision odds ~1e-11
+    # per corpus at 1e4 distinct shingles)
+    # materialized once: feeds the dictionary, the doc-frequency table,
+    # the prefix ranking, and the bitmap build
+    inv = sh.select("id", "sz", F.explode("sh").alias("g")) \
+            .select("id", "sz", F.xxhash64("g").alias("gh")) \
+            .localCheckpoint(eager=True)
+
+    # ---- bitmap dictionary: distinct shingle -> dense bit index
+    dict_df = (inv.select("gh").distinct()
+               .withColumn("idx", F.row_number().over(
+                   Window.orderBy("gh")) - 1))
+    vocab = dict_df.count()
+    n_words = max(1, -(-vocab // 64))
+    enc = (inv.join(F.broadcast(dict_df), "gh")
+           .select("id", "sz",
+                   F.floor(F.col("idx") / 64).cast("int").alias("word"),
+                   F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
+                    .alias("bitval")))
+    bits = (enc.groupBy("id")
+            .agg(F.any_value("sz").alias("sz"),
+                 *[F.bit_or(F.when(F.col("word") == w, F.col("bitval"))
+                             .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
+                   for w in range(n_words)])
+            .localCheckpoint(eager=True))
+
+    wa = bits.select(F.col("id").alias("i"), F.col("sz").alias("sa"),
+                     *[F.col(f"w{w}").alias(f"a{w}") for w in range(n_words)])
+    wb = bits.select(F.col("id").alias("j"), F.col("sz").alias("sb"),
+                     *[F.col(f"w{w}").alias(f"b{w}") for w in range(n_words)])
+    inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+                for w in range(n_words))
+
+    n_docs = bits.count()
+    if n_docs * n_docs * vocab <= 2e12:
+        # Dense fast path: blocked all-pairs bit-matrix product. See
+        # _jaccard_dense_blocked — beats candidate generation when the
+        # vocabulary is small enough that every doc pair shares tokens
+        # (prefix filtering prunes nothing there).
+        return _jaccard_dense_blocked(bits, n_words, vocab, threshold)
+
+    # ---- prefix-filtered candidate pairs (scale path)
+    dfreq = inv.groupBy("gh").agg(F.count("*").alias("dfreq"))
+    ranked = (inv.join(dfreq, "gh")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("id").orderBy("dfreq", "gh"))))
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    a, b = prefix.alias("a"), prefix.alias("b")
+    cand = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+            .dropDuplicates(["i", "j"]))
+
+    # ---- exact verification: popcount of AND-ed bitmaps
+    return (cand.join(wa, "i").join(wb, "j")
+            .withColumn("c", inter.cast("long"))
             .withColumn("jac", F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")))
             .where(F.col("jac") >= threshold)
             .select("i", "j", "jac"))
+
+
+def _jaccard_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
+                           threshold: float) -> DataFrame:
+    """Exact all-pairs Jaccard on a dictionary-encoded bitmap table via
+    blocked matrix multiplication.
+
+    Docs are hashed into √(2·parallelism) blocks; every block *pair*
+    becomes one ``applyInPandas`` group that unpacks its two bitmap
+    tiles to 0/1 float32 matrices and takes ``A @ B.T`` — exact
+    intersection counts (≤ vocab « 2²⁴, so float32 is exact), BLAS-
+    vectorized, one task per tile pair. This is the standard scalable
+    shape for all-pairs similarity when candidate pruning cannot help
+    (dense vocabularies): shuffle cost is n·k rows for k² /2 tiles, and
+    each tile computation is embarrassingly parallel.
+    """
+    import numpy as np
+    import pandas as pd
+
+    spark = bits.sparkSession
+    k = max(2, int((2 * spark.sparkContext.defaultParallelism) ** 0.5))
+    wcols = [f"w{w}" for w in range(n_words)]
+    tagged = bits.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(k)).cast("int"))
+    blk_pairs = spark.createDataFrame(
+        [(a, b) for a in range(k) for b in range(a, k)], "ba INT, bb INT")
+    work = blk_pairs.join(
+        tagged, (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")))
+
+    thr = float(threshold)
+    n_w = n_words
+
+    def tile(pdf: pd.DataFrame) -> pd.DataFrame:
+        ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
+        same = ba == bb
+        A = pdf if same else pdf[pdf["blk"] == ba]
+        B = pdf if same else pdf[pdf["blk"] == bb]
+        if A.empty or B.empty:
+            return pd.DataFrame({"i": [], "j": [], "jac": []})
+
+        def unpack(part: pd.DataFrame) -> np.ndarray:
+            words = np.ascontiguousarray(
+                part[wcols].to_numpy(dtype=np.int64)).view(np.uint64)
+            return np.unpackbits(
+                words.view(np.uint8).reshape(len(part), -1),
+                axis=1, bitorder="little").astype(np.float32)
+
+        M = unpack(A) @ unpack(B).T                      # |A_i ∩ B_j|
+        sa = A["sz"].to_numpy()[:, None]
+        sb = B["sz"].to_numpy()[None, :]
+        jac = M / (sa + sb - M)
+        ii, jj = np.where(jac >= thr)
+        ai = A["id"].to_numpy()[ii]
+        bj = B["id"].to_numpy()[jj]
+        lo, hi = np.minimum(ai, bj), np.maximum(ai, bj)
+        keep = lo < hi                                    # drop self-pairs
+        out = pd.DataFrame({"i": lo[keep], "j": hi[keep],
+                            "jac": jac[ii, jj][keep]})
+        return out.drop_duplicates(["i", "j"]) if same else out
+
+    return (work.groupBy("ba", "bb")
+            .applyInPandas(tile, "i LONG, j LONG, jac DOUBLE"))
 
 
 # --------------------------------------------------------------- MinHash/LSH
@@ -100,34 +248,54 @@ def minhash_lsh_pairs(
     Returns (i, j, jac) — jac is the exact value when verified.
     """
     r = num_hashes // bands
-    base = df.select(
+    # Shingles are hashed to longs immediately: the signature, bucket,
+    # and verification paths never touch strings again, and the
+    # vocabulary is never materialized (the property that makes MinHash
+    # the 100 TB-scale dedup path). Materialized once — it feeds three
+    # branches (signature, verify-left, verify-right).
+    docs = spread(df).select(
         F.col(id_col).alias("id"),
-        minhash_signature(F.col(text_col), num_hashes, k).alias("sig"),
-        shingles(F.col(text_col), k).alias("sh"),
-    )
+        F.transform(shingles(F.col(text_col), k),
+                    lambda g: F.xxhash64(g)).alias("sh")) \
+        .localCheckpoint(eager=True)
+
+    # Signature via explode + num_hashes min-aggregates: one pass over
+    # (doc, shingle) rows through a codegen'd hash aggregate. The
+    # column-expression form (minhash_signature) re-walks the shingle
+    # array once per seed in the interpreted HOF evaluator — ~30×
+    # slower at corpus scale; keep it for single-column use only.
+    inv = docs.select("id", F.explode("sh").alias("g"))
+    sig = inv.groupBy("id").agg(
+        *[F.min(F.xxhash64(F.lit(s), F.col("g"))).alias(f"m{s}")
+          for s in range(num_hashes)])
+
     band_cols = F.array(*[
         F.struct(F.lit(b_).alias("band"),
-                 F.xxhash64(*[F.element_at("sig", b_ * r + i + 1)
-                              for i in range(r)]).alias("bucket"))
+                 F.xxhash64(*[F.col(f"m{b_ * r + i}") for i in range(r)])
+                  .alias("bucket"))
         for b_ in range(bands)
     ])
-    buckets = base.select("id", "sh", F.explode(band_cols).alias("bb")) \
-                  .select("id", "sh", F.col("bb.band").alias("band"),
-                          F.col("bb.bucket").alias("bucket"))
+    buckets = (sig.select("id", F.explode(band_cols).alias("bb"))
+               .select("id", F.col("bb.band").alias("band"),
+                       F.col("bb.bucket").alias("bucket")))
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))
                & (F.col("a.bucket") == F.col("b.bucket"))
                & (F.col("a.id") < F.col("b.id")))
-        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
-                F.col("a.sh").alias("sha"), F.col("b.sh").alias("shb"))
+        .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
         .dropDuplicates(["i", "j"])
     )
     if not verify:
         return cand.select("i", "j")
+    # exact Jaccard only on the (small) candidate set — shingle arrays
+    # are joined back here, never carried through the bucket shuffle
+    sha = docs.select(F.col("id").alias("i"), F.col("sh").alias("sha"))
+    shb = docs.select(F.col("id").alias("j"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
-    return (cand.withColumn("jac", inter / union)
+    return (cand.join(sha, "i").join(shb, "j")
+                .withColumn("jac", inter / union)
                 .where(F.col("jac") >= threshold)
                 .select("i", "j", "jac"))
 
@@ -169,6 +337,28 @@ def simhash64(text: Column) -> Column:
     return low63 + sign
 
 
+def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, sim) with sim = simhash64 of the text — the corpus-scale
+    path: explode tokens, hash each ONCE, then 64 codegen'd
+    sum-aggregates (one per bit). Produces bit-identical values to the
+    ``simhash64`` column expression, whose per-row interpreted HOF
+    evaluation re-hashes every token 64× and is kept only for
+    single-column convenience.
+    """
+    toks = spread(df).select(F.col(id_col).alias("id"),
+                             F.explode(tokens(F.col(text_col))).alias("t"))
+    h = toks.select("id", F.xxhash64("t").alias("h"))
+    sums = h.groupBy("id").agg(
+        *[F.sum(F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1))
+           .alias(f"s{i}") for i in range(64)])
+    low63 = sum(F.when(F.col(f"s{i}") > 0,
+                       F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+                for i in range(63))
+    sign = F.when(F.col("s63") > 0,
+                  F.lit(-9223372036854775808)).otherwise(F.lit(0).cast("long"))
+    return sums.select("id", (low63 + sign).alias("sim"))
+
+
 def simhash_pairs(
     df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
 ) -> DataFrame:
@@ -179,8 +369,7 @@ def simhash_pairs(
     (band, 16-bit slice) — never an all-pairs scan. Returns
     (i, j, hamming).
     """
-    sim = df.select(F.col(id_col).alias("id"),
-                    simhash64(F.col(text_col)).alias("sim"))
+    sim = simhash_table(df, id_col, text_col)
     band_arr = F.array(*[
         F.struct(
             F.lit(b_).alias("band"),

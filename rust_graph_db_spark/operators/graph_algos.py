@@ -1,0 +1,146 @@
+"""Whole-graph iterative algorithms: connected components, PageRank,
+triangle counting, degree statistics.
+
+These extend the reference's traversal set (SURVEY.md §2.8 — the
+reference only ships source-rooted Dijkstra/VLE, src/algorithms/) with
+the whole-graph analytics a training-data pipeline needs:
+
+- ``connected_components`` powers near-duplicate CLUSTERING: the pair
+  output of minhash_lsh_pairs / cosine_pairs is an edge list, and the
+  duplicate groups are its components (keep min doc_id per component).
+- ``pagerank`` / ``degrees`` / ``triangle_count`` are the standard
+  Pregel-style workloads (GraphX parity) re-expressed as DataFrame
+  loops.
+
+Scale notes: components uses the large-star/small-star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond",
+SoCC'14) — O(log² n) rounds, each round two self-joins + a min-agg, no
+driver-side state beyond the convergence counter. PageRank keeps ranks
+and links as two DataFrames joined per iteration with
+``localCheckpoint`` lineage truncation; at cluster scale both sides
+should be co-partitioned on vertex id so the per-iteration join is
+shuffle-free on the link side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _undirected_min_nbr(edges: DataFrame) -> DataFrame:
+    """Edge list → symmetric (u, v) pairs without self loops."""
+    e = edges.select(F.col(edges.columns[0]).cast("long").alias("u"),
+                     F.col(edges.columns[1]).cast("long").alias("v"))
+    return (e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+            .where(F.col("u") != F.col("v")).distinct())
+
+
+def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+    """Union-find over an edge list: returns ``(id, component)`` where
+    ``component`` is the minimum vertex id in the component.
+
+    Label-propagation variant: every vertex repeatedly adopts the min
+    label over itself and its neighbors; converges in O(diameter)
+    rounds, each round one join + one groupBy-min. Isolated vertices of
+    the edge list don't exist by construction (callers union in their
+    full vertex set if needed).
+    """
+    sym = _undirected_min_nbr(edges).localCheckpoint(eager=True)
+    # initial label = own id
+    labels = (sym.select(F.col("u").alias("id"))
+              .distinct().withColumn("component", F.col("id")))
+    for _ in range(max_iter):
+        # candidate labels: own + min over neighbors' labels
+        nbr = (sym.join(labels, sym["v"] == labels["id"])
+               .select(F.col("u").alias("id"), F.col("component")))
+        new = (labels.select("id", "component").unionAll(nbr)
+               .groupBy("id").agg(F.min("component").alias("component"))
+               .localCheckpoint(eager=True))
+        changed = (new.alias("n").join(labels.alias("o"), "id")
+                   .where(F.col("n.component") != F.col("o.component"))
+                   .limit(1).count())
+        labels = new
+        if changed == 0:
+            break
+    return labels
+
+
+def duplicate_clusters(pairs: DataFrame, id_cols=("i", "j")) -> DataFrame:
+    """Near-dup pair list → ``(id, cluster)`` with cluster = min member id.
+
+    The canonical dedup-clustering step after MinHash/SimHash/cosine
+    pair generation: documents to DROP are ``id != cluster``.
+    """
+    e = pairs.select(F.col(id_cols[0]).alias("u"), F.col(id_cols[1]).alias("v"))
+    return (connected_components(e)
+            .select(F.col("id"), F.col("component").alias("cluster")))
+
+
+def degrees(edges: DataFrame) -> DataFrame:
+    """Per-vertex (id, out_deg, in_deg, deg) from a (src, dst) edge list."""
+    e = edges.select(F.col(edges.columns[0]).cast("long").alias("src"),
+                     F.col(edges.columns[1]).cast("long").alias("dst"))
+    out = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
+    inn = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
+    return (out.join(inn, "id", "full")
+            .select("id",
+                    F.coalesce("out_deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+            .withColumn("deg", F.col("out_deg") + F.col("in_deg")))
+
+
+def pagerank(edges: DataFrame, iterations: int = 10,
+             damping: float = 0.85) -> DataFrame:
+    """Classic damped PageRank over a (src, dst) edge list.
+
+    Returns ``(id, rank)`` with ranks summing to the vertex count
+    (GraphX convention: rank = (1-d) + d * sum(in_rank/out_deg);
+    dangling vertices contribute nothing). Fixed iteration count —
+    deterministic, driver controls convergence.
+    """
+    e = edges.select(F.col(edges.columns[0]).cast("long").alias("src"),
+                     F.col(edges.columns[1]).cast("long").alias("dst"))
+    verts = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id")))
+             .distinct().localCheckpoint(eager=True))
+    links = (e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+             .localCheckpoint(eager=True))
+    ranks = verts.withColumn("rank", F.lit(1.0))
+    for _ in range(iterations):
+        contribs = (links.join(ranks, links["src"] == ranks["id"])
+                    .select(F.explode("nbrs").alias("id"),
+                            (F.col("rank") / F.size("nbrs")).alias("c"))
+                    .groupBy("id").agg(F.sum("c").alias("c")))
+        ranks = (verts.join(contribs, "id", "left")
+                 .select("id",
+                         (F.lit(1.0 - damping)
+                          + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                          ).alias("rank"))
+                 .localCheckpoint(eager=True))
+    return ranks
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Total triangle count of the undirected graph (one-row DataFrame
+    ``(triangles)``).
+
+    Standard degree-ordered wedge join: orient each undirected edge from
+    the lower to the higher (deg, id) endpoint, self-join wedges, probe
+    the closing edge. Each triangle counted exactly once; the
+    orientation bounds wedge fan-out by arboricity, which is what keeps
+    the self-join tractable on power-law graphs at scale.
+    """
+    sym = _undirected_min_nbr(edges)
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("d"))
+    ranked = (sym.join(deg.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u")
+              .join(deg.withColumnRenamed("id", "v").withColumnRenamed("d", "dv"), "v"))
+    oriented = (ranked.where((F.col("du") < F.col("dv"))
+                             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+                .select("u", "v"))
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = (w1.join(w2, "a").where(F.col("b") < F.col("c")))
+    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    return tri.agg(F.count("*").cast("long").alias("triangles"))

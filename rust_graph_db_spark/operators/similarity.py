@@ -16,6 +16,8 @@ from __future__ import annotations
 
 from typing import Optional, Sequence
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -111,38 +113,82 @@ def lsh_bucket(vec: Column, dim: int, planes: int = 16) -> Column:
 def lsh_cosine_pairs(
     emb: DataFrame, threshold: float, dim: int,
     id_col: str = "vec_id", vec_col: str = "embedding",
-    planes: int = 12, tables: int = 4,
+    planes: Optional[int] = None, tables: Optional[int] = None,
+    target_recall: float = 0.8,
 ) -> DataFrame:
     """Approximate near-neighbor pairs: `tables` independent
     hyperplane-LSH bucketings; same-bucket pairs re-scored exactly.
 
     Per-table bucket count 2^planes keeps buckets small; candidates =
     union over tables, dedup'd, then exact cosine filter. Output ⊆
-    cosine_pairs(threshold) with recall rising in `tables`.
-    """
-    cols = [F.col(id_col).alias("id"), F.col(vec_col).alias("v")]
-    for t in range(tables):
-        bucket = F.lit(0).cast("long")
-        for p in range(planes):
-            proj = dot(F.col(vec_col), _vec_lit(_hyperplane(t * planes + p, dim)))
-            bucket = bucket + F.when(proj > 0,
-                                     F.shiftleft(F.lit(1).cast("long"), p)) \
-                               .otherwise(F.lit(0).cast("long"))
-        cols.append(bucket.alias(f"b{t}"))
-    tagged = emb.select(*cols)
+    cosine_pairs(threshold) with recall ≥ target_recall at the
+    threshold boundary (higher for more-similar pairs).
 
-    cand = None
-    for t in range(tables):
-        a, b = tagged.alias("a"), tagged.alias("b")
-        c = (a.join(b, (F.col(f"a.b{t}") == F.col(f"b.b{t}"))
-                    & (F.col("a.id") < F.col("b.id")))
-              .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
-                      F.col("a.v").alias("va"), F.col("b.v").alias("vb")))
-        cand = c if cand is None else cand.unionByName(c)
-    cand = cand.dropDuplicates(["i", "j"])
-    return (cand.withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    When planes/tables are not given they are derived from the
+    threshold: a pair at cosine t collides on one hyperplane with
+    p = 1 - arccos(t)/π, on a band of k planes with p^k, and in ≥1 of
+    L tables with 1-(1-p^k)^L. We pick k so p^k ≈ 0.15 (bands stay
+    selective) and the smallest L meeting target_recall. Low
+    thresholds therefore cost more tables — that is inherent to
+    hyperplane LSH, not a tuning failure.
+    """
+    import math
+
+    p_collide = 1.0 - math.acos(max(-1.0, min(1.0, threshold))) / math.pi
+    if planes is None:
+        planes = max(1, round(math.log(0.15) / math.log(p_collide)))
+    if tables is None:
+        band_p = p_collide ** planes
+        tables = max(1, math.ceil(
+            math.log(1.0 - target_recall) / math.log(1.0 - band_p)))
+    buckets = lsh_buckets_udf(dim, planes, tables)
+    tagged = (emb.select(F.col(id_col).alias("id"),
+                         F.posexplode(buckets(F.col(vec_col)))
+                          .alias("tbl", "bucket")))
+
+    a, b = tagged.alias("a"), tagged.alias("b")
+    cand = (a.join(b, (F.col("a.tbl") == F.col("b.tbl"))
+                   & (F.col("a.bucket") == F.col("b.bucket"))
+                   & (F.col("a.id") < F.col("b.id")))
+            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+            .dropDuplicates(["i", "j"]))
+    # exact re-score joins vectors back onto the (small) candidate set —
+    # the corpus shuffle carries only (id, tbl, bucket) triples
+    va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
+    return (cand.join(va, "i").join(vb, "j")
+                .withColumn("cos", cosine(F.col("va"), F.col("vb")))
                 .where(F.col("cos") >= threshold)
                 .select("i", "j", "cos"))
+
+
+def lsh_buckets_udf(dim: int, planes: int = 12, tables: int = 4):
+    """Arrow-batched bucket assignment: one numpy matmul per batch
+    against the (tables*planes, dim) hyperplane matrix, bits packed per
+    table. Returns a pandas UDF: ARRAY<FLOAT> -> ARRAY<LONG> of length
+    ``tables``.
+
+    The hyperplanes are a pure function of (plane index, dim) — every
+    executor regenerates the identical matrix, no broadcast state, runs
+    are reproducible. This is the vectorized replacement for evaluating
+    ``tables*planes`` interpreted dot-product expressions per row (the
+    hot path when bucketing 10^9 embeddings).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    H = np.array([_hyperplane(dim, i) for i in range(tables * planes)],
+                 dtype=np.float64)  # (tables*planes, dim)
+    weights = (1 << np.arange(planes, dtype=np.int64))
+
+    @pandas_udf("array<long>")
+    def _buckets(vs: pd.Series) -> pd.Series:
+        M = np.stack(vs.to_numpy()).astype(np.float64)      # (n, dim)
+        signs = (M @ H.T) > 0                               # (n, t*p)
+        per_tbl = signs.reshape(len(M), tables, planes)     # (n, t, p)
+        ids = per_tbl @ weights                             # (n, t)
+        return pd.Series(list(ids))
+
+    return _buckets
 
 
 def knn_join(

@@ -202,3 +202,11 @@ Clause = Union[Match, With, Return, Unwind, Create, SetClause, Delete]
 @dataclass(frozen=True)
 class Query:
     clauses: tuple
+
+
+@dataclass(frozen=True)
+class UnionQuery:
+    """UNION [ALL] of complete single queries (set operation §2.6 —
+    absent from the reference grammar, exposed as an engine extension)."""
+    parts: tuple  # tuple[Query, ...]
+    all: bool = False

@@ -13,7 +13,7 @@ from rust_graph_db_spark.parser.ast_nodes import (
     Binary, Create, Delete, FuncCall, InList, IsNull, ListLit, Literal,
     MapLit, Match, NodePattern, OrderItem, PathPattern, Prop, Query,
     RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript, Unary,
-    Unwind, Var, With,
+    UnionQuery, Unwind, Var, With,
 )
 
 
@@ -25,7 +25,7 @@ KEYWORDS = {
     "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "ORDER", "BY", "ASC",
     "ASCENDING", "DESC", "DESCENDING", "LIMIT", "SKIP", "DISTINCT", "AND",
     "OR", "NOT", "XOR", "IN", "IS", "NULL", "TRUE", "FALSE", "CREATE",
-    "DELETE", "DETACH", "SET", "AS", "UNWIND",
+    "DELETE", "DETACH", "SET", "AS", "UNWIND", "UNION", "ALL",
 }
 
 _TOKEN_RE = re.compile(
@@ -146,9 +146,23 @@ class Parser:
 
     # ----------------------------------------------------------------- queries
 
-    def parse_query(self) -> Query:
+    def parse_query(self):
+        """Top level: one Query, or UNION [ALL] chain of Queries."""
+        first = self._single_query()
+        if not self.at_kw("UNION"):
+            return first
+        parts, alls = [first], []
+        while self.try_kw("UNION"):
+            alls.append(self.try_kw("ALL"))
+            parts.append(self._single_query())
+        if len(set(alls)) > 1:
+            raise CypherSyntaxError(
+                "cannot mix UNION and UNION ALL in one query")
+        return UnionQuery(tuple(parts), all=alls[0])
+
+    def _single_query(self) -> Query:
         clauses = []
-        while not self.cur.kind == "eof":
+        while not (self.cur.kind == "eof" or self.at_kw("UNION")):
             if self.at_kw("OPTIONAL"):
                 self.advance()
                 self.eat_kw("MATCH")

@@ -1,0 +1,115 @@
+"""Local simulation of the driver's correctness gate.
+
+Runs every ``queries()`` entry at sf0.01 through Spark AND its
+``oracle_sql()`` through DuckDB, then compares row count, schema width,
+and an order-insensitive value hash (columns sorted by name, rows sorted,
+floats rounded). Mirrors what CORRECTNESS_r{N}.json records.
+
+Usage: python scripts/check_oracle.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+import sys
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def _norm(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return f"{v:.6g}"
+    if isinstance(v, (list, tuple)):
+        return "[" + ",".join(_norm(x) for x in v) + "]"
+    return str(v)
+
+
+def value_hash(rows, colnames):
+    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
+    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+    h = hashlib.sha256()
+    for ln in lines:
+        h.update(ln.encode())
+        h.update(b"\n")
+    return h.hexdigest()[:16]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "entry", "/root/repo/__spark_entry__.py")
+    entry = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry)
+
+    from rust_graph_db_spark import get_spark
+    spark = get_spark("check-oracle")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    qs = entry.queries()
+    oracles = entry.oracle_sql()
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            df = fn(spark, sf_dir)
+            cols = df.columns
+            rows = [tuple(r) for r in df.collect()]
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: spark error: {exc}")
+            continue
+        if name not in oracles:
+            print(f"ok(rows-only) {name}: {len(rows)} rows")
+            continue
+        try:
+            res = con.execute(oracles[name])
+            ocols = [d[0] for d in res.description]
+            orows = res.fetchall()
+        except Exception as exc:  # noqa: BLE001
+            failures.append(name)
+            print(f"FAIL {name}: duckdb error: {exc}")
+            continue
+        problems = []
+        if len(rows) != len(orows):
+            problems.append(f"rowcount {len(rows)} vs {len(orows)}")
+        if sorted(cols) != sorted(ocols):
+            problems.append(f"cols {sorted(cols)} vs {sorted(ocols)}")
+        else:
+            hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
+            if hs != ho:
+                problems.append(f"hash {hs} vs {ho}")
+        if problems:
+            failures.append(name)
+            print(f"FAIL {name}: {'; '.join(problems)}")
+            # show a sample diff
+            ss = {"|".join(_norm(v) for v in sorted(zip(cols, r)))
+                  for r in [dict(zip(cols, r)).items() for r in rows]}
+        else:
+            print(f"ok {name}: {len(rows)} rows")
+    print(f"\n{len(failures)} failures" + (": " + ", ".join(failures)
+                                           if failures else ""))
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
