@@ -114,6 +114,83 @@ def _q_within_k(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(unpack_locid(F.col("b")).cast("long").alias("key"))
 
 
+def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G1-weighted: Bellman-Ford relaxation over the customer-0
+    order→part cost DAG (weights = totalprice / extendedprice)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.traversal import weighted_shortest_distances
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    e1 = orders.where(F.col("o_custkey") == 0).select(
+        F.lit(-1).cast("long").alias("src"),
+        F.col("o_orderkey").cast("long").alias("dst"),
+        F.col("o_totalprice").alias("w"))
+    e2 = li.select(
+        F.col("l_orderkey").cast("long").alias("src"),
+        (F.lit(10**9) + F.col("l_partkey")).cast("long").alias("dst"),
+        F.col("l_extendedprice").alias("w"))
+    d = weighted_shortest_distances(e1.unionByName(e2), [-1], weight_col="w")
+    return d.where(F.col("id") >= 10**9).select(
+        (F.col("id") - 10**9).alias("partkey"),
+        F.round("dist", 2).alias("dist"))
+
+
+def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: MinHash-LSH pair graph → connected components
+    (cluster = min member id; rows with id != cluster are the drops)."""
+    from rust_graph_db_spark.operators.dedup import minhash_lsh_pairs
+    from rust_graph_db_spark.operators.graph_algos import duplicate_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64,
+                              bands=16, threshold=0.5)
+    return duplicate_clusters(pairs)
+
+
+def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import pagerank
+
+    e = _knows_raw_edges(spark, sf_dir)
+    return pagerank(e, iterations=8).select(
+        "id", F.round("rank", 6).alias("rank"))
+
+
+def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from rust_graph_db_spark.operators.graph_algos import degrees
+
+    return degrees(_knows_raw_edges(spark, sf_dir))
+
+
+def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count of KNOWS ∪ (2-hop KNOWS) — the base ring+chord
+    graph is triangle-free, so close it once to make the count
+    non-trivial."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import triangle_count
+
+    e = _knows_raw_edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    e2 = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    return triangle_count(e.unionByName(e2))
+
+
+def _q_network_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X5 composite: degrees of separation 0→4 + mutual follow count."""
+    from rust_graph_db_spark import social
+
+    follows = _knows_raw_edges(spark, sf_dir)
+    res = social.network_analysis(follows, 0, 4)
+    return spark.createDataFrame(
+        [(res["degrees_of_separation"], res["mutual_friends"])],
+        "sep LONG, mutual LONG")
+
+
 # ------------------------------------------- training-data pipeline ops
 
 def _q_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -340,16 +417,37 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (p:Person) WHERE p.age % 10 = 0 AND p.age / 2 >= 20 "
             "RETURN toupper(p.name) AS u, size(p.name) AS s, "
             "p.age * 2 + 1 AS x, coalesce(p.email, 'none') AS em"),
+        # §2.6 extension: UNION set operation
+        "u1_union": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name "
+            "UNION MATCH (p:Person {city: 'NYC'}) RETURN p.name AS name"),
+        # §2.7: graph-aware scalar functions (type/startNode/endNode)
+        "p7_graph_funcs": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.name = 'Person3' "
+            "RETURN type(r) AS t, b.name AS bn"),
         # G3: variable-length expansion 1..3 with path length
         "g3_vle": _q_cypher_knows(
             "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b:Person) "
             "RETURN b.name AS bn, toInteger(length(r)) AS hops"),
+        # G4: VLE constrained to a target endpoint
+        "g4_vle_between": _q_cypher_knows(
+            "MATCH (a:Person {name:'Person0'})-[r:KNOWS*2..4]->"
+            "(b:Person {name:'Person8'}) RETURN toInteger(length(r)) AS hops"),
         # G1/G2: BFS shortest distances
         "g1_bfs_distances": _q_bfs,
         # G5: exact-k neighbors
         "g5_k_hop": _q_k_hop,
         # G6: within-k neighbors
         "g6_within_k": _q_within_k,
+        # G1 weighted: Bellman-Ford SSSP over a cost DAG
+        "g2_weighted_sssp": _q_weighted_sssp,
+        # whole-graph analytics (GraphX-parity extensions)
+        "g7_dup_clusters": _q_dup_clusters,
+        "g8_pagerank": _q_pagerank,        # iterative float — rows-only
+        "g9_degrees": _q_degrees,
+        "g10_triangles": _q_triangles,
+        # X5: network analysis composite
+        "x5_network_analysis": _q_network_analysis,
         # X3-flavored: per-customer order totals, top-k (timeline shape)
         "x3_order_totals": _q_cypher_tpch(
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
@@ -451,6 +549,61 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT k.dst, r.d+1 FROM r JOIN knows k ON r.id=k.src "
             "WHERE r.d < 8) "
             "SELECT id AS key, CAST(min(d) AS BIGINT) AS dist FROM r GROUP BY id"),
+        "u1_union": pre + (
+            " SELECT name FROM person WHERE age > 75 "
+            "UNION SELECT name FROM person WHERE city = 'NYC'"),
+        "p7_graph_funcs": pre + (
+            " SELECT 'KNOWS' AS t, p2.name AS bn FROM knows k "
+            "JOIN person p1 ON k.src = p1.key JOIN person p2 ON k.dst = p2.key "
+            "WHERE p1.name = 'Person3'"),
+        "g4_vle_between": pre.replace("WITH ", "WITH RECURSIVE ") + (
+            ", walk AS (SELECT src AS a, dst AS b, 1 AS hops, [src, dst] AS vp "
+            "FROM knows UNION ALL "
+            "SELECT w.a, k.dst, w.hops+1, list_append(w.vp, k.dst) "
+            "FROM walk w JOIN knows k ON w.b = k.src "
+            "WHERE w.hops < 4 AND NOT list_contains(w.vp, k.dst)) "
+            "SELECT CAST(t.hops AS BIGINT) AS hops FROM walk t "
+            "JOIN person p ON t.b = p.key JOIN person p0 ON t.a = p0.key "
+            "WHERE p0.name='Person0' AND p.name='Person8' AND t.hops >= 2"),
+        "g2_weighted_sssp": (
+            "SELECT CAST(l_partkey AS BIGINT) AS partkey, "
+            "round(min(o_totalprice + l_extendedprice), 2) AS dist "
+            "FROM orders JOIN lineitem ON l_orderkey = o_orderkey "
+            "WHERE o_custkey = 0 GROUP BY l_partkey"),
+        "g7_dup_clusters": (
+            "WITH RECURSIVE " + _JACCARD_CTES + ", "
+            "pairs AS (SELECT i, j FROM p WHERE jac >= 0.5), "
+            "e AS (SELECT i AS u, j AS v FROM pairs "
+            "UNION SELECT j, i FROM pairs), "
+            "r AS (SELECT u AS id, u AS reach FROM e "
+            "UNION SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u) "
+            "SELECT id, CAST(min(reach) AS BIGINT) AS cluster "
+            "FROM r GROUP BY id"),
+        "g9_degrees": pre + (
+            " SELECT coalesce(o.id, i.id) AS id, "
+            "coalesce(od, 0) AS out_deg, coalesce(ind, 0) AS in_deg, "
+            "coalesce(od, 0) + coalesce(ind, 0) AS deg FROM "
+            "(SELECT src AS id, count(*) AS od FROM knows GROUP BY src) o "
+            "FULL JOIN "
+            "(SELECT dst AS id, count(*) AS ind FROM knows GROUP BY dst) i "
+            "ON o.id = i.id"),
+        "g10_triangles": pre + (
+            ", ee AS (SELECT src, dst FROM knows UNION "
+            "SELECT k1.src, k2.dst FROM knows k1 "
+            "JOIN knows k2 ON k1.dst = k2.src), "
+            "und AS (SELECT DISTINCT least(src, dst) AS u, "
+            "greatest(src, dst) AS v FROM ee WHERE src <> dst) "
+            "SELECT CAST(count(*) AS BIGINT) AS triangles FROM und e1 "
+            "JOIN und e2 ON e1.v = e2.u "
+            "JOIN und e3 ON e3.u = e1.u AND e3.v = e2.v"),
+        "x5_network_analysis": pre.replace("WITH ", "WITH RECURSIVE ") + (
+            ", r AS (SELECT CAST(0 AS BIGINT) AS id, 0 AS d "
+            "UNION SELECT k.dst, r.d + 1 FROM r JOIN knows k ON r.id = k.src "
+            "WHERE r.d < 6) "
+            "SELECT CAST(min(d) AS BIGINT) AS sep, "
+            "(SELECT count(*) FROM (SELECT dst FROM knows WHERE src = 0 "
+            "INTERSECT SELECT dst FROM knows WHERE src = 4)) AS mutual "
+            "FROM r WHERE id = 4"),
         "g5_k_hop": pre + (
             " SELECT DISTINCT k2.dst AS key FROM knows k1 "
             "JOIN knows k2 ON k1.dst=k2.src "
@@ -528,15 +681,18 @@ def oracle_sql() -> dict[str, str]:
     }
 
 
-_JACCARD_PAIRS_SQL = (
-    "WITH sh AS (SELECT doc_id, list_distinct(list_transform("
+_JACCARD_CTES = (
+    "sh AS (SELECT doc_id, list_distinct(list_transform("
     "generate_series(1, greatest(length(text)-4,1)), i -> substr(text,i,5))) s "
     "FROM documents), "
     "p AS (SELECT a.doc_id i, b.doc_id j, "
     "CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)"
     "/(len(a.s)+len(b.s)-len(list_intersect(a.s,b.s))) jac "
-    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id) "
-    "SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5")
+    "FROM sh a JOIN sh b ON a.doc_id < b.doc_id)")
+
+_JACCARD_PAIRS_SQL = (
+    "WITH " + _JACCARD_CTES +
+    " SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5")
 
 
 def _text_metrics_sql() -> str:

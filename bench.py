@@ -30,6 +30,10 @@ HEADLINE = [
     "p6_with_where",       # WITH pipeline + HAVING-style filter
     "g3_vle",              # variable-length expansion 1..3
     "g1_bfs_distances",    # iterative BFS ≤8 hops
+    "g2_weighted_sssp",    # Bellman-Ford weighted SSSP
+    "g7_dup_clusters",     # near-dup pairs -> connected components
+    "g8_pagerank",         # 8-iteration PageRank
+    "g10_triangles",       # degree-oriented triangle count
     "j2_two_hop_region",   # heterogeneous 2-hop + agg
     "x3_order_totals",     # join + group + top-k
     "a4_lineitem_pricing", # TPC-H Q1 shape over edge properties

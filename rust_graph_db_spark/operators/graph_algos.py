@@ -94,10 +94,10 @@ def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85) -> DataFrame:
     """Classic damped PageRank over a (src, dst) edge list.
 
-    Returns ``(id, rank)`` with ranks summing to the vertex count
-    (GraphX convention: rank = (1-d) + d * sum(in_rank/out_deg);
-    dangling vertices contribute nothing). Fixed iteration count —
-    deterministic, driver controls convergence.
+    Returns ``(id, rank)`` (GraphX convention: rank = (1-d) +
+    d * sum(in_rank/out_deg); dangling vertices absorb rank — no
+    redistribution, so ranks sum to n only on dangling-free graphs).
+    Fixed iteration count — deterministic, driver controls convergence.
     """
     e = edges.select(F.col(edges.columns[0]).cast("long").alias("src"),
                      F.col(edges.columns[1]).cast("long").alias("dst"))
@@ -141,6 +141,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
     w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
     wedges = (w1.join(w2, "a").where(F.col("b") < F.col("c")))
-    closing = oriented.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    # wedge endpoints are id-ordered but the closing edge is
+    # degree-oriented — normalize it to id order before the probe
+    closing = oriented.select(F.least("u", "v").alias("b"),
+                              F.greatest("u", "v").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
     return tri.agg(F.count("*").cast("long").alias("triangles"))

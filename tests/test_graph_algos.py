@@ -1,0 +1,75 @@
+"""Whole-graph algorithms (operators/graph_algos.py) + Cypher UNION."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.operators.graph_algos import (
+    connected_components, degrees, duplicate_clusters, pagerank,
+    triangle_count,
+)
+
+
+@pytest.fixture(scope="module")
+def edges(spark):
+    # two chains {1,2,3}, {5,6}, one 3-cycle {8,9,10}
+    return spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (8, 9), (9, 10), (10, 8)], "u LONG, v LONG")
+
+
+def test_connected_components(edges):
+    got = {(r.id, r.component) for r in connected_components(edges).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5),
+                   (8, 8), (9, 8), (10, 8)}
+
+
+def test_duplicate_clusters(spark):
+    pairs = spark.createDataFrame([(4, 9), (9, 11), (20, 21)], "i LONG, j LONG")
+    got = {(r.id, r.cluster) for r in duplicate_clusters(pairs).collect()}
+    assert got == {(4, 4), (9, 4), (11, 4), (20, 20), (21, 20)}
+
+
+def test_degrees(edges):
+    got = {(r.id, r.out_deg, r.in_deg, r.deg) for r in degrees(edges).collect()}
+    assert (2, 1, 1, 2) in got and (1, 1, 0, 1) in got and (3, 0, 1, 1) in got
+
+
+def test_triangle_count(edges):
+    assert triangle_count(edges).collect()[0].triangles == 1
+
+
+def test_triangle_count_complete_graph(spark):
+    # K4 has 4 triangles
+    e = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(a + 1, 4)], "u LONG, v LONG")
+    assert triangle_count(e).collect()[0].triangles == 4
+
+
+def test_pagerank_star(spark):
+    # hub-and-spoke: all spokes point at 0 → 0 has max rank; ranks sum ≈ n
+    e = spark.createDataFrame([(i, 0) for i in range(1, 6)], "u LONG, v LONG")
+    ranks = {r.id: r.rank for r in pagerank(e, iterations=10).collect()}
+    assert max(ranks, key=ranks.get) == 0
+    # spokes have no in-links: rank (1-d); hub: (1-d) + d*5*(1-d)
+    assert abs(ranks[1] - 0.15) < 1e-9
+    assert abs(ranks[0] - (0.15 + 0.85 * 5 * 0.15)) < 1e-9
+
+
+def test_cypher_union(kg):
+    both = kg.cypher(
+        "MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name "
+        "UNION MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name")
+    alls = kg.cypher(
+        "MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name "
+        "UNION ALL MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name")
+    n = kg.cypher(
+        "MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name").count()
+    assert both.count() == n
+    assert alls.count() == 2 * n
+
+
+def test_cypher_union_mixed_rejected(kg):
+    with pytest.raises(Exception, match="mix"):
+        kg.cypher(
+            "MATCH (p:Person) RETURN p.name AS n UNION "
+            "MATCH (p:Person) RETURN p.name AS n UNION ALL "
+            "MATCH (p:Person) RETURN p.name AS n")
