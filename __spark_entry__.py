@@ -268,6 +268,68 @@ def _q_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, 0.45, dim=64).select("i", "j")
 
 
+def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W1/W5/W6: CREATE + expression SET driven by MATCH, then read
+    back — on a fresh graph so the shared cache stays pristine."""
+    from rust_graph_db_spark.graphs import knows_graph
+
+    g = knows_graph(spark, sf_dir)
+    g.cypher("CREATE (x:Person {name: 'PersonX', age: 200, city: 'NYC', "
+             "active: true})").collect()
+    g.cypher("MATCH (p:Person) WHERE p.age >= 70 "
+             "SET p.age = p.age + 10").collect()
+    return g.cypher(
+        "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
+        "sum(p.age) AS total ORDER BY city")
+
+
+def _q_dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W3/W6: MATCH-driven edge DELETE, then count the remainder."""
+    from rust_graph_db_spark.graphs import knows_graph
+
+    g = knows_graph(spark, sf_dir)
+    g.cypher("MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2024 "
+             "DELETE r").collect()
+    return g.cypher(
+        "MATCH (:Person)-[r:KNOWS]->(:Person) RETURN count(*) AS cnt")
+
+
+def _q_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing: documents' bytes as opaque BINARY media,
+    decode stubbed deterministically, featurized via mapInPandas."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.multimodal import extract_image_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("image").alias("media_type"))
+    out = extract_image_features(media, deterministic_fake=True)
+    return out.select("media_id", "width", "height",
+                      F.round("mean_luma", 6).alias("mean_luma"), "phash")
+
+
+def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7/S10: export the Person/KNOWS graph to reference-format JSON,
+    re-import (old-id remap path), aggregate on the round-tripped
+    graph. Property values must survive the id remap byte-for-byte."""
+    import os
+    import tempfile
+
+    from rust_graph_db_spark.graphs import knows_graph
+    from rust_graph_db_spark.io import export_json_file, import_json
+
+    g = knows_graph(spark, sf_dir)
+    path = os.path.join(tempfile.mkdtemp(prefix="rtjson"), "graph.json")
+    export_json_file(g, path)
+    g2 = import_json(spark, path)
+    return g2.cypher(
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+        "RETURN r.since AS since, count(*) AS cnt ORDER BY since")
+
+
 # -------------------------------------------------- social workloads (X2-X4)
 
 def _knows_raw_edges(spark: SparkSession, sf_dir: str):
@@ -464,6 +526,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "RETURN li.returnflag AS returnflag, sum(li.quantity) AS sum_qty, "
             "avg(li.extendedprice) AS avg_price, count(*) AS cnt "
             "ORDER BY returnflag"),
+        # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
+        "w4_dml_pipeline": _q_dml_pipeline,
+        "w5_dml_delete": _q_dml_delete,
+        # S7/S10: JSON export -> import round-trip with id remapping
+        "s7_json_roundtrip": _q_json_roundtrip,
+        # multimodal: binary columns + Arrow-batched feature extraction
+        "m1_image_features": _q_image_features,
         # --------- training-data pipeline operators (beyond the reference)
         "d1_exact_dedup": _q_exact_dedup,
         "d2_ngram_jaccard": _q_ngram_jaccard,
@@ -626,6 +695,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_returnflag AS returnflag, sum(l_quantity) AS sum_qty, "
             "avg(l_extendedprice) AS avg_price, count(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
+        "w4_dml_pipeline": pre + (
+            ", p2 AS (SELECT city, age FROM person "
+            "UNION ALL SELECT 'NYC', 200) "
+            "SELECT city, count(*) AS cnt, "
+            "CAST(sum(CASE WHEN age >= 70 THEN age + 10 ELSE age END) "
+            "AS BIGINT) AS total FROM p2 GROUP BY city ORDER BY city"),
+        "w5_dml_delete": pre + (
+            " SELECT count(*) AS cnt FROM knows WHERE since <> 2024"),
+        "s7_json_roundtrip": pre + (
+            " SELECT since, count(*) AS cnt FROM knows "
+            "GROUP BY since ORDER BY since"),
+        "m1_image_features": (
+            "SELECT doc_id AS media_id, "
+            "64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width, "
+            "64 + CAST(('0x' || substr(sha256(text), 3, 2)) AS INT) AS height, "
+            "round(CAST(('0x' || substr(sha256(text), 5, 2)) AS INT) / 255.0, 6) "
+            "AS mean_luma, "
+            "CAST(CASE WHEN v >= 9223372036854775808 "
+            "THEN v - 18446744073709551616 ELSE v END AS BIGINT) AS phash "
+            "FROM (SELECT doc_id, text, "
+            "CAST(CAST(('0x' || substr(sha256(text), 17, 8)) AS BIGINT) "
+            "AS HUGEINT) * 4294967296 "
+            "+ CAST(('0x' || substr(sha256(text), 25, 8)) AS BIGINT) AS v "
+            "FROM documents WHERE length(text) > 0)"),
         "d1_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY md5(text)"),

@@ -49,20 +49,22 @@ def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
     sym = _undirected_min_nbr(edges).localCheckpoint(eager=True)
     # initial label = own id
     labels = (sym.select(F.col("u").alias("id"))
-              .distinct().withColumn("component", F.col("id")))
+              .distinct().withColumn("component", F.col("id"))
+              .localCheckpoint(eager=True))
+    # labels only ever decrease, so Σ component is a monotone convergence
+    # probe — one cheap aggregate per round instead of a change-join
+    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
     for _ in range(max_iter):
         # candidate labels: own + min over neighbors' labels
         nbr = (sym.join(labels, sym["v"] == labels["id"])
                .select(F.col("u").alias("id"), F.col("component")))
-        new = (labels.select("id", "component").unionAll(nbr)
-               .groupBy("id").agg(F.min("component").alias("component"))
-               .localCheckpoint(eager=True))
-        changed = (new.alias("n").join(labels.alias("o"), "id")
-                   .where(F.col("n.component") != F.col("o.component"))
-                   .limit(1).count())
-        labels = new
-        if changed == 0:
+        labels = (labels.select("id", "component").unionAll(nbr)
+                  .groupBy("id").agg(F.min("component").alias("component"))
+                  .localCheckpoint(eager=True))
+        cur = labels.agg(F.sum("component")).collect()[0][0]
+        if cur == prev_sum:
             break
+        prev_sum = cur
     return labels
 
 
