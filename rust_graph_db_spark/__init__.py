@@ -19,6 +19,9 @@ Entry points mirror the reference's three surfaces (SURVEY.md §3):
   3. (REST veneer intentionally out of scope; the library is the engine)
 """
 
+from rust_graph_db_spark.functions.scalar import (
+    register_cypher_function, unregister_cypher_function,
+)
 from rust_graph_db_spark.model import PropertyGraph, pack_graphid, unpack_labid, unpack_locid
 from rust_graph_db_spark.session import get_spark
 
@@ -26,8 +29,10 @@ __all__ = [
     "PropertyGraph",
     "get_spark",
     "pack_graphid",
+    "register_cypher_function",
     "unpack_labid",
     "unpack_locid",
+    "unregister_cypher_function",
 ]
 
 __version__ = "0.1.0"

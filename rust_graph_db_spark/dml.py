@@ -37,17 +37,29 @@ class CypherWriteError(ValueError):
     pass
 
 
+def _lit_col(expr) -> F.Column:
+    """Literal CREATE property value → Column. Nested map literals
+    become STRUCT columns (reference §1.2: nested objects are real
+    values, exercised by SET n.address.city —
+    tests/test_set_nested_integration.rs); lists become ARRAYs."""
+    from rust_graph_db_spark.parser.ast_nodes import ListLit
+
+    if isinstance(expr, Literal):
+        return F.lit(expr.value)
+    if isinstance(expr, MapLit):
+        return F.struct(*[_lit_col(v).alias(k) for k, v in expr.pairs])
+    if isinstance(expr, ListLit):
+        return F.array(*[_lit_col(v) for v in expr.items])
+    raise CypherWriteError(
+        "CREATE property maps accept literals only (reference "
+        "match_executor.rs:360-367)")
+
+
 def _literal_props(props) -> dict:
-    out = {}
+    """name → Column of literal (possibly nested) property values."""
     if props is None:
-        return out
-    for k, v in props.pairs:
-        if not isinstance(v, Literal):
-            raise CypherWriteError(
-                "CREATE property maps accept literals only (reference "
-                "match_executor.rs:360-367)")
-        out[k] = v.value
-    return out
+        return {}
+    return {k: _lit_col(v) for k, v in props.pairs}
 
 
 def apply_create(ctx, clause: Create) -> None:
@@ -75,11 +87,9 @@ def apply_create(ctx, clause: Create) -> None:
 
             if ctx.df is None:
                 base = g.next_locids(label, 1)
-                row_df = spark.createDataFrame([tuple(props.values()) or (None,)],
-                                               list(props.keys()) or ["_dummy"])
-                if not props:
-                    row_df = row_df.drop("_dummy")
-                new = row_df.withColumn("id", pack_graphid(labid, F.lit(base)))
+                new = spark.range(1).select(
+                    pack_graphid(labid, F.lit(base)).alias("id"),
+                    *[c.alias(k) for k, c in props.items()])
             else:
                 cnt = ctx.df.count()
                 base = g.next_locids(label, cnt)
@@ -88,7 +98,7 @@ def apply_create(ctx, clause: Create) -> None:
                     (F.row_number().over(w) - 1 + F.lit(base)).alias("_loc"))
                 new = new.withColumn("id", pack_graphid(labid, F.col("_loc"))).drop("_loc")
                 for k, v in props.items():
-                    new = new.withColumn(k, F.lit(v))
+                    new = new.withColumn(k, v)
 
             props_cols = [c for c in new.columns if c != "id"]
             new = new.select("id", *props_cols)
@@ -118,7 +128,7 @@ def apply_create(ctx, clause: Create) -> None:
                     ctx.df = ctx.df.withColumn(cols["label"], F.lit(label))
                     for k, v in props.items():
                         fc = _flat(var, k)
-                        ctx.df = ctx.df.withColumn(fc, F.lit(v))
+                        ctx.df = ctx.df.withColumn(fc, v)
                         cols[k] = fc
                     ctx.env[var] = Binding("vertex", label, cols)
 
@@ -153,7 +163,7 @@ def apply_create(ctx, clause: Create) -> None:
             new = pairs.withColumn(
                 "id", pack_graphid(labid, F.row_number().over(w) - 1 + F.lit(base)))
             for k, v in props.items():
-                new = new.withColumn(k, F.lit(v))
+                new = new.withColumn(k, v)
             new = new.select("id", "src", "dst",
                              *[c for c in new.columns if c not in ("id", "src", "dst")])
             if elabel in g._edges:

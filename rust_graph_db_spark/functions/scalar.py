@@ -32,6 +32,31 @@ _CASTS = {
     "toboolean": "boolean",
 }
 
+# User-registered functions (engine extension — the reference has no
+# UDF mechanism, SURVEY.md §2.11). Maps lowercase name → callable taking
+# Column args and returning a Column; register plain expression builders
+# for JVM-side execution, or a ``pandas_udf`` result for Python logic
+# (Arrow-batched — never row-at-a-time).
+_USER_FUNCS: dict = {}
+
+
+def register_cypher_function(name: str, fn) -> None:
+    """Expose ``fn(*cols) -> Column`` to Cypher as ``name(...)``.
+
+    ``fn`` may be a composition of ``pyspark.sql.functions`` (preferred:
+    stays in codegen) or a ``pandas_udf`` handle. Built-in names cannot
+    be shadowed.
+    """
+    key = name.lower()
+    if key in _CASTS or key in _PASSTHROUGH or key in (
+            "coalesce", "length", "size", "keys", "toupper", "tolower", "rand"):
+        raise ValueError(f"cannot shadow built-in function {name!r}")
+    _USER_FUNCS[key] = fn
+
+
+def unregister_cypher_function(name: str) -> None:
+    _USER_FUNCS.pop(name.lower(), None)
+
 
 def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
     """Compile a non-aggregate function call to a Column.
@@ -61,4 +86,6 @@ def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
         return F.rand(42)  # deterministic by default; seed fixed
     if name in _PASSTHROUGH:
         return getattr(F, name)(*args)
+    if name in _USER_FUNCS:
+        return _USER_FUNCS[name](*args)
     raise ValueError(f"unknown function: {name}")

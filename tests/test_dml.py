@@ -78,3 +78,22 @@ def test_ids_unique_and_packed(g):
     assert len(ids) == len(set(ids))
     labid = g.label_id("Person")
     assert all((i >> 48) == labid for i in ids)
+
+
+def test_create_nested_props_and_nested_set(g):
+    """Reference §1.2 nested objects + W5 nested SET
+    (tests/test_set_nested_integration.rs)."""
+    g.cypher("CREATE (d:Person {name: 'Dana', age: 28, "
+             "address: {city: 'NYC', zip: '10001'}, tags: ['a', 'b']})").collect()
+    row = g.cypher("MATCH (p:Person {name:'Dana'}) "
+                   "RETURN p.address.city AS city, p.tags AS tags").collect()[0]
+    assert row["city"] == "NYC" and list(row["tags"]) == ["a", "b"]
+    g.cypher("MATCH (p:Person {name:'Dana'}) "
+             "SET p.address.city = 'Boston'").collect()
+    row = g.cypher("MATCH (p:Person {name:'Dana'}) "
+                   "RETURN p.address.city AS c, p.address.zip AS z").collect()[0]
+    assert row["c"] == "Boston" and row["z"] == "10001"
+    # nested SET with missing parent still errors (parent-must-exist)
+    with pytest.raises(CypherWriteError):
+        g.cypher("MATCH (p:Person {name:'Dana'}) "
+                 "SET p.missing.x = 1").collect()

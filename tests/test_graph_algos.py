@@ -73,3 +73,42 @@ def test_cypher_union_mixed_rejected(kg):
             "MATCH (p:Person) RETURN p.name AS n UNION "
             "MATCH (p:Person) RETURN p.name AS n UNION ALL "
             "MATCH (p:Person) RETURN p.name AS n")
+
+
+def test_register_cypher_function(kg):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.functions.scalar import (
+        register_cypher_function, unregister_cypher_function,
+    )
+
+    register_cypher_function("double_it", lambda c: c * 2)
+    try:
+        rows = kg.cypher("MATCH (p:Person {name:'Person3'}) "
+                         "RETURN double_it(p.age) AS d").collect()
+        assert rows[0]["d"] == 2 * (20 + 3 % 60)
+    finally:
+        unregister_cypher_function("double_it")
+    with pytest.raises(Exception, match="unknown function"):
+        kg.cypher("MATCH (p:Person) RETURN double_it(p.age) AS d")
+
+
+def test_register_pandas_udf_function(kg):
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    from rust_graph_db_spark.functions.scalar import (
+        register_cypher_function, unregister_cypher_function,
+    )
+
+    @pandas_udf("long")
+    def _vowels(s: pd.Series) -> pd.Series:
+        return s.str.count("[aeiouAEIOU]")
+
+    register_cypher_function("vowel_count", _vowels)
+    try:
+        rows = kg.cypher("MATCH (p:Person {name:'Person3'}) "
+                         "RETURN vowel_count(p.name) AS v").collect()
+        assert rows[0]["v"] == 2  # 'Person3' -> e, o
+    finally:
+        unregister_cypher_function("vowel_count")
