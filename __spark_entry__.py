@@ -330,6 +330,44 @@ def _q_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "RETURN r.since AS since, count(*) AS cnt ORDER BY since")
 
 
+def _q_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8/S9/S11: CSV export → header-driven CSV import (packed-id
+    path), aggregate on the round-tripped graph."""
+    import tempfile
+
+    from rust_graph_db_spark.graphs import knows_graph
+    from rust_graph_db_spark.io import (
+        export_csv, import_edges_csv, import_vertices_csv,
+    )
+    from rust_graph_db_spark.model import PropertyGraph
+
+    g = knows_graph(spark, sf_dir)
+    base = tempfile.mkdtemp(prefix="rtcsv")
+    export_csv(g, base)
+    g2 = PropertyGraph(spark)
+    import_vertices_csv(spark, g2, "Person", f"{base}/vertices/Person",
+                        id_col="id")
+    import_edges_csv(spark, g2, "KNOWS", f"{base}/edges/KNOWS",
+                     start_col="src", end_col="dst")
+    return g2.cypher(
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+        "RETURN r.since AS since, count(*) AS cnt ORDER BY since")
+
+
+def _q_generator_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: seeded synthetic grid graph → degree histogram (structure
+    is pure arithmetic, so the oracle rebuilds it in SQL)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.io import generate_graph
+    from rust_graph_db_spark.operators.graph_algos import degrees
+
+    g = generate_graph(spark, "grid", 900)
+    d = degrees(g.edge_frame("LINK"))
+    return (d.groupBy("deg").agg(F.count("*").alias("cnt"))
+            .orderBy("deg"))
+
+
 # -------------------------------------------------- social workloads (X2-X4)
 
 def _knows_raw_edges(spark: SparkSession, sf_dir: str):
@@ -531,6 +569,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w5_dml_delete": _q_dml_delete,
         # S7/S10: JSON export -> import round-trip with id remapping
         "s7_json_roundtrip": _q_json_roundtrip,
+        # S8/S9/S11: CSV round-trip
+        "s8_csv_roundtrip": _q_csv_roundtrip,
+        # S14: seeded synthetic graph generator
+        "s14_generator_grid": _q_generator_grid,
         # multimodal: binary columns + Arrow-batched feature extraction
         "m1_image_features": _q_image_features,
         # --------- training-data pipeline operators (beyond the reference)
@@ -706,6 +748,19 @@ def oracle_sql() -> dict[str, str]:
         "s7_json_roundtrip": pre + (
             " SELECT since, count(*) AS cnt FROM knows "
             "GROUP BY since ORDER BY since"),
+        "s8_csv_roundtrip": pre + (
+            " SELECT since, count(*) AS cnt FROM knows "
+            "GROUP BY since ORDER BY since"),
+        "s14_generator_grid": (
+            "WITH ids AS (SELECT i AS k FROM generate_series(0, 899) t(i)), "
+            "e AS (SELECT k AS sk, k + 1 AS dk FROM ids WHERE k % 30 <> 29 "
+            "UNION ALL SELECT k, k + 30 FROM ids WHERE k < 870), "
+            "o AS (SELECT sk AS id, count(*) AS od FROM e GROUP BY sk), "
+            "i AS (SELECT dk AS id, count(*) AS ind FROM e GROUP BY dk), "
+            "d AS (SELECT coalesce(o.id, i.id) AS id, "
+            "coalesce(od, 0) + coalesce(ind, 0) AS deg "
+            "FROM o FULL JOIN i ON o.id = i.id) "
+            "SELECT deg, count(*) AS cnt FROM d GROUP BY deg ORDER BY deg"),
         "m1_image_features": (
             "SELECT doc_id AS media_id, "
             "64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width, "

@@ -28,10 +28,20 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _pair_cols(edges: DataFrame) -> tuple:
+    """Endpoint columns of an edge list: named ``src``/``dst`` when
+    present (e.g. a PropertyGraph edge_frame, whose first column is the
+    edge id), else the first two columns."""
+    if "src" in edges.columns and "dst" in edges.columns:
+        return "src", "dst"
+    return edges.columns[0], edges.columns[1]
+
+
 def _undirected_min_nbr(edges: DataFrame) -> DataFrame:
     """Edge list → symmetric (u, v) pairs without self loops."""
-    e = edges.select(F.col(edges.columns[0]).cast("long").alias("u"),
-                     F.col(edges.columns[1]).cast("long").alias("v"))
+    s, d = _pair_cols(edges)
+    e = edges.select(F.col(s).cast("long").alias("u"),
+                     F.col(d).cast("long").alias("v"))
     return (e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .where(F.col("u") != F.col("v")).distinct())
 
@@ -81,8 +91,9 @@ def duplicate_clusters(pairs: DataFrame, id_cols=("i", "j")) -> DataFrame:
 
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-vertex (id, out_deg, in_deg, deg) from a (src, dst) edge list."""
-    e = edges.select(F.col(edges.columns[0]).cast("long").alias("src"),
-                     F.col(edges.columns[1]).cast("long").alias("dst"))
+    s, d = _pair_cols(edges)
+    e = edges.select(F.col(s).cast("long").alias("src"),
+                     F.col(d).cast("long").alias("dst"))
     out = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     inn = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
     return (out.join(inn, "id", "full")
@@ -101,8 +112,9 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     redistribution, so ranks sum to n only on dangling-free graphs).
     Fixed iteration count — deterministic, driver controls convergence.
     """
-    e = edges.select(F.col(edges.columns[0]).cast("long").alias("src"),
-                     F.col(edges.columns[1]).cast("long").alias("dst"))
+    s, d = _pair_cols(edges)
+    e = edges.select(F.col(s).cast("long").alias("src"),
+                     F.col(d).cast("long").alias("dst"))
     verts = (e.select(F.col("src").alias("id"))
              .unionAll(e.select(F.col("dst").alias("id")))
              .distinct().localCheckpoint(eager=True))
