@@ -23,10 +23,11 @@ partition instead.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from rust_graph_db_spark.model import pack_graphid, unpack_locid
+from rust_graph_db_spark.operators.ids import dense_ids, dense_index
 from rust_graph_db_spark.parser.ast_nodes import (
     Create, Delete, Literal, MapLit, NodePattern, PathPattern, Prop,
     RelPattern, SetClause,
@@ -91,12 +92,17 @@ def apply_create(ctx, clause: Create) -> None:
                     pack_graphid(labid, F.lit(base)).alias("id"),
                     *[c.alias(k) for k, c in props.items()])
             else:
-                cnt = ctx.df.count()
+                # one partition-parallel dense numbering, pinned on
+                # ctx.df so the entity rows and the per-row binding
+                # below derive the SAME ids (the old double
+                # global-Window both serialized on one task and
+                # depended on two plans ordering identically)
+                loc_col = f"_loc_{idx}"
+                ctx.df, cnt = dense_ids(ctx.df, loc_col)
                 base = g.next_locids(label, cnt)
-                w = Window.orderBy(F.monotonically_increasing_id())
                 new = ctx.df.select(
-                    (F.row_number().over(w) - 1 + F.lit(base)).alias("_loc"))
-                new = new.withColumn("id", pack_graphid(labid, F.col("_loc"))).drop("_loc")
+                    pack_graphid(labid,
+                                 F.col(loc_col) + F.lit(base)).alias("id"))
                 for k, v in props.items():
                     new = new.withColumn(k, v)
 
@@ -119,11 +125,11 @@ def apply_create(ctx, clause: Create) -> None:
                     ctx.df = bound if ctx.df is None else ctx.df.crossJoin(bound)
                     ctx.env[var] = Binding("vertex", label, cols)
                 else:
-                    # per-row created vertex: attach id column to the row df
-                    w = Window.orderBy(F.monotonically_increasing_id())
+                    # per-row created vertex: same _loc column as the
+                    # entity rows above, so ids line up by construction
                     ctx.df = ctx.df.withColumn(
                         _flat(var, "id"),
-                        pack_graphid(labid, F.row_number().over(w) - 1 + F.lit(base)))
+                        pack_graphid(labid, F.col(loc_col) + F.lit(base)))
                     cols = {"id": _flat(var, "id"), "label": _flat(var, "label")}
                     ctx.df = ctx.df.withColumn(cols["label"], F.lit(label))
                     for k, v in props.items():
@@ -157,11 +163,11 @@ def apply_create(ctx, clause: Create) -> None:
 
             pairs = ctx.df.select(F.col(src_col).alias("src"),
                                   F.col(dst_col).alias("dst")).distinct()
-            cnt = pairs.count()
+            pairs, cnt = dense_index(pairs, ["src", "dst"], "_eloc")
             base = g.next_locids(elabel, cnt)
-            w = Window.orderBy("src", "dst")
             new = pairs.withColumn(
-                "id", pack_graphid(labid, F.row_number().over(w) - 1 + F.lit(base)))
+                "id", pack_graphid(labid, F.col("_eloc") + F.lit(base))) \
+                .drop("_eloc")
             for k, v in props.items():
                 new = new.withColumn(k, v)
             new = new.select("id", "src", "dst",

@@ -35,7 +35,7 @@ def import_json(spark: SparkSession, path: str,
     and edges resolve endpoints by joining the remap table — the
     distributed analog of import.rs's id_mapping HashMap.
     """
-    from pyspark.sql import Window
+    from rust_graph_db_spark.operators.ids import dense_index
 
     g = graph or PropertyGraph(spark)
     raw = spark.read.option("multiLine", True).json(path)
@@ -49,8 +49,7 @@ def import_json(spark: SparkSession, path: str,
     for label in sorted(labels):
         labid = g.label_id(label)
         sub = vtx.where(F.col("_label") == label)
-        w = Window.orderBy("_old_id")
-        sub = sub.withColumn("_loc", F.row_number().over(w) - 1)
+        sub, _ = dense_index(sub, ["_old_id"], "_loc")
         sub = sub.withColumn("id", pack_graphid(labid, F.col("_loc")))
         props = sub.select("id", "_old_id", "_props")
         prop_fields = [f.name for f in props.schema["_props"].dataType.fields] \
@@ -79,9 +78,9 @@ def import_json(spark: SparkSession, path: str,
                                       F.col("id").alias("src")), "_start")
                    .join(remap.select(F.col("_old_id").alias("_end"),
                                       F.col("id").alias("dst")), "_end"))
-            from pyspark.sql import Window
-            w = Window.orderBy("src", "dst")
-            sub = sub.withColumn("id", pack_graphid(labid, F.row_number().over(w) - 1))
+            sub, _ = dense_index(sub, ["src", "dst"], "_eloc")
+            sub = sub.withColumn(
+                "id", pack_graphid(labid, F.col("_eloc"))).drop("_eloc")
             pf = [f.name for f in sub.schema["_props"].dataType.fields] \
                 if sub.schema["_props"].dataType.typeName() == "struct" else []
             flat = sub.select(

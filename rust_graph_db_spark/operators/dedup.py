@@ -97,6 +97,8 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
+    from rust_graph_db_spark.operators.ids import dense_index
+
     sh = spread(df).select(
         F.col(id_col).alias("id"),
         shingles(F.col(text_col), k).alias("sh"),
@@ -110,10 +112,9 @@ def ngram_jaccard_pairs(
             .localCheckpoint(eager=True)
 
     # ---- bitmap dictionary: distinct shingle -> dense bit index
-    dict_df = (inv.select("gh").distinct()
-               .withColumn("idx", F.row_number().over(
-                   Window.orderBy("gh")) - 1))
-    vocab = dict_df.count()
+    # (partition-parallel dense numbering — a global-Window row_number
+    # here would funnel the whole vocabulary through one task)
+    dict_df, vocab = dense_index(inv.select("gh").distinct(), ["gh"], "idx")
     n_words = max(1, -(-vocab // 64))
     enc = (inv.join(F.broadcast(dict_df), "gh")
            .select("id", "sz",
