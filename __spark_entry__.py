@@ -144,8 +144,11 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_graph_db_spark.operators.graph_algos import duplicate_clusters
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # t=0.8 is the r=4/b=16 design point (recall 1-(1-t^4)^16 ≈ 0.9998);
+    # at t=0.5 banded LSH only has ~64% recall for pairs AT the
+    # threshold, so results there depend on hash-family luck.
     pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64,
-                              bands=16, threshold=0.5)
+                              bands=16, threshold=0.8)
     return duplicate_clusters(pairs)
 
 
@@ -216,8 +219,9 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_graph_db_spark.operators.dedup import minhash_lsh_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # threshold at the banding design point — see _q_dup_clusters
     out = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=64, bands=16,
-                            threshold=0.5)
+                            threshold=0.8)
     return out.select("i", "j", F.round("jac", 6).alias("jac"))
 
 
@@ -683,7 +687,7 @@ def oracle_sql() -> dict[str, str]:
             "WHERE o_custkey = 0 GROUP BY l_partkey"),
         "g7_dup_clusters": (
             "WITH RECURSIVE " + _JACCARD_CTES + ", "
-            "pairs AS (SELECT i, j FROM p WHERE jac >= 0.5), "
+            "pairs AS (SELECT i, j FROM p WHERE jac >= 0.8), "
             "e AS (SELECT i AS u, j AS v FROM pairs "
             "UNION SELECT j, i FROM pairs), "
             "r AS (SELECT u AS id, u AS reach FROM e "
@@ -811,7 +815,9 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cand, count(DISTINCT mid) AS mutual_count FROM nf "
             "GROUP BY cand ORDER BY mutual_count DESC, cand ASC LIMIT 10"),
         "d2_ngram_jaccard": _JACCARD_PAIRS_SQL,
-        "d3_minhash_lsh": _JACCARD_PAIRS_SQL,  # verified LSH == exact join
+        # LSH at its design threshold: verified candidates == exact join
+        # restricted to jac >= 0.8 (recall 0.9998 there; see dedup.py)
+        "d3_minhash_lsh": _JACCARD_PAIRS_SQL.replace("0.5", "0.8"),
         "t1_text_metrics": _text_metrics_sql(),
         "e1_cosine_topk": (
             "SELECT b.vec_id AS id, "

@@ -97,7 +97,7 @@ def ngram_jaccard_pairs(
     """
     from pyspark.sql import Window
 
-    from rust_graph_db_spark.operators.ids import dense_index
+    from rust_graph_db_spark.operators.ids import dense_ids
 
     sh = spread(df).select(
         F.col(id_col).alias("id"),
@@ -113,8 +113,10 @@ def ngram_jaccard_pairs(
 
     # ---- bitmap dictionary: distinct shingle -> dense bit index
     # (partition-parallel dense numbering — a global-Window row_number
-    # here would funnel the whole vocabulary through one task)
-    dict_df, vocab = dense_index(inv.select("gh").distinct(), ["gh"], "idx")
+    # here would funnel the whole vocabulary through one task; bit
+    # POSITIONS need uniqueness+density only, not a canonical order, so
+    # the no-shuffle variant suffices)
+    dict_df, vocab = dense_ids(inv.select("gh").distinct(), "idx")
     n_words = max(1, -(-vocab // 64))
     enc = (inv.join(F.broadcast(dict_df), "gh")
            .select("id", "sz",
@@ -265,10 +267,26 @@ def minhash_lsh_pairs(
     # column-expression form (minhash_signature) re-walks the shingle
     # array once per seed in the interpreted HOF evaluator — ~30×
     # slower at corpus scale; keep it for single-column use only.
-    inv = docs.select("id", F.explode("sh").alias("g"))
+    # Seed family: h_s = (h1 + s·h2) mod 2³² from two base hashes — two
+    # xxhash64 evaluations per shingle instead of num_hashes, with the
+    # multiply-add folded into codegen. The mod-2³² wraparound is
+    # load-bearing: without it the un-wrapped sum is dominated by s·h2
+    # for large s, the seeds stop acting like independent permutations,
+    # and MinHash agreement collapses (measured 0.36 agreement on a
+    # 0.96-Jaccard pair). Base hashes are masked to 32 bits so
+    # h1 + 63·h2 ≤ 2³⁸ never overflows a long under ANSI arithmetic;
+    # 2³² hash space is ample for per-document shingle sets (min of
+    # ~10³ draws).
+    m32 = F.lit(0xFFFFFFFF)
+    mod32 = F.lit(1 << 32)
+    inv = (docs.select("id", F.explode("sh").alias("g"))
+           .select("id",
+                   F.xxhash64("g").bitwiseAND(m32).alias("h1"),
+                   F.xxhash64(F.lit(1), F.col("g")).bitwiseAND(m32).alias("h2")))
     sig = inv.groupBy("id").agg(
-        *[F.min(F.xxhash64(F.lit(s), F.col("g"))).alias(f"m{s}")
-          for s in range(num_hashes)])
+        *[F.min(F.pmod(F.col("h1") + F.lit(s) * F.col("h2"), mod32))
+           .alias(f"m{s}")
+          for s in range(num_hashes)]).localCheckpoint(eager=True)
 
     band_cols = F.array(*[
         F.struct(F.lit(b_).alias("band"),
@@ -289,16 +307,46 @@ def minhash_lsh_pairs(
     )
     if not verify:
         return cand.select("i", "j")
-    # exact Jaccard only on the (small) candidate set — shingle arrays
+    # Two-stage verification. Banding is intentionally permissive (r=4
+    # keeps recall at the threshold high), so the candidate set is
+    # dominated by sub-threshold pairs — on templated corpora we measure
+    # ~1000 false candidates per true pair. Stage 1 estimates Jaccard
+    # from the already-computed signatures (num_hashes long-compares per
+    # pair, codegen'd) and keeps pairs with estimate ≥ threshold-0.25 —
+    # a 4σ margin at 64 hashes (σ = √(t(1-t)/n) ≈ 0.06), so a true pair
+    # slips through with P ≈ 3e-5 while ~97% of false candidates drop
+    # before stage 2. Stage 2 joins the shingle arrays for survivors
+    # only and computes exact Jaccard.
+    est_cut = max(0.0, threshold - 0.25)
+    # Size-driven join strategy: the per-doc side of both verify joins
+    # (signatures: 8·num_hashes B/row; shingle arrays: ~8·|sh| B/row)
+    # is broadcast when the corpus is small enough that shipping it to
+    # every executor beats shuffling the (much larger) candidate set.
+    # At 100 TB doc counts the hints are skipped and these are plain
+    # shuffle hash joins — still carrying ~500 B signatures instead of
+    # multi-KB arrays for the dominant (pre-filter) join.
+    n_docs = docs.count()
+    hint = F.broadcast if n_docs <= 200_000 else (lambda d: d)
+    ahint = F.broadcast if n_docs <= 50_000 else (lambda d: d)
+    siga = sig.select(F.col("id").alias("i"),
+                      *[F.col(f"m{s}").alias(f"_a{s}") for s in range(num_hashes)])
+    sigb = sig.select(F.col("id").alias("j"),
+                      *[F.col(f"m{s}").alias(f"_b{s}") for s in range(num_hashes)])
+    est = sum(F.when(F.col(f"_a{s}") == F.col(f"_b{s}"), 1).otherwise(0)
+              for s in range(num_hashes)) / F.lit(float(num_hashes))
+    pre = (cand.join(hint(siga), "i").join(hint(sigb), "j")
+           .where(est >= F.lit(est_cut))
+           .select("i", "j"))
+    # exact Jaccard only on the surviving candidates — shingle arrays
     # are joined back here, never carried through the bucket shuffle
     sha = docs.select(F.col("id").alias("i"), F.col("sh").alias("sha"))
     shb = docs.select(F.col("id").alias("j"), F.col("sh").alias("shb"))
     inter = F.size(F.array_intersect("sha", "shb"))
     union = F.size("sha") + F.size("shb") - inter
-    return (cand.join(sha, "i").join(shb, "j")
-                .withColumn("jac", inter / union)
-                .where(F.col("jac") >= threshold)
-                .select("i", "j", "jac"))
+    return (pre.join(ahint(sha), "i").join(ahint(shb), "j")
+               .withColumn("jac", inter / union)
+               .where(F.col("jac") >= threshold)
+               .select("i", "j", "jac"))
 
 
 # ------------------------------------------------------------------ SimHash
