@@ -60,7 +60,11 @@ def bfs_distances(
     ``max_hops``. Equivalent of the reference's uniform-cost Dijkstra
     (shortest_path.rs:77-141) — BFS levels are exact for unit weights.
     """
-    hop = _edges(edges, direction)
+    # Materialize the hop list once — the loop joins it every level, and
+    # without pinning, each level re-runs the full upstream derivation
+    # (parquet scan + any builder joins). On a cluster this is the
+    # persist() of the Pregel edge RDD.
+    hop = _edges(edges, direction).localCheckpoint(eager=True)
     src = _start_frame(edges, start)
     visited = src.select(F.col("id").alias("start_id"), F.col("id"), F.lit(0).alias("dist"))
     frontier = visited
@@ -98,7 +102,7 @@ def shortest_path(
     Path arrays ride along the frontier; ties broken by lexicographic
     path order for determinism (min over STRUCT<dist, path>).
     """
-    hop = _edges(edges, direction)
+    hop = _edges(edges, direction).localCheckpoint(eager=True)
     spark = edges.sparkSession
     frontier = spark.createDataFrame([(int(start), 0)], "id LONG, dist INT").select(
         "id", "dist", F.array(F.col("id")).alias("path")
@@ -158,6 +162,7 @@ def weighted_shortest_distances(
                            F.col(weight_col).cast("double").alias("w")).unionAll(
             edges.select(F.col("dst"), F.col("src"), F.col(weight_col).cast("double")))
 
+    hop = hop.localCheckpoint(eager=True)  # pinned: joined every round
     dist = _start_frame(edges, start).select("id", F.lit(0.0).alias("dist"))
     # Relax only from vertices improved last round (delta optimization).
     frontier = dist
@@ -202,7 +207,7 @@ def expand_paths(
     ``array_contains`` on the riding path column. ``max_paths`` caps
     enumeration *per level* inside the loop (vle.rs:124-127).
     """
-    hop = _edges(edges, direction)
+    hop = _edges(edges, direction).localCheckpoint(eager=True)
     paths = hop.select(
         F.col("a"), F.col("b"), F.lit(1).alias("hops"),
         F.array("a", "b").alias("vpath"),
