@@ -287,6 +287,18 @@ def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(p.age) AS total ORDER BY city")
 
 
+def _q_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: DETACH DELETE a vertex (incident edges first, then the
+    vertex — delete_executor.rs:109-129), then count the survivors."""
+    from rust_graph_db_spark.graphs import knows_graph
+
+    g = knows_graph(spark, sf_dir)
+    g.cypher("MATCH (p:Person {name: 'Person0'}) DETACH DELETE p").collect()
+    return g.cypher(
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) RETURN count(*) AS ecnt") \
+        .crossJoin(g.cypher("MATCH (p:Person) RETURN count(*) AS vcnt"))
+
+
 def _q_dml_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W3/W6: MATCH-driven edge DELETE, then count the remainder."""
     from rust_graph_db_spark.graphs import knows_graph
@@ -521,10 +533,27 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (p:Person) WHERE p.age % 10 = 0 AND p.age / 2 >= 20 "
             "RETURN toupper(p.name) AS u, size(p.name) AS s, "
             "p.age * 2 + 1 AS x, coalesce(p.email, 'none') AS em"),
-        # §2.6 extension: UNION set operation
+        # §2.6 extension: UNION / INTERSECT / EXCEPT set operations
         "u1_union": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name "
             "UNION MATCH (p:Person {city: 'NYC'}) RETURN p.name AS name"),
+        "u2_intersect": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age > 40 RETURN p.city AS city "
+            "INTERSECT MATCH (p:Person) WHERE p.active RETURN p.city AS city"),
+        "u3_except": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age > 70 RETURN p.name AS name "
+            "EXCEPT MATCH (p:Person {city: 'NYC'}) RETURN p.name AS name"),
+        # UNWIND (list expansion, engine extension)
+        "u4_unwind": _q_cypher_knows(
+            "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x"),
+        # P2: edge-pattern literal property map
+        "p2_edge_props": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS {since: 2021}]->(b:Person) "
+            "RETURN count(*) AS cnt"),
+        # J1-Both: undirected relationship pattern
+        "j6_undirected": _q_cypher_knows(
+            "MATCH (a:Person {name: 'Person0'})-[r:KNOWS]-(b:Person) "
+            "RETURN b.name AS bn"),
         # §2.7: graph-aware scalar functions (type/startNode/endNode)
         "p7_graph_funcs": _q_cypher_knows(
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.name = 'Person3' "
@@ -571,6 +600,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
         "w4_dml_pipeline": _q_dml_pipeline,
         "w5_dml_delete": _q_dml_delete,
+        "w6_detach_delete": _q_detach_delete,
         # S7/S10: JSON export -> import round-trip with id remapping
         "s7_json_roundtrip": _q_json_roundtrip,
         # S8/S9/S11: CSV round-trip
@@ -667,6 +697,28 @@ def oracle_sql() -> dict[str, str]:
         "u1_union": pre + (
             " SELECT name FROM person WHERE age > 75 "
             "UNION SELECT name FROM person WHERE city = 'NYC'"),
+        "u2_intersect": pre + (
+            " SELECT city FROM person WHERE age > 40 "
+            "INTERSECT SELECT city FROM person WHERE active"),
+        "u3_except": pre + (
+            " SELECT name FROM person WHERE age > 70 "
+            "EXCEPT SELECT name FROM person WHERE city = 'NYC'"),
+        "u4_unwind": (
+            "SELECT CAST(x AS BIGINT) AS x, CAST(x * x AS BIGINT) AS sq "
+            "FROM generate_series(1, 5) t(x) ORDER BY x"),
+        "p2_edge_props": pre + (
+            " SELECT count(*) AS cnt FROM knows WHERE since = 2021"),
+        "j6_undirected": pre + (
+            " SELECT p2.name AS bn FROM knows k "
+            "JOIN person p1 ON k.src = p1.key JOIN person p2 ON k.dst = p2.key "
+            "WHERE p1.name = 'Person0' "
+            "UNION ALL "
+            "SELECT p1.name FROM knows k "
+            "JOIN person p1 ON k.src = p1.key JOIN person p2 ON k.dst = p2.key "
+            "WHERE p2.name = 'Person0'"),
+        "w6_detach_delete": pre + (
+            " SELECT (SELECT count(*) FROM knows WHERE src <> 0 AND dst <> 0) "
+            "AS ecnt, (SELECT count(*) - 1 FROM person) AS vcnt"),
         "p7_graph_funcs": pre + (
             " SELECT 'KNOWS' AS t, p2.name AS bn FROM knows k "
             "JOIN person p1 ON k.src = p1.key JOIN person p2 ON k.dst = p2.key "

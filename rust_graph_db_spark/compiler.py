@@ -782,12 +782,21 @@ def compile_query(graph, query) -> DataFrame:
         for p in parts[1:]:
             if p.columns != cols:
                 raise CypherCompileError(
-                    f"UNION parts must return the same columns: "
-                    f"{cols} vs {p.columns}")
+                    f"{query.op.upper()} parts must return the same "
+                    f"columns: {cols} vs {p.columns}")
         out = parts[0]
         for p in parts[1:]:
-            out = out.unionByName(p)
-        return out if query.all else out.dropDuplicates()
+            if query.op == "union":
+                out = out.unionByName(p)
+            elif query.op == "intersect":
+                out = out.intersectAll(p) if query.all else out.intersect(p)
+            elif query.op == "except":
+                out = out.exceptAll(p) if query.all else out.subtract(p)
+            else:
+                raise CypherCompileError(f"unknown set op {query.op!r}")
+        if query.op == "union" and not query.all:
+            return out.dropDuplicates()
+        return out
     ctx = _Ctx(graph)
     last = None
     for clause in query.clauses:

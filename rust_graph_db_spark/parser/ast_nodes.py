@@ -206,7 +206,9 @@ class Query:
 
 @dataclass(frozen=True)
 class UnionQuery:
-    """UNION [ALL] of complete single queries (set operation §2.6 —
-    absent from the reference grammar, exposed as an engine extension)."""
+    """UNION / INTERSECT / EXCEPT [ALL] chain of complete single queries
+    (set operations §2.6 — absent from the reference grammar, exposed as
+    an engine extension; Spark provides all six physical variants)."""
     parts: tuple  # tuple[Query, ...]
     all: bool = False
+    op: str = "union"  # union | intersect | except

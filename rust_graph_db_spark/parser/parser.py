@@ -26,6 +26,7 @@ KEYWORDS = {
     "ASCENDING", "DESC", "DESCENDING", "LIMIT", "SKIP", "DISTINCT", "AND",
     "OR", "NOT", "XOR", "IN", "IS", "NULL", "TRUE", "FALSE", "CREATE",
     "DELETE", "DETACH", "SET", "AS", "UNWIND", "UNION", "ALL",
+    "INTERSECT", "EXCEPT",
 }
 
 _TOKEN_RE = re.compile(
@@ -146,23 +147,31 @@ class Parser:
 
     # ----------------------------------------------------------------- queries
 
+    _SET_OPS = ("UNION", "INTERSECT", "EXCEPT")
+
     def parse_query(self):
-        """Top level: one Query, or UNION [ALL] chain of Queries."""
+        """Top level: one Query, or a UNION/INTERSECT/EXCEPT [ALL]
+        chain of Queries (one operator kind per chain)."""
         first = self._single_query()
-        if not self.at_kw("UNION"):
+        op = next((o for o in self._SET_OPS if self.at_kw(o)), None)
+        if op is None:
             return first
         parts, alls = [first], []
-        while self.try_kw("UNION"):
+        while self.try_kw(op):
             alls.append(self.try_kw("ALL"))
             parts.append(self._single_query())
+        if any(self.at_kw(o) for o in self._SET_OPS):
+            raise CypherSyntaxError(
+                "cannot mix different set operators in one query")
         if len(set(alls)) > 1:
             raise CypherSyntaxError(
-                "cannot mix UNION and UNION ALL in one query")
-        return UnionQuery(tuple(parts), all=alls[0])
+                f"cannot mix {op} and {op} ALL in one query")
+        return UnionQuery(tuple(parts), all=alls[0], op=op.lower())
 
     def _single_query(self) -> Query:
         clauses = []
-        while not (self.cur.kind == "eof" or self.at_kw("UNION")):
+        while not (self.cur.kind == "eof"
+                   or any(self.at_kw(o) for o in self._SET_OPS)):
             if self.at_kw("OPTIONAL"):
                 self.advance()
                 self.eat_kw("MATCH")

@@ -129,7 +129,38 @@ CASES = {
         "RETURN type(r) AS t, labels(b)[0] AS lb, r.since AS s",
         "SELECT 'KNOWS', 'Person', since FROM knows k "
         "JOIN person p1 ON k.src=p1.key WHERE p1.name='Person3'"),
+    "intersect": (
+        "MATCH (p:Person) WHERE p.age > 40 RETURN p.city AS city "
+        "INTERSECT MATCH (p:Person) WHERE p.active RETURN p.city AS city",
+        "SELECT city FROM person WHERE age > 40 "
+        "INTERSECT SELECT city FROM person WHERE active"),
+    "except": (
+        "MATCH (p:Person) RETURN p.city AS city "
+        "EXCEPT MATCH (p:Person) WHERE p.age < 70 RETURN p.city AS city",
+        "SELECT city FROM person "
+        "EXCEPT SELECT city FROM person WHERE age < 70"),
+    "intersect_all": (
+        "MATCH (p:Person) WHERE p.age > 40 RETURN p.city AS city "
+        "INTERSECT ALL MATCH (p:Person) WHERE p.active RETURN p.city AS city",
+        "SELECT city FROM person WHERE age > 40 "
+        "INTERSECT ALL SELECT city FROM person WHERE active"),
+    "except_all": (
+        "MATCH (p:Person) RETURN p.city AS city "
+        "EXCEPT ALL MATCH (p:Person) WHERE p.age < 70 RETURN p.city AS city",
+        "SELECT city FROM person "
+        "EXCEPT ALL SELECT city FROM person WHERE age < 70"),
 }
+
+
+def test_mixed_set_ops_rejected(kg):
+    import pytest as _pytest
+
+    from rust_graph_db_spark.parser.parser import CypherSyntaxError
+
+    with _pytest.raises(CypherSyntaxError):
+        kg.cypher("MATCH (p:Person) RETURN p.name AS n "
+                  "UNION MATCH (p:Person) RETURN p.name AS n "
+                  "INTERSECT MATCH (p:Person) RETURN p.name AS n")
 
 
 @pytest.mark.parametrize("name", list(CASES))
