@@ -44,6 +44,31 @@ def spread(df: DataFrame) -> DataFrame:
 
 # ------------------------------------------------------------------ exact
 
+def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str,
+                      k: int = 5) -> DataFrame:
+    """Distinct (id, gh) rows: gh = xxhash64 of each k-char shingle.
+
+    The corpus-scale shingling shape: positions are exploded and each
+    shingle is substr'd + hashed inside whole-stage codegen, then
+    deduplicated with one shuffle of 16-byte rows. The column-expression
+    form (functions.text.shingles → array) walks the text in the
+    interpreted higher-order-function evaluator and materializes a
+    per-doc string array — measured 2.6× slower before the downstream
+    explode. Strings never leave the scan stage here.
+    """
+    return (spread(df)
+            .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
+            .select("id",
+                    F.explode(F.sequence(
+                        F.lit(1),
+                        F.greatest(F.length("_t") - (k - 1), F.lit(1))))
+                    .alias("_i"), "_t")
+            .select("id",
+                    F.xxhash64(F.substr(F.col("_t"), F.col("_i"), F.lit(k)))
+                    .alias("gh"))
+            .distinct())
+
+
 def exact_dedup_keep_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     """Ids that survive exact dedup (min id per identical text).
 
@@ -99,17 +124,13 @@ def ngram_jaccard_pairs(
 
     from rust_graph_db_spark.operators.ids import dense_ids
 
-    sh = spread(df).select(
-        F.col(id_col).alias("id"),
-        shingles(F.col(text_col), k).alias("sh"),
-    ).withColumn("sz", F.size("sh"))
     # hashed-shingle inverted index (8-byte keys; collision odds ~1e-11
-    # per corpus at 1e4 distinct shingles)
-    # materialized once: feeds the dictionary, the doc-frequency table,
-    # the prefix ranking, and the bitmap build
-    inv = sh.select("id", "sz", F.explode("sh").alias("g")) \
-            .select("id", "sz", F.xxhash64("g").alias("gh")) \
-            .localCheckpoint(eager=True)
+    # per corpus at 1e4 distinct shingles); rows are distinct per
+    # (id, gh), so per-doc set sizes are plain count aggregates
+    # downstream. Materialized once: feeds the dictionary, the
+    # doc-frequency table, the prefix ranking, and the bitmap build.
+    inv = shingle_hash_rows(df, id_col, text_col, k) \
+        .localCheckpoint(eager=True)
 
     # ---- bitmap dictionary: distinct shingle -> dense bit index
     # (partition-parallel dense numbering — a global-Window row_number
@@ -119,12 +140,12 @@ def ngram_jaccard_pairs(
     dict_df, vocab = dense_ids(inv.select("gh").distinct(), "idx")
     n_words = max(1, -(-vocab // 64))
     enc = (inv.join(F.broadcast(dict_df), "gh")
-           .select("id", "sz",
+           .select("id",
                    F.floor(F.col("idx") / 64).cast("int").alias("word"),
                    F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
                     .alias("bitval")))
     bits = (enc.groupBy("id")
-            .agg(F.any_value("sz").alias("sz"),
+            .agg(F.count("*").alias("sz"),
                  *[F.bit_or(F.when(F.col("word") == w, F.col("bitval"))
                              .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
                    for w in range(n_words)])
@@ -149,7 +170,8 @@ def ngram_jaccard_pairs(
     dfreq = inv.groupBy("gh").agg(F.count("*").alias("dfreq"))
     ranked = (inv.join(dfreq, "gh")
               .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("id").orderBy("dfreq", "gh"))))
+                  Window.partitionBy("id").orderBy("dfreq", "gh")))
+              .withColumn("sz", F.count("*").over(Window.partitionBy("id"))))
     prefix = ranked.where(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
     a, b = prefix.alias("a"), prefix.alias("b")
@@ -256,10 +278,9 @@ def minhash_lsh_pairs(
     # vocabulary is never materialized (the property that makes MinHash
     # the 100 TB-scale dedup path). Materialized once — it feeds three
     # branches (signature, verify-left, verify-right).
-    docs = spread(df).select(
-        F.col(id_col).alias("id"),
-        F.transform(shingles(F.col(text_col), k),
-                    lambda g: F.xxhash64(g)).alias("sh")) \
+    rows = shingle_hash_rows(df, id_col, text_col, k) \
+        .localCheckpoint(eager=True)
+    docs = rows.groupBy("id").agg(F.collect_list("gh").alias("sh")) \
         .localCheckpoint(eager=True)
 
     # Signature via explode + num_hashes min-aggregates: one pass over
@@ -279,10 +300,10 @@ def minhash_lsh_pairs(
     # ~10³ draws).
     m32 = F.lit(0xFFFFFFFF)
     mod32 = F.lit(1 << 32)
-    inv = (docs.select("id", F.explode("sh").alias("g"))
-           .select("id",
-                   F.xxhash64("g").bitwiseAND(m32).alias("h1"),
-                   F.xxhash64(F.lit(1), F.col("g")).bitwiseAND(m32).alias("h2")))
+    inv = rows.select(
+        "id",
+        F.col("gh").bitwiseAND(m32).alias("h1"),
+        F.xxhash64(F.lit(1), F.col("gh")).bitwiseAND(m32).alias("h2"))
     sig = inv.groupBy("id").agg(
         *[F.min(F.pmod(F.col("h1") + F.lit(s) * F.col("h2"), mod32))
            .alias(f"m{s}")
