@@ -152,14 +152,40 @@ def lsh_cosine_pairs(
                    & (F.col("a.id") < F.col("b.id")))
             .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
             .dropDuplicates(["i", "j"]))
-    # exact re-score joins vectors back onto the (small) candidate set —
-    # the corpus shuffle carries only (id, tbl, bucket) triples
+    # exact re-score joins vectors back onto the candidate set — the
+    # corpus shuffle carries only (id, tbl, bucket) triples. The vector
+    # side broadcasts when small; the per-candidate cosine is an
+    # Arrow-batched numpy matvec (the interpreted zip_with/aggregate
+    # expression costs ~10 µs/pair, which dominates once candidate
+    # counts reach 10^5-10^6).
+    hint = F.broadcast if emb.count() <= 500_000 else (lambda d: d)
     va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
-    return (cand.join(va, "i").join(vb, "j")
-                .withColumn("cos", cosine(F.col("va"), F.col("vb")))
+    return (cand.join(hint(va), "i").join(hint(vb), "j")
+                .withColumn("cos", cosine_batch()(F.col("va"), F.col("vb")))
                 .where(F.col("cos") >= threshold)
                 .select("i", "j", "cos"))
+
+
+def cosine_batch():
+    """Arrow-batched exact cosine: ARRAY<FLOAT>, ARRAY<FLOAT> -> DOUBLE.
+
+    One numpy pass per batch — float64 accumulation, same precision
+    class as the expression form but ~100× cheaper per pair.
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _cos(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        num = (A * B).sum(axis=1)
+        den = np.sqrt((A * A).sum(axis=1)) * np.sqrt((B * B).sum(axis=1))
+        return pd.Series(num / den)
+
+    return _cos
 
 
 def lsh_buckets_udf(dim: int, planes: int = 12, tables: int = 4):
