@@ -272,6 +272,39 @@ def _q_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_cosine_pairs(emb, 0.45, dim=64).select("i", "j")
 
 
+def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat ANN: spherical-kmeans coarse quantizer, probe the 4/8
+    nearest inverted lists, exact re-score within (≈half the corpus
+    scanned; with a cluster-partitioned corpus the probe is partition
+    pruning). Approximate by design — rows-only check; the exact-oracle
+    coverage for top-k is e1."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import ivf_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=4)
+    return out.select("id", F.round("cos", 6).alias("cos"))
+
+
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal audio path: bytes → stubbed decode → (rate, duration,
+    rms, zero-crossings) via Arrow-batched mapInPandas."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.multimodal import extract_audio_features
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("audio").alias("media_type"))
+    out = extract_audio_features(media, deterministic_fake=True)
+    return out.select("media_id", "sample_rate", "duration_ms",
+                      F.round("rms", 6).alias("rms"), "zero_crossings")
+
+
 def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W5/W6: CREATE + expression SET driven by MATCH, then read
     back — on a fresh graph so the shared cache stays pristine."""
@@ -609,6 +642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s14_generator_grid": _q_generator_grid,
         # multimodal: binary columns + Arrow-batched feature extraction
         "m1_image_features": _q_image_features,
+        "m2_audio_features": _q_audio_features,
         # --------- training-data pipeline operators (beyond the reference)
         "d1_exact_dedup": _q_exact_dedup,
         "d2_ngram_jaccard": _q_ngram_jaccard,
@@ -624,6 +658,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e1_cosine_topk": _q_cosine_topk,
         "e2_cosine_pairs": _q_cosine_pairs,
         "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,  # approximate — rows-only
+        "e4_ivf_topk": _q_ivf_topk,                  # approximate — rows-only
     }
 
 
@@ -830,6 +865,17 @@ def oracle_sql() -> dict[str, str]:
             "AS HUGEINT) * 4294967296 "
             "+ CAST(('0x' || substr(sha256(text), 25, 8)) AS BIGINT) AS v "
             "FROM documents WHERE length(text) > 0)"),
+        "m2_audio_features": (
+            "SELECT doc_id AS media_id, "
+            "8000 * (1 + CAST(('0x' || substr(sha256(text), 7, 2)) AS INT) % 6) "
+            "AS sample_rate, "
+            "CAST(('0x' || substr(sha256(text), 9, 4)) AS BIGINT) + 100 "
+            "AS duration_ms, "
+            "round(CAST(('0x' || substr(sha256(text), 13, 2)) AS INT) / 255.0, 6) "
+            "AS rms, "
+            "CAST(('0x' || substr(sha256(text), 33, 8)) AS BIGINT) % 100000 "
+            "AS zero_crossings "
+            "FROM documents WHERE length(text) > 0"),
         "d1_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY md5(text)"),

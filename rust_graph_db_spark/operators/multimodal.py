@@ -124,6 +124,89 @@ def sample_frames(
             .mapInPandas(run, FRAME_SCHEMA))
 
 
+RESIZED_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("width", T.IntegerType()),
+    T.StructField("height", T.IntegerType()),
+    T.StructField("content", T.BinaryType()),
+])
+
+AUDIO_FEATURES_SCHEMA = T.StructType([
+    T.StructField("media_id", T.LongType()),
+    T.StructField("sample_rate", T.IntegerType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("rms", T.DoubleType()),
+    T.StructField("zero_crossings", T.LongType()),
+])
+
+
+def resize_images(
+    media: DataFrame, width: int, height: int,
+    deterministic_fake: bool = False,
+) -> DataFrame:
+    """Resize each image to (width, height) — STUB codec, real plumbing.
+
+    The fake emits a hash-derived blob whose length scales with the
+    target area, so batch-size / memory behavior downstream is
+    realistic. Real impl: PIL thumbnail + re-encode inside the same
+    mapInPandas loop."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "image resize requires an image library not present "
+                        "in this environment; pass deterministic_fake=True")
+                h = hashlib.sha256(bytes(content)).digest()
+                blob = (h * (1 + (width * height) // len(h)))[: width * height // 16]
+                rows.append((mid, width, height, blob))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "width", "height", "content"])
+
+    return (media.where(F.col("media_type") == "image")
+            .select("media_id", "content")
+            .mapInPandas(run, RESIZED_SCHEMA))
+
+
+def extract_audio_features(
+    media: DataFrame, deterministic_fake: bool = False,
+) -> DataFrame:
+    """Decode + feature-extract audio (rms energy, zero-crossing count)
+    over Arrow-batched mapInPandas — STUB codec (real impl: soundfile /
+    ffmpeg demux), deterministic fake derives stats from the content
+    hash so the full pipeline is testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                if content is None or len(content) == 0:
+                    continue
+                if not deterministic_fake:
+                    raise NotImplementedError(
+                        "audio decoding requires an audio library not present "
+                        "in this environment; pass deterministic_fake=True")
+                h = hashlib.sha256(bytes(content)).digest()
+                rows.append((
+                    mid,
+                    8000 * (1 + h[3] % 6),
+                    int.from_bytes(h[4:6], "big") + 100,
+                    h[6] / 255.0,
+                    int.from_bytes(h[16:20], "big") % 100_000,
+                ))
+            yield pd.DataFrame(rows, columns=[
+                "media_id", "sample_rate", "duration_ms", "rms",
+                "zero_crossings"])
+
+    return (media.where(F.col("media_type") == "audio")
+            .select("media_id", "content")
+            .mapInPandas(run, AUDIO_FEATURES_SCHEMA))
+
+
 def media_from_binary_files(spark, path_glob: str, media_type: str) -> DataFrame:
     """Source: spark.read.format('binaryFile') → MEDIA_SCHEMA rows.
     Partition sizing note: binary files aren't splittable — set

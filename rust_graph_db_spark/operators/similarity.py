@@ -217,6 +217,89 @@ def lsh_buckets_udf(dim: int, planes: int = 12, tables: int = 4):
     return _buckets
 
 
+def ivf_centroids(
+    emb: DataFrame, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_size: int = 4096, iters: int = 5,
+) -> np.ndarray:
+    """Spherical k-means coarse quantizer trained on a deterministic
+    sample — the IVF counterpart to the hyperplane LSH bucketing.
+
+    The sample is the ``sample_size`` vectors with the smallest
+    xxhash64(id) (a uniform, order-free, reproducible draw — at 100 TB
+    this is a TakeOrderedAndProject over 8-byte hashes, not a full
+    sort), Lloyd iterations run driver-side in numpy (centroid count ×
+    dim is tiny), and init is the first ``n_centroids`` sampled vectors
+    in hash order. Returns the (n_centroids, dim) unit-row matrix.
+    """
+    rows = (emb.select(F.col(vec_col).alias("v"),
+                       F.xxhash64(F.col(id_col).cast("string")).alias("h"))
+            .orderBy("h").limit(int(sample_size)).collect())
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    X /= np.linalg.norm(X, axis=1, keepdims=True) + 1e-12
+    C = X[: min(n_centroids, len(X))].copy()
+    for _ in range(iters):
+        assign = np.argmax(X @ C.T, axis=1)
+        for c in range(len(C)):
+            members = X[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+        C /= np.linalg.norm(C, axis=1, keepdims=True) + 1e-12
+    return C
+
+
+def ivf_assign(
+    emb: DataFrame, centroids: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, cluster, embedding): nearest-centroid assignment via one
+    Arrow-batched matmul per batch. At rest, write the corpus
+    partitioned by ``cluster`` so probe-time reads prune partitions —
+    the IVF inverted lists ARE the partition layout."""
+    from pyspark.sql.functions import pandas_udf
+
+    C = np.ascontiguousarray(centroids, dtype=np.float64)
+
+    @pandas_udf("int")
+    def _assign(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="int32")
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        M /= np.linalg.norm(M, axis=1, keepdims=True) + 1e-12
+        return pd.Series(np.argmax(M @ C.T, axis=1).astype(np.int32))
+
+    return emb.select(F.col(id_col).alias("id"),
+                      _assign(F.col(vec_col)).alias("cluster"),
+                      F.col(vec_col).alias("embedding"))
+
+
+def ivf_topk(
+    emb: DataFrame, query_vec: Sequence[float], k: int = 10,
+    n_centroids: int = 16, nprobe: int = 4,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+) -> DataFrame:
+    """Approximate top-k: score only the ``nprobe`` inverted lists whose
+    centroids are nearest the query (classic IVF-Flat probe).
+
+    Scanned fraction ≈ nprobe/n_centroids of the corpus; the exact
+    re-score within probed lists is the Arrow-batched cosine. With a
+    cluster-partitioned corpus (ivf_assign note) the cluster filter
+    becomes partition pruning and the scan never touches unprobed data.
+    """
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q /= np.linalg.norm(q) + 1e-12
+    order = np.argsort(-(centroids @ q))[: max(1, int(nprobe))]
+    probe = [int(c) for c in order]
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    qlit = _vec_lit([float(x) for x in q])
+    return (assigned.where(F.col("cluster").isin(probe))
+            .select("id", cosine_batch()(F.col("embedding"), qlit).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k))
+
+
 def knn_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -148,6 +148,38 @@ def test_lsh_cosine_pairs_subset(emb, duck):
         assert len(got) >= len(exact) * 0.5  # reasonable recall
 
 
+def test_ivf_topk_recall(emb, duck):
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    exact = [r[0] for r in duck.execute("""
+        SELECT b.vec_id FROM embeddings b,
+          (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings WHERE vec_id=0) q
+        ORDER BY list_cosine_similarity(q.e, CAST(b.embedding AS DOUBLE[])) DESC,
+                 b.vec_id LIMIT 10""").fetchall()]
+    got = [r.id for r in
+           similarity.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=4).collect()]
+    assert len(got) == 10
+    # probing half the lists recovers a meaningful share of the true
+    # top-10 (sf0.001 vectors are near-uniform — the hard case for IVF;
+    # exactness is covered by the full-probe assertion below)
+    assert len(set(got) & set(exact)) >= 4
+    # full probe == exact
+    full = [r.id for r in
+            similarity.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=8).collect()]
+    assert full == exact
+
+
+def test_ivf_assign_partitions(emb):
+    C = similarity.ivf_centroids(emb, n_centroids=8)
+    assigned = similarity.ivf_assign(emb, C)
+    n = emb.count()
+    assert assigned.count() == n
+    clusters = assigned.groupBy("cluster").count().collect()
+    assert 1 < len(clusters) <= 8
+    # deterministic end-to-end
+    C2 = similarity.ivf_centroids(emb, n_centroids=8)
+    assert (C == C2).all()
+
+
 def test_knn_join(emb):
     out = similarity.knn_join(emb.limit(30), emb.limit(30), k=3).collect()
     by_q = {}

@@ -116,6 +116,23 @@ def test_image_decode_stub_raises(spark):
         mm.extract_image_features(media, deterministic_fake=False).collect()
 
 
+def test_resize_images_stubbed(spark):
+    media = mm.synthetic_media(spark, 20, "image")
+    out = mm.resize_images(media, 32, 32, deterministic_fake=True).collect()
+    assert len(out) == 20
+    assert all(r["width"] == 32 and r["height"] == 32 for r in out)
+    assert all(len(bytes(r["content"])) == 32 * 32 // 16 for r in out)
+
+
+def test_audio_features_stubbed(spark):
+    media = mm.synthetic_media(spark, 25, "audio")
+    out = mm.extract_audio_features(media, deterministic_fake=True).collect()
+    assert len(out) == 25
+    assert all(r["sample_rate"] % 8000 == 0 and 0 <= r["rms"] <= 1 for r in out)
+    again = mm.extract_audio_features(media, deterministic_fake=True).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, again))
+
+
 def test_frame_sampling(spark):
     media = mm.synthetic_media(spark, 10, "video")
     frames = mm.sample_frames(media, every_n=5, deterministic_fake=True)
