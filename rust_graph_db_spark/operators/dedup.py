@@ -45,18 +45,25 @@ def spread(df: DataFrame) -> DataFrame:
 # ------------------------------------------------------------------ exact
 
 def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str,
-                      k: int = 5) -> DataFrame:
-    """Distinct (id, gh) rows: gh = xxhash64 of each k-char shingle.
+                      k: int = 5, distinct: bool = True) -> DataFrame:
+    """(id, gh) rows: gh = xxhash64 of each k-char shingle.
 
     The corpus-scale shingling shape: positions are exploded and each
-    shingle is substr'd + hashed inside whole-stage codegen, then
-    deduplicated with one shuffle of 16-byte rows. The column-expression
-    form (functions.text.shingles → array) walks the text in the
-    interpreted higher-order-function evaluator and materializes a
-    per-doc string array — measured 2.6× slower before the downstream
-    explode. Strings never leave the scan stage here.
+    shingle is substr'd + hashed inside whole-stage codegen. The
+    column-expression form (functions.text.shingles → array) walks the
+    text in the interpreted higher-order-function evaluator and
+    materializes a per-doc string array — measured 2.6× slower before
+    the downstream explode. Strings never leave the scan stage here.
+
+    ``distinct=False`` skips the per-(id, gh) dedup shuffle — correct
+    whenever every downstream aggregate is duplicate-idempotent (min,
+    bit_or, collect_set), which is true for the MinHash signature and
+    bitmap paths. At corpus scale that shuffle is the single largest
+    cost of the shingle stage; only the exact prefix-filter path (which
+    needs true set sizes and document frequencies as row counts) pays
+    for it.
     """
-    return (spread(df)
+    rows = (spread(df)
             .select(F.col(id_col).alias("id"), F.col(text_col).alias("_t"))
             .select("id",
                     F.explode(F.sequence(
@@ -65,8 +72,8 @@ def shingle_hash_rows(df: DataFrame, id_col: str, text_col: str,
                     .alias("_i"), "_t")
             .select("id",
                     F.xxhash64(F.substr(F.col("_t"), F.col("_i"), F.lit(k)))
-                    .alias("gh"))
-            .distinct())
+                    .alias("gh")))
+    return rows.distinct() if distinct else rows
 
 
 def exact_dedup_keep_ids(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -124,12 +131,14 @@ def ngram_jaccard_pairs(
 
     from rust_graph_db_spark.operators.ids import dense_ids
 
-    # hashed-shingle inverted index (8-byte keys; collision odds ~1e-11
-    # per corpus at 1e4 distinct shingles); rows are distinct per
-    # (id, gh), so per-doc set sizes are plain count aggregates
-    # downstream. Materialized once: feeds the dictionary, the
-    # doc-frequency table, the prefix ranking, and the bitmap build.
-    inv = shingle_hash_rows(df, id_col, text_col, k) \
+    # hashed-shingle occurrence rows (8-byte keys; collision odds ~1e-11
+    # per corpus at 1e4 distinct shingles). NOT deduplicated — every
+    # consumer below is duplicate-idempotent (bit_or; the dictionary
+    # runs its own distinct, which is cheap after map-side partial
+    # aggregation), and per-doc set sizes come from bitmap popcounts.
+    # Materialized once: feeds the dictionary, the bitmap build, and
+    # (vocab-overflow path) the prefix ranking.
+    inv = shingle_hash_rows(df, id_col, text_col, k, distinct=False) \
         .localCheckpoint(eager=True)
 
     # ---- bitmap dictionary: distinct shingle -> dense bit index
@@ -144,11 +153,18 @@ def ngram_jaccard_pairs(
                    F.floor(F.col("idx") / 64).cast("int").alias("word"),
                    F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
                     .alias("bitval")))
-    bits = (enc.groupBy("id")
-            .agg(F.count("*").alias("sz"),
-                 *[F.bit_or(F.when(F.col("word") == w, F.col("bitval"))
+    # Two-level build: OR within (id, word) first — a narrow agg with
+    # map-side combine over the occurrence rows — then spread the ~sz/64
+    # surviving words into flat columns (n_words conditional aggs over
+    # docs×words rows, not docs×shingles). sz = Σ popcount(word): exact
+    # distinct-shingle count, free from the bitmap itself.
+    per_word = enc.groupBy("id", "word").agg(F.bit_or("bitval").alias("bv"))
+    bits = (per_word.groupBy("id")
+            .agg(*[F.bit_or(F.when(F.col("word") == w, F.col("bv"))
                              .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
                    for w in range(n_words)])
+            .withColumn("sz", sum(F.bit_count(F.col(f"w{w}"))
+                                  for w in range(n_words)))
             .localCheckpoint(eager=True))
 
     wa = bits.select(F.col("id").alias("i"), F.col("sz").alias("sa"),
@@ -167,6 +183,9 @@ def ngram_jaccard_pairs(
         return _jaccard_dense_blocked(bits, n_words, vocab, threshold)
 
     # ---- prefix-filtered candidate pairs (scale path)
+    # this branch needs true (id, gh) sets: document frequencies and
+    # per-doc sizes are row counts here, so pay the dedup shuffle now
+    inv = inv.distinct().localCheckpoint(eager=True)
     dfreq = inv.groupBy("gh").agg(F.count("*").alias("dfreq"))
     ranked = (inv.join(dfreq, "gh")
               .withColumn("rn", F.row_number().over(
@@ -278,9 +297,11 @@ def minhash_lsh_pairs(
     # vocabulary is never materialized (the property that makes MinHash
     # the 100 TB-scale dedup path). Materialized once — it feeds three
     # branches (signature, verify-left, verify-right).
-    rows = shingle_hash_rows(df, id_col, text_col, k) \
-        .localCheckpoint(eager=True)
-    docs = rows.groupBy("id").agg(F.collect_list("gh").alias("sh")) \
+    # Occurrence rows, NOT deduplicated: the signature min and the
+    # collect_set below are duplicate-idempotent, so the per-(id, gh)
+    # distinct shuffle (the largest cost of the shingle stage) is
+    # skipped entirely.
+    rows = shingle_hash_rows(df, id_col, text_col, k, distinct=False) \
         .localCheckpoint(eager=True)
 
     # Signature via explode + num_hashes min-aggregates: one pass over
@@ -346,6 +367,8 @@ def minhash_lsh_pairs(
     # At 100 TB doc counts the hints are skipped and these are plain
     # shuffle hash joins — still carrying ~500 B signatures instead of
     # multi-KB arrays for the dominant (pre-filter) join.
+    docs = rows.groupBy("id").agg(F.collect_set("gh").alias("sh")) \
+        .localCheckpoint(eager=True)
     n_docs = docs.count()
     hint = F.broadcast if n_docs <= 200_000 else (lambda d: d)
     ahint = F.broadcast if n_docs <= 50_000 else (lambda d: d)
