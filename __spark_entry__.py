@@ -510,6 +510,94 @@ def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("rk").cast("long").alias("rk")))
 
 
+def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/S4: vertex + edge point lookup by packed 64-bit graphid.
+
+    The packed labid routes the probe to one label frame (a pruned
+    parquet scan at rest — reference rocksdb_store.rs:499-521's key
+    prefix becomes partition pruning)."""
+    from pyspark.sql import functions as F
+
+    g = _knows(spark, sf_dir)
+    pid, kid = g.label_id("Person"), g.label_id("KNOWS")
+    v = g.get_vertex((pid << 48) | 7).select("name", "age", "city")
+    # ring edge of person 7 has eid 14 (= 2*key; graphs.knows_graph)
+    e = (g.edge_frame("KNOWS")
+         .where(F.col("id") == ((kid << 48) | 14)).select("since"))
+    return v.crossJoin(e)
+
+
+def _q_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12/S13: bulk vertex/edge load with range-allocated local ids
+    (model.next_locids — reference rocksdb_store.rs:379-494's batched
+    WriteBatch with preallocated id ranges), then an order-independent
+    read-back aggregate over the loaded graph."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import PropertyGraph, pack_graphid
+
+    g = PropertyGraph(spark, name="bulk")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = cust.count()
+    base = g.next_locids("Node", n)
+    g.put_vertices(
+        "Node",
+        cust.select((F.lit(base) + F.col("c_custkey")).alias("locid"),
+                    (F.col("c_custkey") % 7).cast("long").alias("grp")),
+        locid_col="locid")
+    nid = g.label_id("Node")
+    ebase = g.next_locids("REL", n)
+    g.put_edges(
+        "REL",
+        cust.select((F.lit(ebase) + F.col("c_custkey")).alias("locid"),
+                    pack_graphid(nid, F.col("c_custkey")).alias("src"),
+                    pack_graphid(nid, (F.col("c_custkey") * 3) % n).alias("dst")),
+        locid_col="locid")
+    fan = (g.edge_frame("REL").groupBy("dst").agg(F.count("*").alias("fan")))
+    v = g.vertex_frame("Node")
+    return (v.join(fan, v["id"] == fan["dst"], "left")
+            .select("grp", F.coalesce("fan", F.lit(0)).alias("fan"))
+            .groupBy("grp")
+            .agg(F.count("*").alias("cnt"), F.sum("fan").alias("edges"))
+            .orderBy("grp"))
+
+
+def _q_follow_unfollow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X1: dup-checked follow + unfollow (anti-join create / filtered
+    delete — social_graph.rs:21-73), reading back the affected rows."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark import social
+
+    f = _knows_raw_edges(spark, sf_dir)
+    f = social.follow(f, 0, 500)   # new edge
+    f = social.follow(f, 0, 1)     # duplicate — dup-check keeps one row
+    f = social.unfollow(f, 1, 2)   # remove ring edge 1→2
+    return (f.where(F.col("src").isin(0, 1))
+            .select(F.col("src").cast("long").alias("src"),
+                    F.col("dst").cast("long").alias("dst")))
+
+
+def _q_likes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X6: dup-checked like / unlike + likers listing
+    (post.rs:172-242). Posts = order-key buckets so each has many
+    likers."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark import social
+    from rust_graph_db_spark.model import unpack_locid
+
+    g = _knows(spark, sf_dir)
+    users = g.vertex_frame("Person").select(
+        unpack_locid(F.col("id")).alias("id"), "name")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    likes = orders.select(F.col("o_custkey").cast("long").alias("src"),
+                          (F.col("o_orderkey") % 100).cast("long").alias("dst"))
+    likes = social.like(likes, 42, 7)    # idempotent via dup-check
+    likes = social.unlike(likes, 43, 7)
+    return social.likers(likes, users, post=7, limit=None).select("id", "name")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # S1/P3: label scan + WHERE filter
@@ -634,6 +722,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w4_dml_pipeline": _q_dml_pipeline,
         "w5_dml_delete": _q_dml_delete,
         "w6_detach_delete": _q_detach_delete,
+        # S3/S4: point lookups by packed graphid
+        "s3_point_lookup": _q_point_lookup,
+        # S12/S13: bulk load with range-allocated ids
+        "s12_bulk_load": _q_bulk_load,
         # S7/S10: JSON export -> import round-trip with id remapping
         "s7_json_roundtrip": _q_json_roundtrip,
         # S8/S9/S11: CSV round-trip
@@ -649,9 +741,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash": _q_simhash,          # approximate — rows-only check
         "t1_text_metrics": _q_text_metrics,
+        "x1_follow_unfollow": _q_follow_unfollow,
         "x2_followers": _q_followers,
         "x3_timeline": _q_timeline,
         "x4_suggestions": _q_suggestions,
+        "x6_likes": _q_likes,
         "w1_windowed_events": _q_windowed_events,
         "w2_sessionize": _q_sessionize,
         "w3_window_rank": _q_window_rank,
@@ -879,6 +973,27 @@ def oracle_sql() -> dict[str, str]:
         "d1_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY md5(text)"),
+        "s3_point_lookup": pre + (
+            " SELECT p.name, p.age, p.city, k.since FROM person p, knows k "
+            "WHERE p.key = 7 AND k.src = 7 AND k.dst = 8"),
+        "s12_bulk_load": (
+            "WITH deg AS (SELECT (c_custkey * 3) % "
+            "(SELECT count(*) FROM customer) AS d, count(*) AS fan "
+            "FROM customer GROUP BY 1) "
+            "SELECT CAST(c_custkey % 7 AS BIGINT) AS grp, "
+            "CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(sum(coalesce(fan, 0)) AS BIGINT) AS edges "
+            "FROM customer LEFT JOIN deg ON c_custkey = d "
+            "GROUP BY 1 ORDER BY 1"),
+        "x1_follow_unfollow": pre + (
+            " SELECT CAST(src AS BIGINT) AS src, CAST(dst AS BIGINT) AS dst "
+            "FROM (SELECT src, dst FROM knows "
+            "WHERE src IN (0, 1) AND NOT (src = 1 AND dst = 2) "
+            "UNION ALL SELECT 0, 500)"),
+        "x6_likes": pre + (
+            " SELECT key AS id, name FROM person WHERE key = 42 OR "
+            "(key <> 43 AND key IN "
+            "(SELECT o_custkey FROM orders WHERE o_orderkey % 100 = 7))"),
         "x2_followers": pre + (
             " SELECT p.key AS id, p.name FROM knows k "
             "JOIN person p ON k.src = p.key WHERE k.dst = 5"),
