@@ -322,9 +322,14 @@ def minhash_lsh_pairs(
     m32 = F.lit(0xFFFFFFFF)
     mod32 = F.lit(1 << 32)
     inv = rows.select(
-        "id",
+        "id", "gh",
         F.col("gh").bitwiseAND(m32).alias("h1"),
         F.xxhash64(F.lit(1), F.col("gh")).bitwiseAND(m32).alias("h2"))
+    # NB: do NOT fold the verify-path collect_set into this aggregate —
+    # a single typed agg (collect_set) demotes the whole HashAggregate
+    # to ObjectHashAggregate and the 64 min() columns fall out of
+    # whole-stage codegen (measured 3.2s → 6s). Two codegen'd passes
+    # over the checkpointed rows beat one interpreted pass.
     sig = inv.groupBy("id").agg(
         *[F.min(F.pmod(F.col("h1") + F.lit(s) * F.col("h2"), mod32))
            .alias(f"m{s}")

@@ -46,17 +46,46 @@ def _undirected_min_nbr(edges: DataFrame) -> DataFrame:
             .where(F.col("u") != F.col("v")).distinct())
 
 
-def connected_components(edges: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(edges: DataFrame, max_iter: int = 25,
+                         driver_threshold: int = 500_000) -> DataFrame:
     """Union-find over an edge list: returns ``(id, component)`` where
     ``component`` is the minimum vertex id in the component.
 
-    Label-propagation variant: every vertex repeatedly adopts the min
-    label over itself and its neighbors; converges in O(diameter)
-    rounds, each round one join + one groupBy-min. Isolated vertices of
-    the edge list don't exist by construction (callers union in their
-    full vertex set if needed).
+    Size-adaptive: below ``driver_threshold`` symmetric edges the
+    component structure fits trivially on the driver, and a single
+    collect + path-compressed union-find replaces O(diameter) join
+    rounds — the dedup-clustering case, where the PAIR graph is orders
+    of magnitude smaller than the corpus that produced it. Above the
+    threshold, distributed label propagation: every vertex repeatedly
+    adopts the min label over itself and its neighbors, converging in
+    O(diameter) rounds of one join + one groupBy-min each. Isolated
+    vertices of the edge list don't exist by construction (callers
+    union in their full vertex set if needed).
     """
     sym = _undirected_min_nbr(edges).localCheckpoint(eager=True)
+    if sym.count() <= driver_threshold:
+        pairs = sym.where(F.col("u") < F.col("v")).collect()
+        parent: dict = {}
+
+        def find(x: int) -> int:
+            root = x
+            while parent.get(root, root) != root:
+                root = parent[root]
+            while parent.get(x, x) != x:        # path compression
+                parent[x], x = root, parent[x]
+            return root
+
+        for row in pairs:
+            ru, rv = find(row["u"]), find(row["v"])
+            if ru != rv:
+                # union by min: the smaller id stays root, so every
+                # root IS its component's min member
+                lo, hi = (ru, rv) if ru < rv else (rv, ru)
+                parent[hi] = lo
+        ids = {v for row in pairs for v in (row["u"], row["v"])}
+        out = [(int(v), int(find(v))) for v in sorted(ids)]
+        return edges.sparkSession.createDataFrame(
+            out or [], "id LONG, component LONG")
     # initial label = own id
     labels = (sym.select(F.col("u").alias("id"))
               .distinct().withColumn("component", F.col("id"))
