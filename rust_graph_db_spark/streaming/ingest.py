@@ -83,6 +83,15 @@ def stream_edge_upserts(
     return writer.start()
 
 
+def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
+    # Watermarks require TIMESTAMP; parquet event-time columns often land
+    # as TIMESTAMP_NTZ, which Spark rejects for event-time tracking.
+    field = df.schema[ts_col]
+    if field.dataType.typeName() != "timestamp":
+        df = df.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return df
+
+
 def windowed_event_counts(
     events: DataFrame,
     window_duration: str = "1 hour",
@@ -99,7 +108,7 @@ def windowed_event_counts(
     """
     df = events
     if df.isStreaming:
-        df = df.withWatermark(ts_col, watermark)
+        df = _watermarkable(df, ts_col).withWatermark(ts_col, watermark)
     w = F.window(F.col(ts_col), window_duration, slide) if slide else \
         F.window(F.col(ts_col), window_duration)
     return (df.groupBy(w.alias("w"), F.col(key_col))
@@ -119,7 +128,7 @@ def sessionize(
     window; batch: the classic lag/cumsum reformulation so the same API
     works for backfills (and is oracle-checkable in SQL)."""
     if events.isStreaming:
-        return (events.withWatermark(ts_col, gap)
+        return (_watermarkable(events, ts_col).withWatermark(ts_col, gap)
                 .groupBy(F.session_window(F.col(ts_col), gap).alias("w"),
                          F.col(user_col))
                 .agg(F.count("*").alias("cnt"))
