@@ -38,10 +38,17 @@ def _pair_cols(edges: DataFrame) -> tuple:
 
 
 def _undirected_min_nbr(edges: DataFrame) -> DataFrame:
-    """Edge list → symmetric (u, v) pairs without self loops."""
+    """Edge list → symmetric (u, v) pairs without self loops.
+
+    The input is materialized before the self-union: both union branches
+    reference ``e``, and when the edge list is an expensive subtree (the
+    LSH-verify join of a dedup pair graph) an unmaterialized plan would
+    execute it once per branch.
+    """
     s, d = _pair_cols(edges)
-    e = edges.select(F.col(s).cast("long").alias("u"),
-                     F.col(d).cast("long").alias("v"))
+    e = (edges.select(F.col(s).cast("long").alias("u"),
+                      F.col(d).cast("long").alias("v"))
+         .localCheckpoint(eager=True))
     return (e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .where(F.col("u") != F.col("v")).distinct())
 

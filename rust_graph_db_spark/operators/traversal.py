@@ -172,17 +172,22 @@ def weighted_shortest_distances(
             .select(F.col("b").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
             .groupBy("id").agg(F.min("dist").alias("dist"))
         )
+        # One full-outer merge carries both outputs of the round — the
+        # new distance table AND the improved-this-round flag — so each
+        # iteration materializes exactly one DataFrame (one Spark job);
+        # the improved-frontier filter below reads the checkpoint.
         merged = (
-            dist.select("id", "dist").unionAll(cand)
-            .groupBy("id").agg(F.min("dist").alias("dist"))
+            dist.alias("d").join(cand.alias("c"), "id", "full")
+            .select(
+                "id",
+                F.least("d.dist", "c.dist").alias("dist"),
+                (F.col("d.dist").isNull()
+                 | (F.col("c.dist") < F.col("d.dist"))).alias("_imp"),
+            )
             .localCheckpoint(eager=True)
         )
-        improved = cand.alias("c").join(
-            dist.alias("d"), F.col("c.id") == F.col("d.id"), "left"
-        ).where(F.col("d.id").isNull() | (F.col("c.dist") < F.col("d.dist"))).select(
-            F.col("c.id").alias("id"), F.col("c.dist").alias("dist")
-        ).localCheckpoint(eager=True)
-        dist = merged
+        dist = merged.select("id", "dist")
+        improved = merged.where("_imp").select("id", "dist")
         if improved.isEmpty():
             break
         frontier = improved
