@@ -67,6 +67,8 @@ def main() -> None:
     # Warm the JVM + parquet footers once, outside the timed region.
     spark.read.parquet(f"{sf_dir}/customer.parquet").count()
 
+    import gc
+
     timings: dict[str, float] = {}
     for name in HEADLINE:
         fn = qs[name]
@@ -75,6 +77,11 @@ def main() -> None:
         n = df.count()  # executes the full plan (aggregates/joins/loops)
         timings[name] = round(time.perf_counter() - t0, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        # Release py4j refs so the ContextCleaner can drop the previous
+        # query's localCheckpoint blocks — otherwise storage memory and
+        # GC pressure accumulate across the suite and later queries pay.
+        df = None
+        gc.collect()
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
