@@ -494,6 +494,62 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "cnt")
 
 
+def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Banded interval join (engine extension §2.3): clicks by the same
+    user within the hour before each error event."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.temporal import range_join
+    from rust_graph_db_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    errors = ev.where("event_type = 'error'").select("event_id", "ts", "user_id")
+    clicks = ev.where("event_type = 'click'") \
+               .select(F.col("event_id").alias("cid"), "ts", "user_id")
+    joined = range_join(errors, clicks, "ts", "ts", -3600.0, 0.0, on="user_id")
+    return joined.groupBy("event_id").agg(F.count("*").alias("cnt"))
+
+
+def _q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (engine extension §2.3): latest prior click by the
+    same user for every purchase event (NULL when none)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.temporal import asof_join
+    from rust_graph_db_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    purchases = ev.where("event_type = 'purchase'") \
+                  .select("event_id", "ts", "user_id")
+    clicks = ev.where("event_type = 'click'") \
+               .select(F.col("event_id").alias("click_id"), "ts", "user_id")
+    out = asof_join(purchases, clicks, on="user_id", left_ts="ts", right_ts="ts")
+    return out.select("event_id", "user_id", "click_id")
+
+
+def _q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group stats battery (median/p95/stddev/distinct) — the
+    oracle-checkable counterpart of the sketch path."""
+    from rust_graph_db_spark.operators.sketches import exact_stats
+    from rust_graph_db_spark.session import load_events
+
+    return exact_stats(load_events(spark, sf_dir), "event_type",
+                       "value", "user_id")
+
+
+def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-sketch battery (HLL++ distinct + GK quantiles) — the
+    100 TB path; approximate, so rows-only checked (the unit test
+    bounds its error against the exact battery)."""
+    from rust_graph_db_spark.operators.sketches import (approx_distinct,
+                                                        approx_quantiles)
+    from rust_graph_db_spark.session import load_events
+
+    ev = load_events(spark, sf_dir)
+    return approx_distinct(ev, "event_type", "user_id") \
+        .join(approx_quantiles(ev, "event_type", "value"), "event_type")
+
+
 def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ranking window function (engine extension §2.11): top-2 orders
     per customer by totalprice."""
@@ -749,6 +805,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_windowed_events": _q_windowed_events,
         "w2_sessionize": _q_sessionize,
         "w3_window_rank": _q_window_rank,
+        # temporal joins (declared capabilities — SURVEY.md §2.3 absent kinds)
+        "r1_range_join": _q_range_join,
+        "r2_asof_join": _q_asof_join,
+        # sketch / stats aggregates
+        "a5_event_stats": _q_event_stats,
+        "k1_sketch_stats": _q_sketch_stats,  # approximate — rows-only
         "e1_cosine_topk": _q_cosine_topk,
         "e2_cosine_pairs": _q_cosine_pairs,
         "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,  # approximate — rows-only
@@ -1020,6 +1082,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, row_number() OVER "
             "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rk "
             "FROM orders) WHERE rk <= 2"),
+        "r1_range_join": (
+            "SELECT e.event_id AS event_id, count(*) AS cnt "
+            "FROM events e JOIN events c ON c.user_id = e.user_id "
+            "AND e.event_type = 'error' AND c.event_type = 'click' "
+            "AND c.ts BETWEEN e.ts - INTERVAL 1 HOUR AND e.ts "
+            "GROUP BY e.event_id"),
+        "r2_asof_join": (
+            "SELECT p.event_id AS event_id, p.user_id AS user_id, "
+            "c.event_id AS click_id "
+            "FROM (SELECT * FROM events WHERE event_type = 'purchase') p "
+            "ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c "
+            "ON p.user_id = c.user_id AND p.ts >= c.ts"),
+        "a5_event_stats": (
+            "SELECT event_type, count(*) AS cnt, "
+            "count(DISTINCT user_id) AS nd, "
+            "round(sum(value), 4) AS total, "
+            "quantile_cont(value, 0.5) AS median, "
+            "quantile_cont(value, 0.95) AS p95, "
+            "round(stddev_samp(value), 6) AS sd "
+            "FROM events GROUP BY event_type"),
         "x4_suggestions": pre + (
             ", mine AS (SELECT dst FROM knows WHERE src = 0), "
             "fof AS (SELECT m.dst AS mid, k.dst AS cand FROM mine m "

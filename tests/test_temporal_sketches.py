@@ -1,0 +1,110 @@
+"""Temporal joins (as-of, banded range) and sketch aggregates."""
+
+from datetime import datetime
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.operators.sketches import (approx_distinct,
+                                                    approx_quantiles,
+                                                    exact_stats)
+from rust_graph_db_spark.operators.temporal import asof_join, range_join
+
+
+def ts(s):
+    return datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def trades(spark):
+    return spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:05"), "A"),
+         (2, ts("2024-01-01T10:00:10"), "A"),
+         (3, ts("2024-01-01T09:00:00"), "A"),
+         (4, ts("2024-01-01T10:00:07"), "B")],
+        "trade_id LONG, t TIMESTAMP, sym STRING")
+
+
+@pytest.fixture(scope="module")
+def quotes(spark):
+    return spark.createDataFrame(
+        [(101, ts("2024-01-01T10:00:03"), "A", 1.0),
+         (102, ts("2024-01-01T10:00:05"), "A", 2.0),   # tie with trade 1
+         (103, ts("2024-01-01T10:00:09"), "A", 3.0),
+         (104, ts("2024-01-01T10:00:01"), "B", 9.0)],
+        "quote_id LONG, t TIMESTAMP, sym STRING, px DOUBLE")
+
+
+def test_asof_backward(trades, quotes):
+    out = {r["trade_id"]: r["quote_id"]
+           for r in asof_join(trades, quotes, on="sym", left_ts="t").collect()}
+    # trade 1 @10:00:05 matches the equal-timestamp quote 102 (inclusive)
+    assert out == {1: 102, 2: 103, 3: None, 4: 104}
+
+
+def test_asof_forward(trades, quotes):
+    out = {r["trade_id"]: r["quote_id"]
+           for r in asof_join(trades, quotes, on="sym", left_ts="t",
+                              direction="forward").collect()}
+    # trade 3 @09:00 looks forward to the earliest quote 101; trade 2 has
+    # no later A quote
+    assert out == {1: 102, 2: None, 3: 101, 4: None}
+
+
+def test_asof_tolerance(trades, quotes):
+    out = {r["trade_id"]: r["quote_id"]
+           for r in asof_join(trades, quotes, on="sym", left_ts="t",
+                              tolerance=1.0).collect()}
+    # 1s tolerance: trade 2 @10:00:10 still matches quote 103 @10:00:09,
+    # but trade 3 (1h gap) and trade 4 (6s gap) do not
+    assert out == {1: 102, 2: 103, 3: None, 4: None}
+
+
+def test_asof_column_naming(trades, quotes):
+    cols = asof_join(trades, quotes, on="sym", left_ts="t").columns
+    # colliding right column 't' gets the suffix; left columns unchanged
+    assert cols == ["trade_id", "t", "sym", "quote_id", "t_r", "px"]
+
+
+def test_range_join_matches_naive(spark):
+    # 200 events, 40 users — banded plan must equal the naive theta join
+    ev = spark.range(200).select(
+        F.col("id").alias("eid"),
+        (F.col("id") % 40).alias("uid"),
+        F.timestamp_seconds(1700000000 + F.xxhash64("id") % 7200).alias("t"))
+    a = ev.select(F.col("eid").alias("ai"), F.col("uid"), F.col("t").alias("at"))
+    b = ev.select(F.col("eid").alias("bi"), F.col("uid"), F.col("t").alias("bt"))
+    banded = range_join(a, b, "at", "bt", -600.0, 600.0, on="uid") \
+        .select("ai", "bi").collect()
+    naive = a.join(b, "uid").where(
+        (F.col("bt").cast("double") >= F.col("at").cast("double") - 600)
+        & (F.col("bt").cast("double") <= F.col("at").cast("double") + 600)) \
+        .select("ai", "bi").collect()
+    assert sorted((r["ai"], r["bi"]) for r in banded) \
+        == sorted((r["ai"], r["bi"]) for r in naive)
+    assert len(naive) > 0
+
+
+def test_range_join_inclusive_bounds(spark):
+    a = spark.createDataFrame([(1, 100.0)], "i LONG, t DOUBLE")
+    b = spark.createDataFrame(
+        [(10, 90.0), (11, 110.0), (12, 89.9), (13, 110.1)],
+        "j LONG, t DOUBLE")
+    got = {r["j"] for r in
+           range_join(a, b, "t", "t", -10.0, 10.0).collect()}
+    assert got == {10, 11}
+
+
+def test_sketches_track_exact(spark):
+    ev = spark.range(20000).select(
+        (F.col("id") % 3).cast("string").alias("g"),
+        (F.xxhash64("id") % 1000).alias("u"),
+        (F.abs(F.xxhash64(F.lit(7), "id")) % 10000 / 100.0).alias("v"))
+    exact = {r["g"]: r for r in
+             exact_stats(ev, "g", "v", "u").collect()}
+    nd = {r["g"]: r["approx_nd"] for r in approx_distinct(ev, "g", "u").collect()}
+    q = {r["g"]: r for r in approx_quantiles(ev, "g", "v").collect()}
+    for g, e in exact.items():
+        assert abs(nd[g] - e["nd"]) / e["nd"] < 0.1
+        assert abs(q[g]["q_50"] - e["median"]) <= 2.0
+        assert abs(q[g]["q_95"] - e["p95"]) <= 2.0
