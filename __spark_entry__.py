@@ -753,7 +753,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g2_weighted_sssp": _q_weighted_sssp,
         # whole-graph analytics (GraphX-parity extensions)
         "g7_dup_clusters": _q_dup_clusters,
-        "g8_pagerank": _q_pagerank,        # iterative float — rows-only
+        "g8_pagerank": _q_pagerank,
         "g9_degrees": _q_degrees,
         "g10_triangles": _q_triangles,
         # X5: network analysis composite
@@ -819,6 +819,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 # ------------------------------------------------------------- oracle SQL
+
+def _pagerank_oracle_sql(pre: str, iterations: int = 8,
+                         damping: float = 0.85) -> str:
+    """Unrolled damped-PageRank oracle (DuckDB recursive CTEs can't
+    aggregate in the recursive term, so each iteration is its own CTE).
+    Mirrors graph_algos.pagerank exactly: rank = (1-d) + d·Σ in_rank/out_deg,
+    dangling vertices absorb, fixed iteration count, initial rank 1.0."""
+    ctes = [
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM knows UNION ALL SELECT dst FROM knows))",
+        "od AS (SELECT src, count(*) AS odeg FROM knows GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 AS rank FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.id, {1 - damping} + {damping} * "
+            f"coalesce(c.c, 0) AS rank FROM verts v LEFT JOIN ("
+            f"SELECT k.dst AS id, sum(r.rank / o.odeg) AS c "
+            f"FROM knows k JOIN r{i-1} r ON r.id = k.src "
+            f"JOIN od o ON o.src = k.src GROUP BY k.dst) c ON c.id = v.id)")
+    return (pre + ", " + ", ".join(ctes)
+            + f" SELECT id, round(rank, 6) AS rank FROM r{iterations}")
+
 
 def oracle_sql() -> dict[str, str]:
     pre = _knows_pre()
@@ -937,6 +960,7 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u) "
             "SELECT id, CAST(min(reach) AS BIGINT) AS cluster "
             "FROM r GROUP BY id"),
+        "g8_pagerank": _pagerank_oracle_sql(pre, iterations=8),
         "g9_degrees": pre + (
             " SELECT coalesce(o.id, i.id) AS id, "
             "coalesce(od, 0) AS out_deg, coalesce(ind, 0) AS in_deg, "
