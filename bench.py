@@ -44,6 +44,9 @@ HEADLINE = [
     "t1_text_metrics",     # text analysis scan (lang-ID/quality/fingerprint)
     "e1_cosine_topk",      # brute-force ANN top-k
     "e3_lsh_cosine_pairs", # hyperplane-LSH near-neighbor pairs
+    "r1_range_join",       # banded interval join
+    "r2_asof_join",        # as-of join (one shuffle + sort)
+    "a5_event_stats",      # exact stats battery (median/p95/stddev)
 ]
 
 
