@@ -735,6 +735,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_graph_funcs": _q_cypher_knows(
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.name = 'Person3' "
             "RETURN type(r) AS t, b.name AS bn"),
+        # §2.7 entity functions: id/labels/startNode/endNode (packed graphids)
+        "p8_entity_funcs": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
+            "RETURN id(a) AS ida, array_join(labels(a), ',') AS la, "
+            "startNode(r) AS sn, endNode(r) AS en, b.name AS bn"),
         # G3: variable-length expansion 1..3 with path length
         "g3_vle": _q_cypher_knows(
             "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b:Person) "
@@ -960,6 +965,12 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u) "
             "SELECT id, CAST(min(reach) AS BIGINT) AS cluster "
             "FROM r GROUP BY id"),
+        "p8_entity_funcs": pre + (
+            " SELECT 281474976710656 + src AS ida, 'Person' AS la, "
+            "281474976710656 + src AS sn, 281474976710656 + dst AS en, "
+            "'Person' || dst AS bn "
+            "FROM knows JOIN person ON person.key = knows.src "
+            "WHERE person.age = 25"),
         "g8_pagerank": _pagerank_oracle_sql(pre, iterations=8),
         "g9_degrees": pre + (
             " SELECT coalesce(o.id, i.id) AS id, "

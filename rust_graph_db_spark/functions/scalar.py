@@ -22,7 +22,7 @@ _PASSTHROUGH = {
     "substring", "replace", "split", "left", "right", "initcap",
     "greatest", "least", "sort_array", "array_distinct", "array_contains",
     "array_max", "array_min", "element_at", "slice", "regexp_extract",
-    "regexp_replace", "date_trunc",
+    "regexp_replace", "date_trunc", "array_join", "array_position",
 }
 
 _CASTS = {
@@ -85,7 +85,13 @@ def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
     if name == "rand":
         return F.rand(42)  # deterministic by default; seed fixed
     if name in _PASSTHROUGH:
-        return getattr(F, name)(*args)
+        try:
+            return getattr(F, name)(*args)
+        except TypeError:
+            # pyspark wrappers that demand Python literals (e.g.
+            # array_join's delimiter) — call the SQL function directly,
+            # which accepts foldable Column literals.
+            return F.call_function(name, *args)
     if name in _USER_FUNCS:
         return _USER_FUNCS[name](*args)
     raise ValueError(f"unknown function: {name}")

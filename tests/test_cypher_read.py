@@ -186,3 +186,15 @@ def test_tpch_graph_pattern(tg, oracle):
            "JOIN region ON n_regionkey=r_regionkey "
            "WHERE r_name='ASIA' GROUP BY n_name ORDER BY n_name",
            knows=False)
+
+
+def test_entity_functions(kg):
+    rows = kg.cypher(
+        "MATCH (a:Person {name:'Person5'})-[r:KNOWS]->(b:Person) "
+        "RETURN id(a) AS ida, array_join(labels(a), ',') AS la, "
+        "startNode(r) AS sn, endNode(r) AS en, type(r) AS t").collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["ida"] == (1 << 48) + 5 and r["sn"] == r["ida"]
+    assert r["la"] == "Person" and r["t"] == "KNOWS"
+    assert r["en"] == (1 << 48) + 6
