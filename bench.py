@@ -86,6 +86,48 @@ def main() -> None:
         df = None
         gc.collect()
 
+    # ---- throughput rows comparable to BASELINE.md's set-oriented
+    # metrics (elem/s). The reference's latency rows are µs point ops on
+    # ≤10k-row graphs where Spark wall-clock is pure fixed overhead; the
+    # honest comparison (SURVEY.md §6) is per-element throughput at
+    # sizes where per-element cost dominates, measured here on the same
+    # operation shapes: label scan+filter, batch id-packed create,
+    # 1-hop pattern expand (V⋈E⋈V).
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import pack_graphid
+
+    tp: dict[str, int] = {}
+    t0 = time.perf_counter()
+    n_scan = 50_000_000
+    (spark.range(n_scan)
+     .select((F.col("id") % 100).alias("age"))
+     .where(F.col("age") > 60).count())
+    tp["vertex_scan_elems_per_s"] = int(n_scan / (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    n_create = 5_000_000
+    (spark.range(n_create)
+     .select(pack_graphid(3, F.col("id")).alias("id"),
+             F.concat(F.lit("v"), F.col("id")).alias("name"))
+     .count())
+    tp["batch_create_elems_per_s"] = int(n_create / (time.perf_counter() - t0))
+
+    t0 = time.perf_counter()
+    nv, ne = 1_000_000, 10_000_000
+    v = spark.range(nv).select(F.col("id").alias("vid"),
+                               (F.col("id") % 100).alias("age"))
+    e = spark.range(ne).select(
+        F.pmod(F.xxhash64("id"), F.lit(nv)).alias("src"),
+        F.pmod(F.xxhash64(F.lit(1), "id"), F.lit(nv)).alias("dst"))
+    matched = (v.join(e, v.vid == e.src)
+               .join(v.select(F.col("vid").alias("dvid"),
+                              F.col("age").alias("dage")),
+                     F.col("dst") == F.col("dvid"))
+               .where(F.col("age") > F.col("dage")).count())
+    tp["one_hop_match_elems_per_s"] = int(ne / (time.perf_counter() - t0))
+    print(f"# throughput: {tp} (1-hop matched {matched})", file=sys.stderr)
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_seconds",
@@ -93,6 +135,12 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "throughput_elems_per_s": tp,
+        "baseline_throughput_ref": {
+            "vertex_scan_elems_per_s": 2300000,
+            "batch_create_elems_per_s": 100600,
+            "one_hop_match_elems_per_s": 357000,
+        },
     }))
 
 
