@@ -1,0 +1,94 @@
+"""Property-based oracle tests (hypothesis): randomized WHERE predicates,
+projections, sorts and aggregates over the knows graph, each compared
+against DuckDB running the same (shared-syntax) predicate.
+
+Extends the reference's fixed-case test strategy (SURVEY.md §5 — no
+randomized testing there) with seeded, derandomized generative coverage
+of the predicate/projection/aggregation space.
+"""
+
+import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+# Atoms valid in BOTH Cypher (on person p) and DuckDB SQL (on person):
+# (cypher_form, sql_form)
+_ATOMS = [
+    ("p.age > {n}", "age > {n}"),
+    ("p.age <= {n}", "age <= {n}"),
+    ("p.age % {k} = {m}", "age % {k} = {m}"),
+    ("p.city = '{city}'", "city = '{city}'"),
+    ("p.city <> '{city}'", "city <> '{city}'"),
+    ("p.active", "active"),
+    ("NOT p.active", "NOT active"),
+    ("p.name < 'Person{n}'", "name < 'Person{n}'"),
+    ("p.email = 'p{n}@example.com'", "email = 'p{n}@example.com'"),
+]
+
+_CITIES = ["NYC", "LA", "Chicago", "Houston", "Phoenix"]
+
+
+@st.composite
+def predicates(draw, depth=2):
+    if depth == 0 or draw(st.booleans()):
+        cy, sql = draw(st.sampled_from(_ATOMS))
+        n = draw(st.integers(min_value=0, max_value=99))
+        k = draw(st.integers(min_value=2, max_value=9))
+        m = draw(st.integers(min_value=0, max_value=8))
+        city = draw(st.sampled_from(_CITIES))
+        vals = dict(n=n, k=k, m=min(m, k - 1), city=city)
+        return cy.format(**vals), sql.format(**vals)
+    op = draw(st.sampled_from(["AND", "OR"]))
+    lc, ls = draw(predicates(depth=depth - 1))
+    rc, rs = draw(predicates(depth=depth - 1))
+    return f"({lc} {op} {rc})", f"({ls} {op} {rs})"
+
+
+_SETTINGS = settings(
+    max_examples=12, deadline=None, derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture])
+
+
+@_SETTINGS
+@given(pred=predicates())
+def test_filter_projection(kg, oracle, pred):
+    cy, sql = pred
+    oracle(kg.cypher(f"MATCH (p:Person) WHERE {cy} "
+                     "RETURN p.name AS name, p.age AS age"),
+           f"SELECT name, age FROM person WHERE {sql}")
+
+
+@_SETTINGS
+@given(pred=predicates(), limit=st.integers(min_value=1, max_value=40))
+def test_filter_sort_limit(kg, oracle, pred, limit):
+    cy, sql = pred
+    # name is unique, so ORDER BY name makes LIMIT deterministic
+    df = kg.cypher(f"MATCH (p:Person) WHERE {cy} "
+                   f"RETURN p.name AS name ORDER BY name LIMIT {limit}")
+    oracle(df,
+           f"SELECT name FROM person WHERE {sql} ORDER BY name LIMIT {limit}")
+    got = [r["name"] for r in df.collect()]
+    assert got == sorted(got)
+
+
+@_SETTINGS
+@given(pred=predicates())
+def test_implicit_group_aggregate(kg, oracle, pred):
+    cy, sql = pred
+    oracle(kg.cypher(
+        f"MATCH (p:Person) WHERE {cy} "
+        "RETURN p.city AS city, count(*) AS cnt, sum(p.age) AS s, "
+        "min(p.name) AS mn, max(p.age) AS mx, avg(p.age) AS av"),
+        f"SELECT city, count(*) AS cnt, sum(age) AS s, min(name) AS mn, "
+        f"max(age) AS mx, avg(age) AS av FROM person WHERE {sql} "
+        "GROUP BY city")
+
+
+@_SETTINGS
+@given(pred=predicates(depth=1))
+def test_one_hop_pattern(kg, oracle, pred):
+    cy, sql = pred
+    oracle(kg.cypher(
+        f"MATCH (p:Person)-[r:KNOWS]->(b:Person) WHERE {cy} "
+        "RETURN p.name AS an, b.name AS bn, r.since AS since"),
+        f"SELECT p.name AS an, 'Person' || k.dst AS bn, k.since "
+        f"FROM person p JOIN knows k ON p.key = k.src WHERE {sql}")
