@@ -768,6 +768,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
             "RETURN c.name AS name, sum(o.totalprice) AS total "
             "ORDER BY total DESC, name LIMIT 10"),
+        # TPC-H Q5 shape: multi-MATCH joined on shared var + expression
+        # inside the aggregate, 4-table heterogeneous join
+        "x7_revenue_by_nation": _q_cypher_tpch(
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "MATCH (c)-[:PLACED]->(o:Order)-[li:HAS_ITEM]->(p:Part) "
+            "RETURN n.name AS nation, "
+            "sum(li.extendedprice * (1 - li.discount)) AS revenue "
+            "ORDER BY nation"),
         # flagship 2-hop heterogeneous pattern
         "j2_two_hop_region": _q_cypher_tpch(
             "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
@@ -965,6 +973,13 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u) "
             "SELECT id, CAST(min(reach) AS BIGINT) AS cluster "
             "FROM r GROUP BY id"),
+        "x7_revenue_by_nation": (
+            "SELECT n_name AS nation, "
+            "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+            "FROM customer JOIN nation ON c_nationkey = n_nationkey "
+            "JOIN orders ON o_custkey = c_custkey "
+            "JOIN lineitem ON l_orderkey = o_orderkey "
+            "GROUP BY n_name ORDER BY nation"),
         "p8_entity_funcs": pre + (
             " SELECT 281474976710656 + src AS ida, 'Person' AS la, "
             "281474976710656 + src AS sn, 281474976710656 + dst AS en, "
