@@ -494,6 +494,16 @@ def _q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id", "cnt")
 
 
+def _q_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator, batch view (the streaming view is
+    applyInPandasWithState — tests/test_skew_stateful.py asserts
+    stream/batch parity)."""
+    from rust_graph_db_spark.session import load_events
+    from rust_graph_db_spark.streaming.ingest import running_user_totals
+
+    return running_user_totals(load_events(spark, sf_dir))
+
+
 def _q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Banded interval join (engine extension §2.3): clicks by the same
     user within the hour before each error event."""
@@ -818,6 +828,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w1_windowed_events": _q_windowed_events,
         "w2_sessionize": _q_sessionize,
         "w3_window_rank": _q_window_rank,
+        "w7_running_totals": _q_running_totals,
         # temporal joins (declared capabilities — SURVEY.md §2.3 absent kinds)
         "r1_range_join": _q_range_join,
         "r2_asof_join": _q_asof_join,
@@ -1132,6 +1143,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, row_number() OVER "
             "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rk "
             "FROM orders) WHERE rk <= 2"),
+        "w7_running_totals": (
+            "SELECT user_id, count(*) AS cnt, "
+            "round(sum(value), 6) AS total, "
+            "CAST(floor(sum(value) / 100.0) AS BIGINT) AS crossings "
+            "FROM events GROUP BY user_id"),
         "r1_range_join": (
             "SELECT e.event_id AS event_id, count(*) AS cnt "
             "FROM events e JOIN events c ON c.user_id = e.user_id "

@@ -1,0 +1,59 @@
+"""Skew-mitigation helpers: salted joins and two-phase distinct counts.
+
+AQE's skew-join splitting (on in session.py) handles sort-merge-join
+skew at runtime, but two shapes still need explicit salting at 100 TB:
+
+- **salted_join**: a shuffle-hash/broadcast-ineligible join where one
+  key holds a disproportionate share of the LEFT side. The left side is
+  salted by a row hash; the right side is replicated once per salt, so
+  the hot key's rows spread over ``salts`` tasks. Replication factor is
+  the whole right side × salts — use when right ≪ left (dimension-ish
+  but too big to broadcast).
+- **salted_distinct_count**: COUNT(DISTINCT x) per hot key. The naive
+  plan funnels every (key, x) pair of a hot key through one task; phase
+  one groups by (key, hash(x) % salts) — identical values co-locate, so
+  per-bucket distinct counts are disjoint — phase two sums buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Sequence, Union
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _keys(on: Union[str, Sequence[str]]) -> list:
+    return [on] if isinstance(on, str) else list(on)
+
+
+def salted_join(left: DataFrame, right: DataFrame,
+                on: Union[str, Sequence[str]], salts: int = 8,
+                how: str = "inner") -> DataFrame:
+    """Equi-join with the left side salted and the right side replicated
+    ``salts`` times. Result is identical to ``left.join(right, on, how)``
+    for inner/left joins; the hot-key rows are spread across ``salts``
+    partitions instead of one."""
+    if how not in ("inner", "left"):
+        raise ValueError("salted_join supports inner/left joins")
+    keys = _keys(on)
+    lsalt = F.pmod(
+        F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)
+    ).cast("int")
+    l = left.withColumn("_salt", lsalt)
+    r = right.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    return l.join(r, keys + ["_salt"], how).drop("_salt")
+
+
+def salted_distinct_count(df: DataFrame, on: Union[str, Sequence[str]],
+                          col: str, salts: int = 32) -> DataFrame:
+    """Two-phase per-group COUNT(DISTINCT col): (keys..., nd). Exact —
+    phase-one buckets partition the value space, so bucket-local
+    distinct counts sum to the global distinct count."""
+    keys = _keys(on)
+    bucketed = df.withColumn(
+        "_salt", F.pmod(F.xxhash64(F.col(col)), F.lit(salts)).cast("int"))
+    partial = bucketed.groupBy(*keys, "_salt").agg(
+        F.countDistinct(col).alias("_nd"))
+    return partial.groupBy(*keys).agg(F.sum("_nd").alias("nd"))

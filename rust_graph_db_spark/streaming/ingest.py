@@ -83,6 +83,55 @@ def stream_edge_upserts(
     return writer.start()
 
 
+def running_user_totals(
+    events: DataFrame,
+    user_col: str = "user_id",
+    value_col: str = "value",
+    threshold: float = 100.0,
+) -> DataFrame:
+    """Custom stateful operator: per-user running event count / value
+    total / count of ``threshold`` crossings.
+
+    Streaming: ``applyInPandasWithState`` — one state row (cnt, total)
+    per user, updated per micro-batch from Arrow record batches, one
+    output row per user per batch (output mode "update"). This is the
+    canonical shape for custom stateful logic Structured Streaming's
+    built-in aggregates can't express (the threshold-crossing counter
+    here stands in for sessionized spend alerts, quota tracking, etc.).
+
+    Batch: the same result is a plain aggregate (cnt, total,
+    floor(total/threshold)) — which is what the DuckDB oracle checks;
+    the streaming test asserts stream/batch parity.
+    """
+    if events.isStreaming:
+        import pandas as pd
+        from pyspark.sql.streaming.state import GroupStateTimeout
+
+        vc = value_col
+
+        def update(key, pdfs, state):
+            cnt, total = state.get if state.exists else (0, 0.0)
+            for pdf in pdfs:
+                cnt += len(pdf)
+                total += float(pdf[vc].sum())
+            state.update((cnt, total))
+            yield pd.DataFrame({
+                "user_id": [key[0]], "cnt": [cnt],
+                "total": [round(total, 6)],
+                "crossings": [int(total // threshold)]})
+
+        return (events.groupBy(user_col).applyInPandasWithState(
+            update,
+            "user_id LONG, cnt LONG, total DOUBLE, crossings LONG",
+            "cnt LONG, total DOUBLE",
+            "update", GroupStateTimeout.NoTimeout))
+    return (events.groupBy(F.col(user_col).alias("user_id"))
+            .agg(F.count("*").alias("cnt"),
+                 F.round(F.sum(value_col), 6).alias("total"),
+                 F.floor(F.sum(value_col) / F.lit(threshold))
+                  .cast("long").alias("crossings")))
+
+
 def _watermarkable(df: DataFrame, ts_col: str) -> DataFrame:
     # Watermarks require TIMESTAMP; parquet event-time columns often land
     # as TIMESTAMP_NTZ, which Spark rejects for event-time tracking.

@@ -1,0 +1,79 @@
+"""Skew helpers and the custom stateful streaming operator."""
+
+import os
+import shutil
+
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.operators.skew import (salted_distinct_count,
+                                                salted_join)
+from rust_graph_db_spark.session import load_events
+from rust_graph_db_spark.streaming.ingest import running_user_totals
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _skewed(spark):
+    # 10k rows, 90% on key 0 — the hot-key shape
+    return spark.range(10000).select(
+        F.when(F.col("id") % 10 < 9, 0).otherwise(F.col("id") % 97)
+         .alias("k"),
+        (F.col("id") % 1000).alias("v"))
+
+
+def test_salted_join_matches_plain(spark):
+    left = _skewed(spark)
+    right = spark.range(97).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("w"))
+    plain = left.join(right, "k").groupBy("k").agg(
+        F.count("*").alias("c"), F.sum("w").alias("s"))
+    salted = salted_join(left, right, "k", salts=8).groupBy("k").agg(
+        F.count("*").alias("c"), F.sum("w").alias("s"))
+    assert sorted(map(tuple, plain.collect())) \
+        == sorted(map(tuple, salted.collect()))
+
+
+def test_salted_left_join_keeps_unmatched(spark):
+    left = _skewed(spark)
+    right = spark.range(3).select(F.col("id").alias("k"),
+                                  F.lit(1).alias("w"))
+    plain = left.join(right, "k", "left").count()
+    salted = salted_join(left, right, "k", salts=4, how="left").count()
+    assert plain == salted == 10000
+
+
+def test_salted_distinct_count_exact(spark):
+    df = _skewed(spark)
+    exact = {r["k"]: r["nd"] for r in
+             df.groupBy("k").agg(F.countDistinct("v").alias("nd")).collect()}
+    salted = {r["k"]: r["nd"] for r in
+              salted_distinct_count(df, "k", "v", salts=16).collect()}
+    assert exact == salted
+
+
+def test_running_totals_stream_matches_batch(spark, tmp_path):
+    ev_dir = str(tmp_path / "ev")
+    os.makedirs(ev_dir)
+    shutil.copy(f"{SF_DIR}/events.parquet", ev_dir)
+    batch = spark.read.parquet(ev_dir)
+    expected = {r["user_id"]: (r["cnt"], r["total"], r["crossings"])
+                for r in running_user_totals(batch).collect()}
+
+    stream = spark.readStream.schema(batch.schema).parquet(ev_dir)
+    q = (running_user_totals(stream)
+         .writeStream.format("memory").queryName("rut")
+         .outputMode("update").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {r["user_id"]: (r["cnt"], round(r["total"], 6), r["crossings"])
+           for r in spark.sql("SELECT * FROM rut").collect()}
+    assert got == expected
+
+
+def test_oracle_running_totals(spark, duck):
+    got = sorted(map(tuple,
+                     running_user_totals(load_events(spark, SF_DIR)).collect()))
+    exp = sorted(map(tuple, duck.execute(
+        "SELECT user_id, count(*) AS cnt, round(sum(value), 6) AS total, "
+        "CAST(floor(sum(value) / 100.0) AS BIGINT) AS crossings "
+        "FROM events GROUP BY user_id").fetchall()))
+    assert got == exp
