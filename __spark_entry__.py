@@ -305,6 +305,23 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("rms", 6).alias("rms"), "zero_crossings")
 
 
+def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal video path: frame-sample each 'video' (stub demux) →
+    exploded (media_id, frame_idx) rows via mapInPandas."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.multimodal import sample_frames
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "UTF-8").alias("content"),
+        F.lit("video").alias("media_type"))
+    out = sample_frames(media, every_n=10, max_frames=8,
+                        deterministic_fake=True)
+    return out.select("media_id", F.col("frame_idx").cast("long").alias("frame_idx"))
+
+
 def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W1/W5/W6: CREATE + expression SET driven by MATCH, then read
     back — on a fresh graph so the shared cache stays pristine."""
@@ -814,6 +831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # multimodal: binary columns + Arrow-batched feature extraction
         "m1_image_features": _q_image_features,
         "m2_audio_features": _q_audio_features,
+        "m3_frame_sample": _q_frame_sample,
         # --------- training-data pipeline operators (beyond the reference)
         "d1_exact_dedup": _q_exact_dedup,
         "d2_ngram_jaccard": _q_ngram_jaccard,
@@ -1143,6 +1161,11 @@ def oracle_sql() -> dict[str, str]:
             "SELECT o_custkey, o_orderkey, row_number() OVER "
             "(PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) rk "
             "FROM orders) WHERE rk <= 2"),
+        "m3_frame_sample": (
+            "SELECT media_id, CAST((u.g - 1) * 10 AS BIGINT) AS frame_idx "
+            "FROM (SELECT doc_id AS media_id, generate_series(1, "
+            "1 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) % 8) AS gs "
+            "FROM documents) d, unnest(d.gs) AS u(g)"),
         "w7_running_totals": (
             "SELECT user_id, count(*) AS cnt, "
             "round(sum(value), 6) AS total, "
