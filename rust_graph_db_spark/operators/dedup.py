@@ -153,16 +153,27 @@ def ngram_jaccard_pairs(
                    F.floor(F.col("idx") / 64).cast("int").alias("word"),
                    F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
                     .alias("bitval")))
-    # Two-level build: OR within (id, word) first — a narrow agg with
-    # map-side combine over the occurrence rows — then spread the ~sz/64
-    # surviving words into flat columns (n_words conditional aggs over
-    # docs×words rows, not docs×shingles). sz = Σ popcount(word): exact
-    # distinct-shingle count, free from the bitmap itself.
-    per_word = enc.groupBy("id", "word").agg(F.bit_or("bitval").alias("bv"))
-    bits = (per_word.groupBy("id")
-            .agg(*[F.bit_or(F.when(F.col("word") == w, F.col("bv"))
-                             .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
-                   for w in range(n_words)])
+    # Bitmap build, size-adaptive. Narrow vocab (n_words ≤ 64): ONE
+    # groupBy with n_words conditional bit_or aggs straight over the
+    # occurrence rows — rows × n_words conditional evals, one shuffle.
+    # Wide vocab: two-level — OR within (id, word) first (narrow agg
+    # with map-side combine), then spread the ~sz/64 surviving words
+    # into flat columns (n_words aggs over docs×words rows only, which
+    # is what keeps the wide case from evaluating rows × n_words).
+    # sz = Σ popcount(word): exact distinct-shingle count, free from
+    # the bitmap itself.
+    if n_words <= 64:
+        grouped = enc.groupBy("id").agg(
+            *[F.bit_or(F.when(F.col("word") == w, F.col("bitval"))
+                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
+              for w in range(n_words)])
+    else:
+        per_word = enc.groupBy("id", "word").agg(F.bit_or("bitval").alias("bv"))
+        grouped = per_word.groupBy("id").agg(
+            *[F.bit_or(F.when(F.col("word") == w, F.col("bv"))
+                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
+              for w in range(n_words)])
+    bits = (grouped
             .withColumn("sz", sum(F.bit_count(F.col(f"w{w}"))
                                   for w in range(n_words)))
             .localCheckpoint(eager=True))
