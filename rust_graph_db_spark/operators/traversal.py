@@ -70,22 +70,42 @@ def bfs_distances(
     frontier = visited
     target_set = set(int(t) for t in targets) if targets else None
 
-    for level in range(1, max_hops + 1):
-        nxt = (
+    # Two BFS levels per materialization: the per-iteration driver
+    # barrier (job submit + checkpoint) dominates sparse frontiers, so
+    # unrolling halves the barrier count without changing the dataflow
+    # (min-dist dedup keeps level-1 distances when a vertex shows up in
+    # both unrolled hops; expanding not-yet-filtered hop-1 vertices is
+    # bounded wasted work that the anti-join discards).
+    level = 1
+    while level <= max_hops:
+        n1 = (
             frontier.join(hop, frontier["id"] == hop["a"])
             .select("start_id", F.col("b").alias("id"), F.lit(level).alias("dist"))
-            .dropDuplicates(["start_id", "id"])
         )
-        new = nxt.join(visited, ["start_id", "id"], "left_anti").localCheckpoint(eager=True)
+        if level + 1 <= max_hops:
+            f1 = n1.dropDuplicates(["start_id", "id"])
+            n2 = (f1.join(hop, f1["id"] == hop["a"])
+                  .select("start_id", F.col("b").alias("id"),
+                          F.lit(level + 1).alias("dist")))
+            cand = n1.unionAll(n2)
+        else:
+            cand = n1
+        new = (cand.groupBy("start_id", "id").agg(F.min("dist").alias("dist"))
+               .join(visited, ["start_id", "id"], "left_anti")
+               .localCheckpoint(eager=True))
         if new.isEmpty():
             break
         visited = visited.unionAll(new)
-        frontier = new
+        # vertices first seen at the shallow unrolled level were already
+        # expanded inside this round; only the deepest level continues
+        deepest = min(level + 1, max_hops)
+        frontier = new.where(F.col("dist") == deepest)
         if target_set is not None:
             reached = {r["id"] for r in new.where(F.col("id").isin(list(target_set))).collect()}
             target_set -= reached
             if not target_set:
                 break
+        level += 2
     return visited
 
 
