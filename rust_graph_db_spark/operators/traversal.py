@@ -186,16 +186,25 @@ def weighted_shortest_distances(
     dist = _start_frame(edges, start).select("id", F.lit(0.0).alias("dist"))
     # Relax only from vertices improved last round (delta optimization).
     frontier = dist
-    for _ in range(max_iter):
-        cand = (
-            frontier.join(hop, frontier["id"] == hop["a"])
-            .select(F.col("b").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
-            .groupBy("id").agg(F.min("dist").alias("dist"))
-        )
+    def relax(src: DataFrame) -> DataFrame:
+        return (src.join(hop, src["id"] == hop["a"])
+                .select(F.col("b").alias("id"),
+                        (F.col("dist") + F.col("w")).alias("dist"))
+                .groupBy("id").agg(F.min("dist").alias("dist")))
+
+    for _ in range((max_iter + 1) // 2):
+        # Two relaxation sweeps per materialization (Bellman-Ford is
+        # order-insensitive: every candidate is a valid path length, so
+        # relaxing from not-yet-merged candidates can only produce
+        # discardable over-estimates, never wrong minima). Halves the
+        # driver-barrier count for the same convergence bound.
+        c1 = relax(frontier)
+        cand = (c1.unionAll(relax(c1))
+                .groupBy("id").agg(F.min("dist").alias("dist")))
         # One full-outer merge carries both outputs of the round — the
         # new distance table AND the improved-this-round flag — so each
-        # iteration materializes exactly one DataFrame (one Spark job);
-        # the improved-frontier filter below reads the checkpoint.
+        # round materializes exactly one DataFrame (one Spark job); the
+        # improved-frontier filter below reads the checkpoint.
         merged = (
             dist.alias("d").join(cand.alias("c"), "id", "full")
             .select(
