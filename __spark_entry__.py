@@ -434,6 +434,22 @@ def _q_generator_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("deg"))
 
 
+def _q_generator_tree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: seeded b-ary tree graph (parent = (k-1)//b) → per-depth
+    vertex counts; deterministic structure, so the oracle rebuilds it."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.io import generate_graph
+    from rust_graph_db_spark.model import unpack_locid
+    from rust_graph_db_spark.operators.traversal import bfs_distances
+
+    g = generate_graph(spark, "tree", 1000, edges_per_vertex=3)
+    root = g.label_id("Node") << 48
+    d = bfs_distances(g.edge_frame("LINK"), [root], max_hops=10)
+    return (d.groupBy(F.col("dist").cast("long").alias("depth"))
+            .agg(F.count("*").alias("cnt")).orderBy("depth"))
+
+
 # -------------------------------------------------- social workloads (X2-X4)
 
 def _knows_raw_edges(spark: SparkSession, sf_dir: str):
@@ -828,6 +844,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_csv_roundtrip": _q_csv_roundtrip,
         # S14: seeded synthetic graph generator
         "s14_generator_grid": _q_generator_grid,
+        "s15_generator_tree": _q_generator_tree,
         # multimodal: binary columns + Arrow-batched feature extraction
         "m1_image_features": _q_image_features,
         "m2_audio_features": _q_audio_features,
@@ -1087,6 +1104,14 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(od, 0) + coalesce(ind, 0) AS deg "
             "FROM o FULL JOIN i ON o.id = i.id) "
             "SELECT deg, count(*) AS cnt FROM d GROUP BY deg ORDER BY deg"),
+        "s15_generator_tree": (
+            "WITH RECURSIVE child AS (SELECT i AS id, (i - 1) // 3 AS parent "
+            "FROM generate_series(1, 999) s(i)), "
+            "t AS (SELECT 0 AS id, 0 AS depth "
+            "UNION ALL SELECT c.id, t.depth + 1 FROM t "
+            "JOIN child c ON c.parent = t.id) "
+            "SELECT CAST(depth AS BIGINT) AS depth, count(*) AS cnt "
+            "FROM t GROUP BY depth ORDER BY depth"),
         "m1_image_features": (
             "SELECT doc_id AS media_id, "
             "64 + CAST(('0x' || substr(sha256(text), 1, 2)) AS INT) AS width, "
