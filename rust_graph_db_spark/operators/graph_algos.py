@@ -69,9 +69,15 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     vertices of the edge list don't exist by construction (callers
     union in their full vertex set if needed).
     """
-    sym = _undirected_min_nbr(edges).localCheckpoint(eager=True)
-    if sym.count() <= driver_threshold:
-        pairs = sym.where(F.col("u") < F.col("v")).collect()
+    s, d = _pair_cols(edges)
+    e = (edges.select(F.col(s).cast("long").alias("u"),
+                      F.col(d).cast("long").alias("v"))
+         .localCheckpoint(eager=True))
+    if e.count() <= driver_threshold:
+        # Union-find tolerates duplicate and reversed pairs, so the raw
+        # checkpointed edge list collects directly — no symmetrize /
+        # distinct shuffle on the driver path.
+        pairs = e.where(F.col("u") != F.col("v")).collect()
         parent: dict = {}
 
         def find(x: int) -> int:
@@ -93,6 +99,8 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         out = [(int(v), int(find(v))) for v in sorted(ids)]
         return edges.sparkSession.createDataFrame(
             out or [], "id LONG, component LONG")
+    # pinned: the propagation loop joins the symmetric edge list every round
+    sym = _undirected_min_nbr(e).localCheckpoint(eager=True)
     # initial label = own id
     labels = (sym.select(F.col("u").alias("id"))
               .distinct().withColumn("component", F.col("id"))
