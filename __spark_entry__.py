@@ -778,6 +778,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_graph_funcs": _q_cypher_knows(
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.name = 'Person3' "
             "RETURN type(r) AS t, b.name AS bn"),
+        # CASE expressions (searched + simple forms, engine extension)
+        "p9_case_expr": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age % 10 = 0 "
+            "RETURN p.name AS name, "
+            "CASE WHEN p.age >= 60 THEN 'senior' WHEN p.age >= 30 THEN 'adult' "
+            "ELSE 'young' END AS bracket, "
+            "CASE p.city WHEN 'NYC' THEN 'big' WHEN 'LA' THEN 'big' "
+            "ELSE 'other' END AS sz"),
         # §2.7 entity functions: id/labels/startNode/endNode (packed graphids)
         "p8_entity_funcs": _q_cypher_knows(
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
@@ -1026,6 +1034,13 @@ def oracle_sql() -> dict[str, str]:
             "JOIN orders ON o_custkey = c_custkey "
             "JOIN lineitem ON l_orderkey = o_orderkey "
             "GROUP BY n_name ORDER BY nation"),
+        "p9_case_expr": pre + (
+            " SELECT name, "
+            "CASE WHEN age >= 60 THEN 'senior' WHEN age >= 30 THEN 'adult' "
+            "ELSE 'young' END AS bracket, "
+            "CASE city WHEN 'NYC' THEN 'big' WHEN 'LA' THEN 'big' "
+            "ELSE 'other' END AS sz "
+            "FROM person WHERE age % 10 = 0"),
         "p8_entity_funcs": pre + (
             " SELECT 281474976710656 + src AS ida, 'Person' AS la, "
             "281474976710656 + src AS sn, 281474976710656 + dst AS en, "

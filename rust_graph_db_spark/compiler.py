@@ -36,10 +36,11 @@ from pyspark.sql import types as T
 
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
-    AGGREGATE_FUNCS, Binary, Create, Delete, FuncCall, InList, IsNull,
-    ListLit, Literal, MapLit, Match, NodePattern, OrderItem, PathPattern,
-    Prop, Query, RelPattern, Return, ReturnItem, SetClause, SetItem,
-    Subscript, Unary, UnionQuery, Unwind, Var, With, contains_aggregate,
+    AGGREGATE_FUNCS, Binary, CaseExpr, Create, Delete, FuncCall, InList,
+    IsNull, ListLit, Literal, MapLit, Match, NodePattern, OrderItem,
+    PathPattern, Prop, Query, RelPattern, Return, ReturnItem, SetClause,
+    SetItem, Subscript, Unary, UnionQuery, Unwind, Var, With,
+    contains_aggregate,
 )
 
 SEP = "__"
@@ -234,6 +235,25 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             return F.element_at(bc, e.index.value + 1), (
                 bt.elementType if isinstance(bt, T.ArrayType) else None)
         return F.element_at(bc, ic + F.lit(1)), None
+
+    if isinstance(e, CaseExpr):
+        op = None
+        if e.operand is not None:
+            op, _ = compile_expr(ctx, e.operand, df)
+        col = None
+        rt = None
+        for cond, val in e.whens:
+            cc, _ = compile_expr(ctx, cond, df)
+            if op is not None:
+                cc = op == cc
+            vc, vt = compile_expr(ctx, val, df)
+            rt = rt or vt
+            col = F.when(cc, vc) if col is None else col.when(cc, vc)
+        if e.else_ is not None:
+            ec, et = compile_expr(ctx, e.else_, df)
+            rt = rt or et
+            col = col.otherwise(ec)
+        return col, rt
 
     if isinstance(e, FuncCall):
         return _compile_func(ctx, e, df)
@@ -548,6 +568,11 @@ def _split_aggregates(e, counter):
             return FuncCall(x.name, tuple(walk(a) for a in x.args), x.distinct, x.star)
         if isinstance(x, ListLit):
             return ListLit(tuple(walk(i) for i in x.items))
+        if isinstance(x, CaseExpr):
+            return CaseExpr(
+                walk(x.operand) if x.operand is not None else None,
+                tuple((walk(c), walk(v)) for c, v in x.whens),
+                walk(x.else_) if x.else_ is not None else None)
         return x
 
     return walk(e), found
@@ -735,6 +760,13 @@ def _vars_of(e) -> set:
         return s
     if isinstance(e, Subscript):
         return _vars_of(e.base) | _vars_of(e.index)
+    if isinstance(e, CaseExpr):
+        s = _vars_of(e.operand) if e.operand is not None else set()
+        for c, v in e.whens:
+            s |= _vars_of(c) | _vars_of(v)
+        if e.else_ is not None:
+            s |= _vars_of(e.else_)
+        return s
     return set()
 
 

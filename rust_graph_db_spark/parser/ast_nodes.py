@@ -76,8 +76,16 @@ class Subscript:
     index: "Expr"
 
 
+@dataclass(frozen=True)
+class CaseExpr:
+    """Searched (operand=None) or simple CASE expression."""
+    operand: "Expr"       # None for the searched form
+    whens: tuple          # tuple[(Expr cond_or_value, Expr result), ...]
+    else_: "Expr" = None
+
+
 Expr = Union[Literal, Var, Prop, Unary, Binary, FuncCall, ListLit, MapLit,
-             IsNull, InList, Subscript]
+             IsNull, InList, Subscript, CaseExpr]
 
 AGGREGATE_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
 
@@ -101,6 +109,12 @@ def contains_aggregate(e: Expr) -> bool:
         return any(contains_aggregate(v) for _, v in e.pairs)
     if isinstance(e, Subscript):
         return contains_aggregate(e.base) or contains_aggregate(e.index)
+    if isinstance(e, CaseExpr):
+        return (
+            (e.operand is not None and contains_aggregate(e.operand))
+            or any(contains_aggregate(c) or contains_aggregate(v)
+                   for c, v in e.whens)
+            or (e.else_ is not None and contains_aggregate(e.else_)))
     return False
 
 

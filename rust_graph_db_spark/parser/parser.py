@@ -10,8 +10,8 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
-    Binary, Create, Delete, FuncCall, InList, IsNull, ListLit, Literal,
-    MapLit, Match, NodePattern, OrderItem, PathPattern, Prop, Query,
+    Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
+    Literal, MapLit, Match, NodePattern, OrderItem, PathPattern, Prop, Query,
     RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript, Unary,
     UnionQuery, Unwind, Var, With,
 )
@@ -134,6 +134,22 @@ class Parser:
             self.advance()
             return True
         return False
+
+    # CASE/WHEN/THEN/ELSE/END are matched contextually (not reserved),
+    # so `end`, `case` etc. remain valid variable names elsewhere.
+    def at_word(self, *ws: str) -> bool:
+        return self.cur.kind in ("name", "kw") and self.cur.text.upper() in ws
+
+    def try_word(self, w: str) -> bool:
+        if self.at_word(w):
+            self.advance()
+            return True
+        return False
+
+    def eat_word(self, w: str) -> None:
+        if not self.try_word(w):
+            raise CypherSyntaxError(
+                f"expected {w} at {self.cur.pos}, got {self.cur.text!r}")
 
     def name(self) -> str:
         if self.cur.kind == "name":
@@ -459,6 +475,9 @@ class Parser:
                 return Literal(False)
             raise CypherSyntaxError(f"unexpected keyword {t.text} at {t.pos}")
         if t.kind == "name":
+            if t.text.upper() == "CASE" and not (
+                    self.peek().kind == "punct" and self.peek().text == "("):
+                return self._case()
             # function call?
             if self.peek().kind == "punct" and self.peek().text == "(":
                 fname = self.advance().text.lower()
@@ -492,6 +511,22 @@ class Parser:
         if self.at_punct("{"):
             return self._map_literal()
         raise CypherSyntaxError(f"unexpected token {t.text!r} at {t.pos}")
+
+    def _case(self):
+        self.advance()  # CASE
+        operand = None
+        if not self.at_word("WHEN"):
+            operand = self.expr()
+        whens = []
+        while self.try_word("WHEN"):
+            cond = self.expr()
+            self.eat_word("THEN")
+            whens.append((cond, self.expr()))
+        if not whens:
+            raise CypherSyntaxError("CASE requires at least one WHEN branch")
+        else_ = self.expr() if self.try_word("ELSE") else None
+        self.eat_word("END")
+        return CaseExpr(operand, tuple(whens), else_)
 
 
 def parse_cypher(src: str) -> Query:

@@ -198,3 +198,27 @@ def test_entity_functions(kg):
     assert r["ida"] == (1 << 48) + 5 and r["sn"] == r["ida"]
     assert r["la"] == "Person" and r["t"] == "KNOWS"
     assert r["en"] == (1 << 48) + 6
+
+
+def test_case_expressions(kg, oracle):
+    oracle(kg.cypher(
+        "MATCH (p:Person) WHERE p.age % 20 = 0 "
+        "RETURN p.name AS name, "
+        "CASE WHEN p.age >= 60 THEN 'senior' ELSE 'young' END AS b, "
+        "CASE p.city WHEN 'NYC' THEN 1 ELSE 0 END AS nyc"),
+        "SELECT name, CASE WHEN age >= 60 THEN 'senior' ELSE 'young' END AS b, "
+        "CASE city WHEN 'NYC' THEN 1 ELSE 0 END AS nyc "
+        "FROM person WHERE age % 20 = 0")
+
+
+def test_case_without_else_is_null(kg):
+    rows = kg.cypher(
+        "MATCH (p:Person {name:'Person3'}) "
+        "RETURN CASE WHEN p.age > 99 THEN 'x' END AS c").collect()
+    assert rows[0]["c"] is None
+
+
+def test_end_still_valid_variable(kg):
+    rows = kg.cypher(
+        "MATCH (end:Person {name:'Person3'}) RETURN end.age AS a").collect()
+    assert rows[0]["a"] == 23
