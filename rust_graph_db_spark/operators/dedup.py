@@ -383,11 +383,8 @@ def minhash_lsh_pairs(
     # At 100 TB doc counts the hints are skipped and these are plain
     # shuffle hash joins — still carrying ~500 B signatures instead of
     # multi-KB arrays for the dominant (pre-filter) join.
-    docs = rows.groupBy("id").agg(F.collect_set("gh").alias("sh")) \
-        .localCheckpoint(eager=True)
-    n_docs = docs.count()
+    n_docs = sig.count()
     hint = F.broadcast if n_docs <= 200_000 else (lambda d: d)
-    ahint = F.broadcast if n_docs <= 50_000 else (lambda d: d)
     siga = sig.select(F.col("id").alias("i"),
                       *[F.col(f"m{s}").alias(f"_a{s}") for s in range(num_hashes)])
     sigb = sig.select(F.col("id").alias("j"),
@@ -396,7 +393,19 @@ def minhash_lsh_pairs(
               for s in range(num_hashes)) / F.lit(float(num_hashes))
     pre = (cand.join(hint(siga), "i").join(hint(sigb), "j")
            .where(est >= F.lit(est_cut))
-           .select("i", "j"))
+           .select("i", "j")
+           .localCheckpoint(eager=True))
+    # Shingle sets are materialized ONLY for docs that survive the
+    # signature pre-filter (left-semi against the pre-filtered pair
+    # ids) — the corpus-wide collect_set would dominate the verify
+    # stage while contributing arrays for docs that never get compared.
+    cand_ids = (pre.select(F.col("i").alias("id"))
+                .unionAll(pre.select(F.col("j").alias("id"))).distinct())
+    docs = (rows.join(cand_ids, "id", "left_semi")
+            .groupBy("id").agg(F.collect_set("gh").alias("sh"))
+            .localCheckpoint(eager=True))
+    n_cand_docs = docs.count()
+    ahint = F.broadcast if n_cand_docs <= 200_000 else (lambda d: d)
     # exact Jaccard only on the surviving candidates — shingle arrays
     # are joined back here, never carried through the bucket shuffle
     sha = docs.select(F.col("id").alias("i"), F.col("sh").alias("sha"))
