@@ -698,7 +698,38 @@ def _q_likes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    # NOTE: dict order matters — the driver's correctness window covers the
+    # FIRST 50 keys.  Queries that have never received an oracle verdict are
+    # listed first (round-1 checked only the leading 50, leaving the entire
+    # training-data-pipeline block unverified); the queries already green in
+    # CORRECTNESS_r01.json follow.
     return {
+        # --------- training-data pipeline operators (beyond the reference)
+        "d1_exact_dedup": _q_exact_dedup,
+        "d2_ngram_jaccard": _q_ngram_jaccard,
+        "d3_minhash_lsh": _q_minhash_lsh,
+        "d4_simhash": _q_simhash,
+        "t1_text_metrics": _q_text_metrics,
+        "x1_follow_unfollow": _q_follow_unfollow,
+        "x2_followers": _q_followers,
+        "x3_timeline": _q_timeline,
+        "x4_suggestions": _q_suggestions,
+        "x6_likes": _q_likes,
+        "w1_windowed_events": _q_windowed_events,
+        "w2_sessionize": _q_sessionize,
+        "w3_window_rank": _q_window_rank,
+        "w7_running_totals": _q_running_totals,
+        # temporal joins (declared capabilities — SURVEY.md §2.3 absent kinds)
+        "r1_range_join": _q_range_join,
+        "r2_asof_join": _q_asof_join,
+        # sketch / stats aggregates
+        "a5_event_stats": _q_event_stats,
+        "k1_sketch_stats": _q_sketch_stats,
+        "e1_cosine_topk": _q_cosine_topk,
+        "e2_cosine_pairs": _q_cosine_pairs,
+        "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,
+        "e4_ivf_topk": _q_ivf_topk,
+        # --------- queries below were verified green in CORRECTNESS_r01.json
         # S1/P3: label scan + WHERE filter
         "s1_scan_filter": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.age > 60 "
@@ -857,31 +888,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_image_features": _q_image_features,
         "m2_audio_features": _q_audio_features,
         "m3_frame_sample": _q_frame_sample,
-        # --------- training-data pipeline operators (beyond the reference)
-        "d1_exact_dedup": _q_exact_dedup,
-        "d2_ngram_jaccard": _q_ngram_jaccard,
-        "d3_minhash_lsh": _q_minhash_lsh,
-        "d4_simhash": _q_simhash,          # approximate — rows-only check
-        "t1_text_metrics": _q_text_metrics,
-        "x1_follow_unfollow": _q_follow_unfollow,
-        "x2_followers": _q_followers,
-        "x3_timeline": _q_timeline,
-        "x4_suggestions": _q_suggestions,
-        "x6_likes": _q_likes,
-        "w1_windowed_events": _q_windowed_events,
-        "w2_sessionize": _q_sessionize,
-        "w3_window_rank": _q_window_rank,
-        "w7_running_totals": _q_running_totals,
-        # temporal joins (declared capabilities — SURVEY.md §2.3 absent kinds)
-        "r1_range_join": _q_range_join,
-        "r2_asof_join": _q_asof_join,
-        # sketch / stats aggregates
-        "a5_event_stats": _q_event_stats,
-        "k1_sketch_stats": _q_sketch_stats,  # approximate — rows-only
-        "e1_cosine_topk": _q_cosine_topk,
-        "e2_cosine_pairs": _q_cosine_pairs,
-        "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,  # approximate — rows-only
-        "e4_ivf_topk": _q_ivf_topk,                  # approximate — rows-only
     }
 
 
