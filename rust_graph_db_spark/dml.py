@@ -17,8 +17,9 @@ Per-row id allocation uses a reserved range + row_number, the same
 batch-range strategy as the reference's bulk import
 (rocksdb_store.rs:390-401). The global window inside one micro-batch of
 creates is acceptable because DML batches are small relative to scans;
-bulk ingest goes through ``sources.bulk_load`` which salts ranges per
-partition instead.
+bulk ingest goes through ``model.next_locids`` range reservation +
+``PropertyGraph.put_vertices``/``put_edges``, which allocate contiguous
+id ranges per batch instead of a global window.
 """
 
 from __future__ import annotations

@@ -25,6 +25,14 @@ _PASSTHROUGH = {
     "regexp_replace", "date_trunc", "array_join", "array_position",
 }
 
+# Passthrough names whose pyspark wrapper demands Python literals for
+# some argument (probed on pyspark 4.1: "Column is not iterable"); these
+# go through F.call_function, which accepts foldable Column literals.
+# Everything else calls the wrapper directly, so a genuine misuse (bad
+# arity, wrong Python type) surfaces as the wrapper's own TypeError.
+_LITERAL_ARG_FUNCS = {"array_join", "regexp_extract", "date_trunc",
+                      "sort_array"}
+
 _CASTS = {
     "tostring": "string",
     "tointeger": "long",
@@ -84,14 +92,13 @@ def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
         return F.lower(args[0])
     if name == "rand":
         return F.rand(42)  # deterministic by default; seed fixed
+    if name in _LITERAL_ARG_FUNCS:
+        # pyspark wrappers that demand Python literals for some args
+        # (e.g. array_join's delimiter) — call the SQL function directly,
+        # which accepts foldable Column literals.
+        return F.call_function(name, *args)
     if name in _PASSTHROUGH:
-        try:
-            return getattr(F, name)(*args)
-        except TypeError:
-            # pyspark wrappers that demand Python literals (e.g.
-            # array_join's delimiter) — call the SQL function directly,
-            # which accepts foldable Column literals.
-            return F.call_function(name, *args)
+        return getattr(F, name)(*args)
     if name in _USER_FUNCS:
         return _USER_FUNCS[name](*args)
     raise ValueError(f"unknown function: {name}")

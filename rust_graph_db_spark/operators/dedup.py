@@ -404,8 +404,15 @@ def minhash_lsh_pairs(
     docs = (rows.join(cand_ids, "id", "left_semi")
             .groupBy("id").agg(F.collect_set("gh").alias("sh"))
             .localCheckpoint(eager=True))
-    n_cand_docs = docs.count()
-    ahint = F.broadcast if n_cand_docs <= 200_000 else (lambda d: d)
+    # The shingle-array side is multi-KB per row, so a doc-count gate
+    # alone could broadcast GBs near the threshold; gate on estimated
+    # bytes instead (8 B per shingle hash + ~16 B row overhead), capped
+    # well under executor memory. docs is already checkpointed, so the
+    # sizing agg is a cheap local scan.
+    est_bytes = (docs.agg((F.sum(F.size("sh")) * 8 +
+                           F.count(F.lit(1)) * 16).alias("b"))
+                 .first()["b"]) or 0
+    ahint = F.broadcast if est_bytes <= 64 * 1024 * 1024 else (lambda d: d)
     # exact Jaccard only on the surviving candidates — shingle arrays
     # are joined back here, never carried through the bucket shuffle
     sha = docs.select(F.col("id").alias("i"), F.col("sh").alias("sha"))

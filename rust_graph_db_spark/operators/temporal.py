@@ -39,6 +39,19 @@ def _epoch_seconds(c: Column) -> Column:
     return c.cast("timestamp").cast("double")
 
 
+def _orderable(dt) -> bool:
+    """True when a data type may appear in a sort key (everything except
+    MapType, recursively through structs and arrays)."""
+    from pyspark.sql import types as T
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.StructType):
+        return all(_orderable(f.dataType) for f in dt.fields)
+    if isinstance(dt, T.ArrayType):
+        return _orderable(dt.elementType)
+    return True
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -51,8 +64,11 @@ def asof_join(
 ) -> DataFrame:
     """Left as-of join: for every left row, the single right row with
     the largest ``right_ts`` ≤ ``left_ts`` (direction="backward") or
-    smallest ``right_ts`` ≥ ``left_ts`` ("forward"), per key. Ties on
-    equal ``right_ts`` break to the largest right row (deterministic).
+    smallest ``right_ts`` ≥ ``left_ts`` ("forward"), per key. When
+    several right rows share the winning timestamp, the one whose
+    payload struct is largest wins — deterministic as long as the right
+    payload columns are orderable (no map-typed columns; with maps the
+    tie winner is unspecified, as in DuckDB's ASOF join).
 
     Unmatched left rows keep NULL right columns (left-join semantics).
     ``tolerance`` (seconds) drops matches farther than that from the
@@ -88,11 +104,16 @@ def asof_join(
     both = lrows.unionByName(rrows)
 
     # Right rows order before left rows at equal time, so "at or before"
-    # is inclusive of equal timestamps in both directions.
-    if direction == "backward":
-        w = Window.partitionBy(*keys).orderBy(F.col("_t").asc(), F.col("_is_left").asc())
-    else:
-        w = Window.partitionBy(*keys).orderBy(F.col("_t").desc(), F.col("_is_left").asc())
+    # is inclusive of equal timestamps in both directions. Within a group
+    # of right rows at the same timestamp, _rp ascending makes last()
+    # pick the largest payload — but struct ordering is only legal when
+    # no field is map-typed, so the tie key is dropped for such payloads.
+    order = [F.col("_t").asc() if direction == "backward" else F.col("_t").desc(),
+             F.col("_is_left").asc()]
+    rp_type = right.select(F.struct(*rpayload).alias("s")).schema["s"].dataType
+    if _orderable(rp_type):
+        order.append(F.col("_rp").asc_nulls_first())
+    w = Window.partitionBy(*keys).orderBy(*order)
     run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
 
     matched = both.withColumn("_m", F.last("_rp", ignorenulls=True).over(run)) \

@@ -151,6 +151,40 @@ class Parser:
             raise CypherSyntaxError(
                 f"expected {w} at {self.cur.pos}, got {self.cur.text!r}")
 
+    _CASE_STOP_KWS = {
+        "MATCH", "OPTIONAL", "WHERE", "RETURN", "WITH", "ORDER", "BY",
+        "LIMIT", "SKIP", "CREATE", "DELETE", "DETACH", "SET", "AS",
+        "UNWIND", "UNION", "INTERSECT", "EXCEPT", "ASC", "ASCENDING",
+        "DESC", "DESCENDING",
+    }
+
+    def _looks_like_case_body(self) -> bool:
+        """Lookahead for a CASE expression after a bare `case` token: scan
+        forward for a depth-0 WHEN before anything that ends an expression
+        (clause keyword, comma, or a closing bracket of the enclosing
+        context). Keeps `case` usable as a plain variable name —
+        `RETURN case`, `case.prop`, `f(case)` stay ordinary references."""
+        depth = 0
+        for j in range(self.i + 1, len(self.toks)):
+            t = self.toks[j]
+            if t.kind == "punct":
+                if t.text in "([{":
+                    depth += 1
+                elif t.text in ")]}":
+                    depth -= 1
+                    if depth < 0:
+                        return False
+                elif t.text == "," and depth == 0:
+                    return False
+            elif depth == 0:
+                if t.kind in ("name", "kw") and t.text.upper() == "WHEN":
+                    return True
+                if t.kind == "kw" and t.text.upper() in self._CASE_STOP_KWS:
+                    return False
+            if t.kind == "eof":
+                return False
+        return False
+
     def name(self) -> str:
         if self.cur.kind == "name":
             return self.advance().text
@@ -475,8 +509,7 @@ class Parser:
                 return Literal(False)
             raise CypherSyntaxError(f"unexpected keyword {t.text} at {t.pos}")
         if t.kind == "name":
-            if t.text.upper() == "CASE" and not (
-                    self.peek().kind == "punct" and self.peek().text == "("):
+            if t.text.upper() == "CASE" and self._looks_like_case_body():
                 return self._case()
             # function call?
             if self.peek().kind == "punct" and self.peek().text == "(":

@@ -48,6 +48,23 @@ def test_set_parses_assignment_not_equality():
     assert isinstance(s.items[0].value, Binary) and s.items[0].value.op == "+"
 
 
+def test_case_stays_a_valid_name():
+    # `case` is only a CASE expression when a WHEN body follows; bare
+    # uses remain ordinary variable references (parser.py lookahead).
+    from rust_graph_db_spark.parser.ast_nodes import CaseExpr, Var
+
+    q = parse_cypher("MATCH (case:Person) RETURN case")
+    assert q.clauses[1].items[0].expr == Var("case")
+    q = parse_cypher("MATCH (case:Person) RETURN case.age AS a, size(case.name) AS s")
+    assert q.clauses[1].items[0].expr == Prop("case", ("age",))
+    q = parse_cypher(
+        "MATCH (p:Person) RETURN CASE WHEN p.age > 1 THEN 'a' ELSE 'b' END AS c")
+    assert isinstance(q.clauses[1].items[0].expr, CaseExpr)
+    q = parse_cypher(
+        "MATCH (p:Person) RETURN CASE p.city WHEN 'NYC' THEN 1 ELSE 0 END AS c")
+    assert isinstance(q.clauses[1].items[0].expr, CaseExpr)
+
+
 @pytest.mark.parametrize("q", [
     "MATCH (a:Person RETURN a",
     "RETURN",
