@@ -53,6 +53,33 @@ def _undirected_min_nbr(edges: DataFrame) -> DataFrame:
             .where(F.col("u") != F.col("v")).distinct())
 
 
+def _large_star(e: DataFrame) -> DataFrame:
+    """Large-star round (Kiveris et al., SoCC'14 §3): every node hangs
+    its strictly-larger neighbors off the minimum of its closed
+    neighborhood. Input/output: (u, v) pair frames."""
+    sym = e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = (sym.groupBy("u").agg(F.min("v").alias("mv"))
+            .select("u", F.least("u", "mv").alias("m")))
+    # v > u >= m, so the emitted (v, m) pairs are hi→lo oriented and
+    # self-loop-free by construction
+    return (sym.where(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .distinct())
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Small-star round: orient edges hi→lo, then every node points its
+    smaller neighbors (and itself) at the minimum of that set."""
+    o = e.select(F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v"))
+    mins = o.groupBy("u").agg(F.min("v").alias("m"))
+    return (o.join(mins, "u")
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+            .where(F.col("u") != F.col("v"))
+            .unionAll(mins.select("u", F.col("m").alias("v")))
+            .distinct())
+
+
 def connected_components(edges: DataFrame, max_iter: int = 25,
                          driver_threshold: int = 500_000) -> DataFrame:
     """Union-find over an edge list: returns ``(id, component)`` where
@@ -60,14 +87,17 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
 
     Size-adaptive: below ``driver_threshold`` symmetric edges the
     component structure fits trivially on the driver, and a single
-    collect + path-compressed union-find replaces O(diameter) join
+    collect + path-compressed union-find replaces distributed join
     rounds — the dedup-clustering case, where the PAIR graph is orders
     of magnitude smaller than the corpus that produced it. Above the
-    threshold, distributed label propagation: every vertex repeatedly
-    adopts the min label over itself and its neighbors, converging in
-    O(diameter) rounds of one join + one groupBy-min each. Isolated
-    vertices of the edge list don't exist by construction (callers
-    union in their full vertex set if needed).
+    threshold, alternating large-star/small-star rounds (Kiveris et
+    al., "Connected Components in MapReduce and Beyond", SoCC'14):
+    O(log² n) rounds worst-case — in practice ~log n — independent of
+    graph DIAMETER, so long-chain components (templated near-dup docs)
+    converge in the same handful of rounds as star-shaped ones. Each
+    round is two groupBy-mins + two joins on the current pair set.
+    Isolated vertices of the edge list don't exist by construction
+    (callers union in their full vertex set if needed).
     """
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("u"),
@@ -99,27 +129,30 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
         out = [(int(v), int(find(v))) for v in sorted(ids)]
         return edges.sparkSession.createDataFrame(
             out or [], "id LONG, component LONG")
-    # pinned: the propagation loop joins the symmetric edge list every round
-    sym = _undirected_min_nbr(e).localCheckpoint(eager=True)
-    # initial label = own id
-    labels = (sym.select(F.col("u").alias("id"))
-              .distinct().withColumn("component", F.col("id"))
-              .localCheckpoint(eager=True))
-    # labels only ever decrease, so Σ component is a monotone convergence
-    # probe — one cheap aggregate per round instead of a change-join
-    prev_sum = labels.agg(F.sum("component")).collect()[0][0]
+    # distributed path: alternating star rounds on the de-duplicated,
+    # self-loop-free pair set (e is already checkpointed above — the
+    # rounds re-pin per iteration, no second checkpoint of the input)
+    pairs = e.where(F.col("u") != F.col("v")).distinct() \
+             .localCheckpoint(eager=True)
+    prev = None
     for _ in range(max_iter):
-        # candidate labels: own + min over neighbors' labels
-        nbr = (sym.join(labels, sym["v"] == labels["id"])
-               .select(F.col("u").alias("id"), F.col("component")))
-        labels = (labels.select("id", "component").unionAll(nbr)
-                  .groupBy("id").agg(F.min("component").alias("component"))
-                  .localCheckpoint(eager=True))
-        cur = labels.agg(F.sum("component")).collect()[0][0]
-        if cur == prev_sum:
+        pairs = _small_star(_large_star(pairs)).localCheckpoint(eager=True)
+        # converged when the pair set is fixed; (count, order-free hash
+        # sum) is a one-scan probe on the just-checkpointed frame
+        cur = tuple(pairs.agg(
+            F.count(F.lit(1)),
+            # decimal accumulator: a long sum of 64-bit hashes overflows
+            # under ANSI mode
+            F.sum(F.xxhash64("u", "v").cast("decimal(38,0)"))).first())
+        if cur == prev:
             break
-        prev_sum = cur
-    return labels
+        prev = cur
+    # fixed point is a star forest oriented (member, root): roots appear
+    # only on the right, every non-root exactly once on the left
+    return (pairs.select(F.col("u").alias("id"), F.col("v").alias("component"))
+            .unionAll(pairs.select(F.col("v").alias("id"),
+                                   F.col("v").alias("component")))
+            .distinct())
 
 
 def duplicate_clusters(pairs: DataFrame, id_cols=("i", "j")) -> DataFrame:

@@ -22,6 +22,27 @@ def test_connected_components(edges):
                    (8, 8), (9, 8), (10, 8)}
 
 
+def test_connected_components_distributed_star_rounds(spark, edges):
+    # force the distributed large-star/small-star path on the module graph
+    got = {(r.id, r.component)
+           for r in connected_components(edges, driver_threshold=0).collect()}
+    assert got == {(1, 1), (2, 1), (3, 1), (5, 5), (6, 5),
+                   (8, 8), (9, 8), (10, 8)}
+
+
+def test_connected_components_long_chain(spark):
+    # A 4096-vertex path is the adversarial high-diameter case: min-label
+    # propagation needs O(diameter)=4095 rounds, large-star/small-star
+    # ~log n. max_iter=13 only converges with the star algorithm.
+    n = 4096
+    chain = spark.range(n - 1).select(
+        F.col("id").alias("u"), (F.col("id") + 1).alias("v"))
+    labels = connected_components(chain, max_iter=13, driver_threshold=0)
+    rows = labels.collect()
+    assert len(rows) == n
+    assert {r.component for r in rows} == {0}
+
+
 def test_duplicate_clusters(spark):
     pairs = spark.createDataFrame([(4, 9), (9, 11), (20, 21)], "i LONG, j LONG")
     got = {(r.id, r.cluster) for r in duplicate_clusters(pairs).collect()}
