@@ -226,10 +226,36 @@ def _q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rust_graph_db_spark.operators.dedup import simhash_pairs
+    """SimHash structural audit (VERDICT r1 #3). The banded candidate
+    join is exactly complete for Hamming ≤ 3 (pigeonhole over 4 disjoint
+    16-bit bands), so the operator's pair set must EQUAL the brute-force
+    Hamming-≤3 pair set over the same simhash table. Emits (chk, ok)
+    rows hash-compared against a constant-true oracle — any missed pair,
+    spurious pair, or broken hamming filter flips an ok to 0 and fails
+    the driver's value check."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.dedup import simhash_pairs, simhash_table
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_pairs(docs, "doc_id", "text", max_hamming=3)
+    pairs = simhash_pairs(docs, "doc_id", "text", max_hamming=3) \
+        .localCheckpoint(eager=True)
+    sims = simhash_table(docs, "doc_id", "text").localCheckpoint(eager=True)
+    a, b = sims.alias("a"), sims.alias("b")
+    exact = (a.join(b, F.col("a.id") < F.col("b.id"))
+             .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
+                     F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+                      .alias("h"))
+             .where(F.col("h") <= 3)
+             .localCheckpoint(eager=True))
+    n_pairs, n_exact = pairs.count(), exact.count()
+    missed = exact.join(pairs, ["i", "j"], "left_anti").count()
+    far = pairs.where(F.col("hamming") > 3).count()
+    rows = [("band_complete", int(missed == 0)),
+            ("no_far_pairs", int(far == 0)),
+            ("set_equal", int(n_pairs == n_exact)),
+            ("nonempty", int(n_pairs > 0))]
+    return spark.createDataFrame(rows, "chk STRING, ok BIGINT")
 
 
 def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -266,26 +292,61 @@ def _q_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_lsh_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from rust_graph_db_spark.operators.similarity import lsh_cosine_pairs
+    """Hyperplane-LSH structural audit (VERDICT r1 #3): the approximate
+    pair set must be a SUBSET of the exact cosine-≥t pairs (the exact
+    re-score guarantees precision 1) and recall a floor well under the
+    0.8 design target (deterministic hyperplanes ⇒ stable per corpus;
+    measured 0.857 at sf0.01). Constant-true oracle: a broken bucketer,
+    re-score, or threshold flips an ok to 0."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import (cosine_pairs,
+                                                          lsh_cosine_pairs)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return lsh_cosine_pairs(emb, 0.45, dim=64).select("i", "j")
+    lsh = (lsh_cosine_pairs(emb, 0.45, dim=64).select("i", "j")
+           .localCheckpoint(eager=True))
+    exact = (cosine_pairs(emb, 0.45).select("i", "j")
+             .localCheckpoint(eager=True))
+    n_exact = exact.count()
+    false_pos = lsh.join(exact, ["i", "j"], "left_anti").count()
+    hits = lsh.join(exact, ["i", "j"], "left_semi").count()
+    rows = [("subset_of_exact", int(false_pos == 0)),
+            ("recall_floor_70", int(n_exact > 0 and hits >= 0.7 * n_exact)),
+            ("exact_nonempty", int(n_exact > 0))]
+    return spark.createDataFrame(rows, "chk STRING, ok BIGINT")
 
 
 def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF-Flat ANN: spherical-kmeans coarse quantizer, probe the 4/8
-    nearest inverted lists, exact re-score within (≈half the corpus
-    scanned; with a cluster-partitioned corpus the probe is partition
-    pruning). Approximate by design — rows-only check; the exact-oracle
-    coverage for top-k is e1."""
+    """IVF-Flat structural audit (VERDICT r1 #3): probing 4 of 8
+    inverted lists scans ≈half the corpus, so audit that (a) every
+    returned score is the exact cosine for its id, (b) the probed top-k
+    recovers a floor of the exact top-k (query's own list is always the
+    nearest centroid, so recall is high and deterministic — seeded
+    k-means sample), (c) exactly k rows come back. Constant-true
+    oracle; exact-value top-k coverage is e1."""
     from pyspark.sql import functions as F
 
-    from rust_graph_db_spark.operators.similarity import ivf_topk
+    from rust_graph_db_spark.operators.similarity import (cosine, cosine_topk,
+                                                          ivf_topk)
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
-    out = ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=4)
-    return out.select("id", F.round("cos", 6).alias("cos"))
+    ivf = (ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=4)
+           .localCheckpoint(eager=True))
+    exact_all = emb.select(
+        F.col("vec_id").alias("id"),
+        cosine(F.col("embedding"), F.array(*[F.lit(float(x)) for x in qv]))
+            .alias("cos_exact"))
+    bad_scores = (ivf.join(exact_all, "id")
+                  .where(F.abs(F.col("cos") - F.col("cos_exact")) > 1e-6)
+                  .count())
+    top_exact = cosine_topk(emb, qv, k=10).select("id")
+    overlap = ivf.select("id").join(top_exact, "id", "left_semi").count()
+    rows = [("scores_exact", int(bad_scores == 0)),
+            ("recall_7_of_10", int(overlap >= 7)),
+            ("k_rows", int(ivf.count() == 10))]
+    return spark.createDataFrame(rows, "chk STRING, ok BIGINT")
 
 
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -581,16 +642,56 @@ def _q_event_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_sketch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mergeable-sketch battery (HLL++ distinct + GK quantiles) — the
-    100 TB path; approximate, so rows-only checked (the unit test
-    bounds its error against the exact battery)."""
+    """Sketch structural audit (VERDICT r1 #3): HLL++ distinct estimates
+    must land inside a 5σ rsd envelope of the exact distinct counts, and
+    the GK quantile estimates must sit within 1% rank error of the
+    requested percentile in every group (design error is 1/accuracy =
+    1e-4; the 1% bound absorbs tie granularity while still failing on a
+    wrong percentile, column, or accuracy regression). Constant-true
+    oracle rows."""
+    from pyspark.sql import functions as F
+
     from rust_graph_db_spark.operators.sketches import (approx_distinct,
-                                                        approx_quantiles)
+                                                        approx_quantiles,
+                                                        exact_stats)
     from rust_graph_db_spark.session import load_events
 
+    rsd = 0.02
     ev = load_events(spark, sf_dir)
-    return approx_distinct(ev, "event_type", "user_id") \
-        .join(approx_quantiles(ev, "event_type", "value"), "event_type")
+    appr = (approx_distinct(ev, "event_type", "user_id", rsd=rsd)
+            .join(approx_quantiles(ev, "event_type", "value"), "event_type")
+            .localCheckpoint(eager=True))
+    ex = exact_stats(ev, "event_type", "value", "user_id")
+    hll = (appr.join(ex, "event_type")
+           .select((F.abs(F.col("approx_nd") - F.col("nd"))
+                    <= F.greatest(F.lit(5 * rsd) * F.col("nd"), F.lit(2.0)))
+                   .alias("ok"))
+           .agg(F.min("ok").cast("long").alias("ok")).first()["ok"])
+    # rank positions of the quantile estimates within their groups:
+    # count(value < q)/cnt must not exceed p, count(value <= q)/cnt must
+    # reach p (±1% rank tolerance, two-sided form is tie-safe)
+    ranks = (ev.select("event_type", "value")
+             .join(F.broadcast(appr.select("event_type", "q_50", "q_95")),
+                   "event_type")
+             .groupBy("event_type")
+             .agg(F.count(F.lit(1)).alias("cnt"),
+                  F.sum((F.col("value") < F.col("q_50")).cast("long")).alias("lt50"),
+                  F.sum((F.col("value") <= F.col("q_50")).cast("long")).alias("le50"),
+                  F.sum((F.col("value") < F.col("q_95")).cast("long")).alias("lt95"),
+                  F.sum((F.col("value") <= F.col("q_95")).cast("long")).alias("le95")))
+    qok = (ranks.select(
+        ((F.col("lt50") / F.col("cnt") <= 0.51)
+         & (F.col("le50") / F.col("cnt") >= 0.49)).alias("ok50"),
+        ((F.col("lt95") / F.col("cnt") <= 0.96)
+         & (F.col("le95") / F.col("cnt") >= 0.94)).alias("ok95"))
+        .agg(F.min("ok50").cast("long").alias("ok50"),
+             F.min("ok95").cast("long").alias("ok95")).first())
+    n_groups = appr.count()
+    rows = [("hll_5sigma", int(hll or 0)),
+            ("q50_rank_1pct", int(qok["ok50"] or 0)),
+            ("q95_rank_1pct", int(qok["ok95"] or 0)),
+            ("groups_nonempty", int(n_groups > 0))]
+    return spark.createDataFrame(rows, "chk STRING, ok BIGINT")
 
 
 def _q_window_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1262,7 +1363,28 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.45"),
+        # Structural audits for the approximate operators (VERDICT r1
+        # #3): the Spark query computes the invariant battery (subset-
+        # of-exact / completeness / recall floor / error envelope) and
+        # emits (chk, ok) rows; the oracle is the constant-true table,
+        # so any violated invariant hash-mismatches.
+        "d4_simhash": _audit_oracle_sql(
+            "band_complete", "no_far_pairs", "set_equal", "nonempty"),
+        "e3_lsh_cosine_pairs": _audit_oracle_sql(
+            "subset_of_exact", "recall_floor_70", "exact_nonempty"),
+        "e4_ivf_topk": _audit_oracle_sql(
+            "scores_exact", "recall_7_of_10", "k_rows"),
+        "k1_sketch_stats": _audit_oracle_sql(
+            "hll_5sigma", "q50_rank_1pct", "q95_rank_1pct",
+            "groups_nonempty"),
     }
+
+
+def _audit_oracle_sql(*checks: str) -> str:
+    """Constant-true oracle for an invariant-audit query: one
+    (chk, ok=1) row per named check."""
+    return " UNION ALL ".join(
+        f"SELECT '{c}' AS chk, CAST(1 AS BIGINT) AS ok" for c in checks)
 
 
 _JACCARD_CTES = (
