@@ -398,6 +398,33 @@ def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(p.age) AS total ORDER BY city")
 
 
+def _q_durable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W7 durable transactions (VERDICT r1 #4): the session's DML is a
+    WriteBatch (transaction.rs:25-53) and ``save`` is its atomic commit.
+    Build → commit v1 → reopen → CREATE+SET → commit v2 (incremental:
+    the untouched KNOWS label is a manifest-only reuse) → reopen fresh →
+    read back. The oracle is the same SQL as w4: a storage layer that
+    drops, duplicates, or reorders any row hash-mismatches."""
+    import tempfile
+
+    from rust_graph_db_spark.graphs import knows_graph
+    from rust_graph_db_spark.storage import load_graph, save_graph
+
+    g = knows_graph(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rgds_store_")
+    save_graph(g, root)
+    g1 = load_graph(spark, root)
+    g1.cypher("CREATE (x:Person {name: 'PersonX', age: 200, city: 'NYC', "
+              "active: true})").collect()
+    g1.cypher("MATCH (p:Person) WHERE p.age >= 70 "
+              "SET p.age = p.age + 10").collect()
+    save_graph(g1, root)
+    g2 = load_graph(spark, root)
+    return g2.cypher(
+        "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
+        "sum(p.age) AS total ORDER BY city")
+
+
 def _q_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W4: DETACH DELETE a vertex (incident edges first, then the
     vertex — delete_executor.rs:109-129), then count the survivors."""
@@ -820,6 +847,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w2_sessionize": _q_sessionize,
         "w3_window_rank": _q_window_rank,
         "w7_running_totals": _q_running_totals,
+        "w8_durable_graph": _q_durable_roundtrip,
         # temporal joins (declared capabilities — SURVEY.md §2.3 absent kinds)
         "r1_range_join": _q_range_join,
         "r2_asof_join": _q_asof_join,
@@ -1203,6 +1231,13 @@ def oracle_sql() -> dict[str, str]:
             "avg(l_extendedprice) AS avg_price, count(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
         "w4_dml_pipeline": pre + (
+            ", p2 AS (SELECT city, age FROM person "
+            "UNION ALL SELECT 'NYC', 200) "
+            "SELECT city, count(*) AS cnt, "
+            "CAST(sum(CASE WHEN age >= 70 THEN age + 10 ELSE age END) "
+            "AS BIGINT) AS total FROM p2 GROUP BY city ORDER BY city"),
+        # same readback as w4 — the storage round-trip must be invisible
+        "w8_durable_graph": pre + (
             ", p2 AS (SELECT city, age FROM person "
             "UNION ALL SELECT 'NYC', 200) "
             "SELECT city, count(*) AS cnt, "

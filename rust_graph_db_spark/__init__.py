@@ -24,10 +24,14 @@ from rust_graph_db_spark.functions.scalar import (
 )
 from rust_graph_db_spark.model import PropertyGraph, pack_graphid, unpack_labid, unpack_locid
 from rust_graph_db_spark.session import get_spark
+from rust_graph_db_spark.storage import CommitConflict, load_graph, save_graph
 
 __all__ = [
+    "CommitConflict",
     "PropertyGraph",
     "get_spark",
+    "load_graph",
+    "save_graph",
     "pack_graphid",
     "register_cypher_function",
     "unpack_labid",

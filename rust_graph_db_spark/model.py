@@ -226,6 +226,22 @@ class PropertyGraph:
 
     # ------------------------------------------------------------------ persist
 
+    def save(self, root: str) -> int:
+        """Atomic, versioned commit of this graph (and any session DML)
+        to a durable store — see ``rust_graph_db_spark.storage``.
+        Returns the committed version."""
+        from rust_graph_db_spark.storage import save_graph
+
+        return save_graph(self, root)
+
+    @classmethod
+    def load(cls, spark: SparkSession, root: str,
+             version: Optional[int] = None) -> "PropertyGraph":
+        """Open a committed snapshot (latest, or pinned ``version``)."""
+        from rust_graph_db_spark.storage import load_graph
+
+        return load_graph(spark, root, version)
+
     def write_parquet(self, base_path: str, mode: str = "overwrite") -> None:
         """Persist per-label datasets — label pruning at rest: a scan of
         one label touches one directory."""
