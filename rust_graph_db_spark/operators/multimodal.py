@@ -2,11 +2,21 @@
 
 Media ride through the engine as opaque ``BINARY`` columns with a typed
 metadata struct — the Spark-side contract (schema, Arrow batching,
-partition sizing) is real and tested; the codec calls themselves are
-STUBBED (this container ships no image/audio libraries) behind
-``_decode_image_impl`` etc., which raise NotImplementedError unless
-``deterministic_fake=True`` — the fake derives pixel/sample stats from a
-hash of the bytes so tests exercise the full Arrow round-trip.
+partition sizing) is real and tested. Codecs resolve at worker time
+behind optional imports (VERDICT r1 #7):
+
+- image: PIL (Pillow) when importable;
+- audio: soundfile when importable, else the stdlib ``wave`` module for
+  RIFF/WAVE payloads (always available — a real, in-sandbox-testable
+  decode path);
+- video: pyav when importable.
+
+When no backend is importable the functions raise NotImplementedError
+unless ``deterministic_fake=True``, which derives stable pseudo-stats
+from a hash of the bytes so the full Arrow round-trip stays testable in
+codec-less environments (and keeps the driver oracle deterministic).
+With a real backend, objects that fail to parse are SKIPPED, not
+failed — at 100 TB some objects are always corrupt.
 
 Pattern: ``mapInPandas`` over an iterator of record batches — each
 Python worker sees pandas DataFrames of (id, content, meta) rows, never
@@ -17,12 +27,38 @@ a whole partition in memory; batch size is governed by
 from __future__ import annotations
 
 import hashlib
-from typing import Iterator
+import io
+from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+
+
+def _pil():
+    try:
+        from PIL import Image
+        return Image
+    except ImportError:
+        return None
+
+
+def _soundfile():
+    try:
+        import soundfile
+        return soundfile
+    except ImportError:
+        return None
+
+
+def _pyav():
+    try:
+        import av
+        return av
+    except ImportError:
+        return None
 
 MEDIA_SCHEMA = T.StructType([
     T.StructField("media_id", T.LongType()),
@@ -52,14 +88,10 @@ FRAME_SCHEMA = T.StructType([
 ])
 
 
-def _decode_image_impl(content: bytes, deterministic_fake: bool) -> dict:
-    """STUB — real impl would call PIL/libvips. The deterministic fake
-    derives stable pseudo-stats from sha256(content) so the Spark-side
-    plumbing (schema, batching, null handling) is fully testable."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image decoding requires an image library not present in "
-            "this environment; pass deterministic_fake=True for tests")
+def _fake_image_stats(content: bytes) -> dict:
+    """Deterministic fake: stable pseudo-stats from sha256(content) so
+    the Spark-side plumbing (schema, batching, null handling) is fully
+    testable without an image library."""
     h = hashlib.sha256(content or b"").digest()
     return {
         "width": 64 + h[0],
@@ -67,6 +99,42 @@ def _decode_image_impl(content: bytes, deterministic_fake: bool) -> dict:
         "mean_luma": h[2] / 255.0,
         "phash": int.from_bytes(h[8:16], "big", signed=True),
     }
+
+
+def _real_image_stats(Image, content: bytes) -> Optional[dict]:
+    """PIL decode → (width, height, mean luma in [0,1], 8×8 average
+    hash). Returns None for undecodable bytes (skip policy)."""
+    try:
+        img = Image.open(io.BytesIO(content))
+        img.load()
+    except Exception:
+        return None
+    gray = np.asarray(img.convert("L"), dtype=np.float64)
+    tiny = np.asarray(
+        img.convert("L").resize((8, 8), Image.BILINEAR), dtype=np.float64)
+    bits = (tiny > tiny.mean()).flatten()
+    phash = 0
+    for b in bits:
+        phash = (phash << 1) | int(b)
+    if phash >= 1 << 63:                      # to signed 64-bit
+        phash -= 1 << 64
+    return {
+        "width": img.width,
+        "height": img.height,
+        "mean_luma": float(gray.mean()) / 255.0,
+        "phash": phash,
+    }
+
+
+def _decode_image_impl(content: bytes, deterministic_fake: bool) -> Optional[dict]:
+    if deterministic_fake:
+        return _fake_image_stats(content)
+    Image = _pil()
+    if Image is None:
+        raise NotImplementedError(
+            "image decoding requires Pillow, which is not importable in "
+            "this environment; pass deterministic_fake=True for tests")
+    return _real_image_stats(Image, content)
 
 
 def extract_image_features(
@@ -83,6 +151,8 @@ def extract_image_features(
                 if content is None or len(content) == 0:
                     continue
                 f = _decode_image_impl(bytes(content), deterministic_fake)
+                if f is None:                 # undecodable object: skip
+                    continue
                 rows.append((mid, f["width"], f["height"],
                              f["mean_luma"], f["phash"]))
             yield pd.DataFrame(rows, columns=[
@@ -99,24 +169,43 @@ def sample_frames(
 ) -> DataFrame:
     """Frame-sample videos → one row per kept frame (exploded).
 
-    The fake emits ``max_frames`` hash-derived byte blobs; a real impl
-    would demux with pyav and honor ``every_n``."""
+    Real path (pyav importable): demux, keep every ``every_n``-th
+    decoded frame up to ``max_frames``, frame bytes = raw RGB ndarray.
+    Fake: ``max_frames``-bounded hash-derived blobs."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        av = None if deterministic_fake else _pyav()
+        if not deterministic_fake and av is None:
+            raise NotImplementedError(
+                "video demux requires pyav, which is not importable in "
+                "this environment; pass deterministic_fake=True for tests")
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None:
                     continue
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "video demux requires pyav; pass "
-                        "deterministic_fake=True for tests")
-                h = hashlib.sha256(bytes(content)).digest()
-                n = min(max_frames, 1 + h[0] % max_frames)
-                for i in range(n):
-                    rows.append((mid, i * every_n,
-                                 hashlib.sha256(h + bytes([i])).digest()))
+                if deterministic_fake:
+                    h = hashlib.sha256(bytes(content)).digest()
+                    n = min(max_frames, 1 + h[0] % max_frames)
+                    for i in range(n):
+                        rows.append((mid, i * every_n,
+                                     hashlib.sha256(h + bytes([i])).digest()))
+                    continue
+                try:
+                    with av.open(io.BytesIO(bytes(content))) as container:
+                        kept = 0
+                        for idx, frame in enumerate(
+                                container.decode(video=0)):
+                            if idx % every_n:
+                                continue
+                            rows.append((
+                                mid, idx,
+                                frame.to_ndarray(format="rgb24").tobytes()))
+                            kept += 1
+                            if kept >= max_frames:
+                                break
+                except Exception:
+                    continue                  # undemuxable object: skip
             yield pd.DataFrame(rows, columns=["media_id", "frame_idx", "frame"])
 
     return (media.where(F.col("media_type") == "video")
@@ -144,26 +233,36 @@ def resize_images(
     media: DataFrame, width: int, height: int,
     deterministic_fake: bool = False,
 ) -> DataFrame:
-    """Resize each image to (width, height) — STUB codec, real plumbing.
+    """Resize each image to (width, height).
 
-    The fake emits a hash-derived blob whose length scales with the
-    target area, so batch-size / memory behavior downstream is
-    realistic. Real impl: PIL thumbnail + re-encode inside the same
-    mapInPandas loop."""
+    Real path (Pillow importable): decode → bilinear resize → re-encode
+    PNG inside the same mapInPandas loop. Fake: a hash-derived blob
+    whose length scales with the target area, so batch-size / memory
+    behavior downstream stays realistic."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if deterministic_fake else _pil()
+        if not deterministic_fake and Image is None:
+            raise NotImplementedError(
+                "image resize requires Pillow, which is not importable in "
+                "this environment; pass deterministic_fake=True for tests")
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None or len(content) == 0:
                     continue
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "image resize requires an image library not present "
-                        "in this environment; pass deterministic_fake=True")
-                h = hashlib.sha256(bytes(content)).digest()
-                blob = (h * (1 + (width * height) // len(h)))[: width * height // 16]
-                rows.append((mid, width, height, blob))
+                if deterministic_fake:
+                    h = hashlib.sha256(bytes(content)).digest()
+                    blob = (h * (1 + (width * height) // len(h)))[: width * height // 16]
+                    rows.append((mid, width, height, blob))
+                    continue
+                try:
+                    img = Image.open(io.BytesIO(bytes(content)))
+                    out = io.BytesIO()
+                    img.resize((width, height), Image.BILINEAR).save(out, "PNG")
+                except Exception:
+                    continue                  # undecodable object: skip
+                rows.append((mid, width, height, out.getvalue()))
             yield pd.DataFrame(rows, columns=[
                 "media_id", "width", "height", "content"])
 
@@ -172,32 +271,73 @@ def resize_images(
             .mapInPandas(run, RESIZED_SCHEMA))
 
 
+def _decode_audio_real(sf, content: bytes) -> Optional[tuple]:
+    """(sample_rate, duration_ms, rms, zero_crossings) via soundfile if
+    available, else stdlib wave (WAV only). None = unparseable."""
+    samples = None
+    rate = None
+    if sf is not None:
+        try:
+            data, rate = sf.read(io.BytesIO(content), dtype="float64",
+                                 always_2d=True)
+            samples = data.mean(axis=1)       # downmix
+        except Exception:
+            samples = None
+    if samples is None:
+        try:
+            import wave
+
+            with wave.open(io.BytesIO(content), "rb") as w:
+                rate = w.getframerate()
+                width = w.getsampwidth()
+                nch = w.getnchannels()
+                raw = w.readframes(w.getnframes())
+            dt = {1: np.int8, 2: np.int16, 4: np.int32}.get(width)
+            if dt is None or rate <= 0:
+                return None
+            pcm = np.frombuffer(raw, dtype=dt).astype(np.float64)
+            if nch > 1:
+                pcm = pcm.reshape(-1, nch).mean(axis=1)
+            samples = pcm / float(1 << (8 * width - 1))
+        except Exception:
+            return None
+    if len(samples) == 0:
+        return None
+    rms = float(np.sqrt((samples ** 2).mean()))
+    zc = int(np.count_nonzero(np.diff(np.signbit(samples))))
+    return (int(rate), int(len(samples) * 1000 // rate), rms, zc)
+
+
 def extract_audio_features(
     media: DataFrame, deterministic_fake: bool = False,
 ) -> DataFrame:
     """Decode + feature-extract audio (rms energy, zero-crossing count)
-    over Arrow-batched mapInPandas — STUB codec (real impl: soundfile /
-    ffmpeg demux), deterministic fake derives stats from the content
-    hash so the full pipeline is testable."""
+    over Arrow-batched mapInPandas. Real codecs: soundfile when
+    importable, else stdlib ``wave`` for RIFF/WAVE payloads; the
+    deterministic fake derives stats from the content hash for
+    codec-less testing."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        sf = None if deterministic_fake else _soundfile()
         for pdf in batches:
             rows = []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 if content is None or len(content) == 0:
                     continue
-                if not deterministic_fake:
-                    raise NotImplementedError(
-                        "audio decoding requires an audio library not present "
-                        "in this environment; pass deterministic_fake=True")
-                h = hashlib.sha256(bytes(content)).digest()
-                rows.append((
-                    mid,
-                    8000 * (1 + h[3] % 6),
-                    int.from_bytes(h[4:6], "big") + 100,
-                    h[6] / 255.0,
-                    int.from_bytes(h[16:20], "big") % 100_000,
-                ))
+                if deterministic_fake:
+                    h = hashlib.sha256(bytes(content)).digest()
+                    rows.append((
+                        mid,
+                        8000 * (1 + h[3] % 6),
+                        int.from_bytes(h[4:6], "big") + 100,
+                        h[6] / 255.0,
+                        int.from_bytes(h[16:20], "big") % 100_000,
+                    ))
+                    continue
+                decoded = _decode_audio_real(sf, bytes(content))
+                if decoded is None:           # unparseable object: skip
+                    continue
+                rows.append((mid,) + decoded)
             yield pd.DataFrame(rows, columns=[
                 "media_id", "sample_rate", "duration_ms", "rms",
                 "zero_crossings"])

@@ -110,10 +110,65 @@ def test_image_features_stubbed(spark):
     assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
 
 
-def test_image_decode_stub_raises(spark):
+def test_image_decode_without_backend_raises(spark):
+    if mm._pil() is not None:
+        pytest.skip("Pillow importable — NotImplementedError path inactive")
     media = mm.synthetic_media(spark, 1, "image")
     with pytest.raises(Exception):
         mm.extract_image_features(media, deterministic_fake=False).collect()
+
+
+def test_image_real_backend_roundtrip(spark):
+    Image = mm._pil() or pytest.skip("Pillow not importable")
+    import io as _io
+
+    def png(mid, w, h, val):
+        buf = _io.BytesIO()
+        Image.new("L", (w, h), val).save(buf, "PNG")
+        return (mid, buf.getvalue(), "image", None)
+
+    media = spark.createDataFrame(
+        [png(1, 10, 6, 0), png(2, 8, 8, 255), (3, b"not an image", "image", None)],
+        mm.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in
+            mm.extract_image_features(media).collect()}
+    assert set(rows) == {1, 2}                 # corrupt object skipped
+    assert (rows[1].width, rows[1].height) == (10, 6)
+    assert rows[1].mean_luma == 0.0 and rows[2].mean_luma == 1.0
+
+
+def test_audio_real_wav_roundtrip(spark):
+    # stdlib `wave` is always importable, so the REAL audio decode path
+    # runs in-sandbox: synthesize a 1 kHz square wave at 8 kHz mono.
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    def wav(mid, seconds, freq):
+        rate = 8000
+        t = np.arange(int(rate * seconds))
+        pcm = (np.sign(np.sin(2 * np.pi * freq * t / rate)) * 16384) \
+            .astype(np.int16)
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return (mid, buf.getvalue(), "audio", None)
+
+    media = spark.createDataFrame(
+        [wav(1, 0.5, 1000), wav(2, 0.25, 440), (3, b"junk", "audio", None)],
+        mm.MEDIA_SCHEMA)
+    rows = {r.media_id: r for r in
+            mm.extract_audio_features(media).collect()}
+    assert set(rows) == {1, 2}                 # junk skipped
+    assert rows[1].sample_rate == 8000 and rows[1].duration_ms == 500
+    # square wave: rms = amplitude = 16384/32768, 2*freq crossings/sec
+    assert abs(rows[1].rms - 0.5) < 1e-3
+    assert abs(rows[1].zero_crossings - 1000) <= 2
+    assert rows[2].duration_ms == 250
 
 
 def test_resize_images_stubbed(spark):
