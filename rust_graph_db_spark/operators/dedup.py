@@ -473,13 +473,17 @@ def simhash_table(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     toks = spread(df).select(F.col(id_col).alias("id"),
                              F.explode(tokens(F.col(text_col))).alias("t"))
     h = toks.select("id", F.xxhash64("t").alias("h"))
+    # per-bit POPCOUNTS, not ±1 sums: sum(getbit) is a branch-free
+    # aggregate (≈half the generated code of a when/otherwise sum, which
+    # is what dominates this operator's first-run Janino compile), and
+    # the ±1 sign test (#1s - #0s > 0) is equivalently 2·s_i > n.
     sums = h.groupBy("id").agg(
-        *[F.sum(F.when(F.getbit("h", F.lit(i)) == 1, 1).otherwise(-1))
-           .alias(f"s{i}") for i in range(64)])
-    low63 = sum(F.when(F.col(f"s{i}") > 0,
-                       F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
-                for i in range(63))
-    sign = F.when(F.col("s63") > 0,
+        F.count(F.lit(1)).alias("n"),
+        *[F.sum(F.getbit("h", F.lit(i))).alias(f"s{i}") for i in range(64)])
+    bit = [F.col(f"s{i}") * 2 > F.col("n") for i in range(64)]
+    low63 = sum(F.when(bit[i], F.lit(1 << i).cast("long"))
+                 .otherwise(F.lit(0).cast("long")) for i in range(63))
+    sign = F.when(bit[63],
                   F.lit(-9223372036854775808)).otherwise(F.lit(0).cast("long"))
     return sums.select("id", (low63 + sign).alias("sim"))
 
