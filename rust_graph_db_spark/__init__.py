@@ -16,7 +16,7 @@ SURVEY.md), re-expressed Spark-first:
 Entry points mirror the reference's three surfaces (SURVEY.md §3):
   1. ``PropertyGraph.cypher("MATCH ...")``  — query-string surface
   2. ``PropertyGraph`` verbs + ``operators.*``  — programmatic surface
-  3. (REST veneer intentionally out of scope; the library is the engine)
+  3. ``api.serve(spark)``  — the reference's 17-route social REST API
 """
 
 from rust_graph_db_spark.functions.scalar import (
