@@ -353,6 +353,20 @@ def _q_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "chk STRING, ok BIGINT")
 
 
+def _q_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN join (window rank over the scored pair set) for the
+    first 50 query vectors — the oracle-checkable baseline of
+    knn_join_lsh (which is invariant-tested in pytest)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import knn_join
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = knn_join(emb.where(F.col("vec_id") < 50), emb, k=3)
+    return out.select("qid", "nid", F.round("cos", 6).alias("cos"),
+                      F.col("rank").cast("long").alias("rank"))
+
+
 def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal audio path: bytes → stubbed decode → (rate, duration,
     rms, zero-crossings) via Arrow-batched mapInPandas."""
@@ -862,6 +876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e2_cosine_pairs": _q_cosine_pairs,
         "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,
         "e4_ivf_topk": _q_ivf_topk,
+        "e5_knn_join": _q_knn_join,
         # --------- queries below were verified green in CORRECTNESS_r01.json
         # S1/P3: label scan + WHERE filter
         "s1_scan_filter": _q_cypher_knows(
@@ -1402,6 +1417,16 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.45"),
+        "e5_knn_join": (
+            "SELECT qid, nid, round(cos, 6) AS cos, rank FROM ("
+            "SELECT a.vec_id AS qid, b.vec_id AS nid, "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) AS cos, "
+            "row_number() OVER (PARTITION BY a.vec_id ORDER BY "
+            "list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id) AS rank "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id <> b.vec_id "
+            "WHERE a.vec_id < 50) WHERE rank <= 3"),
         # Structural audits for the approximate operators (VERDICT r1
         # #3): the Spark query computes the invariant battery (subset-
         # of-exact / completeness / recall floor / error envelope) and

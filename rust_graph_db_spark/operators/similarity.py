@@ -306,8 +306,8 @@ def knn_join(
 ) -> DataFrame:
     """For every left vector, its k nearest right vectors by cosine.
 
-    Window rank over the cross join — exact; at scale, pre-bucket both
-    sides with lsh_bucket and rank within buckets.
+    Window rank over the cross join — exact baseline/oracle; use
+    ``knn_join_lsh`` at scale.
     """
     from pyspark.sql import Window
 
@@ -315,6 +315,47 @@ def knn_join(
     b = right.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     scored = (a.crossJoin(b).where(F.col("qid") != F.col("nid"))
                .withColumn("cos", cosine(F.col("qv"), F.col("nv"))))
+    w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("qid", "nid", "cos", "rank"))
+
+
+def knn_join_lsh(
+    left: DataFrame, right: DataFrame, k: int = 5, dim: int = 64,
+    planes: int = 8, tables: int = 8,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Approximate k-NN join — the scale path for ``knn_join``:
+    hyperplane-LSH bucket BOTH sides, generate candidates per
+    (table, bucket), exact-re-score and rank within candidates.
+
+    Shuffle discipline matches ``lsh_cosine_pairs``: the bucket join
+    carries only (id, tbl, bucket) triples; embeddings join back by id
+    AFTER candidate dedup, so the corpus-wide shuffle never carries
+    vectors. Returned scores are exact cosines (precision 1 on what it
+    returns); recall is the LSH collision probability — more ``tables``
+    buys recall linearly in cost. Candidate skew (a hot bucket) is
+    bounded by 2^planes bucket granularity; raise ``planes`` to shrink
+    buckets before raising ``tables``.
+    """
+    buckets = lsh_buckets_udf(dim, planes, tables)
+    qtag = (left.select(F.col(id_col).alias("qid"),
+                        F.posexplode(buckets(F.col(vec_col)))
+                         .alias("tbl", "bucket")))
+    ntag = (right.select(F.col(id_col).alias("nid"),
+                         F.posexplode(buckets(F.col(vec_col)))
+                          .alias("tbl", "bucket")))
+    cand = (qtag.join(ntag, ["tbl", "bucket"])
+            .where(F.col("qid") != F.col("nid"))
+            .select("qid", "nid").dropDuplicates(["qid", "nid"]))
+    hint = F.broadcast if right.count() <= 500_000 else (lambda d: d)
+    qv = left.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    nv = right.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (cand.join(hint(qv), "qid").join(hint(nv), "nid")
+              .withColumn("cos", cosine_batch()(F.col("qv"), F.col("nv"))))
+    from pyspark.sql import Window
+
     w = Window.partitionBy("qid").orderBy(F.col("cos").desc(), F.col("nid").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)

@@ -160,6 +160,49 @@ def save_graph(graph: PropertyGraph, root: str) -> int:
     return version
 
 
+def vacuum(root: str, keep_last: int = 2) -> list[str]:
+    """Drop manifests and data older than the newest ``keep_last``
+    versions; returns the deleted paths. Per-label data dirs referenced
+    by ANY kept manifest survive (incremental commits reuse old
+    versions' paths, so retention is by reference, not by directory
+    age — the Delta VACUUM discipline). The current ``_LATEST`` version
+    is always kept."""
+    import shutil
+
+    latest = current_version(root)
+    if latest is None:
+        return []
+    manifests = history(root)
+    versions = [m["version"] for m in manifests]
+    kept = set(sorted(versions)[-max(1, int(keep_last)):]) | {latest}
+    referenced = set()
+    for m in manifests:
+        if m["version"] in kept:
+            referenced.update(m["vertices"].values())
+            referenced.update(m["edges"].values())
+    deleted = []
+    for m in manifests:
+        if m["version"] in kept:
+            continue
+        for rel in list(m["vertices"].values()) + list(m["edges"].values()):
+            full = os.path.join(root, rel)
+            if rel not in referenced and os.path.isdir(full):
+                shutil.rmtree(full)
+                deleted.append(rel)
+        mpath = _manifest_path(root, m["version"])
+        os.remove(mpath)
+        deleted.append(os.path.relpath(mpath, root))
+    # prune now-empty data/v* shells
+    ddir = os.path.join(root, "data")
+    if os.path.isdir(ddir):
+        for v in os.listdir(ddir):
+            for sub in ("vertices", "edges", ""):
+                p = os.path.join(ddir, v, sub) if sub else os.path.join(ddir, v)
+                if os.path.isdir(p) and not os.listdir(p):
+                    os.rmdir(p)
+    return deleted
+
+
 def load_graph(spark: SparkSession, root: str,
                version: Optional[int] = None) -> PropertyGraph:
     """Open a committed snapshot (latest, or a pinned ``version`` for

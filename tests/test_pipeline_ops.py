@@ -189,3 +189,32 @@ def test_knn_join(emb):
     for v in by_q.values():
         coss = [r.cos for r in sorted(v, key=lambda r: r.rank)]
         assert coss == sorted(coss, reverse=True)
+
+
+def test_knn_join_lsh_recall_and_precision(emb):
+    sub = emb.limit(40)
+    exact = {(r.qid, r.nid) for r in
+             similarity.knn_join(sub, sub, k=3).collect()}
+    # sf0.001 embeddings are near-uniform — the adversarial case for
+    # LSH (nearest-neighbor cosines sit barely above random, so band
+    # collision probability is low). 4 planes / 16 tables gives
+    # predicted recall ≈ 1-(1-p^4)^16 ≈ 0.89 at cos 0.3; on clustered
+    # real-world embeddings the default 8/8 is the right trade.
+    appr = similarity.knn_join_lsh(sub, sub, k=3, dim=64,
+                                   planes=4, tables=16).collect()
+    got = {(r.qid, r.nid) for r in appr}
+    # precision on scores: every returned cosine is the exact value
+    ex_cos = {(r.qid, r.nid): r.cos for r in
+              similarity.knn_join(sub, sub, k=40).collect()}
+    for r in appr:
+        assert abs(r.cos - ex_cos[(r.qid, r.nid)]) < 1e-6
+    # recall: a healthy share of the true 3-NN pairs survive bucketing
+    assert len(got & exact) >= 0.5 * len(exact)
+    # per-query at most k rows, rank-ordered
+    by_q = {}
+    for r in appr:
+        by_q.setdefault(r.qid, []).append(r)
+    for v in by_q.values():
+        assert len(v) <= 3
+        coss = [r.cos for r in sorted(v, key=lambda r: r.rank)]
+        assert coss == sorted(coss, reverse=True)

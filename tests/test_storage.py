@@ -118,6 +118,33 @@ def test_failed_stage_leaves_store_untouched(spark, tmp_path):
     assert load_graph(spark, root).vertex_frame("Person").count() == 3
 
 
+def test_vacuum_respects_references(spark, tmp_path):
+    from rust_graph_db_spark.storage import vacuum
+
+    root = str(tmp_path / "store")
+    g = _small_graph(spark)
+    save_graph(g, root)                                    # v1
+    g2 = load_graph(spark, root)
+    g2.cypher("MATCH (p:Person {name:'A'}) SET p.age = 1").collect()
+    save_graph(g2, root)                                   # v2: KNOWS reused from v1
+    g3 = load_graph(spark, root)
+    g3.cypher("MATCH (p:Person {name:'B'}) SET p.age = 2").collect()
+    save_graph(g3, root)                                   # v3: KNOWS still v1's
+
+    deleted = vacuum(root, keep_last=1)
+    # v1's Person data + old manifests dropped; v1's KNOWS dir SURVIVES
+    # because v3's manifest still references it
+    assert any("v000001/vertices/Person" in d for d in deleted)
+    assert not any("KNOWS" in d for d in deleted)
+    assert [m["version"] for m in history(root)] == [3]
+    g4 = load_graph(spark, root)
+    assert {(r.name, r.age) for r in g4.vertex_frame("Person").collect()} \
+        == {("A", 1), ("B", 2), ("C", 50)}
+    assert g4.edge_frame("KNOWS").count() == 2
+    with pytest.raises(FileNotFoundError):
+        load_graph(spark, root, version=1)
+
+
 def test_counters_and_labids_roundtrip(spark, tmp_path):
     root = str(tmp_path / "store")
     g = PropertyGraph(spark, "t")
