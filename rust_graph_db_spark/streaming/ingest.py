@@ -25,6 +25,7 @@ def stream_vertex_upserts(
     id_col: str = "id",
     checkpoint: Optional[str] = None,
     trigger_available_now: bool = True,
+    commit_root: Optional[str] = None,
 ):
     """Apply a stream of vertex rows as per-micro-batch upserts.
 
@@ -32,6 +33,13 @@ def stream_vertex_upserts(
     WHEN MATCHED UPDATE / WHEN NOT MATCHED INSERT dataflow). Returns the
     StreamingQuery; with trigger_available_now the call drains the
     source and stops (use for tests/backfills).
+
+    ``commit_root`` makes ingestion DURABLE: every micro-batch ends in
+    one atomic ``storage.save_graph`` commit, so readers only ever see
+    whole batches. Combined with the streaming ``checkpoint`` this is
+    the standard exactly-once-effect recipe: on restart the source
+    replays from the last checkpointed offset and the id-keyed MERGE
+    re-applies idempotently.
     """
     g.label_id(label)
 
@@ -46,6 +54,10 @@ def stream_vertex_upserts(
         else:
             g._vertices[label] = batch.withColumnRenamed(id_col, "id") \
                                       .localCheckpoint(eager=True)
+        if commit_root is not None:
+            from rust_graph_db_spark.storage import save_graph
+
+            save_graph(g, commit_root)
 
     writer = stream.writeStream.foreachBatch(upsert).outputMode("update")
     if checkpoint:
@@ -60,9 +72,11 @@ def stream_edge_upserts(
     id_col: str = "id",
     checkpoint: Optional[str] = None,
     trigger_available_now: bool = True,
+    commit_root: Optional[str] = None,
 ):
     """Edge-stream variant of stream_vertex_upserts (same MERGE shape,
-    keyed on edge id; src/dst must be packed graph ids)."""
+    keyed on edge id; src/dst must be packed graph ids; same
+    ``commit_root`` per-batch durability)."""
     g.label_id(label)
 
     def upsert(batch: DataFrame, _batch_id: int) -> None:
@@ -74,6 +88,10 @@ def stream_edge_upserts(
                 b, allowMissingColumns=True).localCheckpoint(eager=True)
         else:
             g._edges[label] = b.localCheckpoint(eager=True)
+        if commit_root is not None:
+            from rust_graph_db_spark.storage import save_graph
+
+            save_graph(g, commit_root)
 
     writer = stream.writeStream.foreachBatch(upsert).outputMode("update")
     if checkpoint:
