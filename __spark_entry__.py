@@ -877,6 +877,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,
         "e4_ivf_topk": _q_ivf_topk,
         "e5_knn_join": _q_knn_join,
+        # r2-touched implementations (32/8 LSH + star-round components;
+        # codec-gated multimodal): keep inside the verification window
+        # so their r01 rows don't go stale
+        "g7_dup_clusters": _q_dup_clusters,
+        "m1_image_features": _q_image_features,
+        "m2_audio_features": _q_audio_features,
+        "m3_frame_sample": _q_frame_sample,
         # --------- queries below were verified green in CORRECTNESS_r01.json
         # S1/P3: label scan + WHERE filter
         "s1_scan_filter": _q_cypher_knows(
@@ -987,7 +994,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # G1 weighted: Bellman-Ford SSSP over a cost DAG
         "g2_weighted_sssp": _q_weighted_sssp,
         # whole-graph analytics (GraphX-parity extensions)
-        "g7_dup_clusters": _q_dup_clusters,
         "g8_pagerank": _q_pagerank,
         "g9_degrees": _q_degrees,
         "g10_triangles": _q_triangles,
@@ -1032,10 +1038,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # S14: seeded synthetic graph generator
         "s14_generator_grid": _q_generator_grid,
         "s15_generator_tree": _q_generator_tree,
-        # multimodal: binary columns + Arrow-batched feature extraction
-        "m1_image_features": _q_image_features,
-        "m2_audio_features": _q_audio_features,
-        "m3_frame_sample": _q_frame_sample,
     }
 
 
