@@ -244,7 +244,13 @@ class PropertyGraph:
 
     def write_parquet(self, base_path: str, mode: str = "overwrite") -> None:
         """Persist per-label datasets — label pruning at rest: a scan of
-        one label touches one directory."""
+        one label touches one directory.
+
+        NOTE: bare datasets, no catalog — ``read_parquet`` re-derives
+        label ids from directory order, which is only correct when
+        labels were registered alphabetically. For durable storage use
+        ``save``/``load`` (storage.py): manifest-preserved catalog,
+        atomic commits, snapshot isolation."""
         for label, df in self._vertices.items():
             df.write.mode(mode).parquet(f"{base_path}/vertices/{label}")
         for label, df in self._edges.items():

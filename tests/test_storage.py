@@ -7,6 +7,7 @@ src/storage/transaction.rs:25-53 (WriteBatch commit), 399-438
 import os
 
 import pytest
+from hypothesis import HealthCheck, given, settings, strategies as st
 from pyspark.sql import functions as F
 
 from rust_graph_db_spark.model import PropertyGraph, unpack_locid
@@ -143,6 +144,48 @@ def test_vacuum_respects_references(spark, tmp_path):
     assert g4.edge_frame("KNOWS").count() == 2
     with pytest.raises(FileNotFoundError):
         load_graph(spark, root, version=1)
+
+
+@settings(max_examples=5, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(st.data())
+def test_random_dml_survives_commits(spark, tmp_path_factory, data):
+    """Random SET/CREATE sequences with interleaved commit+reload
+    checkpoints stay in lockstep with a Python model — the WriteBatch/
+    commit semantics hold under arbitrary interleaving."""
+    root = str(tmp_path_factory.mktemp("prop") / "store")
+    g = _small_graph(spark)
+    model = {"A": 30, "B": 40, "C": 50}
+    next_new = [0]
+
+    n_ops = data.draw(st.integers(min_value=1, max_value=4), label="n_ops")
+    for _ in range(n_ops):
+        kind = data.draw(st.sampled_from(["set", "create", "commit"]),
+                         label="op")
+        if kind == "set":
+            name = data.draw(st.sampled_from(sorted(model)), label="who")
+            delta = data.draw(st.integers(min_value=-5, max_value=5),
+                              label="delta")
+            g.cypher(f"MATCH (p:Person {{name: '{name}'}}) "
+                     f"SET p.age = p.age + {delta}").collect()
+            model[name] += delta
+        elif kind == "create":
+            name = f"N{next_new[0]}"
+            next_new[0] += 1
+            age = data.draw(st.integers(min_value=0, max_value=99),
+                            label="age")
+            g.cypher(f"CREATE (p:Person {{name: '{name}', age: {age}}})") \
+                .collect()
+            model[name] = age
+        else:
+            save_graph(g, root)
+            g = load_graph(spark, root)
+
+    save_graph(g, root)
+    final = load_graph(spark, root)
+    got = {r.name: r.age for r in final.vertex_frame("Person").collect()}
+    assert got == model
+    assert final.edge_frame("KNOWS").count() == 2
 
 
 def test_counters_and_labids_roundtrip(spark, tmp_path):
