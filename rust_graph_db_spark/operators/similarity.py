@@ -300,6 +300,53 @@ def ivf_topk(
             .orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k))
 
 
+def ivf_write(
+    emb: DataFrame, path: str, n_centroids: int = 16,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    centroids: Optional[np.ndarray] = None,
+) -> np.ndarray:
+    """Materialize the IVF index at rest: the corpus written
+    ``partitionBy("cluster")`` (each inverted list IS a parquet
+    partition directory) plus the centroid matrix as JSON metadata.
+    Returns the centroids. At 100 TB this is a one-off re-layout; all
+    subsequent probes are partition-pruned scans."""
+    import json
+    import os
+
+    if centroids is None:
+        centroids = ivf_centroids(emb, n_centroids, id_col, vec_col)
+    assigned = ivf_assign(emb, centroids, id_col, vec_col)
+    assigned.write.mode("overwrite").partitionBy("cluster").parquet(path)
+    with open(os.path.join(path, "_centroids.json"), "w") as f:
+        json.dump([[float(x) for x in row] for row in centroids], f)
+    return centroids
+
+
+def ivf_topk_stored(
+    spark, path: str, query_vec: Sequence[float], k: int = 10,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Probe a stored IVF index (``ivf_write`` layout): the nprobe
+    nearest lists become a ``cluster IN (...)`` filter that Spark
+    resolves as PARTITION PRUNING — unprobed inverted lists are never
+    read from disk (the plan's PartitionFilters carry the IN list).
+    Exact cosine re-score within the probed lists, as in ``ivf_topk``.
+    """
+    import json
+    import os
+
+    with open(os.path.join(path, "_centroids.json")) as f:
+        centroids = np.asarray(json.load(f), dtype=np.float64)
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    q /= np.linalg.norm(q) + 1e-12
+    probe = [int(c) for c in np.argsort(-(centroids @ q))[: max(1, int(nprobe))]]
+    corpus = spark.read.parquet(path).where(F.col("cluster").isin(probe))
+    qlit = _vec_lit([float(x) for x in q])
+    return (corpus
+            .select("id", cosine_batch()(F.col("embedding"), qlit).alias("cos"))
+            .orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k))
+
+
 def knn_join(
     left: DataFrame, right: DataFrame, k: int = 5,
     id_col: str = "vec_id", vec_col: str = "embedding",

@@ -180,6 +180,27 @@ def test_ivf_assign_partitions(emb):
     assert (C == C2).all()
 
 
+def test_ivf_stored_index_partition_pruning(emb, tmp_path):
+    path = str(tmp_path / "ivf_index")
+    C = similarity.ivf_write(emb, path, n_centroids=8)
+    qv = list(emb.where("vec_id = 0").first()["embedding"])
+
+    # stored probe == in-memory probe with the same quantizer
+    mem = [(r.id, round(r.cos, 9)) for r in
+           similarity.ivf_topk(emb, qv, k=10, n_centroids=8, nprobe=4,
+                               centroids=C).collect()]
+    spark = emb.sparkSession
+    stored = similarity.ivf_topk_stored(spark, path, qv, k=10, nprobe=4)
+    got = [(r.id, round(r.cos, 9)) for r in stored.collect()]
+    assert got == mem
+
+    # the cluster IN filter is resolved as partition pruning, so the
+    # scan's partition filters name `cluster` and unprobed lists are
+    # never read
+    plan = stored._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cluster" in plan
+
+
 def test_knn_join(emb):
     out = similarity.knn_join(emb.limit(30), emb.limit(30), k=3).collect()
     by_q = {}
