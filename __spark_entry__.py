@@ -262,6 +262,20 @@ def _q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(rows, "chk STRING, ok BIGINT")
 
 
+def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d5: embedding-cosine near-dup flags on the documents table (the
+    semantic dedup modality — exact pair join as the oracle baseline;
+    use_lsh=True is the scale path, invariant-tested in pytest)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.dedup import embedding_neardup_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = embedding_neardup_counts(docs, emb, threshold=0.45)
+    return out.select("doc_id", F.col("n_near").cast("long").alias("n_near"))
+
+
 def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -858,6 +872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash": _q_simhash,
+        "d5_embedding_neardup": _q_embedding_neardup,
         "t1_text_metrics": _q_text_metrics,
         "x1_follow_unfollow": _q_follow_unfollow,
         "x2_followers": _q_followers,
@@ -887,6 +902,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "m1_image_features": _q_image_features,
         "m2_audio_features": _q_audio_features,
         "m3_frame_sample": _q_frame_sample,
+        # CASE lookahead (parser.py) and literal-arg dispatch
+        # (functions/scalar.py) changed in r2 — these two exercise them
+        "p9_case_expr": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age % 10 = 0 "
+            "RETURN p.name AS name, "
+            "CASE WHEN p.age >= 60 THEN 'senior' WHEN p.age >= 30 THEN 'adult' "
+            "ELSE 'young' END AS bracket, "
+            "CASE p.city WHEN 'NYC' THEN 'big' WHEN 'LA' THEN 'big' "
+            "ELSE 'other' END AS sz"),
+        "p8_entity_funcs": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
+            "RETURN id(a) AS ida, array_join(labels(a), ',') AS la, "
+            "startNode(r) AS sn, endNode(r) AS en, b.name AS bn"),
         # --------- queries below were verified green in CORRECTNESS_r01.json
         # S1/P3: label scan + WHERE filter
         "s1_scan_filter": _q_cypher_knows(
@@ -967,19 +995,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "p7_graph_funcs": _q_cypher_knows(
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.name = 'Person3' "
             "RETURN type(r) AS t, b.name AS bn"),
-        # CASE expressions (searched + simple forms, engine extension)
-        "p9_case_expr": _q_cypher_knows(
-            "MATCH (p:Person) WHERE p.age % 10 = 0 "
-            "RETURN p.name AS name, "
-            "CASE WHEN p.age >= 60 THEN 'senior' WHEN p.age >= 30 THEN 'adult' "
-            "ELSE 'young' END AS bracket, "
-            "CASE p.city WHEN 'NYC' THEN 'big' WHEN 'LA' THEN 'big' "
-            "ELSE 'other' END AS sz"),
-        # §2.7 entity functions: id/labels/startNode/endNode (packed graphids)
-        "p8_entity_funcs": _q_cypher_knows(
-            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
-            "RETURN id(a) AS ida, array_join(labels(a), ',') AS la, "
-            "startNode(r) AS sn, endNode(r) AS en, b.name AS bn"),
         # G3: variable-length expansion 1..3 with path length
         "g3_vle": _q_cypher_knows(
             "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b:Person) "
@@ -1422,6 +1437,14 @@ def oracle_sql() -> dict[str, str]:
             "JOIN embeddings b ON a.vec_id < b.vec_id "
             "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
             "CAST(b.embedding AS DOUBLE[])) >= 0.45"),
+        "d5_embedding_neardup": (
+            "WITH p AS (SELECT a.vec_id AS i, b.vec_id AS j "
+            "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+            "WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), "
+            "CAST(b.embedding AS DOUBLE[])) >= 0.45), "
+            "ids AS (SELECT i AS k FROM p UNION ALL SELECT j FROM p) "
+            "SELECT d.doc_id, count(*) AS n_near FROM ids "
+            "JOIN documents d ON d.doc_id = ids.k GROUP BY d.doc_id"),
         "e5_knn_join": (
             "SELECT qid, nid, round(cos, 6) AS cos, rank FROM ("
             "SELECT a.vec_id AS qid, b.vec_id AS nid, "

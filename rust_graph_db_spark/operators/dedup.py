@@ -93,6 +93,38 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                    id_col, "left_semi")
 
 
+def embedding_neardup_counts(
+    docs: DataFrame, emb: DataFrame, threshold: float,
+    doc_id: str = "doc_id", vec_id: str = "vec_id",
+    vec_col: str = "embedding", use_lsh: bool = False,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate detection on a document table:
+    (doc_id, n_near) for every document with ≥1 neighbor at cosine ≥
+    threshold in the aligned embedding table.
+
+    The fifth dedup modality (exact digest / n-gram Jaccard / MinHash /
+    SimHash / embedding cosine): semantic near-dups that share no
+    surface n-grams (translations, paraphrases) only fall out of the
+    embedding space. ``use_lsh=True`` swaps the exact quadratic pair
+    join for hyperplane-LSH bucketing (``similarity.lsh_cosine_pairs``)
+    — the 100 TB path; output then UNDERCOUNTS at LSH recall, which is
+    the standard trade.
+    """
+    from rust_graph_db_spark.operators.similarity import (cosine_pairs,
+                                                          lsh_cosine_pairs)
+
+    pairs = (lsh_cosine_pairs(emb, threshold, dim=dim,
+                              id_col=vec_id, vec_col=vec_col)
+             if use_lsh else
+             cosine_pairs(emb, threshold, id_col=vec_id, vec_col=vec_col))
+    ids = (pairs.select(F.col("i").alias("k"))
+           .unionAll(pairs.select(F.col("j").alias("k"))))
+    counts = ids.groupBy("k").agg(F.count(F.lit(1)).alias("n_near"))
+    return (docs.join(counts, docs[doc_id] == F.col("k"))
+            .select(F.col(doc_id), F.col("n_near")))
+
+
 # ------------------------------------------------- exact n-gram Jaccard join
 
 def ngram_jaccard_pairs(

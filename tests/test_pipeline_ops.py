@@ -180,6 +180,21 @@ def test_ivf_assign_partitions(emb):
     assert (C == C2).all()
 
 
+def test_embedding_neardup_lsh_subset_of_exact(spark, emb):
+    from rust_graph_db_spark.operators import dedup
+
+    docs = emb.selectExpr("vec_id AS doc_id", "'x' AS text")
+    exact = {(r.doc_id, r.n_near) for r in dedup.embedding_neardup_counts(
+        docs, emb, 0.45).collect()}
+    lsh = {r.doc_id: r.n_near for r in dedup.embedding_neardup_counts(
+        docs, emb, 0.45, use_lsh=True).collect()}
+    exact_by_id = dict(exact)
+    # LSH flags a subset of the exact near-dup docs, never overcounts
+    assert set(lsh) <= set(exact_by_id)
+    assert all(lsh[k] <= exact_by_id[k] for k in lsh)
+    assert exact_by_id, "corpus should contain near-dup embeddings"
+
+
 def test_ivf_stored_index_partition_pruning(emb, tmp_path):
     path = str(tmp_path / "ivf_index")
     C = similarity.ivf_write(emb, path, n_centroids=8)
