@@ -222,3 +222,17 @@ def test_end_still_valid_variable(kg):
     rows = kg.cypher(
         "MATCH (end:Person {name:'Person3'}) RETURN end.age AS a").collect()
     assert rows[0]["a"] == 23
+
+
+def test_literal_arg_functions_dispatch(kg):
+    # sort_array / array_join route through F.call_function (their
+    # pyspark wrappers demand Python literals — functions/scalar.py
+    # _LITERAL_ARG_FUNCS); regexp_extract takes 3 Column args the same way
+    rows = kg.cypher(
+        "MATCH (p:Person {name:'Person3'}) "
+        "RETURN sort_array([3, 1, 2]) AS s, "
+        "array_join(['b', 'a'], '-') AS j, "
+        "regexp_extract(p.name, '([0-9]+)', 1) AS d").collect()
+    assert rows[0]["s"] == [1, 2, 3]
+    assert rows[0]["j"] == "b-a"
+    assert rows[0]["d"] == "3"

@@ -51,6 +51,26 @@ def test_asof_forward(trades, quotes):
     assert out == {1: 102, 2: None, 3: 101, 4: None}
 
 
+def test_asof_duplicate_right_ts_deterministic(spark):
+    # several right rows share the winning timestamp: the largest
+    # payload struct wins, identically on every run (advisor r1 #2)
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00:10"), "A")], "lid LONG, t TIMESTAMP, k STRING")
+    right = spark.createDataFrame(
+        [(7, ts("2024-01-01T10:00:05"), "A", 1.0),
+         (9, ts("2024-01-01T10:00:05"), "A", 1.0),
+         (8, ts("2024-01-01T10:00:05"), "A", 5.0)],
+        "rid LONG, t TIMESTAMP, k STRING, px DOUBLE")
+    for direction in ("backward", "forward"):
+        lt = left if direction == "backward" else left.withColumn(
+            "t", F.lit(ts("2024-01-01T10:00:01")).cast("timestamp"))
+        got = [asof_join(lt, right, on="k", left_ts="t",
+                         direction=direction).first()["rid"]
+               for _ in range(3)]
+        # struct order is field order (rid first): max rid = 9
+        assert got == [9, 9, 9], direction
+
+
 def test_asof_tolerance(trades, quotes):
     out = {r["trade_id"]: r["quote_id"]
            for r in asof_join(trades, quotes, on="sym", left_ts="t",
