@@ -433,6 +433,23 @@ def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(p.age) AS total ORDER BY city")
 
 
+def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W-series extension: MERGE upsert — ON MATCH mutates the existing
+    Person0, ON CREATE materializes a new node; readback aggregates
+    verify both branches took the right arm."""
+    from rust_graph_db_spark.graphs import knows_graph
+
+    g = knows_graph(spark, sf_dir)
+    g.cypher("MERGE (p:Person {name: 'Person0'}) "
+             "ON CREATE SET p.age = 1 "
+             "ON MATCH SET p.age = p.age + 100").collect()
+    g.cypher("MERGE (p:Person {name: 'PersonNew', city: 'NYC'}) "
+             "ON CREATE SET p.age = 33").collect()
+    return g.cypher(
+        "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
+        "sum(p.age) AS total ORDER BY city")
+
+
 def _q_durable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W7 durable transactions (VERDICT r1 #4): the session's DML is a
     WriteBatch (transaction.rs:25-53) and ``save`` is its atomic commit.
@@ -884,6 +901,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w3_window_rank": _q_window_rank,
         "w7_running_totals": _q_running_totals,
         "w8_durable_graph": _q_durable_roundtrip,
+        "w9_merge_upsert": _q_merge_upsert,
         # temporal joins (declared capabilities — SURVEY.md §2.3 absent kinds)
         "r1_range_join": _q_range_join,
         "r2_asof_join": _q_asof_join,
@@ -1275,6 +1293,12 @@ def oracle_sql() -> dict[str, str]:
             "SELECT city, count(*) AS cnt, "
             "CAST(sum(CASE WHEN age >= 70 THEN age + 10 ELSE age END) "
             "AS BIGINT) AS total FROM p2 GROUP BY city ORDER BY city"),
+        "w9_merge_upsert": pre + (
+            ", p2 AS (SELECT city, CASE WHEN name = 'Person0' "
+            "THEN age + 100 ELSE age END AS age FROM person "
+            "UNION ALL SELECT 'NYC', 33) "
+            "SELECT city, count(*) AS cnt, CAST(sum(age) AS BIGINT) AS total "
+            "FROM p2 GROUP BY city ORDER BY city"),
         # same readback as w4 — the storage round-trip must be invisible
         "w8_durable_graph": pre + (
             ", p2 AS (SELECT city, age FROM person "

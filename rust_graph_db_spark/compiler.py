@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
     AGGREGATE_FUNCS, Binary, CaseExpr, Create, Delete, FuncCall, InList,
-    IsNull, ListLit, Literal, MapLit, Match, NodePattern, OrderItem,
+    IsNull, ListLit, Literal, MapLit, Match, Merge, NodePattern, OrderItem,
     PathPattern, Prop, Query, RelPattern, Return, ReturnItem, SetClause,
     SetItem, Subscript, Unary, UnionQuery, Unwind, Var, With,
     contains_aggregate,
@@ -844,6 +844,10 @@ def compile_query(graph, query) -> DataFrame:
             ctx.env[clause.alias] = Binding("scalar", None, {"_value": clause.alias})
         elif isinstance(clause, Create):
             _apply_create(ctx, clause)
+        elif isinstance(clause, Merge):
+            from rust_graph_db_spark import dml
+
+            dml.apply_merge(ctx, clause)
         elif isinstance(clause, SetClause):
             _apply_set(ctx, clause)
         elif isinstance(clause, Delete):

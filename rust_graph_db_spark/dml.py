@@ -184,6 +184,59 @@ def apply_create(ctx, clause: Create) -> None:
     ctx.write_stats["created_edges"] = ctx.write_stats.get("created_edges", 0) + n_edges
 
 
+def apply_merge(ctx, clause) -> None:
+    """MERGE — engine extension (absent from the reference grammar,
+    cypher.pest): bind the node pattern when it exists, else create it,
+    then apply ON MATCH / ON CREATE SET respectively. Standalone
+    single-node form — the upsert primitive. The dataflow IS the
+    storage-MERGE body: probe by the literal property map, branch on
+    existence; on a Delta-backed deployment this maps to MERGE INTO
+    WHEN MATCHED / WHEN NOT MATCHED."""
+    from rust_graph_db_spark.compiler import _vertex_df
+    from rust_graph_db_spark.parser.ast_nodes import Create, SetClause
+
+    if ctx.df is not None:
+        raise CypherWriteError(
+            "MERGE is supported as a standalone (first) clause")
+    items = clause.pattern.items
+    if len(items) != 1:
+        raise CypherWriteError("MERGE supports single-node patterns")
+    node: NodePattern = items[0]
+    if node.label is None:
+        raise CypherWriteError("MERGE node requires a label")
+    var = node.var
+    props = _literal_props(node.props)
+
+    g = ctx.graph
+    n = 0
+    if node.label in g._vertices:
+        vf = g.vertex_frame(node.label)
+        cond = F.lit(True)
+        for k, c in props.items():
+            cond = (cond & F.col(k).eqNullSafe(c)) if k in vf.columns \
+                else F.lit(False)
+        n = vf.where(cond).count()
+
+    if n == 0:
+        apply_create(ctx, Create((clause.pattern,)))
+        if clause.on_create:
+            apply_set(ctx, SetClause(tuple(clause.on_create)))
+        ctx.write_stats["merge_created"] = \
+            ctx.write_stats.get("merge_created", 0) + 1
+    else:
+        bind_var = var or "_merge"
+        flat, binding = _vertex_df(ctx, bind_var, node.label)
+        for k, c in props.items():
+            flat = flat.where(F.col(binding.cols[k]).eqNullSafe(c))
+        ctx.df = flat
+        if var is not None:
+            ctx.env[var] = binding
+        if clause.on_match:
+            apply_set(ctx, SetClause(tuple(clause.on_match)))
+        ctx.write_stats["merge_matched"] = \
+            ctx.write_stats.get("merge_matched", 0) + n
+
+
 def apply_set(ctx, clause: SetClause) -> None:
     """SET n.prop = expr / SET n.a.b = expr over the matched rows.
 

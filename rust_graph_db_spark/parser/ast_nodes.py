@@ -194,6 +194,16 @@ class Create:
 
 
 @dataclass(frozen=True)
+class Merge:
+    """MERGE pattern [ON CREATE SET ...] [ON MATCH SET ...] — engine
+    extension (absent from the reference grammar, cypher.pest): bind
+    the pattern if it exists, atomically create it otherwise."""
+    pattern: "PathPattern"
+    on_create: tuple = ()   # SetItem tuple
+    on_match: tuple = ()    # SetItem tuple
+
+
+@dataclass(frozen=True)
 class SetItem:
     target: Prop
     value: Expr
@@ -210,7 +220,7 @@ class Delete:
     detach: bool = False
 
 
-Clause = Union[Match, With, Return, Unwind, Create, SetClause, Delete]
+Clause = Union[Match, With, Return, Unwind, Create, Merge, SetClause, Delete]
 
 
 @dataclass(frozen=True)

@@ -11,9 +11,9 @@ from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
-    Literal, MapLit, Match, NodePattern, OrderItem, PathPattern, Prop, Query,
-    RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript, Unary,
-    UnionQuery, Unwind, Var, With,
+    Literal, MapLit, Match, Merge, NodePattern, OrderItem, PathPattern, Prop,
+    Query, RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript,
+    Unary, UnionQuery, Unwind, Var, With,
 )
 
 
@@ -238,6 +238,8 @@ class Parser:
                 clauses.append(self._projection(Return))
             elif self.try_kw("CREATE"):
                 clauses.append(Create(tuple(self._pattern_list())))
+            elif self.try_word("MERGE"):        # contextual, like CASE
+                clauses.append(self._merge())
             elif self.try_kw("SET"):
                 clauses.append(self._set_clause())
             elif self.at_kw("DETACH"):
@@ -382,6 +384,9 @@ class Parser:
         return order_by, skip, limit
 
     def _set_clause(self) -> SetClause:
+        return SetClause(tuple(self._set_items()))
+
+    def _set_items(self) -> list:
         items = []
         while True:
             base = self.name()
@@ -396,7 +401,24 @@ class Parser:
             items.append(SetItem(target, self.expr()))
             if not self.try_punct(","):
                 break
-        return SetClause(tuple(items))
+        return items
+
+    def _merge(self) -> Merge:
+        pattern = self._path_pattern()
+        on_create: tuple = ()
+        on_match: tuple = ()
+        while self.at_word("ON"):
+            self.advance()
+            if self.try_kw("CREATE"):
+                self.eat_kw("SET")
+                on_create = tuple(self._set_items())
+            elif self.try_kw("MATCH"):
+                self.eat_kw("SET")
+                on_match = tuple(self._set_items())
+            else:
+                raise CypherSyntaxError(
+                    f"expected CREATE or MATCH after ON at {self.cur.pos}")
+        return Merge(pattern, on_create, on_match)
 
     def _delete(self, detach: bool) -> Delete:
         names = [self.name()]

@@ -97,3 +97,53 @@ def test_create_nested_props_and_nested_set(g):
     with pytest.raises(CypherWriteError):
         g.cypher("MATCH (p:Person {name:'Dana'}) "
                  "SET p.missing.x = 1").collect()
+
+
+# ------------------------------------------------------------------ MERGE
+
+def test_merge_creates_when_absent(g):
+    out = g.cypher("MERGE (p:Person {name: 'Dave'}) "
+                   "ON CREATE SET p.age = 50 ON MATCH SET p.age = 99 "
+                   "RETURN p.name AS n").collect()
+    assert [r["n"] for r in out] == ["Dave"]
+    rows = {r["name"]: r["age"] for r in g.vertex_frame("Person").collect()}
+    assert rows["Dave"] == 50                 # ON CREATE applied, not ON MATCH
+    assert len(rows) == 4
+
+
+def test_merge_binds_when_present(g):
+    g.cypher("MERGE (p:Person {name: 'Alice'}) "
+             "ON CREATE SET p.age = 1 ON MATCH SET p.age = p.age + 100") \
+        .collect()
+    rows = {r["name"]: r["age"] for r in g.vertex_frame("Person").collect()}
+    assert rows["Alice"] == 130               # ON MATCH read-modify-write
+    assert len(rows) == 3                     # nothing created
+
+
+def test_merge_idempotent(g):
+    for _ in range(3):
+        g.cypher("MERGE (p:Person {name: 'Eve', age: 20})").collect()
+    assert g.vertex_frame("Person").where("name = 'Eve'").count() == 1
+
+
+def test_merge_matches_on_full_property_map(g):
+    # same name, different age -> no match -> second node created
+    g.cypher("MERGE (p:Person {name: 'Alice', age: 31})").collect()
+    assert g.vertex_frame("Person").where("name = 'Alice'").count() == 2
+
+
+def test_merge_new_label(spark):
+    g2 = PropertyGraph(spark)
+    g2.cypher("MERGE (c:City {name: 'Oslo'})").collect()
+    assert g2.vertex_frame("City").count() == 1
+
+
+def test_merge_rejects_nonstandalone(g):
+    with pytest.raises(CypherWriteError):
+        g.cypher("MATCH (p:Person) MERGE (q:Person {name: 'X'})").collect()
+
+
+def test_merge_return_after_match(g):
+    out = g.cypher("MERGE (p:Person {name: 'Bob'}) "
+                   "RETURN p.name AS n, p.age AS a").collect()
+    assert [(r["n"], r["a"]) for r in out] == [("Bob", 25)]

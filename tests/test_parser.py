@@ -22,6 +22,9 @@ GOOD = [
     "MATCH (p:Person) WHERE p.email IS NOT NULL AND p.city IN ['NYC'] RETURN DISTINCT p.city SKIP 1 LIMIT 5",
     "UNWIND [1,2,3] AS x RETURN x",
     "MATCH (p:Person) RETURN count(DISTINCT p.city) AS c",
+    "MERGE (p:Person {name: 'X'})",
+    "MERGE (p:Person {name: 'X'}) ON CREATE SET p.age = 1 "
+    "ON MATCH SET p.age = p.age + 1 RETURN p.name",
 ]
 
 
