@@ -186,21 +186,30 @@ def apply_create(ctx, clause: Create) -> None:
 
 def apply_merge(ctx, clause) -> None:
     """MERGE — engine extension (absent from the reference grammar,
-    cypher.pest): bind the node pattern when it exists, else create it,
-    then apply ON MATCH / ON CREATE SET respectively. Standalone
-    single-node form — the upsert primitive. The dataflow IS the
-    storage-MERGE body: probe by the literal property map, branch on
-    existence; on a Delta-backed deployment this maps to MERGE INTO
-    WHEN MATCHED / WHEN NOT MATCHED."""
+    cypher.pest). Two supported forms:
+
+    - standalone single-node ``MERGE (n:L {...})`` — bind when present,
+      create otherwise, then ON MATCH / ON CREATE SET respectively;
+    - match-driven relationship ``MATCH ... MERGE (a)-[:R {...}]->(b)``
+      with both endpoints bound — create exactly the missing
+      (src, dst, props) edges (anti-join dup check, the X1 follow
+      dataflow at the Cypher level), never duplicating existing ones.
+
+    The dataflow IS the storage-MERGE body: probe by the literal
+    property map, branch on existence; on a Delta-backed deployment
+    this maps to MERGE INTO WHEN MATCHED / WHEN NOT MATCHED."""
     from rust_graph_db_spark.compiler import _vertex_df
     from rust_graph_db_spark.parser.ast_nodes import Create, SetClause
 
+    items = clause.pattern.items
+    if len(items) == 3:
+        return _merge_edge(ctx, clause)
     if ctx.df is not None:
         raise CypherWriteError(
-            "MERGE is supported as a standalone (first) clause")
-    items = clause.pattern.items
+            "single-node MERGE is supported as a standalone (first) clause")
     if len(items) != 1:
-        raise CypherWriteError("MERGE supports single-node patterns")
+        raise CypherWriteError(
+            "MERGE supports single-node or single-relationship patterns")
     node: NodePattern = items[0]
     if node.label is None:
         raise CypherWriteError("MERGE node requires a label")
@@ -235,6 +244,66 @@ def apply_merge(ctx, clause) -> None:
             apply_set(ctx, SetClause(tuple(clause.on_match)))
         ctx.write_stats["merge_matched"] = \
             ctx.write_stats.get("merge_matched", 0) + n
+
+
+def _merge_edge(ctx, clause) -> None:
+    """Relationship MERGE with bound endpoints: dup-checked edge
+    creation over the matched rows."""
+    left, rel, right = clause.pattern.items
+    if clause.on_create or clause.on_match:
+        raise CypherWriteError(
+            "ON CREATE/ON MATCH SET is not supported for relationship "
+            "MERGE (set edge properties in the pattern's literal map)")
+    if ctx.df is None or left.var not in ctx.env or right.var not in ctx.env:
+        raise CypherWriteError(
+            "relationship MERGE requires both endpoints bound by a MATCH")
+    if rel.label is None:
+        raise CypherWriteError("MERGE relationship requires a label")
+    if rel.direction == "both":
+        raise CypherWriteError("MERGE requires a directed relationship")
+    if left.props or right.props or left.label or right.label:
+        raise CypherWriteError(
+            "relationship MERGE endpoints must be bare bound variables")
+    props = _literal_props(rel.props)
+    g = ctx.graph
+    elabel = rel.label
+    labid = g.label_id(elabel)
+
+    src_col = ctx.env[left.var].cols["id"]
+    dst_col = ctx.env[right.var].cols["id"]
+    if rel.direction == "in":
+        src_col, dst_col = dst_col, src_col
+    pairs = ctx.df.select(F.col(src_col).alias("src"),
+                          F.col(dst_col).alias("dst")).distinct()
+
+    if elabel in g._edges:
+        ef = g._edges[elabel]
+        cond = F.lit(True)
+        for k, c in props.items():
+            cond = (cond & F.col(k).eqNullSafe(c)) if k in ef.columns \
+                else F.lit(False)
+        missing = pairs.join(ef.where(cond).select("src", "dst"),
+                             ["src", "dst"], "left_anti")
+    else:
+        missing = pairs
+    missing, cnt = dense_index(missing, ["src", "dst"], "_eloc")
+    if cnt:
+        base = g.next_locids(elabel, cnt)
+        new = missing.withColumn(
+            "id", pack_graphid(labid, F.col("_eloc") + F.lit(base))) \
+            .drop("_eloc")
+        for k, v in props.items():
+            new = new.withColumn(k, v)
+        new = new.select("id", "src", "dst",
+                         *[c for c in new.columns
+                           if c not in ("id", "src", "dst")])
+        if elabel in g._edges:
+            g._edges[elabel] = g._edges[elabel].unionByName(
+                new, allowMissingColumns=True).localCheckpoint(eager=True)
+        else:
+            g._edges[elabel] = new.localCheckpoint(eager=True)
+    ctx.write_stats["merge_created_edges"] = \
+        ctx.write_stats.get("merge_created_edges", 0) + cnt
 
 
 def apply_set(ctx, clause: SetClause) -> None:

@@ -147,3 +147,35 @@ def test_merge_return_after_match(g):
     out = g.cypher("MERGE (p:Person {name: 'Bob'}) "
                    "RETURN p.name AS n, p.age AS a").collect()
     assert [(r["n"], r["a"]) for r in out] == [("Bob", 25)]
+
+
+def test_merge_edge_dedup_checked(g):
+    q = ("MATCH (a:Person {name:'Alice'}), (c:Person {name:'Carol'}) "
+         "MERGE (a)-[:KNOWS {since: 2025}]->(c)")
+    for _ in range(3):
+        g.cypher(q).collect()
+    assert g.edge_frame("KNOWS").where("since = 2025").count() == 1
+    assert g.edge_frame("KNOWS").count() == 2   # original Alice->Bob intact
+
+
+def test_merge_edge_props_distinguish(g):
+    g.cypher("MATCH (a:Person {name:'Alice'}), (b:Person {name:'Bob'}) "
+             "MERGE (a)-[:KNOWS {since: 2020}]->(b)").collect()   # exists
+    assert g.edge_frame("KNOWS").count() == 1
+    g.cypher("MATCH (a:Person {name:'Alice'}), (b:Person {name:'Bob'}) "
+             "MERGE (a)-[:KNOWS {since: 2021}]->(b)").collect()   # differs
+    assert g.edge_frame("KNOWS").count() == 2
+
+
+def test_merge_edge_new_label_and_multirow(g):
+    # every (Alice|Bob) x Carol pair gets exactly one LIKES edge
+    q = ("MATCH (p:Person), (c:Person {name:'Carol'}) "
+         "WHERE p.name IN ['Alice', 'Bob'] MERGE (p)-[:LIKES]->(c)")
+    g.cypher(q).collect()
+    g.cypher(q).collect()
+    assert g.edge_frame("LIKES").count() == 2
+
+
+def test_merge_edge_requires_bound_endpoints(g):
+    with pytest.raises(CypherWriteError):
+        g.cypher("MERGE (a)-[:KNOWS]->(b)").collect()
