@@ -92,3 +92,46 @@ def test_one_hop_pattern(kg, oracle, pred):
         "RETURN p.name AS an, b.name AS bn, r.since AS since"),
         f"SELECT p.name AS an, 'Person' || k.dst AS bn, k.since "
         f"FROM person p JOIN knows k ON p.key = k.src WHERE {sql}")
+
+
+@_SETTINGS
+@given(data=st.data())
+def test_asof_join_matches_duckdb_asof(spark, data):
+    """Random (key, ts) tables: asof_join == DuckDB's native ASOF LEFT
+    JOIN (same inclusive at-or-before semantics). Right (key, ts) pairs
+    are unique so neither engine's tie rule is exercised."""
+    import duckdb
+
+    keys = ["A", "B", "C"]
+    left = [(i, data.draw(st.sampled_from(keys), label="lk"),
+             data.draw(st.integers(min_value=0, max_value=60), label="lt"))
+            for i in range(data.draw(st.integers(min_value=1, max_value=12),
+                                     label="nl"))]
+    rseen = set()
+    right = []
+    for j in range(data.draw(st.integers(min_value=0, max_value=12),
+                             label="nr")):
+        k = data.draw(st.sampled_from(keys), label="rk")
+        t = data.draw(st.integers(min_value=0, max_value=60), label="rt")
+        if (k, t) in rseen:
+            continue
+        rseen.add((k, t))
+        right.append((100 + j, k, t))
+
+    ldf = spark.createDataFrame(left, "lid LONG, k STRING, t LONG")
+    rdf = spark.createDataFrame(right or [(999, "Z", 0)],
+                                "rid LONG, k STRING, t LONG")
+    from rust_graph_db_spark.operators.temporal import asof_join
+
+    got = {r["lid"]: r["rid"]
+           for r in asof_join(ldf, rdf, on="k", left_ts="t").collect()}
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE l (lid BIGINT, k VARCHAR, t BIGINT)")
+    con.execute("CREATE TABLE r (rid BIGINT, k VARCHAR, t BIGINT)")
+    con.executemany("INSERT INTO l VALUES (?, ?, ?)", left)
+    con.executemany("INSERT INTO r VALUES (?, ?, ?)", right or [(999, "Z", 0)])
+    want = {lid: rid for lid, rid in con.execute(
+        "SELECT l.lid, r.rid FROM l ASOF LEFT JOIN r "
+        "ON l.k = r.k AND r.t <= l.t").fetchall()}
+    assert got == want
