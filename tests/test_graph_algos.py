@@ -133,3 +133,50 @@ def test_register_pandas_udf_function(kg):
         assert rows[0]["v"] == 2  # 'Person3' -> e, o
     finally:
         unregister_cypher_function("vowel_count")
+
+
+from hypothesis import HealthCheck, given, settings, strategies as st
+
+
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_connected_components_random_graphs_star_path(spark, data):
+    """Random edge lists through the distributed large-star/small-star
+    path (driver_threshold=0) match a reference union-find."""
+    n = data.draw(st.integers(min_value=2, max_value=40), label="n")
+    m = data.draw(st.integers(min_value=1, max_value=80), label="m")
+    edges = [(data.draw(st.integers(min_value=0, max_value=n - 1), label="u"),
+              data.draw(st.integers(min_value=0, max_value=n - 1), label="v"))
+             for _ in range(m)]
+
+    parent = {}
+
+    def find(x):
+        while parent.get(x, x) != x:
+            parent[x] = parent.get(parent[x], parent[x])
+            x = parent[x]
+        return x
+
+    ids = set()
+    for u, v in edges:
+        if u == v:
+            ids.add(u)          # self loop: vertex exists, no union
+            continue
+        ids.update((u, v))
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = sorted((ru, rv))
+            parent[hi] = lo
+    want = {v: find(v) for v in ids}
+    # star rounds drop vertices that appear ONLY in self loops (no
+    # pairs survive the u != v filter) — mirror that in the model
+    pure_self = {v for v in ids if not any(
+        (a == v or b == v) and a != b for a, b in edges)}
+    for v in pure_self:
+        want.pop(v, None)
+
+    df = spark.createDataFrame(edges, "u LONG, v LONG")
+    got = {r.id: r.component
+           for r in connected_components(df, driver_threshold=0).collect()}
+    assert got == want
