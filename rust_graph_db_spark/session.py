@@ -35,6 +35,8 @@ def get_spark(app_name: str = "rust_graph_db_spark", **extra_conf: str) -> Spark
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
         # and convert (see load_events)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # bucketed tables (co-located joins) land outside any repo cwd
+        .config("spark.sql.warehouse.dir", "/tmp/rgds_warehouse")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )
