@@ -226,13 +226,15 @@ class PropertyGraph:
 
     # ------------------------------------------------------------------ persist
 
-    def save(self, root: str) -> int:
+    def save(self, root: str, buckets: Optional[int] = None) -> int:
         """Atomic, versioned commit of this graph (and any session DML)
         to a durable store — see ``rust_graph_db_spark.storage``.
-        Returns the committed version."""
+        ``buckets=N`` stores datasets co-located on their join keys so
+        the expand join is shuffle-free off the snapshot. Returns the
+        committed version."""
         from rust_graph_db_spark.storage import save_graph
 
-        return save_graph(self, root)
+        return save_graph(self, root, buckets=buckets)
 
     @classmethod
     def load(cls, spark: SparkSession, root: str,
