@@ -72,6 +72,46 @@ def main() -> None:
         for p in [x for x in part if x][:4]:
             print(f"   PartitionFilters [{p[:100]}]")
 
+    _audit_bucketed_store(spark, sf_dir)
+
+
+def _audit_bucketed_store(spark, sf_dir: str) -> None:
+    """Reproduce the SCALE.md §1 bucketed-store claim: the expand join
+    off a `save_graph(buckets=N)` snapshot is Exchange-free, and the
+    full 1-hop Cypher plan drops from 8 Exchanges (unbucketed, no
+    broadcast) to 2."""
+    import contextlib
+    import io
+    import re
+    import tempfile
+
+    from rust_graph_db_spark.graphs import knows_graph
+    from rust_graph_db_spark.storage import load_graph, save_graph
+
+    def n_ex(df) -> int:
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        return len(re.findall(r"\bExchange\b", buf.getvalue()))
+
+    g = knows_graph(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="plan_audit_store_") + "/store"
+    save_graph(g, root, buckets=8)
+    gb = load_graph(spark, root)
+    q = ("MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
+         "RETURN a.name AS an, b.name AS bn")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v, e = gb.vertex_frame("Person"), gb.edge_frame("KNOWS")
+        print("== bucketed_store (save_graph(buckets=8) -> load_graph)")
+        print(f"   raw expand join exchanges={n_ex(e.join(v, e['src'] == v['id']))}"
+              " (bucketed SMJ; 0 = co-located)")
+        print(f"   1-hop cypher exchanges: bucketed={n_ex(gb.cypher(q))} "
+              f"unbucketed={n_ex(g.cypher(q))}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
 
 if __name__ == "__main__":
     main()
