@@ -26,6 +26,7 @@ def stream_vertex_upserts(
     checkpoint: Optional[str] = None,
     trigger_available_now: bool = True,
     commit_root: Optional[str] = None,
+    commit_buckets: Optional[int] = None,
 ):
     """Apply a stream of vertex rows as per-micro-batch upserts.
 
@@ -39,7 +40,10 @@ def stream_vertex_upserts(
     whole batches. Combined with the streaming ``checkpoint`` this is
     the standard exactly-once-effect recipe: on restart the source
     replays from the last checkpointed offset and the id-keyed MERGE
-    re-applies idempotently.
+    re-applies idempotently. ``commit_buckets=N`` commits with the
+    co-located bucketed layout (storage.save_graph) so analytical
+    readers get the shuffle-free expand join off every published
+    micro-batch snapshot.
     """
     g.label_id(label)
 
@@ -57,7 +61,7 @@ def stream_vertex_upserts(
         if commit_root is not None:
             from rust_graph_db_spark.storage import save_graph
 
-            save_graph(g, commit_root)
+            save_graph(g, commit_root, buckets=commit_buckets)
 
     writer = stream.writeStream.foreachBatch(upsert).outputMode("update")
     if checkpoint:
@@ -73,6 +77,7 @@ def stream_edge_upserts(
     checkpoint: Optional[str] = None,
     trigger_available_now: bool = True,
     commit_root: Optional[str] = None,
+    commit_buckets: Optional[int] = None,
 ):
     """Edge-stream variant of stream_vertex_upserts (same MERGE shape,
     keyed on edge id; src/dst must be packed graph ids; same
@@ -91,7 +96,7 @@ def stream_edge_upserts(
         if commit_root is not None:
             from rust_graph_db_spark.storage import save_graph
 
-            save_graph(g, commit_root)
+            save_graph(g, commit_root, buckets=commit_buckets)
 
     writer = stream.writeStream.foreachBatch(upsert).outputMode("update")
     if checkpoint:

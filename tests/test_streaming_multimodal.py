@@ -228,3 +228,51 @@ def test_frame_sampling(spark):
     from collections import Counter
     c = Counter(r["media_id"] for r in rows)
     assert max(c.values()) <= 8
+
+
+def test_stream_upserts_bucketed_commits(spark, tmp_path):
+    """commit_buckets=N: every micro-batch publishes a co-located
+    snapshot - the manifest layout records the bucketing and a fresh
+    reader's expand join is Exchange-free."""
+    import contextlib
+    import io
+
+    from rust_graph_db_spark.storage import history, load_graph
+
+    src_dir = tmp_path / "stream_in_b"
+    src_dir.mkdir()
+    root = str(tmp_path / "stream_store_b")
+    g = PropertyGraph(spark)
+    g._vertices["User"] = spark.createDataFrame(
+        [((1 << 48) + i, f"u{i}") for i in range(8)], "id LONG, name STRING")
+    g.label_id("User")
+    g._edges["KNOWS"] = spark.createDataFrame(
+        [(i, (1 << 48) + i, (1 << 48) + (i + 1) % 8) for i in range(8)],
+        "id LONG, src LONG, dst LONG")
+    g.label_id("KNOWS")
+
+    spark.createDataFrame([((1 << 48) + 9, "u9")], "id LONG, name STRING") \
+        .coalesce(1).write.mode("overwrite").parquet(str(src_dir))
+    stream = spark.readStream.schema("id LONG, name STRING") \
+        .parquet(str(src_dir))
+    q = stream_vertex_upserts(g, "User", stream,
+                              checkpoint=str(tmp_path / "ckpt_b"),
+                              commit_root=root, commit_buckets=2)
+    q.awaitTermination(60)
+
+    man = history(root)[-1]
+    assert man["layout"][man["vertices"]["User"]] == {"buckets": 2, "key": "id"}
+    fresh = load_graph(spark, root)
+    assert fresh.vertex_frame("User").count() == 9
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = fresh.vertex_frame("User")
+        e = fresh.edge_frame("KNOWS")
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            e.join(v, e["src"] == v["id"]).explain("formatted")
+        assert "Exchange" not in buf.getvalue()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
