@@ -150,9 +150,15 @@ def save_graph(graph: PropertyGraph, root: str,
             import re
             safe = re.sub(r"[^A-Za-z0-9_]", "_", label)
             tmp = f"rgdb_stage_{os.getpid()}_{version}_{kind}_{safe}"
-            (df.write.mode("errorifexists").option("path", full)
-               .bucketBy(int(buckets), bkey).sortBy(bkey).saveAsTable(tmp))
-            df.sparkSession.sql(f"DROP TABLE `{tmp}`")   # files stay (external)
+            spark = df.sparkSession
+            if spark.catalog.tableExists(tmp):   # stale entry from a
+                spark.sql(f"DROP TABLE `{tmp}`")  # failed prior commit
+            try:
+                (df.write.mode("errorifexists").option("path", full)
+                   .bucketBy(int(buckets), bkey).sortBy(bkey).saveAsTable(tmp))
+            finally:                             # files stay (external)
+                if spark.catalog.tableExists(tmp):
+                    spark.sql(f"DROP TABLE `{tmp}`")
             layout[rel] = {"buckets": int(buckets), "key": bkey}
         else:
             df.write.mode("errorifexists").parquet(full)
