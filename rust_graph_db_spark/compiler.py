@@ -330,18 +330,27 @@ def _edge_df(ctx: _Ctx, var: str, label: Optional[str], direction: str) -> tuple
     out:  FROM=src TO=dst;  in: FROM=dst TO=src;  both: union of the two
     (reference 'Both' = either-endpoint resolution,
     match_executor.rs:168-178).
+
+    Each variant reads the edge copy CO-LOCATED on its join column
+    (``join_key``): off a bucketed durable snapshot the outgoing expand
+    joins the src-bucketed primary and the incoming expand joins the
+    dst-bucketed duplicate, so neither direction shuffles — the dual
+    ``o:``/``i:`` adjacency-index access paths of the reference
+    (rocksdb_store.rs:652-712) as storage-partitioned joins.
     """
     g = ctx.graph
-    ef = g.edges(label) if label is not None else g.edges()
     variants = []
     if direction in ("out", "both"):
+        ef = g.edges(label) if label is not None else g.edges()
         variants.append(ef.withColumn("_FROM", F.col("src")).withColumn("_TO", F.col("dst")))
     if direction in ("in", "both"):
-        variants.append(ef.withColumn("_FROM", F.col("dst")).withColumn("_TO", F.col("src")))
+        efd = g.edges(label, join_key="dst") if label is not None \
+            else g.edges(join_key="dst")
+        variants.append(efd.withColumn("_FROM", F.col("dst")).withColumn("_TO", F.col("src")))
     u = variants[0]
     for v in variants[1:]:
         u = u.unionByName(v)
-    cols = {c: _flat(var, c) for c in ef.columns}
+    cols = {c: _flat(var, c) for c in variants[0].drop("_FROM", "_TO").columns}
     sel = [F.col(c).alias(fc) for c, fc in cols.items()]
     sel += [F.col("_FROM").alias(_flat(var, "_FROM")), F.col("_TO").alias(_flat(var, "_TO"))]
     return u.select(*sel), Binding("edge", label, cols)

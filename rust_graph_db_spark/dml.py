@@ -174,10 +174,10 @@ def apply_create(ctx, clause: Create) -> None:
             new = new.select("id", "src", "dst",
                              *[c for c in new.columns if c not in ("id", "src", "dst")])
             if elabel in g._edges:
-                g._edges[elabel] = g._edges[elabel].unionByName(
-                    new, allowMissingColumns=True).localCheckpoint(eager=True)
+                g.set_edges(elabel, g._edges[elabel].unionByName(
+                    new, allowMissingColumns=True).localCheckpoint(eager=True))
             else:
-                g._edges[elabel] = new.localCheckpoint(eager=True)
+                g.set_edges(elabel, new.localCheckpoint(eager=True))
             n_edges += cnt
 
     ctx.write_stats["created_vertices"] = ctx.write_stats.get("created_vertices", 0) + n_vertices
@@ -298,10 +298,10 @@ def _merge_edge(ctx, clause) -> None:
                          *[c for c in new.columns
                            if c not in ("id", "src", "dst")])
         if elabel in g._edges:
-            g._edges[elabel] = g._edges[elabel].unionByName(
-                new, allowMissingColumns=True).localCheckpoint(eager=True)
+            g.set_edges(elabel, g._edges[elabel].unionByName(
+                new, allowMissingColumns=True).localCheckpoint(eager=True))
         else:
-            g._edges[elabel] = new.localCheckpoint(eager=True)
+            g.set_edges(elabel, new.localCheckpoint(eager=True))
     ctx.write_stats["merge_created_edges"] = \
         ctx.write_stats.get("merge_created_edges", 0) + cnt
 
@@ -372,7 +372,7 @@ def apply_set(ctx, clause: SetClause) -> None:
         if b.kind == "vertex":
             g._vertices[b.label] = result
         else:
-            g._edges[b.label] = result
+            g.set_edges(b.label, result)
         n_updated += updates.count()
 
     ctx.write_stats["updated"] = ctx.write_stats.get("updated", 0) + n_updated
@@ -400,8 +400,8 @@ def apply_delete(ctx, clause: Delete) -> None:
         if b.kind == "edge":
             labels = [b.label] if b.label else list(g._edges)
             for lb in labels:
-                g._edges[lb] = g.edge_frame(lb).join(
-                    F.broadcast(ids), "id", "left_anti").localCheckpoint(eager=True)
+                g.set_edges(lb, g.edge_frame(lb).join(
+                    F.broadcast(ids), "id", "left_anti").localCheckpoint(eager=True))
             n_deleted += ids.count()
             continue
 
@@ -409,11 +409,11 @@ def apply_delete(ctx, clause: Delete) -> None:
         if clause.detach:
             for lb in list(g._edges):
                 e = g.edge_frame(lb)
-                g._edges[lb] = e.join(
+                g.set_edges(lb, e.join(
                     F.broadcast(ids.select(F.col("id").alias("src"))), "src", "left_anti"
                 ).join(
                     F.broadcast(ids.select(F.col("id").alias("dst"))), "dst", "left_anti"
-                ).localCheckpoint(eager=True)
+                ).localCheckpoint(eager=True))
         else:
             for lb in list(g._edges):
                 e = g.edge_frame(lb)

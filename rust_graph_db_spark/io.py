@@ -86,7 +86,7 @@ def import_json(spark: SparkSession, path: str,
             flat = sub.select(
                 "id", "src", "dst",
                 *[F.col(f"_props.{p}").alias(p) for p in pf])
-            g._edges[label] = flat.localCheckpoint(eager=True)
+            g.set_edges(label, flat.localCheckpoint(eager=True))
     return g
 
 

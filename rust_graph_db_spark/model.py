@@ -73,6 +73,10 @@ class PropertyGraph:
         self._labels: dict[str, int] = {}  # shared vertex+edge label namespace
         self._vertices: dict[str, DataFrame] = {}
         self._edges: dict[str, DataFrame] = {}
+        # dst-bucketed duplicates of edge frames (the reference's `i:`
+        # adjacency index analog) — populated by storage.load_graph from
+        # a bucketed snapshot, invalidated by any edge mutation
+        self._edges_by_dst: dict[str, DataFrame] = {}
         self._counters: dict[str, int] = {}  # label -> next locid (DML)
         # cap for unbounded [*min..] expansion in Cypher patterns
         self.max_var_length = 10
@@ -81,6 +85,12 @@ class PropertyGraph:
 
     def label_id(self, label: str) -> int:
         if label not in self._labels:
+            # Labels become filesystem path components and catalog DDL
+            # fragments in storage.py — reject characters that would
+            # break (or inject into) either before any data is keyed to
+            # the label.
+            if not label or any(c in label for c in "'\"`\\/\x00\n\r\t"):
+                raise ValueError(f"invalid label name: {label!r}")
             labid = len(self._labels) + 1
             if labid > MAX_LABID:
                 raise ValueError("label catalog exhausted (16-bit labid space)")
@@ -128,7 +138,16 @@ class PropertyGraph:
         else:
             out = out.withColumn("id", pack_graphid(labid, F.monotonically_increasing_id()))
         props = [c for c in out.columns if c not in ("id", "src", "dst")]
-        self._edges[label] = out.select("id", "src", "dst", *props)
+        self.set_edges(label, out.select("id", "src", "dst", *props))
+
+    def set_edges(self, label: str, df: DataFrame) -> None:
+        """Replace an edge frame (the DML mutation entry point).
+
+        Invalidates the label's dst-bucketed duplicate: the copies must
+        stay row-identical, so any mutation drops the stale one (the
+        next bucketed ``save`` rewrites it)."""
+        self._edges[label] = df
+        self._edges_by_dst.pop(label, None)
 
     # ------------------------------------------------------------------ access
 
@@ -142,6 +161,16 @@ class PropertyGraph:
             raise KeyError(f"unknown edge label: {label!r}")
         return self._edges[label]
 
+    def edge_frame_for(self, label: str, join_key: str = "src") -> DataFrame:
+        """Edge frame picked by the join key the caller is about to use:
+        ``dst`` returns the dst-bucketed duplicate when the graph was
+        loaded from a bucketed snapshot (zero-Exchange incoming expand —
+        the reference's ``i:`` index, rocksdb_store.rs:683-712), else
+        the primary frame. Both copies are row-identical."""
+        if join_key == "dst" and label in self._edges_by_dst:
+            return self._edges_by_dst[label]
+        return self.edge_frame(label)
+
     def vertices(self, label: Optional[str] = None) -> DataFrame:
         """Vertices of one label, or the union of all labels (missing
         property columns null-padded) with a ``label`` column."""
@@ -149,10 +178,13 @@ class PropertyGraph:
             return self.vertex_frame(label).withColumn("label", F.lit(label))
         return self._union_labeled(self._vertices)
 
-    def edges(self, label: Optional[str] = None) -> DataFrame:
+    def edges(self, label: Optional[str] = None,
+              join_key: str = "src") -> DataFrame:
         if label is not None:
-            return self.edge_frame(label).withColumn("label", F.lit(label))
-        return self._union_labeled(self._edges)
+            return self.edge_frame_for(label, join_key) \
+                       .withColumn("label", F.lit(label))
+        return self._union_labeled(
+            {lbl: self.edge_frame_for(lbl, join_key) for lbl in self._edges})
 
     @staticmethod
     def _union_labeled(frames: dict[str, DataFrame]) -> DataFrame:
@@ -183,7 +215,8 @@ class PropertyGraph:
 
     def in_edges(self, vids: DataFrame | Iterable[int], label: Optional[str] = None) -> DataFrame:
         frontier = self._as_id_frame(vids)
-        return self.edges(label).join(F.broadcast(frontier), F.col("dst") == frontier["_vid"]).drop("_vid")
+        return self.edges(label, join_key="dst").join(
+            F.broadcast(frontier), F.col("dst") == frontier["_vid"]).drop("_vid")
 
     def _as_id_frame(self, vids) -> DataFrame:
         if isinstance(vids, DataFrame):

@@ -37,6 +37,12 @@ def get_spark(app_name: str = "rust_graph_db_spark", **extra_conf: str) -> Spark
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         # bucketed tables (co-located joins) land outside any repo cwd
         .config("spark.sql.warehouse.dir", "/tmp/rgds_warehouse")
+        # storage.save_graph writes exactly ONE pre-sorted file per
+        # bucket (repartition on the bucket key precedes bucketBy), so
+        # the sorted-scan ordering is valid and the SMJ elides its Sorts
+        # as well as its Exchanges; Spark only trusts it when every
+        # bucket has a single file, which it verifies per scan.
+        .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -42,8 +42,16 @@ Co-located layout: ``save_graph(..., buckets=N)`` stores datasets
 hash-bucketed + bucket-sorted on their join keys (vertices ``id``,
 edges ``src``) and the manifest records the layout per data path;
 ``load_graph`` re-registers those paths as bucketed catalog tables so
-the expand join runs as a zero-Exchange, zero-Sort sort-merge join —
-the at-rest replacement for the reference's adjacency indices.
+the expand join runs as a zero-Exchange sort-merge join (each bucket
+is written as ONE pre-sorted file — a repartition on the bucket key
+precedes the write — so the read-side Sort is elided too). A bucketed
+commit additionally writes a DST-BUCKETED copy of every edge dataset
+(``edges_by_dst/``): the reference keeps both adjacency directions as
+separate index copies (``o:``/``i:`` rows —
+src/storage/rocksdb_store.rs:327-344, :683-712), and the dual layout
+is the at-rest equivalent — the compiler's expand picks the copy
+matching the traversal direction, so incoming expands are as
+shuffle-free as outgoing ones.
 """
 
 from __future__ import annotations
@@ -51,9 +59,11 @@ from __future__ import annotations
 import json
 import os
 import tempfile
+import uuid
 from typing import Optional
 
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from rust_graph_db_spark.model import PropertyGraph
 
@@ -94,7 +104,16 @@ def history(root: str) -> list[dict]:
     return out
 
 
-_BUCKET_KEY = {"vertices": "id", "edges": "src"}
+_BUCKET_KEY = {"vertices": "id", "edges": "src", "edges_by_dst": "dst"}
+
+
+def _bucket_table_name(full_path: str, spec: dict) -> str:
+    import hashlib
+
+    h = hashlib.sha1(
+        f"{full_path}|{spec['buckets']}|{spec['key']}|{spec.get('cid', '')}"
+        .encode()).hexdigest()[:16]
+    return f"rgdb_b_{h}"
 
 
 def save_graph(graph: PropertyGraph, root: str,
@@ -108,17 +127,20 @@ def save_graph(graph: PropertyGraph, root: str,
 
     ``buckets=N`` writes every dirty dataset hash-bucketed AND
     bucket-sorted on its join key — vertices by ``id``, edges by
-    ``src`` — and records the layout in the manifest. ``load_graph``
-    re-registers such datasets as bucketed catalog tables, which makes
-    the expand join (J1: E.src == V.id, the hottest join in every
-    traversal) a ZERO-EXCHANGE sort-merge join straight off the stored
-    snapshot: the shuffle *and* the sort are paid once at commit time
-    instead of per query. At 100 TB this is the storage-partitioned
-    join — the analog of the reference's ``o:``/``i:`` adjacency
-    indices (src/storage/rocksdb_store.rs:327-344), except co-location
-    replaces index probes. Clean labels keep whatever layout their
-    reused dataset already has (tracked per-path in the manifest, so a
-    mixed store stays correctly described).
+    ``src``, PLUS a second ``edges_by_dst`` copy of each edge dataset
+    bucketed by ``dst`` — and records the layout in the manifest.
+    ``load_graph`` re-registers such datasets as bucketed catalog
+    tables, which makes the expand join (J1: E.src == V.id outgoing,
+    E.dst == V.id incoming — the hottest join in every traversal) a
+    ZERO-EXCHANGE sort-merge join straight off the stored snapshot in
+    EITHER direction: the shuffle *and* the sort are paid once at
+    commit time instead of per query. At 100 TB this is the
+    storage-partitioned join — the analog of the reference's dual
+    ``o:``/``i:`` adjacency index copies
+    (src/storage/rocksdb_store.rs:327-344, :683-712), except
+    co-location replaces index probes. Clean labels keep whatever
+    layout their reused dataset already has (tracked per-path in the
+    manifest, so a mixed store stays correctly described).
     """
     loaded = getattr(graph, "_storage_frames", {})
     loaded_root = getattr(graph, "_storage_root", None)
@@ -133,40 +155,78 @@ def save_graph(graph: PropertyGraph, root: str,
 
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
     data_rel = f"data/v{version:06d}"
+    commit_id = uuid.uuid4().hex
     layout: dict[str, dict] = {}
+    # Schema DDL per data path, recorded in the manifest: loads never
+    # infer from parquet footers (one less read per dataset, and an
+    # EMPTY dataset — e.g. an edge label whose rows were all deleted —
+    # stays loadable even though it has no footer to infer from).
+    loaded_schemas = getattr(graph, "_storage_schemas", {})
+    schemas: dict[str, str] = {}
 
-    def _stage(kind: str, label: str, df) -> str:
+    def _reuse(kind: str, label: str, df) -> Optional[str]:
+        """Clean-label manifest-only reuse: the frame object is identical
+        to what load_graph produced (the dst copy's witness is the
+        PRIMARY edge frame — same rows by construction)."""
         key = (kind, label)
         if (loaded_root == root and key in loaded
                 and loaded[key][1] is df):
-            rel = loaded[key][0]             # clean: manifest-only reuse
+            rel = loaded[key][0]
             if rel in loaded_layout:         # carry the path's layout
                 layout[rel] = loaded_layout[rel]
+            schemas[rel] = loaded_schemas.get(rel) or df.schema.toDDL()
             return rel
+        return None
+
+    def _write(kind: str, label: str, df) -> str:
         rel = f"{data_rel}/{kind}/{label}"
         full = os.path.join(root, rel)
+        # A died-before-publish retry reuses this (unreferenced) version
+        # path; clear leftovers so the CTAS/parquet write starts clean.
+        if os.path.isdir(full):
+            import shutil
+            shutil.rmtree(full)
         if buckets:
             bkey = _BUCKET_KEY[kind]
-            import re
-            safe = re.sub(r"[^A-Za-z0-9_]", "_", label)
-            tmp = f"rgdb_stage_{os.getpid()}_{version}_{kind}_{safe}"
+            # Unique per invocation: concurrent save_graph calls in one
+            # driver (e.g. two streaming commit_roots) must never drop
+            # each other's in-flight staging table.
+            tmp = f"rgdb_stage_{uuid.uuid4().hex[:16]}"
             spark = df.sparkSession
-            if spark.catalog.tableExists(tmp):   # stale entry from a
-                spark.sql(f"DROP TABLE `{tmp}`")  # failed prior commit
             try:
-                (df.write.mode("errorifexists").option("path", full)
+                # One hash-partition per bucket -> exactly one pre-sorted
+                # file per bucket, so the read side elides the Sort as
+                # well as the Exchange.
+                (df.repartition(int(buckets), F.col(bkey))
+                   .write.mode("errorifexists").option("path", full)
                    .bucketBy(int(buckets), bkey).sortBy(bkey).saveAsTable(tmp))
             finally:                             # files stay (external)
                 if spark.catalog.tableExists(tmp):
                     spark.sql(f"DROP TABLE `{tmp}`")
-            layout[rel] = {"buckets": int(buckets), "key": bkey}
+            layout[rel] = {"buckets": int(buckets), "key": bkey,
+                           "cid": commit_id}
         else:
             df.write.mode("errorifexists").parquet(full)
+        schemas[rel] = df.schema.toDDL()
         return rel
+
+    def _stage(kind: str, label: str, df) -> str:
+        return _reuse(kind, label, df) or _write(kind, label, df)
+
+    def _stage_dst(label: str, df) -> Optional[str]:
+        """Dst-bucketed duplicate of an edge dataset (the ``i:`` index
+        analog). Reused while the primary edge frame is clean; written
+        fresh on bucketed commits; dropped (returns None) when the
+        edges changed and this commit is unbucketed."""
+        rel = _reuse("edges_by_dst", label, df)
+        if rel is not None:
+            return rel
+        return _write("edges_by_dst", label, df) if buckets else None
 
     manifest = {
         "format_version": _FORMAT_VERSION,
         "version": version,
+        "commit_id": commit_id,
         "parent_version": parent if loaded_root == root else latest,
         "name": graph.name,
         "labels": dict(graph._labels),
@@ -177,8 +237,13 @@ def save_graph(graph: PropertyGraph, root: str,
         "edges": {lbl: _stage("edges", lbl, df)
                   for lbl, df in graph._edges.items()},
     }
+    by_dst = {lbl: rel for lbl, df in graph._edges.items()
+              if (rel := _stage_dst(lbl, df)) is not None}
+    if by_dst:
+        manifest["edges_by_dst"] = by_dst
     if layout:
         manifest["layout"] = layout
+    manifest["schemas"] = schemas
 
     mpath = _manifest_path(root, version)
     with open(mpath, "w") as f:
@@ -200,23 +265,31 @@ def save_graph(graph: PropertyGraph, root: str,
     graph._storage_root = root
     graph._storage_version = version
     graph._storage_layout = dict(layout)
+    graph._storage_schemas = dict(schemas)
     graph._storage_frames = {
         ("vertices", lbl): (manifest["vertices"][lbl], df)
         for lbl, df in graph._vertices.items()
     } | {
         ("edges", lbl): (manifest["edges"][lbl], df)
         for lbl, df in graph._edges.items()
+    } | {
+        ("edges_by_dst", lbl): (by_dst[lbl], graph._edges[lbl])
+        for lbl in by_dst
     }
     return version
 
 
-def vacuum(root: str, keep_last: int = 2) -> list[str]:
+def vacuum(root: str, keep_last: int = 2,
+           spark: Optional[SparkSession] = None) -> list[str]:
     """Drop manifests and data older than the newest ``keep_last``
     versions; returns the deleted paths. Per-label data dirs referenced
     by ANY kept manifest survive (incremental commits reuse old
     versions' paths, so retention is by reference, not by directory
     age — the Delta VACUUM discipline). The current ``_LATEST`` version
-    is always kept."""
+    is always kept. Pass ``spark`` to also drop the ``rgdb_b_*``
+    catalog registrations of deleted bucketed datasets (external
+    tables — the DROP never touches data); without it they dangle
+    harmlessly until the session ends."""
     import shutil
 
     latest = current_version(root)
@@ -230,15 +303,22 @@ def vacuum(root: str, keep_last: int = 2) -> list[str]:
         if m["version"] in kept:
             referenced.update(m["vertices"].values())
             referenced.update(m["edges"].values())
+            referenced.update(m.get("edges_by_dst", {}).values())
     deleted = []
     for m in manifests:
         if m["version"] in kept:
             continue
-        for rel in list(m["vertices"].values()) + list(m["edges"].values()):
+        rels = (list(m["vertices"].values()) + list(m["edges"].values())
+                + list(m.get("edges_by_dst", {}).values()))
+        for rel in rels:
             full = os.path.join(root, rel)
             if rel not in referenced and os.path.isdir(full):
                 shutil.rmtree(full)
                 deleted.append(rel)
+                spec = m.get("layout", {}).get(rel)
+                if spark is not None and spec is not None:
+                    spark.sql("DROP TABLE IF EXISTS "
+                              f"`{_bucket_table_name(full, spec)}`")
         mpath = _manifest_path(root, m["version"])
         os.remove(mpath)
         deleted.append(os.path.relpath(mpath, root))
@@ -275,25 +355,31 @@ def load_graph(spark: SparkSession, root: str,
     layout = manifest.get("layout", {})
     frames = {}
 
+    schemas = manifest.get("schemas", {})
+
     def _open(rel: str):
         full = os.path.join(root, rel)
         spec = layout.get(rel)
+        ddl = schemas.get(rel)
         if not spec:
+            if ddl:
+                return spark.read.schema(ddl).parquet(full)
             return spark.read.parquet(full)
         # Bucketed dataset: bucket metadata lives in the catalog, not in
-        # parquet, so re-register the path as a bucketed table (name is
-        # deterministic per (path, layout) — reloading the same snapshot
-        # reuses the entry; a different snapshot gets its own).
-        import hashlib
-        h = hashlib.sha1(
-            f"{full}|{spec['buckets']}|{spec['key']}".encode()).hexdigest()[:16]
-        name = f"rgdb_b_{h}"
+        # parquet, so re-register the path as a bucketed table. The name
+        # hashes (path, layout, writing-commit id): reloading the same
+        # snapshot reuses the entry, while a store deleted and rebuilt at
+        # the same root (versions restart, so absolute paths repeat) gets
+        # a FRESH name — the stale entry can never serve the old schema.
+        name = _bucket_table_name(full, spec)
         if not spark.catalog.tableExists(name):
-            ddl = spark.read.parquet(full).schema.toDDL()
+            if not ddl:
+                ddl = spark.read.parquet(full).schema.toDDL()
+            loc = full.replace("'", "''")
             spark.sql(
                 f"CREATE TABLE `{name}` ({ddl}) USING parquet "
                 f"CLUSTERED BY ({spec['key']}) SORTED BY ({spec['key']}) "
-                f"INTO {int(spec['buckets'])} BUCKETS LOCATION '{full}'")
+                f"INTO {int(spec['buckets'])} BUCKETS LOCATION '{loc}'")
         return spark.table(name)
 
     for lbl, rel in manifest["vertices"].items():
@@ -304,8 +390,16 @@ def load_graph(spark: SparkSession, root: str,
         df = _open(rel)
         g._edges[lbl] = df
         frames[("edges", lbl)] = (rel, df)
+    for lbl, rel in manifest.get("edges_by_dst", {}).items():
+        if lbl not in g._edges:
+            continue
+        g._edges_by_dst[lbl] = _open(rel)
+        # cleanliness witness is the PRIMARY edge frame: the dst copy is
+        # reusable exactly while the primary is untouched
+        frames[("edges_by_dst", lbl)] = (rel, g._edges[lbl])
     g._storage_root = root
     g._storage_version = version
     g._storage_frames = frames
     g._storage_layout = dict(layout)
+    g._storage_schemas = dict(schemas)
     return g

@@ -89,10 +89,10 @@ def stream_edge_upserts(
         b = batch.withColumnRenamed(id_col, "id")
         if label in g._edges:
             keep = g._edges[label].join(b.select("id"), "id", "left_anti")
-            g._edges[label] = keep.unionByName(
-                b, allowMissingColumns=True).localCheckpoint(eager=True)
+            g.set_edges(label, keep.unionByName(
+                b, allowMissingColumns=True).localCheckpoint(eager=True))
         else:
-            g._edges[label] = b.localCheckpoint(eager=True)
+            g.set_edges(label, b.localCheckpoint(eager=True))
         if commit_root is not None:
             from rust_graph_db_spark.storage import save_graph
 

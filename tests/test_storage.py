@@ -282,8 +282,12 @@ def test_bucketed_store_incremental_commit_keeps_layout(spark, tmp_path):
     # clean labels reuse v1 paths; layout entries carried over
     assert m2["vertices"]["Person"] == m1["vertices"]["Person"]
     assert m2["edges"]["KNOWS"] == m1["edges"]["KNOWS"]
+    assert m2["edges_by_dst"]["KNOWS"] == m1["edges_by_dst"]["KNOWS"]
     assert set(m2["layout"]) >= set(m1["layout"])
-    assert m2["layout"][m2["vertices"]["City"]] == {"buckets": 2, "key": "id"}
+    city = m2["layout"][m2["vertices"]["City"]]
+    assert (city["buckets"], city["key"]) == (2, "id")
+    # the carried KNOWS layout keeps the commit id of the WRITING commit
+    assert m2["layout"][m2["edges"]["KNOWS"]]["cid"] == m1["commit_id"]
 
     g2 = load_graph(spark, root)
     assert {r.name for r in g2.vertex_frame("City").collect()} == {"NYC"}
@@ -291,3 +295,140 @@ def test_bucketed_store_incremental_commit_keeps_layout(spark, tmp_path):
     got = g2.cypher("MATCH (a:Person)-[r:KNOWS]->(b:Person) "
                     "RETURN a.name AS an, b.name AS bn").collect()
     assert {(r.an, r.bn) for r in got} == {("A", "B"), ("B", "C")}
+
+
+def _tree(df) -> str:
+    """Physical-plan tree section only (explain('formatted') repeats
+    every node in a details section, which would double counts)."""
+    return _plan_str(df).split("\n\n")[0]
+
+
+def _n_sorts(tree: str) -> int:
+    import re
+
+    return len(re.findall(r"- Sort ", tree))  # excludes SortMergeJoin
+
+
+def test_bucketed_store_dual_direction_expand(spark, tmp_path):
+    """The dst-bucketed edge copy (reference `i:` index analog,
+    rocksdb_store.rs:683-712): BOTH expand directions are zero-Exchange
+    zero-Sort SMJs off the snapshot, the compiler picks the matching
+    copy per direction, and the copies are row-identical."""
+    root = str(tmp_path / "dual")
+    n = 64
+    g = PropertyGraph(spark, "dual")
+    g.put_vertices("Person", spark.range(n).select(
+        F.col("id").alias("k"),
+        F.concat(F.lit("p"), F.col("id")).alias("name")), locid_col="k")
+    g.put_edges("KNOWS", spark.range(4 * n).select(
+        F.col("id").alias("k"),
+        (F.lit(1 << 48) + F.pmod(F.xxhash64("id"), F.lit(n))).alias("src"),
+        (F.lit(1 << 48) + F.pmod(F.xxhash64(F.lit(7), "id"), F.lit(n))).alias("dst")),
+        locid_col="k")
+    save_graph(g, root, buckets=4)
+    gb = load_graph(spark, root)
+    assert "KNOWS" in gb._edges_by_dst
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        v = gb.vertex_frame("Person")
+        e = gb.edge_frame("KNOWS")
+        ed = gb.edge_frame_for("KNOWS", "dst")
+        t_out = _tree(e.join(v, e["src"] == v["id"]).select("src", "dst", "name"))
+        t_in = _tree(ed.join(v, ed["dst"] == v["id"]).select("src", "dst", "name"))
+        for t in (t_out, t_in):
+            assert "SortMergeJoin" in t
+            assert "Exchange" not in t, t
+            assert _n_sorts(t) == 0, t
+        # compiler picks the copy per direction: the full V⋈E⋈V triple
+        # keeps only the structurally-unavoidable second-endpoint
+        # Exchange in EITHER direction (unbucketed: 4)
+        for q in ("MATCH (a:Person)-[r:KNOWS]->(b:Person) RETURN a.name AS an, b.name AS bn",
+                  "MATCH (a:Person)<-[r:KNOWS]-(b:Person) RETURN a.name AS an, b.name AS bn"):
+            t = _tree(gb.cypher(q))
+            assert t.count("Exchange") == 1, t
+        # the two at-rest copies hold identical rows
+        cols = ["id", "src", "dst"]
+        assert sorted(map(tuple, e.select(cols).collect())) == \
+            sorted(map(tuple, ed.select(cols).collect()))
+        # incoming results match the primary-copy answer
+        got = gb.cypher("MATCH (a:Person)<-[r:KNOWS]-(b:Person) "
+                        "RETURN count(*) AS c").first().c
+        assert got == 4 * n
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_edge_mutation_invalidates_dst_copy(spark, tmp_path):
+    """DML on an edge label drops its dst-bucketed duplicate (the copies
+    must stay row-identical); the next bucketed commit rewrites it."""
+    root = str(tmp_path / "inval")
+    g = _small_graph(spark)
+    save_graph(g, root, buckets=2)
+    g2 = load_graph(spark, root)
+    assert "KNOWS" in g2._edges_by_dst
+    g2.cypher("MATCH (a:Person {name:'A'}), (b:Person {name:'C'}) "
+              "CREATE (a)-[:KNOWS {since: 2024}]->(b)").collect()
+    assert "KNOWS" not in g2._edges_by_dst
+    # incoming expand still correct off the primary frame
+    got = g2.cypher("MATCH (a:Person {name:'C'})<-[r:KNOWS]-(b:Person) "
+                    "RETURN b.name AS bn").collect()
+    assert {r.bn for r in got} == {"A", "B"}
+    save_graph(g2, root, buckets=2)
+    g3 = load_graph(spark, root)
+    assert g3.edge_frame_for("KNOWS", "dst").count() == 3
+
+
+def test_rebuilt_store_gets_fresh_catalog_entries(spark, tmp_path):
+    """A store deleted and rebuilt at the same root (same absolute data
+    paths) must NOT be served the old schema from the session's cached
+    bucketed-table registrations (ADVICE r2: commit-id in the name)."""
+    import shutil
+
+    root = str(tmp_path / "rebuild")
+    g = _small_graph(spark)
+    save_graph(g, root, buckets=2)
+    load_graph(spark, root).vertex_frame("Person").collect()  # registers
+
+    shutil.rmtree(root)
+    g2 = PropertyGraph(spark, "t2")
+    g2.put_vertices("Person", spark.createDataFrame(
+        [(0, "X", 9, "extra")], "k LONG, name STRING, age LONG, note STRING"),
+        locid_col="k")
+    g2.put_edges("KNOWS", spark.createDataFrame(
+        [(0, 1 << 48 | 0, 1 << 48 | 0, 2024)],
+        "k LONG, src LONG, dst LONG, since LONG"), locid_col="k")
+    save_graph(g2, root, buckets=2)
+
+    g3 = load_graph(spark, root)
+    assert "note" in g3.vertex_frame("Person").columns
+    assert {r.name for r in g3.vertex_frame("Person").collect()} == {"X"}
+
+
+def test_vacuum_drops_bucketed_registrations(spark, tmp_path):
+    from rust_graph_db_spark.storage import _bucket_table_name, vacuum
+
+    root = str(tmp_path / "vac")
+    g = _small_graph(spark)
+    save_graph(g, root, buckets=2)                         # v1
+    g2 = load_graph(spark, root)                           # registers v1 tables
+    m1 = history(root)[-1]
+    rel = m1["vertices"]["Person"]
+    name = _bucket_table_name(os.path.join(root, rel), m1["layout"][rel])
+    assert spark.catalog.tableExists(name)
+    g2.cypher("MATCH (p:Person {name:'A'}) SET p.age = 1").collect()
+    g2.cypher("MATCH (a:Person)-[r:KNOWS]->(b) DELETE r").collect()
+    save_graph(g2, root, buckets=2)                        # v2 rewrites all
+    deleted = vacuum(root, keep_last=1, spark=spark)
+    assert any("vertices/Person" in d for d in deleted)
+    assert not spark.catalog.tableExists(name)             # registration gone
+    assert load_graph(spark, root).vertex_frame("Person").count() == 3
+
+
+def test_label_validation_rejects_injection(spark):
+    g = PropertyGraph(spark, "t")
+    for bad in ("a'b", "a`b", "a/b", "a\\b", "", "a\nb"):
+        with pytest.raises(ValueError):
+            g.label_id(bad)
+    assert g.label_id("A-B 1") != g.label_id("A_B_1")   # distinct labels

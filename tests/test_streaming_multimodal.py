@@ -261,7 +261,8 @@ def test_stream_upserts_bucketed_commits(spark, tmp_path):
     q.awaitTermination(60)
 
     man = history(root)[-1]
-    assert man["layout"][man["vertices"]["User"]] == {"buckets": 2, "key": "id"}
+    spec = man["layout"][man["vertices"]["User"]]
+    assert (spec["buckets"], spec["key"]) == (2, "id")
     fresh = load_graph(spark, root)
     assert fresh.vertex_frame("User").count() == 9
 
