@@ -401,6 +401,41 @@ def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.round("rms", 6).alias("rms"), "zero_crossings")
 
 
+def _q_real_audio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """m4: the REAL (non-fake) audio decode branch end-to-end — a
+    synthesized WAV corpus (stdlib ``wave``, integer square waves, so
+    every rms/zero-crossing value is exact dyadic arithmetic) runs
+    through extract_audio_features' codec path, and the oracle recomputes
+    the same math from the same PCM definition in DuckDB. One corrupt
+    payload proves the skip-don't-fail policy."""
+    import io as _io
+    import wave as _wave
+
+    import numpy as np
+
+    from rust_graph_db_spark.operators.multimodal import (
+        MEDIA_SCHEMA, extract_audio_features)
+
+    def wav(mid, rate, n, period, amp):
+        t = np.arange(n)
+        pcm = np.where((t % period) < period // 2, amp, -amp) \
+            .astype(np.int16)
+        buf = _io.BytesIO()
+        with _wave.open(buf, "wb") as w:
+            w.setnchannels(1)
+            w.setsampwidth(2)
+            w.setframerate(rate)
+            w.writeframes(pcm.tobytes())
+        return (mid, buf.getvalue(), "audio", None)
+
+    media = spark.createDataFrame(
+        [wav(1, 8000, 4000, 8, 16384), wav(2, 8000, 2000, 16, 8192),
+         wav(3, 16000, 8000, 10, 4096), (4, b"not-a-wav", "audio", None)],
+        MEDIA_SCHEMA)
+    return extract_audio_features(media).select(
+        "media_id", "sample_rate", "duration_ms", "rms", "zero_crossings")
+
+
 def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multimodal video path: frame-sample each 'video' (stub demux) →
     exploded (media_id, frame_idx) rows via mapInPandas."""
@@ -435,8 +470,10 @@ def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """W-series extension: MERGE upsert — ON MATCH mutates the existing
-    Person0, ON CREATE materializes a new node; readback aggregates
-    verify both branches took the right arm."""
+    Person0, ON CREATE materializes a new node; the relationship MERGE
+    runs twice so BOTH its arms fire (ON CREATE seeds w=1, the second
+    pass ON MATCH reads-modifies-writes it to 11). Readback aggregates
+    verify every branch took the right arm."""
     from rust_graph_db_spark.graphs import knows_graph
 
     g = knows_graph(spark, sf_dir)
@@ -445,9 +482,16 @@ def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
              "ON MATCH SET p.age = p.age + 100").collect()
     g.cypher("MERGE (p:Person {name: 'PersonNew', city: 'NYC'}) "
              "ON CREATE SET p.age = 33").collect()
+    rq = ("MATCH (a:Person {name: 'Person0'}), (b:Person {name: 'PersonNew'}) "
+          "MERGE (a)-[r:ENDORSES]->(b) "
+          "ON CREATE SET r.w = 1 ON MATCH SET r.w = r.w + 10")
+    g.cypher(rq).collect()          # creates the edge: w = 1
+    g.cypher(rq).collect()          # matches it:       w = 11
     return g.cypher(
         "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
-        "sum(p.age) AS total ORDER BY city")
+        "sum(p.age) AS total ORDER BY city").crossJoin(g.cypher(
+            "MATCH (:Person)-[r:ENDORSES]->(:Person) "
+            "RETURN count(*) AS ecnt, sum(r.w) AS wsum"))
 
 
 def _q_durable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -475,6 +519,72 @@ def _q_durable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g2.cypher(
         "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
         "sum(p.age) AS total ORDER BY city")
+
+
+def _q_stream_durable_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w10: Structured-Streaming ingest with PER-MICRO-BATCH durable
+    commits — the knows fixture's vertices then edges arrive as
+    maxFilesPerTrigger=1 parquet streams (3 micro-batches each), every
+    batch ends in one atomic bucketed save_graph commit, and the
+    readback runs on a FRESH load_graph of the final snapshot. The
+    oracle is the plain 1-hop aggregate: any lost/duplicated batch,
+    torn commit, or id-remap error hash-mismatches."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.graphs import CITIES
+    from rust_graph_db_spark.model import PropertyGraph, pack_graphid
+    from rust_graph_db_spark.storage import history, load_graph
+    from rust_graph_db_spark.streaming import (
+        stream_edge_upserts, stream_vertex_upserts)
+
+    customer = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = customer.count()
+    tmp = tempfile.mkdtemp(prefix="rgds_w10_")
+    root = f"{tmp}/store"
+
+    g = PropertyGraph(spark, name="knows")
+    pid = g.label_id("Person")
+    g.label_id("KNOWS")
+
+    person = customer.select(
+        pack_graphid(pid, F.col("c_custkey")).alias("id"),
+        F.concat(F.lit("Person"), F.col("c_custkey")).alias("name"),
+        (F.lit(20) + F.col("c_custkey") % 60).cast("long").alias("age"),
+        F.element_at(F.array(*[F.lit(c) for c in CITIES]),
+                     (F.col("c_custkey") % 5 + 1).cast("int")).alias("city"))
+    person.repartition(3).write.parquet(f"{tmp}/v_in")
+    vstream = spark.readStream.schema(person.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/v_in")
+    stream_vertex_upserts(g, "Person", vstream,
+                          checkpoint=f"{tmp}/v_ckpt", commit_root=root,
+                          commit_buckets=4).awaitTermination(300)
+
+    base = customer.select(F.col("c_custkey").alias("k"))
+    ring = base.select("k", ((F.col("k") + 1) % n).alias("dk"),
+                       (F.col("k") * 2).alias("eid"))
+    chords = base.where(F.col("k") % 10 == 0).select(
+        "k", ((F.col("k") + 5) % n).alias("dk"),
+        (F.col("k") * 2 + 1).alias("eid"))
+    knows = ring.unionByName(chords).select(
+        F.col("eid").alias("id"),
+        pack_graphid(pid, F.col("k")).alias("src"),
+        pack_graphid(pid, F.col("dk")).alias("dst"),
+        (F.lit(2020) + F.col("k") % 5).cast("long").alias("since"))
+    knows.repartition(3).write.parquet(f"{tmp}/e_in")
+    estream = spark.readStream.schema(knows.schema) \
+        .option("maxFilesPerTrigger", 1).parquet(f"{tmp}/e_in")
+    stream_edge_upserts(g, "KNOWS", estream,
+                        checkpoint=f"{tmp}/e_ckpt", commit_root=root,
+                        commit_buckets=4).awaitTermination(300)
+
+    assert len(history(root)) >= 6, "expected one commit per micro-batch"
+    fresh = load_graph(spark, root)
+    return fresh.cypher(
+        "MATCH (a:Person)-[e:KNOWS]->(b:Person) "
+        "RETURN a.city AS city, count(*) AS cnt, sum(b.age) AS total "
+        "ORDER BY city")
 
 
 def _q_detach_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -879,49 +989,116 @@ def _q_likes(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
-    # FIRST 50 keys.  Queries that have never received an oracle verdict are
-    # listed first (round-1 checked only the leading 50, leaving the entire
-    # training-data-pipeline block unverified); the queries already green in
-    # CORRECTNESS_r01.json follow.
+    # FIRST 50 keys. Round-3 rotation: the 26 queries whose newest green row
+    # dates from r1 lead the window (every one of the 78 then has a verdict
+    # no older than one round: these get r3, the rest were green in r2),
+    # followed by the queries r3 code changes touch (MERGE in dml.py → w9;
+    # similarity byte-gate/batched top-k → e1/e3/e5; pagerank
+    # co-partitioning → g8, already in the rotated set; the post-r2-audit
+    # storage/compiler dst-bucket commit → w8 + expand-join proxies) and
+    # the two new r3 entries (w10 streaming durable commits, m4 real codec).
     return {
-        # --------- training-data pipeline operators (beyond the reference)
-        "d1_exact_dedup": _q_exact_dedup,
-        "d2_ngram_jaccard": _q_ngram_jaccard,
-        "d3_minhash_lsh": _q_minhash_lsh,
-        "d4_simhash": _q_simhash,
-        "d5_embedding_neardup": _q_embedding_neardup,
-        "t1_text_metrics": _q_text_metrics,
-        "x1_follow_unfollow": _q_follow_unfollow,
-        "x2_followers": _q_followers,
-        "x3_timeline": _q_timeline,
-        "x4_suggestions": _q_suggestions,
-        "x6_likes": _q_likes,
-        "w1_windowed_events": _q_windowed_events,
-        "w2_sessionize": _q_sessionize,
-        "w3_window_rank": _q_window_rank,
-        "w7_running_totals": _q_running_totals,
+        # --------- 26 rotated: newest green row was r1
+        # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
+        "w4_dml_pipeline": _q_dml_pipeline,
+        "w5_dml_delete": _q_dml_delete,
+        "w6_detach_delete": _q_detach_delete,
+        # G1/G2: BFS shortest distances + weighted SSSP
+        "g1_bfs_distances": _q_bfs,
+        "g2_weighted_sssp": _q_weighted_sssp,
+        # G3: variable-length expansion 1..3 with path length
+        "g3_vle": _q_cypher_knows(
+            "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b:Person) "
+            "RETURN b.name AS bn, toInteger(length(r)) AS hops"),
+        # G4: VLE constrained to a target endpoint
+        "g4_vle_between": _q_cypher_knows(
+            "MATCH (a:Person {name:'Person0'})-[r:KNOWS*2..4]->"
+            "(b:Person {name:'Person8'}) RETURN toInteger(length(r)) AS hops"),
+        # G5/G6: exact-k / within-k neighbors
+        "g5_k_hop": _q_k_hop,
+        "g6_within_k": _q_within_k,
+        # whole-graph analytics (GraphX-parity extensions); g8 is also
+        # r3-touched (co-partitioned pagerank loop)
+        "g8_pagerank": _q_pagerank,
+        "g9_degrees": _q_degrees,
+        "g10_triangles": _q_triangles,
+        # S3/S4: point lookups by packed graphid
+        "s3_point_lookup": _q_point_lookup,
+        # S7/S10: JSON export -> import round-trip with id remapping
+        "s7_json_roundtrip": _q_json_roundtrip,
+        # S8/S9/S11: CSV round-trip
+        "s8_csv_roundtrip": _q_csv_roundtrip,
+        # S12/S13: bulk load with range-allocated ids
+        "s12_bulk_load": _q_bulk_load,
+        # S14: seeded synthetic graph generators
+        "s14_generator_grid": _q_generator_grid,
+        "s15_generator_tree": _q_generator_tree,
+        # flagship 2-hop heterogeneous pattern
+        "j2_two_hop_region": _q_cypher_tpch(
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
+            "WHERE r.name = 'ASIA' RETURN n.name AS nation, count(*) AS cnt "
+            "ORDER BY nation"),
+        # J1-Both: undirected relationship pattern
+        "j6_undirected": _q_cypher_knows(
+            "MATCH (a:Person {name: 'Person0'})-[r:KNOWS]-(b:Person) "
+            "RETURN b.name AS bn"),
+        # P2: edge-pattern literal property map
+        "p2_edge_props": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS {since: 2021}]->(b:Person) "
+            "RETURN count(*) AS cnt"),
+        # §2.7: graph-aware scalar functions (type/startNode/endNode)
+        "p7_graph_funcs": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.name = 'Person3' "
+            "RETURN type(r) AS t, b.name AS bn"),
+        # X3-flavored: per-customer order totals, top-k (timeline shape)
+        "x3_order_totals": _q_cypher_tpch(
+            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
+            "RETURN c.name AS name, sum(o.totalprice) AS total "
+            "ORDER BY total DESC, name LIMIT 10"),
+        # X5: network analysis composite
+        "x5_network_analysis": _q_network_analysis,
+        # TPC-H Q5 shape: multi-MATCH joined on shared var + expression
+        # inside the aggregate, 4-table heterogeneous join
+        "x7_revenue_by_nation": _q_cypher_tpch(
+            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
+            "MATCH (c)-[:PLACED]->(o:Order)-[li:HAS_ITEM]->(p:Part) "
+            "RETURN n.name AS nation, "
+            "sum(li.extendedprice * (1 - li.discount)) AS revenue "
+            "ORDER BY nation"),
+        # TPC-H Q1 shape over HAS_ITEM edge properties
+        "a4_lineitem_pricing": _q_cypher_tpch(
+            "MATCH (o:Order)-[li:HAS_ITEM]->(p:Part) "
+            "RETURN li.returnflag AS returnflag, sum(li.quantity) AS sum_qty, "
+            "avg(li.extendedprice) AS avg_price, count(*) AS cnt "
+            "ORDER BY returnflag"),
+        # --------- new in r3
+        "w10_stream_commits": _q_stream_durable_commits,
+        "m4_real_audio": _q_real_audio,
+        # --------- r3-touched code paths
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
-        # temporal joins (declared capabilities — SURVEY.md §2.3 absent kinds)
-        "r1_range_join": _q_range_join,
-        "r2_asof_join": _q_asof_join,
-        # sketch / stats aggregates
-        "a5_event_stats": _q_event_stats,
-        "k1_sketch_stats": _q_sketch_stats,
         "e1_cosine_topk": _q_cosine_topk,
-        "e2_cosine_pairs": _q_cosine_pairs,
         "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,
-        "e4_ivf_topk": _q_ivf_topk,
         "e5_knn_join": _q_knn_join,
-        # r2-touched implementations (32/8 LSH + star-round components;
-        # codec-gated multimodal): keep inside the verification window
-        # so their r01 rows don't go stale
-        "g7_dup_clusters": _q_dup_clusters,
-        "m1_image_features": _q_image_features,
-        "m2_audio_features": _q_audio_features,
-        "m3_frame_sample": _q_frame_sample,
+        # expand-join proxies for the dst-bucketed access-path commit
+        "j1_one_hop": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
+            "RETURN a.name AS an, b.name AS bn"),
+        # J5: mutual out-neighbors (semi-join intersection)
+        "j5_mutual_knows": _q_cypher_knows(
+            "MATCH (a:Person {name:'Person0'})-[:KNOWS]->(m:Person)"
+            "<-[:KNOWS]-(b:Person {name:'Person4'}) RETURN m.name AS mn"),
+        # J3: multi-MATCH composition joined on shared variables
+        "j3_multi_match": _q_cypher_knows(
+            "MATCH (a:Person)-[:KNOWS]->(b:Person) MATCH (b)-[:KNOWS]->(c:Person) "
+            "WHERE a.age = 30 RETURN c.name AS cn"),
+        "x2_followers": _q_followers,
+        # S1/P3: label scan + WHERE filter
+        "s1_scan_filter": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age > 60 "
+            "RETURN p.name AS name, p.age AS age"),
         # CASE lookahead (parser.py) and literal-arg dispatch
-        # (functions/scalar.py) changed in r2 — these two exercise them
+        # (functions/scalar.py)
         "p9_case_expr": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.age % 10 = 0 "
             "RETURN p.name AS name, "
@@ -933,35 +1110,43 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
             "RETURN id(a) AS ida, array_join(labels(a), ',') AS la, "
             "startNode(r) AS sn, endNode(r) AS en, b.name AS bn"),
-        # --------- queries below were verified green in CORRECTNESS_r01.json
-        # S1/P3: label scan + WHERE filter
-        "s1_scan_filter": _q_cypher_knows(
-            "MATCH (p:Person) WHERE p.age > 60 "
-            "RETURN p.name AS name, p.age AS age"),
-        # P1: node pattern with literal property map
+        # --------- training-data pipeline operators (beyond the reference)
+        "d1_exact_dedup": _q_exact_dedup,
+        "d2_ngram_jaccard": _q_ngram_jaccard,
+        "d3_minhash_lsh": _q_minhash_lsh,
+        "d4_simhash": _q_simhash,
+        "d5_embedding_neardup": _q_embedding_neardup,
+        "g7_dup_clusters": _q_dup_clusters,
+        "t1_text_metrics": _q_text_metrics,
+        "e2_cosine_pairs": _q_cosine_pairs,
+        "e4_ivf_topk": _q_ivf_topk,
+        "k1_sketch_stats": _q_sketch_stats,
+        # --------- below the 50-key window: newest green row is r2
+        "x1_follow_unfollow": _q_follow_unfollow,
+        "x3_timeline": _q_timeline,
+        "x4_suggestions": _q_suggestions,
+        "x6_likes": _q_likes,
+        "w1_windowed_events": _q_windowed_events,
+        "w2_sessionize": _q_sessionize,
+        "w3_window_rank": _q_window_rank,
+        "w7_running_totals": _q_running_totals,
+        "r1_range_join": _q_range_join,
+        "r2_asof_join": _q_asof_join,
+        "a5_event_stats": _q_event_stats,
+        "m1_image_features": _q_image_features,
+        "m2_audio_features": _q_audio_features,
+        "m3_frame_sample": _q_frame_sample,
         "p1_pattern_props": _q_cypher_knows(
             "MATCH (p:Person {city: 'NYC', active: true}) "
             "RETURN p.name AS name"),
-        # J1: triple-pattern expand V⋈E⋈V
-        "j1_one_hop": _q_cypher_knows(
-            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
-            "RETURN a.name AS an, b.name AS bn"),
         # J2 generalized: 3-hop chain (reference caps at 2)
         "j2_three_hop": _q_cypher_knows(
             "MATCH (a:Person)-[:KNOWS]->(b)-[:KNOWS]->(c)-[:KNOWS]->(d:Person) "
             "WHERE a.name = 'Person0' RETURN d.name AS dn"),
-        # J3: multi-MATCH composition joined on shared variables
-        "j3_multi_match": _q_cypher_knows(
-            "MATCH (a:Person)-[:KNOWS]->(b:Person) MATCH (b)-[:KNOWS]->(c:Person) "
-            "WHERE a.age = 30 RETURN c.name AS cn"),
         # J4: OPTIONAL MATCH left join
         "j4_optional_match": _q_cypher_knows(
             "MATCH (a:Person) OPTIONAL MATCH (a)-[r:KNOWS]->(b:Person) "
             "WHERE b.age > 75 RETURN a.name AS an, b.name AS bn"),
-        # J5: mutual out-neighbors (semi-join intersection)
-        "j5_mutual_knows": _q_cypher_knows(
-            "MATCH (a:Person {name:'Person0'})-[:KNOWS]->(m:Person)"
-            "<-[:KNOWS]-(b:Person {name:'Person4'}) RETURN m.name AS mn"),
         # A1-A6: implicit grouping + all five aggregates
         "a1_agg_group": _q_cypher_knows(
             "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
@@ -1001,79 +1186,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UNWIND (list expansion, engine extension)
         "u4_unwind": _q_cypher_knows(
             "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x"),
-        # P2: edge-pattern literal property map
-        "p2_edge_props": _q_cypher_knows(
-            "MATCH (a:Person)-[r:KNOWS {since: 2021}]->(b:Person) "
-            "RETURN count(*) AS cnt"),
-        # J1-Both: undirected relationship pattern
-        "j6_undirected": _q_cypher_knows(
-            "MATCH (a:Person {name: 'Person0'})-[r:KNOWS]-(b:Person) "
-            "RETURN b.name AS bn"),
-        # §2.7: graph-aware scalar functions (type/startNode/endNode)
-        "p7_graph_funcs": _q_cypher_knows(
-            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.name = 'Person3' "
-            "RETURN type(r) AS t, b.name AS bn"),
-        # G3: variable-length expansion 1..3 with path length
-        "g3_vle": _q_cypher_knows(
-            "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b:Person) "
-            "RETURN b.name AS bn, toInteger(length(r)) AS hops"),
-        # G4: VLE constrained to a target endpoint
-        "g4_vle_between": _q_cypher_knows(
-            "MATCH (a:Person {name:'Person0'})-[r:KNOWS*2..4]->"
-            "(b:Person {name:'Person8'}) RETURN toInteger(length(r)) AS hops"),
-        # G1/G2: BFS shortest distances
-        "g1_bfs_distances": _q_bfs,
-        # G5: exact-k neighbors
-        "g5_k_hop": _q_k_hop,
-        # G6: within-k neighbors
-        "g6_within_k": _q_within_k,
-        # G1 weighted: Bellman-Ford SSSP over a cost DAG
-        "g2_weighted_sssp": _q_weighted_sssp,
-        # whole-graph analytics (GraphX-parity extensions)
-        "g8_pagerank": _q_pagerank,
-        "g9_degrees": _q_degrees,
-        "g10_triangles": _q_triangles,
-        # X5: network analysis composite
-        "x5_network_analysis": _q_network_analysis,
-        # X3-flavored: per-customer order totals, top-k (timeline shape)
-        "x3_order_totals": _q_cypher_tpch(
-            "MATCH (c:Customer)-[:PLACED]->(o:Order) "
-            "RETURN c.name AS name, sum(o.totalprice) AS total "
-            "ORDER BY total DESC, name LIMIT 10"),
-        # TPC-H Q5 shape: multi-MATCH joined on shared var + expression
-        # inside the aggregate, 4-table heterogeneous join
-        "x7_revenue_by_nation": _q_cypher_tpch(
-            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
-            "MATCH (c)-[:PLACED]->(o:Order)-[li:HAS_ITEM]->(p:Part) "
-            "RETURN n.name AS nation, "
-            "sum(li.extendedprice * (1 - li.discount)) AS revenue "
-            "ORDER BY nation"),
-        # flagship 2-hop heterogeneous pattern
-        "j2_two_hop_region": _q_cypher_tpch(
-            "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
-            "WHERE r.name = 'ASIA' RETURN n.name AS nation, count(*) AS cnt "
-            "ORDER BY nation"),
-        # TPC-H Q1 shape over HAS_ITEM edge properties
-        "a4_lineitem_pricing": _q_cypher_tpch(
-            "MATCH (o:Order)-[li:HAS_ITEM]->(p:Part) "
-            "RETURN li.returnflag AS returnflag, sum(li.quantity) AS sum_qty, "
-            "avg(li.extendedprice) AS avg_price, count(*) AS cnt "
-            "ORDER BY returnflag"),
-        # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
-        "w4_dml_pipeline": _q_dml_pipeline,
-        "w5_dml_delete": _q_dml_delete,
-        "w6_detach_delete": _q_detach_delete,
-        # S3/S4: point lookups by packed graphid
-        "s3_point_lookup": _q_point_lookup,
-        # S12/S13: bulk load with range-allocated ids
-        "s12_bulk_load": _q_bulk_load,
-        # S7/S10: JSON export -> import round-trip with id remapping
-        "s7_json_roundtrip": _q_json_roundtrip,
-        # S8/S9/S11: CSV round-trip
-        "s8_csv_roundtrip": _q_csv_roundtrip,
-        # S14: seeded synthetic graph generator
-        "s14_generator_grid": _q_generator_grid,
-        "s15_generator_tree": _q_generator_tree,
     }
 
 
@@ -1296,9 +1408,20 @@ def oracle_sql() -> dict[str, str]:
         "w9_merge_upsert": pre + (
             ", p2 AS (SELECT city, CASE WHEN name = 'Person0' "
             "THEN age + 100 ELSE age END AS age FROM person "
-            "UNION ALL SELECT 'NYC', 33) "
-            "SELECT city, count(*) AS cnt, CAST(sum(age) AS BIGINT) AS total "
-            "FROM p2 GROUP BY city ORDER BY city"),
+            "UNION ALL SELECT 'NYC', 33), "
+            # relationship MERGE ran twice: one edge, w = 1 (+10 on match)
+            "ed AS (SELECT CAST(1 AS BIGINT) AS ecnt, "
+            "CAST(11 AS BIGINT) AS wsum) "
+            "SELECT city, count(*) AS cnt, CAST(sum(age) AS BIGINT) AS total, "
+            "ecnt, wsum FROM p2, ed GROUP BY city, ecnt, wsum ORDER BY city"),
+        # streaming micro-batch ingest + per-batch durable commits must
+        # reproduce the exact knows fixture — plain 1-hop aggregate
+        "w10_stream_commits": pre + (
+            " SELECT pa.city AS city, count(*) AS cnt, "
+            "CAST(sum(pb.age) AS BIGINT) AS total "
+            "FROM knows k JOIN person pa ON pa.key = k.src "
+            "JOIN person pb ON pb.key = k.dst "
+            "GROUP BY pa.city ORDER BY city"),
         # same readback as w4 — the storage round-trip must be invisible
         "w8_durable_graph": pre + (
             ", p2 AS (SELECT city, age FROM person "
@@ -1356,6 +1479,28 @@ def oracle_sql() -> dict[str, str]:
             "CAST(('0x' || substr(sha256(text), 33, 8)) AS BIGINT) % 100000 "
             "AS zero_crossings "
             "FROM documents WHERE length(text) > 0"),
+        # m4: REAL codec branch — DuckDB recomputes rms/zero-crossing
+        # from the identical integer square-wave PCM definition; every
+        # value is exact dyadic arithmetic, so doubles hash-match
+        "m4_real_audio": (
+            "WITH params(media_id, rate, n, period, amp) AS (VALUES "
+            "(1, 8000, 4000, 8, 16384.0), (2, 8000, 2000, 16, 8192.0), "
+            "(3, 16000, 8000, 10, 4096.0)), "
+            "samp AS (SELECT p.media_id, p.rate, p.n, g.i AS t, "
+            "(CASE WHEN (g.i % p.period) < p.period // 2 "
+            "THEN p.amp ELSE -p.amp END) / 32768.0 AS s "
+            "FROM params p JOIN generate_series(0, 7999) AS g(i) "
+            "ON g.i < p.n), "
+            "lagd AS (SELECT media_id, rate, n, t, s, "
+            "LAG(s) OVER (PARTITION BY media_id ORDER BY t) AS prev "
+            "FROM samp) "
+            "SELECT CAST(media_id AS BIGINT) AS media_id, "
+            "CAST(MAX(rate) AS INTEGER) AS sample_rate, "
+            "CAST(MAX(n) * 1000 // MAX(rate) AS BIGINT) AS duration_ms, "
+            "SQRT(AVG(s * s)) AS rms, "
+            "CAST(COUNT(*) FILTER (WHERE prev IS NOT NULL "
+            "AND (s < 0) <> (prev < 0)) AS BIGINT) AS zero_crossings "
+            "FROM lagd GROUP BY media_id ORDER BY media_id"),
         "d1_exact_dedup": (
             "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id "
             "FROM documents GROUP BY md5(text)"),

@@ -186,14 +186,20 @@ def apply_create(ctx, clause: Create) -> None:
 
 def apply_merge(ctx, clause) -> None:
     """MERGE — engine extension (absent from the reference grammar,
-    cypher.pest). Two supported forms:
+    cypher.pest). Supported forms:
 
-    - standalone single-node ``MERGE (n:L {...})`` — bind when present,
-      create otherwise, then ON MATCH / ON CREATE SET respectively;
-    - match-driven relationship ``MATCH ... MERGE (a)-[:R {...}]->(b)``
+    - single-node ``MERGE (n:L {...})`` — standalone OR after a
+      MATCH/WITH pipeline: bind when present, create otherwise, then
+      ON MATCH / ON CREATE SET respectively. The property map is
+      literal, so the pattern is row-independent: mid-query it merges
+      ONCE and binds the result onto every pipeline row (the same node
+      every row would merge in per-row Cypher semantics);
+    - match-driven relationship ``MATCH ... MERGE (a)-[r:R {...}]->(b)``
       with both endpoints bound — create exactly the missing
       (src, dst, props) edges (anti-join dup check, the X1 follow
-      dataflow at the Cypher level), never duplicating existing ones.
+      dataflow at the Cypher level), never duplicating existing ones;
+      ON CREATE SET applies to the created edges, ON MATCH SET to the
+      pre-existing matched ones.
 
     The dataflow IS the storage-MERGE body: probe by the literal
     property map, branch on existence; on a Delta-backed deployment
@@ -204,9 +210,6 @@ def apply_merge(ctx, clause) -> None:
     items = clause.pattern.items
     if len(items) == 3:
         return _merge_edge(ctx, clause)
-    if ctx.df is not None:
-        raise CypherWriteError(
-            "single-node MERGE is supported as a standalone (first) clause")
     if len(items) != 1:
         raise CypherWriteError(
             "MERGE supports single-node or single-relationship patterns")
@@ -214,7 +217,13 @@ def apply_merge(ctx, clause) -> None:
     if node.label is None:
         raise CypherWriteError("MERGE node requires a label")
     var = node.var
+    if var is not None and var in ctx.env:
+        raise CypherWriteError(
+            "MERGE variable must be unbound (re-MERGE of a bound "
+            "variable is a no-op match in Cypher; rename the variable)")
     props = _literal_props(node.props)
+    outer = ctx.df     # mid-query MERGE: merge standalone, then attach
+    ctx.df = None
 
     g = ctx.graph
     n = 0
@@ -244,16 +253,45 @@ def apply_merge(ctx, clause) -> None:
             apply_set(ctx, SetClause(tuple(clause.on_match)))
         ctx.write_stats["merge_matched"] = \
             ctx.write_stats.get("merge_matched", 0) + n
+    if outer is not None:
+        # attach the merged node to every pipeline row (row-count
+        # semantics of per-row MERGE with a literal pattern)
+        ctx.df = outer if ctx.df is None else outer.crossJoin(ctx.df)
+
+
+def _apply_set_on_edge_ids(ctx, elabel: str, ids_df, var: str,
+                           items) -> None:
+    """Run a SetClause against exactly the edge rows in ``ids_df``:
+    binds ``var`` to a flat frame of those rows, then reuses apply_set's
+    grouped read-modify-write (so nested paths / expressions over the
+    edge's own properties work unchanged)."""
+    from rust_graph_db_spark.compiler import Binding, _flat
+    from rust_graph_db_spark.parser.ast_nodes import SetClause as _SC
+
+    ef = ctx.graph.edge_frame(elabel)
+    sel = ef.join(F.broadcast(ids_df), "id", "left_semi")
+    cols = {c: _flat(var, c) for c in sel.columns}
+    flat = sel.select(*[F.col(c).alias(fc) for c, fc in cols.items()])
+    cols["label"] = _flat(var, "label")
+    flat = flat.withColumn(cols["label"], F.lit(elabel))
+    saved_df, saved_env = ctx.df, ctx.env
+    ctx.df, ctx.env = flat, {var: Binding("edge", elabel, cols)}
+    try:
+        apply_set(ctx, _SC(tuple(items)))
+    finally:
+        ctx.df, ctx.env = saved_df, saved_env
 
 
 def _merge_edge(ctx, clause) -> None:
     """Relationship MERGE with bound endpoints: dup-checked edge
-    creation over the matched rows."""
+    creation over the matched rows; ON CREATE SET runs against the
+    edges this MERGE created, ON MATCH SET against the pre-existing
+    matched ones (the two MERGE INTO arms)."""
     left, rel, right = clause.pattern.items
-    if clause.on_create or clause.on_match:
+    if (clause.on_create or clause.on_match) and rel.var is None:
         raise CypherWriteError(
-            "ON CREATE/ON MATCH SET is not supported for relationship "
-            "MERGE (set edge properties in the pattern's literal map)")
+            "ON CREATE/ON MATCH SET on a relationship MERGE requires a "
+            "relationship variable to target")
     if ctx.df is None or left.var not in ctx.env or right.var not in ctx.env:
         raise CypherWriteError(
             "relationship MERGE requires both endpoints bound by a MATCH")
@@ -276,14 +314,20 @@ def _merge_edge(ctx, clause) -> None:
     pairs = ctx.df.select(F.col(src_col).alias("src"),
                           F.col(dst_col).alias("dst")).distinct()
 
+    matched_ids = None
     if elabel in g._edges:
         ef = g._edges[elabel]
         cond = F.lit(True)
         for k, c in props.items():
             cond = (cond & F.col(k).eqNullSafe(c)) if k in ef.columns \
                 else F.lit(False)
-        missing = pairs.join(ef.where(cond).select("src", "dst"),
+        hits = ef.where(cond)
+        missing = pairs.join(hits.select("src", "dst"),
                              ["src", "dst"], "left_anti")
+        if clause.on_match:
+            # pin NOW: the frame mutates below when edges are created
+            matched_ids = (hits.join(pairs, ["src", "dst"], "left_semi")
+                           .select("id").localCheckpoint(eager=True))
     else:
         missing = pairs
     missing, cnt = dense_index(missing, ["src", "dst"], "_eloc")
@@ -302,6 +346,13 @@ def _merge_edge(ctx, clause) -> None:
                 new, allowMissingColumns=True).localCheckpoint(eager=True))
         else:
             g.set_edges(elabel, new.localCheckpoint(eager=True))
+        if clause.on_create:
+            _apply_set_on_edge_ids(ctx, elabel, new.select("id"),
+                                   rel.var, clause.on_create)
+    if clause.on_match and matched_ids is not None \
+            and not matched_ids.isEmpty():
+        _apply_set_on_edge_ids(ctx, elabel, matched_ids,
+                               rel.var, clause.on_match)
     ctx.write_stats["merge_created_edges"] = \
         ctx.write_stats.get("merge_created_edges", 0) + cnt
 

@@ -188,14 +188,28 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     d * sum(in_rank/out_deg); dangling vertices absorb rank — no
     redistribution, so ranks sum to n only on dangling-free graphs).
     Fixed iteration count — deterministic, driver controls convergence.
+
+    Co-partitioning: ``links`` and ``verts`` are hash-partitioned on
+    vertex id ONCE before the loop (``localCheckpoint`` pins the layout
+    — LogicalRDD preserves outputPartitioning), and every downstream
+    frame inherits a compatible HashPartitioning, so each iteration
+    pays exactly ONE Exchange (the contribution re-key under the
+    groupBy) instead of re-shuffling the static link table every round.
+    At 100 TB the link table is the big side; shuffling it per
+    iteration would dominate the whole algorithm.
     """
     s, d = _pair_cols(edges)
+    spark = edges.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     e = edges.select(F.col(s).cast("long").alias("src"),
                      F.col(d).cast("long").alias("dst"))
     verts = (e.select(F.col("src").alias("id"))
              .unionAll(e.select(F.col("dst").alias("id")))
-             .distinct().localCheckpoint(eager=True))
+             .distinct()
+             .repartition(nparts, F.col("id"))
+             .localCheckpoint(eager=True))
     links = (e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+             .repartition(nparts, F.col("src"))
              .localCheckpoint(eager=True))
     ranks = verts.withColumn("rank", F.lit(1.0))
 

@@ -46,6 +46,18 @@ def _vec_lit(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def _broadcast_hint(emb: DataFrame, vec_col: str,
+                    cap_bytes: int = 64 * 1024 * 1024):
+    """Broadcast-or-not for an embedding side, gated on ESTIMATED BYTES
+    (4 B per float32 element + ~16 B row overhead), not row count: at
+    dim 1024 a 500k-row count gate would happily broadcast ~2 GB. One
+    aggregate job (same cost class as the count it replaces); mirrors
+    the shingle-side gate in dedup.py."""
+    est = (emb.agg((F.sum(F.size(vec_col)) * 4 +
+                    F.count(F.lit(1)) * 16).alias("b")).first()["b"]) or 0
+    return F.broadcast if est <= cap_bytes else (lambda d: d)
+
+
 def cosine_topk(
     emb: DataFrame, query_vec: Sequence[float], k: int = 10,
     id_col: str = "vec_id", vec_col: str = "embedding",
@@ -55,11 +67,16 @@ def cosine_topk(
 
     Ties break on id. Catalyst plans orderBy+limit as
     TakeOrderedAndProject: each partition keeps its local top-k, the
-    driver merges — no full sort, no shuffle of the corpus.
+    driver merges — no full sort, no shuffle of the corpus. The scan
+    scores through the Arrow-batched numpy cosine (one matvec per
+    batch), not the interpreted zip_with/aggregate expression — the
+    expression form costs ~10 µs/row, which at 10^9 corpus rows turns
+    the linear scan into hours; the batch form is ~100× cheaper at the
+    same float64 precision (ivf_topk uses the identical scoring path).
     """
     q = _vec_lit(query_vec)
     out = emb.select(F.col(id_col).alias("id"),
-                     cosine(F.col(vec_col), q).alias("cos"))
+                     cosine_batch()(F.col(vec_col), q).alias("cos"))
     if exclude_id is not None:
         out = out.where(F.col("id") != int(exclude_id))
     return out.orderBy(F.col("cos").desc(), F.col("id").asc()).limit(k)
@@ -154,11 +171,11 @@ def lsh_cosine_pairs(
             .dropDuplicates(["i", "j"]))
     # exact re-score joins vectors back onto the candidate set — the
     # corpus shuffle carries only (id, tbl, bucket) triples. The vector
-    # side broadcasts when small; the per-candidate cosine is an
-    # Arrow-batched numpy matvec (the interpreted zip_with/aggregate
-    # expression costs ~10 µs/pair, which dominates once candidate
-    # counts reach 10^5-10^6).
-    hint = F.broadcast if emb.count() <= 500_000 else (lambda d: d)
+    # side broadcasts only when its ESTIMATED BYTES fit (≤64 MB); the
+    # per-candidate cosine is an Arrow-batched numpy matvec (the
+    # interpreted zip_with/aggregate expression costs ~10 µs/pair,
+    # which dominates once candidate counts reach 10^5-10^6).
+    hint = _broadcast_hint(emb, vec_col)
     va = emb.select(F.col(id_col).alias("i"), F.col(vec_col).alias("va"))
     vb = emb.select(F.col(id_col).alias("j"), F.col(vec_col).alias("vb"))
     return (cand.join(hint(va), "i").join(hint(vb), "j")
@@ -396,10 +413,11 @@ def knn_join_lsh(
     cand = (qtag.join(ntag, ["tbl", "bucket"])
             .where(F.col("qid") != F.col("nid"))
             .select("qid", "nid").dropDuplicates(["qid", "nid"]))
-    hint = F.broadcast if right.count() <= 500_000 else (lambda d: d)
+    qhint = _broadcast_hint(left, vec_col)
+    nhint = _broadcast_hint(right, vec_col)
     qv = left.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     nv = right.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-    scored = (cand.join(hint(qv), "qid").join(hint(nv), "nid")
+    scored = (cand.join(qhint(qv), "qid").join(nhint(nv), "nid")
               .withColumn("cos", cosine_batch()(F.col("qv"), F.col("nv"))))
     from pyspark.sql import Window
 

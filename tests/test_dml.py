@@ -138,9 +138,27 @@ def test_merge_new_label(spark):
     assert g2.vertex_frame("City").count() == 1
 
 
-def test_merge_rejects_nonstandalone(g):
+def test_merge_node_after_match_creates_once(g):
+    # literal-pattern MERGE mid-query: one node created even though the
+    # pipeline carries 3 rows; bound onto every row
+    out = g.cypher("MATCH (p:Person) MERGE (q:City {name: 'Oslo'}) "
+                   "RETURN p.name AS pn, q.name AS qn ORDER BY pn").collect()
+    assert [r["qn"] for r in out] == ["Oslo"] * 3
+    assert g.vertex_frame("City").count() == 1
+
+
+def test_merge_node_after_match_binds_existing(g):
+    g.cypher("CREATE (c:City {name: 'Rome', pop: 3})").collect()
+    out = g.cypher("MATCH (p:Person {name:'Alice'}) "
+                   "MERGE (q:City {name: 'Rome'}) "
+                   "RETURN p.name AS pn, q.pop AS pop").collect()
+    assert [(r["pn"], r["pop"]) for r in out] == [("Alice", 3)]
+    assert g.vertex_frame("City").count() == 1
+
+
+def test_merge_rejects_rebound_variable(g):
     with pytest.raises(CypherWriteError):
-        g.cypher("MATCH (p:Person) MERGE (q:Person {name: 'X'})").collect()
+        g.cypher("MATCH (p:Person) MERGE (p:Person {name: 'X'})").collect()
 
 
 def test_merge_return_after_match(g):
@@ -179,3 +197,38 @@ def test_merge_edge_new_label_and_multirow(g):
 def test_merge_edge_requires_bound_endpoints(g):
     with pytest.raises(CypherWriteError):
         g.cypher("MERGE (a)-[:KNOWS]->(b)").collect()
+
+
+def test_merge_edge_on_create_set(g):
+    q = ("MATCH (a:Person {name:'Alice'}), (c:Person {name:'Carol'}) "
+         "MERGE (a)-[r:LIKES]->(c) "
+         "ON CREATE SET r.weight = 1 ON MATCH SET r.weight = r.weight + 1")
+    g.cypher(q).collect()
+    assert g.edge_frame("LIKES").first()["weight"] == 1   # created arm
+    g.cypher(q).collect()
+    g.cypher(q).collect()
+    assert g.edge_frame("LIKES").count() == 1
+    assert g.edge_frame("LIKES").first()["weight"] == 3   # matched arm RMW
+
+
+def test_merge_edge_on_match_only_targets_matched_pairs(g):
+    # Alice->Bob exists (since 2020); Alice->Carol does not. One MERGE
+    # over both pairs: the existing edge gets ON MATCH, the new one
+    # gets ON CREATE — and only edges in the merged pair set change.
+    g.cypher("MATCH (a:Person {name:'Bob'}), (c:Person {name:'Carol'}) "
+             "CREATE (a)-[:KNOWS {since: 2020}]->(c)").collect()
+    g.cypher("MATCH (a:Person {name:'Alice'}), (b:Person) "
+             "WHERE b.name IN ['Bob', 'Carol'] "
+             "MERGE (a)-[r:KNOWS {since: 2020}]->(b) "
+             "ON CREATE SET r.flag = 'new' ON MATCH SET r.flag = 'old'") \
+        .collect()
+    rows = {(r["since"], r["flag"]) for r in g.edge_frame("KNOWS").collect()}
+    # Alice->Bob matched, Alice->Carol created, Bob->Carol untouched
+    assert (2020, "old") in rows and (2020, "new") in rows
+    assert (2020, None) in rows
+
+
+def test_merge_edge_on_set_requires_rel_var(g):
+    with pytest.raises(CypherWriteError):
+        g.cypher("MATCH (a:Person {name:'Alice'}), (c:Person {name:'Carol'}) "
+                 "MERGE (a)-[:LIKES]->(c) ON CREATE SET a.x = 1").collect()
