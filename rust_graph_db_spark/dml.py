@@ -199,7 +199,12 @@ def apply_merge(ctx, clause) -> None:
       (src, dst, props) edges (anti-join dup check, the X1 follow
       dataflow at the Cypher level), never duplicating existing ones;
       ON CREATE SET applies to the created edges, ON MATCH SET to the
-      pre-existing matched ones.
+      pre-existing matched ones;
+    - standalone whole-path ``MERGE (a:L1 {...})-[r:R {...}]->(b:L2
+      {...})`` with UNBOUND labeled endpoints — match the ENTIRE
+      pattern; when no full match exists, create the whole path (Cypher
+      semantics: partial sub-pattern existence does not prevent
+      creation), then ON CREATE / ON MATCH SET on the bound variables.
 
     The dataflow IS the storage-MERGE body: probe by the literal
     property map, branch on existence; on a Delta-backed deployment
@@ -209,6 +214,11 @@ def apply_merge(ctx, clause) -> None:
 
     items = clause.pattern.items
     if len(items) == 3:
+        left, _, right = items
+        unbound = (left.var not in ctx.env if left.var else True) and \
+                  (right.var not in ctx.env if right.var else True)
+        if unbound and (left.label or right.label):
+            return _merge_path(ctx, clause)
         return _merge_edge(ctx, clause)
     if len(items) != 1:
         raise CypherWriteError(
@@ -257,6 +267,72 @@ def apply_merge(ctx, clause) -> None:
         # attach the merged node to every pipeline row (row-count
         # semantics of per-row MERGE with a literal pattern)
         ctx.df = outer if ctx.df is None else outer.crossJoin(ctx.df)
+
+
+def _merge_path(ctx, clause) -> None:
+    """Standalone whole-path MERGE with unbound labeled endpoints:
+    probe the FULL triple pattern through the read compiler; if at
+    least one complete match exists, bind those rows (ON MATCH SET),
+    else create the entire path via apply_create (ON CREATE SET) —
+    per Cypher, an existing endpoint without the full pattern still
+    means the whole path is created fresh."""
+    from rust_graph_db_spark.compiler import _apply_match
+    from rust_graph_db_spark.parser.ast_nodes import Create, Match, SetClause
+
+    left, rel, right = clause.pattern.items
+    if ctx.df is not None:
+        raise CypherWriteError(
+            "whole-path MERGE (unbound endpoints) is supported as a "
+            "standalone (first) clause")
+    if left.label is None or right.label is None or rel.label is None:
+        raise CypherWriteError(
+            "whole-path MERGE requires labels on both endpoints and "
+            "the relationship")
+    if rel.direction == "both":
+        raise CypherWriteError("MERGE requires a directed relationship")
+
+    probe = _Probe(ctx)
+    have = (left.label in ctx.graph._vertices
+            and right.label in ctx.graph._vertices
+            and rel.label in ctx.graph._edges)
+    if have:
+        _apply_match(probe, Match((clause.pattern,)))
+    if have and not probe.df.isEmpty():
+        ctx.df, ctx.env = probe.df, probe.env
+        if clause.on_match:
+            apply_set(ctx, SetClause(tuple(clause.on_match)))
+        ctx.write_stats["merge_matched"] = \
+            ctx.write_stats.get("merge_matched", 0) + 1
+    else:
+        apply_create(ctx, Create((clause.pattern,)))
+        # re-probe: the pattern now matches exactly the created path,
+        # which binds EVERY pattern variable (incl. the relationship —
+        # apply_create itself binds only nodes) for ON CREATE SET and
+        # any following RETURN
+        probe = _Probe(ctx)
+        _apply_match(probe, Match((clause.pattern,)))
+        ctx.df, ctx.env = probe.df, probe.env
+        if clause.on_create:
+            apply_set(ctx, SetClause(tuple(clause.on_create)))
+        ctx.write_stats["merge_created"] = \
+            ctx.write_stats.get("merge_created", 0) + 1
+
+
+class _Probe:
+    """Scratch compile context over the real ctx's graph — lets the
+    pattern probe run from a clean slate (no df, no bindings) without
+    disturbing the caller's state."""
+
+    def __init__(self, ctx):
+        self.graph = ctx.graph
+        self.spark = ctx.spark
+        self.df = None
+        self.env = {}
+        self._gensym = ctx._gensym
+        self.write_stats = ctx.write_stats
+
+    def sym(self, prefix: str = "_a") -> str:
+        return f"{prefix}{next(self._gensym)}"
 
 
 def _apply_set_on_edge_ids(ctx, elabel: str, ids_df, var: str,

@@ -24,6 +24,8 @@ shuffle-free on the link side.
 
 from __future__ import annotations
 
+from typing import Optional
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -180,8 +182,44 @@ def degrees(edges: DataFrame) -> DataFrame:
             .withColumn("deg", F.col("out_deg") + F.col("in_deg")))
 
 
+# Below this many edges the link table comfortably auto-broadcasts and
+# AQE's coalescing beats pinned partitioning on fixed per-task overhead;
+# above it the loop switches to the co-partitioned shuffle discipline.
+_PR_COPARTITION_EDGES = 5_000_000
+
+
+def _pr_frames(e: DataFrame, nparts: Optional[int]) -> tuple:
+    """(verts, links) for the PageRank loop, optionally pinned to a
+    shared HashPartitioning on vertex id (``localCheckpoint`` captures
+    the layout in the LogicalRDD, so every iteration reuses it)."""
+    verts = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id")))
+             .distinct())
+    links = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    if nparts:
+        verts = verts.repartition(nparts, F.col("id"))
+        links = links.repartition(nparts, F.col("src"))
+    return (verts.localCheckpoint(eager=True),
+            links.localCheckpoint(eager=True))
+
+
+def _pr_step(verts: DataFrame, links: DataFrame, r: DataFrame,
+             damping: float) -> DataFrame:
+    """One damped-PageRank iteration (pure plan — no action)."""
+    contribs = (links.join(r, links["src"] == r["id"])
+                .select(F.explode("nbrs").alias("id"),
+                        (F.col("rank") / F.size("nbrs")).alias("c"))
+                .groupBy("id").agg(F.sum("c").alias("c")))
+    return (verts.join(contribs, "id", "left")
+            .select("id",
+                    (F.lit(1.0 - damping)
+                     + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                     ).alias("rank")))
+
+
 def pagerank(edges: DataFrame, iterations: int = 10,
-             damping: float = 0.85) -> DataFrame:
+             damping: float = 0.85,
+             copartition: Optional[bool] = None) -> DataFrame:
     """Classic damped PageRank over a (src, dst) edge list.
 
     Returns ``(id, rank)`` (GraphX convention: rank = (1-d) +
@@ -189,49 +227,64 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     redistribution, so ranks sum to n only on dangling-free graphs).
     Fixed iteration count — deterministic, driver controls convergence.
 
-    Co-partitioning: ``links`` and ``verts`` are hash-partitioned on
-    vertex id ONCE before the loop (``localCheckpoint`` pins the layout
-    — LogicalRDD preserves outputPartitioning), and every downstream
-    frame inherits a compatible HashPartitioning, so each iteration
-    pays exactly ONE Exchange (the contribution re-key under the
-    groupBy) instead of re-shuffling the static link table every round.
-    At 100 TB the link table is the big side; shuffling it per
-    iteration would dominate the whole algorithm.
+    Scale-adaptive shuffle discipline. Small graphs (default: under
+    ~5M edges, overridable via ``copartition``) keep AQE on and let
+    the link table auto-broadcast — per-iteration cost is one groupBy
+    shuffle of tiny data. At scale the loop switches to CO-PARTITIONED
+    mode: ``links`` and ``verts`` are hash-partitioned on vertex id
+    ONCE before the loop (``localCheckpoint`` pins the layout —
+    LogicalRDD preserves outputPartitioning), every downstream frame
+    inherits a compatible HashPartitioning, and each iteration pays
+    exactly ONE Exchange (the contribution re-key under the groupBy)
+    instead of re-shuffling the static link table every round — at
+    100 TB the link table is the big side and re-shuffling it would
+    dominate the algorithm (plan-asserted in
+    tests/test_graph_algos.py). AQE is disabled inside co-partitioned
+    mode only: under AQE a checkpointed frame's outputPartitioning is
+    Unknown (the adaptive plan's final layout isn't knowable when the
+    LogicalRDD is captured), which would silently re-insert BOTH
+    per-iteration exchanges; the explicit partition sizing (one
+    partition per ~250k edges, capped at the session's shuffle
+    parallelism) does the work AQE's coalescing otherwise would.
     """
     s, d = _pair_cols(edges)
     spark = edges.sparkSession
-    nparts = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
-    e = edges.select(F.col(s).cast("long").alias("src"),
-                     F.col(d).cast("long").alias("dst"))
-    verts = (e.select(F.col("src").alias("id"))
-             .unionAll(e.select(F.col("dst").alias("id")))
-             .distinct()
-             .repartition(nparts, F.col("id"))
-             .localCheckpoint(eager=True))
-    links = (e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
-             .repartition(nparts, F.col("src"))
-             .localCheckpoint(eager=True))
+    e = (edges.select(F.col(s).cast("long").alias("src"),
+                      F.col(d).cast("long").alias("dst"))
+         .localCheckpoint(eager=True))
+    n_edges = e.count()
+    if copartition is None:
+        copartition = n_edges > _PR_COPARTITION_EDGES
+    if not copartition:
+        return _pagerank_loop(e, None, iterations, damping)
+    cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
+    nparts = max(1, min(cap, -(-n_edges // 250_000)))
+    aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    # shuffle.partitions must equal nparts for the loop: the groupBy
+    # re-key otherwise lands on a different partition count than the
+    # pinned verts/links layout and the join re-shuffles verts anyway
+    sp_was = spark.conf.get("spark.sql.shuffle.partitions", "200")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
+    try:
+        return _pagerank_loop(e, nparts, iterations, damping)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
+        spark.conf.set("spark.sql.shuffle.partitions", sp_was)
+
+
+def _pagerank_loop(e: DataFrame, nparts: Optional[int],
+                   iterations: int, damping: float) -> DataFrame:
+    verts, links = _pr_frames(e, nparts)
     ranks = verts.withColumn("rank", F.lit(1.0))
-
-    def step(r: DataFrame) -> DataFrame:
-        contribs = (links.join(r, links["src"] == r["id"])
-                    .select(F.explode("nbrs").alias("id"),
-                            (F.col("rank") / F.size("nbrs")).alias("c"))
-                    .groupBy("id").agg(F.sum("c").alias("c")))
-        return (verts.join(contribs, "id", "left")
-                .select("id",
-                        (F.lit(1.0 - damping)
-                         + F.lit(damping) * F.coalesce("c", F.lit(0.0))
-                         ).alias("rank")))
-
     # Two lazy steps per checkpoint: the composed 2-iteration plan runs
     # as one job, halving driver barriers; lineage stays O(1) via the
     # per-round checkpoint.
     done = 0
     while done < iterations:
-        ranks = step(ranks)
+        ranks = _pr_step(verts, links, ranks, damping)
         if done + 1 < iterations:
-            ranks = step(ranks)
+            ranks = _pr_step(verts, links, ranks, damping)
             done += 2
         else:
             done += 1

@@ -228,6 +228,39 @@ def test_merge_edge_on_match_only_targets_matched_pairs(g):
     assert (2020, None) in rows
 
 
+def test_merge_whole_path_creates_all(g):
+    # no City exists: the full path (both nodes + edge) is created once
+    q = ("MERGE (p:Person {name: 'Zed'})-[r:LIVES_IN]->(c:City {name: 'Oslo'}) "
+         "ON CREATE SET r.since = 2024")
+    g.cypher(q).collect()
+    g.cypher(q).collect()                  # idempotent: full match now exists
+    assert g.vertex_frame("Person").where("name = 'Zed'").count() == 1
+    assert g.vertex_frame("City").count() == 1
+    assert g.edge_frame("LIVES_IN").count() == 1
+    assert g.edge_frame("LIVES_IN").first()["since"] == 2024
+
+
+def test_merge_whole_path_partial_does_not_prevent_create(g):
+    # Cypher: an existing endpoint WITHOUT the full pattern still means
+    # the whole path is created fresh (second Alice node appears)
+    g.cypher("MERGE (p:Person {name: 'Alice'})-[:LIKES]->"
+             "(c:City {name: 'Rome'})").collect()
+    # Alice exists but Alice-[:LIKES]->Rome does not -> new Alice + Rome
+    assert g.vertex_frame("Person").where("name = 'Alice'").count() == 2
+    assert g.edge_frame("LIKES").count() == 1
+
+
+def test_merge_whole_path_on_match(g):
+    g.cypher("MERGE (p:Person {name: 'Y'})-[r:KNOWS {since: 1999}]->"
+             "(q:Person {name: 'Z'})").collect()
+    g.cypher("MERGE (p:Person {name: 'Y'})-[r:KNOWS {since: 1999}]->"
+             "(q:Person {name: 'Z'}) "
+             "ON MATCH SET p.flag = 1, q.flag = 2").collect()
+    rows = {r["name"]: r["flag"] for r in g.vertex_frame("Person")
+            .where("name IN ('Y', 'Z')").collect()}
+    assert rows == {"Y": 1, "Z": 2}
+
+
 def test_merge_edge_on_set_requires_rel_var(g):
     with pytest.raises(CypherWriteError):
         g.cypher("MATCH (a:Person {name:'Alice'}), (c:Person {name:'Carol'}) "

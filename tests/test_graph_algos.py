@@ -75,6 +75,60 @@ def test_pagerank_star(spark):
     assert abs(ranks[0] - (0.15 + 0.85 * 5 * 0.15)) < 1e-9
 
 
+def test_pagerank_copartition_parity(spark):
+    # both shuffle disciplines compute the identical fixed point
+    e = spark.createDataFrame(
+        [(i, (i + 1) % 10) for i in range(10)] + [(0, 5), (3, 7)],
+        "u LONG, v LONG")
+    a = {r.id: r.rank for r in
+         pagerank(e, iterations=6, copartition=False).collect()}
+    b = {r.id: r.rank for r in
+         pagerank(e, iterations=6, copartition=True).collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[k] - b[k]) < 1e-9 for k in a)
+
+
+def test_pagerank_copartitioned_step_single_exchange(spark):
+    # The co-partitioned loop's per-iteration plan: links/verts pinned
+    # to one HashPartitioning, so the only Exchange is the contribution
+    # groupBy re-key — the static link table is NEVER re-shuffled.
+    # (Requires AQE off: under AQE a checkpointed frame's partitioning
+    # is Unknown and both exchanges come back — the regression this
+    # test guards.)
+    import contextlib
+    import io
+    import re
+
+    from rust_graph_db_spark.operators.graph_algos import (
+        _pr_frames, _pr_step)
+
+    e = spark.createDataFrame(
+        [(i, (i + 3) % 50) for i in range(50)], "src LONG, dst LONG") \
+        .localCheckpoint(eager=True)
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    bc = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    sp = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.shuffle.partitions", "4")
+    try:
+        verts, links = _pr_frames(e, nparts=4)
+        ranks = verts.withColumn("rank", F.lit(1.0)).localCheckpoint(
+            eager=True)
+        step = _pr_step(verts, links, ranks, 0.85)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            step.explain("formatted")
+        # count physical nodes: the formatted plan mentions each
+        # Exchange twice (tree line + "(n) Exchange" detail header)
+        n_ex = len(set(re.findall(r"\((\d+)\) Exchange", buf.getvalue())))
+        assert n_ex == 1, f"expected 1 Exchange per iteration, got {n_ex}"
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", bc)
+        spark.conf.set("spark.sql.shuffle.partitions", sp)
+
+
 def test_cypher_union(kg):
     both = kg.cypher(
         "MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name "
