@@ -276,6 +276,45 @@ def _q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", F.col("n_near").cast("long").alias("n_near"))
 
 
+def _q_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d6: benchmark decontamination — training docs (doc_id % 7 != 0)
+    sharing verbatim 8-gram spans with the 'benchmark' slice
+    (doc_id % 7 == 0); n_hits = distinct shared shingles. The join
+    carries 8-byte hashes only (GPT-3/Llama-style n-gram overlap
+    decontamination as a first-class operator)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    return decontaminate(train, bench, "doc_id", "text", k=8)
+
+
+def _q_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t2: deterministic 90/5/5 train/val/test split from a stable md5
+    bucket of the id — reproducible across engines/runs, zero shuffle."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import hash_split
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (hash_split(docs, "doc_id")
+            .groupBy("split").agg(F.count(F.lit(1)).alias("cnt"),
+                                  F.min("doc_id").alias("min_id"))
+            .orderBy("split"))
+
+
+def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t3: Gopher/MassiveText repetition quality signals — per-doc
+    duplicate word-2/3-gram fractions, pure Catalyst HOFs, one scan."""
+    from rust_graph_db_spark.operators.curation import repetition_metrics
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return repetition_metrics(docs, "doc_id", "text")
+
+
 def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1118,10 +1157,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": _q_embedding_neardup,
         "g7_dup_clusters": _q_dup_clusters,
         "t1_text_metrics": _q_text_metrics,
+        # new r3 curation operators (decontamination / split / quality)
+        "d6_decontaminate": _q_decontaminate,
+        "t2_hash_split": _q_hash_split,
+        "t3_repetition": _q_repetition,
+        # --------- below the 50-key window: newest green row is r2
         "e2_cosine_pairs": _q_cosine_pairs,
         "e4_ivf_topk": _q_ivf_topk,
         "k1_sketch_stats": _q_sketch_stats,
-        # --------- below the 50-key window: newest green row is r2
         "x1_follow_unfollow": _q_follow_unfollow,
         "x3_timeline": _q_timeline,
         "x4_suggestions": _q_suggestions,
@@ -1589,6 +1632,40 @@ def oracle_sql() -> dict[str, str]:
             "SELECT cand, count(DISTINCT mid) AS mutual_count FROM nf "
             "GROUP BY cand ORDER BY mutual_count DESC, cand ASC LIMIT 10"),
         "d2_ngram_jaccard": _JACCARD_PAIRS_SQL,
+        # decontamination: same char-shingle machinery, string-set form
+        # (Spark counts distinct shared xxhash64 shingles — set-equal)
+        "d6_decontaminate": (
+            "WITH be AS (SELECT DISTINCT substr(text, i, 8) AS gr FROM "
+            "(SELECT text, unnest(generate_series(1, "
+            "greatest(length(text)-7, 1))) AS i FROM documents "
+            "WHERE doc_id % 7 = 0)), "
+            "tr AS (SELECT DISTINCT doc_id, substr(text, i, 8) AS gr FROM "
+            "(SELECT doc_id, text, unnest(generate_series(1, "
+            "greatest(length(text)-7, 1))) AS i FROM documents "
+            "WHERE doc_id % 7 <> 0)) "
+            "SELECT tr.doc_id AS doc_id, CAST(count(*) AS BIGINT) AS n_hits "
+            "FROM tr JOIN be USING (gr) GROUP BY tr.doc_id"),
+        "t2_hash_split": (
+            "WITH s AS (SELECT doc_id, CASE WHEN b < 900 THEN 'train' "
+            "WHEN b < 950 THEN 'val' ELSE 'test' END AS split FROM "
+            "(SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS "
+            "VARCHAR)), 1, 4)) AS INT) % 1000 AS b FROM documents)) "
+            "SELECT split, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(min(doc_id) AS BIGINT) AS min_id "
+            "FROM s GROUP BY split ORDER BY split"),
+        "t3_repetition": (
+            "SELECT doc_id, CAST(len(toks) AS BIGINT) AS tok_cnt, "
+            "round(1 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2), 6) "
+            "AS dup2_frac, "
+            "round(1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 6) "
+            "AS dup3_frac FROM ("
+            "SELECT doc_id, toks, "
+            "list_transform(generate_series(1, greatest(len(toks)-1, 1)), "
+            "i -> array_to_string(toks[i:i+1], ' ')) AS g2, "
+            "list_transform(generate_series(1, greatest(len(toks)-2, 1)), "
+            "i -> array_to_string(toks[i:i+2], ' ')) AS g3 FROM "
+            "(SELECT doc_id, string_split_regex(lower(text), '\\s+') "
+            "AS toks FROM documents))"),
         # LSH at its design threshold: verified candidates == exact join
         # restricted to jac >= 0.8 (recall 0.9998 there; see dedup.py)
         "d3_minhash_lsh": _JACCARD_PAIRS_SQL.replace("0.5", "0.8"),

@@ -1,0 +1,119 @@
+"""Dataset-curation operators for training-data pipelines.
+
+Three ops every large-scale pretraining pipeline runs besides dedup
+(extends the reference's inventory the same way operators/dedup.py
+does — the reference, a graph store, has no corpus tooling at all):
+
+- **decontaminate**: flag training documents that share verbatim
+  k-gram spans with an evaluation/benchmark corpus (the standard
+  n-gram-overlap decontamination of GPT-3/PaLM/Llama reports). The
+  join carries 8-byte xxhash64 shingle hashes, never text, so at
+  100 TB the shuffle is ~1% of corpus bytes; the benchmark side is
+  broadcast when its estimated bytes fit.
+- **hash_split**: deterministic train/val/test assignment from a
+  content-independent stable hash of the id — reproducible across
+  engines (md5-based, so a SQL oracle derives the identical split),
+  no RNG state, no shuffle at all (a pure projection).
+- **repetition_metrics**: per-document duplicate n-gram fractions
+  (the Gopher/MassiveText repetition quality filters) as pure
+  Catalyst higher-order functions — one scan, no shuffle, no UDFs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.operators.dedup import shingle_hash_rows
+
+
+def decontaminate(
+    train: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str | None = None, bench_text_col: str | None = None,
+    k: int = 8,
+) -> DataFrame:
+    """(id, n_hits): training docs sharing ≥1 verbatim k-char shingle
+    with ANY benchmark doc; n_hits = number of DISTINCT shared shingles
+    (an evidence weight — filter thresholds are caller policy).
+
+    Dataflow: shingle both sides to xxhash64 rows (codegen'd substr +
+    hash — strings never leave the scan), semi-style equi-join on the
+    8-byte hash, count distinct per train doc. The benchmark shingle
+    set deduplicates BEFORE the join (per-shingle, not per (doc,
+    shingle)), so a phrase appearing in many benchmark docs joins
+    once; byte-gated broadcast mirrors dedup.py's discipline.
+    """
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    t = shingle_hash_rows(train, id_col, text_col, k=k, distinct=True)
+    b = (shingle_hash_rows(benchmark, bench_id, bench_text, k=k,
+                           distinct=False)
+         .select("gh").distinct()
+         .localCheckpoint(eager=True))
+    est_bytes = b.count() * 8 + 16
+    hint = F.broadcast if est_bytes <= 64 * 1024 * 1024 else (lambda d: d)
+    return (t.join(hint(b), "gh")
+            .groupBy(F.col("id").alias(id_col))
+            .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
+
+
+def split_bucket(id_col: Column, buckets: int = 1000) -> Column:
+    """Stable [0, buckets) bucket from md5 of the stringified id —
+    engine-portable (any SQL dialect with md5 reproduces it), content-
+    independent (re-splitting after text edits keeps assignments)."""
+    return (F.conv(F.substring(F.md5(id_col.cast("string")), 1, 4), 16, 10)
+            .cast("long") % buckets)
+
+
+def hash_split(
+    df: DataFrame, id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """Add a ``split`` column assigning each row to a named split with
+    the given weights (default 90/5/5 train/val/test).
+
+    Pure projection — no shuffle, no RNG: the assignment is a total
+    function of the id, so it is identical on every run, engine, and
+    subset of the data (rows can be split BEFORE dedup/filter stages
+    and stay consistently assigned after).
+    """
+    weights = weights or {"train": 0.90, "val": 0.05, "test": 0.05}
+    total = sum(weights.values())
+    bucket = split_bucket(F.col(id_col))
+    expr = None
+    acc = 0.0
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w / total * 1000
+        cond = bucket < int(round(acc))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(last)
+    return df.withColumn("split", expr)
+
+
+def repetition_metrics(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, tok_cnt, dup2_frac, dup3_frac): fraction of word 2-grams /
+    3-grams that are repeats within the document (1 - distinct/total) —
+    the MassiveText/Gopher repetition signals used to drop boilerplate
+    and spam. Single scan, pure Catalyst higher-order functions.
+    """
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+
+    def dup_frac(n: int) -> Column:
+        grams = F.expr(
+            f"transform(sequence(1, greatest(size(split(lower({text_col}),"
+            f" '\\\\s+')) - {n - 1}, 1)),"
+            f" i -> concat_ws(' ', slice(split(lower({text_col}),"
+            f" '\\\\s+'), i, {n})))")
+        return (F.lit(1.0) - F.size(F.array_distinct(grams))
+                / F.size(grams)).cast("double")
+
+    return df.select(
+        F.col(id_col),
+        F.size(toks).cast("long").alias("tok_cnt"),
+        F.round(dup_frac(2), 6).alias("dup2_frac"),
+        F.round(dup_frac(3), 6).alias("dup3_frac"))

@@ -254,3 +254,91 @@ def test_knn_join_lsh_recall_and_precision(emb):
         assert len(v) <= 3
         coss = [r.cos for r in sorted(v, key=lambda r: r.rank)]
         assert coss == sorted(coss, reverse=True)
+
+
+# ----------------------------------------------------- curation operators
+
+def test_decontaminate_plants_overlap(spark):
+    from rust_graph_db_spark.operators.curation import decontaminate
+
+    train = spark.createDataFrame(
+        [(1, "the quick brown fox jumps over the lazy dog"),
+         (2, "completely unrelated content here xyz"),
+         (3, "shares the quick brown fox prefix only")],
+        "doc_id LONG, text STRING")
+    bench = spark.createDataFrame(
+        [(100, "quick brown fox territory")], "doc_id LONG, text STRING")
+    got = {r.doc_id: r.n_hits
+           for r in decontaminate(train, bench, k=8).collect()}
+    # docs 1 and 3 share 8-char spans of "quick brown fox"; doc 2 none
+    assert set(got) == {1, 3}
+    assert all(v > 0 for v in got.values())
+
+
+def test_decontaminate_counts_distinct_shingles(spark):
+    from rust_graph_db_spark.operators.curation import decontaminate
+
+    # repeated span in the TRAIN doc must not inflate n_hits (distinct)
+    train = spark.createDataFrame(
+        [(1, "abcdefgh abcdefgh abcdefgh")], "doc_id LONG, text STRING")
+    bench = spark.createDataFrame(
+        [(9, "abcdefgh")], "doc_id LONG, text STRING")
+    got = decontaminate(train, bench, k=8).collect()
+    assert len(got) == 1 and got[0].n_hits == 1
+
+
+def test_hash_split_deterministic_and_complete(docs):
+    from rust_graph_db_spark.operators.curation import hash_split
+
+    a = hash_split(docs, "doc_id").select("doc_id", "split")
+    b = hash_split(docs, "doc_id").select("doc_id", "split")
+    assert a.exceptAll(b).isEmpty()              # reproducible
+    n = docs.count()
+    per = {r.split: r.cnt for r in
+           a.groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert sum(per.values()) == n                # total partition of corpus
+    assert set(per) <= {"train", "val", "test"}
+    assert per["train"] > per.get("val", 0)      # weights respected
+
+
+def test_hash_split_custom_weights(spark):
+    from rust_graph_db_spark.operators.curation import hash_split
+
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    per = {r.split: r.cnt for r in
+           hash_split(df, "doc_id", {"a": 0.5, "b": 0.5})
+           .groupBy("split").agg(F.count(F.lit(1)).alias("cnt")).collect()}
+    assert abs(per["a"] - per["b"]) < 400        # ~50/50 by hash bucket
+
+
+def test_repetition_metrics_crafted(spark):
+    from rust_graph_db_spark.operators.curation import repetition_metrics
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"),              # 2-grams: ab ba ab ba ab -> 2/5 distinct
+         (2, "w x y z")],                 # all distinct
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in repetition_metrics(df).collect()}
+    assert got[1].tok_cnt == 6
+    assert abs(got[1].dup2_frac - (1 - 2 / 5)) < 1e-9
+    assert got[2].dup2_frac == 0.0 and got[2].dup3_frac == 0.0
+
+
+def test_repetition_metrics_oracle(docs, duck):
+    from rust_graph_db_spark.operators.curation import repetition_metrics
+
+    got = sorted((r.doc_id, r.tok_cnt, r.dup2_frac, r.dup3_frac)
+                 for r in repetition_metrics(docs).collect())
+    exp = sorted(map(tuple, duck.execute("""
+        SELECT doc_id, CAST(len(toks) AS BIGINT),
+               round(1 - CAST(len(list_distinct(g2)) AS DOUBLE)/len(g2), 6),
+               round(1 - CAST(len(list_distinct(g3)) AS DOUBLE)/len(g3), 6)
+        FROM (SELECT doc_id, toks,
+              list_transform(generate_series(1, greatest(len(toks)-1, 1)),
+                i -> array_to_string(toks[i:i+1], ' ')) AS g2,
+              list_transform(generate_series(1, greatest(len(toks)-2, 1)),
+                i -> array_to_string(toks[i:i+2], ' ')) AS g3
+              FROM (SELECT doc_id,
+                    string_split_regex(lower(text), '\\s+') AS toks
+                    FROM documents))""").fetchall()))
+    assert got == exp
