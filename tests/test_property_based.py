@@ -94,6 +94,32 @@ def test_one_hop_pattern(kg, oracle, pred):
         f"FROM person p JOIN knows k ON p.key = k.src WHERE {sql}")
 
 
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_merge_sequence_model(spark, data):
+    """Model-based MERGE: a random op sequence against a fresh graph
+    must match a dict model — every op takes exactly one arm (ON CREATE
+    seeds age 0, ON MATCH adds the op's delta), and re-merging never
+    duplicates nodes."""
+    from rust_graph_db_spark import PropertyGraph
+
+    ops = data.draw(st.lists(
+        st.tuples(st.sampled_from(["A", "B", "C"]),
+                  st.integers(min_value=1, max_value=5)),
+        min_size=1, max_size=5), label="ops")
+    g = PropertyGraph(spark)
+    model: dict = {}
+    for name, delta in ops:
+        g.cypher(f"MERGE (p:Person {{name: '{name}'}}) "
+                 f"ON CREATE SET p.age = 0 "
+                 f"ON MATCH SET p.age = p.age + {delta}").collect()
+        model[name] = model[name] + delta if name in model else 0
+    rows = {r["name"]: r["age"]
+            for r in g.vertex_frame("Person").collect()}
+    assert rows == model
+
+
 @_SETTINGS
 @given(data=st.data())
 def test_asof_join_matches_duckdb_asof(spark, data):
