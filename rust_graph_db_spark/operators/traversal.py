@@ -53,12 +53,21 @@ def bfs_distances(
     max_hops: int = 30,
     direction: str = "out",
     targets: Optional[Sequence[int]] = None,
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Unweighted single/multi-source shortest distances.
 
     Returns ``(start_id, id, dist)`` for every vertex reachable within
     ``max_hops``. Equivalent of the reference's uniform-cost Dijkstra
     (shortest_path.rs:77-141) — BFS levels are exact for unit weights.
+
+    Size-adaptive (the connected_components discipline): at or below
+    ``driver_threshold`` edges the adjacency fits trivially on the
+    driver and a single collect + dict BFS replaces per-level
+    distributed rounds — per-level job overhead (~1 s of scheduling on
+    sparse frontiers) otherwise dominates small graphs outright. Above
+    the threshold, frontier-join rounds, two levels per
+    materialization.
     """
     # Materialize the hop list once — the loop joins it every level, and
     # without pinning, each level re-runs the full upstream derivation
@@ -66,6 +75,28 @@ def bfs_distances(
     # persist() of the Pregel edge RDD.
     hop = _edges(edges, direction).localCheckpoint(eager=True)
     src = _start_frame(edges, start)
+    if targets is None and hop.count() <= driver_threshold:
+        from collections import deque
+
+        adj: dict = {}
+        for row in hop.collect():
+            adj.setdefault(row["a"], []).append(row["b"])
+        out = []
+        for s in (r["id"] for r in src.collect()):
+            dist = {s: 0}
+            q = deque([s])
+            while q:
+                u = q.popleft()
+                du = dist[u]
+                if du >= max_hops:
+                    continue
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = du + 1
+                        q.append(v)
+            out.extend((s, v, d) for v, d in dist.items())
+        return edges.sparkSession.createDataFrame(
+            out or [], "start_id LONG, id LONG, dist INT")
     visited = src.select(F.col("id").alias("start_id"), F.col("id"), F.lit(0).alias("dist"))
     frontier = visited
     target_set = set(int(t) for t in targets) if targets else None

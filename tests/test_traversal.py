@@ -67,3 +67,22 @@ def test_grid_shortest_path(spark):
 def test_max_paths_cap(dag):
     capped = T.expand_paths(dag, [1], 1, 2, max_paths=2)
     assert capped.count() <= 4  # cap applies per level inside the loop
+
+
+def test_bfs_driver_vs_distributed_parity(dag):
+    # the size-adaptive driver BFS and the frontier-join rounds must
+    # return the identical (start_id, id, dist) set; threshold=0 forces
+    # the distributed path on the same input
+    drv = {(r.start_id, r.id, r.dist)
+           for r in T.bfs_distances(dag, [1, 2]).collect()}
+    dist = {(r.start_id, r.id, r.dist)
+            for r in T.bfs_distances(dag, [1, 2],
+                                     driver_threshold=0).collect()}
+    assert drv == dist
+    assert (1, 5, 2) in drv and (2, 4, 1) in drv and (1, 1, 0) in drv
+
+
+def test_bfs_driver_respects_max_hops(dag):
+    got = {(r.id, r.dist)
+           for r in T.bfs_distances(dag, [1], max_hops=1).collect()}
+    assert got == {(1, 0), (2, 1), (3, 1)}
