@@ -342,3 +342,16 @@ def test_repetition_metrics_oracle(docs, duck):
                     string_split_regex(lower(text), '\\s+') AS toks
                     FROM documents))""").fetchall()))
     assert got == exp
+
+
+def test_similarity_broadcast_hint_byte_gated(spark):
+    # the broadcast decision must key on estimated BYTES (dim-aware),
+    # not row count — a tiny cap forces the identity hint even for few
+    # rows, the default cap broadcasts them
+    from rust_graph_db_spark.operators.similarity import _broadcast_hint
+
+    emb = spark.createDataFrame(
+        [(i, [0.1] * 64) for i in range(100)],
+        "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert _broadcast_hint(emb, "embedding", cap_bytes=10)(emb) is emb
+    assert _broadcast_hint(emb, "embedding")(emb) is not emb
