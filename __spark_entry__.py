@@ -315,6 +315,121 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
+def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t4: PII redaction — deterministic synthetic PII (email / IPv4 /
+    phone / long id number, all functions of doc_id) is appended to
+    every document, then ``curation.redact_pii`` scrubs it in one
+    codegen'd scan. Returns per-category match counts plus the md5 of
+    the redacted text, so the oracle hash covers every byte of the
+    redaction output, not just the counts."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import redact_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id")
+    aug = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com at 10.2."), (d % 200).cast("string"),
+            F.lit("."), ((d * 7) % 250).cast("string"),
+            F.lit(" call 555-"), (d % 900 + 100).cast("string"),
+            F.lit("-4567 ref "), (d * 1000003 + 123456).cast("string"),
+        ).alias("text"))
+    out = redact_pii(aug, "doc_id", "text")
+    return out.select(
+        "doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+        "n_email", "n_ipv4", "n_phone", "n_idnum")
+
+
+def _q_drop_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d7: corpus MATERIALIZATION from a duplicate PAIR graph — the
+    step that actually shrinks the training set after any pair-finding
+    modality. The corpus is documents plus an exact twin of every
+    doc_id % 5 == 0 row (so clusters genuinely exist at every SF); the
+    pair graph is the star (group-min-id, member) edges of the exact
+    digest groups, which runs the full duplicate_clusters (connected
+    components) + anti-join machinery while keeping the oracle exact:
+    survivors = min doc_id per identical text."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.dedup import drop_near_dups
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(twins)
+    digests = corpus.select("doc_id", F.md5(F.col("text")).alias("dg"))
+    reps = digests.groupBy("dg").agg(F.min("doc_id").alias("i"))
+    pairs = (digests.join(reps, "dg")
+             .where(F.col("doc_id") != F.col("i"))
+             .select("i", F.col("doc_id").alias("j")))
+    return (drop_near_dups(corpus, pairs, "doc_id")
+            .select("doc_id", F.length("text").cast("long").alias("doc_len")))
+
+
+def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d8: STREAMING incremental exact dedup — the same twinned corpus
+    as d7 arrives as 3 ordered micro-batches (doc_id % 3 slices; file
+    mtimes pin the file-source order), and
+    ``streaming.stream_exact_dedup`` keeps only first-seen texts using
+    a durable parquet digest state between batches. A twin whose batch
+    precedes its original's batch survives INSTEAD of the original, so
+    the oracle (first occurrence by (batch, doc_id)) genuinely checks
+    the cross-batch state, not just in-batch dedup."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.streaming import stream_exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(twins)
+
+    tmp = tempfile.mkdtemp(prefix="rgds_d8_")
+    watch = f"{tmp}/in"
+    os.makedirs(watch)
+    for b in range(3):
+        part = f"{tmp}/b{b}"
+        corpus.where(F.col("doc_id") % 3 == b).coalesce(1) \
+              .write.parquet(part)
+        src = glob.glob(f"{part}/part-*.parquet")[0]
+        dst = f"{watch}/batch{b}.parquet"
+        shutil.copy(src, dst)
+        # FileStreamSource (latestFirst=false) processes oldest mtime
+        # first; pin distinct ascending mtimes so batch order == b.
+        os.utime(dst, (1_600_000_000 + b * 3600, 1_600_000_000 + b * 3600))
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(watch))
+    stream_exact_dedup(
+        stream, f"{tmp}/out", f"{tmp}/state",
+        id_col="doc_id", text_col="text",
+        checkpoint=f"{tmp}/ckpt").awaitTermination(300)
+    return (spark.read.parquet(f"{tmp}/out")
+            .select("doc_id", F.col("_batch_id").alias("batch_id")))
+
+
+def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t5: corpus-wide vocabulary scan — the 25 most frequent word
+    bigrams (ties broken by gram text: total order, deterministic).
+    Partial-aggregated count + TakeOrderedAndProject; the shuffle is
+    bounded by vocabulary, never corpus size."""
+    from rust_graph_db_spark.operators.curation import top_ngrams
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return top_ngrams(docs, "text", n=2, top=25)
+
+
 def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1035,7 +1150,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # similarity byte-gate/batched top-k → e1/e3/e5; pagerank
     # co-partitioning → g8, already in the rotated set; the post-r2-audit
     # storage/compiler dst-bucket commit → w8 + expand-join proxies) and
-    # the two new r3 entries (w10 streaming durable commits, m4 real codec).
+    # the six new r3 entries (w10 streaming durable commits, m4 real codec,
+    # d7 dedup materialization, d8 streaming dedup, t4 PII redaction,
+    # t5 corpus n-gram stats). To make room, four r2-green queries whose
+    # modules are UNTOUCHED in r3 (j5/j3 compiler join paths, p9/p8
+    # parser + scalar functions) moved just below the window — their
+    # newest green row is one round old, the freshness bound VERDICT r2
+    # set.
     return {
         # --------- 26 rotated: newest green row was r1
         # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
@@ -1113,6 +1234,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # --------- new in r3
         "w10_stream_commits": _q_stream_durable_commits,
         "m4_real_audio": _q_real_audio,
+        "d7_drop_neardups": _q_drop_neardups,
+        "d8_stream_dedup": _q_stream_dedup,
+        "t4_pii_redact": _q_pii_redact,
+        "t5_top_ngrams": _q_top_ngrams,
         # --------- r3-touched code paths
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -1123,32 +1248,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_one_hop": _q_cypher_knows(
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
             "RETURN a.name AS an, b.name AS bn"),
-        # J5: mutual out-neighbors (semi-join intersection)
-        "j5_mutual_knows": _q_cypher_knows(
-            "MATCH (a:Person {name:'Person0'})-[:KNOWS]->(m:Person)"
-            "<-[:KNOWS]-(b:Person {name:'Person4'}) RETURN m.name AS mn"),
-        # J3: multi-MATCH composition joined on shared variables
-        "j3_multi_match": _q_cypher_knows(
-            "MATCH (a:Person)-[:KNOWS]->(b:Person) MATCH (b)-[:KNOWS]->(c:Person) "
-            "WHERE a.age = 30 RETURN c.name AS cn"),
         "x2_followers": _q_followers,
         # S1/P3: label scan + WHERE filter
         "s1_scan_filter": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.age > 60 "
             "RETURN p.name AS name, p.age AS age"),
-        # CASE lookahead (parser.py) and literal-arg dispatch
-        # (functions/scalar.py)
-        "p9_case_expr": _q_cypher_knows(
-            "MATCH (p:Person) WHERE p.age % 10 = 0 "
-            "RETURN p.name AS name, "
-            "CASE WHEN p.age >= 60 THEN 'senior' WHEN p.age >= 30 THEN 'adult' "
-            "ELSE 'young' END AS bracket, "
-            "CASE p.city WHEN 'NYC' THEN 'big' WHEN 'LA' THEN 'big' "
-            "ELSE 'other' END AS sz"),
-        "p8_entity_funcs": _q_cypher_knows(
-            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
-            "RETURN id(a) AS ida, array_join(labels(a), ',') AS la, "
-            "startNode(r) AS sn, endNode(r) AS en, b.name AS bn"),
         # --------- training-data pipeline operators (beyond the reference)
         "d1_exact_dedup": _q_exact_dedup,
         "d2_ngram_jaccard": _q_ngram_jaccard,
@@ -1161,7 +1265,28 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_decontaminate": _q_decontaminate,
         "t2_hash_split": _q_hash_split,
         "t3_repetition": _q_repetition,
-        # --------- below the 50-key window: newest green row is r2
+        # --------- below the 50-key window: newest green row is r2, and
+        # --------- the modules they exercise did not change in r3
+        # (j5/j3: compiler join paths unchanged except the store-only
+        # expand-direction pick, which w8/w10 cover in-window; p9/p8:
+        # parser.py + functions/scalar.py untouched since their r2 row)
+        "j5_mutual_knows": _q_cypher_knows(
+            "MATCH (a:Person {name:'Person0'})-[:KNOWS]->(m:Person)"
+            "<-[:KNOWS]-(b:Person {name:'Person4'}) RETURN m.name AS mn"),
+        "j3_multi_match": _q_cypher_knows(
+            "MATCH (a:Person)-[:KNOWS]->(b:Person) MATCH (b)-[:KNOWS]->(c:Person) "
+            "WHERE a.age = 30 RETURN c.name AS cn"),
+        "p9_case_expr": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age % 10 = 0 "
+            "RETURN p.name AS name, "
+            "CASE WHEN p.age >= 60 THEN 'senior' WHEN p.age >= 30 THEN 'adult' "
+            "ELSE 'young' END AS bracket, "
+            "CASE p.city WHEN 'NYC' THEN 'big' WHEN 'LA' THEN 'big' "
+            "ELSE 'other' END AS sz"),
+        "p8_entity_funcs": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
+            "RETURN id(a) AS ida, array_join(labels(a), ',') AS la, "
+            "startNode(r) AS sn, endNode(r) AS en, b.name AS bn"),
         "e2_cosine_pairs": _q_cosine_pairs,
         "e4_ivf_topk": _q_ivf_topk,
         "k1_sketch_stats": _q_sketch_stats,
@@ -1666,6 +1791,38 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(toks[i:i+2], ' ')) AS g3 FROM "
             "(SELECT doc_id, string_split_regex(lower(text), '\\s+') "
             "AS toks FROM documents))"),
+        # t4: same augmented text, same regex chain (patterns shared via
+        # curation.redact_pii_sql — lookaround-free, valid in Java regex
+        # and RE2 alike); md5 of the redacted text puts every byte of
+        # the redaction output under the value hash.
+        "t4_pii_redact": _pii_redact_sql(),
+        # d7: survivors of the twinned corpus = min doc_id per identical
+        # text (the star pair graph's components ARE the digest groups)
+        "d7_drop_neardups": (
+            "SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, "
+            "CAST(length(text) AS BIGINT) AS doc_len FROM "
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000, text FROM documents "
+            "WHERE doc_id % 5 = 0) GROUP BY text"),
+        # d8: first occurrence by (batch = doc_id % 3, doc_id) — a twin
+        # in an earlier batch beats its original, so this checks the
+        # durable cross-batch digest state, not just in-batch dedup
+        "d8_stream_dedup": (
+            "SELECT doc_id, CAST(doc_id % 3 AS BIGINT) AS batch_id FROM "
+            "(SELECT doc_id, row_number() OVER (PARTITION BY text "
+            "ORDER BY doc_id % 3, doc_id) AS rn FROM "
+            "(SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 100000, text FROM documents "
+            "WHERE doc_id % 5 = 0)) WHERE rn = 1"),
+        # t5: same tokenization + slicing convention as t3's oracle
+        "t5_top_ngrams": (
+            "SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(list_transform(generate_series(1, "
+            "greatest(len(toks)-1, 1)), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM "
+            "(SELECT string_split_regex(lower(text), '\\s+') AS toks "
+            "FROM documents)) "
+            "GROUP BY gram ORDER BY cnt DESC, gram LIMIT 25"),
         # LSH at its design threshold: verified candidates == exact join
         # restricted to jac >= 0.8 (recall 0.9998 there; see dedup.py)
         "d3_minhash_lsh": _JACCARD_PAIRS_SQL.replace("0.5", "0.8"),
@@ -1737,6 +1894,26 @@ _JACCARD_CTES = (
 _JACCARD_PAIRS_SQL = (
     "WITH " + _JACCARD_CTES +
     " SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5")
+
+
+def _pii_redact_sql() -> str:
+    """t4 oracle: rebuild the augmented text, then apply the SAME
+    pattern chain via curation.redact_pii_sql (one source of truth for
+    the regexes on both engines)."""
+    from rust_graph_db_spark.operators.curation import redact_pii_sql
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com at 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.' "
+        "|| CAST((doc_id * 7) % 250 AS VARCHAR) || ' call 555-' || "
+        "CAST(doc_id % 900 + 100 AS VARCHAR) || '-4567 ref ' || "
+        "CAST(doc_id * 1000003 + 123456 AS VARCHAR)")
+    clean, counts = redact_pii_sql("text")
+    names = ["n_email", "n_ipv4", "n_phone", "n_idnum"]
+    cols = ", ".join(f"{c} AS {n}" for c, n in zip(counts, names))
+    return (
+        f"SELECT doc_id, md5({clean}) AS clean_md5, {cols} FROM "
+        f"(SELECT doc_id, {aug} AS text FROM documents)")
 
 
 def _text_metrics_sql() -> str:

@@ -45,6 +45,8 @@ HEADLINE = [
     "g7_dup_clusters",     # near-dup pairs -> connected components
     "d4_simhash",          # SimHash near-dup (banded Hamming)
     "t1_text_metrics",     # text analysis scan (lang-ID/quality/fingerprint)
+    "t4_pii_redact",       # PII regex scrub (codegen'd scan)
+    "t5_top_ngrams",       # corpus bigram frequency top-k
     "e1_cosine_topk",      # brute-force ANN top-k
     "e3_lsh_cosine_pairs", # hyperplane-LSH near-neighbor pairs
     "r1_range_join",       # banded interval join

@@ -17,6 +17,15 @@ does — the reference, a graph store, has no corpus tooling at all):
 - **repetition_metrics**: per-document duplicate n-gram fractions
   (the Gopher/MassiveText repetition quality filters) as pure
   Catalyst higher-order functions — one scan, no shuffle, no UDFs.
+- **redact_pii**: regex scrubbing of emails / IPv4s / phone-shaped
+  and long digit runs (the C4/RefinedWeb-style PII pass) — pure
+  codegen'd ``regexp_replace`` chain, one scan, zero shuffle; the
+  patterns avoid lookaround so any RE2-based engine (the DuckDB
+  oracle included) reproduces them byte-for-byte.
+- **top_ngrams**: corpus-wide word-bigram frequency (vocabulary /
+  boilerplate inspection) — explode + partial-aggregated count +
+  ``TakeOrderedAndProject`` top-k, so the full gram table is never
+  collected or globally sorted.
 """
 
 from __future__ import annotations
@@ -91,6 +100,83 @@ def hash_split(
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(last)
     return df.withColumn("split", expr)
+
+
+# PII patterns shared by the Spark operator and the SQL oracle builder.
+# Deliberately lookaround-free: valid under both Java regex (Spark
+# codegen) and RE2 (DuckDB / Go engines), so redaction is reproducible
+# across the pipeline and its correctness oracle.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    # (name, pattern, replacement)
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("phone", r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b", "<PHONE>"),
+    ("idnum", r"\b\d{6,}\b", "<ID>"),
+]
+
+
+def redact_pii(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+) -> DataFrame:
+    """(id, clean_text, n_email, n_ipv4, n_phone, n_idnum): text with
+    emails / IPv4 addresses / phone-shaped numbers / long digit runs
+    replaced by typed placeholders, plus per-category match counts
+    (audit columns — drop them in production writes).
+
+    One codegen'd scan: counts come from ``regexp_extract_all`` sizes
+    on the ORIGINAL text, then a ``regexp_replace`` chain applies the
+    same patterns in a fixed order (email → ip → phone → idnum, so the
+    digit-run pattern can never eat the inside of an un-redacted IP).
+    Zero shuffle, no UDFs — at 100 TB this runs at scan speed next to
+    the quality/language filters.
+    """
+    counts = [
+        F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0)))
+        .cast("long").alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    clean = F.col(text_col)
+    for _, pat, repl in PII_PATTERNS:
+        clean = F.regexp_replace(clean, pat, repl)
+    return df.select(F.col(id_col), clean.alias("clean_text"), *counts)
+
+
+def redact_pii_sql(text: str) -> tuple[str, list[str]]:
+    """DuckDB oracle expressions mirroring :func:`redact_pii`:
+    returns (clean_text_expr, [count_exprs...]) over ``text``."""
+    counts = [
+        f"CAST(len(regexp_extract_all({text}, '{pat}')) AS BIGINT)"
+        for _, pat, _ in PII_PATTERNS
+    ]
+    clean = text
+    for _, pat, repl in PII_PATTERNS:
+        clean = f"regexp_replace({clean}, '{pat}', '{repl}', 'g')"
+    return clean, counts
+
+
+def top_ngrams(
+    df: DataFrame, text_col: str = "text", n: int = 2, top: int = 25,
+) -> DataFrame:
+    """(gram, cnt): the ``top`` most frequent word n-grams corpus-wide,
+    ties broken by gram text (total order → deterministic result).
+
+    Shape: tokenize (codegen), explode n-grams, count with map-side
+    partial aggregation (the shuffle carries (gram, partial_cnt) —
+    bounded by vocabulary, not corpus size), then per-partition top-k
+    via ``TakeOrderedAndProject`` — no global sort, no collect. The
+    standard vocabulary/boilerplate-inspection scan of a web-corpus
+    pipeline.
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}),"
+        f" '\\\\s+')) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}),"
+        f" '\\\\s+'), i, {n})))")
+    return (df.select(F.explode(grams).alias("gram"))
+            .groupBy("gram")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy(F.col("cnt").desc(), F.col("gram"))
+            .limit(top))
 
 
 def repetition_metrics(

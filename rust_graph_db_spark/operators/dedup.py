@@ -93,6 +93,29 @@ def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                    id_col, "left_semi")
 
 
+def drop_near_dups(docs: DataFrame, pairs: DataFrame,
+                   id_col: str = "doc_id",
+                   pair_cols=("i", "j")) -> DataFrame:
+    """Materialize the near-deduplicated corpus: given a near-dup PAIR
+    list (from any modality — MinHash-LSH, SimHash, n-gram Jaccard,
+    embedding cosine), keep one representative per duplicate cluster
+    (the min member id) plus every unpaired document.
+
+    This is the step that actually shrinks the training set: pair
+    graph → connected components (``duplicate_clusters`` — large-star/
+    small-star above 500k pairs, so a 100 TB pair graph converges in
+    O(log n) rounds) → anti-join the non-representatives out of the
+    corpus. The anti-join shuffles ids only; document bodies never
+    leave their scan partitions.
+    """
+    from rust_graph_db_spark.operators.graph_algos import duplicate_clusters
+
+    clusters = duplicate_clusters(pairs, id_cols=pair_cols)
+    drops = (clusters.where(F.col("id") != F.col("cluster"))
+             .select(F.col("id").alias(id_col)))
+    return docs.join(drops, id_col, "left_anti")
+
+
 def embedding_neardup_counts(
     docs: DataFrame, emb: DataFrame, threshold: float,
     doc_id: str = "doc_id", vec_id: str = "vec_id",

@@ -106,6 +106,63 @@ def stream_edge_upserts(
     return writer.start()
 
 
+def stream_exact_dedup(
+    stream: DataFrame, out_dir: str, state_dir: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming exact dedup: emit only FIRST-SEEN documents across
+    the whole stream history.
+
+    The incremental-ingest counterpart of ``dedup.exact_dedup`` — the
+    shape every continuously-crawled training corpus needs (new crawl
+    batches arrive forever; a doc already in the corpus must not be
+    appended again). Per micro-batch:
+
+    1. in-batch dedup — min ``id_col`` per md5 digest (window over the
+       micro-batch only, so state is bounded by batch size);
+    2. anti-join the batch's digests against the durable SEEN set (a
+       parquet dataset of 16-byte digests — at 100 TB of corpus this
+       is the only state that persists, ~16 B/doc, and the join
+       shuffles digests, never text);
+    3. append survivors (tagged with ``_batch_id``) to ``out_dir`` and
+       their digests to ``state_dir``.
+
+    With a streaming ``checkpoint`` the source replays unprocessed
+    batches on restart; the appends themselves are NOT idempotent
+    under a crash between the two writes (the standard fix at scale is
+    transactional sinks — e.g. the repo's own ``storage.save_graph``
+    manifest commit, or Delta — writing both tables in one commit).
+    Returns the StreamingQuery.
+    """
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        spark = batch.sparkSession
+        b = batch.withColumn("_digest", F.md5(F.col(text_col)))
+        w = W.partitionBy("_digest").orderBy(F.col(id_col))
+        b = (b.withColumn("_rn", F.row_number().over(w))
+              .where(F.col("_rn") == 1).drop("_rn"))
+        try:
+            seen = spark.read.parquet(state_dir).select("_digest")
+            b = b.join(seen, "_digest", "left_anti")
+        except Exception:
+            pass                                 # no state yet: batch 0
+        b = (b.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+              .localCheckpoint(eager=True))      # freeze before writing
+        b.drop("_digest").write.mode("append").parquet(out_dir)
+        b.select("_digest").write.mode("append").parquet(state_dir)
+
+    writer = stream.writeStream.foreachBatch(dedup_batch) \
+                   .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def running_user_totals(
     events: DataFrame,
     user_col: str = "user_id",

@@ -355,3 +355,108 @@ def test_similarity_broadcast_hint_byte_gated(spark):
         "vec_id LONG, embedding ARRAY<FLOAT>")
     assert _broadcast_hint(emb, "embedding", cap_bytes=10)(emb) is emb
     assert _broadcast_hint(emb, "embedding")(emb) is not emb
+
+
+def test_redact_pii_crafted(spark):
+    from rust_graph_db_spark.operators.curation import redact_pii
+
+    df = spark.createDataFrame(
+        [(1, "mail bob.smith+x@corp.example.org now"),
+         (2, "host 192.168.10.7 then call 555-123-4567"),
+         (3, "account 123456789 and short 12345"),
+         (4, "nothing to scrub here")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r for r in redact_pii(df).collect()}
+    assert got[1].clean_text == "mail <EMAIL> now"
+    assert (got[1].n_email, got[1].n_ipv4) == (1, 0)
+    assert got[2].clean_text == "host <IP> then call <PHONE>"
+    assert (got[2].n_ipv4, got[2].n_phone) == (1, 1)
+    # 6+ digit runs are redacted; 5-digit runs survive
+    assert got[3].clean_text == "account <ID> and short 12345"
+    assert got[3].n_idnum == 1
+    assert got[4].clean_text == "nothing to scrub here"
+    assert (got[4].n_email, got[4].n_ipv4,
+            got[4].n_phone, got[4].n_idnum) == (0, 0, 0, 0)
+
+
+def test_redact_pii_oracle_parity(spark, duck):
+    # same patterns via redact_pii_sql: DuckDB (RE2) and Spark (Java
+    # regex) must agree byte-for-byte on the redaction output
+    from rust_graph_db_spark.operators.curation import (redact_pii,
+                                                        redact_pii_sql)
+
+    rows = [(1, "a@b.co or 10.0.0.1 ref 9876543 call 555-000-1234 x"),
+            (2, "no pii"), (3, "e.dge-case+tag@sub.domain.example.com.")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted((r.doc_id, r.clean_text) for r in redact_pii(df).collect())
+    clean, _ = redact_pii_sql("text")
+    duck.execute("CREATE OR REPLACE TABLE _pii(doc_id BIGINT, text VARCHAR)")
+    duck.executemany("INSERT INTO _pii VALUES (?, ?)", rows)
+    exp = sorted(map(tuple, duck.execute(
+        f"SELECT doc_id, {clean} FROM _pii").fetchall()))
+    assert got == exp
+
+
+def test_top_ngrams_deterministic(spark):
+    from rust_graph_db_spark.operators.curation import top_ngrams
+
+    df = spark.createDataFrame(
+        [(1, "a b a b c"), (2, "a b x"), (3, "c a b")],
+        "doc_id LONG, text STRING")
+    got = [(r.gram, r.cnt) for r in top_ngrams(df, top=3).collect()]
+    # 'a b' appears in docs 1 (twice), 2, 3 -> 4; ties broken by gram
+    assert got[0] == ("a b", 4)
+    assert [g for g, _ in got] == sorted(
+        [g for g, _ in got],
+        key=lambda g: (-dict(got)[g], g))
+
+
+def test_drop_near_dups_clusters(spark):
+    from rust_graph_db_spark.operators.dedup import drop_near_dups
+
+    docs = spark.createDataFrame(
+        [(i, f"t{i}") for i in range(8)], "doc_id LONG, text STRING")
+    # clusters {0,1,2} (chain) and {5,6}; 3,4,7 unpaired
+    pairs = spark.createDataFrame(
+        [(0, 1), (1, 2), (5, 6)], "i LONG, j LONG")
+    kept = sorted(r.doc_id for r in drop_near_dups(docs, pairs).collect())
+    assert kept == [0, 3, 4, 5, 7]
+
+
+def test_stream_exact_dedup_cross_batch(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from rust_graph_db_spark.streaming import stream_exact_dedup
+
+    # batch0: ids 10,11 ; batch1: 20 (dup of 10's text), 21 (new),
+    # 22 (in-batch dup of 21 with higher id)
+    batches = [
+        [(10, "alpha"), (11, "beta")],
+        [(20, "alpha"), (21, "gamma"), (22, "gamma")],
+    ]
+    watch = tmp_path / "in"
+    watch.mkdir()
+    for b, rows in enumerate(batches):
+        part = str(tmp_path / f"b{b}")
+        spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+             .coalesce(1).write.parquet(part)
+        dst = str(watch / f"batch{b}.parquet")
+        shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_600_000_000 + b * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    stream_exact_dedup(
+        stream, str(tmp_path / "out"), str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt")).awaitTermination(120)
+
+    out = sorted((r.doc_id, r._batch_id) for r in
+                 spark.read.parquet(str(tmp_path / "out")).collect())
+    assert out == [(10, 0), (11, 0), (21, 1)]
+    # durable digest state holds exactly the surviving texts
+    n_state = spark.read.parquet(str(tmp_path / "state")).distinct().count()
+    assert n_state == 3
