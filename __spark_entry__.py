@@ -675,6 +675,39 @@ def _q_durable_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sum(p.age) AS total ORDER BY city")
 
 
+def _q_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w11: change-data feed between two committed store versions —
+    commit v1, apply SET + edge DELETE + CREATE, commit v2, then
+    ``storage.snapshot_diff(v1, v2)`` must report exactly the touched
+    entities as updated/removed/added (clean labels are skipped at the
+    manifest level without reading data). Returns per-(kind, label,
+    change) counts; the oracle recomputes them from the fixture's
+    definition."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.graphs import knows_graph
+    from rust_graph_db_spark.storage import (load_graph, save_graph,
+                                             snapshot_diff)
+
+    g = knows_graph(spark, sf_dir)
+    root = tempfile.mkdtemp(prefix="rgds_w11_")
+    save_graph(g, root)
+    g1 = load_graph(spark, root)
+    g1.cypher("MATCH (p:Person) WHERE p.age >= 70 "
+              "SET p.age = p.age + 1").collect()
+    g1.cypher("MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+              "WHERE r.since = 2024 DELETE r").collect()
+    g1.cypher("CREATE (x:Person {name: 'PersonX', age: 200, "
+              "city: 'NYC', active: true})").collect()
+    save_graph(g1, root)
+    return (snapshot_diff(spark, root, 1, 2)
+            .groupBy("kind", "label", "change")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .orderBy("kind", "change"))
+
+
 def _q_stream_durable_commits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """w10: Structured-Streaming ingest with PER-MICRO-BATCH durable
     commits — the knows fixture's vertices then edges arrive as
@@ -1238,6 +1271,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d8_stream_dedup": _q_stream_dedup,
         "t4_pii_redact": _q_pii_redact,
         "t5_top_ngrams": _q_top_ngrams,
+        "w11_snapshot_diff": _q_snapshot_diff,
         # --------- r3-touched code paths
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -1248,7 +1282,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "j1_one_hop": _q_cypher_knows(
             "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
             "RETURN a.name AS an, b.name AS bn"),
-        "x2_followers": _q_followers,
         # S1/P3: label scan + WHERE filter
         "s1_scan_filter": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.age > 60 "
@@ -1267,9 +1300,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t3_repetition": _q_repetition,
         # --------- below the 50-key window: newest green row is r2, and
         # --------- the modules they exercise did not change in r3
-        # (j5/j3: compiler join paths unchanged except the store-only
-        # expand-direction pick, which w8/w10 cover in-window; p9/p8:
-        # parser.py + functions/scalar.py untouched since their r2 row)
+        # (x2: social.py untouched; j5/j3: compiler join paths unchanged
+        # except the store-only expand-direction pick, which w8/w10/w11
+        # cover in-window; p9/p8: parser.py + functions/scalar.py
+        # untouched since their r2 row)
+        "x2_followers": _q_followers,
         "j5_mutual_knows": _q_cypher_knows(
             "MATCH (a:Person {name:'Person0'})-[:KNOWS]->(m:Person)"
             "<-[:KNOWS]-(b:Person {name:'Person4'}) RETURN m.name AS mn"),
@@ -1599,6 +1634,19 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS total FROM p2 GROUP BY city ORDER BY city"),
         "w5_dml_delete": pre + (
             " SELECT count(*) AS cnt FROM knows WHERE since <> 2024"),
+        # w11: expected change-feed counts from the fixture definition —
+        # updated = persons whose SET arm fired, removed = since-2024
+        # ring edges, added = the one CREATE
+        "w11_snapshot_diff": pre + (
+            " SELECT * FROM ("
+            "SELECT 'edges' AS kind, 'KNOWS' AS label, "
+            "'removed' AS change, CAST(count(*) AS BIGINT) AS cnt "
+            "FROM knows WHERE since = 2024 "
+            "UNION ALL SELECT 'vertices', 'Person', 'added', "
+            "CAST(1 AS BIGINT) "
+            "UNION ALL SELECT 'vertices', 'Person', 'updated', "
+            "CAST(count(*) AS BIGINT) FROM person WHERE age >= 70"
+            ") ORDER BY kind, change"),
         "s7_json_roundtrip": pre + (
             " SELECT since, count(*) AS cnt FROM knows "
             "GROUP BY since ORDER BY since"),

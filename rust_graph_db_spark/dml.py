@@ -527,6 +527,7 @@ def apply_delete(ctx, clause: Delete) -> None:
         if b.kind == "edge":
             labels = [b.label] if b.label else list(g._edges)
             for lb in labels:
+                g.pin_counter(lb)   # deleted edge ids must never be reused
                 g.set_edges(lb, g.edge_frame(lb).join(
                     F.broadcast(ids), "id", "left_anti").localCheckpoint(eager=True))
             n_deleted += ids.count()
@@ -536,6 +537,7 @@ def apply_delete(ctx, clause: Delete) -> None:
         if clause.detach:
             for lb in list(g._edges):
                 e = g.edge_frame(lb)
+                g.pin_counter(lb)
                 g.set_edges(lb, e.join(
                     F.broadcast(ids.select(F.col("id").alias("src"))), "src", "left_anti"
                 ).join(
@@ -552,6 +554,7 @@ def apply_delete(ctx, clause: Delete) -> None:
                         f"cannot delete vertex with edges (label {lb}); "
                         "use DETACH DELETE (delete_executor.rs:99-103)")
         for lb in labels:
+            g.pin_counter(lb)   # deleted vertex ids must never be reused
             g._vertices[lb] = g.vertex_frame(lb).join(
                 F.broadcast(ids), "id", "left_anti").localCheckpoint(eager=True)
         n_deleted += ids.count()

@@ -248,6 +248,18 @@ class PropertyGraph:
         self._counters[label] = base + n
         return base
 
+    def pin_counter(self, label: str) -> None:
+        """Capture the locid counter floor from the CURRENT frame.
+
+        Must run before a DELETE shrinks a frame: the lazy init in
+        ``next_locids`` reads max(existing locid), so without pinning,
+        a delete followed by the label's first CREATE would re-allocate
+        the deleted id — aliasing two distinct entities over one packed
+        graphid across snapshots (the reference's counter is monotonic
+        and never reuses ids, rocksdb_store.rs:390-401). One max-agg
+        per label per session, only on the delete path."""
+        self.next_locids(label, 0)
+
     # ------------------------------------------------------------------ query
 
     def cypher(self, query: str) -> DataFrame:

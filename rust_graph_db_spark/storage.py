@@ -333,6 +333,77 @@ def vacuum(root: str, keep_last: int = 2,
     return deleted
 
 
+def snapshot_diff(spark: SparkSession, root: str,
+                  v_old: int, v_new: int) -> "DataFrame":
+    """Change-data feed between two committed versions: one row per
+    changed entity — ``(kind, label, change, id)`` with change in
+    {'added', 'removed', 'updated'}.
+
+    The at-rest analog of reading the reference's WriteBatch contents
+    (src/storage/transaction.rs:25-53) after the fact: time travel
+    plus a diff gives every consumer an incremental feed without the
+    store writing a log. Cost discipline (the reason this works at
+    100 TB): labels whose manifests point at the SAME data path are
+    incremental-commit reuses and are skipped WITHOUT reading any data
+    — a small DML commit diffs only the labels it rewrote, so diff
+    cost is proportional to the change, not the corpus. Dirty labels
+    pay one full-outer join on id per label (ids + a 64-bit content
+    hash shuffle, never whole rows: 'updated' detection hashes every
+    non-id column with xxhash64 on each side of the join).
+    """
+    from functools import reduce
+
+    from pyspark.sql import DataFrame
+
+    old_g = load_graph(spark, root, version=v_old)
+    new_g = load_graph(spark, root, version=v_new)
+    parts: list[DataFrame] = []
+
+    def diff_label(kind: str, label: str, old_df, new_df):
+        def keyed(df):
+            cols = [c for c in df.columns if c != "id"]
+            h = (F.xxhash64(*[F.col(c) for c in sorted(cols)])
+                 if cols else F.lit(0).cast("long"))
+            return df.select(F.col("id"), h.alias("_h"))
+
+        o = keyed(old_df).alias("o")
+        n = keyed(new_df).alias("n")
+        j = o.join(n, F.col("o.id") == F.col("n.id"), "full_outer")
+        change = (F.when(F.col("o.id").isNull(), "added")
+                   .when(F.col("n.id").isNull(), "removed")
+                   .when(F.col("o._h") != F.col("n._h"), "updated"))
+        return (j.select(
+                    F.lit(kind).alias("kind"), F.lit(label).alias("label"),
+                    change.alias("change"),
+                    F.coalesce(F.col("n.id"), F.col("o.id")).alias("id"))
+                 .where(F.col("change").isNotNull()))
+
+    for kind, old_frames, new_frames in (
+            ("vertices", old_g._vertices, new_g._vertices),
+            ("edges", old_g._edges, new_g._edges)):
+        old_rels = {lbl: rel for (k, lbl), (rel, _) in
+                    old_g._storage_frames.items() if k == kind}
+        new_rels = {lbl: rel for (k, lbl), (rel, _) in
+                    new_g._storage_frames.items() if k == kind}
+        for lbl in sorted(set(old_frames) | set(new_frames)):
+            if (lbl in old_rels and lbl in new_rels
+                    and old_rels[lbl] == new_rels[lbl]):
+                continue          # clean reuse: identical data path, no IO
+            empty = None
+            if lbl not in old_frames:
+                empty = new_frames[lbl].limit(0)
+            elif lbl not in new_frames:
+                empty = old_frames[lbl].limit(0)
+            parts.append(diff_label(
+                kind, lbl,
+                old_frames.get(lbl, empty), new_frames.get(lbl, empty)))
+
+    if not parts:
+        schema = "kind STRING, label STRING, change STRING, id BIGINT"
+        return spark.createDataFrame([], schema)
+    return reduce(lambda a, b: a.unionByName(b), parts)
+
+
 def load_graph(spark: SparkSession, root: str,
                version: Optional[int] = None) -> PropertyGraph:
     """Open a committed snapshot (latest, or a pinned ``version`` for

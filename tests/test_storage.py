@@ -432,3 +432,51 @@ def test_label_validation_rejects_injection(spark):
         with pytest.raises(ValueError):
             g.label_id(bad)
     assert g.label_id("A-B 1") != g.label_id("A_B_1")   # distinct labels
+
+
+def test_snapshot_diff_cdc(spark, tmp_path):
+    from rust_graph_db_spark.storage import snapshot_diff
+
+    root = str(tmp_path / "store")
+    g = _small_graph(spark)
+    save_graph(g, root)
+
+    g2 = load_graph(spark, root)
+    # update B, delete C (edges-first discipline), create D + one edge
+    g2.cypher("MATCH (p:Person) WHERE p.name = 'B' SET p.age = 99").collect()
+    g2.cypher("MATCH (a:Person)-[r:KNOWS]->(b:Person) "
+              "WHERE b.name = 'C' DELETE r").collect()
+    g2.cypher("MATCH (p:Person) WHERE p.name = 'C' DELETE p").collect()
+    g2.cypher("CREATE (x:Person {name: 'D', age: 60})").collect()
+    save_graph(g2, root)
+
+    diff = snapshot_diff(spark, root, 1, 2)
+    got = {(r.kind, r.label, r.change): r.id for r in diff.collect()}
+    keys = set(got)
+    assert ("vertices", "Person", "updated") in keys
+    assert ("vertices", "Person", "removed") in keys
+    assert ("vertices", "Person", "added") in keys
+    assert ("edges", "KNOWS", "removed") in keys
+    # no spurious changes: exactly the 4 touched entities
+    assert len(diff.collect()) == 4
+
+
+def test_snapshot_diff_skips_clean_labels(spark, tmp_path):
+    from rust_graph_db_spark.storage import snapshot_diff
+
+    root = str(tmp_path / "store")
+    g = _small_graph(spark)
+    save_graph(g, root)
+
+    g2 = load_graph(spark, root)
+    # touch ONLY vertices; the KNOWS edge label is a clean manifest
+    # reuse and must not appear in (or be read by) the diff plan
+    g2.cypher("MATCH (p:Person) WHERE p.name = 'A' SET p.age = 31").collect()
+    save_graph(g2, root)
+
+    diff = snapshot_diff(spark, root, 1, 2)
+    rows = diff.collect()
+    assert {(r.kind, r.label, r.change) for r in rows} == {
+        ("vertices", "Person", "updated")}
+    # the clean edge label's path never enters the plan
+    assert "edges/KNOWS" not in diff._jdf.queryExecution().toString()
