@@ -196,11 +196,21 @@ def weighted_shortest_distances(
     weight_col: str = "weight",
     max_iter: int = 50,
     direction: str = "out",
+    driver_threshold: int = 500_000,
 ) -> DataFrame:
     """Weighted SSSP by iterative relaxation (distributed Bellman-Ford;
     the cluster analog of the reference's driver-side Dijkstra heap).
 
     Returns ``(id, dist)``. Converges when an iteration improves nothing.
+
+    Size-adaptive (the bfs_distances discipline): at or below
+    ``driver_threshold`` edges with non-negative weights, ONE collect
+    plus a heap Dijkstra (literally the reference's algorithm,
+    shortest_path.rs:77-141) replaces the relaxation rounds — each
+    distributed sweep costs ~1 s of job scheduling that dominates
+    small graphs. The threshold counts edges AFTER direction
+    filtering, so a corpus-scale graph always takes the distributed
+    path; negative weights always do (Dijkstra would be wrong).
     """
     if direction == "out":
         hop = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"),
@@ -214,6 +224,30 @@ def weighted_shortest_distances(
             edges.select(F.col("dst"), F.col("src"), F.col(weight_col).cast("double")))
 
     hop = hop.localCheckpoint(eager=True)  # pinned: joined every round
+    if hop.count() <= driver_threshold:
+        import heapq
+        import math
+
+        rows = hop.collect()
+        if all(r["w"] >= 0 for r in rows):
+            adj: dict = {}
+            for r in rows:
+                adj.setdefault(r["a"], []).append((r["b"], r["w"]))
+            starts = [r["id"] for r in _start_frame(edges, start).collect()]
+            best: dict = {s: 0.0 for s in starts}
+            pq = [(0.0, s) for s in starts]
+            heapq.heapify(pq)
+            while pq:
+                du, u = heapq.heappop(pq)
+                if du > best.get(u, math.inf):
+                    continue
+                for v, w in adj.get(u, ()):
+                    nd = du + w
+                    if nd < best.get(v, math.inf):
+                        best[v] = nd
+                        heapq.heappush(pq, (nd, v))
+            return edges.sparkSession.createDataFrame(
+                sorted(best.items()) or [], "id LONG, dist DOUBLE")
     dist = _start_frame(edges, start).select("id", F.lit(0.0).alias("dist"))
     # Relax only from vertices improved last round (delta optimization).
     frontier = dist

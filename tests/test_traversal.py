@@ -86,3 +86,33 @@ def test_bfs_driver_respects_max_hops(dag):
     got = {(r.id, r.dist)
            for r in T.bfs_distances(dag, [1], max_hops=1).collect()}
     assert got == {(1, 0), (2, 1), (3, 1)}
+
+
+def test_weighted_sssp_driver_vs_distributed_parity(spark):
+    # same random weighted digraph through both paths: the driver
+    # Dijkstra (default threshold) and the distributed Bellman-Ford
+    # rounds (threshold 0)
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    rows = [(rng.randrange(n), rng.randrange(n), rng.choice([1.0, 2.5, 4.0]))
+            for _ in range(240)]
+    e = spark.createDataFrame(rows, "src LONG, dst LONG, weight DOUBLE")
+    fast = sorted((r.id, r.dist) for r in
+                  T.weighted_shortest_distances(e, [0]).collect())
+    slow = sorted((r.id, r.dist) for r in
+                  T.weighted_shortest_distances(
+                      e, [0], driver_threshold=0).collect())
+    assert fast == slow
+
+
+def test_weighted_sssp_negative_weights_take_distributed_path(spark):
+    # a negative edge must bypass Dijkstra (which would be wrong) and
+    # still converge via Bellman-Ford on this DAG
+    e = spark.createDataFrame(
+        [(0, 1, 5.0), (0, 2, 2.0), (2, 1, -1.0), (1, 3, 1.0)],
+        "src LONG, dst LONG, weight DOUBLE")
+    got = {r.id: r.dist for r in
+           T.weighted_shortest_distances(e, [0]).collect()}
+    assert got[1] == 1.0 and got[3] == 2.0
