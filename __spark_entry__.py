@@ -430,6 +430,79 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, "text", n=2, top=25)
 
 
+def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t6: Gopher/C4-style rule-chain quality filter — per-document
+    verdict + failed-rule audit trail, one codegen'd scan, zero
+    shuffle (operators/curation.py:quality_filter)."""
+    from rust_graph_db_spark.operators.curation import quality_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter(docs)
+
+
+def _q_quality_rule_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t7: per-rule drop pressure for the quality filter — the
+    monitoring aggregate a pipeline dashboards per crawl batch."""
+    from rust_graph_db_spark.operators.curation import \
+        quality_filter_rule_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_filter_rule_stats(docs)
+
+
+def _q_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d9: sub-document exact dedup at 10-token-chunk granularity
+    (chunk-quantized suffix-array substring dedup): first corpus
+    occurrence of each chunk survives, later repeats are cut and the
+    text reassembled. The first-occurrence window runs over 24-byte
+    (hash, doc, pos) triples — text never enters a shuffle."""
+    from rust_graph_db_spark.operators.dedup import chunk_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_dedup(docs, chunk_tokens=10)
+
+
+def _q_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d10: exact shingle-containment pairs |A∩B|/min(|A|,|B|) ≥ 0.7 —
+    the near-dup modality Jaccard structurally misses (short doc
+    embedded in a long one). PPJoin-style prefix candidates adapted to
+    the containment bound + exact hash-set verification."""
+    from rust_graph_db_spark.operators.dedup import containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return containment_pairs(docs, k=5, threshold=0.7)
+
+
+def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e6: distributed Lloyd's k-means (k=8, 1 iteration + final
+    assignment) over the embedding corpus — per-cluster size and
+    inertia. Assignment is one Arrow matmul per batch against the
+    closure-shipped centroid matrix; the centroid update shuffle is
+    map-side combined to ≤ k×dim rows per partition. The oracle
+    unrolls the identical iteration in SQL CTEs."""
+    from rust_graph_db_spark.operators.similarity import kmeans_summary
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return kmeans_summary(emb, k=8, iters=1)
+
+
+def _q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e7: per-vector int8 scalar quantization audit — code width,
+    first code, scale, mean absolute reconstruction error. One
+    Arrow-batched scan, no shuffle; rounding is portable half-up."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import int8_quantize
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return (int8_quantize(emb)
+            .select(F.col("id").alias("vec_id"),
+                    F.size("codes").cast("long").alias("n_codes"),
+                    F.col("codes")[0].cast("long").alias("c0"),
+                    F.round("scale", 9).alias("scale_r"),
+                    F.round("mae", 9).alias("mae_r")))
+
+
 def _q_text_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -1272,6 +1345,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t4_pii_redact": _q_pii_redact,
         "t5_top_ngrams": _q_top_ngrams,
         "w11_snapshot_diff": _q_snapshot_diff,
+        # round 3: quality filtering, sub-document dedup, containment,
+        # clustering, quantization
+        "t6_quality_filter": _q_quality_filter,
+        "t7_quality_stats": _q_quality_rule_stats,
+        "d9_chunk_dedup": _q_chunk_dedup,
+        "d10_containment": _q_containment,
+        "e6_kmeans": _q_kmeans,
+        "e7_int8_quantize": _q_int8_quantize,
         # --------- r3-touched code paths
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -1871,6 +1952,12 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT string_split_regex(lower(text), '\\s+') AS toks "
             "FROM documents)) "
             "GROUP BY gram ORDER BY cnt DESC, gram LIMIT 25"),
+        "t6_quality_filter": _quality_filter_sql(),
+        "t7_quality_stats": _quality_stats_sql(),
+        "d9_chunk_dedup": _CHUNK_DEDUP_SQL,
+        "d10_containment": _CONTAINMENT_SQL,
+        "e6_kmeans": _KMEANS_SQL,
+        "e7_int8_quantize": _INT8_SQL,
         # LSH at its design threshold: verified candidates == exact join
         # restricted to jac >= 0.8 (recall 0.9998 there; see dedup.py)
         "d3_minhash_lsh": _JACCARD_PAIRS_SQL.replace("0.5", "0.8"),
@@ -1942,6 +2029,80 @@ _JACCARD_CTES = (
 _JACCARD_PAIRS_SQL = (
     "WITH " + _JACCARD_CTES +
     " SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5")
+
+
+def _quality_filter_sql() -> str:
+    """t6 oracle: same rule formulas/order via curation.quality_filter_sql
+    (one source of truth for thresholds on both engines)."""
+    from rust_graph_db_spark.operators.curation import quality_filter_sql
+
+    kept, fails = quality_filter_sql("text")
+    return (f"SELECT doc_id, {kept} AS kept, {fails} AS fail_rules "
+            f"FROM documents")
+
+
+def _quality_stats_sql() -> str:
+    """t7 oracle: explode the failed-rule lists, count per rule."""
+    from rust_graph_db_spark.operators.curation import quality_filter_sql
+
+    _, fails = quality_filter_sql("text")
+    return ("SELECT rule, CAST(count(*) AS BIGINT) AS n_failed FROM "
+            f"(SELECT unnest(string_split({fails}, ',')) AS rule "
+            "FROM documents) WHERE rule <> '' GROUP BY rule")
+
+
+_CHUNK_DEDUP_SQL = """
+WITH t AS (SELECT doc_id, string_split_regex(text, '\\s+') toks FROM documents),
+n AS (SELECT doc_id, toks, CAST(ceil(len(toks)/10.0) AS INT) nc FROM t),
+ch AS (SELECT doc_id, i AS pos, array_to_string(toks[(i*10+1):(i*10+10)], ' ') AS chunk, nc
+       FROM n, LATERAL unnest(generate_series(0, nc-1)) u(i)),
+r AS (SELECT doc_id, pos, chunk, nc,
+             row_number() OVER (PARTITION BY chunk ORDER BY doc_id, pos) rn FROM ch)
+SELECT doc_id,
+       coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY pos), '') AS clean_text,
+       CAST(max(nc) AS BIGINT) AS n_chunks,
+       CAST(sum(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped
+FROM r GROUP BY doc_id"""
+
+_CONTAINMENT_SQL = """
+WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+  generate_series(1, greatest(length(text)-4,1)), i -> substr(text,i,5))) s FROM documents)
+SELECT i, j, round(cont, 6) AS cont FROM (
+  SELECT a.doc_id i, b.doc_id j,
+         CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)/least(len(a.s),len(b.s)) cont
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+WHERE cont >= 0.7"""
+
+# e6: the SAME Lloyd iteration the Spark operator runs, unrolled in
+# CTEs — init = first k rows by id, assign (ties: lowest cluster),
+# element-wise mean update, final assignment + inertia.
+_KMEANS_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e ORDER BY vec_id LIMIT 8),
+d1 AS (SELECT e.vec_id, c0.c,
+              list_sum(list_transform(range(1, 65), i -> (e.v[i]-c0.v[i])*(e.v[i]-c0.v[i]))) d2
+       FROM e CROSS JOIN c0),
+a1 AS (SELECT vec_id, c FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) rn FROM d1) WHERE rn = 1),
+m1 AS (SELECT a1.c, t.i, avg(e.v[t.i]) m
+       FROM a1 JOIN e USING (vec_id) CROSS JOIN range(1, 65) t(i) GROUP BY a1.c, t.i),
+c1 AS (SELECT c, list(m ORDER BY i) v FROM m1 GROUP BY c),
+d2_ AS (SELECT e.vec_id, c1.c,
+               list_sum(list_transform(range(1, 65), i -> (e.v[i]-c1.v[i])*(e.v[i]-c1.v[i]))) d2
+        FROM e CROSS JOIN c1),
+a2 AS (SELECT vec_id, c, d2 FROM
+       (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) rn FROM d2_) WHERE rn = 1)
+SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n, round(sum(d2), 6) AS inertia
+FROM a2 GROUP BY c"""
+
+_INT8_SQL = """
+SELECT vec_id, CAST(len(v) AS BIGINT) AS n_codes,
+       CAST(floor((v[1]-mn)/(CASE WHEN sc=0 THEN 1 ELSE sc END)+0.5) AS BIGINT) AS c0,
+       round(sc, 9) AS scale_r,
+       round(list_sum(list_transform(v, x ->
+         abs(x - (mn + floor((x-mn)/(CASE WHEN sc=0 THEN 1 ELSE sc END)+0.5)*sc))))/len(v), 9) AS mae_r
+FROM (SELECT vec_id, v, list_min(v) mn, (list_max(v)-list_min(v))/255.0 sc
+      FROM (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings))"""
 
 
 def _pii_redact_sql() -> str:

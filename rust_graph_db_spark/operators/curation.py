@@ -154,6 +154,135 @@ def redact_pii_sql(text: str) -> tuple[str, list[str]]:
     return clean, counts
 
 
+# Gopher/C4-style quality rules: (name, threshold key). Each rule is a
+# pure Catalyst predicate over per-doc text statistics; the same
+# formulas are emitted as DuckDB SQL by quality_filter_sql so the
+# filter chain and its oracle share one source of truth. Defaults are
+# the MassiveText-report shapes scaled to short synthetic docs; real
+# corpora retune them (they are parameters, not constants).
+QUALITY_DEFAULTS: dict[str, float] = {
+    "min_tokens": 30,       # drop fragments
+    "max_tokens": 100_000,  # drop pathological concatenations
+    "min_stopword": 0.02,   # drop non-linguistic token soup (en)
+    "max_punct": 0.20,      # drop symbol-heavy boilerplate
+    "max_dup2": 0.08,       # drop repetitive spam (2-gram repeats)
+    "min_word_len": 2.0,    # mean word length sanity band
+    "max_word_len": 10.0,
+}
+
+
+def _quality_stats(text_col: str):
+    """Shared per-doc statistics (Column expressions) for the rules."""
+    toks = F.split(F.lower(F.col(text_col)), r"\s+")
+    tok_cnt = F.size(toks)
+    sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
+    sw_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
+                / F.greatest(tok_cnt, F.lit(1))).cast("double")
+    punct = (F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
+             / F.greatest(F.length(F.col(text_col)), F.lit(1))).cast("double")
+    grams2 = F.expr(
+        f"transform(sequence(1, greatest(size(split(lower({text_col}),"
+        f" '\\\\s+')) - 1, 1)),"
+        f" i -> concat_ws(' ', slice(split(lower({text_col}), '\\\\s+'), i, 2)))")
+    dup2 = (F.lit(1.0) - F.size(F.array_distinct(grams2)) / F.size(grams2)
+            ).cast("double")
+    mwl = (F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+           / F.greatest(tok_cnt, F.lit(1))).cast("double")
+    return tok_cnt, sw_ratio, punct, dup2, mwl
+
+
+def quality_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """(id, kept, fail_rules): the Gopher/C4-style rule-chain quality
+    filter — every document gets a verdict plus the comma-joined names
+    of the rules it failed (audit trail; production drops the column
+    and filters ``kept``).
+
+    Rules: token-count band, English stopword-ratio floor, punctuation
+    -ratio ceiling, duplicate-2-gram ceiling (repetition spam), mean-
+    word-length band. ONE codegen'd scan — every statistic is a
+    Catalyst expression over the same tokenization, no UDFs, zero
+    shuffle; at 100 TB this runs at parquet-scan speed and composes
+    with redact_pii / hash_split in the same stage.
+    """
+    t = dict(QUALITY_DEFAULTS)
+    t.update(thresholds or {})
+    tok_cnt, sw_ratio, punct, dup2, mwl = _quality_stats(text_col)
+    rules: list[tuple[str, Column]] = [
+        ("min_tokens", tok_cnt < F.lit(int(t["min_tokens"]))),
+        ("max_tokens", tok_cnt > F.lit(int(t["max_tokens"]))),
+        ("stopword", sw_ratio < F.lit(float(t["min_stopword"]))),
+        ("punct", punct > F.lit(float(t["max_punct"]))),
+        ("repetition", dup2 > F.lit(float(t["max_dup2"]))),
+        ("word_len", (mwl < F.lit(float(t["min_word_len"])))
+                     | (mwl > F.lit(float(t["max_word_len"])))),
+    ]
+    fails = F.concat_ws(",", F.array_compact(F.array(
+        *[F.when(cond, F.lit(name)) for name, cond in rules])))
+    return df.select(
+        F.col(id_col),
+        (fails == "").alias("kept"),
+        fails.alias("fail_rules"))
+
+
+def quality_filter_rule_stats(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """(rule, n_failed): per-rule drop pressure — the monitoring view a
+    pipeline dashboards next to the filter (a rule suddenly rejecting
+    50% of a crawl is an incident signal). One scan + one tiny agg
+    (six counters, map-side combined)."""
+    per_doc = quality_filter(df, id_col, text_col, thresholds)
+    return (per_doc
+            .select(F.explode(F.split("fail_rules", ",")).alias("rule"))
+            .where(F.col("rule") != "")
+            .groupBy("rule")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_failed")))
+
+
+_EN_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "it",
+                 "that", "was")
+
+
+def quality_filter_sql(
+    text: str, thresholds: dict[str, float] | None = None,
+) -> tuple[str, str]:
+    """DuckDB oracle: (kept_expr, fail_rules_expr) over column ``text``
+    — same formulas, same rule order as :func:`quality_filter`."""
+    t = dict(QUALITY_DEFAULTS)
+    t.update(thresholds or {})
+    toks = f"string_split_regex(lower({text}), '\\s+')"
+    tok_cnt = f"len({toks})"
+    words = ", ".join(f"'{w}'" for w in _EN_STOPWORDS)
+    sw = (f"(CAST(len(list_filter({toks}, t -> t IN ({words}))) AS DOUBLE)"
+          f" / greatest({tok_cnt}, 1))")
+    punct = (f"(CAST(length(regexp_replace({text}, '[A-Za-z0-9\\s]', '', "
+             f"'g')) AS DOUBLE) / greatest(length({text}), 1))")
+    grams2 = (f"list_transform(generate_series(1, greatest({tok_cnt} - 1, 1)),"
+              f" i -> {toks}[i] || ' ' || coalesce({toks}[i+1], ''))")
+    dup2 = (f"(1.0 - CAST(len(list_distinct({grams2})) AS DOUBLE)"
+            f" / len({grams2}))")
+    mwl = (f"(CAST(length(regexp_replace({text}, '\\s', '', 'g')) AS DOUBLE)"
+           f" / greatest({tok_cnt}, 1))")
+    rules = [
+        ("min_tokens", f"{tok_cnt} < {int(t['min_tokens'])}"),
+        ("max_tokens", f"{tok_cnt} > {int(t['max_tokens'])}"),
+        ("stopword", f"{sw} < {float(t['min_stopword'])}"),
+        ("punct", f"{punct} > {float(t['max_punct'])}"),
+        ("repetition", f"{dup2} > {float(t['max_dup2'])}"),
+        ("word_len", f"({mwl} < {float(t['min_word_len'])} OR {mwl} > "
+                     f"{float(t['max_word_len'])})"),
+    ]
+    parts = ", ".join(f"CASE WHEN {cond} THEN '{name}' ELSE NULL END"
+                      for name, cond in rules)
+    fails = (f"coalesce(array_to_string(list_filter([{parts}], "
+             f"x -> x IS NOT NULL), ','), '')")
+    return f"({fails} = '')", fails
+
+
 def top_ngrams(
     df: DataFrame, text_col: str = "text", n: int = 2, top: int = 25,
 ) -> DataFrame:

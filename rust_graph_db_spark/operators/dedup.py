@@ -148,6 +148,114 @@ def embedding_neardup_counts(
             .select(F.col(doc_id), F.col("n_near")))
 
 
+def chunk_dedup(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    chunk_tokens: int = 10,
+) -> DataFrame:
+    """Sub-document exact dedup at fixed token-chunk granularity —
+    the chunk-quantized analog of suffix-array substring dedup
+    (Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better"): any ``chunk_tokens``-token span that already
+    occurred earlier in the corpus (first occurrence = lowest
+    (doc_id, position)) is dropped from later documents, and the
+    surviving text is reassembled.
+
+    Returns (id, clean_text, n_chunks, n_dropped).
+
+    100 TB shape: the global first-occurrence decision runs on
+    (xxhash64(chunk), doc_id, pos) triples — 24 bytes/chunk — via a
+    window over the hash; document TEXT never enters a shuffle. The
+    dropped (doc_id, pos) list groups per doc (ints only) and joins
+    back to the corpus scan, where reassembly filters the in-scan
+    chunk array by position. Two narrow shuffles total, both keyed
+    small and map-side combinable.
+    """
+    c = int(chunk_tokens)
+    toks = F.split(F.col(text_col), r"\s+")
+    n_chunks = F.ceil(F.size(toks) / F.lit(c)).cast("int")
+    chunk_arr = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda i: F.concat_ws(" ", F.slice(toks, i * c + 1, c)))
+    base = df.select(F.col(id_col).alias("id"),
+                     chunk_arr.alias("chunks"))
+
+    from pyspark.sql import Window
+
+    occ = base.select(
+        "id", F.posexplode("chunks").alias("pos", "chunk")
+    ).select("id", "pos", F.xxhash64("chunk").alias("h"))
+    w = Window.partitionBy("h").orderBy("id", "pos")
+    drops = (occ.withColumn("rn", F.row_number().over(w))
+             .where(F.col("rn") > 1)
+             .groupBy("id")
+             .agg(F.collect_set("pos").alias("drop_pos")))
+    joined = base.join(drops, "id", "left")
+    kept = F.filter(
+        F.transform(F.col("chunks"),
+                    lambda ch, i: F.when(
+                        F.col("drop_pos").isNull()
+                        | ~F.array_contains("drop_pos", i), ch)),
+        lambda x: x.isNotNull())
+    return joined.select(
+        F.col("id").alias(id_col),
+        F.concat_ws(" ", kept).alias("clean_text"),
+        F.size("chunks").cast("long").alias("n_chunks"),
+        F.coalesce(F.size("drop_pos"), F.lit(0)).cast("long")
+         .alias("n_dropped"))
+
+
+def containment_pairs(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    k: int = 5, threshold: float = 0.8,
+) -> DataFrame:
+    """All pairs (i < j) whose k-shingle CONTAINMENT
+    ``|A∩B| / min(|A|, |B|)`` ≥ threshold — exact. Catches the case
+    Jaccard structurally misses: a short document embedded verbatim
+    inside a much longer one (quote farms, concatenated crawls),
+    where the union in Jaccard's denominator dilutes the score.
+
+    Candidate generation is the containment adaptation of the PPJoin
+    prefix filter: since the intersection must cover ≥ t·|S_min| of
+    the smaller side, the smaller side must share a shingle within
+    its ``sz - ceil(t*sz) + 1`` rarest shingles — so only that
+    prefix of EACH doc joins against the full inverted index (the
+    prefix side is always a superset of the true min side's prefix).
+    Verification is an exact intersection count over deduplicated
+    (id, shingle-hash) rows for candidate pairs only. All shuffles
+    carry 8-byte hashes + ids; text never leaves the scan.
+    """
+    from pyspark.sql import Window
+
+    inv = shingle_hash_rows(df, id_col, text_col, k, distinct=True) \
+        .localCheckpoint(eager=True)
+    dfreq = inv.groupBy("gh").agg(F.count("*").alias("dfreq"))
+    ranked = (inv.join(dfreq, "gh")
+              .withColumn("rn", F.row_number().over(
+                  Window.partitionBy("id").orderBy("dfreq", "gh")))
+              .withColumn("sz", F.count("*").over(Window.partitionBy("id"))))
+    prefix = ranked.where(
+        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
+    cand = (prefix.alias("a")
+            .join(ranked.alias("b"), (F.col("a.gh") == F.col("b.gh"))
+                  & (F.col("a.id") != F.col("b.id")))
+            .select(F.least("a.id", "b.id").alias("i"),
+                    F.greatest("a.id", "b.id").alias("j"))
+            .dropDuplicates(["i", "j"]))
+    sizes = ranked.groupBy("id").agg(F.max("sz").alias("sz"))
+    ia = inv.select(F.col("id").alias("i"), "gh")
+    ib = inv.select(F.col("id").alias("j"), "gh")
+    inter = (cand.join(ia, "i").join(ib, ["j", "gh"])
+             .groupBy("i", "j").agg(F.count("*").alias("c")))
+    return (inter
+            .join(sizes.select(F.col("id").alias("i"),
+                               F.col("sz").alias("sa")), "i")
+            .join(sizes.select(F.col("id").alias("j"),
+                               F.col("sz").alias("sb")), "j")
+            .withColumn("cont", F.col("c") / F.least("sa", "sb"))
+            .where(F.col("cont") >= threshold)
+            .select("i", "j", F.round("cont", 6).alias("cont")))
+
+
 # ------------------------------------------------- exact n-gram Jaccard join
 
 def ngram_jaccard_pairs(

@@ -425,3 +425,138 @@ def knn_join_lsh(
     return (scored.withColumn("rank", F.row_number().over(w))
                   .where(F.col("rank") <= k)
                   .select("qid", "nid", "cos", "rank"))
+
+
+def kmeans(
+    emb: DataFrame, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    init: str = "first",
+) -> tuple[DataFrame, np.ndarray]:
+    """Distributed Lloyd's k-means (Euclidean) over an embedding
+    column — the corpus-clustering primitive behind IVF training,
+    domain balancing, and diversity sampling of training data.
+
+    Returns ``(assignments, centroids)``: assignments is
+    ``(id, cluster, dist2)`` (squared distance to the final centroid),
+    centroids the ``(k, dim)`` float64 matrix.
+
+    Per iteration the plan is: one corpus scan assigning each vector
+    via a single Arrow-batched matmul against the broadcast ``(k,
+    dim)`` centroid matrix (tiny — k·dim·8 bytes, shipped in the UDF
+    closure), then the centroid update as ``posexplode`` →
+    ``groupBy(cluster, dim)`` mean. The update shuffle is map-side
+    combined, so each partition contributes at most ``k × dim``
+    partial rows regardless of row count — at 100 TB the shuffle is
+    MB-scale. No driver-side iteration over data, only over the k·dim
+    centroid matrix.
+
+    ``init="first"``: centroids seeded from the k rows with the
+    smallest id — deterministic AND cheaply reproducible by any SQL
+    engine (the correctness oracle unrolls the same iterations in
+    CTEs). ``init="hash"``: smallest xxhash64(id) — unbiased under
+    sorted/clustered corpora; prefer it in production.
+    """
+    key = (F.xxhash64(F.col(id_col).cast("string")) if init == "hash"
+           else F.col(id_col))
+    seed_rows = (emb.select(F.col(vec_col).alias("v"), key.alias("k"))
+                 .orderBy("k").limit(int(k)).collect())
+    C = np.array([list(r["v"]) for r in seed_rows], dtype=np.float64)
+
+    from pyspark.sql.functions import pandas_udf
+
+    def _assign_udf(Cm: np.ndarray):
+        @pandas_udf("struct<cluster:int, dist2:double>")
+        def _assign(vs: pd.Series) -> pd.DataFrame:
+            if len(vs) == 0:
+                return pd.DataFrame({"cluster": pd.Series(dtype="int32"),
+                                     "dist2": pd.Series(dtype="float64")})
+            M = np.stack(vs.to_numpy()).astype(np.float64)
+            # ||x-c||^2 for all pairs; argmin ties break to the LOWEST
+            # cluster index (np.argmin), matching the oracle's
+            # ORDER BY dist, cluster.
+            d2 = ((M * M).sum(1, keepdims=True)
+                  - 2.0 * (M @ Cm.T)
+                  + (Cm * Cm).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            return pd.DataFrame({
+                "cluster": a.astype("int32"),
+                "dist2": d2[np.arange(len(M)), a]})
+        return _assign
+
+    base = emb.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    for _ in range(int(iters)):
+        assigned = base.select(
+            "id", "v", _assign_udf(C)(F.col("v")).alias("ad"))
+        means = (assigned
+                 .select(F.col("ad.cluster").alias("cluster"),
+                         F.posexplode("v").alias("d", "x"))
+                 .groupBy("cluster", "d")
+                 .agg(F.avg(F.col("x").cast("double")).alias("m")))
+        C_next = C.copy()           # empty clusters keep their centroid
+        for r in means.collect():   # ≤ k × dim rows
+            C_next[r["cluster"], r["d"]] = r["m"]
+        C = C_next
+    final = base.select(
+        "id", _assign_udf(C)(F.col("v")).alias("ad")
+    ).select("id", F.col("ad.cluster").alias("cluster"),
+             F.col("ad.dist2").alias("dist2"))
+    return final, C
+
+
+def kmeans_summary(
+    emb: DataFrame, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(cluster, n, inertia): cluster sizes and within-cluster sum of
+    squared distances after ``iters`` Lloyd iterations — the
+    convergence/balance report a pipeline logs per k-means run."""
+    assigned, _ = kmeans(emb, k, iters, id_col, vec_col)
+    return (assigned.groupBy("cluster")
+            .agg(F.count(F.lit(1)).cast("long").alias("n"),
+                 F.round(F.sum("dist2"), 6).alias("inertia")))
+
+
+def int8_quantize(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-vector int8 scalar quantization (the storage-compression
+    path every large vector corpus runs — 4x smaller than float32 at
+    rest): code_i = round((x_i - min) / scale), scale = (max - min) /
+    255, reconstruction x̂_i = min + code_i · scale.
+
+    Returns ``(id, codes array<smallint>, vmin, scale, mae)`` where
+    mae is the mean absolute reconstruction error — the audit metric
+    that decides whether int8 is acceptable for a given embedding
+    family. One Arrow-batched scan, no shuffle; rounding is
+    floor(x + 0.5) (portable half-up — numpy's banker rounding and
+    SQL round() disagree at .5 boundaries, so neither is used).
+    """
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<codes:array<smallint>, vmin:double, scale:double,"
+                " mae:double>")
+    def _q(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"codes": pd.Series(dtype="object"),
+                                 "vmin": pd.Series(dtype="float64"),
+                                 "scale": pd.Series(dtype="float64"),
+                                 "mae": pd.Series(dtype="float64")})
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        mn = M.min(axis=1, keepdims=True)
+        mx = M.max(axis=1, keepdims=True)
+        scale = (mx - mn) / 255.0
+        safe = np.where(scale == 0.0, 1.0, scale)
+        codes = np.floor((M - mn) / safe + 0.5)
+        codes = np.where(scale == 0.0, 0.0, codes)
+        recon = mn + codes * scale
+        mae = np.abs(M - recon).mean(axis=1)
+        return pd.DataFrame({
+            "codes": [row.astype("int16") for row in codes],
+            "vmin": mn[:, 0], "scale": scale[:, 0], "mae": mae})
+
+    return (emb.select(F.col(id_col).alias("id"),
+                       _q(F.col(vec_col)).alias("q"))
+            .select("id", F.col("q.codes").alias("codes"),
+                    F.col("q.vmin").alias("vmin"),
+                    F.col("q.scale").alias("scale"),
+                    F.col("q.mae").alias("mae")))

@@ -460,3 +460,162 @@ def test_stream_exact_dedup_cross_batch(spark, tmp_path):
     # durable digest state holds exactly the surviving texts
     n_state = spark.read.parquet(str(tmp_path / "state")).distinct().count()
     assert n_state == 3
+
+
+# ------------------------------------------------- round-3 curation ops
+
+def test_quality_filter_crafted(spark):
+    from rust_graph_db_spark.operators.curation import quality_filter
+
+    rows = [
+        # long, english-ish, varied: passes everything
+        (1, "the quick brown fox jumped over a lazy dog while it was "
+            "raining and the farmer watched from his porch in quiet "
+            "wonder as evening settled softly across that wide valley "
+            "of golden wheat beneath slowly darkening autumn skies"),
+        # too short
+        (2, "tiny text"),
+        # no stopwords at all (token soup)
+        (3, "alpha beta gamma delta epsilon zeta eta theta " * 6),
+        # heavy 2-gram repetition AND enough stopwords
+        (4, "the the the the " * 20),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.kept, r.fail_rules)
+           for r in quality_filter(df).collect()}
+    assert got[1] == (True, "")
+    assert got[2][0] is False and "min_tokens" in got[2][1]
+    assert got[3][0] is False and "stopword" in got[3][1]
+    assert got[4][0] is False and "repetition" in got[4][1]
+
+
+def test_quality_rule_stats_sums(spark):
+    from rust_graph_db_spark.operators.curation import (
+        quality_filter, quality_filter_rule_stats)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    per_doc = quality_filter(docs).collect()
+    expect = {}
+    for r in per_doc:
+        for rule in (r.fail_rules.split(",") if r.fail_rules else []):
+            expect[rule] = expect.get(rule, 0) + 1
+    got = {r.rule: r.n_failed
+           for r in quality_filter_rule_stats(docs).collect()}
+    assert got == expect
+
+
+def test_chunk_dedup_crafted(spark):
+    from rust_graph_db_spark.operators.dedup import chunk_dedup
+
+    c1 = "a b c d e f g h i j"          # exactly one 10-token chunk
+    c2 = "k l m n o p q r s t"
+    rows = [(1, f"{c1} {c2}"),           # first occurrence of both
+            (2, f"{c1} zz yy"),          # chunk1 dup + unique tail
+            (3, c2)]                     # chunk2 dup, nothing left
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+           for r in chunk_dedup(df, chunk_tokens=10).collect()}
+    assert got[1] == (f"{c1} {c2}", 2, 0)
+    assert got[2] == ("zz yy", 2, 1)
+    assert got[3] == ("", 1, 1)
+
+
+def test_chunk_dedup_preserves_token_stream(docs):
+    # reassembly loses only dropped chunks: surviving token count ==
+    # original minus dropped-chunk tokens (sf docs: single-space seps)
+    from rust_graph_db_spark.operators.dedup import chunk_dedup
+
+    out = chunk_dedup(docs, chunk_tokens=10)
+    bad = (out.join(docs, "doc_id")
+           .where(F.col("n_dropped") == 0)
+           .where(F.col("clean_text") != F.col("text"))
+           .count())
+    assert bad == 0
+
+
+def test_containment_catches_embedded_doc(spark):
+    from rust_graph_db_spark.operators.dedup import (containment_pairs,
+                                                     ngram_jaccard_pairs)
+
+    small = "unique little document body here"
+    big = small + " padded with lots of entirely different trailing words " \
+        "so the union is much larger than the intersection for sure " * 3
+    df = spark.createDataFrame(
+        [(1, small), (2, big), (3, "completely unrelated other text")],
+        "doc_id LONG, text STRING")
+    cont = {(r.i, r.j): r.cont
+            for r in containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+    # jaccard at the same strictness misses it: union dominated by big doc
+    jac = ngram_jaccard_pairs(df, "doc_id", "text", threshold=0.5)
+    assert (1, 2) not in {(r.i, r.j) for r in jac.collect()}
+
+
+def test_containment_matches_oracle(docs, duck):
+    from rust_graph_db_spark.operators.dedup import containment_pairs
+
+    got = sorted((r.i, r.j, r.cont)
+                 for r in containment_pairs(docs, threshold=0.7).collect())
+    want = sorted(map(tuple, duck.execute("""
+WITH sh AS (SELECT doc_id, list_distinct(list_transform(
+  generate_series(1, greatest(length(text)-4,1)), i -> substr(text,i,5))) s FROM documents)
+SELECT i, j, round(cont, 6) FROM (
+  SELECT a.doc_id i, b.doc_id j,
+         CAST(len(list_intersect(a.s,b.s)) AS DOUBLE)/least(len(a.s),len(b.s)) cont
+  FROM sh a JOIN sh b ON a.doc_id < b.doc_id) WHERE cont >= 0.7""").fetchall()))
+    assert got == want
+
+
+# ------------------------------------------------- round-3 embedding ops
+
+def test_kmeans_matches_numpy(emb):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.similarity import kmeans
+
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    k, iters = 4, 2
+    C = X[:k].copy()
+    for _ in range(iters):
+        d2 = ((X * X).sum(1, keepdims=True) - 2 * X @ C.T
+              + (C * C).sum(1)[None, :])
+        a = np.argmin(d2, axis=1)
+        for c in range(k):
+            if (a == c).any():
+                C[c] = X[a == c].mean(axis=0)
+    d2 = ((X * X).sum(1, keepdims=True) - 2 * X @ C.T
+          + (C * C).sum(1)[None, :])
+    want_assign = np.argmin(d2, axis=1)
+
+    got, gotC = kmeans(emb, k=k, iters=iters)
+    got_map = {r.id: r.cluster for r in got.collect()}
+    assert np.allclose(gotC, C)
+    assert [got_map[r.vec_id] for r in rows] == list(want_assign)
+
+
+def test_kmeans_empty_cluster_keeps_centroid(spark):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.similarity import kmeans
+
+    # two tight blobs, k=3: the third seed (inside blob A) loses all
+    # members after one update; its centroid must survive unchanged
+    rows = [(i, [0.0, 0.0]) for i in range(5)] + \
+           [(i, [10.0, 10.0]) for i in range(5, 10)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    _, C = kmeans(df, k=3, iters=3, init="first")
+    assert C.shape == (3, 2)
+    assert np.isfinite(C).all()
+
+
+def test_int8_quantize_bounds(emb):
+    from rust_graph_db_spark.operators.similarity import int8_quantize
+
+    out = int8_quantize(emb).collect()
+    dim = len(emb.first().embedding)
+    for r in out:
+        assert len(r.codes) == dim
+        assert all(0 <= c <= 255 for c in r.codes)
+        # max representable error is scale/2 per element
+        assert r.mae <= r.scale / 2 + 1e-12
