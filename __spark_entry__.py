@@ -430,6 +430,38 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, "text", n=2, top=25)
 
 
+def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t8: the COMPOSED curation pass — quality filter → PII redaction
+    → exact dedup on the redacted text → deterministic split, one
+    Catalyst plan (operators/curation.py:curate). The corpus is
+    augmented with twin documents (doc_id+100000, same base text) and
+    doc_id-dependent synthetic PII, so twins differ ONLY in PII bytes:
+    the dedup stage provably collapses them exactly when it runs AFTER
+    redaction — order-of-stages correctness the oracle re-derives."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select("doc_id", "text").unionAll(
+        docs.where(F.col("doc_id") % 5 == 0)
+            .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
+    d = F.col("doc_id")
+    aug = base.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com at 10.2."), (d % 200).cast("string"),
+            F.lit("."), ((d * 7) % 250).cast("string"),
+            F.lit(" call 555-"), (d % 900 + 100).cast("string"),
+            F.lit("-4567 ref "), (d * 1000003 + 123456).cast("string"),
+        ).alias("text"))
+    return (curate(aug)
+            .select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+                    "split"))
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t6: Gopher/C4-style rule-chain quality filter — per-document
     verdict + failed-rule audit trail, one codegen'd scan, zero
@@ -1348,6 +1380,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # round 3: quality filtering, sub-document dedup, containment,
         # clustering, quantization
         "t6_quality_filter": _q_quality_filter,
+        "t8_curation_pipeline": _q_curation_pipeline,
         "t7_quality_stats": _q_quality_rule_stats,
         "d9_chunk_dedup": _q_chunk_dedup,
         "d10_containment": _q_containment,
@@ -1953,6 +1986,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents)) "
             "GROUP BY gram ORDER BY cnt DESC, gram LIMIT 25"),
         "t6_quality_filter": _quality_filter_sql(),
+        "t8_curation_pipeline": _curation_pipeline_sql(),
         "t7_quality_stats": _quality_stats_sql(),
         "d9_chunk_dedup": _CHUNK_DEDUP_SQL,
         "d10_containment": _CONTAINMENT_SQL,
@@ -2029,6 +2063,37 @@ _JACCARD_CTES = (
 _JACCARD_PAIRS_SQL = (
     "WITH " + _JACCARD_CTES +
     " SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5")
+
+
+def _curation_pipeline_sql() -> str:
+    """t8 oracle: the same four stages chained in CTEs, each stage's
+    SQL generated by its operator's own builder."""
+    from rust_graph_db_spark.operators.curation import (quality_filter_sql,
+                                                        redact_pii_sql)
+
+    aug = (
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+        "'@example.com at 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.' "
+        "|| CAST((doc_id * 7) % 250 AS VARCHAR) || ' call 555-' || "
+        "CAST(doc_id % 900 + 100 AS VARCHAR) || '-4567 ref ' || "
+        "CAST(doc_id * 1000003 + 123456 AS VARCHAR)")
+    kept, _ = quality_filter_sql("text")
+    clean, _ = redact_pii_sql("text")
+    return f"""
+WITH base AS (SELECT doc_id, {aug} AS text FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)),
+q AS (SELECT doc_id, text FROM base WHERE {kept}),
+r AS (SELECT doc_id, {clean} AS clean_text FROM q),
+d AS (SELECT CAST(min(doc_id) AS BIGINT) AS doc_id, clean_text
+      FROM r GROUP BY clean_text),
+s AS (SELECT doc_id, clean_text, CASE WHEN b < 900 THEN 'train'
+             WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, clean_text,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INT) % 1000 AS b FROM d))
+SELECT doc_id, md5(clean_text) AS clean_md5, split FROM s"""
 
 
 def _quality_filter_sql() -> str:

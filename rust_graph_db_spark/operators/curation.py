@@ -283,6 +283,36 @@ def quality_filter_sql(
     return f"({fails} = '')", fails
 
 
+def curate(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+    weights: dict[str, float] | None = None,
+) -> DataFrame:
+    """The composed end-to-end curation pass a pretraining pipeline
+    runs per crawl batch: quality rule-chain filter → PII redaction →
+    exact dedup (on the REDACTED text, so docs differing only in
+    scrubbed PII collapse) → deterministic train/val/test split.
+
+    Returns ``(id, clean_text, split)`` for surviving documents.
+
+    Plan shape at 100 TB: filter + redaction + split are ONE
+    codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
+    into it); the only shuffle in the whole pipeline is the dedup's
+    16-byte-digest groupBy. Each stage reuses the standalone
+    operator, and every stage has a SQL twin, so the composition is
+    oracle-checkable end to end.
+    """
+    per_doc = quality_filter(df, id_col, text_col, thresholds)
+    kept = (df.join(per_doc.where("kept").select(id_col), id_col))
+    red = redact_pii(kept, id_col, text_col).select(id_col, "clean_text")
+    deduped = red.join(
+        red.groupBy(F.md5(F.col("clean_text")).alias("_d"))
+           .agg(F.min(id_col).alias(id_col)).select(id_col),
+        id_col, "left_semi")
+    return hash_split(deduped, id_col, weights) \
+        .select(id_col, "clean_text", "split")
+
+
 def top_ngrams(
     df: DataFrame, text_col: str = "text", n: int = 2, top: int = 25,
 ) -> DataFrame:
