@@ -78,9 +78,12 @@ def bfs_distances(
     if targets is None and hop.count() <= driver_threshold:
         from collections import deque
 
+        # Arrow transfer + list iteration: ~10× cheaper than collect()'s
+        # per-Row pickling at the threshold edge count.
+        pdf = hop.toPandas()
         adj: dict = {}
-        for row in hop.collect():
-            adj.setdefault(row["a"], []).append(row["b"])
+        for u, v in zip(pdf["a"].tolist(), pdf["b"].tolist()):
+            adj.setdefault(u, []).append(v)
         out = []
         for s in (r["id"] for r in src.collect()):
             dist = {s: 0}
@@ -228,11 +231,12 @@ def weighted_shortest_distances(
         import heapq
         import math
 
-        rows = hop.collect()
-        if all(r["w"] >= 0 for r in rows):
+        pdf = hop.toPandas()          # Arrow, not per-Row pickling
+        if (pdf["w"] >= 0).all():
             adj: dict = {}
-            for r in rows:
-                adj.setdefault(r["a"], []).append((r["b"], r["w"]))
+            for a, b, w in zip(pdf["a"].tolist(), pdf["b"].tolist(),
+                               pdf["w"].tolist()):
+                adj.setdefault(a, []).append((b, w))
             starts = [r["id"] for r in _start_frame(edges, start).collect()]
             best: dict = {s: 0.0 for s in starts}
             pq = [(0.0, s) for s in starts]
