@@ -430,6 +430,26 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, "text", n=2, top=25)
 
 
+def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e8: product quantization (4 subspaces × 16 codewords over the
+    64-d embeddings) — per-vector PQ codes + mean absolute
+    reconstruction error. Codebooks use ``train_iters=0`` (first-16
+    subvectors) so the oracle re-derives the identical assignment in
+    SQL; the TRAINED path is numpy-parity-tested in pytest."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import (pq_codebooks,
+                                                          pq_encode)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, ksub=16, train_iters=0)
+    out = pq_encode(emb, books)
+    return out.select(
+        F.col("id").alias("vec_id"),
+        *[F.col("codes")[s].cast("long").alias(f"c{s}") for s in range(4)],
+        F.round("mae", 9).alias("mae_r"))
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t8: the COMPOSED curation pass — quality filter → PII redaction
     → exact dedup on the redacted text → deterministic split, one
@@ -1386,6 +1406,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d10_containment": _q_containment,
         "e6_kmeans": _q_kmeans,
         "e7_int8_quantize": _q_int8_quantize,
+        "e8_pq_encode": _q_pq_encode,
         # --------- r3-touched code paths
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -1992,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
         "d10_containment": _CONTAINMENT_SQL,
         "e6_kmeans": _KMEANS_SQL,
         "e7_int8_quantize": _INT8_SQL,
+        "e8_pq_encode": _PQ_SQL,
         # LSH at its design threshold: verified candidates == exact join
         # restricted to jac >= 0.8 (recall 0.9998 there; see dedup.py)
         "d3_minhash_lsh": _JACCARD_PAIRS_SQL.replace("0.5", "0.8"),
@@ -2159,6 +2181,28 @@ a2 AS (SELECT vec_id, c, d2 FROM
        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) rn FROM d2_) WHERE rn = 1)
 SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n, round(sum(d2), 6) AS inertia
 FROM a2 GROUP BY c"""
+
+# e8: per-subspace nearest-codeword assignment with the train_iters=0
+# codebook (first 16 vectors' subvectors), ties to the lowest codeword.
+_PQ_SQL = """
+WITH e AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) v FROM embeddings),
+cb AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS c, v FROM e ORDER BY vec_id LIMIT 16),
+sub AS (SELECT e.vec_id, s.s, cb.c,
+         list_sum(list_transform(range(1, 17),
+           i -> (e.v[s.s*16+i]-cb.v[s.s*16+i])*(e.v[s.s*16+i]-cb.v[s.s*16+i]))) d2,
+         list_sum(list_transform(range(1, 17),
+           i -> abs(e.v[s.s*16+i]-cb.v[s.s*16+i]))) ae
+        FROM e CROSS JOIN cb CROSS JOIN range(0, 4) s(s)),
+best AS (SELECT vec_id, s, c, ae FROM
+         (SELECT *, row_number() OVER (PARTITION BY vec_id, s ORDER BY d2, c) rn
+          FROM sub) WHERE rn = 1)
+SELECT vec_id,
+       CAST(max(CASE WHEN s=0 THEN c END) AS BIGINT) AS c0,
+       CAST(max(CASE WHEN s=1 THEN c END) AS BIGINT) AS c1,
+       CAST(max(CASE WHEN s=2 THEN c END) AS BIGINT) AS c2,
+       CAST(max(CASE WHEN s=3 THEN c END) AS BIGINT) AS c3,
+       round(sum(ae)/64, 9) AS mae_r
+FROM best GROUP BY vec_id"""
 
 _INT8_SQL = """
 SELECT vec_id, CAST(len(v) AS BIGINT) AS n_codes,

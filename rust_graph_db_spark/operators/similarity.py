@@ -560,3 +560,92 @@ def int8_quantize(
                     F.col("q.vmin").alias("vmin"),
                     F.col("q.scale").alias("scale"),
                     F.col("q.mae").alias("mae")))
+
+
+def pq_codebooks(
+    emb: DataFrame, m: int = 4, ksub: int = 16, train_iters: int = 5,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    sample_size: int = 4096,
+) -> np.ndarray:
+    """Product-quantization codebooks: the vector space is split into
+    ``m`` contiguous subspaces and each gets a ``ksub``-centroid
+    k-means codebook (classic PQ, Jégou et al. 2011 — the compression
+    layer under most billion-scale ANN systems).
+
+    Returns ``(m, ksub, dim//m)`` float64. Training mirrors
+    ``ivf_centroids``: a deterministic hash-ordered sample collects to
+    the driver (codebooks are tiny — m·ksub·dsub), Lloyd iterations in
+    numpy. ``train_iters=0`` skips Lloyd: codebooks are the first
+    ``ksub`` sampled subvectors verbatim — fully reproducible by a SQL
+    engine, which is what the correctness oracle runs.
+    """
+    if train_iters == 0:
+        rows = (emb.select(F.col(vec_col).alias("v"))
+                .orderBy(F.col(id_col)).limit(int(ksub)).collect())
+    else:
+        rows = (emb.select(F.col(vec_col).alias("v"),
+                           F.xxhash64(F.col(id_col).cast("string"))
+                           .alias("h"))
+                .orderBy("h").limit(int(sample_size)).collect())
+    X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    dim = X.shape[1]
+    if dim % m:
+        raise ValueError(f"dim {dim} not divisible by m={m}")
+    dsub = dim // m
+    books = np.empty((m, int(ksub), dsub), dtype=np.float64)
+    for s in range(m):
+        Xs = X[:, s * dsub:(s + 1) * dsub]
+        C = Xs[: int(ksub)].copy()
+        for _ in range(int(train_iters)):
+            d2 = ((Xs * Xs).sum(1, keepdims=True) - 2 * Xs @ C.T
+                  + (C * C).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            for c in range(len(C)):
+                if (a == c).any():
+                    C[c] = Xs[a == c].mean(axis=0)
+        books[s] = C
+    return books
+
+
+def pq_encode(
+    emb: DataFrame, codebooks: np.ndarray,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, codes array<smallint> length m, mae): PQ-encode every
+    vector (per-subspace nearest codeword, ties to the lowest index)
+    plus the mean absolute reconstruction error of decoding the codes
+    back — the audit that qualifies a codebook for a corpus.
+
+    One Arrow-batched scan; the (m, ksub, dsub) codebook rides the
+    UDF closure (a few KB). At 100 TB this is the standard 32×
+    at-rest compression pass before ANN index build; no shuffle.
+    """
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("struct<codes:array<smallint>, mae:double>")
+    def _enc(vs: pd.Series) -> pd.DataFrame:
+        if len(vs) == 0:
+            return pd.DataFrame({"codes": pd.Series(dtype="object"),
+                                 "mae": pd.Series(dtype="float64")})
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        n = len(M)
+        codes = np.empty((n, m), dtype=np.int16)
+        err = np.zeros(n, dtype=np.float64)
+        for s in range(m):
+            Xs = M[:, s * dsub:(s + 1) * dsub]
+            C = B[s]
+            d2 = ((Xs * Xs).sum(1, keepdims=True) - 2 * Xs @ C.T
+                  + (C * C).sum(1)[None, :])
+            a = np.argmin(d2, axis=1)
+            codes[:, s] = a.astype(np.int16)
+            err += np.abs(Xs - C[a]).sum(axis=1)
+        return pd.DataFrame({"codes": list(codes),
+                             "mae": err / (m * dsub)})
+
+    return (emb.select(F.col(id_col).alias("id"),
+                       _enc(F.col(vec_col)).alias("q"))
+            .select("id", F.col("q.codes").alias("codes"),
+                    F.col("q.mae").alias("mae")))

@@ -619,3 +619,41 @@ def test_int8_quantize_bounds(emb):
         assert all(0 <= c <= 255 for c in r.codes)
         # max representable error is scale/2 per element
         assert r.mae <= r.scale / 2 + 1e-12
+
+
+def test_pq_trained_matches_numpy(emb):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.similarity import (pq_codebooks,
+                                                          pq_encode)
+
+    m, ksub, iters = 4, 8, 3
+    books = pq_codebooks(emb, m=m, ksub=ksub, train_iters=iters,
+                         sample_size=10_000)
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    X = np.array([list(r.embedding) for r in rows], dtype=np.float64)
+    dsub = X.shape[1] // m
+    got = {r.id: (list(r.codes), r.mae)
+           for r in pq_encode(emb, books).collect()}
+    for ridx, r in enumerate(rows):
+        want_codes, want_err = [], 0.0
+        for s in range(m):
+            xs = X[ridx, s * dsub:(s + 1) * dsub]
+            d2 = ((books[s] - xs) ** 2).sum(axis=1)
+            c = int(np.argmin(d2))
+            want_codes.append(c)
+            want_err += np.abs(xs - books[s][c]).sum()
+        codes, mae = got[r.vec_id]
+        assert codes == want_codes
+        assert abs(mae - want_err / X.shape[1]) < 1e-9
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest as _pytest
+
+    from rust_graph_db_spark.operators.similarity import pq_codebooks
+
+    df = spark.createDataFrame([(0, [1.0, 2.0, 3.0])],
+                               "vec_id LONG, embedding ARRAY<FLOAT>")
+    with _pytest.raises(ValueError):
+        pq_codebooks(df, m=2, ksub=1, train_iters=0)
