@@ -191,6 +191,24 @@ def main() -> None:
         df = None
         gc.collect()
 
+    # ---- round-3 pipeline operators, timed in their OWN dict so
+    # headline_suite_seconds stays comparable across rounds. t8 is the
+    # composed curate() pass (filter→redact→dedup→split on a 1.2×
+    # twinned corpus); d9 shuffles (hash,doc,pos) triples for the
+    # first-occurrence window; e6/e8 are Arrow-matmul assignment scans.
+    pipeline_timings: dict[str, float] = {}
+    for name in ["t6_quality_filter", "t8_curation_pipeline",
+                 "d9_chunk_dedup", "d10_containment", "e6_kmeans",
+                 "e7_int8_quantize", "e8_pq_encode"]:
+        t0 = time.perf_counter()
+        df = qs[name](spark, sf_dir)
+        n = df.count()
+        pipeline_timings[name] = round(time.perf_counter() - t0, 3)
+        print(f"# {name}: {pipeline_timings[name]}s ({n} rows)",
+              file=sys.stderr)
+        df = None
+        gc.collect()
+
     # ---- durable-store variant of the hottest graph expands (separate
     # dicts: headline_suite_seconds stays comparable across rounds)
     _bench_store(spark, sf_dir, store_timings, store_exchanges)
@@ -244,6 +262,7 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "pipeline_queries_sec": pipeline_timings,
         "store_queries_sec": store_timings,
         "store_exchanges": store_exchanges,
         "throughput_elems_per_s": tp,

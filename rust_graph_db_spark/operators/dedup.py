@@ -214,20 +214,37 @@ def containment_pairs(
     inside a much longer one (quote farms, concatenated crawls),
     where the union in Jaccard's denominator dilutes the score.
 
-    Candidate generation is the containment adaptation of the PPJoin
-    prefix filter: since the intersection must cover ≥ t·|S_min| of
-    the smaller side, the smaller side must share a shingle within
-    its ``sz - ceil(t*sz) + 1`` rarest shingles — so only that
-    prefix of EACH doc joins against the full inverted index (the
-    prefix side is always a superset of the true min side's prefix).
-    Verification is an exact intersection count over deduplicated
-    (id, shingle-hash) rows for candidate pairs only. All shuffles
-    carry 8-byte hashes + ids; text never leaves the scan.
+    Shares the Jaccard join's two scale levers (same
+    ``_shingle_bitmaps`` substrate, same auto-switch): dense
+    vocabularies take the blocked bit-matrix product with the
+    containment formula (candidate pruning cannot help when every
+    pair shares tokens); sparse corpora generate candidates with the
+    containment adaptation of the PPJoin prefix filter — since the
+    intersection must cover ≥ t·|S_min| of the smaller side, the
+    smaller side must share a shingle within its
+    ``sz - ceil(t*sz) + 1`` rarest shingles, so only that prefix of
+    EACH doc joins against the full inverted index — and verify
+    exactly via the W-word popcount of AND-ed bitmaps (integer ops
+    per candidate, never an array intersect). All shuffles carry
+    8-byte hashes + ids; text never leaves the scan.
     """
     from pyspark.sql import Window
 
-    inv = shingle_hash_rows(df, id_col, text_col, k, distinct=True) \
-        .localCheckpoint(eager=True)
+    inv, bits, n_words, vocab = _shingle_bitmaps(df, id_col, text_col, k)
+    n_docs = bits.count()
+    if n_docs * n_docs * vocab <= 2e12:
+        dense = _pairs_dense_blocked(bits, n_words, vocab, threshold,
+                                     "containment")
+        return dense.select("i", "j", F.round("cont", 6).alias("cont"))
+
+    wa = bits.select(F.col("id").alias("i"), F.col("sz").alias("sa"),
+                     *[F.col(f"w{w}").alias(f"a{w}") for w in range(n_words)])
+    wb = bits.select(F.col("id").alias("j"), F.col("sz").alias("sb"),
+                     *[F.col(f"w{w}").alias(f"b{w}") for w in range(n_words)])
+    inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
+                for w in range(n_words))
+
+    inv = inv.distinct().localCheckpoint(eager=True)
     dfreq = inv.groupBy("gh").agg(F.count("*").alias("dfreq"))
     ranked = (inv.join(dfreq, "gh")
               .withColumn("rn", F.row_number().over(
@@ -241,22 +258,65 @@ def containment_pairs(
             .select(F.least("a.id", "b.id").alias("i"),
                     F.greatest("a.id", "b.id").alias("j"))
             .dropDuplicates(["i", "j"]))
-    sizes = ranked.groupBy("id").agg(F.max("sz").alias("sz"))
-    ia = inv.select(F.col("id").alias("i"), "gh")
-    ib = inv.select(F.col("id").alias("j"), "gh")
-    inter = (cand.join(ia, "i").join(ib, ["j", "gh"])
-             .groupBy("i", "j").agg(F.count("*").alias("c")))
-    return (inter
-            .join(sizes.select(F.col("id").alias("i"),
-                               F.col("sz").alias("sa")), "i")
-            .join(sizes.select(F.col("id").alias("j"),
-                               F.col("sz").alias("sb")), "j")
+    return (cand.join(wa, "i").join(wb, "j")
+            .withColumn("c", inter.cast("long"))
             .withColumn("cont", F.col("c") / F.least("sa", "sb"))
             .where(F.col("cont") >= threshold)
             .select("i", "j", F.round("cont", 6).alias("cont")))
 
 
 # ------------------------------------------------- exact n-gram Jaccard join
+
+def _shingle_bitmaps(df: DataFrame, id_col: str, text_col: str, k: int):
+    """Shared set-similarity substrate: hashed-shingle occurrence rows
+    plus the dictionary-encoded per-doc bitmap (W 64-bit words as flat
+    columns, ``sz`` = exact popcount set size). Used by both the
+    Jaccard and containment joins.
+
+    Returns (inv, bits, n_words, vocab).
+
+    Occurrence rows are NOT deduplicated — every consumer is
+    duplicate-idempotent (bit_or; the dictionary runs its own cheap
+    post-partial-agg distinct); per-doc set sizes come from bitmap
+    popcounts. The dictionary uses partition-parallel dense numbering
+    (a global-Window row_number would funnel the vocabulary through
+    one task; bit positions need uniqueness+density, not order).
+    Bitmap build is size-adaptive: tiny vocab (≤8 words) → one groupBy
+    with conditional bit_or aggs straight over occurrences; otherwise
+    two-level (OR within (id, word) — narrow, map-side combined —
+    then spread words into flat columns). Measured at sf0.1 (1.47M
+    occurrences, n_words=32) two-level wins ~1.7 s vs ~3.0 s: the
+    rows × n_words conditional evals dominate once occurrences are
+    large, independent of vocabulary width.
+    """
+    from rust_graph_db_spark.operators.ids import dense_ids
+
+    inv = shingle_hash_rows(df, id_col, text_col, k, distinct=False) \
+        .localCheckpoint(eager=True)
+    dict_df, vocab = dense_ids(inv.select("gh").distinct(), "idx")
+    n_words = max(1, -(-vocab // 64))
+    enc = (inv.join(F.broadcast(dict_df), "gh")
+           .select("id",
+                   F.floor(F.col("idx") / 64).cast("int").alias("word"),
+                   F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
+                    .alias("bitval")))
+    if n_words <= 8:
+        grouped = enc.groupBy("id").agg(
+            *[F.bit_or(F.when(F.col("word") == w, F.col("bitval"))
+                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
+              for w in range(n_words)])
+    else:
+        per_word = enc.groupBy("id", "word").agg(F.bit_or("bitval").alias("bv"))
+        grouped = per_word.groupBy("id").agg(
+            *[F.bit_or(F.when(F.col("word") == w, F.col("bv"))
+                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
+              for w in range(n_words)])
+    bits = (grouped
+            .withColumn("sz", sum(F.bit_count(F.col(f"w{w}"))
+                                  for w in range(n_words)))
+            .localCheckpoint(eager=True))
+    return inv, bits, n_words, vocab
+
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
@@ -290,60 +350,9 @@ def ngram_jaccard_pairs(
 
     Returns (i, j, jac), jac exact.
     """
+    inv, bits, n_words, vocab = _shingle_bitmaps(df, id_col, text_col, k)
+
     from pyspark.sql import Window
-
-    from rust_graph_db_spark.operators.ids import dense_ids
-
-    # hashed-shingle occurrence rows (8-byte keys; collision odds ~1e-11
-    # per corpus at 1e4 distinct shingles). NOT deduplicated — every
-    # consumer below is duplicate-idempotent (bit_or; the dictionary
-    # runs its own distinct, which is cheap after map-side partial
-    # aggregation), and per-doc set sizes come from bitmap popcounts.
-    # Materialized once: feeds the dictionary, the bitmap build, and
-    # (vocab-overflow path) the prefix ranking.
-    inv = shingle_hash_rows(df, id_col, text_col, k, distinct=False) \
-        .localCheckpoint(eager=True)
-
-    # ---- bitmap dictionary: distinct shingle -> dense bit index
-    # (partition-parallel dense numbering — a global-Window row_number
-    # here would funnel the whole vocabulary through one task; bit
-    # POSITIONS need uniqueness+density only, not a canonical order, so
-    # the no-shuffle variant suffices)
-    dict_df, vocab = dense_ids(inv.select("gh").distinct(), "idx")
-    n_words = max(1, -(-vocab // 64))
-    enc = (inv.join(F.broadcast(dict_df), "gh")
-           .select("id",
-                   F.floor(F.col("idx") / 64).cast("int").alias("word"),
-                   F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
-                    .alias("bitval")))
-    # Bitmap build, size-adaptive. Tiny vocab (n_words ≤ 8): ONE
-    # groupBy with n_words conditional bit_or aggs straight over the
-    # occurrence rows — rows × n_words conditional evals, one shuffle.
-    # Otherwise two-level: OR within (id, word) first (narrow agg with
-    # map-side combine collapses the occurrence multiset to ≤ docs ×
-    # n_words rows before any wide evaluation), then spread the
-    # surviving words into flat columns (n_words aggs over docs×words
-    # rows only). Measured at sf0.1 (1.47M occurrences, n_words=32) the
-    # two-level build beats the single wide agg ~1.7s vs ~3.0s cold —
-    # the rows × n_words conditional evals dominate as soon as the
-    # occurrence count is large, independent of vocabulary width.
-    # sz = Σ popcount(word): exact distinct-shingle count, free from
-    # the bitmap itself.
-    if n_words <= 8:
-        grouped = enc.groupBy("id").agg(
-            *[F.bit_or(F.when(F.col("word") == w, F.col("bitval"))
-                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
-              for w in range(n_words)])
-    else:
-        per_word = enc.groupBy("id", "word").agg(F.bit_or("bitval").alias("bv"))
-        grouped = per_word.groupBy("id").agg(
-            *[F.bit_or(F.when(F.col("word") == w, F.col("bv"))
-                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
-              for w in range(n_words)])
-    bits = (grouped
-            .withColumn("sz", sum(F.bit_count(F.col(f"w{w}"))
-                                  for w in range(n_words)))
-            .localCheckpoint(eager=True))
 
     wa = bits.select(F.col("id").alias("i"), F.col("sz").alias("sa"),
                      *[F.col(f"w{w}").alias(f"a{w}") for w in range(n_words)])
@@ -355,10 +364,11 @@ def ngram_jaccard_pairs(
     n_docs = bits.count()
     if n_docs * n_docs * vocab <= 2e12:
         # Dense fast path: blocked all-pairs bit-matrix product. See
-        # _jaccard_dense_blocked — beats candidate generation when the
+        # _pairs_dense_blocked — beats candidate generation when the
         # vocabulary is small enough that every doc pair shares tokens
         # (prefix filtering prunes nothing there).
-        return _jaccard_dense_blocked(bits, n_words, vocab, threshold)
+        return _pairs_dense_blocked(bits, n_words, vocab, threshold,
+                                    "jaccard")
 
     # ---- prefix-filtered candidate pairs (scale path)
     # this branch needs true (id, gh) sets: document frequencies and
@@ -385,10 +395,13 @@ def ngram_jaccard_pairs(
             .select("i", "j", "jac"))
 
 
-def _jaccard_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
-                           threshold: float) -> DataFrame:
-    """Exact all-pairs Jaccard on a dictionary-encoded bitmap table via
-    blocked matrix multiplication.
+def _pairs_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
+                         threshold: float,
+                         measure: str = "jaccard") -> DataFrame:
+    """Exact all-pairs set similarity on a dictionary-encoded bitmap
+    table via blocked matrix multiplication. ``measure``: "jaccard"
+    (|∩|/|∪|, output column ``jac``) or "containment"
+    (|∩|/min(|A|,|B|), output column ``cont``).
 
     Docs are hashed into √(2·parallelism) blocks; every block *pair*
     becomes one ``applyInPandas`` group that unpacks its two bitmap
@@ -412,7 +425,7 @@ def _jaccard_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
         tagged, (F.col("blk") == F.col("ba")) | (F.col("blk") == F.col("bb")))
 
     thr = float(threshold)
-    n_w = n_words
+    col = "jac" if measure == "jaccard" else "cont"
 
     def tile(pdf: pd.DataFrame) -> pd.DataFrame:
         ba, bb = int(pdf["ba"].iloc[0]), int(pdf["bb"].iloc[0])
@@ -420,7 +433,7 @@ def _jaccard_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
         A = pdf if same else pdf[pdf["blk"] == ba]
         B = pdf if same else pdf[pdf["blk"] == bb]
         if A.empty or B.empty:
-            return pd.DataFrame({"i": [], "j": [], "jac": []})
+            return pd.DataFrame({"i": [], "j": [], col: []})
 
         def unpack(part: pd.DataFrame) -> np.ndarray:
             words = np.ascontiguousarray(
@@ -432,18 +445,21 @@ def _jaccard_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
         M = unpack(A) @ unpack(B).T                      # |A_i ∩ B_j|
         sa = A["sz"].to_numpy()[:, None]
         sb = B["sz"].to_numpy()[None, :]
-        jac = M / (sa + sb - M)
-        ii, jj = np.where(jac >= thr)
+        if measure == "jaccard":
+            score = M / (sa + sb - M)
+        else:
+            score = M / np.minimum(sa, sb)
+        ii, jj = np.where(score >= thr)
         ai = A["id"].to_numpy()[ii]
         bj = B["id"].to_numpy()[jj]
         lo, hi = np.minimum(ai, bj), np.maximum(ai, bj)
         keep = lo < hi                                    # drop self-pairs
         out = pd.DataFrame({"i": lo[keep], "j": hi[keep],
-                            "jac": jac[ii, jj][keep]})
+                            col: score[ii, jj][keep]})
         return out.drop_duplicates(["i", "j"]) if same else out
 
     return (work.groupBy("ba", "bb")
-            .applyInPandas(tile, "i LONG, j LONG, jac DOUBLE"))
+            .applyInPandas(tile, f"i LONG, j LONG, {col} DOUBLE"))
 
 
 # --------------------------------------------------------------- MinHash/LSH

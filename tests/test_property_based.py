@@ -161,3 +161,86 @@ def test_asof_join_matches_duckdb_asof(spark, data):
         "SELECT l.lid, r.rid FROM l ASOF LEFT JOIN r "
         "ON l.k = r.k AND r.t <= l.t").fetchall()}
     assert got == want
+
+
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.data())
+def test_chunk_dedup_invariants_random(spark, data):
+    """Random corpora through chunk_dedup: (1) parity with a pure-
+    Python reimplementation of the first-occurrence rule, (2) no
+    surviving chunk text appears twice corpus-wide."""
+    from rust_graph_db_spark.operators.dedup import chunk_dedup
+
+    words = ["aa", "bb", "cc", "dd"]
+    c = 3  # chunk size in tokens
+    docs = []
+    for i in range(data.draw(st.integers(min_value=1, max_value=8),
+                             label="ndocs")):
+        n = data.draw(st.integers(min_value=1, max_value=17), label="ntok")
+        toks = [data.draw(st.sampled_from(words), label="w")
+                for _ in range(n)]
+        docs.append((i, " ".join(toks)))
+
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.clean_text, r.n_chunks, r.n_dropped)
+           for r in chunk_dedup(df, chunk_tokens=c).collect()}
+
+    seen, want = set(), {}
+    for doc_id, text in docs:            # already in ascending doc_id
+        toks = text.split(" ")
+        chunks = [" ".join(toks[i:i + c]) for i in range(0, len(toks), c)]
+        keep = []
+        dropped = 0
+        for ch in chunks:
+            if ch in seen:
+                dropped += 1
+            else:
+                seen.add(ch)
+                keep.append(ch)
+        want[doc_id] = (" ".join(keep), len(chunks), dropped)
+    assert got == want
+
+    surviving = [ch for txt, _, _ in got.values() if txt
+                 for ch in _rechunk(txt, c)]
+    assert len(surviving) == len(set(surviving))
+
+
+def _rechunk(text, c):
+    toks = text.split(" ")
+    return [" ".join(toks[i:i + c]) for i in range(0, len(toks), c)]
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow])
+@given(st.data())
+def test_containment_superset_of_jaccard_random(spark, data):
+    """On any corpus, containment(t) ⊇ jaccard(t) pair sets (since
+    |A∩B|/min ≥ |A∩B|/|A∪B|), and containment values match a direct
+    Python set computation."""
+    from rust_graph_db_spark.operators.dedup import (containment_pairs,
+                                                     ngram_jaccard_pairs)
+
+    alphabet = "abcdef "
+    docs = []
+    for i in range(data.draw(st.integers(min_value=2, max_value=6),
+                             label="ndocs")):
+        n = data.draw(st.integers(min_value=6, max_value=30), label="len")
+        docs.append((i, "".join(
+            data.draw(st.sampled_from(alphabet), label="ch")
+            for _ in range(n))))
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    t = 0.5
+    cont = {(r.i, r.j): r.cont
+            for r in containment_pairs(df, k=3, threshold=t).collect()}
+    jacc = {(r.i, r.j)
+            for r in ngram_jaccard_pairs(df, "doc_id", "text",
+                                         k=3, threshold=t).collect()}
+    assert jacc <= set(cont)
+
+    def sh(s):
+        return {s[i:i + 3] for i in range(max(1, len(s) - 2))}
+    for (i, j), v in cont.items():
+        a, b = sh(docs[i][1]), sh(docs[j][1])
+        want = len(a & b) / min(len(a), len(b))
+        assert abs(v - round(want, 6)) < 1e-9 and want >= t
