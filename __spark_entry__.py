@@ -482,6 +482,62 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "split"))
 
 
+def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w12: the FULL curation pipeline as Structured Streaming — the
+    t8 twinned + PII-augmented corpus arrives as 3 ordered
+    micro-batches and ``streaming.stream_curate`` runs filter →
+    redact → durable-digest dedup → split per batch. A twin whose
+    batch precedes its original's survives INSTEAD of the original
+    (digests are over REDACTED text, so twins collide across
+    batches), which only the persistent digest state can get right."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.streaming import stream_curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + 100000).alias("doc_id"), "text")
+    corpus = docs.unionByName(twins)
+    d = F.col("doc_id")
+    corpus = corpus.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"), d.cast("string"),
+            F.lit("@example.com at 10.2."), (d % 200).cast("string"),
+            F.lit("."), ((d * 7) % 250).cast("string"),
+            F.lit(" call 555-"), (d % 900 + 100).cast("string"),
+            F.lit("-4567 ref "), (d * 1000003 + 123456).cast("string"),
+        ).alias("text"))
+
+    tmp = tempfile.mkdtemp(prefix="rgds_w12_")
+    watch = f"{tmp}/in"
+    os.makedirs(watch)
+    for b in range(3):
+        part = f"{tmp}/b{b}"
+        corpus.where(F.col("doc_id") % 3 == b).coalesce(1) \
+              .write.parquet(part)
+        src = glob.glob(f"{part}/part-*.parquet")[0]
+        dst = f"{watch}/batch{b}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_600_000_000 + b * 3600, 1_600_000_000 + b * 3600))
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(watch))
+    stream_curate(
+        stream, f"{tmp}/out", f"{tmp}/state",
+        checkpoint=f"{tmp}/ckpt").awaitTermination(300)
+    return (spark.read.parquet(f"{tmp}/out")
+            .select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
+                    "split", F.col("_batch_id").alias("batch_id")))
+
+
 def _q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t6: Gopher/C4-style rule-chain quality filter — per-document
     verdict + failed-rule audit trail, one codegen'd scan, zero
@@ -1401,9 +1457,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # clustering, quantization
         "t6_quality_filter": _q_quality_filter,
         "t8_curation_pipeline": _q_curation_pipeline,
+        "w12_stream_curate": _q_stream_curate,
         "t7_quality_stats": _q_quality_rule_stats,
         "d9_chunk_dedup": _q_chunk_dedup,
         "d10_containment": _q_containment,
+        # d2 kept adjacent to d10: both ride the refactored
+        # _shingle_bitmaps/_pairs_dense_blocked substrate, so both stay
+        # in the driver's 50-key verification window together
+        "d2_ngram_jaccard": _q_ngram_jaccard,
         "e6_kmeans": _q_kmeans,
         "e7_int8_quantize": _q_int8_quantize,
         "e8_pq_encode": _q_pq_encode,
@@ -1423,7 +1484,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "RETURN p.name AS name, p.age AS age"),
         # --------- training-data pipeline operators (beyond the reference)
         "d1_exact_dedup": _q_exact_dedup,
-        "d2_ngram_jaccard": _q_ngram_jaccard,
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash": _q_simhash,
         "d5_embedding_neardup": _q_embedding_neardup,
@@ -2008,6 +2068,7 @@ def oracle_sql() -> dict[str, str]:
             "GROUP BY gram ORDER BY cnt DESC, gram LIMIT 25"),
         "t6_quality_filter": _quality_filter_sql(),
         "t8_curation_pipeline": _curation_pipeline_sql(),
+        "w12_stream_curate": _stream_curate_sql(),
         "t7_quality_stats": _quality_stats_sql(),
         "d9_chunk_dedup": _CHUNK_DEDUP_SQL,
         "d10_containment": _CONTAINMENT_SQL,
@@ -2087,18 +2148,24 @@ _JACCARD_PAIRS_SQL = (
     " SELECT i, j, round(jac, 6) AS jac FROM p WHERE jac >= 0.5")
 
 
+# doc_id-dependent synthetic PII suffix, shared by the t8/w12 oracles
+# (matches the Spark-side augmentation in _q_curation_pipeline /
+# _q_stream_curate byte-for-byte).
+_AUG_PII_SQL = (
+    "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
+    "'@example.com at 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.' "
+    "|| CAST((doc_id * 7) % 250 AS VARCHAR) || ' call 555-' || "
+    "CAST(doc_id % 900 + 100 AS VARCHAR) || '-4567 ref ' || "
+    "CAST(doc_id * 1000003 + 123456 AS VARCHAR)")
+
+
 def _curation_pipeline_sql() -> str:
     """t8 oracle: the same four stages chained in CTEs, each stage's
     SQL generated by its operator's own builder."""
     from rust_graph_db_spark.operators.curation import (quality_filter_sql,
                                                         redact_pii_sql)
 
-    aug = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
-        "'@example.com at 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.' "
-        "|| CAST((doc_id * 7) % 250 AS VARCHAR) || ' call 555-' || "
-        "CAST(doc_id % 900 + 100 AS VARCHAR) || '-4567 ref ' || "
-        "CAST(doc_id * 1000003 + 123456 AS VARCHAR)")
+    aug = _AUG_PII_SQL
     kept, _ = quality_filter_sql("text")
     clean, _ = redact_pii_sql("text")
     return f"""
@@ -2116,6 +2183,34 @@ s AS (SELECT doc_id, clean_text, CASE WHEN b < 900 THEN 'train'
                    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                         AS INT) % 1000 AS b FROM d))
 SELECT doc_id, md5(clean_text) AS clean_md5, split FROM s"""
+
+
+def _stream_curate_sql() -> str:
+    """w12 oracle: the t8 pipeline with the dedup's first-occurrence
+    rule keyed by (batch = doc_id % 3, doc_id) — the cross-batch
+    durable-digest semantics, not just in-batch dedup."""
+    from rust_graph_db_spark.operators.curation import (quality_filter_sql,
+                                                        redact_pii_sql)
+
+    kept, _ = quality_filter_sql("text")
+    clean, _ = redact_pii_sql("text")
+    return f"""
+WITH base AS (SELECT doc_id, {_AUG_PII_SQL} AS text FROM (
+        SELECT doc_id, text FROM documents
+        UNION ALL
+        SELECT doc_id + 100000, text FROM documents WHERE doc_id % 5 = 0)),
+q AS (SELECT doc_id, text FROM base WHERE {kept}),
+r AS (SELECT doc_id, {clean} AS clean_text FROM q),
+d AS (SELECT doc_id, clean_text FROM
+      (SELECT doc_id, clean_text, row_number() OVER (PARTITION BY clean_text
+              ORDER BY doc_id % 3, doc_id) rn FROM r) WHERE rn = 1),
+s AS (SELECT doc_id, clean_text, CASE WHEN b < 900 THEN 'train'
+             WHEN b < 950 THEN 'val' ELSE 'test' END AS split
+      FROM (SELECT doc_id, clean_text,
+                   CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                        AS INT) % 1000 AS b FROM d))
+SELECT doc_id, md5(clean_text) AS clean_md5, split,
+       CAST(doc_id % 3 AS BIGINT) AS batch_id FROM s"""
 
 
 def _quality_filter_sql() -> str:

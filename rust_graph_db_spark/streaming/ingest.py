@@ -279,3 +279,80 @@ def sessionize(
             .agg(F.min(ts_col).alias("session_start"),
                  F.count("*").alias("cnt"))
             .select("session_start", user_col, "cnt"))
+
+
+def stream_curate(
+    stream: DataFrame, out_dir: str, state_dir: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    checkpoint: Optional[str] = None,
+    thresholds: Optional[dict] = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming END-TO-END curation: the batch ``curation.curate``
+    pipeline (quality rule-chain → PII redaction → exact dedup →
+    deterministic split) run continuously over arriving crawl batches.
+
+    Filter + redaction + split are stateless Catalyst stages — they
+    run inside each micro-batch at scan speed unchanged from the
+    batch operator. The ONLY stateful stage is the dedup, which
+    follows ``stream_exact_dedup``'s discipline: in-batch min-id per
+    digest, then an anti-join against the durable 16-byte digest set
+    (the sole persistent state, ~16 B per surviving doc; the
+    cross-batch join shuffles digests, never text). Digests are taken
+    over the REDACTED text, so re-crawled pages differing only in
+    scrubbed PII still collapse across batches. Appends survivors
+    ``(id, clean_text, split, _batch_id)`` to ``out_dir``.
+
+    Same non-idempotence caveat as ``stream_exact_dedup`` (two
+    appends per batch; transactional sinks fix it at scale). Returns
+    the StreamingQuery.
+    """
+    from rust_graph_db_spark.operators.curation import (QUALITY_DEFAULTS,
+                                                        _quality_stats,
+                                                        hash_split,
+                                                        redact_pii)
+
+    t = dict(QUALITY_DEFAULTS)
+    t.update(thresholds or {})
+
+    def curate_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.sql import Window as W
+
+        spark = batch.sparkSession
+        tok_cnt, sw_ratio, punct, dup2, mwl = _quality_stats(text_col)
+        keep = ((tok_cnt >= F.lit(int(t["min_tokens"])))
+                & (tok_cnt <= F.lit(int(t["max_tokens"])))
+                & (sw_ratio >= F.lit(float(t["min_stopword"])))
+                & (punct <= F.lit(float(t["max_punct"])))
+                & (dup2 <= F.lit(float(t["max_dup2"])))
+                & (mwl >= F.lit(float(t["min_word_len"])))
+                & (mwl <= F.lit(float(t["max_word_len"]))))
+        kept = (batch.select(F.col(id_col), F.col(text_col),
+                             F.split(F.lower(F.col(text_col)), r"\s+")
+                             .alias("_toks"))
+                .where(keep).select(id_col, text_col))
+        red = (redact_pii(kept, id_col, text_col)
+               .select(id_col, "clean_text")
+               .withColumn("_digest", F.md5(F.col("clean_text"))))
+        w = W.partitionBy("_digest").orderBy(F.col(id_col))
+        red = (red.withColumn("_rn", F.row_number().over(w))
+               .where(F.col("_rn") == 1).drop("_rn"))
+        try:
+            seen = spark.read.parquet(state_dir).select("_digest")
+            red = red.join(seen, "_digest", "left_anti")
+        except Exception:
+            pass                                 # no state yet: batch 0
+        out = (hash_split(red, id_col)
+               .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+               .localCheckpoint(eager=True))     # freeze before writing
+        (out.select(id_col, "clean_text", "split", "_batch_id")
+            .write.mode("append").parquet(out_dir))
+        out.select("_digest").write.mode("append").parquet(state_dir)
+
+    writer = stream.writeStream.foreachBatch(curate_batch) \
+                   .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

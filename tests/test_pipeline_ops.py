@@ -657,3 +657,45 @@ def test_pq_rejects_indivisible_dim(spark):
                                "vec_id LONG, embedding ARRAY<FLOAT>")
     with _pytest.raises(ValueError):
         pq_codebooks(df, m=2, ksub=1, train_iters=0)
+
+
+def test_stream_curate_cross_batch_pii_twin(spark, tmp_path):
+    import glob
+    import os
+    import shutil
+
+    from rust_graph_db_spark.streaming import stream_curate
+
+    base = ("the quick brown fox jumped over a lazy dog while it was "
+            "raining and the farmer watched from his porch in quiet "
+            "wonder as evening settled softly across that wide valley "
+            "of golden wheat beneath slowly darkening autumn skies")
+    # batch0: doc 1 (passes filter, has PII); batch1: doc 2 = same text
+    # with DIFFERENT PII (must dedup against batch0 via durable state)
+    # and doc 3 = too short (filtered)
+    batches = [
+        [(1, base + " mail a@x.com")],
+        [(2, base + " mail b@y.org"), (3, "too short")],
+    ]
+    watch = tmp_path / "in"
+    watch.mkdir()
+    for b, rows in enumerate(batches):
+        part = str(tmp_path / f"b{b}")
+        spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+             .coalesce(1).write.parquet(part)
+        dst = str(watch / f"batch{b}.parquet")
+        shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_600_000_000 + b * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    stream_curate(
+        stream, str(tmp_path / "out"), str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt")).awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [(r.doc_id, r._batch_id) for r in out] == [(1, 0)]
+    assert "<EMAIL>" in out[0].clean_text
+    assert out[0].split in ("train", "val", "test")
