@@ -171,26 +171,62 @@ QUALITY_DEFAULTS: dict[str, float] = {
 }
 
 
-def _quality_stats(text_col: str):
-    """Shared per-doc statistics (Column expressions) for the rules.
-    Assumes the caller pre-projected ``_toks`` = split(lower(text)) —
-    the 2-gram transform must reference a materialized array, not an
-    inline split (re-evaluated per element otherwise; see top_ngrams)."""
-    toks = F.col("_toks")
-    tok_cnt = F.size(toks)
+def bigrams(toks_col: str = "_toks"):
+    """Word-bigram array from a MATERIALIZED token-array column, via
+    ``zip_with`` of two shifted slices — two O(n) slices plus a linear
+    zip, instead of a per-element ``slice`` inside a transform lambda
+    (O(n·k) with heavy per-element allocation; measured 5× slower
+    across the quality-filter stats at sf0.1). Single-token docs get
+    the lone token as their one "gram" (matches the oracle's
+    ``generate_series(1, greatest(n-1, 1))`` convention: dup-fraction
+    0 either way)."""
+    n = F.size(toks_col)
+    return F.when(n <= 1, F.array(F.col(toks_col)[0])).otherwise(
+        F.zip_with(F.slice(toks_col, 1, n - 1),
+                   F.slice(toks_col, 2, n - 1),
+                   lambda a, b: F.concat(a, F.lit(" "), b)))
+
+
+def _with_quality_stats(df: DataFrame, id_col: str, text_col: str):
+    """(id, text, _tc, _sw, _pu, _d2, _mwl): per-doc rule statistics as
+    MATERIALIZED columns. Three stacked projections — tokens, then
+    bigrams (each array computed once; CollapseProject keeps expensive
+    aliases un-inlined), then the scalar stats. Anything filtering on
+    these columns must block predicate pushdown (see ``curate``):
+    pushdown substitutes alias definitions into the predicate with no
+    cost model, resurrecting per-element re-evaluation."""
+    p1 = df.select(F.col(id_col), F.col(text_col),
+                   F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"))
+    p2 = p1.select(id_col, text_col, "_toks", bigrams().alias("_g2"))
     sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
-    sw_ratio = (F.size(F.filter(toks, lambda t: F.array_contains(sw, t)))
-                / F.greatest(tok_cnt, F.lit(1))).cast("double")
-    punct = (F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
-             / F.greatest(F.length(F.col(text_col)), F.lit(1))).cast("double")
-    grams2 = F.expr(
-        "transform(sequence(1, greatest(size(_toks) - 1, 1)),"
-        " i -> concat_ws(' ', slice(_toks, i, 2)))")
-    dup2 = (F.lit(1.0) - F.size(F.array_distinct(grams2)) / F.size(grams2)
-            ).cast("double")
-    mwl = (F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
-           / F.greatest(tok_cnt, F.lit(1))).cast("double")
-    return tok_cnt, sw_ratio, punct, dup2, mwl
+    tok_cnt = F.size("_toks")
+    return p2.select(
+        F.col(id_col), F.col(text_col),
+        tok_cnt.cast("long").alias("_tc"),
+        (F.size(F.filter("_toks", lambda t: F.array_contains(sw, t)))
+         / F.greatest(tok_cnt, F.lit(1))).cast("double").alias("_sw"),
+        (F.length(F.regexp_replace(F.col(text_col), "[A-Za-z0-9\\s]", ""))
+         / F.greatest(F.length(F.col(text_col)), F.lit(1)))
+        .cast("double").alias("_pu"),
+        (F.lit(1.0) - F.size(F.array_distinct("_g2")) / F.size("_g2"))
+        .cast("double").alias("_d2"),
+        (F.length(F.regexp_replace(F.col(text_col), r"\s", ""))
+         / F.greatest(tok_cnt, F.lit(1))).cast("double").alias("_mwl"))
+
+
+def _rule_conditions(t: dict) -> list[tuple[str, Column]]:
+    """(name, failure-condition) per rule, over the stat COLUMNS of
+    ``_with_quality_stats`` — one source of truth for quality_filter,
+    curate, and stream_curate."""
+    return [
+        ("min_tokens", F.col("_tc") < F.lit(int(t["min_tokens"]))),
+        ("max_tokens", F.col("_tc") > F.lit(int(t["max_tokens"]))),
+        ("stopword", F.col("_sw") < F.lit(float(t["min_stopword"]))),
+        ("punct", F.col("_pu") > F.lit(float(t["max_punct"]))),
+        ("repetition", F.col("_d2") > F.lit(float(t["max_dup2"]))),
+        ("word_len", (F.col("_mwl") < F.lit(float(t["min_word_len"])))
+                     | (F.col("_mwl") > F.lit(float(t["max_word_len"])))),
+    ]
 
 
 def quality_filter(
@@ -211,21 +247,10 @@ def quality_filter(
     """
     t = dict(QUALITY_DEFAULTS)
     t.update(thresholds or {})
-    tok_cnt, sw_ratio, punct, dup2, mwl = _quality_stats(text_col)
-    rules: list[tuple[str, Column]] = [
-        ("min_tokens", tok_cnt < F.lit(int(t["min_tokens"]))),
-        ("max_tokens", tok_cnt > F.lit(int(t["max_tokens"]))),
-        ("stopword", sw_ratio < F.lit(float(t["min_stopword"]))),
-        ("punct", punct > F.lit(float(t["max_punct"]))),
-        ("repetition", dup2 > F.lit(float(t["max_dup2"]))),
-        ("word_len", (mwl < F.lit(float(t["min_word_len"])))
-                     | (mwl > F.lit(float(t["max_word_len"])))),
-    ]
+    rules = _rule_conditions(t)
     fails = F.concat_ws(",", F.array_compact(F.array(
         *[F.when(cond, F.lit(name)) for name, cond in rules])))
-    return (df.select(F.col(id_col), F.col(text_col),
-                      F.split(F.lower(F.col(text_col)), r"\s+")
-                      .alias("_toks"))
+    return (_with_quality_stats(df, id_col, text_col)
             .select(
                 F.col(id_col),
                 (fails == "").alias("kept"),
@@ -288,6 +313,32 @@ def quality_filter_sql(
     return f"({fails} = '')", fails
 
 
+def filter_redact(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    thresholds: dict[str, float] | None = None,
+) -> DataFrame:
+    """The stateless head of the curation pipeline: quality rule-chain
+    filter then PII redaction, as one scan → (id, clean_text).
+
+    The filter runs over the MATERIALIZED stat columns with a
+    ``spark_partition_id() >= 0`` guard conjoined: a nondeterministic
+    conjunct pins the Filter above the stats projections, because
+    predicate pushdown substitutes alias definitions with no cost
+    model — the pushed predicate re-tokenizes per reference and
+    re-slices per element, measured 3.4 s vs 0.7 s for the identical
+    5000-doc filter. The guard is always true; one integer compare
+    per row buys the plan shape."""
+    t = dict(QUALITY_DEFAULTS)
+    t.update(thresholds or {})
+    bad = None
+    for _, cond in _rule_conditions(t):
+        bad = cond if bad is None else (bad | cond)
+    guard = F.spark_partition_id() >= 0
+    kept = (_with_quality_stats(df, id_col, text_col)
+            .where((~bad) & guard).select(id_col, text_col))
+    return redact_pii(kept, id_col, text_col).select(id_col, "clean_text")
+
+
 def curate(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     thresholds: dict[str, float] | None = None,
@@ -309,24 +360,7 @@ def curate(
     """
     from pyspark.sql import Window
 
-    # Filter INLINE (no self-join against a verdict frame: that plan
-    # re-evaluates the regex/HOF stats once per join side — measured
-    # 14 s → 1.3 s at sf0.1 for the whole pipeline).
-    t = dict(QUALITY_DEFAULTS)
-    t.update(thresholds or {})
-    tok_cnt, sw_ratio, punct, dup2, mwl = _quality_stats(text_col)
-    keep = ((tok_cnt >= F.lit(int(t["min_tokens"])))
-            & (tok_cnt <= F.lit(int(t["max_tokens"])))
-            & (sw_ratio >= F.lit(float(t["min_stopword"])))
-            & (punct <= F.lit(float(t["max_punct"])))
-            & (dup2 <= F.lit(float(t["max_dup2"])))
-            & (mwl >= F.lit(float(t["min_word_len"])))
-            & (mwl <= F.lit(float(t["max_word_len"]))))
-    kept = (df.select(F.col(id_col), F.col(text_col),
-                      F.split(F.lower(F.col(text_col)), r"\s+")
-                      .alias("_toks"))
-            .where(keep).select(id_col, text_col))
-    red = redact_pii(kept, id_col, text_col).select(id_col, "clean_text")
+    red = filter_redact(df, id_col, text_col, thresholds)
     # Min-id-per-digest as ONE window pass (same survivors as the
     # groupBy + semi-join form, half the plan evaluations; the shuffle
     # carries (id, clean_text) keyed by 16-byte digest).
@@ -374,19 +408,29 @@ def repetition_metrics(
     the MassiveText/Gopher repetition signals used to drop boilerplate
     and spam. Single scan, pure Catalyst higher-order functions.
     """
-    def dup_frac(n: int) -> Column:
-        # references the pre-projected _toks array (see top_ngrams note)
-        grams = F.expr(
-            f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
-            f" i -> concat_ws(' ', slice(_toks, i, {n})))")
-        return (F.lit(1.0) - F.size(F.array_distinct(grams))
-                / F.size(grams)).cast("double")
+    n = F.size("_toks")
+    # trigrams as nested zip_with over three shifted slices (same
+    # O(n)-not-O(n·k) rationale as bigrams()); ≤2 tokens → the dup
+    # fraction is identically 0 under the oracle's single-gram
+    # convention, so short docs skip gram construction entirely
+    g3 = F.zip_with(
+        F.zip_with(F.slice("_toks", 1, n - 2), F.slice("_toks", 2, n - 2),
+                   lambda a, b: F.concat(a, F.lit(" "), b)),
+        F.slice("_toks", 3, n - 2),
+        lambda ab, c: F.concat(ab, F.lit(" "), c))
+
+    def frac(col: str) -> Column:
+        return (F.lit(1.0) - F.size(F.array_distinct(col)) / F.size(col)
+                ).cast("double")
 
     return (df.select(F.col(id_col),
                       F.split(F.lower(F.col(text_col)), r"\s+")
                       .alias("_toks"))
+            .select(F.col(id_col), "_toks", bigrams().alias("_g2"),
+                    F.when(n <= 2, F.array(F.concat_ws(" ", "_toks")))
+                     .otherwise(g3).alias("_g3"))
             .select(
                 F.col(id_col),
                 F.size("_toks").cast("long").alias("tok_cnt"),
-                F.round(dup_frac(2), 6).alias("dup2_frac"),
-                F.round(dup_frac(3), 6).alias("dup3_frac")))
+                F.round(frac("_g2"), 6).alias("dup2_frac"),
+                F.round(frac("_g3"), 6).alias("dup3_frac")))

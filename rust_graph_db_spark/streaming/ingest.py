@@ -307,32 +307,14 @@ def stream_curate(
     appends per batch; transactional sinks fix it at scale). Returns
     the StreamingQuery.
     """
-    from rust_graph_db_spark.operators.curation import (QUALITY_DEFAULTS,
-                                                        _quality_stats,
-                                                        hash_split,
-                                                        redact_pii)
-
-    t = dict(QUALITY_DEFAULTS)
-    t.update(thresholds or {})
+    from rust_graph_db_spark.operators.curation import (filter_redact,
+                                                        hash_split)
 
     def curate_batch(batch: DataFrame, batch_id: int) -> None:
         from pyspark.sql import Window as W
 
         spark = batch.sparkSession
-        tok_cnt, sw_ratio, punct, dup2, mwl = _quality_stats(text_col)
-        keep = ((tok_cnt >= F.lit(int(t["min_tokens"])))
-                & (tok_cnt <= F.lit(int(t["max_tokens"])))
-                & (sw_ratio >= F.lit(float(t["min_stopword"])))
-                & (punct <= F.lit(float(t["max_punct"])))
-                & (dup2 <= F.lit(float(t["max_dup2"])))
-                & (mwl >= F.lit(float(t["min_word_len"])))
-                & (mwl <= F.lit(float(t["max_word_len"]))))
-        kept = (batch.select(F.col(id_col), F.col(text_col),
-                             F.split(F.lower(F.col(text_col)), r"\s+")
-                             .alias("_toks"))
-                .where(keep).select(id_col, text_col))
-        red = (redact_pii(kept, id_col, text_col)
-               .select(id_col, "clean_text")
+        red = (filter_redact(batch, id_col, text_col, thresholds)
                .withColumn("_digest", F.md5(F.col("clean_text"))))
         w = W.partitionBy("_digest").orderBy(F.col(id_col))
         red = (red.withColumn("_rn", F.row_number().over(w))
