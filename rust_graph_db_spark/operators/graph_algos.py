@@ -292,6 +292,47 @@ def _pagerank_loop(e: DataFrame, nparts: Optional[int],
     return ranks
 
 
+def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007, the GraphX ``LabelPropagation`` workload): returns
+    ``(id, label)`` after a FIXED number of synchronous rounds.
+
+    Every vertex starts labeled with its own id; each round it adopts
+    the most frequent label among its (undirected) neighbors, ties
+    broken by the SMALLEST label — fully deterministic, unlike the
+    randomized asynchronous variant, so the result is oracle-checkable
+    and identical across engines/partitionings. Fixed rounds also
+    sidestep the classic bipartite oscillation non-termination.
+
+    Per round: one equi-join of the symmetric edge list against the
+    current labels (shuffle keyed by neighbor id) and a two-level
+    aggregation — (vertex, label) counts with map-side partial agg,
+    then a per-vertex ``max(struct(count, -label))`` argmax, which is
+    partial-aggregable too (no window sort). The edge list is
+    checkpointed once; labels re-checkpoint per round so lineage stays
+    O(1). At 1000 executors both shuffles are hash-partitioned on
+    vertex id — the same discipline as the PageRank loop.
+    """
+    sym = _undirected_min_nbr(edges)
+    labels = (sym.select(F.col("u").alias("id")).distinct()
+              .withColumn("label", F.col("id"))
+              .localCheckpoint(eager=True))
+    for _ in range(int(iterations)):
+        nbr = (sym.join(labels, sym["v"] == labels["id"])
+               .select("u", "label"))
+        counts = nbr.groupBy("u", "label").agg(
+            F.count(F.lit(1)).alias("c"))
+        labels = (counts
+                  .groupBy("u")
+                  .agg(F.max(F.struct(F.col("c"),
+                                      (-F.col("label")).alias("nl")))
+                       .alias("m"))
+                  .select(F.col("u").alias("id"),
+                          (-F.col("m.nl")).cast("long").alias("label"))
+                  .localCheckpoint(eager=True))
+    return labels
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Total triangle count of the undirected graph (one-row DataFrame
     ``(triangles)``).
