@@ -1355,6 +1355,64 @@ def _q_likes(spark: SparkSession, sf_dir: str) -> DataFrame:
     return social.likers(likes, users, post=7, limit=None).select("id", "name")
 
 
+def _q_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-2 TF-IDF terms over the documents corpus."""
+    from rust_graph_db_spark.operators.ranking import tfidf_top_terms
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return tfidf_top_terms(docs, top_terms=2)
+
+
+def _q_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 documents for a fixed 3-term query."""
+    from rust_graph_db_spark.operators.ranking import bm25_search
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bm25_search(docs, "spark shuffle hash", top=10)
+
+
+def _q_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-language downsample (en 50%, de 25%, rest 0)."""
+    from rust_graph_db_spark.operators.sampling import stratified_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return stratified_sample(
+        docs, "lang", {"en": 0.5, "de": 0.25}).select("doc_id", "lang")
+
+
+def _q_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mixture balancing to 2:1 weights over two sources."""
+    from rust_graph_db_spark.operators.sampling import mixture_sample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_sample(
+        docs, "source", {"src0": 2.0, "src1": 1.0}).select(
+        "doc_id", "source")
+
+
+def _q_sample_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-42-row deterministic pseudo-random sample."""
+    from rust_graph_db_spark.operators.sampling import sample_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sample_exact(docs, 42).select("doc_id", "source")
+
+
+def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chop 2048-token sequence packing over doc-id order."""
+    from rust_graph_db_spark.operators.packing import pack_sequences
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return pack_sequences(docs, budget=2048)
+
+
+def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-round synchronous LPA communities on the KNOWS graph."""
+    from rust_graph_db_spark.operators.graph_algos import label_propagation
+
+    return label_propagation(_knows_raw_edges(spark, sf_dir), iterations=2)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
     # FIRST 50 keys. Round-3 rotation: the 26 queries whose newest green row
@@ -1468,20 +1526,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_kmeans": _q_kmeans,
         "e7_int8_quantize": _q_int8_quantize,
         "e8_pq_encode": _q_pq_encode,
-        # --------- r3-touched code paths
-        "w8_durable_graph": _q_durable_roundtrip,
-        "w9_merge_upsert": _q_merge_upsert,
-        "e1_cosine_topk": _q_cosine_topk,
-        "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,
-        "e5_knn_join": _q_knn_join,
-        # expand-join proxies for the dst-bucketed access-path commit
-        "j1_one_hop": _q_cypher_knows(
-            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
-            "RETURN a.name AS an, b.name AS bn"),
-        # S1/P3: label scan + WHERE filter
-        "s1_scan_filter": _q_cypher_knows(
-            "MATCH (p:Person) WHERE p.age > 60 "
-            "RETURN p.name AS name, p.age AS age"),
+        # --------- new this session: ranking / sampling / packing / LPA
+        # (never verified before, so they take window slots; the
+        # r3-touched-but-r2-green proxies they displace — w8, w9, e1,
+        # e3, e5, j1, s1 — moved below the line, their r3 changes being
+        # covered by pytest: test_storage, test_dml MERGE,
+        # test_bucketing, the byte-gate test, test_pipeline_ops)
+        "t9_tfidf": _q_tfidf,
+        "t10_bm25": _q_bm25,
+        "c1_stratified_sample": _q_stratified_sample,
+        "c2_mixture_sample": _q_mixture_sample,
+        "c3_sample_exact": _q_sample_exact,
+        "c4_pack_sequences": _q_pack_sequences,
+        "g11_label_prop": _q_label_propagation,
         # --------- training-data pipeline operators (beyond the reference)
         "d1_exact_dedup": _q_exact_dedup,
         "d3_minhash_lsh": _q_minhash_lsh,
@@ -1493,8 +1550,22 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d6_decontaminate": _q_decontaminate,
         "t2_hash_split": _q_hash_split,
         "t3_repetition": _q_repetition,
-        # --------- below the 50-key window: newest green row is r2, and
-        # --------- the modules they exercise did not change in r3
+        # --------- below the 50-key window: newest green row is r2
+        # r3-touched code paths whose changes are pytest-covered
+        # (storage/MERGE/byte-gate/bucketing tests) — displaced from the
+        # window by the 7 never-verified session queries above
+        "w8_durable_graph": _q_durable_roundtrip,
+        "w9_merge_upsert": _q_merge_upsert,
+        "e1_cosine_topk": _q_cosine_topk,
+        "e3_lsh_cosine_pairs": _q_lsh_cosine_pairs,
+        "e5_knn_join": _q_knn_join,
+        "j1_one_hop": _q_cypher_knows(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE r.since = 2021 "
+            "RETURN a.name AS an, b.name AS bn"),
+        "s1_scan_filter": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age > 60 "
+            "RETURN p.name AS name, p.age AS age"),
+        # --------- modules unchanged since their r2 green row
         # (x2: social.py untouched; j5/j3: compiler join paths unchanged
         # except the store-only expand-direction pick, which w8/w10/w11
         # cover in-window; p9/p8: parser.py + functions/scalar.py
@@ -1610,6 +1681,36 @@ def _pagerank_oracle_sql(pre: str, iterations: int = 8,
             f"JOIN od o ON o.src = k.src GROUP BY k.dst) c ON c.id = v.id)")
     return (pre + ", " + ", ".join(ctes)
             + f" SELECT id, round(rank, 6) AS rank FROM r{iterations}")
+
+
+def _mixture_oracle_sql() -> str:
+    from rust_graph_db_spark.operators.sampling import mixture_sample_sql
+
+    inner = mixture_sample_sql(
+        "documents", "source", {"src0": 2.0, "src1": 1.0})
+    return f"SELECT doc_id, source FROM ({inner})"
+
+
+def _lpa_oracle_sql(pre: str, iterations: int = 2) -> str:
+    """Unrolled synchronous label propagation: one CTE per round,
+    argmax by row_number over (count DESC, label) — mirrors
+    graph_algos.label_propagation exactly (undirected distinct
+    neighbor set, self-loops dropped, initial label = id)."""
+    ctes = [
+        "sym AS (SELECT src AS u, dst AS v FROM knows WHERE src <> dst "
+        "UNION SELECT dst, src FROM knows WHERE src <> dst)",
+        "l0 AS (SELECT DISTINCT u AS id, u AS label FROM sym)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"l{i} AS (SELECT id, label FROM ("
+            f"SELECT s.u AS id, l.label AS label, "
+            f"row_number() OVER (PARTITION BY s.u "
+            f"ORDER BY count(*) DESC, l.label) AS rn "
+            f"FROM sym s JOIN l{i-1} l ON l.id = s.v "
+            f"GROUP BY s.u, l.label) WHERE rn = 1)")
+    return (pre + ", " + ", ".join(ctes)
+            + f" SELECT id, CAST(label AS BIGINT) AS label FROM l{iterations}")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2034,6 +2135,70 @@ def oracle_sql() -> dict[str, str]:
             "i -> array_to_string(toks[i:i+2], ' ')) AS g3 FROM "
             "(SELECT doc_id, string_split_regex(lower(text), '\\s+') "
             "AS toks FROM documents))"),
+        # t9: smooth TF-IDF (sklearn variant), per-doc top-2 by
+        # (rounded score DESC, term) — both engines rank the ROUNDED
+        # score so ulp-level ln() differences can't flip the top-k
+        "t9_tfidf": (
+            "WITH tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) "
+            "AS tf FROM (SELECT doc_id, "
+            "unnest(string_split_regex(lower(text), '\\s+')) AS term "
+            "FROM documents) GROUP BY doc_id, term), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term), "
+            "nn AS (SELECT count(*) AS n FROM documents) "
+            "SELECT doc_id, term, score FROM ("
+            "SELECT tf.doc_id, tf.term, "
+            "round(tf.tf * (ln((1 + nn.n) / (1 + dfreq.df)) + 1), 6) "
+            "AS score, row_number() OVER (PARTITION BY tf.doc_id ORDER BY "
+            "round(tf.tf * (ln((1 + nn.n) / (1 + dfreq.df)) + 1), 6) DESC, "
+            "tf.term) AS rn FROM tf JOIN dfreq USING (term) CROSS JOIN nn) "
+            "WHERE rn <= 2"),
+        # t10: Okapi BM25 (k1=1.2, b=0.75) for the literal query
+        # {hash, shuffle, spark}; ties at the LIMIT boundary broken by
+        # doc_id in both engines
+        "t10_bm25": (
+            "WITH base AS (SELECT doc_id, "
+            "string_split_regex(lower(text), '\\s+') AS toks FROM documents), "
+            "st AS (SELECT count(*) AS n, avg(len(toks)) AS avgdl FROM base), "
+            "occ AS (SELECT doc_id, len(toks) AS dl, "
+            "unnest(list_filter(toks, t -> t IN ('hash','shuffle','spark'))) "
+            "AS term FROM base), "
+            "tf AS (SELECT doc_id, dl, term, CAST(count(*) AS BIGINT) AS tf "
+            "FROM occ GROUP BY doc_id, dl, term), "
+            "dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term) "
+            "SELECT doc_id, round(sum("
+            "ln(1 + (st.n - dfreq.df + 0.5) / (dfreq.df + 0.5)) "
+            "* tf.tf * 2.2 / (tf.tf + 1.2 * (1 - 0.75 + 0.75 * tf.dl / "
+            "st.avgdl))), 6) AS score "
+            "FROM tf JOIN dfreq USING (term) CROSS JOIN st "
+            "GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 10"),
+        # c1: same 8-hex-char md5 bucket as operators/sampling.py
+        "c1_stratified_sample": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) "
+            "AS BIGINT) % 10000 < "
+            "CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 2500 ELSE 0 END"),
+        # c2: CTE twin generated by the operator module itself (one
+        # source of truth for the most-constrained-source arithmetic)
+        "c2_mixture_sample": _mixture_oracle_sql(),
+        # c3: the md5 rank ordering picks the same 42-row SET in both
+        # engines (the driver compare is order-insensitive)
+        "c3_sample_exact": (
+            "SELECT doc_id, source FROM documents "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id LIMIT 42"),
+        # c4: plain window cumsum — the oracle for the distributed
+        # prefix-sum (range partition + driver offsets) implementation
+        "c4_pack_sequences": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) "
+            "AS tok_cnt FROM documents), "
+            "c AS (SELECT doc_id, tok_cnt, sum(tok_cnt) OVER "
+            "(ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - tok_cnt AS bef "
+            "FROM t) SELECT doc_id, tok_cnt, "
+            "CAST(floor(bef / 2048) AS BIGINT) AS bin_id, "
+            "CAST(bef % 2048 AS BIGINT) AS bin_offset FROM c"),
+        # g11: unrolled 2-round synchronous LPA, (max count, min label)
+        # tie-break via (count DESC, label) row_number
+        "g11_label_prop": _lpa_oracle_sql(pre, iterations=2),
         # t4: same augmented text, same regex chain (patterns shared via
         # curation.redact_pii_sql — lookaround-free, valid in Java regex
         # and RE2 alike); md5 of the redacted text puts every byte of
