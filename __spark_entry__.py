@@ -1413,6 +1413,20 @@ def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return label_propagation(_knows_raw_edges(spark, sf_dir), iterations=2)
 
 
+def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core of KNOWS ∪ 2-hop-KNOWS (the g10 densified graph — the
+    base ring+chord graph has max degree ~4 and a trivial 3-core)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import k_core
+
+    e = _knows_raw_edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    e2 = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    return k_core(e.unionByName(e2), k=3)
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
     # FIRST 50 keys. Round-3 rotation: the 26 queries whose newest green row
@@ -1518,11 +1532,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w12_stream_curate": _q_stream_curate,
         "t7_quality_stats": _q_quality_rule_stats,
         "d9_chunk_dedup": _q_chunk_dedup,
+        # d10 rides the same refactored _shingle_bitmaps/
+        # _pairs_dense_blocked substrate as d2, so the substrate gets a
+        # fresh in-window verdict through d10 (d2 itself — r2-green —
+        # moved below the line to make room for g12; its own shape
+        # stays pytest-covered in test_pipeline_ops)
         "d10_containment": _q_containment,
-        # d2 kept adjacent to d10: both ride the refactored
-        # _shingle_bitmaps/_pairs_dense_blocked substrate, so both stay
-        # in the driver's 50-key verification window together
-        "d2_ngram_jaccard": _q_ngram_jaccard,
         "e6_kmeans": _q_kmeans,
         "e7_int8_quantize": _q_int8_quantize,
         "e8_pq_encode": _q_pq_encode,
@@ -1539,6 +1554,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c3_sample_exact": _q_sample_exact,
         "c4_pack_sequences": _q_pack_sequences,
         "g11_label_prop": _q_label_propagation,
+        "g12_kcore": _q_kcore,
         # --------- training-data pipeline operators (beyond the reference)
         "d1_exact_dedup": _q_exact_dedup,
         "d3_minhash_lsh": _q_minhash_lsh,
@@ -1554,6 +1570,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r3-touched code paths whose changes are pytest-covered
         # (storage/MERGE/byte-gate/bucketing tests) — displaced from the
         # window by the 7 never-verified session queries above
+        "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
         "e1_cosine_topk": _q_cosine_topk,
@@ -1711,6 +1728,36 @@ def _lpa_oracle_sql(pre: str, iterations: int = 2) -> str:
             f"GROUP BY s.u, l.label) WHERE rn = 1)")
     return (pre + ", " + ", ".join(ctes)
             + f" SELECT id, CAST(label AS BIGINT) AS label FROM l{iterations}")
+
+
+def _kcore_oracle_sql(pre: str, k: int = 3, rounds: int = 8) -> str:
+    """Unrolled synchronous k-core peel over the densified (1-hop ∪
+    2-hop) KNOWS graph. ``rounds`` must be ≥ the peel depth at the
+    correctness SFs (extra rounds are no-ops, so over-unrolling is
+    safe — graph_algos.k_core early-stops at the same fixpoint)."""
+    # every c{i} is referenced by BOTH k{i+1} and c{i+1} (and k{i}
+    # twice by c{i}), so un-materialized CTE inlining is exponential in
+    # the unroll depth — MATERIALIZED keeps the oracle linear
+    ctes = [
+        "e2 AS MATERIALIZED (SELECT a.src AS src, b.dst AS dst "
+        "FROM knows a JOIN knows b ON a.dst = b.src)",
+        "allk AS (SELECT src, dst FROM knows UNION ALL "
+        "SELECT src, dst FROM e2)",
+        "c0 AS MATERIALIZED (SELECT src AS u, dst AS v FROM allk "
+        "WHERE src <> dst UNION SELECT dst, src FROM allk "
+        "WHERE src <> dst)",
+    ]
+    for i in range(1, rounds + 1):
+        ctes.append(
+            f"k{i} AS MATERIALIZED (SELECT u FROM "
+            f"(SELECT u, count(*) AS d FROM c{i-1} "
+            f"GROUP BY u) WHERE d >= {int(k)})")
+        ctes.append(
+            f"c{i} AS MATERIALIZED (SELECT e.u, e.v FROM c{i-1} e "
+            f"JOIN k{i} a ON e.u = a.u JOIN k{i} b ON e.v = b.u)")
+    return (pre + ", " + ", ".join(ctes)
+            + f" SELECT u AS id, CAST(count(*) AS BIGINT) AS degree "
+            f"FROM c{rounds} GROUP BY u")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -2199,6 +2246,8 @@ def oracle_sql() -> dict[str, str]:
         # g11: unrolled 2-round synchronous LPA, (max count, min label)
         # tie-break via (count DESC, label) row_number
         "g11_label_prop": _lpa_oracle_sql(pre, iterations=2),
+        # g12: unrolled synchronous 3-core peel of the densified graph
+        "g12_kcore": _kcore_oracle_sql(pre, k=3, rounds=8),
         # t4: same augmented text, same regex chain (patterns shared via
         # curation.redact_pii_sql — lookaround-free, valid in Java regex
         # and RE2 alike); md5 of the redacted text puts every byte of

@@ -333,6 +333,43 @@ def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:
     return labels
 
 
+def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
+    """The k-core of the undirected graph: iteratively peel vertices of
+    degree < k until fixpoint; returns ``(id, degree)`` for surviving
+    vertices with their WITHIN-CORE degree (Seidman 1983 — the standard
+    densest-region filter, used e.g. to pick well-connected seed sets
+    from a near-dup or citation graph).
+
+    Deterministic: the peel removes ALL under-degree vertices each
+    round (synchronous), so the result is the unique maximal k-core
+    regardless of order, partitioning, or engine — an unrolled SQL
+    oracle reproduces it round-for-round. Each round is one degree
+    aggregation + two semi-joins of the shrinking edge list (shuffles
+    keyed on vertex id, same discipline as the PageRank loop);
+    convergence is detected by the edge count reaching a fixpoint, and
+    extra rounds past convergence are no-ops (which is what lets a
+    fixed-unroll oracle match an early-stopping loop). Rounds needed
+    ≤ peel depth — in practice a handful; worst case (a path graph
+    peeled from the ends, k=2) is O(n), the documented pathological
+    shape, bounded by ``max_rounds``.
+    """
+    cur = _undirected_min_nbr(edges)
+    prev = cur.count()
+    for _ in range(int(max_rounds)):
+        keep = (cur.groupBy("u").agg(F.count(F.lit(1)).alias("d"))
+                .where(F.col("d") >= int(k)).select("u"))
+        cur = (cur.join(keep, "u")
+               .join(keep.withColumnRenamed("u", "v"), "v")
+               .select("u", "v")
+               .localCheckpoint(eager=True))
+        cnt = cur.count()
+        if cnt == prev:
+            break
+        prev = cnt
+    return (cur.groupBy(F.col("u").alias("id"))
+            .agg(F.count(F.lit(1)).cast("long").alias("degree")))
+
+
 def triangle_count(edges: DataFrame) -> DataFrame:
     """Total triangle count of the undirected graph (one-row DataFrame
     ``(triangles)``).

@@ -232,3 +232,48 @@ def test_label_propagation_two_cliques(spark):
     assert len({lab[v] for v in range(5)}) == 1
     assert len({lab[v] for v in range(10, 15)}) == 1
     assert lab[0] != lab[12]
+
+
+# --------------------------------------------------------------- k-core
+
+def _kcore_reference(edges, k):
+    from collections import defaultdict
+
+    adj = defaultdict(set)
+    for u, v in edges:
+        if u != v:
+            adj[u].add(v)
+            adj[v].add(u)
+    changed = True
+    while changed:
+        changed = False
+        for v in list(adj):
+            if len(adj[v]) < k:
+                for n in adj[v]:
+                    adj[n].discard(v)
+                del adj[v]
+                changed = True
+    return {v: len(ns) for v, ns in adj.items()}
+
+
+@pytest.mark.parametrize("k", [2, 3])
+def test_k_core_parity(spark, k):
+    import random
+
+    from rust_graph_db_spark.operators.graph_algos import k_core
+
+    rng = random.Random(7)
+    edges = [(rng.randrange(60), rng.randrange(60)) for _ in range(150)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r["id"]: r["degree"] for r in k_core(df, k=k).collect()}
+    assert got == _kcore_reference(edges, k)
+
+
+def test_k_core_peels_pendant_chain(spark):
+    from rust_graph_db_spark.operators.graph_algos import k_core
+
+    # triangle with a pendant path: 2-core = the triangle only
+    edges = [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {r["id"]: r["degree"] for r in k_core(df, k=2).collect()}
+    assert got == {0: 2, 1: 2, 2: 2}
