@@ -214,109 +214,20 @@ def containment_pairs(
     inside a much longer one (quote farms, concatenated crawls),
     where the union in Jaccard's denominator dilutes the score.
 
-    Shares the Jaccard join's two scale levers (same
-    ``_shingle_bitmaps`` substrate, same auto-switch): dense
-    vocabularies take the blocked bit-matrix product with the
-    containment formula (candidate pruning cannot help when every
-    pair shares tokens); sparse corpora generate candidates with the
-    containment adaptation of the PPJoin prefix filter — since the
-    intersection must cover ≥ t·|S_min| of the smaller side, the
-    smaller side must share a shingle within its
-    ``sz - ceil(t*sz) + 1`` rarest shingles, so only that prefix of
-    EACH doc joins against the full inverted index — and verify
-    exactly via the W-word popcount of AND-ed bitmaps (integer ops
-    per candidate, never an array intersect). All shuffles carry
-    8-byte hashes + ids; text never leaves the scan.
+    Shares the Jaccard join's substrate and auto-switch
+    (``_exact_set_pairs``); the sparse path uses the containment
+    adaptation of the PPJoin prefix filter — since the intersection
+    must cover ≥ t·|S_min| of the smaller side, the smaller side must
+    share a shingle within its ``sz - ceil(t*sz) + 1`` rarest
+    shingles, so only that prefix of EACH doc joins against the full
+    inverted index. All shuffles carry 8-byte hashes + ids; text
+    never leaves the scan.
     """
-    from pyspark.sql import Window
-
-    inv, bits, n_words, vocab = _shingle_bitmaps(df, id_col, text_col, k)
-    n_docs = bits.count()
-    if n_docs * n_docs * vocab <= 2e12:
-        dense = _pairs_dense_blocked(bits, n_words, vocab, threshold,
-                                     "containment")
-        return dense.select("i", "j", F.round("cont", 6).alias("cont"))
-
-    wa = bits.select(F.col("id").alias("i"), F.col("sz").alias("sa"),
-                     *[F.col(f"w{w}").alias(f"a{w}") for w in range(n_words)])
-    wb = bits.select(F.col("id").alias("j"), F.col("sz").alias("sb"),
-                     *[F.col(f"w{w}").alias(f"b{w}") for w in range(n_words)])
-    inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
-                for w in range(n_words))
-
-    inv = inv.distinct().localCheckpoint(eager=True)
-    dfreq = inv.groupBy("gh").agg(F.count("*").alias("dfreq"))
-    ranked = (inv.join(dfreq, "gh")
-              .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("id").orderBy("dfreq", "gh")))
-              .withColumn("sz", F.count("*").over(Window.partitionBy("id"))))
-    prefix = ranked.where(
-        F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-    cand = (prefix.alias("a")
-            .join(ranked.alias("b"), (F.col("a.gh") == F.col("b.gh"))
-                  & (F.col("a.id") != F.col("b.id")))
-            .select(F.least("a.id", "b.id").alias("i"),
-                    F.greatest("a.id", "b.id").alias("j"))
-            .dropDuplicates(["i", "j"]))
-    return (cand.join(wa, "i").join(wb, "j")
-            .withColumn("c", inter.cast("long"))
-            .withColumn("cont", F.col("c") / F.least("sa", "sb"))
-            .where(F.col("cont") >= threshold)
-            .select("i", "j", F.round("cont", 6).alias("cont")))
+    out = _exact_set_pairs(df, id_col, text_col, k, threshold, "containment")
+    return out.select("i", "j", F.round("cont", 6).alias("cont"))
 
 
 # ------------------------------------------------- exact n-gram Jaccard join
-
-def _shingle_bitmaps(df: DataFrame, id_col: str, text_col: str, k: int):
-    """Shared set-similarity substrate: hashed-shingle occurrence rows
-    plus the dictionary-encoded per-doc bitmap (W 64-bit words as flat
-    columns, ``sz`` = exact popcount set size). Used by both the
-    Jaccard and containment joins.
-
-    Returns (inv, bits, n_words, vocab).
-
-    Occurrence rows are NOT deduplicated — every consumer is
-    duplicate-idempotent (bit_or; the dictionary runs its own cheap
-    post-partial-agg distinct); per-doc set sizes come from bitmap
-    popcounts. The dictionary uses partition-parallel dense numbering
-    (a global-Window row_number would funnel the vocabulary through
-    one task; bit positions need uniqueness+density, not order).
-    Bitmap build is size-adaptive: tiny vocab (≤8 words) → one groupBy
-    with conditional bit_or aggs straight over occurrences; otherwise
-    two-level (OR within (id, word) — narrow, map-side combined —
-    then spread words into flat columns). Measured at sf0.1 (1.47M
-    occurrences, n_words=32) two-level wins ~1.7 s vs ~3.0 s: the
-    rows × n_words conditional evals dominate once occurrences are
-    large, independent of vocabulary width.
-    """
-    from rust_graph_db_spark.operators.ids import dense_ids
-
-    inv = shingle_hash_rows(df, id_col, text_col, k, distinct=False) \
-        .localCheckpoint(eager=True)
-    dict_df, vocab = dense_ids(inv.select("gh").distinct(), "idx")
-    n_words = max(1, -(-vocab // 64))
-    enc = (inv.join(F.broadcast(dict_df), "gh")
-           .select("id",
-                   F.floor(F.col("idx") / 64).cast("int").alias("word"),
-                   F.expr("shiftleft(CAST(1 AS BIGINT), idx % 64)")
-                    .alias("bitval")))
-    if n_words <= 8:
-        grouped = enc.groupBy("id").agg(
-            *[F.bit_or(F.when(F.col("word") == w, F.col("bitval"))
-                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
-              for w in range(n_words)])
-    else:
-        per_word = enc.groupBy("id", "word").agg(F.bit_or("bitval").alias("bv"))
-        grouped = per_word.groupBy("id").agg(
-            *[F.bit_or(F.when(F.col("word") == w, F.col("bv"))
-                        .otherwise(F.lit(0).cast("long"))).alias(f"w{w}")
-              for w in range(n_words)])
-    bits = (grouped
-            .withColumn("sz", sum(F.bit_count(F.col(f"w{w}"))
-                                  for w in range(n_words)))
-            .localCheckpoint(eager=True))
-    return inv, bits, n_words, vocab
-
 
 def ngram_jaccard_pairs(
     df: DataFrame, id_col: str, text_col: str,
@@ -324,101 +235,146 @@ def ngram_jaccard_pairs(
 ) -> DataFrame:
     """All pairs (i < j) with k-shingle Jaccard ≥ threshold — exact.
 
-    Two scale levers compose (PPJoin-style prefix filtering, Xiao et
-    al. WWW'08, + bitset verification):
+    Two regimes, auto-switched on n²·vocab (see ``_exact_set_pairs``):
 
-    1. **Prefix filter** (candidate generation): order each doc's
-       shingles by ascending global doc-frequency; a pair with
-       J ≥ t must share a token within the first
-       ``sz - ceil(t*sz) + 1`` tokens of each side, so only that
-       prefix enters the inverted-index self-join. On sparse corpora
-       this prunes the join quadratically.
-    2. **Bitset verify** (exact intersection): shingles are
-       dictionary-encoded into a fixed-width bitmap (``W`` 64-bit
-       words as flat columns) and ``|A∩B|`` is a popcount sum —
-       W codegen'd integer ops per candidate instead of an
-       array-intersect over hundreds of strings. On dense corpora
-       (small vocabularies) this bounds verification cost.
+    1. **Dense** (small vocabulary — templated/synthetic corpora where
+       every pair shares tokens and candidate pruning cannot help):
+       blocked all-pairs bit-matrix product, BLAS-vectorized per tile.
+    2. **Sparse** (the corpus-scale shape): PPJoin-style prefix
+       filtering (Xiao et al. WWW'08) — order each doc's shingles by
+       ascending global doc-frequency; a pair with J ≥ t must share a
+       token within the first ``sz - ceil(t*sz) + 1`` tokens of each
+       side, so only that prefix enters the inverted-index self-join —
+       then exact ``array_intersect`` verification on the surviving
+       candidates only.
 
     The naive variant (join ALL shingle occurrences, count per pair)
     shuffles Σ df(g)² rows — 1.5e9 on the sf0.1 corpus; this plan cuts
-    that to the prefix-candidate set + a 5000-row dictionary broadcast.
-    Dictionary encoding assumes the *distinct-shingle* vocabulary of
-    one batch fits a bitmap (vocab ≤ ~10^6); beyond that, partition the
-    corpus (dedup is per-batch at 100 TB anyway) or fall back to
-    MinHash-LSH which never materializes the vocabulary.
+    that to the prefix-candidate set. Neither path materializes a
+    global vocabulary structure (the dense tiles build per-tile local
+    dictionaries), so there is no vocab-fits-in-memory constraint —
+    corpora beyond the dense budget stream through the prefix filter.
 
     Returns (i, j, jac), jac exact.
     """
-    inv, bits, n_words, vocab = _shingle_bitmaps(df, id_col, text_col, k)
+    return _exact_set_pairs(df, id_col, text_col, k, threshold, "jaccard")
 
+
+def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int):
+    """Shared set-similarity substrate: per-doc DISTINCT hashed-shingle
+    arrays with exact set size. Returns (sets, n_docs, vocab_est).
+
+    One codegen'd scan (explode + substr + xxhash64 — strings never
+    leave the scan stage) feeds a single collect_set aggregation; set
+    sizes are array sizes, and the regime-switch statistics (doc and
+    vocabulary cardinality) ride the same pass as approx_count_distinct
+    sketches merged map-side. No dictionary encoding, no global bitmap:
+    the shuffle carries (id, 8-byte hash) rows only.
+    """
+    rows = shingle_hash_rows(df, id_col, text_col, k, distinct=False)
+    sets = (rows.groupBy("id")
+            .agg(F.collect_set("gh").alias("sh"))
+            .withColumn("sz", F.size("sh"))
+            .localCheckpoint(eager=True))
+    stats = (sets.select("id", F.explode("sh").alias("gh"))
+             .agg(F.approx_count_distinct("id", rsd=0.02).alias("n"),
+                  F.approx_count_distinct("gh", rsd=0.05).alias("v"))
+             .first())
+    return sets, int(stats["n"]), int(stats["v"])
+
+
+def _exact_set_pairs(df: DataFrame, id_col: str, text_col: str,
+                     k: int, threshold: float, measure: str) -> DataFrame:
+    """Exact all-pairs set similarity (jaccard | containment) over
+    k-shingle sets, auto-switching between the dense blocked-matrix
+    product and the sparse prefix-filter + verify plan on the
+    n²·vocab work estimate (the dense tile cost is exactly that many
+    multiply-adds; 2e12 ≈ a few seconds of BLAS across one executor's
+    cores, and the budget scales with nothing else)."""
     from pyspark.sql import Window
 
-    wa = bits.select(F.col("id").alias("i"), F.col("sz").alias("sa"),
-                     *[F.col(f"w{w}").alias(f"a{w}") for w in range(n_words)])
-    wb = bits.select(F.col("id").alias("j"), F.col("sz").alias("sb"),
-                     *[F.col(f"w{w}").alias(f"b{w}") for w in range(n_words)])
-    inter = sum(F.bit_count(F.col(f"a{w}").bitwiseAND(F.col(f"b{w}")))
-                for w in range(n_words))
+    sets, n_docs, vocab_est = _shingle_sets(df, id_col, text_col, k)
+    col = "jac" if measure == "jaccard" else "cont"
+    if float(n_docs) * n_docs * vocab_est <= 2e12:
+        return _pairs_dense_tiles(sets, threshold, measure)
 
-    n_docs = bits.count()
-    if n_docs * n_docs * vocab <= 2e12:
-        # Dense fast path: blocked all-pairs bit-matrix product. See
-        # _pairs_dense_blocked — beats candidate generation when the
-        # vocabulary is small enough that every doc pair shares tokens
-        # (prefix filtering prunes nothing there).
-        return _pairs_dense_blocked(bits, n_words, vocab, threshold,
-                                    "jaccard")
-
-    # ---- prefix-filtered candidate pairs (scale path)
-    # this branch needs true (id, gh) sets: document frequencies and
-    # per-doc sizes are row counts here, so pay the dedup shuffle now
-    inv = inv.distinct().localCheckpoint(eager=True)
+    # ---- sparse scale path: PPJoin prefix filter for candidates.
+    # Document frequencies and per-doc sizes are row counts over the
+    # DISTINCT occurrence rows, re-derived from the checkpointed sets
+    # (cheaper than a corpus-wide (id, gh) distinct shuffle).
+    inv = sets.select("id", "sz", F.explode("sh").alias("gh"))
     dfreq = inv.groupBy("gh").agg(F.count("*").alias("dfreq"))
     ranked = (inv.join(dfreq, "gh")
               .withColumn("rn", F.row_number().over(
-                  Window.partitionBy("id").orderBy("dfreq", "gh")))
-              .withColumn("sz", F.count("*").over(Window.partitionBy("id"))))
+                  Window.partitionBy("id").orderBy("dfreq", "gh"))))
     prefix = ranked.where(
         F.col("rn") <= F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1)
-    a, b = prefix.alias("a"), prefix.alias("b")
-    cand = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
-                   & (F.col("a.id") < F.col("b.id")))
-            .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
-            .dropDuplicates(["i", "j"]))
+    if measure == "jaccard":
+        # J ≥ t ⇒ both sides must hit within their own prefix
+        a, b = prefix.alias("a"), prefix.alias("b")
+        cand = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                       & (F.col("a.id") < F.col("b.id")))
+                .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"))
+                .dropDuplicates(["i", "j"]))
+    else:
+        # containment bounds only the SMALLER side's prefix, so each
+        # doc's prefix joins against the full inverted index
+        cand = (prefix.alias("a")
+                .join(ranked.alias("b"), (F.col("a.gh") == F.col("b.gh"))
+                      & (F.col("a.id") != F.col("b.id")))
+                .select(F.least("a.id", "b.id").alias("i"),
+                        F.greatest("a.id", "b.id").alias("j"))
+                .dropDuplicates(["i", "j"]))
 
-    # ---- exact verification: popcount of AND-ed bitmaps
-    return (cand.join(wa, "i").join(wb, "j")
-            .withColumn("c", inter.cast("long"))
-            .withColumn("jac", F.col("c") / (F.col("sa") + F.col("sb") - F.col("c")))
-            .where(F.col("jac") >= threshold)
-            .select("i", "j", "jac"))
+    # ---- exact verification on survivors only: join the shingle
+    # arrays back (semi-joined to candidate ids, byte-gated broadcast —
+    # the same discipline as the MinHash verify stage) and intersect.
+    cand = cand.localCheckpoint(eager=True)
+    cand_ids = (cand.select(F.col("i").alias("id"))
+                .unionAll(cand.select(F.col("j").alias("id"))).distinct())
+    docs = sets.join(cand_ids, "id", "left_semi")
+    est_bytes = (docs.agg((F.sum("sz") * 8 +
+                           F.count(F.lit(1)) * 16).alias("b"))
+                 .first()["b"]) or 0
+    hint = F.broadcast if est_bytes <= 64 * 1024 * 1024 else (lambda d: d)
+    sha = docs.select(F.col("id").alias("i"), F.col("sh").alias("sha"),
+                      F.col("sz").alias("sa"))
+    shb = docs.select(F.col("id").alias("j"), F.col("sh").alias("shb"),
+                      F.col("sz").alias("sb"))
+    inter = F.size(F.array_intersect("sha", "shb"))
+    score = (inter / (F.col("sa") + F.col("sb") - inter)
+             if measure == "jaccard" else inter / F.least("sa", "sb"))
+    return (cand.join(hint(sha), "i").join(hint(shb), "j")
+            .withColumn(col, score)
+            .where(F.col(col) >= threshold)
+            .select("i", "j", col))
 
 
-def _pairs_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
-                         threshold: float,
-                         measure: str = "jaccard") -> DataFrame:
-    """Exact all-pairs set similarity on a dictionary-encoded bitmap
-    table via blocked matrix multiplication. ``measure``: "jaccard"
+def _pairs_dense_tiles(sets: DataFrame, threshold: float,
+                       measure: str = "jaccard") -> DataFrame:
+    """Exact all-pairs set similarity over per-doc shingle-hash arrays
+    via blocked matrix multiplication. ``measure``: "jaccard"
     (|∩|/|∪|, output column ``jac``) or "containment"
     (|∩|/min(|A|,|B|), output column ``cont``).
 
     Docs are hashed into √(2·parallelism) blocks; every block *pair*
-    becomes one ``applyInPandas`` group that unpacks its two bitmap
-    tiles to 0/1 float32 matrices and takes ``A @ B.T`` — exact
-    intersection counts (≤ vocab « 2²⁴, so float32 is exact), BLAS-
-    vectorized, one task per tile pair. This is the standard scalable
+    becomes one ``applyInPandas`` group that builds a PER-TILE dense
+    dictionary (np.unique over the tile's hashes — no global
+    vocabulary structure exists anywhere), scatters each doc's set
+    into a 0/1 float32 row, and takes ``A @ B.T`` — exact
+    intersection counts (set sizes « 2²⁴, so float32 is exact),
+    BLAS-vectorized, one task per tile pair. The standard scalable
     shape for all-pairs similarity when candidate pruning cannot help
-    (dense vocabularies): shuffle cost is n·k rows for k² /2 tiles, and
-    each tile computation is embarrassingly parallel.
+    (dense vocabularies): shuffle cost is n·k rows for k²/2 tiles,
+    and each tile computation is embarrassingly parallel.
     """
     import numpy as np
     import pandas as pd
 
-    spark = bits.sparkSession
+    spark = sets.sparkSession
     k = max(2, int((2 * spark.sparkContext.defaultParallelism) ** 0.5))
-    wcols = [f"w{w}" for w in range(n_words)]
-    tagged = bits.withColumn("blk", F.pmod(F.xxhash64("id"), F.lit(k)).cast("int"))
+    tagged = sets.withColumn(
+        "blk", F.pmod(F.xxhash64("id"), F.lit(k)).cast("int"))
     blk_pairs = spark.createDataFrame(
         [(a, b) for a in range(k) for b in range(a, k)], "ba INT, bb INT")
     work = blk_pairs.join(
@@ -435,14 +391,21 @@ def _pairs_dense_blocked(bits: DataFrame, n_words: int, vocab: int,
         if A.empty or B.empty:
             return pd.DataFrame({"i": [], "j": [], col: []})
 
-        def unpack(part: pd.DataFrame) -> np.ndarray:
-            words = np.ascontiguousarray(
-                part[wcols].to_numpy(dtype=np.int64)).view(np.uint64)
-            return np.unpackbits(
-                words.view(np.uint8).reshape(len(part), -1),
-                axis=1, bitorder="little").astype(np.float32)
+        arrs = [np.asarray(a, dtype=np.int64) for a in pdf["sh"]]
+        uniq = np.unique(np.concatenate(arrs)) if arrs else np.array([], np.int64)
 
-        M = unpack(A) @ unpack(B).T                      # |A_i ∩ B_j|
+        def densify(part: pd.DataFrame) -> np.ndarray:
+            vals = [np.asarray(a, dtype=np.int64) for a in part["sh"]]
+            lens = np.fromiter((len(v) for v in vals), dtype=np.int64,
+                               count=len(vals))
+            rows = np.repeat(np.arange(len(vals)), lens)
+            cols = np.searchsorted(uniq, np.concatenate(vals) if vals
+                                   else np.array([], np.int64))
+            M = np.zeros((len(vals), len(uniq)), dtype=np.float32)
+            M[rows, cols] = 1.0
+            return M
+
+        M = densify(A) @ densify(B).T                    # |A_i ∩ B_j|
         sa = A["sz"].to_numpy()[:, None]
         sb = B["sz"].to_numpy()[None, :]
         if measure == "jaccard":
