@@ -283,6 +283,13 @@ def _shingle_sets(df: DataFrame, id_col: str, text_col: str, k: int):
     return sets, int(stats["n"]), int(stats["v"])
 
 
+# Dense-regime work budget for the exact all-pairs paths: the blocked
+# matmul performs exactly n²·vocab multiply-adds, so the switch compares
+# that product against a few seconds of BLAS on one executor. Module
+# constant so tests can force the sparse branch on small corpora.
+DENSE_PAIRS_BUDGET = 2e12
+
+
 def _exact_set_pairs(df: DataFrame, id_col: str, text_col: str,
                      k: int, threshold: float, measure: str) -> DataFrame:
     """Exact all-pairs set similarity (jaccard | containment) over
@@ -295,7 +302,7 @@ def _exact_set_pairs(df: DataFrame, id_col: str, text_col: str,
 
     sets, n_docs, vocab_est = _shingle_sets(df, id_col, text_col, k)
     col = "jac" if measure == "jaccard" else "cont"
-    if float(n_docs) * n_docs * vocab_est <= 2e12:
+    if float(n_docs) * n_docs * vocab_est <= DENSE_PAIRS_BUDGET:
         return _pairs_dense_tiles(sets, threshold, measure)
 
     # ---- sparse scale path: PPJoin prefix filter for candidates.

@@ -699,3 +699,25 @@ def test_stream_curate_cross_batch_pii_twin(spark, tmp_path):
     assert [(r.doc_id, r._batch_id) for r in out] == [(1, 0)]
     assert "<EMAIL>" in out[0].clean_text
     assert out[0].split in ("train", "val", "test")
+
+
+def test_sparse_prefix_path_matches_dense(docs, planted_pairs, monkeypatch):
+    """Force the PPJoin prefix-filter + array_intersect verify branch
+    (the 100 TB regime — sf corpora land in the dense-tile regime, so
+    without this the sparse branch would ship untested) and check it
+    produces exactly the dense/oracle pair set, for BOTH measures."""
+    monkeypatch.setattr(dedup, "DENSE_PAIRS_BUDGET", 0)
+    got = sorted((r.i, r.j) for r in
+                 dedup.ngram_jaccard_pairs(docs, "doc_id", "text",
+                                           5, 0.5).collect())
+    assert got == planted_pairs
+
+    small = "unique little document body here"
+    big = small + " padded with lots of entirely different trailing words " \
+        "so the union is much larger than the intersection for sure " * 3
+    df = docs.sparkSession.createDataFrame(
+        [(1, small), (2, big), (3, "completely unrelated other text")],
+        "doc_id LONG, text STRING")
+    cont = {(r.i, r.j): r.cont
+            for r in dedup.containment_pairs(df, threshold=0.9).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.99
