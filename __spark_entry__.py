@@ -430,6 +430,30 @@ def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top_ngrams(docs, "text", n=2, top=25)
 
 
+def _q_cms_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k2: count-min sketch over the corpus word-bigram stream
+    (`operators/sketches.cms_table` — depth 4 × width 2²¹ cells of
+    bounded, sum-mergeable state; the streaming/multi-batch analog of
+    t5's exact count). The audit probes the sketch for the 25 heaviest
+    grams and returns (gram, cnt, est): at the correctness SFs the
+    width exceeds the bigram vocabulary by >40×, so the probability
+    that any heavy gram collides in ALL 4 depths is < 1e-6 and the
+    oracle asserts est == exact count value-for-value (hashes are
+    seeded xxhash64 — deterministic across runs)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import ngram_stream, top_ngrams
+    from rust_graph_db_spark.operators.sketches import cms_estimate, cms_table
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sketch = cms_table(ngram_stream(docs, "text", 2), "gram")
+    heavy = top_ngrams(docs, "text", n=2, top=25)
+    return (heavy.join(cms_estimate(sketch, heavy.select("gram"), "gram"),
+                       "gram")
+            .select("gram", "cnt", "est")
+            .orderBy(F.col("cnt").desc(), "gram"))
+
+
 def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e8: product quantization (4 subspaces × 16 codewords over the
     64-d embeddings) — per-vector PQ codes + mean absolute
@@ -1460,8 +1484,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g4_vle_between": _q_cypher_knows(
             "MATCH (a:Person {name:'Person0'})-[r:KNOWS*2..4]->"
             "(b:Person {name:'Person8'}) RETURN toInteger(length(r)) AS hops"),
-        # G5/G6: exact-k / within-k neighbors
-        "g5_k_hop": _q_k_hop,
+        # G6: within-k neighbors (rides the r3 size-adaptive BFS; G5's
+        # expand_paths is proxied by g3/g4 in-window — see the demoted
+        # block below the line)
         "g6_within_k": _q_within_k,
         # whole-graph analytics (GraphX-parity extensions); g8 is also
         # r3-touched (co-partitioned pagerank loop)
@@ -1476,9 +1501,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "s8_csv_roundtrip": _q_csv_roundtrip,
         # S12/S13: bulk load with range-allocated ids
         "s12_bulk_load": _q_bulk_load,
-        # S14: seeded synthetic graph generators
-        "s14_generator_grid": _q_generator_grid,
-        "s15_generator_tree": _q_generator_tree,
         # flagship 2-hop heterogeneous pattern
         "j2_two_hop_region": _q_cypher_tpch(
             "MATCH (c:Customer)-[:IN_NATION]->(n:Nation)-[:IN_REGION]->(r:Region) "
@@ -1501,8 +1523,6 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (c:Customer)-[:PLACED]->(o:Order) "
             "RETURN c.name AS name, sum(o.totalprice) AS total "
             "ORDER BY total DESC, name LIMIT 10"),
-        # X5: network analysis composite
-        "x5_network_analysis": _q_network_analysis,
         # TPC-H Q5 shape: multi-MATCH joined on shared var + expression
         # inside the aggregate, 4-table heterogeneous join
         "x7_revenue_by_nation": _q_cypher_tpch(
@@ -1555,21 +1575,36 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c4_pack_sequences": _q_pack_sequences,
         "g11_label_prop": _q_label_propagation,
         "g12_kcore": _q_kcore,
-        # --------- training-data pipeline operators (beyond the reference)
+        # new r3 curation operators (decontamination / split / quality)
+        "d6_decontaminate": _q_decontaminate,
+        "t2_hash_split": _q_hash_split,
+        "t3_repetition": _q_repetition,
+        # k2: count-min sketch audit (new r3-s2)
+        "k2_cms_bigrams": _q_cms_bigrams,
+        # --------- below the 50-key window. Slot math: 50 = 22 rotated
+        # r1-green + 24 r3-session queries + d6/t2/t3 (were accidentally
+        # at positions 57-59, i.e. NEVER in a window) + k2. The four
+        # demoted rotated queries (below) each have an in-window proxy
+        # for every module that changed since their r1 row: g5_k_hop
+        # (expand_paths → g3/g4), s14/s15 (io.py generators untouched
+        # since r1; import/export paths → s7/s8), x5 (social.py
+        # untouched since r1; compiler paths → the j/a/o series).
+        # Everything else below the line is r2-green with its modules
+        # unchanged, or r3-touched with pytest + in-window proxies
+        # (d2/d10 share _exact_set_pairs; d10 is in-window).
+        "g5_k_hop": _q_k_hop,
+        "s14_generator_grid": _q_generator_grid,
+        "s15_generator_tree": _q_generator_tree,
+        "x5_network_analysis": _q_network_analysis,
+        # r2-green training-data pipeline operators whose modules are
+        # unchanged since their row (the r3 dedup-substrate change is
+        # d2/d10-only; d10 is in-window)
         "d1_exact_dedup": _q_exact_dedup,
         "d3_minhash_lsh": _q_minhash_lsh,
         "d4_simhash": _q_simhash,
         "d5_embedding_neardup": _q_embedding_neardup,
         "g7_dup_clusters": _q_dup_clusters,
         "t1_text_metrics": _q_text_metrics,
-        # new r3 curation operators (decontamination / split / quality)
-        "d6_decontaminate": _q_decontaminate,
-        "t2_hash_split": _q_hash_split,
-        "t3_repetition": _q_repetition,
-        # --------- below the 50-key window: newest green row is r2
-        # r3-touched code paths whose changes are pytest-covered
-        # (storage/MERGE/byte-gate/bucketing tests) — displaced from the
-        # window by the 7 never-verified session queries above
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2274,6 +2309,17 @@ def oracle_sql() -> dict[str, str]:
         # t5: same tokenization + slicing convention as t3's oracle
         "t5_top_ngrams": (
             "SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM ("
+            "SELECT unnest(list_transform(generate_series(1, "
+            "greatest(len(toks)-1, 1)), "
+            "i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM "
+            "(SELECT string_split_regex(lower(text), '\\s+') AS toks "
+            "FROM documents)) "
+            "GROUP BY gram ORDER BY cnt DESC, gram LIMIT 25"),
+        # k2: the CMS estimate of every heavy gram must equal its exact
+        # count (width >> vocab ⇒ collision-free at the correctness SFs)
+        "k2_cms_bigrams": (
+            "SELECT gram, CAST(count(*) AS BIGINT) AS cnt, "
+            "CAST(count(*) AS BIGINT) AS est FROM ("
             "SELECT unnest(list_transform(generate_series(1, "
             "greatest(len(toks)-1, 1)), "
             "i -> array_to_string(toks[i:i+1], ' '))) AS gram FROM "

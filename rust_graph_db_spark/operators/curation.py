@@ -371,6 +371,24 @@ def curate(
         .select(id_col, "clean_text", "split")
 
 
+def ngram_stream(df: DataFrame, text_col: str = "text",
+                 n: int = 2) -> DataFrame:
+    """One ``gram`` row per word n-gram OCCURRENCE, corpus-wide — the
+    raw stream behind ``top_ngrams`` and the count-min sketch audit.
+
+    Tokenizes in a SEPARATE projection so the lambda below references
+    the materialized array — inlining split(...) into the transform
+    body re-evaluates it per element (O(tokens²) per doc in the
+    interpreted HOF evaluator; measured 4.2 s → 0.6 s at sf0.1).
+    """
+    grams = F.expr(
+        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
+        f" i -> concat_ws(' ', slice(_toks, i, {n})))")
+    return (df.select(F.split(F.lower(F.col(text_col)), r"\s+")
+                      .alias("_toks"))
+            .select(F.explode(grams).alias("gram")))
+
+
 def top_ngrams(
     df: DataFrame, text_col: str = "text", n: int = 2, top: int = 25,
 ) -> DataFrame:
@@ -384,16 +402,7 @@ def top_ngrams(
     standard vocabulary/boilerplate-inspection scan of a web-corpus
     pipeline.
     """
-    # Tokenize in a SEPARATE projection so the lambda below references
-    # the materialized array — inlining split(...) into the transform
-    # body re-evaluates it per element (O(tokens²) per doc in the
-    # interpreted HOF evaluator; measured 4.2 s → 0.6 s at sf0.1).
-    grams = F.expr(
-        f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
-        f" i -> concat_ws(' ', slice(_toks, i, {n})))")
-    return (df.select(F.split(F.lower(F.col(text_col)), r"\s+")
-                      .alias("_toks"))
-            .select(F.explode(grams).alias("gram"))
+    return (ngram_stream(df, text_col, n)
             .groupBy("gram")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("gram"))

@@ -57,3 +57,56 @@ def exact_stats(df: DataFrame, on: Union[str, Sequence[str]],
         F.percentile(value_col, F.lit(0.5)).alias("median"),
         F.percentile(value_col, F.lit(0.95)).alias("p95"),
         F.round(F.stddev_samp(value_col), 6).alias("sd"))
+
+
+# ------------------------------------------------------------- count-min
+
+def cms_table(df: DataFrame, col: str,
+              depth: int = 4, width: int = 1 << 21) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) in relational
+    form: ``(d, bucket, cnt)`` rows, one per non-empty cell of the
+    depth × width counter matrix. Cell (d, b) counts items whose
+    d-seeded hash lands in bucket b; an item's frequency estimate is
+    the MIN over its depth cells (``cms_estimate``) — always ≥ the
+    true count, within εn with probability 1-δ for width = e/ε,
+    depth = ln(1/δ).
+
+    100 TB shape: the sketch is a sum-mergeable aggregate — partial
+    maps combine map-side, the shuffle carries at most depth × width
+    cells regardless of input rows, and sketches from different
+    batches/streams merge by summing cnt per (d, bucket). That bounded
+    state is the point: exact per-item counts over an unbounded stream
+    need unbounded state, the CMS needs ``depth·width·8`` bytes.
+    Hashing is seeded xxhash64 — deterministic, so estimates are
+    reproducible across runs and engines that share the hash.
+    """
+    ex = (df.select(F.col(col).alias("x"))
+          .select(F.explode(F.array(*[
+              F.struct(F.lit(d).alias("d"),
+                       F.pmod(F.xxhash64(F.lit(d), F.col("x")),
+                              F.lit(width)).alias("bucket"))
+              for d in range(depth)])).alias("e"))
+          .select("e.d", "e.bucket"))
+    return ex.groupBy("d", "bucket").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"))
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, col: str,
+                 depth: int = 4, width: int = 1 << 21) -> DataFrame:
+    """Point-query the sketch for each distinct value of ``items.col``:
+    returns (col, est) with est = min over depth of the item's cell
+    counts (0 if every cell is absent). The probe side joins on
+    (d, bucket) — the sketch is the small side and broadcasts.
+    """
+    probes = (items.select(F.col(col).alias("x")).distinct()
+              .select("x", F.explode(F.array(*[
+                  F.struct(F.lit(d).alias("d"),
+                           F.pmod(F.xxhash64(F.lit(d), F.col("x")),
+                                  F.lit(width)).alias("bucket"))
+                  for d in range(depth)])).alias("e"))
+              .select("x", "e.d", "e.bucket"))
+    return (probes.join(sketch, ["d", "bucket"], "left")
+            .groupBy("x")
+            .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
+                 .alias("est"))
+            .select(F.col("x").alias(col), "est"))

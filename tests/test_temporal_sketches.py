@@ -128,3 +128,43 @@ def test_sketches_track_exact(spark):
         assert abs(nd[g] - e["nd"]) / e["nd"] < 0.1
         assert abs(q[g]["q_50"] - e["median"]) <= 2.0
         assert abs(q[g]["q_95"] - e["p95"]) <= 2.0
+
+
+def test_cms_bounds_merge_and_exactness(spark):
+    """CMS invariants: (1) estimates NEVER undercount, even with a
+    width tight enough to force collisions; (2) a width far above the
+    vocabulary makes every estimate exact; (3) sketches are mergeable —
+    summing two halves' cells cell-for-cell equals the whole-corpus
+    sketch (the property that makes CMS the bounded-state streaming /
+    multi-batch counter)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.sketches import (cms_estimate,
+                                                        cms_table)
+
+    data = ([("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5
+            + [(f"x{i}",) for i in range(200)])
+    exact = {}
+    for (v,) in data:
+        exact[v] = exact.get(v, 0) + 1
+    df = spark.createDataFrame(data, "v STRING")
+
+    tight = cms_table(df, "v", depth=3, width=32)
+    est = {r.v: r.est for r in
+           cms_estimate(tight, df, "v", depth=3, width=32).collect()}
+    assert set(est) == set(exact)
+    assert all(est[v] >= c for v, c in exact.items())
+    assert any(est[v] > c for v, c in exact.items())  # 203 keys, 32 buckets
+
+    wide = cms_table(df, "v", depth=4, width=1 << 20)
+    est_w = {r.v: r.est for r in
+             cms_estimate(wide, df, "v", depth=4, width=1 << 20).collect()}
+    assert est_w == exact
+
+    h1 = spark.createDataFrame(data[:100], "v STRING")
+    h2 = spark.createDataFrame(data[100:], "v STRING")
+    merged = (cms_table(h1, "v", depth=3, width=32)
+              .unionAll(cms_table(h2, "v", depth=3, width=32))
+              .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")))
+    assert (sorted(map(tuple, merged.collect()))
+            == sorted(map(tuple, tight.collect())))
