@@ -209,6 +209,22 @@ def main() -> None:
         df = None
         gc.collect()
 
+    # ---- second (warm) pass over the headline suite. The cold pass
+    # above stays the primary, round-comparable metric; this one
+    # separates steady-state operator cost from first-run overheads
+    # (Janino plan compilation, JIT, Python-worker spin-up) and from
+    # this VM's ±40% wall-clock noise — on a long-lived cluster the
+    # warm number is what repeated pipeline runs actually pay.
+    warm_timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = BENCH_OVERRIDES.get(name) or qs[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        warm_timings[name] = round(time.perf_counter() - t0, 3)
+        gc.collect()
+    print(f"# warm suite: {round(sum(warm_timings.values()), 3)}s",
+          file=sys.stderr)
+
     # ---- durable-store variant of the hottest graph expands (separate
     # dicts: headline_suite_seconds stays comparable across rounds)
     _bench_store(spark, sf_dir, store_timings, store_exchanges)
@@ -262,6 +278,8 @@ def main() -> None:
         "unit": "sec",
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "warm_suite_seconds": round(sum(warm_timings.values()), 3),
+        "queries_warm": warm_timings,
         "pipeline_queries_sec": pipeline_timings,
         "store_queries_sec": store_timings,
         "store_exchanges": store_exchanges,

@@ -217,7 +217,11 @@ def _rechunk(text, c):
 def test_containment_superset_of_jaccard_random(spark, data):
     """On any corpus, containment(t) ⊇ jaccard(t) pair sets (since
     |A∩B|/min ≥ |A∩B|/|A∪B|), and containment values match a direct
-    Python set computation."""
+    Python set computation. Runs both execution regimes: the dense
+    blocked tiles AND (by zeroing the work budget) the sparse
+    prefix-filter path — they must agree with each other and with the
+    direct computation on every random corpus."""
+    from rust_graph_db_spark.operators import dedup
     from rust_graph_db_spark.operators.dedup import (containment_pairs,
                                                      ngram_jaccard_pairs)
 
@@ -237,6 +241,18 @@ def test_containment_superset_of_jaccard_random(spark, data):
             for r in ngram_jaccard_pairs(df, "doc_id", "text",
                                          k=3, threshold=t).collect()}
     assert jacc <= set(cont)
+
+    saved = dedup.DENSE_PAIRS_BUDGET
+    dedup.DENSE_PAIRS_BUDGET = 0
+    try:
+        cont_sp = {(r.i, r.j): r.cont
+                   for r in containment_pairs(df, k=3, threshold=t).collect()}
+        jacc_sp = {(r.i, r.j)
+                   for r in ngram_jaccard_pairs(df, "doc_id", "text",
+                                                k=3, threshold=t).collect()}
+    finally:
+        dedup.DENSE_PAIRS_BUDGET = saved
+    assert cont_sp == cont and jacc_sp == jacc
 
     def sh(s):
         return {s[i:i + 3] for i in range(max(1, len(s) - 2))}
