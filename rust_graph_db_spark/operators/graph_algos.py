@@ -247,6 +247,45 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     partition per ~250k edges, capped at the session's shuffle
     parallelism) does the work AQE's coalescing otherwise would.
     """
+    return _pr_run(edges, copartition,
+                   lambda e, np: _pagerank_loop(e, np, iterations, damping))
+
+
+def personalized_pagerank(edges: DataFrame, sources,
+                          iterations: int = 10, damping: float = 0.85,
+                          copartition: Optional[bool] = None) -> DataFrame:
+    """Personalized PageRank: the teleport vector is uniform over the
+    SOURCE set instead of all vertices, so rank_v scores proximity to
+    the sources — the standard recommendation / local-community /
+    related-entity measure (GraphX ``personalizedPageRank`` parity).
+
+    r⁰ = u, rᵗ⁺¹ = (1-d)·u + d·Σ_in rᵗ/out_deg with u = 1/|S| on the
+    source set, 0 elsewhere. Vertices unreachable from S get rank
+    exactly 0 (teleport never lands outside S); dangling vertices
+    absorb mass, matching ``pagerank``'s convention. Fixed iteration
+    count — deterministic.
+
+    Shares ``pagerank``'s scale discipline via ``_pr_run``: the same
+    co-partitioned one-Exchange-per-iteration loop above the edge
+    threshold. ``sources`` ships in the plan as an ``isin`` literal
+    list — the personalized query shape has small |S| (a user, a
+    session's entities); for set-valued sources at scale, join a
+    reset frame instead.
+    """
+    if not isinstance(sources, (list, tuple, set, frozenset)):
+        sources = [sources]
+    src = sorted({int(x) for x in sources})
+    if not src:
+        raise ValueError("personalized_pagerank needs >= 1 source vertex")
+    return _pr_run(edges, copartition,
+                   lambda e, np: _ppr_loop(e, np, src, iterations, damping))
+
+
+def _pr_run(edges: DataFrame, copartition: Optional[bool], loop) -> DataFrame:
+    """Shared scaffold for the PageRank-family loops: normalize the
+    edge list, pick plain vs co-partitioned mode on edge count, and in
+    co-partitioned mode pin AQE off + shuffle.partitions == nparts for
+    the loop's duration (see ``pagerank``'s docstring for why)."""
     s, d = _pair_cols(edges)
     spark = edges.sparkSession
     e = (edges.select(F.col(s).cast("long").alias("src"),
@@ -256,7 +295,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     if copartition is None:
         copartition = n_edges > _PR_COPARTITION_EDGES
     if not copartition:
-        return _pagerank_loop(e, None, iterations, damping)
+        return loop(e, None)
     cap = int(spark.conf.get("spark.sql.shuffle.partitions", "200"))
     nparts = max(1, min(cap, -(-n_edges // 250_000)))
     aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
@@ -267,7 +306,7 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     spark.conf.set("spark.sql.shuffle.partitions", str(nparts))
     try:
-        return _pagerank_loop(e, nparts, iterations, damping)
+        return loop(e, nparts)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         spark.conf.set("spark.sql.shuffle.partitions", sp_was)
@@ -290,6 +329,43 @@ def _pagerank_loop(e: DataFrame, nparts: Optional[int],
             done += 1
         ranks = ranks.localCheckpoint(eager=True)
     return ranks
+
+
+def _ppr_loop(e: DataFrame, nparts: Optional[int], sources: list,
+              iterations: int, damping: float) -> DataFrame:
+    verts, links = _pr_frames(e, nparts)
+    # withColumn after the checkpoint is a narrow projection — the
+    # pinned HashPartitioning survives, so the loop's join side stays
+    # Exchange-free in co-partitioned mode, exactly as in _pagerank_loop
+    w = 1.0 / len(sources)
+    verts = verts.withColumn(
+        "reset", F.when(F.col("id").isin(sources), F.lit(w))
+                  .otherwise(F.lit(0.0)))
+    ranks = verts.select("id", F.col("reset").alias("rank"))
+    done = 0
+    while done < iterations:
+        ranks = _ppr_step(verts, links, ranks, damping)
+        if done + 1 < iterations:
+            ranks = _ppr_step(verts, links, ranks, damping)
+            done += 2
+        else:
+            done += 1
+        ranks = ranks.localCheckpoint(eager=True)
+    return ranks.select("id", "rank")
+
+
+def _ppr_step(verts: DataFrame, links: DataFrame, r: DataFrame,
+              damping: float) -> DataFrame:
+    """One personalized-PageRank iteration (pure plan — no action)."""
+    contribs = (links.join(r, links["src"] == r["id"])
+                .select(F.explode("nbrs").alias("id"),
+                        (F.col("rank") / F.size("nbrs")).alias("c"))
+                .groupBy("id").agg(F.sum("c").alias("c")))
+    return (verts.join(contribs, "id", "left")
+            .select("id",
+                    (F.lit(1.0 - damping) * F.col("reset")
+                     + F.lit(damping) * F.coalesce("c", F.lit(0.0))
+                     ).alias("rank")))
 
 
 def label_propagation(edges: DataFrame, iterations: int = 5) -> DataFrame:

@@ -234,3 +234,53 @@ def test_connected_components_random_graphs_star_path(spark, data):
     got = {r.id: r.component
            for r in connected_components(df, driver_threshold=0).collect()}
     assert got == want
+
+
+def test_personalized_pagerank_matches_reference_iteration(spark):
+    """PPR vs a direct Python power iteration on a graph with a cycle,
+    a dangling vertex, and a vertex unreachable from the source set —
+    checks single- and multi-source, the unreachable-gets-zero
+    property, and co-partitioned parity."""
+    import collections
+
+    from rust_graph_db_spark.operators.graph_algos import \
+        personalized_pagerank
+
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (9, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    out = collections.defaultdict(list)
+    nodes = set()
+    for s, d in edges:
+        out[s].append(d)
+        nodes |= {s, d}
+
+    def ref(sources, iters=12, damp=0.85):
+        w = 1.0 / len(sources)
+        reset = {v: (w if v in sources else 0.0) for v in nodes}
+        r = dict(reset)
+        for _ in range(iters):
+            contrib = collections.defaultdict(float)
+            for s, ds in out.items():
+                for d in ds:
+                    contrib[d] += r[s] / len(ds)
+            r = {v: 0.15 * reset[v] + damp * contrib.get(v, 0.0)
+                 for v in nodes}
+        return r
+
+    for sources in ([1], [1, 4]):
+        got = {r.id: r.rank
+               for r in personalized_pagerank(df, sources,
+                                              iterations=12).collect()}
+        want = ref(set(sources))
+        assert set(got) == nodes
+        assert all(abs(got[v] - want[v]) < 1e-9 for v in nodes)
+    # 9 has no in-edges and is not a source → teleport never reaches it
+    got1 = {r.id: r.rank
+            for r in personalized_pagerank(df, 1, iterations=12).collect()}
+    assert got1[9] == 0.0
+
+    forced = {r.id: r.rank
+              for r in personalized_pagerank(df, [1], iterations=12,
+                                             copartition=True).collect()}
+    assert all(abs(forced[v] - got1[v]) < 1e-12 for v in nodes)
