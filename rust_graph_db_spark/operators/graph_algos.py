@@ -472,3 +472,65 @@ def triangle_count(edges: DataFrame) -> DataFrame:
                               F.greatest("u", "v").alias("c"))
     tri = wedges.join(closing, ["b", "c"])
     return tri.agg(F.count("*").cast("long").alias("triangles"))
+
+
+def random_walks(edges: DataFrame, walk_length: int = 10,
+                 walks_per_vertex: int = 1, seed: int = 0,
+                 starts: Optional[DataFrame] = None) -> DataFrame:
+    """Deterministic uniform random walks over a (src, dst) edge list —
+    the DeepWalk/node2vec(p=q=1) corpus generator: the walk sequences
+    are the "sentences" a skip-gram embedding trains on, which makes
+    this a training-data pipeline operator as much as a graph one.
+
+    Returns ``(walk_id, start, step, vertex)`` — one row per visited
+    vertex; ``walk_id`` = (start, replica) packed via xxhash64. Walks
+    stop early at sinks (vertices without out-edges).
+
+    Determinism instead of RNG: step t of walk w leaves vertex v
+    through neighbor ``nbrs[xxhash64(seed, w, t, v) % deg(v)]``. The
+    walk set is a pure function of (graph, seed) — reruns, retries,
+    and stragglers reproduce byte-identical corpora, the same property
+    the deterministic samplers (`operators/sampling.py`) guarantee.
+
+    100 TB shape: the adjacency table is built ONCE (groupBy src,
+    collect_list — the same ``links`` frame the PageRank family uses)
+    and each of the ``walk_length`` rounds is one equi-join of the
+    frontier (walk_id, cur) against it, hash-keyed on vertex id; the
+    frontier carries three longs per live walk. Per-round
+    ``localCheckpoint`` keeps lineage O(1). Hub vertices are one key
+    each in the join — skew-salt upstream if a single hub's walks
+    exceed a task (standard salting applies because steps are
+    independent given the current vertex).
+    """
+    s, d = _pair_cols(edges)
+    e = edges.select(F.col(s).cast("long").alias("src"),
+                     F.col(d).cast("long").alias("dst"))
+    links = (e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+             .localCheckpoint(eager=True))
+    base = (starts.select(F.col(starts.columns[0]).cast("long").alias("start"))
+            if starts is not None else
+            e.select(F.col("src").alias("start")).distinct())
+    frontier = (base.select(
+        "start",
+        F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)]))
+         .alias("rep"))
+        .select(F.xxhash64(F.lit(seed), "start", "rep").alias("walk_id"),
+                "start", F.col("start").alias("cur"))
+        .localCheckpoint(eager=True))
+    out = frontier.select("walk_id", "start", F.lit(0).alias("step"),
+                          F.col("cur").alias("vertex"))
+    for t in range(1, walk_length):
+        nxt = (frontier.join(links, frontier["cur"] == links["src"])
+               .select("walk_id", "start",
+                       F.element_at(
+                           "nbrs",
+                           (F.pmod(F.xxhash64(F.lit(seed), "walk_id",
+                                              F.lit(t), "cur"),
+                                   F.size("nbrs")) + 1).cast("int"))
+                        .alias("cur"))
+               .localCheckpoint(eager=True))
+        out = out.unionAll(nxt.select(
+            "walk_id", "start", F.lit(t).alias("step"),
+            F.col("cur").alias("vertex")))
+        frontier = nxt
+    return out

@@ -284,3 +284,43 @@ def test_personalized_pagerank_matches_reference_iteration(spark):
               for r in personalized_pagerank(df, [1], iterations=12,
                                              copartition=True).collect()}
     assert all(abs(forced[v] - got1[v]) < 1e-12 for v in nodes)
+
+
+def test_random_walks_valid_deterministic(spark):
+    """Walk invariants: every consecutive pair is a real edge, step 0 is
+    the start vertex, walks stop exactly at sinks, replicas produce
+    distinct walk ids, and two runs are byte-identical (determinism is
+    the operator's contract — embedding corpora must be reproducible)."""
+    from rust_graph_db_spark.operators.graph_algos import random_walks
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 5), (6, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    eset = set(edges)
+
+    rows = random_walks(df, walk_length=8, walks_per_vertex=2,
+                        seed=7).collect()
+    walks: dict = {}
+    starts: dict = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+        starts[r.walk_id] = r.start
+    # 5 start vertices (vertices with out-edges) x 2 replicas
+    assert len(walks) == 10
+    sinks = {v for _, v in edges} - {s for s, _ in edges}
+    for wid, steps in walks.items():
+        seq = [steps[i] for i in sorted(steps)]
+        assert seq[0] == starts[wid]
+        assert all((a, b) in eset for a, b in zip(seq, seq[1:]))
+        # full length unless the walk hit a sink (which ends it)
+        if len(seq) < 8:
+            assert seq[-1] in sinks
+        assert sorted(steps) == list(range(len(seq)))
+
+    again = random_walks(df, walk_length=8, walks_per_vertex=2,
+                         seed=7).collect()
+    assert (sorted(map(tuple, rows)) == sorted(map(tuple, again)))
+    # a different seed changes at least one walk on this graph
+    other = random_walks(df, walk_length=8, walks_per_vertex=2,
+                         seed=8).collect()
+    assert (sorted((r.start, r.step, r.vertex) for r in other)
+            != sorted((r.start, r.step, r.vertex) for r in rows))
