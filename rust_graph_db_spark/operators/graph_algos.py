@@ -534,3 +534,31 @@ def random_walks(edges: DataFrame, walk_length: int = 10,
             F.col("cur").alias("vertex")))
         frontier = nxt
     return out
+
+
+def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
+    """(center, context, dist) skip-gram training pairs from a
+    ``random_walks`` output — the step between walk generation and a
+    word2vec-style embedding fit. One row per ordered pair of vertices
+    within ``window`` steps of each other on the same walk; ``dist``
+    (1..window) lets callers weight near pairs higher.
+
+    Shape: a single self-equi-join on walk_id with the banded step
+    predicate — the same banded-interval pattern as the temporal range
+    join; the join input carries (walk_id, step, vertex) triples only.
+    Output volume is walks × length × 2·window rows, linear in corpus
+    size, and downstream consumers aggregate it to (center, context)
+    co-occurrence counts with map-side combine.
+    """
+    a = walks.select(F.col("walk_id").alias("w"),
+                     F.col("step").alias("sa"),
+                     F.col("vertex").alias("center"))
+    b = walks.select(F.col("walk_id").alias("w"),
+                     F.col("step").alias("sb"),
+                     F.col("vertex").alias("context"))
+    return (a.join(b, "w")
+            .where((F.col("sb") != F.col("sa"))
+                   & (F.abs(F.col("sb") - F.col("sa")) <= window))
+            .select("center", "context",
+                    F.abs(F.col("sb") - F.col("sa")).cast("int")
+                     .alias("dist")))

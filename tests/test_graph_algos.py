@@ -324,3 +324,24 @@ def test_random_walks_valid_deterministic(spark):
                          seed=8).collect()
     assert (sorted((r.start, r.step, r.vertex) for r in other)
             != sorted((r.start, r.step, r.vertex) for r in rows))
+
+
+def test_walk_skipgram_pairs(spark):
+    """Pairs from a hand-built 2-walk frame match the direct window
+    enumeration (symmetry, distances, no cross-walk pairs)."""
+    from rust_graph_db_spark.operators.graph_algos import \
+        walk_skipgram_pairs
+
+    rows = [(100, 1, s, v) for s, v in enumerate([1, 2, 3, 4])] \
+         + [(200, 5, s, v) for s, v in enumerate([5, 6])]
+    walks = spark.createDataFrame(
+        rows, "walk_id LONG, start LONG, step INT, vertex LONG")
+    got = sorted((r.center, r.context, r.dist)
+                 for r in walk_skipgram_pairs(walks, window=2).collect())
+    want = []
+    for seq in ([1, 2, 3, 4], [5, 6]):
+        for i, c in enumerate(seq):
+            for j, x in enumerate(seq):
+                if i != j and abs(i - j) <= 2:
+                    want.append((c, x, abs(i - j)))
+    assert got == sorted(want)
