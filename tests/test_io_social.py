@@ -175,3 +175,53 @@ def test_likes(spark, users):
     assert social.like(l2, 2, 100).count() == 3   # dup-checked
     assert {r["name"] for r in social.likers(l2, users, 100).collect()} == \
         {"user0", "user1", "user2"}
+
+
+def test_export_jsonl_per_label(kg, tmp_path):
+    """S10 at scale: one JSONL dataset per label; reading a label's
+    directory back yields exactly that label's rows (ids and a sample
+    property survive the round trip)."""
+    from rust_graph_db_spark.io import export_jsonl
+
+    base = str(tmp_path / "jsonl")
+    export_jsonl(kg, base)
+    spark = kg.spark
+    for label in kg.vertex_labels:
+        back = spark.read.json(f"{base}/vertices/{label}")
+        src = kg.vertex_frame(label)
+        assert back.count() == src.count()
+        assert ({r.id for r in back.select("id").collect()}
+                == {r.id for r in src.select("id").collect()})
+    for label in kg.edge_labels:
+        back = spark.read.json(f"{base}/edges/{label}")
+        assert back.count() == kg.edge_frame(label).count()
+
+
+def test_media_from_binary_files(spark, tmp_path):
+    """binaryFile source → MEDIA_SCHEMA rows: stable hashed ids, raw
+    bytes intact, caller-tagged media_type, null metadata struct."""
+    from rust_graph_db_spark.operators.multimodal import \
+        media_from_binary_files
+
+    payloads = {f"f{i}.bin": bytes([i]) * (10 + i) for i in range(4)}
+    for name, data in payloads.items():
+        (tmp_path / name).write_bytes(data)
+    df = media_from_binary_files(spark, str(tmp_path / "*.bin"), "image")
+    rows = df.collect()
+    assert len(rows) == 4
+    assert len({r.media_id for r in rows}) == 4
+    assert sorted(bytes(r.content) for r in rows) \
+        == sorted(payloads.values())
+    assert all(r.media_type == "image" and r.meta.width is None
+               for r in rows)
+
+
+def test_load_tables_loads_all(spark):
+    from rust_graph_db_spark.session import TPCH_TABLES, load_tables
+
+    tables = load_tables(spark, "/root/testdata/sf0.001")
+    assert set(tables) == set(TPCH_TABLES)
+    for name, df in tables.items():
+        assert df.count() > 0, name
+    # the events special case: nano timestamps truncated to micros
+    assert dict(tables["events"].dtypes)["ts"].startswith("timestamp")
