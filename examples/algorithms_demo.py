@@ -1,0 +1,55 @@
+"""Graph algorithms — mirrors the reference's examples/algorithms_demo.rs
+(Dijkstra / BFS) and extends it with the whole-graph analytics the
+reference lacks: PageRank (plus personalized), connected components,
+k-core, label propagation, and DeepWalk-style random walks."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(spark=None):
+    from pyspark.sql import functions as F
+
+    import rust_graph_db_spark as rg
+    from rust_graph_db_spark.io import generate_graph
+    from rust_graph_db_spark.operators.graph_algos import (
+        connected_components, degrees, k_core, label_propagation, pagerank,
+        personalized_pagerank, random_walks, triangle_count,
+        walk_skipgram_pairs)
+    from rust_graph_db_spark.operators.traversal import (
+        bfs_distances, weighted_shortest_distances)
+
+    spark = spark or rg.get_spark("algorithms_demo")
+    g = generate_graph(spark, "power_law", n=500, edges_per_vertex=4, seed=7)
+    edges = g.edge_frame(g.edge_labels[0]).select("src", "dst")
+    start = edges.select("src").first().src
+
+    print("-- BFS distances from", start)
+    bfs_distances(edges, [start], max_hops=4).show(5)
+    print("-- weighted shortest distances (Dijkstra/Bellman-Ford)")
+    weighted_shortest_distances(
+        edges.withColumn("w", (F.pmod(F.col("src"), F.lit(5)) + 1)
+                              .cast("double")),
+        start, weight_col="w").show(5)
+    print("-- PageRank top 5")
+    pr = pagerank(edges, iterations=8)
+    pr.orderBy(pr.rank.desc()).show(5)
+    print("-- personalized PageRank around", start)
+    personalized_pagerank(edges, [start], iterations=8) \
+        .orderBy("rank", ascending=False).show(5)
+    print("-- components / degrees / triangles")
+    connected_components(edges).groupBy("component").count().show(5)
+    degrees(edges).show(5)
+    triangle_count(edges).show()
+    print("-- k-core / label propagation")
+    k_core(edges, k=3).show(5)
+    label_propagation(edges, iterations=4).groupBy("label").count().show(5)
+    print("-- random walks -> skip-gram pairs")
+    walks = random_walks(edges, walk_length=5, seed=1)
+    pairs = walk_skipgram_pairs(walks, window=2)
+    pairs.show(5)
+    return pairs
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,55 @@
+"""Basic usage — mirrors the reference's examples/basic_usage.rs:
+create vertices/edges with packed graph ids and properties, walk a
+path, read properties back. Spark-first: entities are DataFrame rows,
+ids pack (label, local) into one long exactly like the reference's
+Graphid (model.py:34, ref src/types/mod.rs Graphid)."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(spark=None):
+    from pyspark.sql import functions as F
+
+    import rust_graph_db_spark as rg
+    from rust_graph_db_spark.model import (pack_graphid, unpack_labid,
+                                           unpack_locid)
+
+    spark = spark or rg.get_spark("basic_usage")
+    g = rg.PropertyGraph(spark)
+
+    # 1. vertices: a Person label with properties
+    people = spark.createDataFrame(
+        [(100, "Alice", 30, "Beijing"), (101, "Bob", 25, "Shanghai"),
+         (102, "Carol", 35, "Shenzhen")],
+        "loc LONG, name STRING, age LONG, city STRING")
+    labid = g.label_id("Person")
+    g.put_vertices("Person", people.select(
+        pack_graphid(labid, F.col("loc")).alias("id"),
+        "name", "age", "city"))
+
+    # 2. edges: KNOWS with a property
+    knows = spark.createDataFrame(
+        [(100, 101, 2020), (101, 102, 2021)], "s LONG, d LONG, since LONG")
+    g.put_edges("KNOWS", knows.select(
+        pack_graphid(g.label_id("KNOWS"), F.monotonically_increasing_id())
+        .alias("id"),
+        pack_graphid(labid, F.col("s")).alias("src"),
+        pack_graphid(labid, F.col("d")).alias("dst"), "since"))
+
+    # 3. a 2-hop path, Cypher in / DataFrame out
+    path = g.cypher(
+        "MATCH (a:Person {name:'Alice'})-[:KNOWS]->(b)-[:KNOWS]->(c) "
+        "RETURN a.name AS a, b.name AS b, c.name AS c")
+    path.show()
+
+    # 4. id round-trip (display form labid.locid, ref graphid.rs:77-81)
+    from pyspark.sql import functions as _F
+    g.vertex_frame("Person").select(
+        "id", unpack_labid(_F.col("id")).alias("labid"),
+        unpack_locid(_F.col("id")).alias("locid"), "name").show()
+    return path
+
+
+if __name__ == "__main__":
+    main()

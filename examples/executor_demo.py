@@ -1,0 +1,44 @@
+"""Query surface tour — mirrors the reference's examples/executor_demo.rs
+(MATCH / WHERE / aggregation / ORDER BY / OPTIONAL MATCH / UNION / VLE),
+each compiling to a lazy DataFrame plan that Catalyst optimizes."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def main(spark=None):
+    import rust_graph_db_spark as rg
+    from rust_graph_db_spark.graphs import knows_graph
+
+    spark = spark or rg.get_spark("executor_demo")
+    g = knows_graph(spark, "/root/testdata/sf0.001")
+
+    demos = [
+        ("filtered scan",
+         "MATCH (p:Person) WHERE p.age > 60 RETURN p.name AS name LIMIT 5"),
+        ("expand + edge predicate",
+         "MATCH (a:Person)-[r:KNOWS]->(b) WHERE r.since >= 2021 "
+         "RETURN a.name AS a, b.name AS b LIMIT 5"),
+        ("implicit grouping",
+         "MATCH (p:Person) RETURN p.city AS city, count(*) AS n, "
+         "avg(p.age) AS avg_age ORDER BY city"),
+        ("OPTIONAL MATCH",
+         "MATCH (a:Person) OPTIONAL MATCH (a)-[:KNOWS]->(b:Person) "
+         "WHERE b.age > 75 RETURN a.name AS a, b.name AS b LIMIT 5"),
+        ("UNION",
+         "MATCH (p:Person) WHERE p.age > 75 RETURN p.name AS name "
+         "UNION MATCH (p:Person {city:'NYC'}) RETURN p.name AS name"),
+        ("variable-length expansion",
+         "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b) "
+         "RETURN b.name AS b, toInteger(length(r)) AS hops LIMIT 5"),
+    ]
+    out = None
+    for title, q in demos:
+        print(f"-- {title}")
+        out = g.cypher(q)
+        out.show(truncate=False)
+    return out
+
+
+if __name__ == "__main__":
+    main()

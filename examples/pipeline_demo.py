@@ -1,0 +1,62 @@
+"""Training-data pipeline tour — beyond the reference (which has no
+corpus tooling): quality filter -> PII redaction -> exact + near dedup
+-> decontamination -> deterministic split -> sequence packing, plus
+ANN over embeddings. Every operator here has a DuckDB-oracled driver
+query in __spark_entry__.py; this demo just chains them."""
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+SF = "/root/testdata/sf0.001"
+
+
+def main(spark=None):
+    import rust_graph_db_spark as rg
+    from rust_graph_db_spark.operators.curation import (curate,
+                                                        decontaminate,
+                                                        ngram_stream,
+                                                        top_ngrams)
+    from rust_graph_db_spark.operators.dedup import (drop_near_dups,
+                                                     minhash_lsh_pairs)
+    from rust_graph_db_spark.operators.packing import pack_sequences
+    from rust_graph_db_spark.operators.similarity import cosine_topk
+    from rust_graph_db_spark.operators.sketches import (cms_estimate,
+                                                        cms_table)
+
+    spark = spark or rg.get_spark("pipeline_demo")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+
+    # composed curation: filter -> redact -> exact-dedup -> split
+    curated = curate(docs, "doc_id", "text")
+    curated.groupBy("split").count().show()
+
+    # near-dedup: MinHash-LSH pairs -> keep one representative per cluster
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", threshold=0.5)
+    kept = drop_near_dups(docs, pairs)
+    print("corpus", docs.count(), "-> near-deduped", kept.count())
+
+    # decontamination against a (here: sampled) benchmark set
+    bench = docs.where("doc_id % 97 = 0")
+    flagged = decontaminate(docs, bench, k=8)
+    print("decontamination hits:", flagged.count())
+
+    # vocabulary inspection: exact top grams, and the bounded-state
+    # count-min sketch estimating the same heavy hitters
+    heavy = top_ngrams(docs, "text", top=5)
+    heavy.show()
+    sketch = cms_table(ngram_stream(docs, "text", 2), "gram")
+    cms_estimate(sketch, heavy.select("gram"), "gram").show()
+
+    # sequence packing for training batches
+    packed = pack_sequences(docs, "doc_id", "text", budget=512)
+    packed.groupBy("bin_id").count().orderBy("bin_id").show(5)
+
+    # ANN: top-10 cosine neighbors of the first embedding
+    q = emb.first().embedding
+    cosine_topk(emb, q, k=10).show()
+    return kept
+
+
+if __name__ == "__main__":
+    main()

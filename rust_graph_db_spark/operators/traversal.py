@@ -43,6 +43,8 @@ def _edges(e: DataFrame, direction: str) -> DataFrame:
 def _start_frame(edges_or_df, start) -> DataFrame:
     if isinstance(start, DataFrame):
         return start.select(F.col(start.columns[0]).cast("long").alias("id"))
+    if not isinstance(start, (list, tuple, set, frozenset)):
+        start = [start]                     # bare vertex id
     spark = edges_or_df.sparkSession
     return spark.createDataFrame([(int(s),) for s in start], "id LONG")
 
