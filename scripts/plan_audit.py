@@ -56,10 +56,23 @@ def main() -> None:
         part = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: (\S+)", plan)
         n_exchange = len(re.findall(r"\bExchange\b", plan))
-        # NOTE: under AQE the formatted plan is pre-execution, so
-        # WholeStageCodegen spans usually show as 0 here; exchange
-        # counts, pushdown and join strategy are the durable signals.
-        n_codegen = len(set(re.findall(r"WholeStageCodegen \((\d+)\)", plan)))
+        # Under AQE the formatted plan is pre-execution and never shows
+        # WholeStageCodegen, so the span count is probed on a rebuild of
+        # the SAME query with AQE off (plan-only — nothing executes):
+        # explain("codegen") prints "Found N WholeStageCodegen subtrees".
+        n_codegen = -1
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+        try:
+            buf2 = io.StringIO()
+            with contextlib.redirect_stdout(buf2):
+                qs[name](spark, sf_dir).explain("codegen")
+            m = re.search(r"Found (\d+) WholeStageCodegen", buf2.getvalue())
+            n_codegen = int(m.group(1)) if m else -1
+        except Exception:                           # noqa: BLE001
+            pass                                    # iterative ops may act
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
         n_cart = len(re.findall(r"CartesianProduct", plan))
         print(f"== {name}")
