@@ -1552,11 +1552,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "w12_stream_curate": _q_stream_curate,
         "t7_quality_stats": _q_quality_rule_stats,
         "d9_chunk_dedup": _q_chunk_dedup,
-        # d10 rides the same refactored _shingle_bitmaps/
-        # _pairs_dense_blocked substrate as d2, so the substrate gets a
-        # fresh in-window verdict through d10 (d2 itself — r2-green —
-        # moved below the line to make room for g12; its own shape
-        # stays pytest-covered in test_pipeline_ops)
+        # d10 rides the same _exact_set_pairs/_pairs_dense_tiles
+        # substrate as d2, so the substrate gets a fresh in-window
+        # verdict through d10 (d2 itself — r2-green — moved below the
+        # line to make room for g12; its own shape stays pytest-covered
+        # in test_pipeline_ops)
         "d10_containment": _q_containment,
         "e6_kmeans": _q_kmeans,
         "e7_int8_quantize": _q_int8_quantize,

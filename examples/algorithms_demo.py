@@ -2,9 +2,10 @@
 (Dijkstra / BFS) and extends it with the whole-graph analytics the
 reference lacks: PageRank (plus personalized), connected components,
 k-core, label propagation, and DeepWalk-style random walks."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark=None):

@@ -3,9 +3,10 @@ create vertices/edges with packed graph ids and properties, walk a
 path, read properties back. Spark-first: entities are DataFrame rows,
 ids pack (label, local) into one long exactly like the reference's
 Graphid (model.py:34, ref src/types/mod.rs Graphid)."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark=None):
@@ -18,22 +19,20 @@ def main(spark=None):
     spark = spark or rg.get_spark("basic_usage")
     g = rg.PropertyGraph(spark)
 
-    # 1. vertices: a Person label with properties
+    # 1. vertices: a Person label keyed by a natural numeric id
+    # (locid_col packs deterministic graph ids labid<<48 | loc)
     people = spark.createDataFrame(
         [(100, "Alice", 30, "Beijing"), (101, "Bob", 25, "Shanghai"),
          (102, "Carol", 35, "Shenzhen")],
         "loc LONG, name STRING, age LONG, city STRING")
+    g.put_vertices("Person", people, locid_col="loc")
     labid = g.label_id("Person")
-    g.put_vertices("Person", people.select(
-        pack_graphid(labid, F.col("loc")).alias("id"),
-        "name", "age", "city"))
 
-    # 2. edges: KNOWS with a property
+    # 2. edges: KNOWS with a property; src/dst reference the SAME
+    # packed ids, edge ids are auto-assigned
     knows = spark.createDataFrame(
         [(100, 101, 2020), (101, 102, 2021)], "s LONG, d LONG, since LONG")
     g.put_edges("KNOWS", knows.select(
-        pack_graphid(g.label_id("KNOWS"), F.monotonically_increasing_id())
-        .alias("id"),
         pack_graphid(labid, F.col("s")).alias("src"),
         pack_graphid(labid, F.col("d")).alias("dst"), "since"))
 

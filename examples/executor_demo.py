@@ -1,9 +1,10 @@
 """Query surface tour — mirrors the reference's examples/executor_demo.rs
 (MATCH / WHERE / aggregation / ORDER BY / OPTIONAL MATCH / UNION / VLE),
 each compiling to a lazy DataFrame plan that Catalyst optimizes."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark=None):

@@ -1,10 +1,11 @@
 """Import/export — mirrors the reference's examples/import_export_demo.rs:
 JSON single-file round trip with id remapping, per-label CSV datasets,
 JSONL at scale, and the seeded synthetic generators (S7-S15)."""
+import os
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark=None):

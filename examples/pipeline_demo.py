@@ -3,9 +3,10 @@ corpus tooling): quality filter -> PII redaction -> exact + near dedup
 -> decontamination -> deterministic split -> sequence packing, plus
 ANN over embeddings. Every operator here has a DuckDB-oracled driver
 query in __spark_entry__.py; this demo just chains them."""
+import os
 import sys
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 SF = "/root/testdata/sf0.001"
 

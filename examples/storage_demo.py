@@ -2,10 +2,11 @@
 (RocksDB-backed store) on the versioned parquet store: atomic
 manifest-swap commits, snapshot isolation, time travel, bucketed
 co-located layout, and the snapshot diff (change-data feed)."""
+import os
 import sys
 import tempfile
 
-sys.path.insert(0, "/root/repo")
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main(spark=None):

@@ -109,7 +109,9 @@ class PropertyGraph:
 
     def put_vertices(self, label: str, df: DataFrame, locid_col: Optional[str] = None) -> None:
         """Register a vertex set. ``locid_col`` (a unique numeric natural
-        key) yields deterministic packed ids; otherwise ids are assigned
+        key) yields deterministic packed ids; a pre-packed ``id`` column
+        is honored as-is (overwriting it silently would orphan any edges
+        the caller packed against those ids); otherwise ids are assigned
         via ``monotonically_increasing_id`` (unique, not dense — fits the
         48-bit locid space for < 32768 input partitions; denseness in the
         reference was a counter artifact, only uniqueness is semantic).
@@ -117,6 +119,8 @@ class PropertyGraph:
         labid = self.label_id(label)
         if locid_col is not None:
             out = df.withColumn("id", pack_graphid(labid, F.col(locid_col)))
+        elif "id" in df.columns:
+            out = df
         else:
             out = df.withColumn("id", pack_graphid(labid, F.monotonically_increasing_id()))
         props = [c for c in df.columns if c != "id"]
@@ -130,12 +134,14 @@ class PropertyGraph:
         dst_col: str = "dst",
         locid_col: Optional[str] = None,
     ) -> None:
-        """Register an edge set; ``src``/``dst`` must already be packed ids."""
+        """Register an edge set; ``src``/``dst`` must already be packed
+        ids. A pre-packed ``id`` column is honored (same contract as
+        ``put_vertices``)."""
         labid = self.label_id(label)
         out = df.withColumnRenamed(src_col, "src").withColumnRenamed(dst_col, "dst")
         if locid_col is not None:
             out = out.withColumn("id", pack_graphid(labid, F.col(locid_col)))
-        else:
+        elif "id" not in out.columns:
             out = out.withColumn("id", pack_graphid(labid, F.monotonically_increasing_id()))
         props = [c for c in out.columns if c not in ("id", "src", "dst")]
         self.set_edges(label, out.select("id", "src", "dst", *props))

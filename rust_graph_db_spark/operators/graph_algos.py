@@ -334,6 +334,20 @@ def _pagerank_loop(e: DataFrame, nparts: Optional[int],
 def _ppr_loop(e: DataFrame, nparts: Optional[int], sources: list,
               iterations: int, damping: float) -> DataFrame:
     verts, links = _pr_frames(e, nparts)
+    # Sources absent from the edge list (isolated or typo'd ids) would
+    # otherwise silently vanish from the vertex universe — their
+    # teleport mass dropping to zero EVERYWHERE and the caller getting
+    # an all-zero "result" with no error. Union them in explicitly:
+    # an isolated source ranks (1-d)/|S| (it keeps its own teleport
+    # share), which is the correct PPR fixed point for it.
+    spark = e.sparkSession
+    src_df = spark.createDataFrame([(int(s),) for s in sources], "id LONG")
+    missing = src_df.join(verts, "id", "left_anti")
+    if missing.count() > 0:
+        verts = verts.unionByName(missing)
+        if nparts:
+            verts = verts.repartition(nparts, F.col("id"))
+        verts = verts.localCheckpoint(eager=True)
     # withColumn after the checkpoint is a narrow projection — the
     # pinned HashPartitioning survives, so the loop's join side stays
     # Exchange-free in co-partitioned mode, exactly as in _pagerank_loop
@@ -505,7 +519,14 @@ def random_walks(edges: DataFrame, walk_length: int = 10,
     s, d = _pair_cols(edges)
     e = edges.select(F.col(s).cast("long").alias("src"),
                      F.col(d).cast("long").alias("dst"))
-    links = (e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    # sort_array is load-bearing for the determinism contract:
+    # collect_list's element ORDER is shuffle-fetch order, which Spark
+    # does not guarantee across reruns/retries/cluster sizes — indexing
+    # an unsorted array would make walks stable only by accident.
+    # Sorting keeps duplicate edges (multiplicity still weights the
+    # uniform choice) while pinning every index to a value.
+    links = (e.groupBy("src")
+             .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
              .localCheckpoint(eager=True))
     base = (starts.select(F.col(starts.columns[0]).cast("long").alias("start"))
             if starts is not None else

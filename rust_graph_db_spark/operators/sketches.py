@@ -64,21 +64,25 @@ def exact_stats(df: DataFrame, on: Union[str, Sequence[str]],
 def cms_table(df: DataFrame, col: str,
               depth: int = 4, width: int = 1 << 21) -> DataFrame:
     """Count-min sketch (Cormode & Muthukrishnan 2005) in relational
-    form: ``(d, bucket, cnt)`` rows, one per non-empty cell of the
-    depth × width counter matrix. Cell (d, b) counts items whose
+    form: ``(d, bucket, cnt, width)`` rows, one per non-empty cell of
+    the depth × width counter matrix. Cell (d, b) counts items whose
     d-seeded hash lands in bucket b; an item's frequency estimate is
     the MIN over its depth cells (``cms_estimate``) — always ≥ the
     true count, within εn with probability 1-δ for width = e/ε,
-    depth = ln(1/δ).
+    depth = ln(1/δ). ``width`` rides every row as a constant column so
+    downstream consumers can NEVER probe with mismatched geometry —
+    ``cms_estimate`` reads (depth, width) from the sketch instead of
+    trusting caller-supplied parameters (a silent-undercount hazard).
 
     100 TB shape: the sketch is a sum-mergeable aggregate — partial
     maps combine map-side, the shuffle carries at most depth × width
     cells regardless of input rows, and sketches from different
-    batches/streams merge by summing cnt per (d, bucket). That bounded
-    state is the point: exact per-item counts over an unbounded stream
-    need unbounded state, the CMS needs ``depth·width·8`` bytes.
-    Hashing is seeded xxhash64 — deterministic, so estimates are
-    reproducible across runs and engines that share the hash.
+    batches/streams merge cell-for-cell via ``cms_merge``. That
+    bounded state is the point: exact per-item counts over an
+    unbounded stream need unbounded state, the CMS needs
+    ``depth·width·8`` bytes. Hashing is seeded xxhash64 —
+    deterministic, so estimates are reproducible across runs and
+    engines that share the hash.
     """
     ex = (df.select(F.col(col).alias("x"))
           .select(F.explode(F.array(*[
@@ -87,17 +91,41 @@ def cms_table(df: DataFrame, col: str,
                               F.lit(width)).alias("bucket"))
               for d in range(depth)])).alias("e"))
           .select("e.d", "e.bucket"))
-    return ex.groupBy("d", "bucket").agg(
-        F.count(F.lit(1)).cast("long").alias("cnt"))
+    return (ex.groupBy("d", "bucket")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .withColumn("width", F.lit(int(width)).cast("long")))
 
 
-def cms_estimate(sketch: DataFrame, items: DataFrame, col: str,
-                 depth: int = 4, width: int = 1 << 21) -> DataFrame:
+def cms_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge count-min sketches built with IDENTICAL geometry by
+    summing cells — the multi-batch/stream combine step. Geometry
+    mismatch (different widths) raises rather than producing garbage
+    counts."""
+    merged = sketches[0]
+    for s in sketches[1:]:
+        merged = merged.unionByName(s)
+    widths = [r.width for r in merged.select("width").distinct().collect()]
+    if len(widths) != 1:
+        raise ValueError(f"cannot merge sketches of different widths: "
+                         f"{sorted(widths)}")
+    return (merged.groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"))
+            .withColumn("width", F.lit(int(widths[0])).cast("long")))
+
+
+def cms_estimate(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
     """Point-query the sketch for each distinct value of ``items.col``:
     returns (col, est) with est = min over depth of the item's cell
-    counts (0 if every cell is absent). The probe side joins on
+    counts (0 if every cell is absent). Depth and width are read FROM
+    the sketch (one tiny agg over the cell table), so probes always use
+    the geometry the sketch was built with. The probe side joins on
     (d, bucket) — the sketch is the small side and broadcasts.
     """
+    geo = sketch.agg(F.max("d").alias("md"),
+                     F.max("width").alias("w")).first()
+    if geo["md"] is None:
+        raise ValueError("cannot estimate from an empty sketch")
+    depth, width = int(geo["md"]) + 1, int(geo["w"])
     probes = (items.select(F.col(col).alias("x")).distinct()
               .select("x", F.explode(F.array(*[
                   F.struct(F.lit(d).alias("d"),
@@ -105,7 +133,8 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, col: str,
                                   F.lit(width)).alias("bucket"))
                   for d in range(depth)])).alias("e"))
               .select("x", "e.d", "e.bucket"))
-    return (probes.join(sketch, ["d", "bucket"], "left")
+    return (probes.join(sketch.select("d", "bucket", "cnt"),
+                        ["d", "bucket"], "left")
             .groupBy("x")
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("est"))

@@ -39,40 +39,39 @@ def main() -> None:
     if not names:
         names = [n for n in qs]
 
+    import contextlib
+    import io
+
     for name in names:
+        # ONE build per query, under AQE off: the static formatted plan
+        # shows the same exchanges/pushdown/scan evidence, and
+        # explain("codegen") on the same frame reports the WholeStage
+        # span count AQE's pre-execution plan hides. A single build
+        # matters because some builders run eager jobs (checkpoint
+        # loops) or commit to a store — they must not run twice per
+        # audit row.
+        aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
         try:
             df = qs[name](spark, sf_dir)
-            import contextlib
-            import io
-
             buf = io.StringIO()
             with contextlib.redirect_stdout(buf):
                 df.explain("formatted")
             plan = buf.getvalue()
+            buf2 = io.StringIO()
+            with contextlib.redirect_stdout(buf2):
+                df.explain("codegen")
+            m = re.search(r"Found (\d+) WholeStageCodegen", buf2.getvalue())
+            n_codegen = int(m.group(1)) if m else -1
         except Exception as e:                      # noqa: BLE001
             print(f"== {name}: ERROR {e}")
             continue
+        finally:
+            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         part = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: (\S+)", plan)
         n_exchange = len(re.findall(r"\bExchange\b", plan))
-        # Under AQE the formatted plan is pre-execution and never shows
-        # WholeStageCodegen, so the span count is probed on a rebuild of
-        # the SAME query with AQE off (plan-only — nothing executes):
-        # explain("codegen") prints "Found N WholeStageCodegen subtrees".
-        n_codegen = -1
-        aqe_was = spark.conf.get("spark.sql.adaptive.enabled", "true")
-        spark.conf.set("spark.sql.adaptive.enabled", "false")
-        try:
-            buf2 = io.StringIO()
-            with contextlib.redirect_stdout(buf2):
-                qs[name](spark, sf_dir).explain("codegen")
-            m = re.search(r"Found (\d+) WholeStageCodegen", buf2.getvalue())
-            n_codegen = int(m.group(1)) if m else -1
-        except Exception:                           # noqa: BLE001
-            pass                                    # iterative ops may act
-        finally:
-            spark.conf.set("spark.sql.adaptive.enabled", aqe_was)
         n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
         n_cart = len(re.findall(r"CartesianProduct", plan))
         print(f"== {name}")

@@ -21,4 +21,4 @@ def test_example_runs(spark, name):
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     out = mod.main(spark)
-    assert out is not None and out.count() >= 0
+    assert out is not None and out.count() > 0

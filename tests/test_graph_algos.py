@@ -285,6 +285,14 @@ def test_personalized_pagerank_matches_reference_iteration(spark):
                                              copartition=True).collect()}
     assert all(abs(forced[v] - got1[v]) < 1e-12 for v in nodes)
 
+    # a source absent from the edge list joins the vertex universe and
+    # keeps its own teleport share ((1-d)·1) instead of the whole
+    # result silently collapsing to all-zeros
+    iso = {r.id: r.rank
+           for r in personalized_pagerank(df, [99], iterations=6).collect()}
+    assert abs(iso[99] - 0.15) < 1e-12
+    assert all(v == 0.0 for k, v in iso.items() if k != 99)
+
 
 def test_random_walks_valid_deterministic(spark):
     """Walk invariants: every consecutive pair is a real edge, step 0 is

@@ -137,9 +137,10 @@ def test_cms_bounds_merge_and_exactness(spark):
     summing two halves' cells cell-for-cell equals the whole-corpus
     sketch (the property that makes CMS the bounded-state streaming /
     multi-batch counter)."""
-    from pyspark.sql import functions as F
+    import pytest
 
     from rust_graph_db_spark.operators.sketches import (cms_estimate,
+                                                        cms_merge,
                                                         cms_table)
 
     data = ([("a",)] * 50 + [("b",)] * 20 + [("c",)] * 5
@@ -149,22 +150,24 @@ def test_cms_bounds_merge_and_exactness(spark):
         exact[v] = exact.get(v, 0) + 1
     df = spark.createDataFrame(data, "v STRING")
 
+    # the estimator reads (depth, width) FROM the sketch — a tight
+    # sketch probes with its own geometry, never the defaults
     tight = cms_table(df, "v", depth=3, width=32)
-    est = {r.v: r.est for r in
-           cms_estimate(tight, df, "v", depth=3, width=32).collect()}
+    est = {r.v: r.est for r in cms_estimate(tight, df, "v").collect()}
     assert set(est) == set(exact)
     assert all(est[v] >= c for v, c in exact.items())
     assert any(est[v] > c for v, c in exact.items())  # 203 keys, 32 buckets
 
     wide = cms_table(df, "v", depth=4, width=1 << 20)
-    est_w = {r.v: r.est for r in
-             cms_estimate(wide, df, "v", depth=4, width=1 << 20).collect()}
+    est_w = {r.v: r.est for r in cms_estimate(wide, df, "v").collect()}
     assert est_w == exact
 
     h1 = spark.createDataFrame(data[:100], "v STRING")
     h2 = spark.createDataFrame(data[100:], "v STRING")
-    merged = (cms_table(h1, "v", depth=3, width=32)
-              .unionAll(cms_table(h2, "v", depth=3, width=32))
-              .groupBy("d", "bucket").agg(F.sum("cnt").alias("cnt")))
+    merged = cms_merge(cms_table(h1, "v", depth=3, width=32),
+                       cms_table(h2, "v", depth=3, width=32))
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, tight.collect())))
+    # geometry mismatch is an error, not garbage counts
+    with pytest.raises(ValueError, match="widths"):
+        cms_merge(tight, wide)
