@@ -353,3 +353,47 @@ def test_walk_skipgram_pairs(spark):
                 if i != j and abs(i - j) <= 2:
                     want.append((c, x, abs(i - j)))
     assert got == sorted(want)
+
+
+def test_neighborhood_function_vs_exact_bfs(spark):
+    """HyperBall estimates vs exact all-pairs BFS on a graph with a
+    cycle, a tail, and an isolated-ish edge: N(h) must be monotone,
+    start at n, saturate at the true reachable-pair count, and track
+    the exact neighborhood function within HLL error (tiny balls at
+    lgk=12 are near-exact, so 5% is generous)."""
+    import collections
+
+    from rust_graph_db_spark.operators.graph_algos import \
+        neighborhood_function
+
+    edges = ([(i, (i + 1) % 20) for i in range(20)]       # 20-cycle
+             + [(100, 101), (101, 102)]                   # 3-chain
+             + [(0, 100)])                                # bridge in
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    out = collections.defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        out[s].add(d)
+        nodes |= {s, d}
+
+    def exact_nf(h):
+        total = 0
+        for v in nodes:
+            ball = {v}
+            frontier = {v}
+            for _ in range(h):
+                frontier = {w for u in frontier for w in out.get(u, ())} - ball
+                ball |= frontier
+            total += len(ball)
+        return total
+
+    got = {r.hop: r.n_pairs
+           for r in neighborhood_function(df, max_hops=25).collect()}
+    assert got[0] == len(nodes)
+    assert all(got[h] >= got[h - 1] for h in range(1, 26))
+    for h in range(0, 26):
+        want = exact_nf(h)
+        assert abs(got[h] - want) <= max(2, 0.05 * want), (h, got[h], want)
+    # saturation: by hop 25 every ball is the full reachable set
+    assert abs(got[25] - exact_nf(30)) <= max(2, 0.05 * exact_nf(30))
