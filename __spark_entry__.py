@@ -171,6 +171,54 @@ def _q_degrees(spark: SparkSession, sf_dir: str) -> DataFrame:
     return degrees(_knows_raw_edges(spark, sf_dir))
 
 
+def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g13: personalized PageRank around vertex 0 — teleport mass
+    pinned to the source set, unreachable vertices get exactly 0
+    (graph_algos.personalized_pagerank; oracle = unrolled CTEs
+    mirroring the iteration, like g8's)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import \
+        personalized_pagerank
+
+    e = _knows_raw_edges(spark, sf_dir)
+    return personalized_pagerank(e, [0], iterations=6).select(
+        "id", F.round("rank", 6).alias("rank"))
+
+
+def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g14: HyperBall neighborhood function N(h) for h ≤ 6 over the
+    KNOWS graph (graph_algos.neighborhood_function). HLL-estimated
+    ball sizes are deterministic but not expressible in portable SQL,
+    so this entry has no oracle_sql — the driver records the weaker
+    rows-only check; exactness-within-error is pytest-proven against
+    all-pairs BFS (test_neighborhood_function_vs_exact_bfs)."""
+    from rust_graph_db_spark.operators.graph_algos import \
+        neighborhood_function
+
+    return neighborhood_function(_knows_raw_edges(spark, sf_dir),
+                                 max_hops=6)
+
+
+def _q_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g15: deterministic random walks → skip-gram co-occurrence
+    counts (graph_algos.random_walks + walk_skipgram_pairs — the
+    DeepWalk corpus path). Hash-driven neighbor choice (xxhash64) has
+    no DuckDB equivalent, so no oracle_sql; determinism and edge
+    validity are pytest-proven (test_random_walks_valid_deterministic,
+    test_walk_skipgram_pairs)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import (
+        random_walks, walk_skipgram_pairs)
+
+    e = _knows_raw_edges(spark, sf_dir)
+    walks = random_walks(e, walk_length=6, walks_per_vertex=1, seed=42)
+    return (walk_skipgram_pairs(walks, window=2)
+            .groupBy("center", "context")
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+
+
 def _q_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count of KNOWS ∪ (2-hop KNOWS) — the base ring+chord
     graph is triangle-free, so close it once to make the count
@@ -1605,6 +1653,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d5_embedding_neardup": _q_embedding_neardup,
         "g7_dup_clusters": _q_dup_clusters,
         "t1_text_metrics": _q_text_metrics,
+        # new r3-s3 graph/corpus operators, registered below the line
+        # for a future rotation (this round's 50 slots are spoken for);
+        # g13 has a full unrolled-SQL oracle, g14/g15 are rows-only
+        # (HLL sketches / xxhash walks have no portable SQL mirror)
+        "g13_personalized_pr": _q_personalized_pagerank,
+        "g14_neighborhood": _q_neighborhood_function,
+        "g15_walk_pairs": _q_walk_pairs,
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -1727,6 +1782,31 @@ def _pagerank_oracle_sql(pre: str, iterations: int = 8,
     for i in range(1, iterations + 1):
         ctes.append(
             f"r{i} AS (SELECT v.id, {1 - damping} + {damping} * "
+            f"coalesce(c.c, 0) AS rank FROM verts v LEFT JOIN ("
+            f"SELECT k.dst AS id, sum(r.rank / o.odeg) AS c "
+            f"FROM knows k JOIN r{i-1} r ON r.id = k.src "
+            f"JOIN od o ON o.src = k.src GROUP BY k.dst) c ON c.id = v.id)")
+    return (pre + ", " + ", ".join(ctes)
+            + f" SELECT id, round(rank, 6) AS rank FROM r{iterations}")
+
+
+def _ppr_oracle_sql(pre: str, source: int = 0, iterations: int = 6,
+                    damping: float = 0.85) -> str:
+    """Unrolled personalized-PageRank oracle: same structure as
+    _pagerank_oracle_sql but the (1-d) teleport term is gated on the
+    source vertex and r0 is the teleport vector itself — mirrors
+    graph_algos.personalized_pagerank exactly (single source)."""
+    reset = f"CASE WHEN v.id = {source} THEN 1.0 ELSE 0.0 END"
+    ctes = [
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM knows UNION ALL SELECT dst FROM knows "
+        f"UNION ALL SELECT {source}))",
+        "od AS (SELECT src, count(*) AS odeg FROM knows GROUP BY src)",
+        f"r0 AS (SELECT v.id, {reset} AS rank FROM verts v)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.id, {1 - damping} * {reset} + {damping} * "
             f"coalesce(c.c, 0) AS rank FROM verts v LEFT JOIN ("
             f"SELECT k.dst AS id, sum(r.rank / o.odeg) AS c "
             f"FROM knows k JOIN r{i-1} r ON r.id = k.src "
@@ -1933,6 +2013,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM knows JOIN person ON person.key = knows.src "
             "WHERE person.age = 25"),
         "g8_pagerank": _pagerank_oracle_sql(pre, iterations=8),
+        "g13_personalized_pr": _ppr_oracle_sql(pre, source=0, iterations=6),
         "g9_degrees": pre + (
             " SELECT coalesce(o.id, i.id) AS id, "
             "coalesce(od, 0) AS out_deg, coalesce(ind, 0) AS in_deg, "
