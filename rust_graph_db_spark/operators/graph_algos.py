@@ -621,6 +621,10 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 8,
              .agg(F.hll_sketch_agg("id", F.lit(lgk)).alias("sk"))
              .localCheckpoint(eager=True))
     n = balls.count()
+    spark = edges.sparkSession
+    if n == 0:                                   # empty graph: N(h) ≡ 0
+        return spark.createDataFrame(
+            [(h, 0) for h in range(max_hops + 1)], "hop INT, n_pairs LONG")
     out = [(0, int(n))]
     prev = int(n)
     for h in range(1, max_hops + 1):
@@ -632,11 +636,11 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 8,
                  .agg(F.hll_union_agg("sk", True).alias("sk"))
                  .localCheckpoint(eager=True))
         total = int(balls.select(
-            F.sum(F.hll_sketch_estimate("sk")).alias("t")).first()["t"])
+            F.coalesce(F.sum(F.hll_sketch_estimate("sk")), F.lit(0))
+            .alias("t")).first()["t"])
         out.append((h, total))
         if total == prev:        # every ball saturated — done early
             out.extend((hh, total) for hh in range(h + 1, max_hops + 1))
             break
         prev = total
-    spark = edges.sparkSession
     return spark.createDataFrame(out, "hop INT, n_pairs LONG")

@@ -1,0 +1,67 @@
+"""Empty-input battery: every major operator must return an empty (or
+well-defined degenerate) result on empty frames, never raise — at
+pipeline scale an empty partition/batch/crawl-day is routine, and an
+operator that throws on it kills the whole job."""
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def empty(spark):
+    return {
+        "docs": spark.createDataFrame([], "doc_id LONG, text STRING"),
+        "edges": spark.createDataFrame([], "src LONG, dst LONG"),
+        "emb": spark.createDataFrame([], "vec_id LONG, embedding ARRAY<FLOAT>"),
+    }
+
+
+def test_dedup_ops_on_empty(empty):
+    from rust_graph_db_spark.operators import dedup
+
+    d = empty["docs"]
+    assert dedup.exact_dedup(d, "doc_id", "text").count() == 0
+    assert dedup.ngram_jaccard_pairs(d, "doc_id", "text").count() == 0
+    assert dedup.containment_pairs(d).count() == 0
+    assert dedup.minhash_lsh_pairs(d, "doc_id", "text").count() == 0
+    assert dedup.simhash_pairs(d, "doc_id", "text").count() == 0
+    assert dedup.chunk_dedup(d).count() == 0
+
+
+def test_curation_ops_on_empty(empty):
+    from rust_graph_db_spark.operators import curation, packing, sketches
+
+    d = empty["docs"]
+    assert curation.quality_filter(d).count() == 0
+    assert curation.redact_pii(d).count() == 0
+    assert curation.top_ngrams(d).count() == 0
+    assert curation.curate(d).count() == 0
+    assert curation.decontaminate(d, d).count() == 0
+    assert sketches.cms_table(d, "text").count() == 0
+    assert packing.pack_sequences(d).count() == 0
+
+
+def test_graph_ops_on_empty(empty):
+    from rust_graph_db_spark.operators import graph_algos as ga
+
+    e = empty["edges"]
+    assert ga.pagerank(e, iterations=2).count() == 0
+    assert ga.connected_components(e).count() == 0
+    assert ga.degrees(e).count() == 0
+    assert ga.k_core(e, 2).count() == 0
+    assert ga.label_propagation(e, 2).count() == 0
+    assert ga.random_walks(e, 3).count() == 0
+    # PPR: the requested source still gets its teleport share
+    ppr = {r.id: r.rank
+           for r in ga.personalized_pagerank(e, [7], iterations=2).collect()}
+    assert ppr == {7: pytest.approx(0.15)}
+    # neighborhood function: N(h) = 0 for every hop, one row per hop
+    nf = ga.neighborhood_function(e, max_hops=3).collect()
+    assert [(r.hop, r.n_pairs) for r in nf] == [(h, 0) for h in range(4)]
+
+
+def test_similarity_ops_on_empty(empty):
+    from rust_graph_db_spark.operators import similarity
+
+    v = empty["emb"]
+    assert similarity.cosine_pairs(v, 0.5).count() == 0
+    assert similarity.lsh_cosine_pairs(v, 0.5, dim=8).count() == 0
