@@ -46,6 +46,20 @@ def _vec_lit(vec: Sequence[float]) -> Column:
     return F.array(*[F.lit(float(x)) for x in vec])
 
 
+def drop_undefined(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """Rows whose cosine is DEFINED: non-null, non-empty, nonzero-norm
+    vectors. Every operator in this module excludes the rest up front —
+    at corpus scale a failed encoder batch yields null or all-zero
+    rows, cosine against them is undefined (0/0), and the alternatives
+    are a job-killing DIVIDE_BY_ZERO (Spark ANSI), a NaN that sorts
+    ABOVE every real score in a descending top-k, or a Python-worker
+    crash in the Arrow kernels. One codegen'd scan predicate; no
+    shuffle."""
+    return emb.where(F.col(vec_col).isNotNull()
+                     & (F.size(vec_col) > 0)
+                     & F.exists(vec_col, lambda x: x != 0.0))
+
+
 def _broadcast_hint(emb: DataFrame, vec_col: str,
                     cap_bytes: int = 64 * 1024 * 1024):
     """Broadcast-or-not for an embedding side, gated on ESTIMATED BYTES
@@ -75,6 +89,7 @@ def cosine_topk(
     same float64 precision (ivf_topk uses the identical scoring path).
     """
     q = _vec_lit(query_vec)
+    emb = drop_undefined(emb, vec_col)
     out = emb.select(F.col(id_col).alias("id"),
                      cosine_batch()(F.col(vec_col), q).alias("cos"))
     if exclude_id is not None:
@@ -91,6 +106,7 @@ def cosine_pairs(
     Normalizes once, then the pair join carries unit vectors. Quadratic:
     the baseline/oracle path — use lsh_cosine_pairs at scale.
     """
+    emb = drop_undefined(emb, vec_col)
     unit = emb.select(
         F.col(id_col).alias("id"),
         F.transform(vec_col, lambda x: (x / norm(F.col(vec_col))).cast("double"))
@@ -158,6 +174,7 @@ def lsh_cosine_pairs(
         band_p = p_collide ** planes
         tables = max(1, math.ceil(
             math.log(1.0 - target_recall) / math.log(1.0 - band_p)))
+    emb = drop_undefined(emb, vec_col)
     buckets = lsh_buckets_udf(dim, planes, tables)
     tagged = (emb.select(F.col(id_col).alias("id"),
                          F.posexplode(buckets(F.col(vec_col)))
@@ -249,7 +266,8 @@ def ivf_centroids(
     dim is tiny), and init is the first ``n_centroids`` sampled vectors
     in hash order. Returns the (n_centroids, dim) unit-row matrix.
     """
-    rows = (emb.select(F.col(vec_col).alias("v"),
+    rows = (drop_undefined(emb, vec_col)
+            .select(F.col(vec_col).alias("v"),
                        F.xxhash64(F.col(id_col).cast("string")).alias("h"))
             .orderBy("h").limit(int(sample_size)).collect())
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
@@ -375,6 +393,8 @@ def knn_join(
     """
     from pyspark.sql import Window
 
+    left = drop_undefined(left, vec_col)
+    right = drop_undefined(right, vec_col)
     a = left.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     b = right.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     scored = (a.crossJoin(b).where(F.col("qid") != F.col("nid"))
@@ -403,6 +423,8 @@ def knn_join_lsh(
     bounded by 2^planes bucket granularity; raise ``planes`` to shrink
     buckets before raising ``tables``.
     """
+    left = drop_undefined(left, vec_col)
+    right = drop_undefined(right, vec_col)
     buckets = lsh_buckets_udf(dim, planes, tables)
     qtag = (left.select(F.col(id_col).alias("qid"),
                         F.posexplode(buckets(F.col(vec_col)))

@@ -65,3 +65,24 @@ def test_similarity_ops_on_empty(empty):
     v = empty["emb"]
     assert similarity.cosine_pairs(v, 0.5).count() == 0
     assert similarity.lsh_cosine_pairs(v, 0.5, dim=8).count() == 0
+
+
+def test_similarity_null_and_zero_vectors(spark):
+    """Null and all-zero embedding rows (failed encoder batches) are
+    EXCLUDED, not crashes: cosine against them is undefined, and before
+    drop_undefined they raised DIVIDE_BY_ZERO / Arrow-kernel errors in
+    every operator here."""
+    from rust_graph_db_spark.operators import similarity
+
+    rows = [(0, [1.0, 0.0, 0.0, 0.0]), (1, None), (2, [0.0] * 4),
+            (3, [1.0, 0.0, 0.0, 0.0])]
+    emb = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+
+    assert [(r.i, r.j) for r in
+            similarity.cosine_pairs(emb, 0.5).collect()] == [(0, 3)]
+    topk = similarity.cosine_topk(emb, [1.0, 0, 0, 0], k=3).collect()
+    assert [r.id for r in topk] == [0, 3]
+    assert [(r.i, r.j) for r in
+            similarity.lsh_cosine_pairs(emb, 0.5, dim=4).collect()] == [(0, 3)]
+    knn = similarity.knn_join(emb.where("vec_id < 2"), emb, k=2).collect()
+    assert [(r.qid, r.nid) for r in knn] == [(0, 3)]
