@@ -50,6 +50,7 @@ def _undirected_min_nbr(edges: DataFrame) -> DataFrame:
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("u"),
                       F.col(d).cast("long").alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .localCheckpoint(eager=True))
     return (e.unionAll(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
             .where(F.col("u") != F.col("v")).distinct())
@@ -104,6 +105,7 @@ def connected_components(edges: DataFrame, max_iter: int = 25,
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("u"),
                       F.col(d).cast("long").alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
          .localCheckpoint(eager=True))
     if e.count() <= driver_threshold:
         # Union-find tolerates duplicate and reversed pairs, so the raw
@@ -171,8 +173,9 @@ def duplicate_clusters(pairs: DataFrame, id_cols=("i", "j")) -> DataFrame:
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-vertex (id, out_deg, in_deg, deg) from a (src, dst) edge list."""
     s, d = _pair_cols(edges)
-    e = edges.select(F.col(s).cast("long").alias("src"),
-                     F.col(d).cast("long").alias("dst"))
+    e = (edges.select(F.col(s).cast("long").alias("src"),
+                      F.col(d).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
     out = e.groupBy(F.col("src").alias("id")).agg(F.count("*").alias("out_deg"))
     inn = e.groupBy(F.col("dst").alias("id")).agg(F.count("*").alias("in_deg"))
     return (out.join(inn, "id", "full")
@@ -290,6 +293,7 @@ def _pr_run(edges: DataFrame, copartition: Optional[bool], loop) -> DataFrame:
     spark = edges.sparkSession
     e = (edges.select(F.col(s).cast("long").alias("src"),
                       F.col(d).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .localCheckpoint(eager=True))
     n_edges = e.count()
     if copartition is None:
@@ -517,8 +521,9 @@ def random_walks(edges: DataFrame, walk_length: int = 10,
     independent given the current vertex).
     """
     s, d = _pair_cols(edges)
-    e = edges.select(F.col(s).cast("long").alias("src"),
-                     F.col(d).cast("long").alias("dst"))
+    e = (edges.select(F.col(s).cast("long").alias("src"),
+                      F.col(d).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
     # sort_array is load-bearing for the determinism contract:
     # collect_list's element ORDER is shuffle-fetch order, which Spark
     # does not guarantee across reruns/retries/cluster sizes — indexing
@@ -613,6 +618,7 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 8,
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("src"),
                       F.col(d).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .localCheckpoint(eager=True))
     verts = (e.select(F.col("src").alias("id"))
              .unionAll(e.select(F.col("dst").alias("id")))

@@ -28,7 +28,14 @@ from pyspark.sql import functions as F
 
 
 def _edges(e: DataFrame, direction: str) -> DataFrame:
-    """Normalize to (a, b) hop pairs for the requested direction."""
+    """Normalize to (a, b) hop pairs for the requested direction.
+
+    Null endpoints are dropped here: they carry no traversal semantics,
+    and the driver-side BFS/Dijkstra paths collect edges via Arrow —
+    a null in a long column coerces the whole pandas column to float64,
+    which then fails the LongType re-ingest (observed, not hypothetical).
+    """
+    e = e.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     out = e.select(F.col("src").alias("a"), F.col("dst").alias("b"))
     if direction == "out":
         return out
@@ -238,7 +245,11 @@ def weighted_shortest_distances(
                            F.col(weight_col).cast("double").alias("w")).unionAll(
             edges.select(F.col("dst"), F.col("src"), F.col(weight_col).cast("double")))
 
-    hop = hop.localCheckpoint(eager=True)  # pinned: joined every round
+    # null endpoints carry no path semantics, and they'd coerce the
+    # Arrow-collected id columns to float64 on the driver path (see
+    # _edges) — drop before the checkpoint
+    hop = (hop.where(F.col("a").isNotNull() & F.col("b").isNotNull())
+           .localCheckpoint(eager=True))  # pinned: joined every round
     if hop.count() <= driver_threshold:
         import heapq
         import math

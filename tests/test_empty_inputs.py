@@ -86,3 +86,29 @@ def test_similarity_null_and_zero_vectors(spark):
             similarity.lsh_cosine_pairs(emb, 0.5, dim=4).collect()] == [(0, 3)]
     knn = similarity.knn_join(emb.where("vec_id < 2"), emb, k=2).collect()
     assert [(r.qid, r.nid) for r in knn] == [(0, 3)]
+
+
+def test_graph_ops_drop_null_endpoints(spark):
+    """Null src/dst rows (dirty joins upstream) are dropped at edge
+    normalization in every graph operator — before the guard they
+    crashed the driver-BFS/Dijkstra paths (Arrow coerces a long column
+    with nulls to float64, failing the LongType re-ingest) and
+    random_walks (empty collect_list → pmod by zero), and polluted
+    degrees with phantom null-id rows."""
+    from rust_graph_db_spark.operators import graph_algos as ga
+    from rust_graph_db_spark.operators import traversal as tv
+
+    e = spark.createDataFrame([(1, 2), (2, None), (None, 3), (3, 1)],
+                              "src LONG, dst LONG")
+    assert sorted((r.id, r.dist) for r in
+                  tv.bfs_distances(e, [1], max_hops=3).collect()) \
+        == [(1, 0), (2, 1)]
+    w = e.selectExpr("src", "dst", "1.0 as weight")
+    assert sorted((r.id, r.dist) for r in
+                  tv.weighted_shortest_distances(w, 1).collect()) \
+        == [(1, 0.0), (2, 1.0)]
+    assert tv.shortest_path(e, 3, 2) == {"path": [3, 1, 2], "cost": 2,
+                                         "hops": 2}
+    assert ga.random_walks(e, 3).count() > 0
+    assert sorted(r.id for r in ga.degrees(e).collect()) == [1, 2, 3]
+    assert {r.id for r in ga.connected_components(e).collect()} == {1, 2, 3}
