@@ -338,3 +338,57 @@ def stream_curate(
     if trigger_available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def stream_gram_cms(
+    stream: DataFrame, state_dir: str,
+    text_col: str = "text", n: int = 2,
+    depth: int = 4, width: int = 1 << 21,
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = True,
+):
+    """Streaming heavy-hitter tracking: maintain a count-min sketch of
+    the corpus n-gram stream across micro-batches.
+
+    Per batch: sketch the batch's gram occurrences
+    (``sketches.cms_table`` — at most depth×width cells however large
+    the batch) and APPEND the cells to ``state_dir``. The durable
+    state is an append-only cell log; ``stream_cms_state`` merges on
+    read (CMS cells are sum-mergeable, so merge-on-read is exact and
+    the log needs no read-modify-write transaction — the same
+    append-only discipline as ``stream_exact_dedup``'s digest state,
+    and the property that makes this restart/replay-safe apart from
+    the standard duplicated-append-on-crash caveat documented there).
+    Readers needing compaction re-write the merged table; frequency
+    queries go through ``sketches.cms_estimate`` on the merged sketch.
+
+    This is what bounded-state streaming vocabulary/boilerplate
+    monitoring looks like at 100 TB: exact per-gram streaming counts
+    need unbounded state, the CMS log grows by ≤ batch-vocabulary
+    cells per batch and estimates never undercount.
+    """
+    from rust_graph_db_spark.operators.curation import ngram_stream
+    from rust_graph_db_spark.operators.sketches import cms_table
+
+    def sketch_batch(batch: DataFrame, batch_id: int) -> None:
+        grams = ngram_stream(batch, text_col, n)
+        cells = cms_table(grams, "gram", depth=depth, width=width)
+        (cells.withColumn("_batch_id", F.lit(batch_id).cast("long"))
+              .write.mode("append").parquet(state_dir))
+
+    writer = stream.writeStream.foreachBatch(sketch_batch) \
+                   .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
+def stream_cms_state(spark, state_dir: str) -> DataFrame:
+    """Merged CMS sketch from a ``stream_gram_cms`` cell log — exact
+    cell-for-cell sum over all appended batch sketches."""
+    cells = spark.read.parquet(state_dir)
+    return (cells.groupBy("d", "bucket")
+            .agg(F.sum("cnt").alias("cnt"),
+                 F.first("width").alias("width")))

@@ -277,3 +277,41 @@ def test_stream_upserts_bucketed_commits(spark, tmp_path):
         assert "Exchange" not in buf.getvalue()
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_stream_gram_cms_matches_batch_counts(spark, tmp_path):
+    """Streaming CMS: sketch cells appended per micro-batch, merged on
+    read, must estimate every bigram of the full (two-batch) corpus
+    exactly when width >> vocabulary — i.e. the stream sketch equals
+    the batch sketch of the union, which equals exact counts."""
+    from rust_graph_db_spark.operators.sketches import cms_estimate
+    from rust_graph_db_spark.streaming.ingest import (stream_cms_state,
+                                                      stream_gram_cms)
+
+    src = tmp_path / "cms_in"
+    src.mkdir()
+    b1 = [(0, "the cat sat"), (1, "the cat ran")]
+    b2 = [(2, "the cat sat"), (3, "a dog sat")]
+    spark.createDataFrame(b1, "doc_id LONG, text STRING") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+    spark.createDataFrame(b2, "doc_id LONG, text STRING") \
+        .coalesce(1).write.mode("append").parquet(str(src))
+
+    stream = spark.readStream.schema("doc_id LONG, text STRING") \
+        .parquet(str(src))
+    q = stream_gram_cms(stream, str(tmp_path / "cms_state"),
+                        width=1 << 18,
+                        checkpoint=str(tmp_path / "cms_ckpt"))
+    q.awaitTermination(60)
+
+    sketch = stream_cms_state(spark, str(tmp_path / "cms_state"))
+    exact: dict = {}
+    for _, text in b1 + b2:
+        toks = text.split()
+        for i in range(len(toks) - 1):
+            g = f"{toks[i]} {toks[i + 1]}"
+            exact[g] = exact.get(g, 0) + 1
+    grams = spark.createDataFrame([(g,) for g in exact], "gram STRING")
+    est = {r.gram: r.est
+           for r in cms_estimate(sketch, grams, "gram").collect()}
+    assert est == exact
