@@ -316,7 +316,17 @@ def _compile_func(ctx: _Ctx, e: FuncCall, df):
 def _vertex_df(ctx: _Ctx, var: str, label: Optional[str]) -> tuple:
     g = ctx.graph
     if label is not None:
-        vf = g.vertex_frame(label).withColumn("label", F.lit(label))
+        try:
+            vf = g.vertex_frame(label).withColumn("label", F.lit(label))
+        except KeyError:
+            # unknown label: openCypher — and the reference, whose
+            # label-prefix scan simply finds nothing
+            # (src/executor/match_executor.rs:76-77 over
+            # rocksdb_store scan_vertices) — yield an EMPTY match,
+            # not an error; property accesses on the binding resolve
+            # to NULL via the missing-property path
+            vf = (g.spark.createDataFrame([], "id LONG")
+                  .withColumn("label", F.lit(label)))
     else:
         vf = g.vertices()
     cols = {c: _flat(var, c) for c in vf.columns}
@@ -340,13 +350,22 @@ def _edge_df(ctx: _Ctx, var: str, label: Optional[str], direction: str) -> tuple
     """
     g = ctx.graph
     variants = []
+    try:
+        out_ef = g.edges(label) if label is not None else g.edges()
+        in_ef = (lambda: g.edges(label, join_key="dst") if label is not None
+                 else g.edges(join_key="dst"))
+    except KeyError:
+        # unknown edge label: empty match (openCypher + reference
+        # semantics, same as the vertex case above)
+        out_ef = g.spark.createDataFrame([], "id LONG, src LONG, dst LONG")
+        in_ef = lambda: out_ef  # noqa: E731
     if direction in ("out", "both"):
-        ef = g.edges(label) if label is not None else g.edges()
-        variants.append(ef.withColumn("_FROM", F.col("src")).withColumn("_TO", F.col("dst")))
+        variants.append(out_ef.withColumn("_FROM", F.col("src"))
+                        .withColumn("_TO", F.col("dst")))
     if direction in ("in", "both"):
-        efd = g.edges(label, join_key="dst") if label is not None \
-            else g.edges(join_key="dst")
-        variants.append(efd.withColumn("_FROM", F.col("dst")).withColumn("_TO", F.col("src")))
+        efd = in_ef()
+        variants.append(efd.withColumn("_FROM", F.col("dst"))
+                        .withColumn("_TO", F.col("src")))
     u = variants[0]
     for v in variants[1:]:
         u = u.unionByName(v)

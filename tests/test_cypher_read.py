@@ -236,3 +236,21 @@ def test_literal_arg_functions_dispatch(kg):
     assert rows[0]["s"] == [1, 2, 3]
     assert rows[0]["j"] == "b-a"
     assert rows[0]["d"] == "3"
+
+
+def test_unknown_labels_are_empty_matches(kg):
+    """Unknown vertex/edge labels yield EMPTY matches, not errors —
+    openCypher semantics, and the reference's behavior too (its
+    label-prefix scan simply finds nothing, match_executor.rs:76-77).
+    OPTIONAL MATCH against an unknown label yields null bindings."""
+    assert kg.cypher("MATCH (p:NoSuchLabel) RETURN p.name AS n").count() == 0
+    assert kg.cypher("MATCH (a:Person)-[r:NOSUCH]->(b:Person) "
+                     "RETURN a.name AS an").count() == 0
+    assert kg.cypher("MATCH (a:NoSuch)-[r:KNOWS]->(b:Person) "
+                     "RETURN b.name AS bn").count() == 0
+    assert kg.cypher("MATCH (a:Person)-[r:NOSUCH]-(b) "
+                     "RETURN count(*) AS c").first().c == 0
+    rows = kg.cypher(
+        "MATCH (p:Person) OPTIONAL MATCH (p)-[r:NOSUCH]->(q:Person) "
+        "RETURN p.name AS pn, q.name AS qn LIMIT 3").collect()
+    assert len(rows) == 3 and all(r.qn is None for r in rows)
