@@ -1660,6 +1660,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_personalized_pr": _q_personalized_pagerank,
         "g14_neighborhood": _q_neighborhood_function,
         "g15_walk_pairs": _q_walk_pairs,
+        # openCypher string predicates (r3-s3 extension; full oracle)
+        "p10_string_preds": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.name STARTS WITH 'Person1' "
+            "AND NOT p.name ENDS WITH '3' AND p.name CONTAINS '1' "
+            "RETURN p.name AS name"),
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2014,6 +2019,9 @@ def oracle_sql() -> dict[str, str]:
             "WHERE person.age = 25"),
         "g8_pagerank": _pagerank_oracle_sql(pre, iterations=8),
         "g13_personalized_pr": _ppr_oracle_sql(pre, source=0, iterations=6),
+        "p10_string_preds": pre + (
+            " SELECT name FROM person WHERE starts_with(name, 'Person1') "
+            "AND NOT ends_with(name, '3') AND contains(name, '1')"),
         "g9_degrees": pre + (
             " SELECT coalesce(o.id, i.id) AS id, "
             "coalesce(od, 0) AS out_deg, coalesce(ind, 0) AS in_deg, "

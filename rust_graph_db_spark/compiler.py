@@ -201,6 +201,20 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             return lc / rc, T.DoubleType()
         if op == "%":
             return lc % rc, _num_result(lt, rt)
+        # openCypher string predicates (extensions over the reference,
+        # which has none in its grammar — cypher.pest:212-223)
+        if op == "STARTS WITH":
+            return lc.startswith(rc), T.BooleanType()
+        if op == "ENDS WITH":
+            return lc.endswith(rc), T.BooleanType()
+        if op == "CONTAINS":
+            return lc.contains(rc), T.BooleanType()
+        if op == "=~":
+            # openCypher =~ matches the WHOLE string; regexp_like is an
+            # unanchored search, so anchor the pattern in a group
+            return (F.regexp_like(
+                lc, F.concat(F.lit("^(?:"), rc, F.lit(")$"))),
+                T.BooleanType())
         raise CypherCompileError(f"unsupported operator {op}")
 
     if isinstance(e, IsNull):

@@ -26,7 +26,7 @@ KEYWORDS = {
     "ASCENDING", "DESC", "DESCENDING", "LIMIT", "SKIP", "DISTINCT", "AND",
     "OR", "NOT", "XOR", "IN", "IS", "NULL", "TRUE", "FALSE", "CREATE",
     "DELETE", "DETACH", "SET", "AS", "UNWIND", "UNION", "ALL",
-    "INTERSECT", "EXCEPT",
+    "INTERSECT", "EXCEPT", "STARTS", "ENDS", "CONTAINS",
 }
 
 _TOKEN_RE = re.compile(
@@ -35,7 +35,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
-  | (?P<punct><=|>=|<>|!=|->|<-|\.\.|[()\[\]{},:.+\-*/%=<>|])
+  | (?P<punct>=~|<=|>=|<>|!=|->|<-|\.\.|[()\[\]{},:.+\-*/%=<>|])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -466,6 +466,20 @@ class Parser:
             elif self.at_kw("IN"):
                 self.advance()
                 left = InList(left, self._additive())
+            elif self.at_punct("=~"):
+                self.advance()
+                left = Binary("=~", left, self._additive())
+            elif self.at_kw("STARTS"):
+                self.advance()
+                self.eat_kw("WITH")
+                left = Binary("STARTS WITH", left, self._additive())
+            elif self.at_kw("ENDS"):
+                self.advance()
+                self.eat_kw("WITH")
+                left = Binary("ENDS WITH", left, self._additive())
+            elif self.at_kw("CONTAINS"):
+                self.advance()
+                left = Binary("CONTAINS", left, self._additive())
             else:
                 return left
 

@@ -254,3 +254,30 @@ def test_unknown_labels_are_empty_matches(kg):
         "MATCH (p:Person) OPTIONAL MATCH (p)-[r:NOSUCH]->(q:Person) "
         "RETURN p.name AS pn, q.name AS qn LIMIT 3").collect()
     assert len(rows) == 3 and all(r.qn is None for r in rows)
+
+
+def test_string_predicates(kg):
+    """STARTS WITH / ENDS WITH / CONTAINS / =~ (openCypher string
+    predicates; extensions — the reference grammar has none). =~ must
+    match the WHOLE string (anchored), not search."""
+    def c(q):
+        return kg.cypher(q).first().c
+
+    n_all = c("MATCH (p:Person) RETURN count(*) AS c")
+    n_sw = c("MATCH (p:Person) WHERE p.name STARTS WITH 'Person1' "
+             "RETURN count(*) AS c")
+    assert n_sw == sum(1 for i in range(n_all)
+                       if f"Person{i}".startswith("Person1"))
+    assert c("MATCH (p:Person) WHERE p.name ENDS WITH '9' "
+             "RETURN count(*) AS c") \
+        == sum(1 for i in range(n_all) if f"Person{i}".endswith("9"))
+    assert c("MATCH (p:Person) WHERE p.name CONTAINS 'son4' "
+             "RETURN count(*) AS c") \
+        == sum(1 for i in range(n_all) if "son4" in f"Person{i}")
+    # =~ is whole-string: a pattern matching only a suffix hits nothing
+    assert c("MATCH (p:Person) WHERE p.name =~ 'son1.' "
+             "RETURN count(*) AS c") == 0
+    assert c("MATCH (p:Person) WHERE p.name =~ 'Person1.' "
+             "RETURN count(*) AS c") \
+        == sum(1 for i in range(n_all) if len(f"Person{i}") == 8
+               and f"Person{i}".startswith("Person1"))
