@@ -293,6 +293,16 @@ def _compile_func(ctx: _Ctx, e: FuncCall, df):
         raise CypherCompileError(
             f"aggregate {name}() only allowed in RETURN/WITH items")
     # graph-aware functions need the binding, not the compiled arg
+    if (name == "keys" and len(e.args) == 1 and isinstance(e.args[0], Var)
+            and (b := ctx.env.get(e.args[0].name)) is not None
+            and b.kind in ("vertex", "edge")):
+        # keys(entity): property names, known at compile time from the
+        # binding — sorted for determinism (openCypher leaves order
+        # unspecified)
+        props = sorted(p for p in b.cols
+                       if p not in ("id", "src", "dst", "label"))
+        return (F.array(*[F.lit(p) for p in props]),
+                T.ArrayType(T.StringType()))
     if name in ("type", "id", "labels", "properties", "startnode", "endnode", "degree"):
         if len(e.args) != 1 or not isinstance(e.args[0], Var):
             raise CypherCompileError(f"{name}() expects a single variable")

@@ -57,7 +57,8 @@ def register_cypher_function(name: str, fn) -> None:
     """
     key = name.lower()
     if key in _CASTS or key in _PASSTHROUGH or key in (
-            "coalesce", "length", "size", "keys", "toupper", "tolower", "rand"):
+            "coalesce", "length", "size", "keys", "toupper", "tolower",
+            "rand", "range", "head", "last", "tail", "exists"):
         raise ValueError(f"cannot shadow built-in function {name!r}")
     _USER_FUNCS[key] = fn
 
@@ -90,6 +91,22 @@ def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
         return F.upper(args[0])
     if name == "tolower":
         return F.lower(args[0])
+    if name == "range":
+        # openCypher range(start, end[, step]) is END-INCLUSIVE, exactly
+        # Spark's sequence()
+        return F.sequence(*args)
+    if name == "head":
+        # try_: head([]) is NULL in openCypher, not an ANSI index error
+        return F.try_element_at(args[0], F.lit(1))
+    if name == "last":
+        return F.try_element_at(args[0], F.lit(-1))
+    if name == "tail":
+        return F.slice(args[0], F.lit(2),
+                       F.greatest(F.size(args[0]) - 1, F.lit(0)))
+    if name == "exists":
+        # openCypher exists(p.prop): a missing property compiled to
+        # NULL upstream, so null-ness IS the existence test
+        return args[0].isNotNull()
     if name == "rand":
         return F.rand(42)  # deterministic by default; seed fixed
     if name in _LITERAL_ARG_FUNCS:

@@ -281,3 +281,24 @@ def test_string_predicates(kg):
              "RETURN count(*) AS c") \
         == sum(1 for i in range(n_all) if len(f"Person{i}") == 8
                and f"Person{i}".startswith("Person1"))
+
+
+def test_list_and_existence_functions(kg):
+    """range/head/last/tail/exists/keys (openCypher list + existence
+    functions; extensions — the reference executes only aggregates).
+    Empty-list head/last are NULL, range is end-inclusive, keys() lists
+    entity property names."""
+    r = kg.cypher("UNWIND range(1, 5) AS x RETURN sum(x) AS s").first()
+    assert r.s == 15
+    assert kg.cypher("UNWIND range(0, 10, 2) AS x "
+                     "RETURN count(*) AS c").first().c == 6
+    row = kg.cypher("RETURN head([1,2,3]) AS h, last([1,2,3]) AS l, "
+                    "tail([1,2,3]) AS t, head([]) AS h0, "
+                    "tail([1]) AS t1").first()
+    assert (row.h, row.l, row.t, row.h0, row.t1) == (1, 3, [2, 3], None, [])
+    e = kg.cypher("MATCH (p:Person) RETURN exists(p.email) AS e, "
+                  "exists(p.nosuch) AS n LIMIT 1").first()
+    assert (e.e, e.n) == (True, False)
+    k = kg.cypher("MATCH (a:Person)-[r:KNOWS]->(b) "
+                  "RETURN keys(r) AS k LIMIT 1").first()
+    assert "since" in k.k and "id" not in k.k
