@@ -37,10 +37,10 @@ from pyspark.sql import types as T
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
     AGGREGATE_FUNCS, Binary, CaseExpr, Create, Delete, FuncCall, InList,
-    IsNull, ListLit, Literal, MapLit, Match, Merge, NodePattern, OrderItem,
-    PathPattern, Prop, Query, RelPattern, Return, ReturnItem, SetClause,
-    SetItem, Subscript, Unary, UnionQuery, Unwind, Var, With,
-    contains_aggregate,
+    IsNull, ListComp, ListLit, Literal, MapLit, Match, Merge, NodePattern,
+    OrderItem, PathPattern, Prop, Query, ReduceExpr, RelPattern, Return,
+    ReturnItem, SetClause, SetItem, Subscript, Unary, UnionQuery, Unwind,
+    Var, With, contains_aggregate,
 )
 
 SEP = "__"
@@ -76,6 +76,9 @@ class _Ctx:
         self.spark = graph.spark
         self.df: Optional[DataFrame] = None
         self.env: dict[str, Binding] = {}
+        # lambda-scoped variables (list comprehensions / reduce) — a
+        # stack of name -> Column bindings consulted BEFORE env
+        self.lambda_vars: dict[str, Column] = {}
         self._gensym = itertools.count()
         self.write_stats: dict[str, int] = {}
 
@@ -102,6 +105,25 @@ def _is_integral(dt) -> bool:
 
 # ------------------------------------------------------------ expression compile
 
+def _lambda_body(ctx: _Ctx, binds: dict, body, df) -> Column:
+    """Compile ``body`` with lambda variables bound — save/restore so
+    nested comprehensions and shadowing behave lexically."""
+    saved = {k: ctx.lambda_vars.get(k, _UNSET) for k in binds}
+    ctx.lambda_vars.update(binds)
+    try:
+        c, _ = compile_expr(ctx, body, df)
+        return c
+    finally:
+        for k, v in saved.items():
+            if v is _UNSET:
+                ctx.lambda_vars.pop(k, None)
+            else:
+                ctx.lambda_vars[k] = v
+
+
+_UNSET = object()
+
+
 def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
     """Compile an AST expression -> (Column, DataType|None)."""
     df = df if df is not None else ctx.df
@@ -119,6 +141,8 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
         return F.lit(v), T.StringType()
 
     if isinstance(e, Var):
+        if e.name in ctx.lambda_vars:
+            return ctx.lambda_vars[e.name], None
         b = ctx.env.get(e.name)
         if b is None:
             raise CypherCompileError(f"unbound variable: {e.name}")
@@ -128,6 +152,11 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
         return _entity_struct(b), None
 
     if isinstance(e, Prop):
+        if e.base in ctx.lambda_vars:
+            c = ctx.lambda_vars[e.base]
+            for pth in e.path:
+                c = c.getItem(pth)
+            return c, None
         b = ctx.env.get(e.base)
         if b is None:
             raise CypherCompileError(f"unbound variable: {e.base}")
@@ -153,6 +182,25 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             else:
                 dt = None
         return c, dt
+
+    if isinstance(e, ListComp):
+        src_c, _ = compile_expr(ctx, e.source, df)
+        col = src_c
+        if e.where is not None:
+            col = F.filter(col, lambda x: _lambda_body(
+                ctx, {e.var: x}, e.where, df).cast("boolean"))
+        if e.proj is not None:
+            col = F.transform(col, lambda x: _lambda_body(
+                ctx, {e.var: x}, e.proj, df))
+        return col, None
+
+    if isinstance(e, ReduceExpr):
+        src_c, _ = compile_expr(ctx, e.source, df)
+        init_c, _ = compile_expr(ctx, e.init, df)
+        return F.aggregate(
+            src_c, init_c,
+            lambda acc, x: _lambda_body(
+                ctx, {e.acc: acc, e.var: x}, e.body, df)), None
 
     if isinstance(e, Unary):
         c, dt = compile_expr(ctx, e.operand, df)

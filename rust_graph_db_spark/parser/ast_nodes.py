@@ -70,6 +70,26 @@ class InList:
 
 
 @dataclass(frozen=True)
+class ListComp:
+    """[var IN source WHERE where | proj] — openCypher list
+    comprehension (filter and/or map); where/proj may be None."""
+    var: str
+    source: object
+    where: object
+    proj: object
+
+
+@dataclass(frozen=True)
+class ReduceExpr:
+    """reduce(acc = init, var IN source | body)."""
+    acc: str
+    init: object
+    var: str
+    source: object
+    body: object
+
+
+@dataclass(frozen=True)
 class Subscript:
     """0-based list / key-based map subscript ``expr[i]`` (openCypher)."""
     base: "Expr"
@@ -109,6 +129,12 @@ def contains_aggregate(e: Expr) -> bool:
         return any(contains_aggregate(v) for _, v in e.pairs)
     if isinstance(e, Subscript):
         return contains_aggregate(e.base) or contains_aggregate(e.index)
+    if isinstance(e, ListComp):
+        return any(contains_aggregate(x) for x in
+                   (e.source, e.where, e.proj) if x is not None)
+    if isinstance(e, ReduceExpr):
+        return any(contains_aggregate(x) for x in
+                   (e.init, e.source, e.body))
     if isinstance(e, CaseExpr):
         return (
             (e.operand is not None and contains_aggregate(e.operand))

@@ -10,6 +10,7 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
+    ListComp, ReduceExpr,
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
     Literal, MapLit, Match, Merge, NodePattern, OrderItem, PathPattern, Prop,
     Query, RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript,
@@ -551,6 +552,19 @@ class Parser:
             if self.peek().kind == "punct" and self.peek().text == "(":
                 fname = self.advance().text.lower()
                 self.eat_punct("(")
+                if fname == "reduce":
+                    # reduce(acc = init, x IN xs | body)
+                    acc = self.advance().text
+                    self.eat_punct("=")
+                    init = self.expr()
+                    self.eat_punct(",")
+                    var = self.advance().text
+                    self.eat_kw("IN")
+                    source = self.expr()
+                    self.eat_punct("|")
+                    body = self.expr()
+                    self.eat_punct(")")
+                    return ReduceExpr(acc, init, var, source, body)
                 distinct = self.try_kw("DISTINCT")
                 if self.try_punct("*"):
                     self.eat_punct(")")
@@ -570,6 +584,18 @@ class Parser:
             return e
         if self.at_punct("["):
             self.advance()
+            # list comprehension: [x IN xs WHERE pred | expr] — the
+            # two-token lookahead (name then IN) disambiguates from a
+            # list literal whose first item is a variable
+            if (self.cur.kind == "name" and self.peek().kind == "kw"
+                    and self.peek().text.upper() == "IN"):
+                var = self.advance().text
+                self.advance()                      # IN
+                source = self.expr()
+                where = self.expr() if self.try_kw("WHERE") else None
+                proj = self.expr() if self.try_punct("|") else None
+                self.eat_punct("]")
+                return ListComp(var, source, where, proj)
             items = []
             if not self.at_punct("]"):
                 items.append(self.expr())

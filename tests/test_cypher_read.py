@@ -302,3 +302,27 @@ def test_list_and_existence_functions(kg):
     k = kg.cypher("MATCH (a:Person)-[r:KNOWS]->(b) "
                   "RETURN keys(r) AS k LIMIT 1").first()
     assert "since" in k.k and "id" not in k.k
+
+
+def test_list_comprehension_and_reduce(kg):
+    """[x IN xs WHERE p | e] and reduce(acc = init, x IN xs | body) —
+    openCypher list processing compiled to Catalyst higher-order
+    functions (filter/transform/aggregate). Covers filter-only,
+    map-only, both, nesting with variable shadowing, reduce over a
+    comprehension, and comprehension inside WHERE ... IN."""
+    def one(q):
+        return kg.cypher(q).first()[0]
+
+    assert one("RETURN [x IN range(1,5) WHERE x % 2 = 0 | x * 10] AS r") \
+        == [20, 40]
+    assert one("RETURN [x IN range(1,5) WHERE x > 3] AS r") == [4, 5]
+    assert one("RETURN [x IN range(1,5) | x + 1] AS r") == [2, 3, 4, 5, 6]
+    assert one("RETURN reduce(acc = 0, x IN range(1,5) | acc + x) AS s") == 15
+    assert one("RETURN reduce(s = '', w IN ['a','b','c'] | concat(s, w)) "
+               "AS cat") == "abc"
+    assert one("RETURN [x IN range(1,3) | [y IN range(1,x) | y * x]] "
+               "AS n") == [[1], [2, 4], [3, 6, 9]]
+    assert one("RETURN reduce(acc = 0, "
+               "x IN [v IN range(1,10) WHERE v % 3 = 0] | acc + x) AS s") == 18
+    assert one("MATCH (p:Person) WHERE p.age IN [x IN range(20, 24)] "
+               "RETURN count(*) AS c") > 0
