@@ -1665,6 +1665,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "MATCH (p:Person) WHERE p.name STARTS WITH 'Person1' "
             "AND NOT p.name ENDS WITH '3' AND p.name CONTAINS '1' "
             "RETURN p.name AS name"),
+        # list comprehension + reduce over per-row data (r3-s3; oracle
+        # via DuckDB list_filter/list_transform/list_reduce)
+        "p11_list_comp": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age % 20 = 0 "
+            "RETURN p.name AS name, "
+            "[x IN range(1, p.age) WHERE x % 7 = 0 | x * 2] AS sevens, "
+            "reduce(acc = 0, x IN range(1, 10) | acc + x * p.age) AS wsum "
+            "ORDER BY name"),
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2022,6 +2030,13 @@ def oracle_sql() -> dict[str, str]:
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),
+        "p11_list_comp": pre + (
+            " SELECT name, "
+            "list_transform(list_filter(generate_series(1, age), "
+            "x -> x % 7 = 0), x -> CAST(x * 2 AS BIGINT)) AS sevens, "
+            "list_reduce(list_transform(generate_series(1, 10), "
+            "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
+            "FROM person WHERE age % 20 = 0 ORDER BY name"),
         "g9_degrees": pre + (
             " SELECT coalesce(o.id, i.id) AS id, "
             "coalesce(od, 0) AS out_deg, coalesce(ind, 0) AS in_deg, "
