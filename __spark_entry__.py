@@ -1673,6 +1673,17 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "[x IN range(1, p.age) WHERE x % 7 = 0 | x * 2] AS sevens, "
             "reduce(acc = 0, x IN range(1, 10) | acc + x * p.age) AS wsum "
             "ORDER BY name"),
+        # all/any/none/single quantifiers (r3-s3 extension; full oracle
+        # via DuckDB list_filter counting — predicates are non-null, so
+        # counting is 3VL-equivalent; the null cases are pytest-covered)
+        "p12_quantifiers": _q_cypher_knows(
+            "MATCH (p:Person) WHERE p.age % 10 = 0 "
+            "RETURN p.name AS name, "
+            "all(x IN range(1, p.age) WHERE x > 0) AS all_pos, "
+            "any(x IN range(1, p.age) WHERE x % 37 = 0) AS any37, "
+            "none(x IN range(1, p.age) WHERE x > p.age) AS none_over, "
+            "single(x IN range(1, p.age) WHERE x * 2 = p.age) AS one_half "
+            "ORDER BY name"),
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2037,6 +2048,17 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p12_quantifiers": pre + (
+            " SELECT name, "
+            "len(list_filter(generate_series(1, age), x -> NOT x > 0)) = 0 "
+            "AS all_pos, "
+            "len(list_filter(generate_series(1, age), x -> x % 37 = 0)) > 0 "
+            "AS any37, "
+            "len(list_filter(generate_series(1, age), x -> x > age)) = 0 "
+            "AS none_over, "
+            "len(list_filter(generate_series(1, age), x -> x * 2 = age)) = 1 "
+            "AS one_half "
+            "FROM person WHERE age % 10 = 0 ORDER BY name"),
         "g9_degrees": pre + (
             " SELECT coalesce(o.id, i.id) AS id, "
             "coalesce(od, 0) AS out_deg, coalesce(ind, 0) AS in_deg, "

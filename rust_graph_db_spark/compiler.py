@@ -38,7 +38,8 @@ from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
     AGGREGATE_FUNCS, Binary, CaseExpr, Create, Delete, FuncCall, InList,
     IsNull, ListComp, ListLit, Literal, MapLit, Match, Merge, NodePattern,
-    OrderItem, PathPattern, Prop, Query, ReduceExpr, RelPattern, Return,
+    OrderItem, PathPattern, Prop, Quantifier, Query, ReduceExpr, RelPattern,
+    Return,
     ReturnItem, SetClause, SetItem, Subscript, Unary, UnionQuery, Unwind,
     Var, With, contains_aggregate,
 )
@@ -201,6 +202,34 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             src_c, init_c,
             lambda acc, x: _lambda_body(
                 ctx, {e.acc: acc, e.var: x}, e.body, df)), None
+
+    if isinstance(e, Quantifier):
+        # all/any/none/single(x IN xs WHERE p) with openCypher 3VL.
+        # Spark's exists/forall HOFs already implement the right
+        # three-valued semantics (exists: true > null > false;
+        # forall is the dual), so only `single` needs hand-built
+        # indeterminacy: one TRUE is conclusive only when no element
+        # evaluated to NULL, and >1 TRUE is conclusively false.
+        src_c, src_t = compile_expr(ctx, e.source, df)
+        if isinstance(src_t, T.NullType):
+            # missing property compiled to a typeless NULL literal —
+            # every quantifier over a NULL list is NULL
+            return F.lit(None).cast("boolean"), T.BooleanType()
+        pred = lambda x: _lambda_body(  # noqa: E731
+            ctx, {e.var: x}, e.where, df).cast("boolean")
+        if e.kind == "all":
+            return F.forall(src_c, pred), T.BooleanType()
+        if e.kind == "any":
+            return F.exists(src_c, pred), T.BooleanType()
+        if e.kind == "none":
+            return ~F.exists(src_c, pred), T.BooleanType()
+        ntrue = F.size(F.filter(src_c, pred))
+        nnull = F.size(F.filter(src_c, lambda x: pred(x).isNull()))
+        return (
+            F.when(src_c.isNull(), F.lit(None).cast("boolean"))
+            .when(ntrue > 1, F.lit(False))
+            .when(nnull > 0, F.lit(None).cast("boolean"))
+            .otherwise(ntrue == 1)), T.BooleanType()
 
     if isinstance(e, Unary):
         c, dt = compile_expr(ctx, e.operand, df)

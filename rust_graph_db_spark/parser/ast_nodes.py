@@ -90,6 +90,16 @@ class ReduceExpr:
 
 
 @dataclass(frozen=True)
+class Quantifier:
+    """all/any/none/single(var IN source WHERE where) — openCypher
+    list-predicate quantifiers (3-valued logic)."""
+    kind: str             # "all" | "any" | "none" | "single"
+    var: str
+    source: object
+    where: object
+
+
+@dataclass(frozen=True)
 class Subscript:
     """0-based list / key-based map subscript ``expr[i]`` (openCypher)."""
     base: "Expr"
@@ -135,6 +145,9 @@ def contains_aggregate(e: Expr) -> bool:
     if isinstance(e, ReduceExpr):
         return any(contains_aggregate(x) for x in
                    (e.init, e.source, e.body))
+    if isinstance(e, Quantifier):
+        return (contains_aggregate(e.source)
+                or contains_aggregate(e.where))
     if isinstance(e, CaseExpr):
         return (
             (e.operand is not None and contains_aggregate(e.operand))

@@ -10,7 +10,7 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
-    ListComp, ReduceExpr,
+    ListComp, ReduceExpr, Quantifier,
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
     Literal, MapLit, Match, Merge, NodePattern, OrderItem, PathPattern, Prop,
     Query, RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript,
@@ -544,6 +544,19 @@ class Parser:
             if up == "FALSE":
                 self.advance()
                 return Literal(False)
+            if (up == "ALL" and self.peek().kind == "punct"
+                    and self.peek().text == "("):
+                # ALL is a keyword only for UNION ALL; followed by "("
+                # it is the openCypher quantifier all(x IN xs WHERE p)
+                self.advance()
+                self.eat_punct("(")
+                var = self.advance().text
+                self.eat_kw("IN")
+                source = self.expr()
+                self.eat_kw("WHERE")
+                where = self.expr()
+                self.eat_punct(")")
+                return Quantifier("all", var, source, where)
             raise CypherSyntaxError(f"unexpected keyword {t.text} at {t.pos}")
         if t.kind == "name":
             if t.text.upper() == "CASE" and self._looks_like_case_body():
@@ -565,6 +578,21 @@ class Parser:
                     body = self.expr()
                     self.eat_punct(")")
                     return ReduceExpr(acc, init, var, source, body)
+                if (fname in ("all", "any", "none", "single")
+                        and self.cur.kind == "name"
+                        and self.peek().kind == "kw"
+                        and self.peek().text.upper() == "IN"):
+                    # quantifier: all/any/none/single(x IN xs WHERE p).
+                    # Only the `var IN` form is intercepted, so a
+                    # user-registered function of the same name keeps
+                    # working with ordinary arguments.
+                    var = self.advance().text
+                    self.advance()                  # IN
+                    source = self.expr()
+                    self.eat_kw("WHERE")
+                    where = self.expr()
+                    self.eat_punct(")")
+                    return Quantifier(fname, var, source, where)
                 distinct = self.try_kw("DISTINCT")
                 if self.try_punct("*"):
                     self.eat_punct(")")

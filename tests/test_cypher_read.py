@@ -326,3 +326,48 @@ def test_list_comprehension_and_reduce(kg):
                "x IN [v IN range(1,10) WHERE v % 3 = 0] | acc + x) AS s") == 18
     assert one("MATCH (p:Person) WHERE p.age IN [x IN range(20, 24)] "
                "RETURN count(*) AS c") > 0
+
+
+def test_quantifiers(kg):
+    """all/any/none/single(x IN xs WHERE p) — openCypher list-predicate
+    quantifiers with 3-valued logic, compiled to forall/exists
+    higher-order functions (single builds its indeterminacy from two
+    filtered sizes). Reference grammar has none of these (engine
+    extension); semantics follow the openCypher TCK."""
+    def one(q):
+        return kg.cypher(q).first()[0]
+
+    # conclusive cases
+    assert one("RETURN all(x IN [1,2,3] WHERE x > 0) AS r") is True
+    assert one("RETURN all(x IN [1,-2,3] WHERE x > 0) AS r") is False
+    assert one("RETURN any(x IN [1,2,3] WHERE x > 2) AS r") is True
+    assert one("RETURN any(x IN [1,2,3] WHERE x > 9) AS r") is False
+    assert one("RETURN none(x IN [1,2,3] WHERE x > 9) AS r") is True
+    assert one("RETURN none(x IN [1,2,3] WHERE x > 2) AS r") is False
+    assert one("RETURN single(x IN [1,2,3] WHERE x = 2) AS r") is True
+    assert one("RETURN single(x IN [1,2,2] WHERE x = 2) AS r") is False
+    assert one("RETURN single(x IN [1,3,5] WHERE x = 2) AS r") is False
+    # empty list: all/none vacuously true, any/single false
+    assert one("RETURN all(x IN [] WHERE x > 0) AS r") is True
+    assert one("RETURN none(x IN [] WHERE x > 0) AS r") is True
+    assert one("RETURN any(x IN [] WHERE x > 0) AS r") is False
+    assert one("RETURN single(x IN [] WHERE x > 0) AS r") is False
+    # 3VL: a NULL predicate is indeterminate unless another element
+    # already decides the outcome
+    assert one("RETURN all(x IN [1, null] WHERE x > 0) AS r") is None
+    assert one("RETURN all(x IN [-1, null] WHERE x > 0) AS r") is False
+    assert one("RETURN any(x IN [null, 5] WHERE x > 0) AS r") is True
+    assert one("RETURN any(x IN [null, -5] WHERE x > 0) AS r") is None
+    assert one("RETURN none(x IN [null, 5] WHERE x > 0) AS r") is False
+    assert one("RETURN single(x IN [1, null, 3] WHERE x > 2) AS r") is None
+    assert one("RETURN single(x IN [1, null, 3] WHERE x > 0) AS r") is False
+    # NULL list -> NULL
+    assert one("MATCH (p:Person) "
+               "RETURN all(x IN p.nosuch WHERE x > 0) AS r LIMIT 1") is None
+    # quantifier as a WHERE predicate over per-row data
+    assert one("MATCH (p:Person) "
+               "WHERE all(c IN split(p.name, '') WHERE c <> '@') "
+               "RETURN count(*) AS c") > 0
+    # nesting inside a comprehension
+    assert one("RETURN [xs IN [[1,2],[3,-4]] | "
+               "all(x IN xs WHERE x > 0)] AS r") == [True, False]
