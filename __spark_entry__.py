@@ -200,6 +200,23 @@ def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
                                  max_hops=6)
 
 
+def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g16: HyperBall harmonic centrality H(v) = Σ 1/d(v,u) over the
+    KNOWS graph (graph_algos.harmonic_centrality) — the closeness-
+    family ranking at sketch cost. Like g14, HLL estimates have no
+    portable SQL mirror, so rows-only; exactness-within-error is
+    pytest-proven against per-vertex BFS
+    (test_harmonic_centrality_vs_exact_bfs)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import \
+        harmonic_centrality
+
+    return (harmonic_centrality(_knows_raw_edges(spark, sf_dir),
+                                max_hops=6)
+            .select("id", F.round("harmonic", 2).alias("harmonic")))
+
+
 def _q_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g15: deterministic random walks → skip-gram co-occurrence
     counts (graph_algos.random_walks + walk_skipgram_pairs — the
@@ -1660,6 +1677,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g13_personalized_pr": _q_personalized_pagerank,
         "g14_neighborhood": _q_neighborhood_function,
         "g15_walk_pairs": _q_walk_pairs,
+        "g16_harmonic": _q_harmonic,
         # openCypher string predicates (r3-s3 extension; full oracle)
         "p10_string_preds": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.name STARTS WITH 'Person1' "

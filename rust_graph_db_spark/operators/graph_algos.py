@@ -652,3 +652,76 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 8,
             break
         prev = total
     return spark.createDataFrame(out, "hop INT, n_pairs LONG")
+
+
+def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
+                        lgk: int = 12) -> DataFrame:
+    """Approximate harmonic centrality via HyperBall (Boldi & Vigna,
+    2013, §5): H(v) = Σ_{u reachable from v, u≠v} 1 / d(v, u),
+    accumulated from successive ball-size differences,
+    H(v) = Σ_{t≥1} (|B(v,t)| − |B(v,t−1)|) / t.
+
+    Convention: OUTWARD harmonic centrality — balls grow along
+    out-edges, so H(v) scores how closely v reaches the rest of the
+    graph. For the inward variant (how closely the graph reaches v,
+    the common "centrality of a target" reading), pass the edge list
+    with src/dst swapped.
+
+    Returns ``(id, harmonic DOUBLE)``, one row per vertex.
+
+    100 TB shape: identical to ``neighborhood_function`` — one
+    fixed-size HLL register array per vertex (n·2^lgk bytes total
+    state, never materialized reachable sets), one frontier join and
+    one ``hll_union_agg`` groupBy per hop, both hash-keyed on vertex
+    id with map-side partial merging, ``localCheckpoint`` lineage
+    truncation per round, early exit when every ball saturates. The
+    running (est, harm) pair rides the aggregated frame as max()
+    aggregates (neighbor rows carry NULLs, so max() picks the one
+    self row — no extra join). Per-hop deltas inherit HLL error
+    (~1.04/√2^lgk) and are clamped at 0, since a sketch estimate can
+    jitter slightly downward between rounds; the pytest checks the
+    result against exact all-pairs BFS within that bound.
+    """
+    s, d = _pair_cols(edges)
+    e = (edges.select(F.col(s).cast("long").alias("src"),
+                      F.col(d).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .localCheckpoint(eager=True))
+    verts = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id")))
+             .distinct())
+    balls = (verts.groupBy("id")
+             .agg(F.hll_sketch_agg("id", F.lit(lgk)).alias("sk"))
+             .select("id", "sk",
+                     F.lit(1.0).alias("est"),      # |B(v,0)| = 1
+                     F.lit(0.0).alias("harm"))
+             .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    n = balls.count()
+    if n == 0:
+        return spark.createDataFrame([], "id LONG, harmonic DOUBLE")
+    prev_tot = float(n)                          # Σ|B(v,0)| = n
+    for h in range(1, max_hops + 1):
+        from_nbrs = (e.join(balls, e["dst"] == balls["id"])
+                     .select(e["src"].alias("id"), "sk",
+                             F.lit(None).cast("double").alias("est"),
+                             F.lit(None).cast("double").alias("harm")))
+        merged = (balls.unionAll(from_nbrs)
+                  .groupBy("id")
+                  .agg(F.hll_union_agg("sk", True).alias("sk"),
+                       F.max("est").alias("est_prev"),
+                       F.max("harm").alias("harm")))
+        balls = (merged.select(
+            "id", "sk",
+            F.hll_sketch_estimate("sk").cast("double").alias("est"),
+            (F.col("harm")
+             + F.greatest(
+                 F.hll_sketch_estimate("sk") - F.col("est_prev"),
+                 F.lit(0.0)) / F.lit(float(h))).alias("harm"))
+            .localCheckpoint(eager=True))
+        # early exit: total estimate unchanged → every ball saturated
+        tot = float(balls.agg(F.sum("est").alias("t")).first()["t"])
+        if tot <= prev_tot:
+            break
+        prev_tot = tot
+    return balls.select("id", F.col("harm").alias("harmonic"))

@@ -397,3 +397,45 @@ def test_neighborhood_function_vs_exact_bfs(spark):
         assert abs(got[h] - want) <= max(2, 0.05 * want), (h, got[h], want)
     # saturation: by hop 25 every ball is the full reachable set
     assert abs(got[25] - exact_nf(30)) <= max(2, 0.05 * exact_nf(30))
+
+
+def test_harmonic_centrality_vs_exact_bfs(spark):
+    """HyperBall harmonic centrality vs exact per-vertex BFS on the
+    same cycle+tail+bridge graph: H(v) = sum of 1/d(v,u) over vertices
+    reachable from v. Tiny balls at lgk=12 are near-exact, so the
+    tolerance is HLL-noise-sized; an isolated sink (102) must score 0."""
+    import collections
+
+    from rust_graph_db_spark.operators.graph_algos import \
+        harmonic_centrality
+
+    edges = ([(i, (i + 1) % 20) for i in range(20)]
+             + [(100, 101), (101, 102)]
+             + [(0, 100)])
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    out = collections.defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        out[s].add(d)
+        nodes |= {s, d}
+
+    def exact_h(v):
+        dist = {v: 0}
+        frontier = {v}
+        h = 0
+        while frontier:
+            h += 1
+            frontier = {w for u in frontier for w in out.get(u, ())
+                        if w not in dist}
+            for w in frontier:
+                dist[w] = h
+        return sum(1.0 / d_ for u, d_ in dist.items() if u != v)
+
+    got = {r.id: r.harmonic
+           for r in harmonic_centrality(df, max_hops=32).collect()}
+    assert set(got) == nodes
+    assert got[102] == 0.0
+    for v in nodes:
+        want = exact_h(v)
+        assert abs(got[v] - want) <= max(0.1, 0.05 * want), (v, got[v], want)
