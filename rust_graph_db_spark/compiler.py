@@ -185,7 +185,11 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
         return c, dt
 
     if isinstance(e, ListComp):
-        src_c, _ = compile_expr(ctx, e.source, df)
+        src_c, src_t = compile_expr(ctx, e.source, df)
+        if isinstance(src_t, T.NullType):
+            # missing property → typeless NULL literal, which the array
+            # HOFs reject at analysis; a comprehension over NULL is NULL
+            return F.lit(None), T.NullType()
         col = src_c
         if e.where is not None:
             col = F.filter(col, lambda x: _lambda_body(
@@ -196,7 +200,9 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
         return col, None
 
     if isinstance(e, ReduceExpr):
-        src_c, _ = compile_expr(ctx, e.source, df)
+        src_c, src_t = compile_expr(ctx, e.source, df)
+        if isinstance(src_t, T.NullType):
+            return F.lit(None), T.NullType()
         init_c, _ = compile_expr(ctx, e.init, df)
         return F.aggregate(
             src_c, init_c,
@@ -373,12 +379,22 @@ def _compile_func(ctx: _Ctx, e: FuncCall, df):
     if (name == "keys" and len(e.args) == 1 and isinstance(e.args[0], Var)
             and (b := ctx.env.get(e.args[0].name)) is not None
             and b.kind in ("vertex", "edge")):
-        # keys(entity): property names, known at compile time from the
-        # binding — sorted for determinism (openCypher leaves order
-        # unspecified)
-        props = sorted(p for p in b.cols
-                       if p not in ("id", "src", "dst", "label"))
-        return (F.array(*[F.lit(p) for p in props]),
+        # keys(entity): candidate names come from the binding schema,
+        # but presence is PER ROW (openCypher: only properties with
+        # non-null values) — essential on unlabeled matches, whose
+        # union schema carries every label's columns. src/dst are
+        # structural only on edges; a vertex property legitimately
+        # named src or dst is a real key. Sorted for determinism
+        # (openCypher leaves order unspecified).
+        structural = ("id", "src", "dst", "label") if b.kind == "edge" \
+            else ("id", "label")
+        props = sorted(p for p in b.cols if p not in structural)
+        if not props:
+            return (F.array().cast("array<string>"),
+                    T.ArrayType(T.StringType()))
+        present = F.array(*[
+            F.when(F.col(b.cols[p]).isNotNull(), F.lit(p)) for p in props])
+        return (F.filter(present, lambda x: x.isNotNull()),
                 T.ArrayType(T.StringType()))
     if name in ("type", "id", "labels", "properties", "startnode", "endnode", "degree"):
         if len(e.args) != 1 or not isinstance(e.args[0], Var):
@@ -457,8 +473,10 @@ def _edge_df(ctx: _Ctx, var: str, label: Optional[str], direction: str) -> tuple
                  else g.edges(join_key="dst"))
     except KeyError:
         # unknown edge label: empty match (openCypher + reference
-        # semantics, same as the vertex case above)
-        out_ef = g.spark.createDataFrame([], "id LONG, src LONG, dst LONG")
+        # semantics, same as the vertex case above); the label column
+        # must exist so type(r) compiles against the empty frame
+        out_ef = g.spark.createDataFrame(
+            [], "id LONG, src LONG, dst LONG, label STRING")
         in_ef = lambda: out_ef  # noqa: E731
     if direction in ("out", "both"):
         variants.append(out_ef.withColumn("_FROM", F.col("src"))

@@ -92,13 +92,26 @@ def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
     if name == "tolower":
         return F.lower(args[0])
     if name == "range":
-        # openCypher range(start, end[, step]) is END-INCLUSIVE, exactly
-        # Spark's sequence()
-        return F.sequence(*args)
+        # openCypher range(start, end[, step]) is END-INCLUSIVE like
+        # Spark's sequence(), but an empty progression (start past end
+        # in the step's direction) is [] — Spark would auto-negate the
+        # implicit step (sequence(2,1) == [2,1]) or raise on an
+        # explicit one, so guard with the direction test
+        step = args[2] if len(args) > 2 else F.lit(1)
+        ok = ((step > 0) & (args[0] <= args[1])) | \
+             ((step < 0) & (args[0] >= args[1]))
+        return F.when(ok, F.sequence(args[0], args[1], step)) \
+                .otherwise(F.array().cast("array<long>"))
     if name == "head":
-        # try_: head([]) is NULL in openCypher, not an ANSI index error
+        # try_: head([]) is NULL in openCypher, not an ANSI index
+        # error; a typeless NULL arg (missing property) would fail
+        # element_at's analysis, so short-circuit it
+        if (arg_types[0] or "") == "void":
+            return F.lit(None)
         return F.try_element_at(args[0], F.lit(1))
     if name == "last":
+        if (arg_types[0] or "") == "void":
+            return F.lit(None)
         return F.try_element_at(args[0], F.lit(-1))
     if name == "tail":
         return F.slice(args[0], F.lit(2),

@@ -33,6 +33,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from rust_graph_db_spark.functions.text import tokens
+
 from rust_graph_db_spark.operators.dedup import shingle_hash_rows
 
 
@@ -196,7 +198,7 @@ def _with_quality_stats(df: DataFrame, id_col: str, text_col: str):
     pushdown substitutes alias definitions into the predicate with no
     cost model, resurrecting per-element re-evaluation."""
     p1 = df.select(F.col(id_col), F.col(text_col),
-                   F.split(F.lower(F.col(text_col)), r"\s+").alias("_toks"))
+                   tokens(F.col(text_col)).alias("_toks"))
     p2 = p1.select(id_col, text_col, "_toks", bigrams().alias("_g2"))
     sw = F.array(*[F.lit(w) for w in _EN_STOPWORDS])
     tok_cnt = F.size("_toks")
@@ -384,7 +386,7 @@ def ngram_stream(df: DataFrame, text_col: str = "text",
     grams = F.expr(
         f"transform(sequence(1, greatest(size(_toks) - {n - 1}, 1)),"
         f" i -> concat_ws(' ', slice(_toks, i, {n})))")
-    return (df.select(F.split(F.lower(F.col(text_col)), r"\s+")
+    return (df.select(tokens(F.col(text_col))
                       .alias("_toks"))
             .select(F.explode(grams).alias("gram")))
 
@@ -433,7 +435,7 @@ def repetition_metrics(
                 ).cast("double")
 
     return (df.select(F.col(id_col),
-                      F.split(F.lower(F.col(text_col)), r"\s+")
+                      tokens(F.col(text_col))
                       .alias("_toks"))
             .select(F.col(id_col), "_toks", bigrams().alias("_g2"),
                     F.when(n <= 2, F.array(F.concat_ws(" ", "_toks")))

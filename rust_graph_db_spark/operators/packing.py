@@ -32,6 +32,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from rust_graph_db_spark.functions.text import tokens
+
 
 def global_cumsum(
     df: DataFrame, order_col: str, val_col: str,
@@ -84,7 +86,7 @@ def pack_sequences(
         raise ValueError("budget must be positive")
     toks = docs.select(
         F.col(id_col),
-        F.size(F.split(F.lower(F.col(text_col)), r"\s+"))
+        F.size(tokens(F.col(text_col)))
         .cast("long").alias("tok_cnt"))
     c = global_cumsum(toks, id_col, "tok_cnt", out_col="_cum")
     before = F.col("_cum") - F.col("tok_cnt")

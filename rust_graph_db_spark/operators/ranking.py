@@ -30,7 +30,12 @@ from pyspark.sql import functions as F
 
 
 def _tokens(text_col: str):
-    return F.split(F.lower(F.col(text_col)), r"\s+")
+    # the ONE corpus tokenizer — functions/text.py owns the expression
+    # (and documents its DuckDB mirror); ranking/packing/curation and
+    # the t9/t10/c4/k2 oracles all depend on it staying identical
+    from rust_graph_db_spark.functions.text import tokens
+
+    return tokens(F.col(text_col))
 
 
 def tfidf_top_terms(

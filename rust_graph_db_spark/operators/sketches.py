@@ -101,13 +101,26 @@ def cms_merge(*sketches: DataFrame) -> DataFrame:
     summing cells — the multi-batch/stream combine step. Geometry
     mismatch (different widths) raises rather than producing garbage
     counts."""
+    # Validate geometry PER INPUT before the union: width must match,
+    # and so must depth (max row index + 1) — a depth-4 sketch merged
+    # into a depth-8 one would leave rows d=4..7 holding only one
+    # side's counts, and the min-over-depth estimate would silently
+    # UNDERCOUNT the other side's items. Each probe is one tiny agg
+    # over a cell table of at most depth×width rows.
+    geos = [s.agg(F.max("width").alias("w"),
+                  F.max("d").alias("md")).first() for s in sketches]
+    geos = [g for g in geos if g["md"] is not None]   # empty: no cells
+    if not geos:
+        return sketches[0]
+    if len({(g["w"], g["md"]) for g in geos}) != 1:
+        raise ValueError(
+            "cannot merge sketches of different geometry: "
+            f"{sorted({(int(g['w']), int(g['md']) + 1) for g in geos})} "
+            "(width, depth)")
+    widths = [geos[0]["w"]]
     merged = sketches[0]
     for s in sketches[1:]:
         merged = merged.unionByName(s)
-    widths = [r.width for r in merged.select("width").distinct().collect()]
-    if len(widths) != 1:
-        raise ValueError(f"cannot merge sketches of different widths: "
-                         f"{sorted(widths)}")
     return (merged.groupBy("d", "bucket")
             .agg(F.sum("cnt").alias("cnt"))
             .withColumn("width", F.lit(int(widths[0])).cast("long")))

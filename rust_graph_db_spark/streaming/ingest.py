@@ -389,6 +389,17 @@ def stream_cms_state(spark, state_dir: str) -> DataFrame:
     """Merged CMS sketch from a ``stream_gram_cms`` cell log — exact
     cell-for-cell sum over all appended batch sketches."""
     cells = spark.read.parquet(state_dir)
+    # One writer query with fixed depth/width produces a uniform log;
+    # a log that mixes widths (e.g. two differently-configured streams
+    # pointed at one state_dir) would min-over-depth garbage, so fail
+    # loudly instead of letting first("width") pick one arbitrarily.
+    # (Depth is fixed by the writer's closure and not re-checkable
+    # here — the cell log carries no batch id.)
+    nw = cells.agg(F.count_distinct("width").alias("nw")).first()["nw"]
+    if nw > 1:
+        raise ValueError(
+            f"cell log at {state_dir} mixes {nw} sketch widths — "
+            "it was written by differently-configured streams")
     return (cells.groupBy("d", "bucket")
             .agg(F.sum("cnt").alias("cnt"),
                  F.first("width").alias("width")))

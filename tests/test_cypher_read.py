@@ -254,6 +254,11 @@ def test_unknown_labels_are_empty_matches(kg):
         "MATCH (p:Person) OPTIONAL MATCH (p)-[r:NOSUCH]->(q:Person) "
         "RETURN p.name AS pn, q.name AS qn LIMIT 3").collect()
     assert len(rows) == 3 and all(r.qn is None for r in rows)
+    # entity functions must compile against the empty fallback frame
+    # too — type(r) once raised KeyError because the fallback lacked
+    # the label column
+    assert kg.cypher("MATCH (a)-[r:NOSUCH]->(b) "
+                     "RETURN type(r) AS t, r.since AS s").count() == 0
 
 
 def test_string_predicates(kg):
@@ -371,3 +376,27 @@ def test_quantifiers(kg):
     # nesting inside a comprehension
     assert one("RETURN [xs IN [[1,2],[3,-4]] | "
                "all(x IN xs WHERE x > 0)] AS r") == [True, False]
+
+
+def test_null_list_and_range_edge_cases(kg):
+    """Review-fix battery: list machinery over a MISSING property
+    (typeless NULL literal) returns NULL instead of failing analysis;
+    range() with an empty progression is [] per openCypher, not
+    Spark sequence()'s auto-negated descent; keys(entity) reports
+    per-row presence, not the binding's union schema."""
+    r = kg.cypher(
+        "MATCH (p:Person) RETURN "
+        "head(p.nosuch) AS h, last(p.nosuch) AS l, tail(p.nosuch) AS t, "
+        "[x IN p.nosuch | x] AS lc, "
+        "[x IN p.nosuch WHERE x > 0] AS lf, "
+        "reduce(acc = 0, x IN p.nosuch | acc + x) AS rd "
+        "LIMIT 1").first()
+    assert (r.h, r.l, r.t, r.lc, r.lf, r.rd) == (None,) * 6
+    r2 = kg.cypher(
+        "RETURN range(2, 1) AS r0, range(5, 1, 1) AS r1, "
+        "range(5, 1, -2) AS r2, range(3, 3) AS r3").first()
+    assert r2.r0 == [] and r2.r1 == []
+    assert r2.r2 == [5, 3, 1] and r2.r3 == [3]
+    # keys(): a property that is NULL on this row is absent from keys
+    ks = kg.cypher("MATCH (p:Person) RETURN keys(p) AS k LIMIT 1").first().k
+    assert "name" in ks and "nosuch" not in ks

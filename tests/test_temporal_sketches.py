@@ -169,5 +169,11 @@ def test_cms_bounds_merge_and_exactness(spark):
     assert (sorted(map(tuple, merged.collect()))
             == sorted(map(tuple, tight.collect())))
     # geometry mismatch is an error, not garbage counts
-    with pytest.raises(ValueError, match="widths"):
+    with pytest.raises(ValueError, match="geometry"):
         cms_merge(tight, wide)
+    # depth mismatch at EQUAL width is the silent-undercount hazard:
+    # rows d=3 would hold only the deeper sketch's counts and
+    # min-over-depth would undercount the shallower side's items
+    with pytest.raises(ValueError, match="geometry"):
+        cms_merge(cms_table(h1, "v", depth=3, width=32),
+                  cms_table(h2, "v", depth=4, width=32))
