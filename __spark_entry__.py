@@ -380,6 +380,23 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
+def _aug_pii_text():
+    """The doc_id-dependent synthetic PII suffix as a Column expression
+    — ONE definition shared by the t4/t8/w12 Spark queries; its SQL
+    mirror is _AUG_PII_SQL (keep the two byte-equivalent)."""
+    from pyspark.sql import functions as F
+
+    d = F.col("doc_id")
+    return F.concat(
+        F.col("text"),
+        F.lit(" contact user"), d.cast("string"),
+        F.lit("@example.com at 10.2."), (d % 200).cast("string"),
+        F.lit("."), ((d * 7) % 250).cast("string"),
+        F.lit(" call 555-"), (d % 900 + 100).cast("string"),
+        F.lit("-4567 ref "), (d * 1000003 + 123456).cast("string"),
+    ).alias("text")
+
+
 def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t4: PII redaction — deterministic synthetic PII (email / IPv4 /
     phone / long id number, all functions of doc_id) is appended to
@@ -392,17 +409,9 @@ def _q_pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from rust_graph_db_spark.operators.curation import redact_pii
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    d = F.col("doc_id")
     aug = docs.select(
         "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"), d.cast("string"),
-            F.lit("@example.com at 10.2."), (d % 200).cast("string"),
-            F.lit("."), ((d * 7) % 250).cast("string"),
-            F.lit(" call 555-"), (d % 900 + 100).cast("string"),
-            F.lit("-4567 ref "), (d * 1000003 + 123456).cast("string"),
-        ).alias("text"))
+        _aug_pii_text())
     out = redact_pii(aug, "doc_id", "text")
     return out.select(
         "doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
@@ -555,17 +564,9 @@ def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = docs.select("doc_id", "text").unionAll(
         docs.where(F.col("doc_id") % 5 == 0)
             .select((F.col("doc_id") + 100000).alias("doc_id"), "text"))
-    d = F.col("doc_id")
     aug = base.select(
         "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"), d.cast("string"),
-            F.lit("@example.com at 10.2."), (d % 200).cast("string"),
-            F.lit("."), ((d * 7) % 250).cast("string"),
-            F.lit(" call 555-"), (d % 900 + 100).cast("string"),
-            F.lit("-4567 ref "), (d * 1000003 + 123456).cast("string"),
-        ).alias("text"))
+        _aug_pii_text())
     return (curate(aug)
             .select("doc_id", F.md5(F.col("clean_text")).alias("clean_md5"),
                     "split"))
@@ -593,17 +594,9 @@ def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     twins = docs.where(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + 100000).alias("doc_id"), "text")
     corpus = docs.unionByName(twins)
-    d = F.col("doc_id")
     corpus = corpus.select(
         "doc_id",
-        F.concat(
-            F.col("text"),
-            F.lit(" contact user"), d.cast("string"),
-            F.lit("@example.com at 10.2."), (d % 200).cast("string"),
-            F.lit("."), ((d * 7) % 250).cast("string"),
-            F.lit(" call 555-"), (d % 900 + 100).cast("string"),
-            F.lit("-4567 ref "), (d * 1000003 + 123456).cast("string"),
-        ).alias("text"))
+        _aug_pii_text())
 
     tmp = tempfile.mkdtemp(prefix="rgds_w12_")
     watch = f"{tmp}/in"
@@ -2719,12 +2712,7 @@ def _pii_redact_sql() -> str:
     the regexes on both engines)."""
     from rust_graph_db_spark.operators.curation import redact_pii_sql
 
-    aug = (
-        "text || ' contact user' || CAST(doc_id AS VARCHAR) || "
-        "'@example.com at 10.2.' || CAST(doc_id % 200 AS VARCHAR) || '.' "
-        "|| CAST((doc_id * 7) % 250 AS VARCHAR) || ' call 555-' || "
-        "CAST(doc_id % 900 + 100 AS VARCHAR) || '-4567 ref ' || "
-        "CAST(doc_id * 1000003 + 123456 AS VARCHAR)")
+    aug = _AUG_PII_SQL
     clean, counts = redact_pii_sql("text")
     names = ["n_email", "n_ipv4", "n_phone", "n_idnum"]
     cols = ", ".join(f"{c} AS {n}" for c, n in zip(counts, names))

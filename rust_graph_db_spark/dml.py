@@ -233,6 +233,16 @@ def apply_merge(ctx, clause) -> None:
             "variable is a no-op match in Cypher; rename the variable)")
     props = _literal_props(node.props)
     outer = ctx.df     # mid-query MERGE: merge standalone, then attach
+    if outer is not None and outer.limit(1).count() == 0:
+        # Cypher executes MERGE once per pipeline row: zero rows means
+        # zero executions — no node may be created as a side effect.
+        # Downstream clauses still need the variable bound, so attach
+        # an empty match of the right shape.
+        flat, binding = _vertex_df(ctx, var or "_merge", node.label)
+        ctx.df = outer.crossJoin(flat.limit(0))
+        if var is not None:
+            ctx.env[var] = binding
+        return
     ctx.df = None
 
     g = ctx.graph

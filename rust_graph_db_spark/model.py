@@ -89,7 +89,10 @@ class PropertyGraph:
             # fragments in storage.py — reject characters that would
             # break (or inject into) either before any data is keyed to
             # the label.
-            if not label or any(c in label for c in "'\"`\\/\x00\n\r\t"):
+            if (not label or label in (".", "..")
+                    or any(c in label for c in "'\"`\\/\x00\n\r\t")):
+                # "." / ".." would traverse: data/vN/edges/.. resolves
+                # to the version root and a write there tears the commit
                 raise ValueError(f"invalid label name: {label!r}")
             labid = len(self._labels) + 1
             if labid > MAX_LABID:

@@ -221,6 +221,11 @@ def _rule_conditions(t: dict) -> list[tuple[str, Column]]:
     ``_with_quality_stats`` — one source of truth for quality_filter,
     curate, and stream_curate."""
     return [
+        # first so a NULL document carries an explicit verdict: every
+        # other condition is NULL on NULL text, and without this rule
+        # array_compact would erase them all and report kept=true for
+        # a row the filtering paths (filter_redact/curate) drop
+        ("null_text", F.col("_tc").isNull()),
         ("min_tokens", F.col("_tc") < F.lit(int(t["min_tokens"]))),
         ("max_tokens", F.col("_tc") > F.lit(int(t["max_tokens"]))),
         ("stopword", F.col("_sw") < F.lit(float(t["min_stopword"]))),
@@ -300,6 +305,7 @@ def quality_filter_sql(
     mwl = (f"(CAST(length(regexp_replace({text}, '\\s', '', 'g')) AS DOUBLE)"
            f" / greatest({tok_cnt}, 1))")
     rules = [
+        ("null_text", f"{text} IS NULL"),
         ("min_tokens", f"{tok_cnt} < {int(t['min_tokens'])}"),
         ("max_tokens", f"{tok_cnt} > {int(t['max_tokens'])}"),
         ("stopword", f"{sw} < {float(t['min_stopword'])}"),

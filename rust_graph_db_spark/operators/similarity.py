@@ -610,6 +610,10 @@ def pq_codebooks(
                            .alias("h"))
                 .orderBy("h").limit(int(sample_size)).collect())
     X = np.array([list(r["v"]) for r in rows], dtype=np.float64)
+    if X.shape[0] < int(ksub):
+        raise ValueError(
+            f"PQ training needs at least ksub={ksub} vectors, "
+            f"got {X.shape[0]} — lower ksub or add data")
     dim = X.shape[1]
     if dim % m:
         raise ValueError(f"dim {dim} not divisible by m={m}")

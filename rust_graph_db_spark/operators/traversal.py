@@ -88,10 +88,15 @@ def bfs_distances(
     # source, so 10 sources over 1M edges costs like 10M — keep the
     # whole driver-side workload under the threshold, not just the
     # edge count (measured: Arrow transfer + dict BFS beats per-level
-    # distributed rounds up to ~2M edge-traversals).
-    starts = [r["id"] for r in src.collect()]
-    if (targets is None and starts
-            and hop.count() * len(starts) <= driver_threshold):
+    # distributed rounds up to ~2M edge-traversals). Gate on COUNTS
+    # before collecting any ids: a multi-million-source start frame
+    # must never be materialized on the driver just to be rejected.
+    n_starts = src.count()
+    starts = []
+    if (targets is None and n_starts
+            and hop.count() * n_starts <= driver_threshold):
+        starts = [r["id"] for r in src.collect()]
+    if starts:
         from collections import deque
 
         # Arrow transfer + list iteration: ~10× cheaper than collect()'s

@@ -99,8 +99,13 @@ def history(root: str) -> list[dict]:
         return []
     out = []
     for name in sorted(os.listdir(mdir)):
-        with open(os.path.join(mdir, name)) as f:
-            out.append(json.load(f))
+        if not (name.startswith("manifest-") and name.endswith(".json")):
+            continue                 # in-flight _tmp-* content files
+        try:
+            with open(os.path.join(mdir, name)) as f:
+                out.append(json.load(f))
+        except json.JSONDecodeError:
+            continue                 # empty claim of an in-flight/died commit
     return out
 
 
@@ -152,10 +157,36 @@ def save_graph(graph: PropertyGraph, root: str,
             f"store at {root!r} moved to version {latest} "
             f"(this graph loaded version {parent})")
     version = (latest if latest is not None else 0) + 1
+    commit_id = uuid.uuid4().hex
 
     os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
-    data_rel = f"data/v{version:06d}"
-    commit_id = uuid.uuid4().hex
+    # CLAIM the version number by exclusive-creating its manifest file
+    # (atomic on POSIX): two committers can never hold the same
+    # manifest path, so a losing racer can no longer overwrite a
+    # winner's already-published manifest. A claim that exists without
+    # a matching publish is a died (or still-in-flight) commit; its
+    # number is skipped — data paths are per-attempt unique, so
+    # nothing is shared with it.
+    for _ in range(64):
+        try:
+            os.close(os.open(_manifest_path(root, version),
+                             os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+            break
+        except FileExistsError:
+            cur = current_version(root)
+            if cur is not None and cur >= version:
+                raise CommitConflict(
+                    f"store at {root!r} moved during commit")
+            version += 1
+    else:
+        raise CommitConflict(
+            f"store at {root!r}: could not claim a version "
+            "(64 consecutive orphaned claims — clean _manifests/)")
+    # Per-attempt unique data directory: concurrent or retried commits
+    # never collide on paths, so no pre-write cleanup is ever needed
+    # and a racer can never delete another attempt's staged files.
+    # Loads follow the manifest-recorded rel, never the pattern.
+    data_rel = f"data/v{version:06d}-{commit_id[:8]}"
     layout: dict[str, dict] = {}
     # Schema DDL per data path, recorded in the manifest: loads never
     # infer from parquet footers (one less read per dataset, and an
@@ -181,11 +212,6 @@ def save_graph(graph: PropertyGraph, root: str,
     def _write(kind: str, label: str, df) -> str:
         rel = f"{data_rel}/{kind}/{label}"
         full = os.path.join(root, rel)
-        # A died-before-publish retry reuses this (unreferenced) version
-        # path; clear leftovers so the CTAS/parquet write starts clean.
-        if os.path.isdir(full):
-            import shutil
-            shutil.rmtree(full)
         if buckets:
             bkey = _BUCKET_KEY[kind]
             # Unique per invocation: concurrent save_graph calls in one
@@ -245,11 +271,17 @@ def save_graph(graph: PropertyGraph, root: str,
         manifest["layout"] = layout
     manifest["schemas"] = schemas
 
+    # Fill the claimed manifest atomically (temp + rename): readers of
+    # _manifests/ never observe half-written JSON, only the empty claim
+    # or the complete manifest (history() skips empty claims).
     mpath = _manifest_path(root, version)
-    with open(mpath, "w") as f:
+    fd, mtmp = tempfile.mkstemp(dir=os.path.join(root, "_manifests"),
+                                prefix=f"_tmp-{commit_id[:8]}.")
+    with os.fdopen(fd, "w") as f:
         json.dump(manifest, f, indent=1)
         f.flush()
         os.fsync(f.fileno())
+    os.replace(mtmp, mpath)
 
     # last-writer check right before publish (best-effort on local FS;
     # on an object store this would be a conditional put)
@@ -322,6 +354,43 @@ def vacuum(root: str, keep_last: int = 2,
         mpath = _manifest_path(root, m["version"])
         os.remove(mpath)
         deleted.append(os.path.relpath(mpath, root))
+    # sweep staging tables leaked by crashed commits: the temp name is
+    # per-invocation unique (so live committers never collide), which
+    # also means a commit that died between saveAsTable and its
+    # finally-DROP leaves an orphan catalog entry no retry can name.
+    # vacuum is the documented quiesced-maintenance op, so dropping
+    # every rgdb_stage_* registration here is safe (external tables —
+    # data files are never touched; a referenced dataset keeps serving
+    # through its rgdb_b_* read-side registration).
+    if spark is not None:
+        for row in spark.sql("SHOW TABLES LIKE 'rgdb_stage_*'").collect():
+            spark.sql(f"DROP TABLE IF EXISTS `{row['tableName']}`")
+    # sweep orphaned claims and temp content files: an empty (or
+    # half-written) manifest BELOW the published version can only be a
+    # died commit's leftover — an in-flight claim is always above
+    # _LATEST at claim time, and even if one is swept mid-commit its
+    # atomic content rename recreates the file, after which its publish
+    # fails the last-writer check (no corruption either way)
+    mdir = os.path.join(root, "_manifests")
+    for name in os.listdir(mdir):
+        p = os.path.join(mdir, name)
+        if name.startswith("_tmp-"):
+            os.remove(p)
+            deleted.append(os.path.relpath(p, root))
+            continue
+        if name.startswith("manifest-") and name.endswith(".json"):
+            try:
+                v = int(name[len("manifest-"):-len(".json")])
+            except ValueError:
+                continue
+            if v >= latest:
+                continue
+            try:
+                with open(p) as f:
+                    json.load(f)
+            except json.JSONDecodeError:
+                os.remove(p)
+                deleted.append(os.path.relpath(p, root))
     # prune now-empty data/v* shells
     ddir = os.path.join(root, "data")
     if os.path.isdir(ddir):

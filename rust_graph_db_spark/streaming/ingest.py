@@ -106,6 +106,28 @@ def stream_edge_upserts(
     return writer.start()
 
 
+def _dedup_against_state(df: DataFrame, state_dir: str, id_col: str):
+    """Shared stateful-dedup core for the foreachBatch bodies: keep the
+    min-``id_col`` row per in-batch ``_digest``, then anti-join the
+    durable SEEN set. Only a MISSING state path (batch 0) is tolerated;
+    any other read failure (permissions, corrupt files, transient
+    store errors) must fail the batch — silently skipping the anti-join
+    would re-ingest every previously-seen document with no error."""
+    from pyspark.errors import AnalysisException
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("_digest").orderBy(F.col(id_col))
+    df = (df.withColumn("_rn", F.row_number().over(w))
+          .where(F.col("_rn") == 1).drop("_rn"))
+    try:
+        seen = df.sparkSession.read.parquet(state_dir).select("_digest")
+        return df.join(seen, "_digest", "left_anti")
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
+            return df                            # no state yet: batch 0
+        raise
+
+
 def stream_exact_dedup(
     stream: DataFrame, out_dir: str, state_dir: str,
     id_col: str = "doc_id", text_col: str = "text",
@@ -137,18 +159,8 @@ def stream_exact_dedup(
     Returns the StreamingQuery.
     """
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window as W
-
-        spark = batch.sparkSession
         b = batch.withColumn("_digest", F.md5(F.col(text_col)))
-        w = W.partitionBy("_digest").orderBy(F.col(id_col))
-        b = (b.withColumn("_rn", F.row_number().over(w))
-              .where(F.col("_rn") == 1).drop("_rn"))
-        try:
-            seen = spark.read.parquet(state_dir).select("_digest")
-            b = b.join(seen, "_digest", "left_anti")
-        except Exception:
-            pass                                 # no state yet: batch 0
+        b = _dedup_against_state(b, state_dir, id_col)
         b = (b.withColumn("_batch_id", F.lit(batch_id).cast("long"))
               .localCheckpoint(eager=True))      # freeze before writing
         b.drop("_digest").write.mode("append").parquet(out_dir)
@@ -311,19 +323,9 @@ def stream_curate(
                                                         hash_split)
 
     def curate_batch(batch: DataFrame, batch_id: int) -> None:
-        from pyspark.sql import Window as W
-
-        spark = batch.sparkSession
         red = (filter_redact(batch, id_col, text_col, thresholds)
                .withColumn("_digest", F.md5(F.col("clean_text"))))
-        w = W.partitionBy("_digest").orderBy(F.col(id_col))
-        red = (red.withColumn("_rn", F.row_number().over(w))
-               .where(F.col("_rn") == 1).drop("_rn"))
-        try:
-            seen = spark.read.parquet(state_dir).select("_digest")
-            red = red.join(seen, "_digest", "left_anti")
-        except Exception:
-            pass                                 # no state yet: batch 0
+        red = _dedup_against_state(red, state_dir, id_col)
         out = (hash_split(red, id_col)
                .withColumn("_batch_id", F.lit(batch_id).cast("long"))
                .localCheckpoint(eager=True))     # freeze before writing

@@ -147,6 +147,16 @@ def test_merge_node_after_match_creates_once(g):
     assert g.vertex_frame("City").count() == 1
 
 
+def test_merge_node_after_zero_row_match_creates_nothing(g):
+    # Cypher runs MERGE once per pipeline row: zero rows = zero
+    # executions — no side-effect node, and the query returns no rows
+    out = g.cypher("MATCH (p:Person {name: 'Nobody'}) "
+                   "MERGE (q:City {name: 'Oslo'}) "
+                   "RETURN p.name AS pn, q.name AS qn").collect()
+    assert out == []
+    assert "City" not in g._vertices or g.vertex_frame("City").count() == 0
+
+
 def test_merge_node_after_match_binds_existing(g):
     g.cypher("CREATE (c:City {name: 'Rome', pop: 3})").collect()
     out = g.cypher("MATCH (p:Person {name:'Alice'}) "

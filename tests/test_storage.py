@@ -85,7 +85,10 @@ def test_incremental_commit_reuses_clean_labels(spark, tmp_path):
     m1, m2 = history(root)
     assert m2["edges"]["KNOWS"] == m1["edges"]["KNOWS"]          # reused path
     assert m2["vertices"]["Person"] != m1["vertices"]["Person"]  # rewritten
-    assert not os.path.isdir(os.path.join(root, "data/v000002/edges"))
+    # no v2 edges dir exists anywhere (the data dir name carries a
+    # per-attempt commit-id suffix)
+    import glob
+    assert not glob.glob(os.path.join(root, "data", "v000002-*", "edges"))
 
 
 def test_commit_conflict_detected(spark, tmp_path):
@@ -134,8 +137,9 @@ def test_vacuum_respects_references(spark, tmp_path):
 
     deleted = vacuum(root, keep_last=1)
     # v1's Person data + old manifests dropped; v1's KNOWS dir SURVIVES
-    # because v3's manifest still references it
-    assert any("v000001/vertices/Person" in d for d in deleted)
+    # because v3's manifest still references it (data dirs carry a
+    # per-attempt commit-id suffix, so match on the structure)
+    assert any("v000001-" in d and "vertices/Person" in d for d in deleted)
     assert not any("KNOWS" in d for d in deleted)
     assert [m["version"] for m in history(root)] == [3]
     g4 = load_graph(spark, root)
@@ -480,3 +484,37 @@ def test_snapshot_diff_skips_clean_labels(spark, tmp_path):
         ("vertices", "Person", "updated")}
     # the clean edge label's path never enters the plan
     assert "edges/KNOWS" not in diff._jdf.queryExecution().toString()
+
+
+def test_orphan_claim_skipped_and_vacuumed(spark, tmp_path):
+    """A died commit leaves an empty claimed manifest; the next commit
+    must skip that version number (never overwrite the claim) and
+    vacuum must sweep claims below the published version."""
+    import glob
+
+    from rust_graph_db_spark.storage import _manifest_path, vacuum
+
+    root = str(tmp_path / "store")
+    save_graph(_small_graph(spark), root)                   # v1
+    # simulate a commit that claimed v2 and died before publishing
+    open(_manifest_path(root, 2), "w").close()
+    g2 = load_graph(spark, root)
+    g2.cypher("MATCH (p:Person {name:'A'}) SET p.age = 9").collect()
+    assert save_graph(g2, root) == 3                        # v2 skipped
+    assert current_version(root) == 3
+    assert [m["version"] for m in history(root)] == [1, 3]  # claim invisible
+    assert load_graph(spark, root).cypher(
+        "MATCH (p:Person {name:'A'}) RETURN p.age AS a").first().a == 9
+    # the orphan claim (now below _LATEST) is swept by vacuum
+    vacuum(root, keep_last=5)
+    assert not os.path.exists(_manifest_path(root, 2))
+    # and real manifests survived
+    assert [m["version"] for m in history(root)] == [1, 3]
+
+
+def test_path_traversal_labels_rejected(spark):
+    g = PropertyGraph(spark)
+    df = spark.createDataFrame([(1,)], "k long")
+    for bad in ("..", ".", "a/b", "a'b"):
+        with pytest.raises(ValueError):
+            g.put_vertices(bad, df, locid_col="k")
