@@ -1687,6 +1687,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # all/any/none/single quantifiers (r3-s3 extension; full oracle
         # via DuckDB list_filter counting — predicates are non-null, so
         # counting is 3VL-equivalent; the null cases are pytest-covered)
+        # EXISTS {} existential subqueries (r3-s3 extension; full
+        # oracle via DuckDB correlated EXISTS)
+        "p13_exists": _q_cypher_knows(
+            "MATCH (a:Person) WHERE a.active "
+            "AND EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
+            "AND NOT EXISTS { (a)-[:KNOWS]->(:Person {city: 'SF'}) } "
+            "RETURN a.name AS name, a.age AS age"),
         "p12_quantifiers": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.age % 10 = 0 "
             "RETURN p.name AS name, "
@@ -2059,6 +2066,12 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p13_exists": pre + (
+            " SELECT p1.name, p1.age FROM person p1 WHERE p1.active "
+            "AND EXISTS (SELECT 1 FROM knows k JOIN person p2 "
+            "ON k.dst = p2.key WHERE k.src = p1.key AND p2.age > p1.age) "
+            "AND NOT EXISTS (SELECT 1 FROM knows k JOIN person p2 "
+            "ON k.dst = p2.key WHERE k.src = p1.key AND p2.city = 'SF')"),
         "p12_quantifiers": pre + (
             " SELECT name, "
             "len(list_filter(generate_series(1, age), x -> NOT x > 0)) = 0 "

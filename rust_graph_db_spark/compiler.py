@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
-    AGGREGATE_FUNCS, Binary, CaseExpr, Create, Delete, FuncCall, InList,
+    AGGREGATE_FUNCS, Binary, CaseExpr, Create, Delete, ExistsSubquery,
+    FuncCall, InList,
     IsNull, ListComp, ListLit, Literal, MapLit, Match, Merge, NodePattern,
     OrderItem, PathPattern, Prop, Quantifier, Query, ReduceExpr, RelPattern,
     Return,
@@ -208,6 +209,12 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             src_c, init_c,
             lambda acc, x: _lambda_body(
                 ctx, {e.acc: acc, e.var: x}, e.body, df)), None
+
+    if isinstance(e, ExistsSubquery):
+        raise CypherCompileError(
+            "EXISTS { pattern } is supported as a top-level WHERE "
+            "conjunct (optionally under NOT); it cannot appear nested "
+            "in other expressions or in RETURN/WITH items")
 
     if isinstance(e, Quantifier):
         # all/any/none/single(x IN xs WHERE p) with openCypher 3VL.
@@ -615,6 +622,44 @@ def _merge_frames(left: DataFrame, lenv: dict, right: DataFrame, renv: dict,
     return joined, env
 
 
+def _split_and(e) -> list:
+    """Flatten a top-level AND tree into its conjuncts."""
+    if isinstance(e, Binary) and e.op == "AND":
+        return _split_and(e.left) + _split_and(e.right)
+    return [e]
+
+
+def _apply_exists(ctx: _Ctx, sub: ExistsSubquery, anti: bool) -> None:
+    """EXISTS {...} as a WHERE conjunct → left-semi join (NOT EXISTS →
+    left-anti) of the pipeline against the correlated inner match.
+
+    The pipeline gets a pinned row id (localCheckpoint — the id column
+    is referenced on BOTH sides of the join, and an unpinned
+    monotonically_increasing_id could be recomputed with different
+    values per branch); the inner pattern compiles through the normal
+    match path with the OUTER env visible, so shared variables
+    correlate as ordinary equi-joins — the openCypher correlated
+    subquery is exactly Spark's semi-join shape, no subquery expression
+    machinery needed. Scale: the semi join shuffles only the row id +
+    join keys of the inner side.
+    """
+    if ctx.df is None:
+        raise CypherCompileError(
+            "EXISTS {} requires an enclosing MATCH pipeline")
+    rid = ctx.sym("_rid")
+    base = (ctx.df.withColumn(rid, F.monotonically_increasing_id())
+            .localCheckpoint(eager=True))
+    saved_env = dict(ctx.env)
+    ctx.df = base
+    try:
+        _apply_match(ctx, Match(sub.patterns, sub.where, False))
+        matched = ctx.df.select(rid).distinct()
+    finally:
+        ctx.env = saved_env
+    ctx.df = base.join(matched, rid,
+                       "left_anti" if anti else "left_semi").drop(rid)
+
+
 def _apply_match(ctx: _Ctx, m: Match) -> None:
     hint = dict(ctx.env)
     pdf_all, penv_all = None, {}
@@ -641,8 +686,21 @@ def _apply_match(ctx: _Ctx, m: Match) -> None:
         ctx.df, ctx.env = _merge_frames(ctx.df, ctx.env, pdf_all, penv_all, how)
 
     if m.where is not None and not m.optional:
-        cond, _ = compile_expr(ctx, m.where)
-        ctx.df = ctx.df.where(cond)
+        residual = []
+        for conj in _split_and(m.where):
+            if isinstance(conj, ExistsSubquery):
+                _apply_exists(ctx, conj, anti=False)
+            elif (isinstance(conj, Unary) and conj.op == "NOT"
+                    and isinstance(conj.operand, ExistsSubquery)):
+                _apply_exists(ctx, conj.operand, anti=True)
+            else:
+                residual.append(conj)
+        if residual:
+            cond = residual[0]
+            for r in residual[1:]:
+                cond = Binary("AND", cond, r)
+            c, _ = compile_expr(ctx, cond)
+            ctx.df = ctx.df.where(c)
 
 
 # ----------------------------------------------------------------- projection

@@ -90,6 +90,15 @@ class ReduceExpr:
 
 
 @dataclass(frozen=True)
+class ExistsSubquery:
+    """EXISTS { [MATCH] pattern [, pattern ...] [WHERE expr] } —
+    openCypher existential pattern subquery, correlated through
+    variables shared with the enclosing scope."""
+    patterns: tuple           # tuple[PathPattern, ...]
+    where: object = None
+
+
+@dataclass(frozen=True)
 class Quantifier:
     """all/any/none/single(var IN source WHERE where) — openCypher
     list-predicate quantifiers (3-valued logic)."""
@@ -148,6 +157,8 @@ def contains_aggregate(e: Expr) -> bool:
     if isinstance(e, Quantifier):
         return (contains_aggregate(e.source)
                 or contains_aggregate(e.where))
+    if isinstance(e, ExistsSubquery):
+        return False          # aggregates are not allowed inside
     if isinstance(e, CaseExpr):
         return (
             (e.operand is not None and contains_aggregate(e.operand))

@@ -400,3 +400,40 @@ def test_null_list_and_range_edge_cases(kg):
     # keys(): a property that is NULL on this row is absent from keys
     ks = kg.cypher("MATCH (p:Person) RETURN keys(p) AS k LIMIT 1").first().k
     assert "name" in ks and "nosuch" not in ks
+
+
+def test_exists_subqueries(kg, oracle):
+    """EXISTS { pattern [WHERE ...] } / NOT EXISTS — openCypher
+    existential subqueries compiled to left-semi/anti joins on a
+    pinned row id; correlation through shared variables is the normal
+    equi-join path. Verified against DuckDB EXISTS on the same data."""
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE EXISTS { (a)-[:KNOWS]->(b:Person) "
+            "WHERE b.age > 75 } RETURN a.name AS name"),
+        "SELECT p1.name FROM person p1 WHERE EXISTS ("
+        "SELECT 1 FROM knows k JOIN person p2 ON k.dst = p2.key "
+        "WHERE k.src = p1.key AND p2.age > 75)")
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE a.active AND NOT EXISTS { "
+            "MATCH (a)-[:KNOWS]->(b:Person) WHERE b.city = a.city } "
+            "RETURN count(*) AS c"),
+        "SELECT count(*) FROM person p1 WHERE p1.active AND NOT EXISTS ("
+        "SELECT 1 FROM knows k JOIN person p2 ON k.dst = p2.key "
+        "WHERE k.src = p1.key AND p2.city = p1.city)")
+    # EXISTS combined with ordinary conjuncts; the function form
+    # exists(prop) is unaffected by the subquery form
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE a.age > 50 AND exists(a.email) "
+            "AND EXISTS { (a)-[:KNOWS]->(:Person) } "
+            "RETURN count(*) AS c"),
+        "SELECT count(*) FROM person p1 WHERE p1.age > 50 "
+        "AND p1.email IS NOT NULL AND EXISTS ("
+        "SELECT 1 FROM knows k WHERE k.src = p1.key)")
+    # unsupported positions fail with a clear message
+    from rust_graph_db_spark.compiler import CypherCompileError
+    with pytest.raises(CypherCompileError, match="EXISTS"):
+        kg.cypher("MATCH (a:Person) "
+                  "RETURN EXISTS { (a)-[:KNOWS]->() } AS e").collect()
