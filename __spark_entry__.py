@@ -1694,6 +1694,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
             "AND NOT EXISTS { (a)-[:KNOWS]->(:Person {city: 'SF'}) } "
             "RETURN a.name AS name, a.age AS age"),
+        # COUNT {} per-row match-count subqueries (r3-s3 extension;
+        # full oracle via DuckDB correlated scalar subquery)
+        "p14_count_sub": _q_cypher_knows(
+            "MATCH (a:Person) WHERE a.age % 4 = 0 "
+            "RETURN a.name AS name, "
+            "COUNT { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
+            "AS older_friends"),
         "p12_quantifiers": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.age % 10 = 0 "
             "RETURN p.name AS name, "
@@ -2066,6 +2073,11 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p14_count_sub": pre + (
+            " SELECT p1.name, (SELECT count(*) FROM knows k "
+            "JOIN person p2 ON k.dst = p2.key "
+            "WHERE k.src = p1.key AND p2.age > p1.age) AS older_friends "
+            "FROM person p1 WHERE p1.age % 4 = 0"),
         "p13_exists": pre + (
             " SELECT p1.name, p1.age FROM person p1 WHERE p1.active "
             "AND EXISTS (SELECT 1 FROM knows k JOIN person p2 "

@@ -36,8 +36,8 @@ from pyspark.sql import types as T
 
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
-    AGGREGATE_FUNCS, Binary, CaseExpr, Create, Delete, ExistsSubquery,
-    FuncCall, InList,
+    AGGREGATE_FUNCS, Binary, CaseExpr, CountSubquery, Create, Delete,
+    ExistsSubquery, FuncCall, InList,
     IsNull, ListComp, ListLit, Literal, MapLit, Match, Merge, NodePattern,
     OrderItem, PathPattern, Prop, Quantifier, Query, ReduceExpr, RelPattern,
     Return,
@@ -215,6 +215,11 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             "EXISTS { pattern } is supported as a top-level WHERE "
             "conjunct (optionally under NOT); it cannot appear nested "
             "in other expressions or in RETURN/WITH items")
+
+    if isinstance(e, CountSubquery):
+        raise CypherCompileError(
+            "COUNT { pattern } is supported in MATCH ... WHERE and in "
+            "RETURN/WITH items, not in this position")
 
     if isinstance(e, Quantifier):
         # all/any/none/single(x IN xs WHERE p) with openCypher 3VL.
@@ -622,6 +627,32 @@ def _merge_frames(left: DataFrame, lenv: dict, right: DataFrame, renv: dict,
     return joined, env
 
 
+def _contains_count_subquery(e) -> bool:
+    if isinstance(e, CountSubquery):
+        return True
+    if isinstance(e, Unary):
+        return _contains_count_subquery(e.operand)
+    if isinstance(e, Binary):
+        return (_contains_count_subquery(e.left)
+                or _contains_count_subquery(e.right))
+    if isinstance(e, IsNull):
+        return _contains_count_subquery(e.operand)
+    if isinstance(e, InList):
+        return (_contains_count_subquery(e.needle)
+                or _contains_count_subquery(e.haystack))
+    if isinstance(e, FuncCall):
+        return any(_contains_count_subquery(a) for a in e.args)
+    if isinstance(e, ListLit):
+        return any(_contains_count_subquery(i) for i in e.items)
+    if isinstance(e, CaseExpr):
+        return (
+            (e.operand is not None and _contains_count_subquery(e.operand))
+            or any(_contains_count_subquery(c) or _contains_count_subquery(v)
+                   for c, v in e.whens)
+            or (e.else_ is not None and _contains_count_subquery(e.else_)))
+    return False
+
+
 def _split_and(e) -> list:
     """Flatten a top-level AND tree into its conjuncts."""
     if isinstance(e, Binary) and e.op == "AND":
@@ -660,6 +691,64 @@ def _apply_exists(ctx: _Ctx, sub: ExistsSubquery, anti: bool) -> None:
                        "left_anti" if anti else "left_semi").drop(rid)
 
 
+def _materialize_count(ctx: _Ctx, sub: CountSubquery) -> str:
+    """COUNT {...} → a per-row count COLUMN joined onto the pipeline:
+    pin a row id, run the inner match with the outer env visible,
+    groupBy(rid).count(), left join back, absent rows count 0. Returns
+    the column name; the expression tree then references it as an
+    ordinary scalar, so COUNT {} works in any expression position
+    (WHERE comparisons, RETURN items, arithmetic)."""
+    if ctx.df is None:
+        raise CypherCompileError(
+            "COUNT {} requires an enclosing MATCH pipeline")
+    rid = ctx.sym("_rid")
+    cname = ctx.sym("_cnt")
+    base = (ctx.df.withColumn(rid, F.monotonically_increasing_id())
+            .localCheckpoint(eager=True))
+    saved_env = dict(ctx.env)
+    ctx.df = base
+    try:
+        _apply_match(ctx, Match(sub.patterns, sub.where, False))
+        counts = ctx.df.groupBy(rid).agg(F.count(F.lit(1)).alias(cname))
+    finally:
+        ctx.env = saved_env
+    ctx.df = (base.join(counts, rid, "left")
+              .withColumn(cname, F.coalesce(F.col(cname), F.lit(0)))
+              .drop(rid))
+    return cname
+
+
+def _rewrite_count_subqueries(ctx: _Ctx, e):
+    """Replace every COUNT {...} node in an expression tree with a Var
+    over its materialized count column (see _materialize_count)."""
+    def walk(x):
+        if isinstance(x, CountSubquery):
+            name = _materialize_count(ctx, x)
+            ctx.env[name] = Binding("scalar", None, {"_value": name})
+            return Var(name)
+        if isinstance(x, Unary):
+            return Unary(x.op, walk(x.operand))
+        if isinstance(x, Binary):
+            return Binary(x.op, walk(x.left), walk(x.right))
+        if isinstance(x, IsNull):
+            return IsNull(walk(x.operand), x.negated)
+        if isinstance(x, InList):
+            return InList(walk(x.needle), walk(x.haystack))
+        if isinstance(x, FuncCall):
+            return FuncCall(x.name, tuple(walk(a) for a in x.args),
+                            x.distinct, x.star)
+        if isinstance(x, ListLit):
+            return ListLit(tuple(walk(i) for i in x.items))
+        if isinstance(x, CaseExpr):
+            return CaseExpr(
+                walk(x.operand) if x.operand is not None else None,
+                tuple((walk(c), walk(v)) for c, v in x.whens),
+                walk(x.else_) if x.else_ is not None else None)
+        return x
+
+    return walk(e)
+
+
 def _apply_match(ctx: _Ctx, m: Match) -> None:
     hint = dict(ctx.env)
     pdf_all, penv_all = None, {}
@@ -687,7 +776,7 @@ def _apply_match(ctx: _Ctx, m: Match) -> None:
 
     if m.where is not None and not m.optional:
         residual = []
-        for conj in _split_and(m.where):
+        for conj in _split_and(_rewrite_count_subqueries(ctx, m.where)):
             if isinstance(conj, ExistsSubquery):
                 _apply_exists(ctx, conj, anti=False)
             elif (isinstance(conj, Unary) and conj.op == "NOT"
@@ -785,6 +874,12 @@ def _split_aggregates(e, counter):
 
 def _apply_projection(ctx: _Ctx, clause) -> None:
     items = clause.items
+    if any(_contains_count_subquery(it.expr) for it in items):
+        # materialize COUNT {} columns onto the pipeline first; the
+        # rewritten items then project ordinary scalars
+        items = tuple(
+            ReturnItem(_rewrite_count_subqueries(ctx, it.expr), it.alias)
+            for it in items)
     is_with = isinstance(clause, With)
     has_agg = any(contains_aggregate(it.expr) for it in items)
     if ctx.df is None:

@@ -99,6 +99,14 @@ class ExistsSubquery:
 
 
 @dataclass(frozen=True)
+class CountSubquery:
+    """COUNT { [MATCH] pattern [WHERE expr] } — per-row match count,
+    correlated through shared variables (openCypher count subquery)."""
+    patterns: tuple
+    where: object = None
+
+
+@dataclass(frozen=True)
 class Quantifier:
     """all/any/none/single(var IN source WHERE where) — openCypher
     list-predicate quantifiers (3-valued logic)."""
@@ -157,8 +165,9 @@ def contains_aggregate(e: Expr) -> bool:
     if isinstance(e, Quantifier):
         return (contains_aggregate(e.source)
                 or contains_aggregate(e.where))
-    if isinstance(e, ExistsSubquery):
-        return False          # aggregates are not allowed inside
+    if isinstance(e, (ExistsSubquery, CountSubquery)):
+        return False          # aggregates are not allowed inside; a
+        # COUNT {} is a per-row scalar, not an aggregate over rows
     if isinstance(e, CaseExpr):
         return (
             (e.operand is not None and contains_aggregate(e.operand))

@@ -10,7 +10,7 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
-    ExistsSubquery, ListComp, ReduceExpr, Quantifier,
+    CountSubquery, ExistsSubquery, ListComp, ReduceExpr, Quantifier,
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
     Literal, MapLit, Match, Merge, NodePattern, OrderItem, PathPattern, Prop,
     Query, RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript,
@@ -561,6 +561,18 @@ class Parser:
         if t.kind == "name":
             if t.text.upper() == "CASE" and self._looks_like_case_body():
                 return self._case()
+            if (t.text.upper() == "COUNT" and self.peek().kind == "punct"
+                    and self.peek().text == "{"):
+                # COUNT { [MATCH] pattern [WHERE expr] } — per-row
+                # match-count subquery; count(expr) with parens stays
+                # the aggregate
+                self.advance()
+                self.eat_punct("{")
+                self.try_kw("MATCH")
+                patterns = self._pattern_list()
+                where = self.expr() if self.try_kw("WHERE") else None
+                self.eat_punct("}")
+                return CountSubquery(tuple(patterns), where)
             if (t.text.upper() == "EXISTS" and self.peek().kind == "punct"
                     and self.peek().text == "{"):
                 # EXISTS { [MATCH] pattern [WHERE expr] } — the

@@ -437,3 +437,31 @@ def test_exists_subqueries(kg, oracle):
     with pytest.raises(CypherCompileError, match="EXISTS"):
         kg.cypher("MATCH (a:Person) "
                   "RETURN EXISTS { (a)-[:KNOWS]->() } AS e").collect()
+
+
+def test_count_subqueries(kg, oracle):
+    """COUNT { pattern [WHERE ...] } — per-row match-count subqueries
+    materialized as columns (pinned row id, inner match, groupBy
+    count, left join back with 0 for no-match), so they compose in
+    WHERE comparisons, RETURN items, and even inside aggregates."""
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) RETURN a.name AS name, "
+            "COUNT { (a)-[:KNOWS]->(:Person) } AS deg"),
+        "SELECT p1.name, (SELECT count(*) FROM knows k "
+        "WHERE k.src = p1.key) FROM person p1")
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE "
+            "COUNT { (a)-[:KNOWS]->(b) WHERE b.age > 50 } >= 1 "
+            "RETURN count(*) AS c"),
+        "SELECT count(*) FROM person p1 WHERE (SELECT count(*) "
+        "FROM knows k JOIN person p2 ON k.dst = p2.key "
+        "WHERE k.src = p1.key AND p2.age > 50) >= 1")
+    # COUNT {} under an aggregate: per-row counts grouped and summed
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) RETURN a.city AS city, "
+            "sum(COUNT { (a)-[:KNOWS]->() }) AS total_deg"),
+        "SELECT p1.city, sum((SELECT count(*) FROM knows k "
+        "WHERE k.src = p1.key)) FROM person p1 GROUP BY p1.city")
