@@ -1694,6 +1694,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
             "AND NOT EXISTS { (a)-[:KNOWS]->(:Person {city: 'SF'}) } "
             "RETURN a.name AS name, a.age AS age"),
+        # pattern comprehensions (r3-s3 extension; full oracle via
+        # DuckDB correlated list() aggregate, both sides sorted)
+        "p15_pattern_comp": _q_cypher_knows(
+            "MATCH (a:Person) WHERE a.age % 8 = 0 "
+            "RETURN a.name AS name, "
+            "[(a)-[:KNOWS]->(b:Person) WHERE b.active | b.name] "
+            "AS active_friends"),
         # COUNT {} per-row match-count subqueries (r3-s3 extension;
         # full oracle via DuckDB correlated scalar subquery)
         "p14_count_sub": _q_cypher_knows(
@@ -2073,6 +2080,11 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p15_pattern_comp": pre + (
+            " SELECT p1.name, coalesce((SELECT list_sort(list(p2.name)) "
+            "FROM knows k JOIN person p2 ON k.dst = p2.key "
+            "WHERE k.src = p1.key AND p2.active), []) AS active_friends "
+            "FROM person p1 WHERE p1.age % 8 = 0"),
         "p14_count_sub": pre + (
             " SELECT p1.name, (SELECT count(*) FROM knows k "
             "JOIN person p2 ON k.dst = p2.key "

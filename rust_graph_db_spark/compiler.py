@@ -37,7 +37,7 @@ from pyspark.sql import types as T
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
     AGGREGATE_FUNCS, Binary, CaseExpr, CountSubquery, Create, Delete,
-    ExistsSubquery, FuncCall, InList,
+    ExistsSubquery, FuncCall, InList, PatternComp,
     IsNull, ListComp, ListLit, Literal, MapLit, Match, Merge, NodePattern,
     OrderItem, PathPattern, Prop, Quantifier, Query, ReduceExpr, RelPattern,
     Return,
@@ -216,10 +216,11 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             "conjunct (optionally under NOT); it cannot appear nested "
             "in other expressions or in RETURN/WITH items")
 
-    if isinstance(e, CountSubquery):
+    if isinstance(e, (CountSubquery, PatternComp)):
         raise CypherCompileError(
-            "COUNT { pattern } is supported in MATCH ... WHERE and in "
-            "RETURN/WITH items, not in this position")
+            "COUNT { pattern } and pattern comprehensions are supported "
+            "in MATCH ... WHERE and in RETURN/WITH items, not in this "
+            "position")
 
     if isinstance(e, Quantifier):
         # all/any/none/single(x IN xs WHERE p) with openCypher 3VL.
@@ -628,7 +629,7 @@ def _merge_frames(left: DataFrame, lenv: dict, right: DataFrame, renv: dict,
 
 
 def _contains_count_subquery(e) -> bool:
-    if isinstance(e, CountSubquery):
+    if isinstance(e, (CountSubquery, PatternComp)):
         return True
     if isinstance(e, Unary):
         return _contains_count_subquery(e.operand)
@@ -718,12 +719,45 @@ def _materialize_count(ctx: _Ctx, sub: CountSubquery) -> str:
     return cname
 
 
+def _materialize_pattern_comp(ctx: _Ctx, sub: PatternComp) -> str:
+    """[ pattern WHERE p | proj ] → a per-row ARRAY column: pin a row
+    id, run the inner match, compile ``proj`` in the inner scope,
+    sort_array(collect_list(...)) per rid (openCypher leaves element
+    order unspecified; sorting makes results deterministic and
+    oracle-able), left join back, no-match rows get []."""
+    if ctx.df is None:
+        raise CypherCompileError(
+            "a pattern comprehension requires an enclosing MATCH pipeline")
+    rid = ctx.sym("_rid")
+    cname = ctx.sym("_pc")
+    base = (ctx.df.withColumn(rid, F.monotonically_increasing_id())
+            .localCheckpoint(eager=True))
+    saved_env = dict(ctx.env)
+    ctx.df = base
+    try:
+        _apply_match(ctx, Match((sub.pattern,), sub.where, False))
+        proj_c, _ = compile_expr(ctx, sub.proj)
+        lists = (ctx.df.select(F.col(rid), proj_c.alias(cname))
+                 .groupBy(rid)
+                 .agg(F.sort_array(F.collect_list(cname)).alias(cname)))
+    finally:
+        ctx.env = saved_env
+    empty = F.array().cast(lists.schema[cname].dataType.simpleString())
+    ctx.df = (base.join(lists, rid, "left")
+              .withColumn(cname, F.coalesce(F.col(cname), empty))
+              .drop(rid))
+    return cname
+
+
 def _rewrite_count_subqueries(ctx: _Ctx, e):
-    """Replace every COUNT {...} node in an expression tree with a Var
-    over its materialized count column (see _materialize_count)."""
+    """Replace every COUNT {...} / pattern-comprehension node in an
+    expression tree with a Var over its materialized column (see
+    _materialize_count / _materialize_pattern_comp)."""
     def walk(x):
-        if isinstance(x, CountSubquery):
-            name = _materialize_count(ctx, x)
+        if isinstance(x, (CountSubquery, PatternComp)):
+            name = (_materialize_count(ctx, x)
+                    if isinstance(x, CountSubquery)
+                    else _materialize_pattern_comp(ctx, x))
             ctx.env[name] = Binding("scalar", None, {"_value": name})
             return Var(name)
         if isinstance(x, Unary):

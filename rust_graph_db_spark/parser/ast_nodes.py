@@ -107,6 +107,16 @@ class CountSubquery:
 
 
 @dataclass(frozen=True)
+class PatternComp:
+    """[ (a)-[:R]->(b) WHERE p | expr ] — openCypher pattern
+    comprehension: per outer row, the list of ``proj`` values over
+    every match of the (correlated) pattern."""
+    pattern: object           # PathPattern (>= 3 items)
+    where: object
+    proj: object
+
+
+@dataclass(frozen=True)
 class Quantifier:
     """all/any/none/single(var IN source WHERE where) — openCypher
     list-predicate quantifiers (3-valued logic)."""
@@ -165,7 +175,7 @@ def contains_aggregate(e: Expr) -> bool:
     if isinstance(e, Quantifier):
         return (contains_aggregate(e.source)
                 or contains_aggregate(e.where))
-    if isinstance(e, (ExistsSubquery, CountSubquery)):
+    if isinstance(e, (ExistsSubquery, CountSubquery, PatternComp)):
         return False          # aggregates are not allowed inside; a
         # COUNT {} is a per-row scalar, not an aggregate over rows
     if isinstance(e, CaseExpr):

@@ -10,7 +10,8 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
-    CountSubquery, ExistsSubquery, ListComp, ReduceExpr, Quantifier,
+    CountSubquery, ExistsSubquery, ListComp, PatternComp, ReduceExpr,
+    Quantifier,
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
     Literal, MapLit, Match, Merge, NodePattern, OrderItem, PathPattern, Prop,
     Query, RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript,
@@ -636,6 +637,24 @@ class Parser:
             return e
         if self.at_punct("["):
             self.advance()
+            # pattern comprehension: [ (a)-[:R]->(b) WHERE p | expr ]
+            # — speculative parse with backtracking ('[(' could also
+            # open a list literal whose first item is parenthesized);
+            # a genuine pattern has >= 3 items (node-rel-node) and a
+            # mandatory '| proj', so plain '[(x)]' falls through
+            if self.at_punct("("):
+                save = self.i
+                try:
+                    pat = self._path_pattern()
+                    if len(pat.items) < 3:
+                        raise CypherSyntaxError("not a pattern")
+                    where = self.expr() if self.try_kw("WHERE") else None
+                    self.eat_punct("|")
+                    proj = self.expr()
+                    self.eat_punct("]")
+                    return PatternComp(pat, where, proj)
+                except CypherSyntaxError:
+                    self.i = save
             # list comprehension: [x IN xs WHERE pred | expr] — the
             # two-token lookahead (name then IN) disambiguates from a
             # list literal whose first item is a variable

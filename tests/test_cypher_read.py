@@ -465,3 +465,29 @@ def test_count_subqueries(kg, oracle):
             "sum(COUNT { (a)-[:KNOWS]->() }) AS total_deg"),
         "SELECT p1.city, sum((SELECT count(*) FROM knows k "
         "WHERE k.src = p1.key)) FROM person p1 GROUP BY p1.city")
+
+
+def test_pattern_comprehensions(kg, oracle):
+    """[ (a)-[:R]->(b) WHERE p | expr ] — pattern comprehensions
+    materialized per row (match, collect_list per pinned row id,
+    left join back, [] for no matches; elements sorted since
+    openCypher leaves order unspecified). Oracled against DuckDB
+    correlated list() aggregates; '[(' still opens a plain list
+    literal when no relationship pattern follows."""
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE a.age >= 78 RETURN a.name AS name, "
+            "[(a)-[:KNOWS]->(b:Person) | b.name] AS friends"),
+        "SELECT p1.name, coalesce((SELECT list_sort(list(p2.name)) "
+        "FROM knows k JOIN person p2 ON k.dst = p2.key "
+        "WHERE k.src = p1.key), []) FROM person p1 WHERE p1.age >= 78")
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) RETURN a.city AS city, "
+            "sum(size([(a)-[:KNOWS]->(b) WHERE b.age > a.age | b.name])) "
+            "AS older_links"),
+        "SELECT p1.city, sum((SELECT count(*) FROM knows k "
+        "JOIN person p2 ON k.dst = p2.key WHERE k.src = p1.key "
+        "AND p2.age > p1.age)) FROM person p1 GROUP BY p1.city")
+    # disambiguation: parenthesized first item stays a list literal
+    assert kg.cypher("RETURN [(1+2), 3] AS l").first().l == [3, 3]
