@@ -32,6 +32,19 @@ def main(spark=None):
         ("variable-length expansion",
          "MATCH (a:Person {name:'Person0'})-[r:KNOWS*1..3]->(b) "
          "RETURN b.name AS b, toInteger(length(r)) AS hops LIMIT 5"),
+        ("EXISTS subquery (semi-join)",
+         "MATCH (a:Person) WHERE a.age > 70 AND "
+         "EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
+         "RETURN a.name AS name LIMIT 5"),
+        ("COUNT subquery + pattern comprehension",
+         "MATCH (a:Person) WHERE a.age % 25 = 0 "
+         "RETURN a.name AS name, COUNT { (a)-[:KNOWS]->() } AS deg, "
+         "[(a)-[:KNOWS]->(b) | b.name] AS friends LIMIT 5"),
+        ("quantifiers over per-row lists",
+         "MATCH (p:Person) WHERE p.age = 30 "
+         "RETURN p.name AS name, "
+         "all(x IN range(1, 3) WHERE x > 0) AS all_pos, "
+         "single(x IN [p.age] WHERE x = 30) AS is30 LIMIT 3"),
     ]
     out = None
     for title, q in demos:
