@@ -1694,6 +1694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
             "AND NOT EXISTS { (a)-[:KNOWS]->(:Person {city: 'SF'}) } "
             "RETURN a.name AS name, a.age AS age"),
+        # named paths (r3-s3 extension; full oracle — packed-graphid
+        # node lists recomputed in SQL)
+        "p16_named_path": _q_cypher_knows(
+            "MATCH p = (a:Person)-[:KNOWS]->(b)-[:KNOWS]->(c) "
+            "WHERE a.age = 30 RETURN a.name AS name, length(p) AS hops, "
+            "nodes(p) AS ns"),
         # pattern comprehensions (r3-s3 extension; full oracle via
         # DuckDB correlated list() aggregate, both sides sorted)
         "p15_pattern_comp": _q_cypher_knows(
@@ -2080,6 +2086,12 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p16_named_path": pre + (
+            " SELECT p1.name, 2 AS hops, "
+            "[281474976710656 + k1.src, 281474976710656 + k1.dst, "
+            "281474976710656 + k2.dst] AS ns "
+            "FROM knows k1 JOIN knows k2 ON k1.dst = k2.src "
+            "JOIN person p1 ON k1.src = p1.key WHERE p1.age = 30"),
         "p15_pattern_comp": pre + (
             " SELECT p1.name, coalesce((SELECT list_sort(list(p2.name)) "
             "FROM knows k JOIN person p2 ON k.dst = p2.key "

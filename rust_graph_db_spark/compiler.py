@@ -433,6 +433,20 @@ def _compile_func(ctx: _Ctx, e: FuncCall, df):
         b = ctx.env.get(e.args[0].name)
         if b is not None and b.kind == "varlength":
             return F.col(b.cols["hops"]), T.IntegerType()
+        if b is not None and b.kind == "path":
+            return F.col(b.cols["length"]), T.LongType()
+    if (name in ("nodes", "relationships") and len(e.args) == 1
+            and isinstance(e.args[0], Var)
+            and (b := ctx.env.get(e.args[0].name)) is not None
+            and b.kind == "path"):
+        if name == "nodes":
+            return F.col(b.cols["nodes"]), T.ArrayType(T.LongType())
+        if "rels" not in b.cols:
+            raise CypherCompileError(
+                "relationships(p) is unavailable on a path containing a "
+                "variable-length segment (edge ids are not tracked there; "
+                "use nodes(p)/length(p))")
+        return F.col(b.cols["rels"]), T.ArrayType(T.LongType())
     args, dts = [], []
     for a in e.args:
         c, dt = compile_expr(ctx, a, df)
@@ -541,6 +555,8 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
         raise CypherCompileError(f"duplicate node variable {var0} in one path")
     env_add[var0] = b0
     prev = var0
+    node_vars = [var0]            # traversal order, for named paths
+    rel_info: list[tuple] = []    # (rvar, is_varlength)
 
     for i in range(1, len(items), 2):
         rel: RelPattern = items[i]
@@ -568,6 +584,7 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
             pdf = _inline_filter(ctx, pdf, rb, rel.props)
             df = df.join(pdf, F.col(_flat(prev, "id")) == F.col(_flat(rvar, "_FROM")))
         env_add[rvar] = rb
+        rel_info.append((rvar, rel.var_length is not None))
 
         nvar = node.var or ctx.sym()
         if nvar in env_add:
@@ -582,12 +599,52 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
             df = df.join(ndf, F.col(_flat(rvar, "_TO")) == F.col(_flat(nvar, "id")))
             env_add[nvar] = nb
         prev = nvar
+        node_vars.append(nvar)
 
     # internal join columns stay in the frame but out of bindings; drop the
     # _FROM/_TO helpers now that joins are done
     helper = [c for c in df.columns if c.endswith(f"{SEP}_FROM") or c.endswith(f"{SEP}_TO")]
     if helper:
         df = df.drop(*helper)
+
+    if pat.var is not None:
+        # Named path p = ...: materialize the GraphPath as columns —
+        # nodes (vertex-id array in traversal order), length (hop
+        # count), rels (edge-id array; NULL-omitted when a varlength
+        # segment rides the path, since expand_paths tracks vertex ids
+        # only). The reference's GraphPath (src/types/path.rs:23-40)
+        # as data, not a runtime object.
+        if pat.var in env_add:
+            raise CypherCompileError(
+                f"path variable {pat.var} collides with a pattern variable")
+        nodes = F.array(F.col(_flat(node_vars[0], "id")))
+        length = F.lit(0).cast("long")
+        rel_ids, has_vl = [], False
+        for (rvar, vl), nvar in zip(rel_info, node_vars[1:]):
+            if vl:
+                vp = F.col(_flat(rvar, "vpath"))
+                # vpath is [prev .. nvar] inclusive; skip its head,
+                # which `nodes` already ends with
+                nodes = F.concat(nodes, F.slice(
+                    vp, F.lit(2), F.greatest(F.size(vp) - 1, F.lit(0))))
+                length = length + F.col(_flat(rvar, "hops"))
+                has_vl = True
+            else:
+                nodes = F.concat(
+                    nodes, F.array(F.col(_flat(nvar, "id"))))
+                length = length + F.lit(1)
+                rel_ids.append(F.col(_flat(rvar, "id")))
+        pcols = {"length": _flat(pat.var, "length"),
+                 "nodes": _flat(pat.var, "nodes")}
+        df = df.withColumn(pcols["length"], length) \
+               .withColumn(pcols["nodes"], nodes)
+        if not has_vl:
+            pcols["rels"] = _flat(pat.var, "rels")
+            df = df.withColumn(
+                pcols["rels"],
+                F.array(*rel_ids) if rel_ids
+                else F.array().cast("array<long>"))
+        env_add[pat.var] = Binding("path", None, pcols)
     return df, env_add
 
 
@@ -596,6 +653,8 @@ def _key_col(b: Binding) -> str:
         return b.cols["id"]
     if b.kind == "varlength":
         return b.cols["hops"]
+    if b.kind == "path":
+        return b.cols["length"]
     return b.cols["_value"]
 
 
@@ -929,7 +988,7 @@ def _apply_projection(ctx: _Ctx, clause) -> None:
         for it in items:
             name = it.alias or _expr_name(it.expr)
             b = ctx.env.get(it.expr.name) if isinstance(it.expr, Var) else None
-            if b is not None and b.kind in ("vertex", "edge", "varlength"):
+            if b is not None and b.kind in ("vertex", "edge", "varlength", "path"):
                 if is_with:
                     newcols = {}
                     for p, c in b.cols.items():
@@ -972,7 +1031,7 @@ def _apply_projection(ctx: _Ctx, clause) -> None:
         key_cols = []
         for name, ge in group_specs:
             b = ctx.env.get(ge.name) if isinstance(ge, Var) else None
-            if b is not None and b.kind in ("vertex", "edge", "varlength"):
+            if b is not None and b.kind in ("vertex", "edge", "varlength", "path"):
                 if is_with:
                     # group on every column of the entity, keep the binding
                     newcols = {}

@@ -207,8 +207,10 @@ class RelPattern:
 
 @dataclass(frozen=True)
 class PathPattern:
-    """Alternating NodePattern / RelPattern, odd length >= 1."""
+    """Alternating NodePattern / RelPattern, odd length >= 1.
+    ``var`` is the named-path binding (``MATCH p = (a)-[...]->(b)``)."""
     items: tuple
+    var: "Optional[str]" = None
 
 
 # --------------------------------------------------------------------- clauses

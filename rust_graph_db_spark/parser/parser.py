@@ -269,12 +269,20 @@ class Parser:
         return pats
 
     def _path_pattern(self) -> PathPattern:
+        pvar = None
+        if (self.cur.kind == "name" and self.peek().kind == "punct"
+                and self.peek().text == "="
+                and self.peek(2).kind == "punct" and self.peek(2).text == "("):
+            # named path: MATCH p = (a)-[...]->(b); the "(" lookahead
+            # keeps `x = (expr)` comparisons out of this branch
+            pvar = self.advance().text
+            self.advance()                       # =
         items = [self._node_pattern()]
         while self.at_punct("-", "<-"):
             rel = self._rel_pattern()
             node = self._node_pattern()
             items.extend([rel, node])
-        return PathPattern(tuple(items))
+        return PathPattern(tuple(items), pvar)
 
     def _node_pattern(self) -> NodePattern:
         self.eat_punct("(")

@@ -491,3 +491,40 @@ def test_pattern_comprehensions(kg, oracle):
         "AND p2.age > p1.age)) FROM person p1 GROUP BY p1.city")
     # disambiguation: parenthesized first item stays a list literal
     assert kg.cypher("RETURN [(1+2), 3] AS l").first().l == [3, 3]
+
+
+def test_named_paths(kg, oracle):
+    """MATCH p = ... — GraphPath as data: nodes(p) (vertex ids in
+    traversal order), relationships(p) (edge ids; unavailable across
+    varlength segments), length(p) (hop count). Mirrors the
+    reference's GraphPath invariants (src/types/path.rs:23-40):
+    len(nodes) == length + 1, edge i connects node i -> i+1."""
+    rows = kg.cypher(
+        "MATCH p = (a:Person {name:'Person0'})-[:KNOWS]->(b)-[:KNOWS]->(c) "
+        "RETURN length(p) AS hops, nodes(p) AS ns, "
+        "relationships(p) AS rs").collect()
+    assert rows
+    for r in rows:
+        assert r.hops == 2
+        assert len(r.ns) == 3 and len(r.rs) == 2
+    # oracle: 2-hop node-id lists with packed graphids (labid 1 << 48)
+    oracle(
+        kg.cypher(
+            "MATCH p = (a:Person {name:'Person0'})-[:KNOWS]->(b)"
+            "-[:KNOWS]->(c) RETURN nodes(p) AS ns"),
+        "SELECT [281474976710656 + k1.src, 281474976710656 + k1.dst, "
+        "281474976710656 + k2.dst] AS ns "
+        "FROM knows k1 JOIN knows k2 ON k1.dst = k2.src "
+        "JOIN person p1 ON k1.src = p1.key WHERE p1.name = 'Person0'")
+    # varlength segment: nodes stitch through vpath, length sums hops
+    vr = kg.cypher(
+        "MATCH p = (a:Person {name:'Person0'})-[:KNOWS*1..3]->(b) "
+        "RETURN length(p) AS hops, nodes(p) AS ns").collect()
+    assert {r.hops for r in vr} == {1, 2, 3}
+    for r in vr:
+        assert len(r.ns) == r.hops + 1
+    # relationships() across a varlength segment is a clear error
+    from rust_graph_db_spark.compiler import CypherCompileError
+    with pytest.raises(CypherCompileError, match="variable-length"):
+        kg.cypher("MATCH p = (a:Person)-[:KNOWS*1..2]->(b) "
+                  "RETURN relationships(p) AS r").collect()
