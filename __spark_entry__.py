@@ -1694,6 +1694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
             "AND NOT EXISTS { (a)-[:KNOWS]->(:Person {city: 'SF'}) } "
             "RETURN a.name AS name, a.age AS age"),
+        # shortestPath in MATCH (r3-s3 extension; full oracle via
+        # DuckDB recursive-CTE min-hops)
+        "p17_shortest_path": _q_cypher_knows(
+            "MATCH p = shortestPath((a:Person {name:'Person0'})"
+            "-[:KNOWS*1..4]->(b:Person)) "
+            "RETURN b.name AS bn, length(p) AS d"),
         # named paths (r3-s3 extension; full oracle — packed-graphid
         # node lists recomputed in SQL)
         "p16_named_path": _q_cypher_knows(
@@ -2086,6 +2092,16 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p17_shortest_path": pre + (
+            " SELECT p2.name AS bn, d FROM (WITH RECURSIVE walk AS ("
+            "SELECT src AS a, dst AS b, 1 AS hops, [src, dst] AS vp "
+            "FROM knows UNION ALL "
+            "SELECT w.a, k.dst, w.hops + 1, list_append(w.vp, k.dst) "
+            "FROM walk w JOIN knows k ON w.b = k.src "
+            "WHERE w.hops < 4 AND NOT list_contains(w.vp, k.dst)) "
+            "SELECT a, b, min(hops) AS d FROM walk GROUP BY a, b) t "
+            "JOIN person p1 ON t.a = p1.key "
+            "JOIN person p2 ON t.b = p2.key WHERE p1.name = 'Person0'"),
         "p16_named_path": pre + (
             " SELECT p1.name, 2 AS hops, "
             "[281474976710656 + k1.src, 281474976710656 + k1.dst, "

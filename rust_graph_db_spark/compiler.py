@@ -607,16 +607,17 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
     if helper:
         df = df.drop(*helper)
 
-    if pat.var is not None:
+    if pat.var is not None or pat.shortest is not None:
         # Named path p = ...: materialize the GraphPath as columns —
         # nodes (vertex-id array in traversal order), length (hop
         # count), rels (edge-id array; NULL-omitted when a varlength
         # segment rides the path, since expand_paths tracks vertex ids
         # only). The reference's GraphPath (src/types/path.rs:23-40)
         # as data, not a runtime object.
-        if pat.var in env_add:
+        pvar = pat.var or ctx.sym("_p")
+        if pvar in env_add:
             raise CypherCompileError(
-                f"path variable {pat.var} collides with a pattern variable")
+                f"path variable {pvar} collides with a pattern variable")
         nodes = F.array(F.col(_flat(node_vars[0], "id")))
         length = F.lit(0).cast("long")
         rel_ids, has_vl = [], False
@@ -634,17 +635,41 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
                     nodes, F.array(F.col(_flat(nvar, "id"))))
                 length = length + F.lit(1)
                 rel_ids.append(F.col(_flat(rvar, "id")))
-        pcols = {"length": _flat(pat.var, "length"),
-                 "nodes": _flat(pat.var, "nodes")}
+        pcols = {"length": _flat(pvar, "length"),
+                 "nodes": _flat(pvar, "nodes")}
         df = df.withColumn(pcols["length"], length) \
                .withColumn(pcols["nodes"], nodes)
         if not has_vl:
-            pcols["rels"] = _flat(pat.var, "rels")
+            pcols["rels"] = _flat(pvar, "rels")
             df = df.withColumn(
                 pcols["rels"],
                 F.array(*rel_ids) if rel_ids
                 else F.array().cast("array<long>"))
-        env_add[pat.var] = Binding("path", None, pcols)
+        if pat.shortest is not None:
+            # shortestPath()/allShortestPaths(): keep only min-length
+            # rows PER ENDPOINT PAIR — the expansion already enumerated
+            # candidate paths, so shortest-ness is a window filter
+            # partitioned on (start id, end id). "one" additionally
+            # picks the lexicographically-smallest node list so the
+            # survivor is deterministic (openCypher leaves the choice
+            # unspecified). Scale: the window shuffles on the endpoint
+            # pair — the same key the expansion already produced.
+            from pyspark.sql import Window as W
+
+            a_id = F.col(_flat(node_vars[0], "id"))
+            b_id = F.col(_flat(node_vars[-1], "id"))
+            win = W.partitionBy(a_id, b_id)
+            mlen = ctx.sym("_minlen")
+            df = (df.withColumn(mlen, F.min(F.col(pcols["length"])).over(win))
+                  .where(F.col(pcols["length"]) == F.col(mlen)).drop(mlen))
+            if pat.shortest == "one":
+                rn = ctx.sym("_rn")
+                pick = W.partitionBy(a_id, b_id).orderBy(
+                    F.col(pcols["nodes"]))
+                df = (df.withColumn(rn, F.row_number().over(pick))
+                      .where(F.col(rn) == 1).drop(rn))
+        if pat.var is not None:
+            env_add[pat.var] = Binding("path", None, pcols)
     return df, env_add
 
 

@@ -208,9 +208,12 @@ class RelPattern:
 @dataclass(frozen=True)
 class PathPattern:
     """Alternating NodePattern / RelPattern, odd length >= 1.
-    ``var`` is the named-path binding (``MATCH p = (a)-[...]->(b)``)."""
+    ``var`` is the named-path binding (``MATCH p = (a)-[...]->(b)``);
+    ``shortest`` is "one"/"all" for shortestPath()/allShortestPaths()
+    wrappers."""
     items: tuple
     var: "Optional[str]" = None
+    shortest: "Optional[str]" = None
 
 
 # --------------------------------------------------------------------- clauses

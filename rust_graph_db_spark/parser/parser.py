@@ -272,17 +272,35 @@ class Parser:
         pvar = None
         if (self.cur.kind == "name" and self.peek().kind == "punct"
                 and self.peek().text == "="
-                and self.peek(2).kind == "punct" and self.peek(2).text == "("):
-            # named path: MATCH p = (a)-[...]->(b); the "(" lookahead
-            # keeps `x = (expr)` comparisons out of this branch
+                and ((self.peek(2).kind == "punct"
+                      and self.peek(2).text == "(")
+                     or (self.peek(2).kind == "name"
+                         and self.peek(2).text.lower() in
+                         ("shortestpath", "allshortestpaths")))):
+            # named path: MATCH p = (a)-[...]->(b) or p = shortestPath(
+            # ...); the lookahead keeps `x = (expr)` comparisons out
             pvar = self.advance().text
             self.advance()                       # =
+        shortest = None
+        if (self.cur.kind == "name"
+                and self.cur.text.lower() in ("shortestpath",
+                                              "allshortestpaths")
+                and self.peek().kind == "punct" and self.peek().text == "("
+                and self.peek(2).kind == "punct"
+                and self.peek(2).text == "("):
+            # shortestPath((a)-[:R*]->(b)) — the double-paren lookahead
+            # keeps a user function call shortestpath(x) intact
+            shortest = ("one" if self.advance().text.lower()
+                        == "shortestpath" else "all")
+            self.eat_punct("(")
         items = [self._node_pattern()]
         while self.at_punct("-", "<-"):
             rel = self._rel_pattern()
             node = self._node_pattern()
             items.extend([rel, node])
-        return PathPattern(tuple(items), pvar)
+        if shortest is not None:
+            self.eat_punct(")")
+        return PathPattern(tuple(items), pvar, shortest)
 
     def _node_pattern(self) -> NodePattern:
         self.eat_punct("(")

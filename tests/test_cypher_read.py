@@ -528,3 +528,34 @@ def test_named_paths(kg, oracle):
     with pytest.raises(CypherCompileError, match="variable-length"):
         kg.cypher("MATCH p = (a:Person)-[:KNOWS*1..2]->(b) "
                   "RETURN relationships(p) AS r").collect()
+
+
+def test_shortest_path_match(kg, oracle):
+    """MATCH p = shortestPath((a)-[:R*lo..hi]->(b)) — min-length filter
+    per endpoint pair over the variable-length expansion (reference G1,
+    shortest_path.rs:77-141, as a window filter). allShortestPaths
+    keeps every min-length path; shortestPath picks the deterministic
+    lexicographically-smallest node list."""
+    oracle(
+        kg.cypher(
+            "MATCH p = shortestPath((a:Person {name:'Person0'})"
+            "-[:KNOWS*1..4]->(b:Person)) "
+            "RETURN b.name AS bn, length(p) AS d"),
+        "SELECT p2.name, d FROM (WITH RECURSIVE walk AS ("
+        "SELECT src AS a, dst AS b, 1 AS hops, [src, dst] AS vp FROM knows "
+        "UNION ALL SELECT w.a, k.dst, w.hops + 1, list_append(w.vp, k.dst) "
+        "FROM walk w JOIN knows k ON w.b = k.src "
+        "WHERE w.hops < 4 AND NOT list_contains(w.vp, k.dst)) "
+        "SELECT a, b, min(hops) AS d FROM walk GROUP BY a, b) t "
+        "JOIN person p1 ON t.a = p1.key JOIN person p2 ON t.b = p2.key "
+        "WHERE p1.name = 'Person0'")
+    # allShortestPaths returns >= as many rows; every one is min-length
+    one = kg.cypher(
+        "MATCH p = shortestPath((a:Person {age: 25})-[:KNOWS*1..3]->"
+        "(b:Person)) RETURN a.name AS an, b.name AS bn, length(p) AS d")
+    all_ = kg.cypher(
+        "MATCH p = allShortestPaths((a:Person {age: 25})-[:KNOWS*1..3]->"
+        "(b:Person)) RETURN a.name AS an, b.name AS bn, length(p) AS d")
+    n1, na = one.count(), all_.count()
+    assert n1 >= 1 and na >= n1
+    assert one.groupBy("an", "bn").count().where("count > 1").count() == 0
