@@ -1694,6 +1694,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
             "AND NOT EXISTS { (a)-[:KNOWS]->(:Person {city: 'SF'}) } "
             "RETURN a.name AS name, a.age AS age"),
+        # map projections (r3-s3 extension; struct built then unpacked
+        # through WITH so the oracle compares scalars)
+        "p18_map_proj": _q_cypher_knows(
+            "MATCH (n:Person) WHERE n.age % 6 = 0 "
+            "WITH n {.name, .city, half: n.age / 2} AS m "
+            "RETURN m.name AS name, m.city AS city, m.half AS half"),
         # shortestPath in MATCH (r3-s3 extension; full oracle via
         # DuckDB recursive-CTE min-hops)
         "p17_shortest_path": _q_cypher_knows(
@@ -2092,6 +2098,9 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p18_map_proj": pre + (
+            " SELECT name, city, age // 2 AS half FROM person "
+            "WHERE age % 6 = 0"),
         "p17_shortest_path": pre + (
             " SELECT p2.name AS bn, d FROM (WITH RECURSIVE walk AS ("
             "SELECT src AS a, dst AS b, 1 AS hops, [src, dst] AS vp "

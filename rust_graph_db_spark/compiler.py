@@ -38,7 +38,8 @@ from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
     AGGREGATE_FUNCS, Binary, CaseExpr, CountSubquery, Create, Delete,
     ExistsSubquery, FuncCall, InList, PatternComp,
-    IsNull, ListComp, ListLit, Literal, MapLit, Match, Merge, NodePattern,
+    IsNull, ListComp, ListLit, Literal, MapLit, MapProj, Match, Merge,
+    NodePattern,
     OrderItem, PathPattern, Prop, Quantifier, Query, ReduceExpr, RelPattern,
     Return,
     ReturnItem, SetClause, SetItem, Subscript, Unary, UnionQuery, Unwind,
@@ -209,6 +210,41 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             src_c, init_c,
             lambda acc, x: _lambda_body(
                 ctx, {e.acc: acc, e.var: x}, e.body, df)), None
+
+    if isinstance(e, MapProj):
+        b = ctx.env.get(e.base)
+        if b is None:
+            raise CypherCompileError(f"unbound variable: {e.base}")
+        fields: list[tuple] = []      # (key, Column)
+        structural = ("id", "src", "dst", "label") if b.kind == "edge" \
+            else ("id", "label")
+        for item in e.items:
+            if item[0] == "all":
+                if b.kind not in ("vertex", "edge"):
+                    raise CypherCompileError(
+                        ".* map projection requires an entity variable")
+                for p in sorted(b.cols):
+                    if p not in structural:
+                        fields.append((p, F.col(b.cols[p])))
+            elif item[0] == "prop":
+                key = item[1]
+                if b.kind == "scalar":
+                    fields.append(
+                        (key, F.col(b.cols["_value"]).getItem(key)))
+                else:
+                    flat = b.cols.get(key)
+                    fields.append(
+                        (key, F.col(flat) if flat is not None
+                         else F.lit(None)))
+            else:
+                _, key, sub = item
+                c, _ = compile_expr(ctx, sub, df)
+                fields.append((key, c))
+        seen: dict = {}
+        for k, c in fields:           # later occurrence wins, order kept
+            seen[k] = c
+        return (F.struct(*[c.alias(k) for k, c in seen.items()]),
+                None)
 
     if isinstance(e, ExistsSubquery):
         raise CypherCompileError(

@@ -107,6 +107,14 @@ class CountSubquery:
 
 
 @dataclass(frozen=True)
+class MapProj:
+    """n {.name, .age, .*, extra: expr} — openCypher map projection
+    over an entity (or map-valued) variable."""
+    base: str
+    items: tuple    # ("prop", name) | ("all",) | ("expr", key, Expr)
+
+
+@dataclass(frozen=True)
 class PatternComp:
     """[ (a)-[:R]->(b) WHERE p | expr ] — openCypher pattern
     comprehension: per outer row, the list of ``proj`` values over

@@ -10,7 +10,8 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
-    CountSubquery, ExistsSubquery, ListComp, PatternComp, ReduceExpr,
+    CountSubquery, ExistsSubquery, ListComp, MapProj, PatternComp,
+    ReduceExpr,
     Quantifier,
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
     Literal, MapLit, Match, Merge, NodePattern, OrderItem, PathPattern, Prop,
@@ -533,6 +534,25 @@ class Parser:
 
     def _postfix(self):
         e = self._primary()
+        if isinstance(e, Var) and self.at_punct("{"):
+            # map projection: n {.name, .age, .*, extra: expr}
+            self.advance()
+            items = []
+            if not self.at_punct("}"):
+                while True:
+                    if self.try_punct("."):
+                        if self.try_punct("*"):
+                            items.append(("all",))
+                        else:
+                            items.append(("prop", self.advance().text))
+                    else:
+                        key = self.name()
+                        self.eat_punct(":")
+                        items.append(("expr", key, self.expr()))
+                    if not self.try_punct(","):
+                        break
+            self.eat_punct("}")
+            return MapProj(e.name, tuple(items))
         path = []
         while self.at_punct(".") and self.peek().kind in ("name", "kw"):
             self.advance()

@@ -559,3 +559,25 @@ def test_shortest_path_match(kg, oracle):
     n1, na = one.count(), all_.count()
     assert n1 >= 1 and na >= n1
     assert one.groupBy("an", "bn").count().where("count > 1").count() == 0
+
+
+def test_map_projections(kg, oracle):
+    """n {.prop, .*, key: expr} — openCypher map projections compiled
+    to struct columns; accessing the result through WITH keeps it an
+    ordinary scalar (getItem path)."""
+    r = kg.cypher(
+        "MATCH (n:Person) WHERE n.age = 25 "
+        "RETURN n {.name, .age, doubled: n.age * 2} AS m LIMIT 1").first()
+    assert r.m.asDict() == {"name": r.m.name, "age": 25,
+                            "doubled": 50}
+    star = kg.cypher(
+        "MATCH (n:Person) WHERE n.age = 30 RETURN n {.*} AS m LIMIT 1"
+    ).first().m
+    assert "name" in star.asDict() and "id" not in star.asDict()
+    # through WITH, fields project back out as scalars — oracle-able
+    oracle(
+        kg.cypher(
+            "MATCH (n:Person) WHERE n.age >= 78 "
+            "WITH n {.name, half: n.age / 2} AS m "
+            "RETURN m.name AS name, m.half AS half"),
+        "SELECT name, age // 2 AS half FROM person WHERE age >= 78")
