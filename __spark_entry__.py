@@ -1694,6 +1694,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND EXISTS { (a)-[:KNOWS]->(b:Person) WHERE b.age > a.age } "
             "AND NOT EXISTS { (a)-[:KNOWS]->(:Person {city: 'SF'}) } "
             "RETURN a.name AS name, a.age AS age"),
+        # CALL {} subqueries (r3-s3 extension; oracle via DuckDB
+        # correlated scalar subqueries)
+        "p19_call_sub": _q_cypher_knows(
+            "MATCH (a:Person) WHERE a.age % 9 = 0 "
+            "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+            "RETURN count(*) AS deg, min(b.name) AS first_friend } "
+            "RETURN a.name AS name, deg, first_friend"),
         # map projections (r3-s3 extension; struct built then unpacked
         # through WITH so the oracle compares scalars)
         "p18_map_proj": _q_cypher_knows(
@@ -2098,6 +2105,12 @@ def oracle_sql() -> dict[str, str]:
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
+        "p19_call_sub": pre + (
+            " SELECT p1.name, "
+            "(SELECT count(*) FROM knows k WHERE k.src = p1.key) AS deg, "
+            "(SELECT min(p2.name) FROM knows k JOIN person p2 "
+            "ON k.dst = p2.key WHERE k.src = p1.key) AS first_friend "
+            "FROM person p1 WHERE p1.age % 9 = 0"),
         "p18_map_proj": pre + (
             " SELECT name, city, age // 2 AS half FROM person "
             "WHERE age % 6 = 0"),

@@ -36,7 +36,8 @@ from pyspark.sql import types as T
 
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
-    AGGREGATE_FUNCS, Binary, CaseExpr, CountSubquery, Create, Delete,
+    AGGREGATE_FUNCS, Binary, CallSubquery, CaseExpr, CountSubquery,
+    Create, Delete,
     ExistsSubquery, FuncCall, InList, PatternComp,
     IsNull, ListComp, ListLit, Literal, MapLit, MapProj, Match, Merge,
     NodePattern,
@@ -1261,6 +1262,134 @@ def _apply_delete(ctx: _Ctx, clause: Delete) -> None:
 
 # ------------------------------------------------------------------- driver
 
+def _apply_clause(ctx: _Ctx, clause) -> None:
+    if isinstance(clause, Match):
+        _apply_match(ctx, clause)
+    elif isinstance(clause, (With, Return)):
+        _apply_projection(ctx, clause)
+    elif isinstance(clause, CallSubquery):
+        _apply_call(ctx, clause)
+    elif isinstance(clause, Unwind):
+        if ctx.df is None:
+            ctx.df = ctx.spark.range(1).select(F.lit(1).alias("_one"))
+        c, _ = compile_expr(ctx, clause.expr)
+        ctx.df = ctx.df.withColumn(clause.alias, F.explode(c))
+        ctx.env[clause.alias] = Binding("scalar", None, {"_value": clause.alias})
+    elif isinstance(clause, Create):
+        _apply_create(ctx, clause)
+    elif isinstance(clause, Merge):
+        from rust_graph_db_spark import dml
+
+        dml.apply_merge(ctx, clause)
+    elif isinstance(clause, SetClause):
+        _apply_set(ctx, clause)
+    elif isinstance(clause, Delete):
+        _apply_delete(ctx, clause)
+    else:
+        raise CypherCompileError(f"unsupported clause {clause!r}")
+
+
+def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
+    """CALL { [WITH imports] ... RETURN ... } — openCypher subquery.
+
+    Uncorrelated (no importing WITH): the subquery compiles in a fresh
+    scope; with a pipeline already present the results cross-join onto
+    it (every outer row sees every subquery row — the openCypher
+    row-multiplication semantics), else they become the pipeline.
+
+    Correlated (importing WITH): the pipeline gets a pinned row id;
+    the child scope sees ONLY the imported bindings plus the id, the
+    id is threaded through every inner projection as a hidden item —
+    which also makes inner aggregation per-outer-row and inner
+    DISTINCT per-outer-row, exactly the openCypher semantics — and the
+    results join back on the id. Inner ORDER/SKIP/LIMIT would need
+    per-row application (a lateral join) and are rejected with a clear
+    error; inner writes are rejected (read-only subqueries).
+    """
+    sub = call.query
+    if not sub.clauses or not isinstance(sub.clauses[-1], Return):
+        raise CypherCompileError("CALL { } subquery must end with RETURN")
+    for cl in sub.clauses:
+        if isinstance(cl, (Create, Merge, SetClause, Delete)):
+            raise CypherCompileError(
+                "write clauses inside CALL { } are not supported")
+
+    if call.imports is None:
+        child = _Ctx(ctx.graph)
+        child._gensym = ctx._gensym          # shared: no column collisions
+        for cl in sub.clauses:
+            _apply_clause(child, cl)
+        out_cols = child.df.columns
+        clash = [c for c in out_cols if c in ctx.env]
+        if clash:
+            raise CypherCompileError(
+                f"CALL {{ }} output columns collide with outer "
+                f"variables: {clash}")
+        ctx.df = (child.df if ctx.df is None
+                  else ctx.df.crossJoin(child.df))
+        for c in out_cols:
+            ctx.env[c] = Binding("scalar", None, {"_value": c})
+        return
+
+    if ctx.df is None:
+        raise CypherCompileError(
+            "CALL { WITH ... } requires an enclosing pipeline")
+    missing = [v for v in call.imports if v not in ctx.env]
+    if missing:
+        raise CypherCompileError(
+            f"CALL {{ WITH ... }} imports unbound variables: {missing}")
+    for cl in sub.clauses:
+        if isinstance(cl, (With, Return)) and (
+                cl.order_by or cl.skip is not None or cl.limit is not None):
+            raise CypherCompileError(
+                "ORDER BY / SKIP / LIMIT inside a correlated CALL { } "
+                "would need per-row (lateral) application and are not "
+                "supported — apply them outside the subquery")
+
+    rid = ctx.sym("_rid")
+    base = (ctx.df.withColumn(rid, F.monotonically_increasing_id())
+            .localCheckpoint(eager=True))
+    child = _Ctx(ctx.graph)
+    child._gensym = ctx._gensym
+    keep: list[str] = [rid]
+    for v in call.imports:
+        keep.extend(ctx.env[v].cols.values())
+    child.df = base.select(*dict.fromkeys(keep))
+    child.env = {v: ctx.env[v] for v in call.imports}
+    child.env[rid] = Binding("scalar", None, {"_value": rid})
+    hidden = ReturnItem(Var(rid), rid)
+    for cl in sub.clauses:
+        if isinstance(cl, With):
+            cl = With(cl.items + (hidden,), cl.distinct, cl.where,
+                      cl.order_by, cl.skip, cl.limit)
+        elif isinstance(cl, Return):
+            cl = Return(cl.items + (hidden,), cl.distinct,
+                        cl.order_by, cl.skip, cl.limit)
+        _apply_clause(child, cl)
+    out_cols = [c for c in child.df.columns if c != rid]
+    clash = [c for c in out_cols if c in ctx.env]
+    if clash:
+        raise CypherCompileError(
+            f"CALL {{ }} output columns collide with outer "
+            f"variables: {clash}")
+    ret = sub.clauses[-1]
+    all_agg = all(contains_aggregate(it.expr) for it in ret.items)
+    # A global aggregation always yields one row per outer row in
+    # openCypher — even over zero matches — so join left and restore
+    # the empty-group value for plain count items (0; other aggregates
+    # over an empty group are NULL, which the left join already gives).
+    ctx.df = base.join(child.df, rid, "left" if all_agg else "inner") \
+                 .drop(rid)
+    if all_agg:
+        for it in ret.items:
+            if isinstance(it.expr, FuncCall) and it.expr.name == "count":
+                name = it.alias or _expr_name(it.expr)
+                ctx.df = ctx.df.withColumn(
+                    name, F.coalesce(_qcol(name), F.lit(0)))
+    for c in out_cols:
+        ctx.env[c] = Binding("scalar", None, {"_value": c})
+
+
 def compile_query(graph, query) -> DataFrame:
     if isinstance(query, UnionQuery):
         parts = [compile_query(graph, p) for p in query.parts]
@@ -1286,28 +1415,7 @@ def compile_query(graph, query) -> DataFrame:
     ctx = _Ctx(graph)
     last = None
     for clause in query.clauses:
-        if isinstance(clause, Match):
-            _apply_match(ctx, clause)
-        elif isinstance(clause, (With, Return)):
-            _apply_projection(ctx, clause)
-        elif isinstance(clause, Unwind):
-            if ctx.df is None:
-                ctx.df = ctx.spark.range(1).select(F.lit(1).alias("_one"))
-            c, _ = compile_expr(ctx, clause.expr)
-            ctx.df = ctx.df.withColumn(clause.alias, F.explode(c))
-            ctx.env[clause.alias] = Binding("scalar", None, {"_value": clause.alias})
-        elif isinstance(clause, Create):
-            _apply_create(ctx, clause)
-        elif isinstance(clause, Merge):
-            from rust_graph_db_spark import dml
-
-            dml.apply_merge(ctx, clause)
-        elif isinstance(clause, SetClause):
-            _apply_set(ctx, clause)
-        elif isinstance(clause, Delete):
-            _apply_delete(ctx, clause)
-        else:
-            raise CypherCompileError(f"unsupported clause {clause!r}")
+        _apply_clause(ctx, clause)
         last = clause
 
     if isinstance(last, Return):

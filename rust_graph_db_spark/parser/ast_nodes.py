@@ -265,6 +265,15 @@ class Return:
 
 
 @dataclass(frozen=True)
+class CallSubquery:
+    """CALL { [WITH imports] clauses... RETURN ... } — openCypher
+    subquery clause. ``imports`` is the leading importing-WITH variable
+    list (None = uncorrelated)."""
+    imports: object       # Optional[tuple[str, ...]]
+    query: "Query"
+
+
+@dataclass(frozen=True)
 class Unwind:
     expr: Expr
     alias: str

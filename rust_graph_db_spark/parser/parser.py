@@ -10,7 +10,8 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
-    CountSubquery, ExistsSubquery, ListComp, MapProj, PatternComp,
+    CallSubquery, CountSubquery, ExistsSubquery, ListComp, MapProj,
+    PatternComp,
     ReduceExpr,
     Quantifier,
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
@@ -221,10 +222,26 @@ class Parser:
                 f"cannot mix {op} and {op} ALL in one query")
         return UnionQuery(tuple(parts), all=alls[0], op=op.lower())
 
-    def _single_query(self) -> Query:
+    def _single_query(self, stop_at_brace: bool = False) -> Query:
         clauses = []
         while not (self.cur.kind == "eof"
-                   or any(self.at_kw(o) for o in self._SET_OPS)):
+                   or any(self.at_kw(o) for o in self._SET_OPS)
+                   or (stop_at_brace and self.at_punct("}"))):
+            if (self.at_word("CALL") and self.peek().kind == "punct"
+                    and self.peek().text == "{"):
+                # CALL { [WITH a, b] ... RETURN ... } subquery clause
+                self.advance()
+                self.eat_punct("{")
+                imports = None
+                if self.try_kw("WITH"):
+                    names = [self.name()]
+                    while self.try_punct(","):
+                        names.append(self.name())
+                    imports = tuple(names)
+                sub = self._single_query(stop_at_brace=True)
+                self.eat_punct("}")
+                clauses.append(CallSubquery(imports, sub))
+                continue
             if self.at_kw("OPTIONAL"):
                 self.advance()
                 self.eat_kw("MATCH")

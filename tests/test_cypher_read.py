@@ -581,3 +581,40 @@ def test_map_projections(kg, oracle):
             "WITH n {.name, half: n.age / 2} AS m "
             "RETURN m.name AS name, m.half AS half"),
         "SELECT name, age // 2 AS half FROM person WHERE age >= 78")
+
+
+def test_call_subqueries(kg, oracle):
+    """CALL { [WITH imports] ... RETURN ... } — correlated subqueries
+    thread a pinned row id through every inner projection (making
+    inner aggregation and DISTINCT per-outer-row for free) and join
+    back; uncorrelated ones cross-join. An all-aggregate subquery
+    yields one row per outer row even over zero matches (count = 0,
+    other aggregates NULL) via a left join."""
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE a.age >= 78 "
+            "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+            "RETURN count(*) AS deg, max(b.age) AS oldest } "
+            "RETURN a.name AS name, deg, oldest"),
+        "SELECT p1.name, "
+        "(SELECT count(*) FROM knows k WHERE k.src = p1.key) AS deg, "
+        "(SELECT max(p2.age) FROM knows k JOIN person p2 "
+        "ON k.dst = p2.key WHERE k.src = p1.key) AS oldest "
+        "FROM person p1 WHERE p1.age >= 78")
+    # uncorrelated first clause + cross-join composition
+    oracle(
+        kg.cypher(
+            "CALL { MATCH (p:Person) WHERE p.age > 78 "
+            "RETURN p.city AS oc } "
+            "RETURN oc, count(*) AS n"),
+        "SELECT city, count(*) FROM person WHERE age > 78 GROUP BY city")
+    # rejected: inner LIMIT in a correlated subquery
+    from rust_graph_db_spark.compiler import CypherCompileError
+    with pytest.raises(CypherCompileError, match="LIMIT"):
+        kg.cypher("MATCH (a:Person) CALL { WITH a "
+                  "MATCH (a)-[:KNOWS]->(b) RETURN b.name AS bn LIMIT 1 } "
+                  "RETURN bn").collect()
+    # rejected: writes inside CALL
+    with pytest.raises(CypherCompileError, match="write"):
+        kg.cypher("MATCH (a:Person) CALL { CREATE (x:Person {name:'X'}) "
+                  "RETURN 1 AS one } RETURN one").collect()
