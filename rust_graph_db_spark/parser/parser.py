@@ -262,6 +262,27 @@ class Parser:
                 clauses.append(self._merge())
             elif self.try_kw("SET"):
                 clauses.append(self._set_clause())
+            elif self.try_word("REMOVE"):       # contextual, like MERGE
+                # REMOVE n.prop[, m.prop ...] — in this engine's column
+                # model a NULL property IS an absent property (openCypher
+                # missing-property semantics), so REMOVE compiles to the
+                # SET-to-NULL dataflow
+                items = []
+                while True:
+                    base = self.name()
+                    path = []
+                    while self.try_punct("."):
+                        t = self.advance()
+                        path.append(t.text if t.kind == "name"
+                                    else t.text.lower())
+                    if not path:
+                        raise CypherSyntaxError(
+                            "REMOVE target must be a property path")
+                    items.append(SetItem(Prop(base, tuple(path)),
+                                         Literal(None)))
+                    if not self.try_punct(","):
+                        break
+                clauses.append(SetClause(tuple(items)))
             elif self.at_kw("DETACH"):
                 self.advance()
                 self.eat_kw("DELETE")

@@ -275,3 +275,17 @@ def test_merge_edge_on_set_requires_rel_var(g):
     with pytest.raises(CypherWriteError):
         g.cypher("MATCH (a:Person {name:'Alice'}), (c:Person {name:'Carol'}) "
                  "MERGE (a)-[:LIKES]->(c) ON CREATE SET a.x = 1").collect()
+
+
+def test_remove_property(g):
+    """REMOVE n.prop — compiles to the SET-to-NULL dataflow; in the
+    column model a NULL property IS an absent property (exists() goes
+    false, keys() drops it)."""
+    g.cypher("MATCH (p:Person {name: 'Alice'}) REMOVE p.age").collect()
+    r = g.cypher("MATCH (p:Person {name: 'Alice'}) "
+                 "RETURN p.age AS age, exists(p.age) AS has, "
+                 "keys(p) AS ks").first()
+    assert r.age is None and r.has is False and "age" not in r.ks
+    # other rows untouched
+    assert g.cypher("MATCH (p:Person) WHERE p.age IS NOT NULL "
+                    "RETURN count(*) AS c").first().c >= 1
