@@ -38,7 +38,7 @@ from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
     AGGREGATE_FUNCS, Binary, CallSubquery, CaseExpr, CountSubquery,
     Create, Delete,
-    ExistsSubquery, FuncCall, InList, PatternComp,
+    ExistsSubquery, Foreach, FuncCall, InList, PatternComp,
     IsNull, ListComp, ListLit, Literal, MapLit, MapProj, Match, Merge,
     NodePattern,
     OrderItem, PathPattern, Prop, Quantifier, Query, ReduceExpr, RelPattern,
@@ -1269,6 +1269,21 @@ def _apply_clause(ctx: _Ctx, clause) -> None:
         _apply_projection(ctx, clause)
     elif isinstance(clause, CallSubquery):
         _apply_call(ctx, clause)
+    elif isinstance(clause, Foreach):
+        # per-element writes: explode the list for the write clauses,
+        # then RESTORE the pipeline — FOREACH never changes downstream
+        # cardinality, and an empty/NULL list runs its body zero times
+        # for that row (explode drops the row on the write side only)
+        if ctx.df is None:
+            ctx.df = ctx.spark.range(1).select(F.lit(1).alias("_one"))
+        base, saved_env = ctx.df, dict(ctx.env)
+        col = ctx.sym("_fe")
+        c, _ = compile_expr(ctx, clause.source)
+        ctx.df = base.withColumn(col, F.explode(c))
+        ctx.env[clause.var] = Binding("scalar", None, {"_value": col})
+        for wc in clause.clauses:
+            _apply_clause(ctx, wc)
+        ctx.df, ctx.env = base, saved_env
     elif isinstance(clause, Unwind):
         if ctx.df is None:
             ctx.df = ctx.spark.range(1).select(F.lit(1).alias("_one"))
@@ -1310,7 +1325,7 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     if not sub.clauses or not isinstance(sub.clauses[-1], Return):
         raise CypherCompileError("CALL { } subquery must end with RETURN")
     for cl in sub.clauses:
-        if isinstance(cl, (Create, Merge, SetClause, Delete)):
+        if isinstance(cl, (Create, Merge, SetClause, Delete, Foreach)):
             raise CypherCompileError(
                 "write clauses inside CALL { } are not supported")
 

@@ -64,6 +64,30 @@ def _literal_props(props) -> dict:
     return {k: _lit_col(v) for k, v in props.pairs}
 
 
+def _expr_props(ctx, props) -> dict:
+    """name → Column for CREATE property maps. Literals always work
+    (standalone CREATE — reference parity, match_executor.rs:360-367);
+    when a pipeline is present, general expressions over its bindings
+    are allowed too (engine extension — the created rows are built
+    FROM the pipeline frame, so per-row values like ``{idx: i,
+    parent: a.name}`` in MATCH-driven CREATE and FOREACH bodies are
+    ordinary columns)."""
+    if props is None:
+        return {}
+    from rust_graph_db_spark.compiler import compile_expr
+
+    out = {}
+    for k, v in props.pairs:
+        try:
+            out[k] = _lit_col(v)
+        except CypherWriteError:
+            if ctx.df is None:
+                raise
+            c, _ = compile_expr(ctx, v)
+            out[k] = c
+    return out
+
+
 def apply_create(ctx, clause: Create) -> None:
     """CREATE patterns — standalone or driven by matched rows."""
     from rust_graph_db_spark.compiler import Binding, _flat
@@ -83,7 +107,7 @@ def apply_create(ctx, clause: Create) -> None:
             if node.label is None:
                 raise CypherWriteError("CREATE node requires a label "
                                        "(create_executor.rs:113-131)")
-            props = _literal_props(node.props)
+            props = _expr_props(ctx, node.props)
             label = node.label
             labid = g.label_id(label)
 
@@ -101,11 +125,14 @@ def apply_create(ctx, clause: Create) -> None:
                 loc_col = f"_loc_{idx}"
                 ctx.df, cnt = dense_ids(ctx.df, loc_col)
                 base = g.next_locids(label, cnt)
+                # one select against the pipeline frame: property
+                # expressions (per-row values like {idx: i}) resolve
+                # against its columns, which a narrowed id-only frame
+                # would no longer carry
                 new = ctx.df.select(
                     pack_graphid(labid,
-                                 F.col(loc_col) + F.lit(base)).alias("id"))
-                for k, v in props.items():
-                    new = new.withColumn(k, v)
+                                 F.col(loc_col) + F.lit(base)).alias("id"),
+                    *[v.alias(k) for k, v in props.items()])
 
             props_cols = [c for c in new.columns if c != "id"]
             new = new.select("id", *props_cols)
@@ -153,7 +180,7 @@ def apply_create(ctx, clause: Create) -> None:
             lvar, rvar = left.var, right.var
             if lvar is None or rvar is None or lvar not in ctx.env or rvar not in ctx.env:
                 raise CypherWriteError("CREATE edge endpoints must be bound nodes")
-            props = _literal_props(rel.props)
+            props = _expr_props(ctx, rel.props)
             elabel = rel.label
             labid = g.label_id(elabel)
 

@@ -265,6 +265,15 @@ class Return:
 
 
 @dataclass(frozen=True)
+class Foreach:
+    """FOREACH (var IN list | write-clauses) — per-element writes;
+    pipeline cardinality is unchanged afterwards."""
+    var: str
+    source: object
+    clauses: tuple
+
+
+@dataclass(frozen=True)
 class CallSubquery:
     """CALL { [WITH imports] clauses... RETURN ... } — openCypher
     subquery clause. ``imports`` is the leading importing-WITH variable

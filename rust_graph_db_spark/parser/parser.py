@@ -10,7 +10,8 @@ import re
 from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
-    CallSubquery, CountSubquery, ExistsSubquery, ListComp, MapProj,
+    CallSubquery, CountSubquery, ExistsSubquery, Foreach, ListComp,
+    MapProj,
     PatternComp,
     ReduceExpr,
     Quantifier,
@@ -262,6 +263,37 @@ class Parser:
                 clauses.append(self._merge())
             elif self.try_kw("SET"):
                 clauses.append(self._set_clause())
+            elif (self.at_word("FOREACH") and self.peek().kind == "punct"
+                    and self.peek().text == "("):
+                # FOREACH (x IN list | SET/CREATE/DELETE/MERGE ...)
+                self.advance()
+                self.eat_punct("(")
+                fvar = self.name()
+                self.eat_kw("IN")
+                src = self.expr()
+                self.eat_punct("|")
+                body = []
+                while not self.at_punct(")"):
+                    if self.try_kw("CREATE"):
+                        body.append(Create(tuple(self._pattern_list())))
+                    elif self.try_kw("SET"):
+                        body.append(self._set_clause())
+                    elif self.try_word("MERGE"):
+                        body.append(self._merge())
+                    elif self.at_kw("DETACH"):
+                        self.advance()
+                        self.eat_kw("DELETE")
+                        body.append(self._delete(detach=True))
+                    elif self.try_kw("DELETE"):
+                        body.append(self._delete(detach=False))
+                    else:
+                        raise CypherSyntaxError(
+                            "FOREACH body allows only write clauses "
+                            f"(got {self.cur.text!r} at {self.cur.pos})")
+                self.eat_punct(")")
+                if not body:
+                    raise CypherSyntaxError("empty FOREACH body")
+                clauses.append(Foreach(fvar, src, tuple(body)))
             elif self.try_word("REMOVE"):       # contextual, like MERGE
                 # REMOVE n.prop[, m.prop ...] — in this engine's column
                 # model a NULL property IS an absent property (openCypher

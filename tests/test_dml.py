@@ -289,3 +289,34 @@ def test_remove_property(g):
     # other rows untouched
     assert g.cypher("MATCH (p:Person) WHERE p.age IS NOT NULL "
                     "RETURN count(*) AS c").first().c >= 1
+
+
+def test_foreach(g):
+    """FOREACH (x IN list | writes) — the write side explodes the list
+    (empty/NULL lists run zero iterations for that row), the pipeline
+    afterwards keeps its original cardinality, and CREATE property
+    maps may reference the loop variable and outer bindings (the
+    expression-props extension)."""
+    out = g.cypher(
+        "MATCH (a:Person {name: 'Alice'}) "
+        "FOREACH (i IN range(1, 3) | "
+        "CREATE (t:Tag {idx: i, owner: a.name})) "
+        "RETURN a.name AS name").collect()
+    assert [r["name"] for r in out] == ["Alice"]        # cardinality kept
+    tags = sorted((r["idx"], r["owner"])
+                  for r in g.vertex_frame("Tag").collect())
+    assert tags == [(1, "Alice"), (2, "Alice"), (3, "Alice")]
+    # empty list: zero executions
+    g.cypher("MATCH (a:Person) "
+             "FOREACH (i IN [] | CREATE (x:Nope {z: i}))").collect()
+    assert "Nope" not in g._vertices or g.vertex_frame("Nope").count() == 0
+    # SET through the loop variable
+    g.cypher("MATCH (t:Tag {idx: 2}) "
+             "FOREACH (v IN [20] | SET t.idx = v)").collect()
+    assert sorted(r["idx"] for r in g.vertex_frame("Tag").collect()) \
+        == [1, 3, 20]
+    # non-write clauses are rejected in the body
+    from rust_graph_db_spark.parser.parser import CypherSyntaxError
+    with pytest.raises(CypherSyntaxError, match="FOREACH body"):
+        g.cypher("MATCH (a:Person) "
+                 "FOREACH (i IN [1] | RETURN i)").collect()
