@@ -244,8 +244,12 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
         seen: dict = {}
         for k, c in fields:           # later occurrence wins, order kept
             seen[k] = c
-        return (F.struct(*[c.alias(k) for k, c in seen.items()]),
-                None)
+        struct = F.struct(*[c.alias(k) for k, c in seen.items()])
+        if b.kind in ("vertex", "edge"):
+            # openCypher: a map projection of a NULL entity (OPTIONAL
+            # MATCH miss) is NULL, not a struct of NULL fields
+            struct = F.when(F.col(b.cols["id"]).isNotNull(), struct)
+        return struct, None
 
     if isinstance(e, ExistsSubquery):
         raise CypherCompileError(
@@ -376,6 +380,15 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
 
     if isinstance(e, Subscript):
         bc, bt = compile_expr(ctx, e.base, df)
+        if isinstance(e.index, Literal) and isinstance(e.index.value, str):
+            # string key: map lookup or struct-field access (getItem
+            # covers both; element_at would reject structs)
+            key = e.index.value
+            if isinstance(bt, T.MapType):
+                return bc.getItem(key), bt.valueType
+            if isinstance(bt, T.StructType) and key in bt.fieldNames():
+                return bc.getItem(key), bt[key].dataType
+            return bc.getItem(key), None
         ic, _ = compile_expr(ctx, e.index, df)
         if isinstance(e.index, Literal) and isinstance(e.index.value, int):
             # openCypher lists are 0-based; element_at is 1-based
@@ -652,9 +665,12 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
         # only). The reference's GraphPath (src/types/path.rs:23-40)
         # as data, not a runtime object.
         pvar = pat.var or ctx.sym("_p")
-        if pvar in env_add:
+        if pvar in env_add or pvar in hint:
+            # openCypher: 'p already declared' — silently merging would
+            # equi-join the outer binding's key against the path length
             raise CypherCompileError(
-                f"path variable {pvar} collides with a pattern variable")
+                f"path variable {pvar} collides with an existing "
+                "variable")
         nodes = F.array(F.col(_flat(node_vars[0], "id")))
         length = F.lit(0).cast("long")
         rel_ids, has_vl = [], False
@@ -772,6 +788,9 @@ def _contains_count_subquery(e) -> bool:
             or any(_contains_count_subquery(c) or _contains_count_subquery(v)
                    for c, v in e.whens)
             or (e.else_ is not None and _contains_count_subquery(e.else_)))
+    if isinstance(e, MapProj):
+        return any(_contains_count_subquery(item[2]) for item in e.items
+                   if item[0] == "expr")
     return False
 
 
@@ -899,6 +918,10 @@ def _rewrite_count_subqueries(ctx: _Ctx, e):
                 walk(x.operand) if x.operand is not None else None,
                 tuple((walk(c), walk(v)) for c, v in x.whens),
                 walk(x.else_) if x.else_ is not None else None)
+        if isinstance(x, MapProj):
+            return MapProj(x.base, tuple(
+                ("expr", item[1], walk(item[2])) if item[0] == "expr"
+                else item for item in x.items))
         return x
 
     return walk(e)
@@ -1022,6 +1045,10 @@ def _split_aggregates(e, counter):
                 walk(x.operand) if x.operand is not None else None,
                 tuple((walk(c), walk(v)) for c, v in x.whens),
                 walk(x.else_) if x.else_ is not None else None)
+        if isinstance(x, MapProj):
+            return MapProj(x.base, tuple(
+                ("expr", item[1], walk(item[2])) if item[0] == "expr"
+                else item for item in x.items))
         return x
 
     return walk(e), found
@@ -1277,12 +1304,19 @@ def _apply_clause(ctx: _Ctx, clause) -> None:
         if ctx.df is None:
             ctx.df = ctx.spark.range(1).select(F.lit(1).alias("_one"))
         base, saved_env = ctx.df, dict(ctx.env)
-        col = ctx.sym("_fe")
+        col, ordc = ctx.sym("_fe"), ctx.sym("_fp")
         c, _ = compile_expr(ctx, clause.source)
-        ctx.df = base.withColumn(col, F.explode(c))
+        # posexplode: the position column lets SET apply last-write-wins
+        # in ITERATION order (openCypher FOREACH is ordered)
+        ctx.df = base.select("*", F.posexplode(c).alias(ordc, col))
         ctx.env[clause.var] = Binding("scalar", None, {"_value": col})
-        for wc in clause.clauses:
-            _apply_clause(ctx, wc)
+        prev_ord = getattr(ctx, "foreach_ord", None)
+        ctx.foreach_ord = ordc
+        try:
+            for wc in clause.clauses:
+                _apply_clause(ctx, wc)
+        finally:
+            ctx.foreach_ord = prev_ord
         ctx.df, ctx.env = base, saved_env
     elif isinstance(clause, Unwind):
         if ctx.df is None:
@@ -1304,6 +1338,34 @@ def _apply_clause(ctx: _Ctx, clause) -> None:
         raise CypherCompileError(f"unsupported clause {clause!r}")
 
 
+def _empty_group_fold(e):
+    """Fold an aggregate expression to its EMPTY-GROUP value: aggregate
+    calls become their zero-row constants (count→0, sum/min/max/avg→
+    NULL, collect→[]) and the surrounding expression survives — so
+    count(*)+1 folds to 1, coalesce(max(x), 5) to 5."""
+    if isinstance(e, FuncCall) and e.name in AGGREGATE_FUNCS:
+        if e.name == "count":
+            return Literal(0)
+        if e.name == "collect":
+            return ListLit(())
+        return Literal(None)
+    if isinstance(e, Unary):
+        return Unary(e.op, _empty_group_fold(e.operand))
+    if isinstance(e, Binary):
+        return Binary(e.op, _empty_group_fold(e.left),
+                      _empty_group_fold(e.right))
+    if isinstance(e, FuncCall):
+        return FuncCall(e.name, tuple(_empty_group_fold(a) for a in e.args),
+                        e.distinct, e.star)
+    if isinstance(e, CaseExpr):
+        return CaseExpr(
+            _empty_group_fold(e.operand) if e.operand is not None else None,
+            tuple((_empty_group_fold(c), _empty_group_fold(v))
+                  for c, v in e.whens),
+            _empty_group_fold(e.else_) if e.else_ is not None else None)
+    return e
+
+
 def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     """CALL { [WITH imports] ... RETURN ... } — openCypher subquery.
 
@@ -1322,26 +1384,37 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     error; inner writes are rejected (read-only subqueries).
     """
     sub = call.query
-    if not sub.clauses or not isinstance(sub.clauses[-1], Return):
-        raise CypherCompileError("CALL { } subquery must end with RETURN")
-    for cl in sub.clauses:
-        if isinstance(cl, (Create, Merge, SetClause, Delete, Foreach)):
+    parts = sub.parts if isinstance(sub, UnionQuery) else (sub,)
+    for q in parts:
+        if not q.clauses or not isinstance(q.clauses[-1], Return):
             raise CypherCompileError(
-                "write clauses inside CALL { } are not supported")
+                "CALL { } subquery must end with RETURN")
+        for cl in q.clauses:
+            if isinstance(cl, (Create, Merge, SetClause, Delete, Foreach)):
+                raise CypherCompileError(
+                    "write clauses inside CALL { } are not supported")
+    if isinstance(sub, UnionQuery) and call.imports is not None:
+        raise CypherCompileError(
+            "UNION inside a correlated CALL { WITH ... } is not "
+            "supported — drop the importing WITH or restructure")
 
     if call.imports is None:
-        child = _Ctx(ctx.graph)
-        child._gensym = ctx._gensym          # shared: no column collisions
-        for cl in sub.clauses:
-            _apply_clause(child, cl)
-        out_cols = child.df.columns
+        if isinstance(sub, UnionQuery):
+            child_df = compile_query(ctx.graph, sub)
+        else:
+            child = _Ctx(ctx.graph)
+            child._gensym = ctx._gensym      # shared: no column collisions
+            for cl in sub.clauses:
+                _apply_clause(child, cl)
+            child_df = child.df
+        out_cols = child_df.columns
         clash = [c for c in out_cols if c in ctx.env]
         if clash:
             raise CypherCompileError(
                 f"CALL {{ }} output columns collide with outer "
                 f"variables: {clash}")
-        ctx.df = (child.df if ctx.df is None
-                  else ctx.df.crossJoin(child.df))
+        ctx.df = (child_df if ctx.df is None
+                  else ctx.df.crossJoin(child_df))
         for c in out_cols:
             ctx.env[c] = Binding("scalar", None, {"_value": c})
         return
@@ -1373,15 +1446,21 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     child.env = {v: ctx.env[v] for v in call.imports}
     child.env[rid] = Binding("scalar", None, {"_value": rid})
     hidden = ReturnItem(Var(rid), rid)
+    ret0 = sub.clauses[-1]
+    all_agg0 = all(contains_aggregate(it.expr) for it in ret0.items)
+    # matched-group witness for the left-join fill below: count(*) is
+    # never NULL on a row that came from a real aggregation group
+    mark = ReturnItem(FuncCall("count", (), False, star=True), "_call_m")
     for cl in sub.clauses:
         if isinstance(cl, With):
             cl = With(cl.items + (hidden,), cl.distinct, cl.where,
                       cl.order_by, cl.skip, cl.limit)
         elif isinstance(cl, Return):
-            cl = Return(cl.items + (hidden,), cl.distinct,
+            extra = (hidden, mark) if all_agg0 else (hidden,)
+            cl = Return(cl.items + extra, cl.distinct,
                         cl.order_by, cl.skip, cl.limit)
         _apply_clause(child, cl)
-    out_cols = [c for c in child.df.columns if c != rid]
+    out_cols = [c for c in child.df.columns if c not in (rid, "_call_m")]
     clash = [c for c in out_cols if c in ctx.env]
     if clash:
         raise CypherCompileError(
@@ -1390,19 +1469,24 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     ret = sub.clauses[-1]
     all_agg = all(contains_aggregate(it.expr) for it in ret.items)
     # A global aggregation always yields one row per outer row in
-    # openCypher — even over zero matches — so join left and restore
-    # the empty-group value for plain count items (0; other aggregates
-    # over an empty group are NULL, which the left join already gives).
+    # openCypher — even over zero matches — so join left and fill the
+    # unmatched rows with each item's EMPTY-GROUP value, computed by
+    # folding the aggregate calls to their empty-group constants
+    # (count→0, sum/min/max/avg→NULL, collect→[]) and compiling the
+    # residual expression: count(*)+1 over no matches is 1, not NULL.
     ctx.df = base.join(child.df, rid, "left" if all_agg else "inner") \
                  .drop(rid)
     if all_agg:
         for it in ret.items:
-            if isinstance(it.expr, FuncCall) and it.expr.name == "count":
-                name = it.alias or _expr_name(it.expr)
-                ctx.df = ctx.df.withColumn(
-                    name, F.coalesce(_qcol(name), F.lit(0)))
+            name = it.alias or _expr_name(it.expr)
+            fill, _ = compile_expr(ctx, _empty_group_fold(it.expr))
+            ctx.df = ctx.df.withColumn(
+                name, F.when(F.col("_call_m").isNull(), fill)
+                       .otherwise(_qcol(name)))
+        ctx.df = ctx.df.drop("_call_m")
     for c in out_cols:
-        ctx.env[c] = Binding("scalar", None, {"_value": c})
+        if c != "_call_m":
+            ctx.env[c] = Binding("scalar", None, {"_value": c})
 
 
 def compile_query(graph, query) -> DataFrame:

@@ -189,15 +189,19 @@ def apply_create(ctx, clause: Create) -> None:
             if rel.direction == "in":
                 src_col, dst_col = dst_col, src_col
 
-            pairs = ctx.df.select(F.col(src_col).alias("src"),
-                                  F.col(dst_col).alias("dst")).distinct()
-            pairs, cnt = dense_index(pairs, ["src", "dst"], "_eloc")
-            base = g.next_locids(elabel, cnt)
-            new = pairs.withColumn(
-                "id", pack_graphid(labid, F.col("_eloc") + F.lit(base))) \
+            # One edge PER PIPELINE ROW (openCypher CREATE multiplicity
+            # — duplicates are legitimate edges; MERGE is the dedup
+            # form), with property expressions resolved against the
+            # pipeline frame in the same select as the endpoints.
+            rows = ctx.df.select(
+                F.col(src_col).alias("src"), F.col(dst_col).alias("dst"),
+                *[v.alias(k) for k, v in props.items()])
+            rows, cnt = dense_index(rows, ["src", "dst"], "_eloc")
+            new = rows.withColumn(
+                "id", pack_graphid(labid,
+                                   F.col("_eloc")
+                                   + F.lit(g.next_locids(elabel, cnt)))) \
                 .drop("_eloc")
-            for k, v in props.items():
-                new = new.withColumn(k, v)
             new = new.select("id", "src", "dst",
                              *[c for c in new.columns if c not in ("id", "src", "dst")])
             if elabel in g._edges:
@@ -503,8 +507,19 @@ def apply_set(ctx, clause: SetClause) -> None:
             name = f"_v{i}"
             upd_cols.append(val.alias(name))
             names.append((name, item.target.path))
+        # Inside FOREACH the iterations are ordered and the LAST write
+        # wins (openCypher); the compiler exposes the posexplode index
+        # for exactly this. Outside FOREACH multiple rows writing one
+        # entity have no defined order (first() keeps the reference's
+        # arbitrary-row behavior).
+        ordc = getattr(ctx, "foreach_ord", None)
+        if ordc is not None:
+            upd_cols.append(F.col(ordc).alias("_ord"))
+            aggs = [F.max_by(n, "_ord").alias(n) for n, _ in names]
+        else:
+            aggs = [F.first(n).alias(n) for n, _ in names]
         updates = ctx.df.select(*upd_cols).groupBy("_uid").agg(
-            *[F.first(n).alias(n) for n, _ in names]).withColumn("_m", F.lit(1))
+            *aggs).withColumn("_m", F.lit(1))
 
         if b.kind == "vertex":
             frame = g.vertex_frame(b.label)

@@ -186,6 +186,9 @@ def contains_aggregate(e: Expr) -> bool:
     if isinstance(e, (ExistsSubquery, CountSubquery, PatternComp)):
         return False          # aggregates are not allowed inside; a
         # COUNT {} is a per-row scalar, not an aggregate over rows
+    if isinstance(e, MapProj):
+        return any(contains_aggregate(item[2]) for item in e.items
+                   if item[0] == "expr")
     if isinstance(e, CaseExpr):
         return (
             (e.operand is not None and contains_aggregate(e.operand))

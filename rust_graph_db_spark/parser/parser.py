@@ -207,14 +207,17 @@ class Parser:
     def parse_query(self):
         """Top level: one Query, or a UNION/INTERSECT/EXCEPT [ALL]
         chain of Queries (one operator kind per chain)."""
-        first = self._single_query()
+        return self._query_chain(stop_at_brace=False)
+
+    def _query_chain(self, stop_at_brace: bool):
+        first = self._single_query(stop_at_brace)
         op = next((o for o in self._SET_OPS if self.at_kw(o)), None)
         if op is None:
             return first
         parts, alls = [first], []
         while self.try_kw(op):
             alls.append(self.try_kw("ALL"))
-            parts.append(self._single_query())
+            parts.append(self._single_query(stop_at_brace))
         if any(self.at_kw(o) for o in self._SET_OPS):
             raise CypherSyntaxError(
                 "cannot mix different set operators in one query")
@@ -234,12 +237,27 @@ class Parser:
                 self.advance()
                 self.eat_punct("{")
                 imports = None
-                if self.try_kw("WITH"):
-                    names = [self.name()]
-                    while self.try_punct(","):
+                if self.at_kw("WITH"):
+                    # importing WITH holds ONLY bare variable names and
+                    # is followed by another clause; anything else
+                    # (AS, expressions, items continuing) means it was
+                    # a projecting WITH of the subquery body — rewind
+                    save = self.i
+                    self.advance()
+                    names, ok = [], True
+                    try:
                         names.append(self.name())
-                    imports = tuple(names)
-                sub = self._single_query(stop_at_brace=True)
+                        while self.try_punct(","):
+                            names.append(self.name())
+                    except CypherSyntaxError:
+                        ok = False
+                    if ok and (self.at_kw("MATCH", "OPTIONAL", "UNWIND",
+                                          "WITH", "RETURN")
+                               or self.at_word("CALL")):
+                        imports = tuple(names)
+                    else:
+                        self.i = save
+                sub = self._query_chain(stop_at_brace=True)
                 self.eat_punct("}")
                 clauses.append(CallSubquery(imports, sub))
                 continue
@@ -622,7 +640,18 @@ class Parser:
                     if not self.try_punct(","):
                         break
             self.eat_punct("}")
-            return MapProj(e.name, tuple(items))
+            e = MapProj(e.name, tuple(items))
+            # postfix continues: n {...}.field / n {...}[k] via the
+            # generic subscript (getItem works on struct fields too)
+            while self.at_punct(".") and self.peek().kind in ("name", "kw"):
+                self.advance()
+                e = Subscript(e, Literal(self.advance().text))
+            while self.at_punct("["):
+                self.advance()
+                idx = self.expr()
+                self.eat_punct("]")
+                e = Subscript(e, idx)
+            return e
         path = []
         while self.at_punct(".") and self.peek().kind in ("name", "kw"):
             self.advance()

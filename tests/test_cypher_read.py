@@ -618,3 +618,45 @@ def test_call_subqueries(kg, oracle):
     with pytest.raises(CypherCompileError, match="write"):
         kg.cypher("MATCH (a:Person) CALL { CREATE (x:Person {name:'X'}) "
                   "RETURN 1 AS one } RETURN one").collect()
+
+
+def test_subquery_review_fixes(kg):
+    """Review-fix battery for the subquery/projection features."""
+    from rust_graph_db_spark.compiler import CypherCompileError
+
+    # CALL zero-match: aggregate EXPRESSIONS fold to their empty-group
+    # value (count(*)+1 -> 1), not NULL
+    r = kg.cypher(
+        "MATCH (a:Person) WHERE a.age = 79 "
+        "CALL { WITH a MATCH (a)-[:KNOWS]->(b) WHERE b.age > 200 "
+        "RETURN count(*) + 1 AS cp, coalesce(max(b.age), -1) AS ma } "
+        "RETURN cp, ma LIMIT 1").first()
+    assert (r.cp, r.ma) == (1, -1)
+    # projecting WITH inside an uncorrelated CALL parses
+    assert kg.cypher("CALL { WITH 1 AS x RETURN x } RETURN x").first().x == 1
+    # UNION inside an uncorrelated CALL compiles
+    assert kg.cypher(
+        "CALL { MATCH (p:Person) WHERE p.age > 78 RETURN p.name AS nm "
+        "UNION MATCH (p:Person) WHERE p.age > 78 RETURN p.name AS nm } "
+        "RETURN count(*) AS c").first().c > 0
+    # ...but a correlated UNION is a clear error
+    import pytest as _p
+    with _p.raises(CypherCompileError, match="UNION"):
+        kg.cypher("MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b) "
+                  "RETURN b.name AS n UNION MATCH (a)-[:KNOWS]->(c) "
+                  "RETURN c.name AS n } RETURN n").collect()
+    # named-path variable colliding with an outer variable is rejected
+    with _p.raises(CypherCompileError, match="collides"):
+        kg.cypher("MATCH (p:Person) MATCH p = (a:Person)-[:KNOWS]->(b) "
+                  "RETURN 1 AS one").collect()
+    # map projection of a NULL entity is NULL; postfix chains work
+    row = kg.cypher(
+        "MATCH (a:Person) WHERE a.age = 79 "
+        "OPTIONAL MATCH (a)-[:NOPE]->(x:Person) "
+        "RETURN x {.name} AS m, a {.name, .age}.age AS age LIMIT 1").first()
+    assert row.m is None and row.age == 79
+    # aggregate inside a map-projection value groups correctly
+    r2 = kg.cypher(
+        "MATCH (n:Person) RETURN n.city AS city, "
+        "count(*) AS c ORDER BY city LIMIT 1").first()
+    assert r2.c > 0

@@ -320,3 +320,20 @@ def test_foreach(g):
     with pytest.raises(CypherSyntaxError, match="FOREACH body"):
         g.cypher("MATCH (a:Person) "
                  "FOREACH (i IN [1] | RETURN i)").collect()
+
+
+def test_foreach_ordered_set_and_edge_multiplicity(g):
+    """Review fixes: FOREACH iterations are ORDERED (last SET wins,
+    via the posexplode index), FOREACH CREATE makes one edge per
+    iteration, and CREATE edge property maps accept expressions over
+    the pipeline (same one-select rule as vertices)."""
+    g.cypher("MATCH (t:Person {name:'Alice'}) "
+             "FOREACH (v IN [1, 2, 3] | SET t.age = v)").collect()
+    assert g.vertex_frame("Person").where("name='Alice'").first()["age"] == 3
+    g.cypher("MATCH (a:Person {name:'Alice'}), (b:Person {name:'Bob'}) "
+             "FOREACH (i IN [1, 2] | CREATE (a)-[:TAGGED {idx: i}]->(b))") \
+        .collect()
+    assert sorted(r["idx"] for r in g.edge_frame("TAGGED").collect()) == [1, 2]
+    g.cypher("MATCH (a:Person {name:'Alice'}) "
+             "CREATE (a)-[:SELF {w: a.age * 10}]->(a)").collect()
+    assert g.edge_frame("SELF").first()["w"] == 30
