@@ -45,6 +45,19 @@ def main(spark=None):
          "RETURN p.name AS name, "
          "all(x IN range(1, 3) WHERE x > 0) AS all_pos, "
          "single(x IN [p.age] WHERE x = 30) AS is30 LIMIT 3"),
+        ("named path + shortestPath",
+         "MATCH p = shortestPath((a:Person {name:'Person0'})"
+         "-[:KNOWS*1..4]->(b:Person)) "
+         "RETURN b.name AS b, length(p) AS d, nodes(p) AS ns "
+         "ORDER BY d, b LIMIT 4"),
+        ("CALL subquery with per-row aggregation",
+         "MATCH (a:Person) WHERE a.age > 75 "
+         "CALL { WITH a MATCH (a)-[:KNOWS]->(f:Person) "
+         "RETURN count(*) AS friends } "
+         "RETURN a.name AS name, friends ORDER BY name LIMIT 5"),
+        ("map projection",
+         "MATCH (n:Person) WHERE n.age = 40 "
+         "RETURN n {.name, .city, retired: n.age >= 65} AS card LIMIT 3"),
     ]
     out = None
     for title, q in demos:
