@@ -1426,13 +1426,13 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     if missing:
         raise CypherCompileError(
             f"CALL {{ WITH ... }} imports unbound variables: {missing}")
-    for cl in sub.clauses:
-        if isinstance(cl, (With, Return)) and (
+    for cl in sub.clauses[:-1]:
+        if isinstance(cl, With) and (
                 cl.order_by or cl.skip is not None or cl.limit is not None):
             raise CypherCompileError(
-                "ORDER BY / SKIP / LIMIT inside a correlated CALL { } "
-                "would need per-row (lateral) application and are not "
-                "supported — apply them outside the subquery")
+                "ORDER BY / SKIP / LIMIT on an intermediate WITH inside "
+                "a correlated CALL { } is not supported — move it to the "
+                "subquery's RETURN (applied per outer row) or outside")
 
     rid = ctx.sym("_rid")
     base = (ctx.df.withColumn(rid, F.monotonically_increasing_id())
@@ -1456,10 +1456,46 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             cl = With(cl.items + (hidden,), cl.distinct, cl.where,
                       cl.order_by, cl.skip, cl.limit)
         elif isinstance(cl, Return):
+            # strip ORDER/SKIP/LIMIT — they are applied PER OUTER ROW
+            # below (openCypher lateral semantics), not globally
             extra = (hidden, mark) if all_agg0 else (hidden,)
-            cl = Return(cl.items + extra, cl.distinct,
-                        cl.order_by, cl.skip, cl.limit)
+            cl = Return(cl.items + extra, cl.distinct)
         _apply_clause(child, cl)
+    if ret0.order_by or ret0.skip is not None or ret0.limit is not None:
+        # per-row ORDER BY / SKIP / LIMIT: a rank window partitioned on
+        # the row id. Sort keys must be resolvable over the RETURNED
+        # items (post-projection scope) — a clear error otherwise.
+        from pyspark.sql import Window as W
+
+        by_ast = {it.expr: (it.alias or _expr_name(it.expr))
+                  for it in ret0.items}       # ORDER BY b.age where the
+        # item is `b.age AS ba`: frozen AST nodes compare structurally,
+        # so the pre-projection expression resolves to its output column
+        sort_cols = []
+        for oi in ret0.order_by:
+            if oi.expr in by_ast:
+                c = _qcol(by_ast[oi.expr])
+            else:
+                try:
+                    c, _ = compile_expr(child, oi.expr)
+                except CypherCompileError as exc:
+                    raise CypherCompileError(
+                        "ORDER BY inside a correlated CALL { } must "
+                        "reference the subquery's RETURNED items "
+                        f"({exc})") from exc
+            sort_cols.append(c.desc_nulls_last() if oi.desc
+                             else c.asc_nulls_last())
+        if not sort_cols:
+            sort_cols = [F.lit(1)]         # bare SKIP/LIMIT: stable-ish
+        rn = ctx.sym("_lrn")
+        child.df = child.df.withColumn(
+            rn, F.row_number().over(
+                W.partitionBy(F.col(rid)).orderBy(*sort_cols)))
+        lo = ret0.skip or 0
+        cond = F.col(rn) > lo
+        if ret0.limit is not None:
+            cond = cond & (F.col(rn) <= lo + ret0.limit)
+        child.df = child.df.where(cond).drop(rn)
     out_cols = [c for c in child.df.columns if c not in (rid, "_call_m")]
     clash = [c for c in out_cols if c in ctx.env]
     if clash:

@@ -608,12 +608,26 @@ def test_call_subqueries(kg, oracle):
             "RETURN p.city AS oc } "
             "RETURN oc, count(*) AS n"),
         "SELECT city, count(*) FROM person WHERE age > 78 GROUP BY city")
-    # rejected: inner LIMIT in a correlated subquery
+    # inner ORDER BY/LIMIT in a correlated subquery applies PER OUTER
+    # ROW (lateral semantics via a rank window on the row id): top-1
+    # friend per person means one output row per person-with-friends
     from rust_graph_db_spark.compiler import CypherCompileError
-    with pytest.raises(CypherCompileError, match="LIMIT"):
-        kg.cypher("MATCH (a:Person) CALL { WITH a "
-                  "MATCH (a)-[:KNOWS]->(b) RETURN b.name AS bn LIMIT 1 } "
-                  "RETURN bn").collect()
+    n = kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN b.name AS bn, b.age AS ba ORDER BY b.age DESC LIMIT 1 } "
+        "RETURN a.name AS an, bn, ba")
+    n_outer = kg.cypher(
+        "MATCH (a:Person) WHERE EXISTS { (a)-[:KNOWS]->(:Person) } "
+        "RETURN count(*) AS c").first().c
+    assert n.count() == n_outer
+    # the picked row is the per-row max: never beaten by another friend
+    worse = kg.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) "
+        "CALL { WITH a MATCH (a)-[:KNOWS]->(c:Person) "
+        "RETURN max(c.age) AS best } "
+        "RETURN count(*) AS viol, sum(CASE WHEN b.age > best THEN 1 "
+        "ELSE 0 END) AS beaten").first()
+    assert worse.beaten == 0
     # rejected: writes inside CALL
     with pytest.raises(CypherCompileError, match="write"):
         kg.cypher("MATCH (a:Person) CALL { CREATE (x:Person {name:'X'}) "
