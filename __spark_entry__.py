@@ -676,6 +676,19 @@ def _q_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return kmeans_summary(emb, k=8, iters=1)
 
 
+def _q_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d11: SemDeDup (Abbas et al. 2023) — cluster-then-verify semantic
+    near-dup pairs. k-means (k=8, 1 iteration, deterministic first-k
+    init) partitions the corpus; exact cosine runs only WITHIN
+    clusters, so the quadratic pair step is bounded by cluster size,
+    not corpus size. The oracle unrolls the identical kmeans iteration
+    in CTEs (e6's SQL) and self-joins on the final assignment."""
+    from rust_graph_db_spark.operators.similarity import semdedup
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return semdedup(emb, threshold=0.45, k=8, iters=1)
+
+
 def _q_int8_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e7: per-vector int8 scalar quantization audit — code width,
     first code, scale, mean absolute reconstruction error. One
@@ -1511,21 +1524,26 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
-    # FIRST 50 keys. Round-3 rotation: the 26 queries whose newest green row
-    # dates from r1 lead the window (every one of the 78 then has a verdict
-    # no older than one round: these get r3, the rest were green in r2),
-    # followed by the queries r3 code changes touch (MERGE in dml.py → w9;
-    # similarity byte-gate/batched top-k → e1/e3/e5; pagerank
-    # co-partitioning → g8, already in the rotated set; the post-r2-audit
-    # storage/compiler dst-bucket commit → w8 + expand-join proxies) and
-    # the six new r3 entries (w10 streaming durable commits, m4 real codec,
-    # d7 dedup materialization, d8 streaming dedup, t4 PII redaction,
-    # t5 corpus n-gram stats). To make room, four r2-green queries whose
-    # modules are UNTOUCHED in r3 (j5/j3 compiler join paths, p9/p8
-    # parser + scalar functions) moved just below the window — their
-    # newest green row is one round old, the freshness bound VERDICT r2
-    # set.
-    return {
+    # FIRST 50 keys; the explicit _R3_WINDOW list below the registry sets
+    # that order. Priority (the registry outgrew the window — 119 queries,
+    # 50 slots — so freshness-for-all is no longer achievable and slots go
+    # to the worst case first):
+    #   1. every query with NO driver verdict yet (the 43 entries added in
+    #      round 3: w10-w12, m4, d6-d11, t2-t10, c1-c4, k2, e6-e8,
+    #      g11-g16, p10-p19) — a never-verified query is strictly worse
+    #      than a stale green row;
+    #   2. w9 (its builder changed since its r2 row — relationship ON
+    #      CREATE/ON MATCH arms — so the r2 verdict covers a different
+    #      query text);
+    #   3. refresh slots for r1-green queries whose LIBRARY code changed
+    #      in r3: w4 (dml.py FOREACH/REMOVE/CREATE-multiplicity), g1/g2
+    #      (size-adaptive BFS/SSSP in traversal.py), g8 (co-partitioned
+    #      scale-adaptive PageRank), g10 (null-endpoint normalization in
+    #      graph_algos.py), plus w8 (storage.py commit-path hardening).
+    # Everything below the window keeps its newest green row from r1/r2;
+    # all of it is pytest-covered and swept locally by
+    # scripts/check_oracle.py (0 failures at sf0.01 this session).
+    reg = {
         # --------- 26 rotated: newest green row was r1
         # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
         "w4_dml_pipeline": _q_dml_pipeline,
@@ -1843,7 +1861,39 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # UNWIND (list expansion, engine extension)
         "u4_unwind": _q_cypher_knows(
             "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x"),
+        # d11: SemDeDup cluster-then-verify near-dup pairs (r3-s5)
+        "d11_semdedup": _q_semdedup,
     }
+    window = [k for k in _R3_WINDOW]
+    assert len(window) == 50 and set(window) <= set(reg), \
+        sorted(set(window) ^ (set(window) & set(reg)))
+    rest = [k for k in reg if k not in set(window)]
+    return {k: reg[k] for k in window + rest}
+
+
+# The driver verifies the FIRST 50 keys of queries() — see the priority
+# note at the top of queries() for how these slots were chosen.
+_R3_WINDOW = [
+    # 43 never-verified (new in round 3)
+    "w10_stream_commits", "m4_real_audio", "d7_drop_neardups",
+    "d8_stream_dedup", "t4_pii_redact", "t5_top_ngrams",
+    "w11_snapshot_diff", "t6_quality_filter", "t8_curation_pipeline",
+    "w12_stream_curate", "t7_quality_stats", "d9_chunk_dedup",
+    "d10_containment", "e6_kmeans", "e7_int8_quantize", "e8_pq_encode",
+    "t9_tfidf", "t10_bm25", "c1_stratified_sample", "c2_mixture_sample",
+    "c3_sample_exact", "c4_pack_sequences", "g11_label_prop",
+    "g12_kcore", "d6_decontaminate", "t2_hash_split", "t3_repetition",
+    "k2_cms_bigrams", "g13_personalized_pr", "g14_neighborhood",
+    "g15_walk_pairs", "g16_harmonic", "p10_string_preds",
+    "p11_list_comp", "p13_exists", "p19_call_sub", "p18_map_proj",
+    "p17_shortest_path", "p16_named_path", "p15_pattern_comp",
+    "p14_count_sub", "p12_quantifiers", "d11_semdedup",
+    # 1 whose query text changed since its green row
+    "w9_merge_upsert",
+    # 6 refresh slots: r1/r2-green, library code changed in r3
+    "w4_dml_pipeline", "w8_durable_graph", "g1_bfs_distances",
+    "g2_weighted_sssp", "g8_pagerank", "g10_triangles",
+]
 
 
 # ------------------------------------------------------------- oracle SQL
@@ -2557,6 +2607,7 @@ def oracle_sql() -> dict[str, str]:
         "d9_chunk_dedup": _CHUNK_DEDUP_SQL,
         "d10_containment": _CONTAINMENT_SQL,
         "e6_kmeans": _KMEANS_SQL,
+        "d11_semdedup": _SEMDEDUP_SQL,
         "e7_int8_quantize": _INT8_SQL,
         "e8_pq_encode": _PQ_SQL,
         # LSH at its design threshold: verified candidates == exact join
@@ -2760,6 +2811,20 @@ a2 AS (SELECT vec_id, c, d2 FROM
        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) rn FROM d2_) WHERE rn = 1)
 SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n, round(sum(d2), 6) AS inertia
 FROM a2 GROUP BY c"""
+
+# d11: SemDeDup — e6's unrolled kmeans iteration (identical CTE chain
+# through the final assignment a2), then exact cosine pairs restricted
+# to same-cluster ids. The kmeans split is shared verbatim so the two
+# oracles can never drift apart.
+_KMEANS_ASSIGN_CTES = _KMEANS_SQL[:_KMEANS_SQL.index("SELECT c AS cluster")]
+_SEMDEDUP_SQL = _KMEANS_ASSIGN_CTES + """
+SELECT ca.vec_id AS i, cb.vec_id AS j,
+       round(list_cosine_similarity(ea.v, eb.v), 6) AS cos,
+       CAST(ca.c AS INT) AS cluster
+FROM a2 ca JOIN a2 cb ON ca.c = cb.c AND ca.vec_id < cb.vec_id
+JOIN e ea ON ea.vec_id = ca.vec_id
+JOIN e eb ON eb.vec_id = cb.vec_id
+WHERE list_cosine_similarity(ea.v, eb.v) >= 0.45"""
 
 # e8: per-subspace nearest-codeword assignment with the train_iters=0
 # codebook (first 16 vectors' subvectors), ties to the lowest codeword.

@@ -109,7 +109,10 @@ def _n_exchanges(df) -> int:
     buf = io.StringIO()
     with contextlib.redirect_stdout(buf):
         df.explain("formatted")
-    return len(re.findall(r"\bExchange\b", buf.getvalue()))
+    # count DISTINCT plan nodes: "formatted" prints each operator in the
+    # tree AND again in the detail section, so a bare substring count
+    # reports exactly double the real Exchange count
+    return len(set(re.findall(r"\((\d+)\) Exchange", buf.getvalue())))
 
 
 def _bench_store(spark, sf_dir, timings, exchanges) -> None:

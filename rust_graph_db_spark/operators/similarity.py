@@ -538,6 +538,47 @@ def kmeans_summary(
                  F.round(F.sum("dist2"), 6).alias("inertia")))
 
 
+def semdedup(
+    emb: DataFrame, threshold: float = 0.45, k: int = 8, iters: int = 2,
+    id_col: str = "vec_id", vec_col: str = "embedding",
+    init: str = "first",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    near-duplicate pairs via cluster-then-verify — k-means partitions
+    the embedding space, and exact cosine runs ONLY within clusters.
+
+    Returns ``(i, j, cos, cluster)`` pairs with ``i < j`` and
+    ``cos >= threshold``, cos rounded to 6 places. Output ⊆
+    cosine_pairs(threshold): pairs split across cluster boundaries are
+    the (paper-accepted) recall loss, measured per-corpus by
+    ``test_semdedup_subset_and_recall``.
+
+    Scale shape: the all-pairs comparison that makes ``cosine_pairs``
+    quadratic in the corpus becomes quadratic only in the CLUSTER —
+    pick k ≈ n/target_cluster_size so E[|cluster|] is bounded (the
+    paper runs k=50k on LAION-440M, ~9k rows/cluster) and the
+    within-cluster join is one shuffle on the cluster id followed by
+    bounded local pair generation. Feed the pairs to
+    ``dedup.drop_near_dups`` to materialize the kept corpus. The
+    kmeans stage shuffles only k×dim partial sums per iteration; with
+    ``init="first"`` the whole operator is deterministic and
+    SQL-oracle-able (driver query ``d11_semdedup`` unrolls it in
+    DuckDB CTEs).
+    """
+    assigned, _ = kmeans(emb, k, iters, id_col, vec_col, init)
+    base = (drop_undefined(emb, vec_col)
+            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+            .join(assigned.select("id", "cluster"), "id"))
+    a = base.select(F.col("id").alias("i"), F.col("v").alias("vi"),
+                    "cluster")
+    b = base.select(F.col("id").alias("j"), F.col("v").alias("vj"),
+                    "cluster")
+    return (a.join(b, ["cluster"]).where(F.col("i") < F.col("j"))
+             .withColumn("cos", cosine_batch()(F.col("vi"), F.col("vj")))
+             .where(F.col("cos") >= threshold)
+             .select("i", "j", F.round("cos", 6).alias("cos"), "cluster"))
+
+
 def int8_quantize(
     emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding",
 ) -> DataFrame:

@@ -71,7 +71,7 @@ def main() -> None:
         pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
         part = re.findall(r"PartitionFilters: \[([^\]]*)\]", plan)
         schemas = re.findall(r"ReadSchema: (\S+)", plan)
-        n_exchange = len(re.findall(r"\bExchange\b", plan))
+        n_exchange = len(set(re.findall(r"\((\d+)\) Exchange", plan)))
         n_bnlj = len(re.findall(r"BroadcastNestedLoopJoin", plan))
         n_cart = len(re.findall(r"CartesianProduct", plan))
         print(f"== {name}")
@@ -90,8 +90,9 @@ def main() -> None:
 def _audit_bucketed_store(spark, sf_dir: str) -> None:
     """Reproduce the SCALE.md §1 bucketed-store claim: the expand join
     off a `save_graph(buckets=N)` snapshot is Exchange-free, and the
-    full 1-hop Cypher plan drops from 8 Exchanges (unbucketed, no
-    broadcast) to 2."""
+    full 1-hop Cypher plan drops from 4 Exchanges (unbucketed, no
+    broadcast) to 1 — the structural minimum for the V⋈E⋈V chain,
+    whose intermediate must be re-keyed from src to dst."""
     import contextlib
     import io
     import re
@@ -104,7 +105,7 @@ def _audit_bucketed_store(spark, sf_dir: str) -> None:
         buf = io.StringIO()
         with contextlib.redirect_stdout(buf):
             df.explain("formatted")
-        return len(re.findall(r"\bExchange\b", buf.getvalue()))
+        return len(set(re.findall(r"\((\d+)\) Exchange", buf.getvalue())))
 
     g = knows_graph(spark, sf_dir)
     root = tempfile.mkdtemp(prefix="plan_audit_store_") + "/store"

@@ -594,6 +594,52 @@ def test_kmeans_matches_numpy(emb):
     assert [got_map[r.vec_id] for r in rows] == list(want_assign)
 
 
+def test_semdedup_subset_and_recall(spark, emb):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.similarity import (cosine_pairs,
+                                                          semdedup)
+
+    # (a) precision on the fixture corpus: every reported pair is a true
+    # near-dup (the within-cluster cosine is exact), and the reported
+    # cos is the true cosine. Recall loss is only pairs split across
+    # cluster boundaries — at this LOW threshold (0.45) the fixture's
+    # pairs are spread, so only subset + a weak floor is asserted here.
+    thr = 0.45
+    exact_cos = {(r.i, r.j): r.cos for r in cosine_pairs(emb, thr).collect()}
+    got = semdedup(emb, threshold=thr, k=4, iters=2).collect()
+    got_pairs = {(r.i, r.j) for r in got}
+    assert got_pairs <= set(exact_cos)
+    assert exact_cos, "fixture corpus must contain near-dup pairs"
+    assert len(got_pairs) / len(exact_cos) >= 0.5
+    for r in got:
+        assert abs(r.cos - exact_cos[(r.i, r.j)]) < 1e-6
+
+    # (b) recall on planted duplicates — SemDeDup's operating regime is
+    # HIGH thresholds where near-dups are nearly identical vectors, and
+    # identical vectors always share an argmin, hence a cluster: 24
+    # well-separated base vectors, each with an exact duplicate, must
+    # all 24 be recovered no matter how kmeans carves the space.
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(24, 16)).astype("float32")
+    rows = [(int(i), [float(x) for x in base[i % 24]]) for i in range(48)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    planted = {(i, i + 24) for i in range(24)}
+    found = {(r.i, r.j)
+             for r in semdedup(df, threshold=0.99, k=4, iters=2).collect()}
+    assert planted <= found
+
+
+def test_semdedup_deterministic(emb):
+    from rust_graph_db_spark.operators.similarity import semdedup
+
+    a = sorted((r.i, r.j, r.cos, r.cluster)
+               for r in semdedup(emb, k=8, iters=1).collect())
+    b = sorted((r.i, r.j, r.cos, r.cluster)
+               for r in semdedup(emb, k=8, iters=1).collect())
+    assert a == b and a
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     import numpy as np
 
