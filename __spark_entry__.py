@@ -1528,16 +1528,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # that order. Priority (the registry outgrew the window — 119 queries,
     # 50 slots — so freshness-for-all is no longer achievable and slots go
     # to the worst case first):
-    #   1. every query with NO driver verdict yet (the 43 entries added in
+    #   1. every query with NO driver verdict yet (the 44 entries added in
     #      round 3: w10-w12, m4, d6-d11, t2-t10, c1-c4, k2, e6-e8,
-    #      g11-g16, p10-p19) — a never-verified query is strictly worse
+    #      g11-g16, p10-p20) — a never-verified query is strictly worse
     #      than a stale green row;
     #   2. w9 (its builder changed since its r2 row — relationship ON
     #      CREATE/ON MATCH arms — so the r2 verdict covers a different
     #      query text);
     #   3. refresh slots for r1-green queries whose LIBRARY code changed
-    #      in r3: w4 (dml.py FOREACH/REMOVE/CREATE-multiplicity), g1/g2
-    #      (size-adaptive BFS/SSSP in traversal.py), g8 (co-partitioned
+    #      in r3: w4 (dml.py FOREACH/REMOVE/CREATE-multiplicity), g1
+    #      (size-adaptive BFS in traversal.py), g8 (co-partitioned
     #      scale-adaptive PageRank), g10 (null-endpoint normalization in
     #      graph_algos.py), plus w8 (storage.py commit-path hardening).
     # Everything below the window keeps its newest green row from r1/r2;
@@ -1719,6 +1719,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
             "RETURN count(*) AS deg, min(b.name) AS first_friend } "
             "RETURN a.name AS name, deg, first_friend"),
+        # lateral ORDER BY/LIMIT inside a correlated CALL (r3-s5
+        # extension): per-outer-row top-1 via a rank window on the
+        # threaded row id; ties made deterministic by the name key so
+        # the oracle (row_number in DuckDB) picks the same survivor
+        "p20_lateral_call": _q_cypher_knows(
+            "MATCH (a:Person) WHERE a.age % 9 = 0 "
+            "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+            "RETURN b.name AS top_friend, b.age AS top_age "
+            "ORDER BY b.age DESC, b.name ASC LIMIT 1 } "
+            "RETURN a.name AS name, top_friend, top_age"),
         # map projections (r3-s3 extension; struct built then unpacked
         # through WITH so the oracle compares scalars)
         "p18_map_proj": _q_cypher_knows(
@@ -1865,8 +1875,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d11_semdedup": _q_semdedup,
     }
     window = [k for k in _R3_WINDOW]
-    assert len(window) == 50 and set(window) <= set(reg), \
-        sorted(set(window) ^ (set(window) & set(reg)))
+    # len(set(...)) catches duplicate window keys too — a duplicate
+    # would silently hand slot 50 to the first non-window registry key
+    assert len(set(window)) == 50 and set(window) <= set(reg), \
+        sorted(set(window) - set(reg)) or "duplicate key in _R3_WINDOW"
     rest = [k for k in reg if k not in set(window)]
     return {k: reg[k] for k in window + rest}
 
@@ -1888,11 +1900,14 @@ _R3_WINDOW = [
     "p11_list_comp", "p13_exists", "p19_call_sub", "p18_map_proj",
     "p17_shortest_path", "p16_named_path", "p15_pattern_comp",
     "p14_count_sub", "p12_quantifiers", "d11_semdedup",
+    "p20_lateral_call",
     # 1 whose query text changed since its green row
     "w9_merge_upsert",
-    # 6 refresh slots: r1/r2-green, library code changed in r3
+    # 5 refresh slots: r1/r2-green, library code changed in r3 (g2's
+    # r1 row stays: its slot went to the never-verified p20, and the
+    # size-adaptive SSSP shares its adaptive scaffold with in-window g1)
     "w4_dml_pipeline", "w8_durable_graph", "g1_bfs_distances",
-    "g2_weighted_sssp", "g8_pagerank", "g10_triangles",
+    "g8_pagerank", "g10_triangles",
 ]
 
 
@@ -2161,6 +2176,14 @@ def oracle_sql() -> dict[str, str]:
             "(SELECT min(p2.name) FROM knows k JOIN person p2 "
             "ON k.dst = p2.key WHERE k.src = p1.key) AS first_friend "
             "FROM person p1 WHERE p1.age % 9 = 0"),
+        "p20_lateral_call": pre + (
+            " SELECT p1.name, t.top_friend, t.top_age "
+            "FROM person p1 JOIN ("
+            "SELECT k.src, p2.name AS top_friend, p2.age AS top_age, "
+            "row_number() OVER (PARTITION BY k.src "
+            "ORDER BY p2.age DESC, p2.name ASC) AS rn "
+            "FROM knows k JOIN person p2 ON k.dst = p2.key) t "
+            "ON t.src = p1.key AND t.rn = 1 WHERE p1.age % 9 = 0"),
         "p18_map_proj": pre + (
             " SELECT name, city, age // 2 AS half FROM person "
             "WHERE age % 6 = 0"),

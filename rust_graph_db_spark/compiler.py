@@ -1379,9 +1379,10 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     id is threaded through every inner projection as a hidden item —
     which also makes inner aggregation per-outer-row and inner
     DISTINCT per-outer-row, exactly the openCypher semantics — and the
-    results join back on the id. Inner ORDER/SKIP/LIMIT would need
-    per-row application (a lateral join) and are rejected with a clear
-    error; inner writes are rejected (read-only subqueries).
+    results join back on the id. The inner RETURN's ORDER BY / SKIP /
+    LIMIT apply PER OUTER ROW (lateral semantics) via a rank window
+    partitioned on the id; ordering on an intermediate WITH and inner
+    writes are rejected with clear errors (read-only subqueries).
     """
     sub = call.query
     parts = sub.parts if isinstance(sub, UnionQuery) else (sub,)
@@ -1451,6 +1452,38 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     # matched-group witness for the left-join fill below: count(*) is
     # never NULL on a row that came from a real aggregation group
     mark = ReturnItem(FuncCall("count", (), False, star=True), "_call_m")
+    # Lateral ORDER BY key plan (non-aggregate subqueries; the
+    # all-aggregate case reduces to a constant gate after the fill
+    # below). A key that IS a returned item (structural AST match —
+    # ORDER BY b.age where the item is `b.age AS ba`) sorts on its
+    # output column; any OTHER key (ORDER BY b.age, RETURN b.name) is
+    # threaded through the projection as a HIDDEN item, compiled in
+    # pre-projection scope where the pattern variables are still bound
+    # — openCypher's sort-by-underlying-variable semantics. Under
+    # DISTINCT a hidden key would change which rows collapse, so
+    # unreturned keys are a clear error there (Neo4j agrees).
+    lateral = (not all_agg0 and (ret0.order_by or ret0.skip is not None
+                                 or ret0.limit is not None))
+    sort_specs: list[tuple[str, bool]] = []   # (output column, desc)
+    extra_sort_items: list[ReturnItem] = []
+    if lateral and ret0.order_by:
+        by_ast = {it.expr: (it.alias or _expr_name(it.expr))
+                  for it in ret0.items}
+        for it in ret0.items:              # ORDER BY ba (alias ref)
+            if it.alias:
+                by_ast.setdefault(Var(it.alias), it.alias)
+        for oi in ret0.order_by:
+            if oi.expr in by_ast:
+                sort_specs.append((by_ast[oi.expr], oi.desc))
+            elif ret0.distinct:
+                raise CypherCompileError(
+                    "ORDER BY under RETURN DISTINCT inside a correlated "
+                    "CALL { } must reference a returned item — other "
+                    "keys are not well-defined after duplicate removal")
+            else:
+                nm = ctx.sym("_lsk")
+                extra_sort_items.append(ReturnItem(oi.expr, nm))
+                sort_specs.append((nm, oi.desc))
     for cl in sub.clauses:
         if isinstance(cl, With):
             cl = With(cl.items + (hidden,), cl.distinct, cl.where,
@@ -1458,33 +1491,16 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
         elif isinstance(cl, Return):
             # strip ORDER/SKIP/LIMIT — they are applied PER OUTER ROW
             # below (openCypher lateral semantics), not globally
-            extra = (hidden, mark) if all_agg0 else (hidden,)
+            extra = ((hidden, mark) if all_agg0
+                     else (hidden, *extra_sort_items))
             cl = Return(cl.items + extra, cl.distinct)
         _apply_clause(child, cl)
-    if ret0.order_by or ret0.skip is not None or ret0.limit is not None:
-        # per-row ORDER BY / SKIP / LIMIT: a rank window partitioned on
-        # the row id. Sort keys must be resolvable over the RETURNED
-        # items (post-projection scope) — a clear error otherwise.
+    if lateral:
         from pyspark.sql import Window as W
 
-        by_ast = {it.expr: (it.alias or _expr_name(it.expr))
-                  for it in ret0.items}       # ORDER BY b.age where the
-        # item is `b.age AS ba`: frozen AST nodes compare structurally,
-        # so the pre-projection expression resolves to its output column
-        sort_cols = []
-        for oi in ret0.order_by:
-            if oi.expr in by_ast:
-                c = _qcol(by_ast[oi.expr])
-            else:
-                try:
-                    c, _ = compile_expr(child, oi.expr)
-                except CypherCompileError as exc:
-                    raise CypherCompileError(
-                        "ORDER BY inside a correlated CALL { } must "
-                        "reference the subquery's RETURNED items "
-                        f"({exc})") from exc
-            sort_cols.append(c.desc_nulls_last() if oi.desc
-                             else c.asc_nulls_last())
+        sort_cols = [(_qcol(nm).desc_nulls_last() if desc
+                      else _qcol(nm).asc_nulls_last())
+                     for nm, desc in sort_specs]
         if not sort_cols:
             sort_cols = [F.lit(1)]         # bare SKIP/LIMIT: stable-ish
         rn = ctx.sym("_lrn")
@@ -1495,7 +1511,8 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
         cond = F.col(rn) > lo
         if ret0.limit is not None:
             cond = cond & (F.col(rn) <= lo + ret0.limit)
-        child.df = child.df.where(cond).drop(rn)
+        child.df = child.df.where(cond).drop(
+            rn, *[it.alias for it in extra_sort_items])
     out_cols = [c for c in child.df.columns if c not in (rid, "_call_m")]
     clash = [c for c in out_cols if c in ctx.env]
     if clash:
@@ -1520,6 +1537,17 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
                 name, F.when(F.col("_call_m").isNull(), fill)
                        .otherwise(_qcol(name)))
         ctx.df = ctx.df.drop("_call_m")
+        if ret.skip is not None or ret.limit is not None:
+            # lateral SKIP/LIMIT over the aggregate's output: the
+            # subquery yields EXACTLY one row per outer row (the fill
+            # above supplies it for zero-match rows), so the window
+            # reduces to a constant gate — row 1 survives iff skip = 0
+            # and limit ≥ 1; otherwise the subquery yields no rows and
+            # openCypher drops the OUTER row too (SKIP 1 / LIMIT 0 on
+            # an aggregate subquery empties the whole result).
+            lo = ret.skip or 0
+            if lo >= 1 or (ret.limit is not None and lo + ret.limit < 1):
+                ctx.df = ctx.df.where(F.lit(False))
     for c in out_cols:
         if c != "_call_m":
             ctx.env[c] = Binding("scalar", None, {"_value": c})

@@ -222,6 +222,40 @@ def cosine_batch():
     return _cos
 
 
+def l2_normalize():
+    """Arrow-batched unit-normalization: ARRAY<FLOAT> -> ARRAY<DOUBLE>.
+    Pair operators over the output need only a dot product (see
+    dot_batch) — the norms are paid once per ROW, not once per pair."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<double>")
+    def _unit(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype="object")
+        M = np.stack(vs.to_numpy()).astype(np.float64)
+        M /= np.sqrt((M * M).sum(axis=1, keepdims=True))
+        return pd.Series(list(M))
+
+    return _unit
+
+
+def dot_batch():
+    """Arrow-batched dot product: ARRAY<DOUBLE>, ARRAY<DOUBLE> -> DOUBLE.
+    Over l2_normalize() outputs this IS the cosine, at a third of
+    cosine_batch's flops (no per-pair norms)."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _dot(va: pd.Series, vb: pd.Series) -> pd.Series:
+        if len(va) == 0:
+            return pd.Series([], dtype="float64")
+        A = np.stack(va.to_numpy()).astype(np.float64)
+        B = np.stack(vb.to_numpy()).astype(np.float64)
+        return pd.Series((A * B).sum(axis=1))
+
+    return _dot
+
+
 def lsh_buckets_udf(dim: int, planes: int = 12, tables: int = 4):
     """Arrow-batched bucket assignment: one numpy matmul per batch
     against the (tables*planes, dim) hyperplane matrix, bits packed per
@@ -565,16 +599,24 @@ def semdedup(
     SQL-oracle-able (driver query ``d11_semdedup`` unrolls it in
     DuckDB CTEs).
     """
-    assigned, _ = kmeans(emb, k, iters, id_col, vec_col, init)
-    base = (drop_undefined(emb, vec_col)
-            .select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    # undefined rows (null/empty/zero-norm) are dropped BEFORE kmeans —
+    # they cannot be near-dups and would crash the seed collection /
+    # Arrow assign kernels (the module-wide contract in drop_undefined)
+    clean = drop_undefined(emb, vec_col)
+    assigned, _ = kmeans(clean, k, iters, id_col, vec_col, init)
+    # normalize ONCE per row; the quadratic within-cluster step is then
+    # a bare dot per pair instead of dot + two norms (cosine_pairs uses
+    # the same unit-vector trick; ~3× fewer flops where it matters)
+    base = (clean
+            .select(F.col(id_col).alias("id"),
+                    l2_normalize()(F.col(vec_col)).alias("u"))
             .join(assigned.select("id", "cluster"), "id"))
-    a = base.select(F.col("id").alias("i"), F.col("v").alias("vi"),
+    a = base.select(F.col("id").alias("i"), F.col("u").alias("ui"),
                     "cluster")
-    b = base.select(F.col("id").alias("j"), F.col("v").alias("vj"),
+    b = base.select(F.col("id").alias("j"), F.col("u").alias("uj"),
                     "cluster")
     return (a.join(b, ["cluster"]).where(F.col("i") < F.col("j"))
-             .withColumn("cos", cosine_batch()(F.col("vi"), F.col("vj")))
+             .withColumn("cos", dot_batch()(F.col("ui"), F.col("uj")))
              .where(F.col("cos") >= threshold)
              .select("i", "j", F.round("cos", 6).alias("cos"), "cluster"))
 

@@ -620,14 +620,75 @@ def test_call_subqueries(kg, oracle):
         "MATCH (a:Person) WHERE EXISTS { (a)-[:KNOWS]->(:Person) } "
         "RETURN count(*) AS c").first().c
     assert n.count() == n_outer
-    # the picked row is the per-row max: never beaten by another friend
-    worse = kg.cypher(
+    # VALUE semantics of the lateral pick: the chosen ba IS the max
+    # friend age per person, and bn is one of the max-age friends
+    # (row_number ties on equal ages break arbitrarily, so bn is
+    # checked for membership, ba for equality)
+    flat = kg.cypher(
         "MATCH (a:Person)-[:KNOWS]->(b:Person) "
-        "CALL { WITH a MATCH (a)-[:KNOWS]->(c:Person) "
-        "RETURN max(c.age) AS best } "
-        "RETURN count(*) AS viol, sum(CASE WHEN b.age > best THEN 1 "
-        "ELSE 0 END) AS beaten").first()
-    assert worse.beaten == 0
+        "RETURN a.name AS an, b.name AS bn, b.age AS ba").collect()
+    best_age: dict = {}
+    for r in flat:
+        if r.an not in best_age or r.ba > best_age[r.an]:
+            best_age[r.an] = r.ba
+    names_at_best = {(r.an, r.ba) for r in flat}
+    got = n.collect()
+    assert len(got) == len(best_age)
+    for r in got:
+        assert r.ba == best_age[r.an]
+        assert (r.an, r.ba) in names_at_best and r.bn is not None
+    # ORDER BY on a property OF A RETURNED ENTITY (RETURN b ORDER BY
+    # b.age): b is a returned item, so the sort key resolves as
+    # struct-field access on it — ASC picks the youngest friend
+    youngest = kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN b ORDER BY b.age ASC LIMIT 1 } "
+        "RETURN a.name AS an, b.age AS ba")
+    worst_age = {an: min(r.ba for r in flat if r.an == an)
+                 for an in best_age}
+    for r in youngest.collect():
+        assert r.ba == worst_age[r.an]
+    # ORDER BY a key that is NOT returned (b.age, RETURN b.name): the
+    # key threads through the projection as a hidden item compiled in
+    # pre-projection scope — same winner ages as the explicit query
+    hidden_key = kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN b.name AS bn ORDER BY b.age DESC LIMIT 1 } "
+        "RETURN a.name AS an, bn")
+    name_age = {(r.an, r.bn): r.ba for r in flat}
+    for r in hidden_key.collect():
+        assert name_age[(r.an, r.bn)] == best_age[r.an]
+    # ORDER BY an alias of a returned item (ba)
+    alias_ref = kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN b.age AS ba ORDER BY ba DESC LIMIT 1 } "
+        "RETURN a.name AS an, ba")
+    for r in alias_ref.collect():
+        assert r.ba == best_age[r.an]
+    # ...but an unreturned key under RETURN DISTINCT is a clear error
+    with pytest.raises(CypherCompileError, match="DISTINCT"):
+        kg.cypher(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+            "RETURN DISTINCT b.name AS bn ORDER BY b.age LIMIT 1 } "
+            "RETURN a.name AS an, bn").collect()
+    # all-aggregate subquery + lateral SKIP/LIMIT: the aggregate yields
+    # EXACTLY one row per outer row, so SKIP 1 (or LIMIT 0) empties it
+    # and the OUTER row is dropped too — no zero-fill resurrection
+    assert kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN count(*) AS c SKIP 1 } RETURN a.name AS an, c"
+    ).count() == 0
+    assert kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN count(*) AS c LIMIT 0 } RETURN a.name AS an, c"
+    ).count() == 0
+    # ...while LIMIT 1 keeps every outer row (including zero-match
+    # rows, whose fill row IS the one row LIMIT 1 keeps)
+    n_people = kg.cypher("MATCH (a:Person) RETURN count(*) AS c").first().c
+    assert kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN count(*) AS c LIMIT 1 } RETURN a.name AS an, c"
+    ).count() == n_people
     # rejected: writes inside CALL
     with pytest.raises(CypherCompileError, match="write"):
         kg.cypher("MATCH (a:Person) CALL { CREATE (x:Person {name:'X'}) "

@@ -640,6 +640,20 @@ def test_semdedup_deterministic(emb):
     assert a == b and a
 
 
+def test_semdedup_drops_undefined_rows(spark):
+    from rust_graph_db_spark.operators.similarity import semdedup
+
+    # null / empty / zero-norm rows must not crash the kmeans stage
+    # (they would poison the seed collection or the Arrow assign) —
+    # including a null row among the first k ids
+    rows = [(0, None), (1, []), (2, [0.0, 0.0]),
+            (3, [1.0, 0.0]), (4, [1.0, 0.001]), (5, [0.0, 1.0])]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    got = {(r.i, r.j) for r in
+           semdedup(df, threshold=0.99, k=2, iters=1).collect()}
+    assert got == {(3, 4)}
+
+
 def test_kmeans_empty_cluster_keeps_centroid(spark):
     import numpy as np
 
