@@ -884,8 +884,10 @@ def _q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """W1/W5/W6: CREATE + expression SET driven by MATCH, then read
-    back — on a fresh graph so the shared cache stays pristine."""
+    """W1/W5/W6: CREATE + expression SET driven by MATCH, plus the r3-s5
+    map-SET forms (+= upsert; = replacement clearing unlisted
+    properties — PersonX's `active` ends NULL), then read back — on a
+    fresh graph so the shared cache stays pristine."""
     from rust_graph_db_spark.graphs import knows_graph
 
     g = knows_graph(spark, sf_dir)
@@ -893,9 +895,13 @@ def _q_dml_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
              "active: true})").collect()
     g.cypher("MATCH (p:Person) WHERE p.age >= 70 "
              "SET p.age = p.age + 10").collect()
+    g.cypher("MATCH (p:Person {name: 'PersonX'}) "
+             "SET p += {age: p.age + 50}").collect()       # 210 -> 260
+    g.cypher("MATCH (p:Person {name: 'PersonX'}) "
+             "SET p = {name: 'PersonX', age: 300, city: 'SEA'}").collect()
     return g.cypher(
         "MATCH (p:Person) RETURN p.city AS city, count(*) AS cnt, "
-        "sum(p.age) AS total ORDER BY city")
+        "sum(p.age) AS total, count(p.active) AS n_active ORDER BY city")
 
 
 def _q_merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2278,11 +2284,17 @@ def oracle_sql() -> dict[str, str]:
             "avg(l_extendedprice) AS avg_price, count(*) AS cnt "
             "FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"),
         "w4_dml_pipeline": pre + (
-            ", p2 AS (SELECT city, age FROM person "
-            "UNION ALL SELECT 'NYC', 200) "
+            # PersonX: created (NYC,200,active) -> age-bump 210 ->
+            # `+=` 260 -> replaced by {name,age:300,city:'SEA'} with
+            # `active` CLEARED; everyone else only gets the >=70 bump
+            ", p2 AS (SELECT city, "
+            "age + CASE WHEN age >= 70 THEN 10 ELSE 0 END AS age, "
+            "active FROM person "
+            "UNION ALL SELECT 'SEA', 300, NULL) "
             "SELECT city, count(*) AS cnt, "
-            "CAST(sum(CASE WHEN age >= 70 THEN age + 10 ELSE age END) "
-            "AS BIGINT) AS total FROM p2 GROUP BY city ORDER BY city"),
+            "CAST(sum(age) AS BIGINT) AS total, "
+            "count(active) AS n_active FROM p2 "
+            "GROUP BY city ORDER BY city"),
         "w9_merge_upsert": pre + (
             ", p2 AS (SELECT city, CASE WHEN name = 'Person0' "
             "THEN age + 100 ELSE age END AS age FROM person "

@@ -490,6 +490,9 @@ def apply_set(ctx, clause: SetClause) -> None:
     by_var: dict[str, list] = {}
     for item in clause.items:
         by_var.setdefault(item.target.base, []).append(item)
+    replace = set(getattr(clause, "replace_vars", ()))
+    for var in replace:          # SET n = {} clears ALL properties —
+        by_var.setdefault(var, [])   # the var may carry zero items
 
     n_updated = 0
     for var, items in by_var.items():
@@ -518,8 +521,12 @@ def apply_set(ctx, clause: SetClause) -> None:
             aggs = [F.max_by(n, "_ord").alias(n) for n, _ in names]
         else:
             aggs = [F.first(n).alias(n) for n, _ in names]
-        updates = ctx.df.select(*upd_cols).groupBy("_uid").agg(
-            *aggs).withColumn("_m", F.lit(1))
+        if names:
+            updates = ctx.df.select(*upd_cols).groupBy("_uid").agg(
+                *aggs).withColumn("_m", F.lit(1))
+        else:                        # SET n = {}: matched ids only
+            updates = (ctx.df.select(F.col(id_col).alias("_uid"))
+                       .distinct().withColumn("_m", F.lit(1)))
 
         if b.kind == "vertex":
             frame = g.vertex_frame(b.label)
@@ -546,6 +553,20 @@ def apply_set(ctx, clause: SetClause) -> None:
                     F.when(F.col("_m") == 1,
                            F.col(head).withField(nested, F.col(name)))
                     .otherwise(F.col(head)))
+        if var in replace:
+            # SET n = {map}: clear every property column the map does
+            # not name, on matched rows only (id/src/dst are identity,
+            # not properties). Pure column expressions — same one-join
+            # RMW plan as the per-key writes above.
+            written = {p[0] for _, p in names}
+            for colname in frame.columns:
+                if colname in ("id", "src", "dst") or colname in written:
+                    continue
+                dt = frame.schema[colname].dataType
+                joined = joined.withColumn(
+                    colname,
+                    F.when(F.col("_m") == 1, F.lit(None).cast(dt))
+                     .otherwise(F.col(colname)))
         drop = ["_uid", "_m"] + [n for n, _ in names]
         result = joined.drop(*drop).localCheckpoint(eager=True)
         if b.kind == "vertex":

@@ -315,6 +315,10 @@ class SetItem:
 @dataclass(frozen=True)
 class SetClause:
     items: tuple
+    # variables written via the REPLACE form ``SET n = {map}``: every
+    # property column NOT named in the map is cleared on matched rows
+    # (``SET n += {map}`` desugars to per-key items with no entry here)
+    replace_vars: tuple = ()
 
 
 @dataclass(frozen=True)

@@ -501,10 +501,17 @@ class Parser:
         return order_by, skip, limit
 
     def _set_clause(self) -> SetClause:
-        return SetClause(tuple(self._set_items()))
+        items, replace_vars = self._set_items()
+        return SetClause(tuple(items), replace_vars)
 
-    def _set_items(self) -> list:
-        items = []
+    def _set_items(self) -> tuple:
+        """Returns ``(items, replace_vars)``. Map forms desugar here:
+        ``SET n += {k: v, ...}`` becomes one per-key item per entry;
+        ``SET n = {map}`` additionally records ``n`` in replace_vars so
+        the executor clears the unlisted property columns (openCypher
+        property-replacement semantics; absent from the reference,
+        whose grammar has no map SET at all — cypher.pest:35-37)."""
+        items, replace_vars = [], []
         while True:
             base = self.name()
             path = []
@@ -512,13 +519,39 @@ class Parser:
                 t = self.advance()
                 path.append(t.text if t.kind == "name" else t.text.lower())
             if not path:
-                raise CypherSyntaxError("SET target must be a property path")
-            target = Prop(base, tuple(path))
-            self.eat_punct("=")
-            items.append(SetItem(target, self.expr()))
+                if self.try_punct("+"):
+                    self.eat_punct("=")
+                    replace = False
+                elif self.try_punct("="):
+                    replace = True
+                else:
+                    raise CypherSyntaxError(
+                        "SET target must be a property path, n += {map},"
+                        " or n = {map}")
+                m = self.expr()
+                if not isinstance(m, MapLit):
+                    raise CypherSyntaxError(
+                        "SET n += / n = requires a map literal "
+                        "(computed values are fine: {k: expr, ...})")
+                for key, vexpr in m.pairs:
+                    items.append(SetItem(Prop(base, (key,)), vexpr))
+                if replace:
+                    replace_vars.append(base)
+            else:
+                target = Prop(base, tuple(path))
+                self.eat_punct("=")
+                items.append(SetItem(target, self.expr()))
             if not self.try_punct(","):
                 break
-        return items
+        return items, tuple(replace_vars)
+
+    def _merge_set_items(self) -> tuple:
+        items, replace_vars = self._set_items()
+        if replace_vars:
+            raise CypherSyntaxError(
+                "SET n = {map} (property replacement) is not supported "
+                "in ON CREATE / ON MATCH — use n += {map} or per-key SET")
+        return tuple(items)
 
     def _merge(self) -> Merge:
         pattern = self._path_pattern()
@@ -528,10 +561,10 @@ class Parser:
             self.advance()
             if self.try_kw("CREATE"):
                 self.eat_kw("SET")
-                on_create = tuple(self._set_items())
+                on_create = self._merge_set_items()
             elif self.try_kw("MATCH"):
                 self.eat_kw("SET")
-                on_match = tuple(self._set_items())
+                on_match = self._merge_set_items()
             else:
                 raise CypherSyntaxError(
                     f"expected CREATE or MATCH after ON at {self.cur.pos}")

@@ -40,6 +40,47 @@ def test_set_rmw_and_new_prop(g):
     assert g.vertex_frame("Person").where("name='Bob'").first()["city"] is None
 
 
+def test_set_map_merge(g):
+    # SET n += {map}: per-key upsert, unlisted properties untouched
+    g.cypher("MATCH (n:Person {name:'Alice'}) "
+             "SET n += {age: n.age + 10, city: 'NYC'}").collect()
+    row = g.vertex_frame("Person").where("name='Alice'").first()
+    assert row["age"] == 40 and row["city"] == "NYC"
+    assert g.vertex_frame("Person").where("name='Bob'").first()["age"] == 25
+
+
+def test_set_map_replace(g):
+    # SET n = {map}: unlisted property columns are CLEARED on the
+    # matched rows only
+    g.cypher("MATCH (n:Person {name:'Alice'}) SET n.city = 'LA'").collect()
+    g.cypher("MATCH (n:Person {name:'Alice'}) "
+             "SET n = {name: 'Alice', age: 99}").collect()
+    row = g.vertex_frame("Person").where("age=99").first()
+    assert row["name"] == "Alice" and row["city"] is None
+    # unmatched rows keep every property
+    bob = g.vertex_frame("Person").where("name='Bob'").first()
+    assert bob["age"] == 25
+
+
+def test_set_map_replace_empty_clears_all(g):
+    g.cypher("MATCH (n:Person {name:'Carol'}) SET n = {}").collect()
+    # Carol's id survives; name/age cleared
+    assert g.vertex_frame("Person").where("name IS NULL").count() == 1
+    assert g.vertex_frame("Person").where("name='Alice'").first()["age"] == 30
+
+
+def test_set_map_forms_rejected_in_merge_arms(g):
+    from rust_graph_db_spark.parser.parser import CypherSyntaxError
+
+    with pytest.raises(CypherSyntaxError, match="replacement"):
+        g.cypher("MERGE (n:Person {name:'Zed'}) "
+                 "ON CREATE SET n = {name: 'Zed'}").collect()
+    # += is fine in MERGE arms (desugars to per-key items)
+    g.cypher("MERGE (n:Person {name:'Zed'}) "
+             "ON CREATE SET n += {age: 1}").collect()
+    assert g.vertex_frame("Person").where("name='Zed'").first()["age"] == 1
+
+
 def test_set_string_concat(g):
     g.cypher("MATCH (n:Person {name:'Bob'}) SET n.name = n.name + '!'").collect()
     assert g.vertex_frame("Person").where("age=25").first()["name"] == "Bob!"
