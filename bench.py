@@ -202,7 +202,7 @@ def main() -> None:
     pipeline_timings: dict[str, float] = {}
     for name in ["t6_quality_filter", "t8_curation_pipeline",
                  "d9_chunk_dedup", "d10_containment", "e6_kmeans",
-                 "e7_int8_quantize", "e8_pq_encode"]:
+                 "e7_int8_quantize", "e8_pq_encode", "d11_semdedup"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

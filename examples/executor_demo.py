@@ -58,6 +58,11 @@ def main(spark=None):
         ("map projection",
          "MATCH (n:Person) WHERE n.age = 40 "
          "RETURN n {.name, .city, retired: n.age >= 65} AS card LIMIT 3"),
+        ("lateral top-1 per outer row (CALL ... ORDER BY/LIMIT)",
+         "MATCH (a:Person) WHERE a.age > 75 "
+         "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+         "RETURN b.name AS best ORDER BY b.age DESC, b.name LIMIT 1 } "
+         "RETURN a.name AS name, best ORDER BY name LIMIT 5"),
     ]
     out = None
     for title, q in demos:

@@ -56,6 +56,12 @@ def main(spark=None):
     # ANN: top-10 cosine neighbors of the first embedding
     q = emb.first().embedding
     cosine_topk(emb, q, k=10).show()
+
+    # semantic dedup (SemDeDup): near-dup pairs found only WITHIN
+    # k-means clusters — the published embedding-dedup scale path
+    from rust_graph_db_spark.operators.similarity import semdedup
+    sem = semdedup(emb, threshold=0.45, k=4, iters=1)
+    print("semantic near-dup pairs:", sem.count())
     return kept
 
 
