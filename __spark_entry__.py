@@ -1531,7 +1531,7 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
     # FIRST 50 keys; the explicit _R3_WINDOW list below the registry sets
-    # that order. Priority (the registry outgrew the window — 119 queries,
+    # that order. Priority (the registry outgrew the window — 120 queries,
     # 50 slots — so freshness-for-all is no longer achievable and slots go
     # to the worst case first):
     #   1. every query with NO driver verdict yet (the 44 entries added in

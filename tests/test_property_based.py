@@ -120,6 +120,42 @@ def test_merge_sequence_model(spark, data):
     assert rows == model
 
 
+@settings(max_examples=6, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.data())
+def test_map_set_sequence_model(spark, data):
+    """Model-based map-SET: a random sequence of `+= {map}` upserts,
+    `= {map}` replacements, and per-key SETs against one node must
+    match a dict model — replacement clears the unlisted key."""
+    from rust_graph_db_spark import PropertyGraph
+
+    ops = data.draw(st.lists(
+        st.tuples(st.sampled_from(["merge_a", "merge_ab", "replace_a",
+                                   "key_b"]),
+                  st.integers(min_value=1, max_value=9)),
+        min_size=1, max_size=6), label="ops")
+    g = PropertyGraph(spark)
+    g.cypher("CREATE (n:Doc {name: 'x', a: 0, b: 0})").collect()
+    model = {"a": 0, "b": 0}
+    for kind, v in ops:
+        if kind == "merge_a":
+            g.cypher(f"MATCH (n:Doc) SET n += {{a: {v}}}").collect()
+            model["a"] = v
+        elif kind == "merge_ab":
+            g.cypher(f"MATCH (n:Doc) SET n += {{a: {v}, b: {v + 1}}}"
+                     ).collect()
+            model["a"], model["b"] = v, v + 1
+        elif kind == "replace_a":
+            g.cypher(f"MATCH (n:Doc) SET n = {{name: 'x', a: {v}}}"
+                     ).collect()
+            model["a"], model["b"] = v, None
+        else:
+            g.cypher(f"MATCH (n:Doc) SET n.b = {v}").collect()
+            model["b"] = v
+    row = g.vertex_frame("Doc").first()
+    assert (row["a"], row["b"]) == (model["a"], model["b"])
+
+
 @_SETTINGS
 @given(data=st.data())
 def test_asof_join_matches_duckdb_asof(spark, data):
