@@ -1366,6 +1366,29 @@ def _empty_group_fold(e):
     return e
 
 
+def _lateral_rank_filter(child: "_Ctx", ctx: "_Ctx", rid: str,
+                         sort_cols: list, skip, limit,
+                         drop_extra=()) -> None:
+    """Apply per-outer-row ORDER BY/SKIP/LIMIT inside a correlated
+    CALL { }: a row_number window partitioned on the threaded row id,
+    filtered to (skip, skip+limit]. One window over the subquery's
+    rows — no join, no extra shuffle beyond the window's partitioning
+    on the id the results join back on anyway."""
+    from pyspark.sql import Window as W
+
+    if not sort_cols:
+        sort_cols = [F.lit(1)]             # bare SKIP/LIMIT: stable-ish
+    rn = ctx.sym("_lrn")
+    child.df = child.df.withColumn(
+        rn, F.row_number().over(
+            W.partitionBy(F.col(rid)).orderBy(*sort_cols)))
+    lo = skip or 0
+    cond = F.col(rn) > lo
+    if limit is not None:
+        cond = cond & (F.col(rn) <= lo + limit)
+    child.df = child.df.where(cond).drop(rn, *drop_extra)
+
+
 def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     """CALL { [WITH imports] ... RETURN ... } — openCypher subquery.
 
@@ -1386,6 +1409,7 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     """
     sub = call.query
     parts = sub.parts if isinstance(sub, UnionQuery) else (sub,)
+    # (shared by the RETURN and intermediate-WITH lateral paths)
     for q in parts:
         if not q.clauses or not isinstance(q.clauses[-1], Return):
             raise CypherCompileError(
@@ -1427,14 +1451,6 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     if missing:
         raise CypherCompileError(
             f"CALL {{ WITH ... }} imports unbound variables: {missing}")
-    for cl in sub.clauses[:-1]:
-        if isinstance(cl, With) and (
-                cl.order_by or cl.skip is not None or cl.limit is not None):
-            raise CypherCompileError(
-                "ORDER BY / SKIP / LIMIT on an intermediate WITH inside "
-                "a correlated CALL { } is not supported — move it to the "
-                "subquery's RETURN (applied per outer row) or outside")
-
     rid = ctx.sym("_rid")
     base = (ctx.df.withColumn(rid, F.monotonically_increasing_id())
             .localCheckpoint(eager=True))
@@ -1486,9 +1502,49 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
                 sort_specs.append((nm, oi.desc))
     for cl in sub.clauses:
         if isinstance(cl, With):
-            cl = With(cl.items + (hidden,), cl.distinct, cl.where,
-                      cl.order_by, cl.skip, cl.limit)
-        elif isinstance(cl, Return):
+            # intermediate-WITH ORDER BY / SKIP / LIMIT is ALSO lateral
+            # (per outer row): strip the ordering from the clause and
+            # re-apply it as a rank window on the threaded row id right
+            # after the projection. Sort keys over PROJECTED items
+            # compile against the post-WITH scope; keys over
+            # pre-projection variables thread through as hidden items
+            # (rejected under DISTINCT, where a hidden column would
+            # change which rows collapse).
+            w_lat = (cl.order_by or cl.skip is not None
+                     or cl.limit is not None)
+            w_hidden: list[ReturnItem] = []
+            w_plan: list[tuple] = []       # (hidden-name | None, OrderItem)
+            if w_lat:
+                names = {it.alias or _expr_name(it.expr)
+                         for it in cl.items}
+                for oi in cl.order_by:
+                    if _vars_of(oi.expr) <= names:
+                        w_plan.append((None, oi))
+                    elif cl.distinct:
+                        raise CypherCompileError(
+                            "ORDER BY under WITH DISTINCT inside a "
+                            "correlated CALL { } must reference a "
+                            "projected item")
+                    else:
+                        nm = ctx.sym("_lsk")
+                        w_hidden.append(ReturnItem(oi.expr, nm))
+                        w_plan.append((nm, oi))
+            cl2 = With(cl.items + (hidden, *w_hidden), cl.distinct,
+                       cl.where, (), None, None)
+            _apply_clause(child, cl2)
+            if w_lat:
+                sort_cols = []
+                for nm, oi in w_plan:
+                    c = _qcol(nm) if nm else compile_expr(child, oi.expr)[0]
+                    sort_cols.append(c.desc_nulls_last() if oi.desc
+                                     else c.asc_nulls_last())
+                _lateral_rank_filter(
+                    child, ctx, rid, sort_cols, cl.skip, cl.limit,
+                    drop_extra=[it.alias for it in w_hidden])
+                for it in w_hidden:
+                    child.env.pop(it.alias, None)
+            continue
+        if isinstance(cl, Return):
             # strip ORDER/SKIP/LIMIT — they are applied PER OUTER ROW
             # below (openCypher lateral semantics), not globally
             extra = ((hidden, mark) if all_agg0
@@ -1496,23 +1552,12 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             cl = Return(cl.items + extra, cl.distinct)
         _apply_clause(child, cl)
     if lateral:
-        from pyspark.sql import Window as W
-
         sort_cols = [(_qcol(nm).desc_nulls_last() if desc
                       else _qcol(nm).asc_nulls_last())
                      for nm, desc in sort_specs]
-        if not sort_cols:
-            sort_cols = [F.lit(1)]         # bare SKIP/LIMIT: stable-ish
-        rn = ctx.sym("_lrn")
-        child.df = child.df.withColumn(
-            rn, F.row_number().over(
-                W.partitionBy(F.col(rid)).orderBy(*sort_cols)))
-        lo = ret0.skip or 0
-        cond = F.col(rn) > lo
-        if ret0.limit is not None:
-            cond = cond & (F.col(rn) <= lo + ret0.limit)
-        child.df = child.df.where(cond).drop(
-            rn, *[it.alias for it in extra_sort_items])
+        _lateral_rank_filter(
+            child, ctx, rid, sort_cols, ret0.skip, ret0.limit,
+            drop_extra=[it.alias for it in extra_sort_items])
     out_cols = [c for c in child.df.columns if c not in (rid, "_call_m")]
     clash = [c for c in out_cols if c in ctx.env]
     if clash:

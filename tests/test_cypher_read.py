@@ -671,6 +671,29 @@ def test_call_subqueries(kg, oracle):
             "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
             "RETURN DISTINCT b.name AS bn ORDER BY b.age LIMIT 1 } "
             "RETURN a.name AS an, bn").collect()
+    # intermediate-WITH lateral ordering: per-person top-2 friends by
+    # age, then aggregate — count is min(2, degree), zero-match
+    # persons still appear with 0 via the all-aggregate fill
+    deg: dict = {}
+    for r in flat:
+        deg[r.an] = deg.get(r.an, 0) + 1
+    top2 = kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "WITH b ORDER BY b.age DESC LIMIT 2 "
+        "RETURN count(*) AS n2 } RETURN a.name AS an, n2")
+    rows2 = {r.an: r.n2 for r in top2.collect()}
+    assert all(v == min(2, deg.get(k, 0)) for k, v in rows2.items())
+    # pre-projection sort key on an intermediate WITH (hidden item)
+    assert kg.cypher(
+        "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "WITH b.name AS fn ORDER BY b.age DESC LIMIT 1 RETURN fn } "
+        "RETURN a.name AS an, fn").count() == len(best_age)
+    # ...and under WITH DISTINCT an unprojected key is a clear error
+    with pytest.raises(CypherCompileError, match="DISTINCT"):
+        kg.cypher(
+            "MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+            "WITH DISTINCT b.name AS fn ORDER BY b.age LIMIT 1 RETURN fn } "
+            "RETURN fn").collect()
     # all-aggregate subquery + lateral SKIP/LIMIT: the aggregate yields
     # EXACTLY one row per outer row, so SKIP 1 (or LIMIT 0) empties it
     # and the OUTER row is dropped too — no zero-fill resurrection
