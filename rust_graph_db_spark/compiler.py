@@ -1418,11 +1418,6 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             if isinstance(cl, (Create, Merge, SetClause, Delete, Foreach)):
                 raise CypherCompileError(
                     "write clauses inside CALL { } are not supported")
-    if isinstance(sub, UnionQuery) and call.imports is not None:
-        raise CypherCompileError(
-            "UNION inside a correlated CALL { WITH ... } is not "
-            "supported — drop the importing WITH or restructure")
-
     if call.imports is None:
         if isinstance(sub, UnionQuery):
             child_df = compile_query(ctx.graph, sub)
@@ -1463,6 +1458,71 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
     child.env = {v: ctx.env[v] for v in call.imports}
     child.env[rid] = Binding("scalar", None, {"_value": rid})
     hidden = ReturnItem(Var(rid), rid)
+
+    if isinstance(sub, UnionQuery):
+        # Correlated set-op subquery: each part compiles with the SAME
+        # threaded row id, then the set op runs over columns INCLUDING
+        # the id — so UNION dedup / INTERSECT / EXCEPT are all
+        # per-outer-row automatically. Scoped deliberately: no
+        # aggregates and no ordering inside the parts (clear errors).
+        part_dfs = []
+        for q in sub.parts:
+            ret_q = q.clauses[-1]
+            if any(contains_aggregate(it.expr) for it in ret_q.items):
+                raise CypherCompileError(
+                    "aggregates inside a correlated set-op CALL { } "
+                    "are not supported — aggregate outside the CALL")
+            if (ret_q.order_by or ret_q.skip is not None
+                    or ret_q.limit is not None
+                    or any(isinstance(c, With)
+                           and (c.order_by or c.skip is not None
+                                or c.limit is not None)
+                           for c in q.clauses)):
+                raise CypherCompileError(
+                    "ORDER BY / SKIP / LIMIT inside a correlated "
+                    "set-op CALL { } is not supported — apply it "
+                    "outside the CALL")
+            pchild = _Ctx(ctx.graph)
+            pchild._gensym = ctx._gensym
+            pchild.df = base.select(*dict.fromkeys(keep))
+            pchild.env = {v: ctx.env[v] for v in call.imports}
+            pchild.env[rid] = Binding("scalar", None, {"_value": rid})
+            for cl in q.clauses:
+                if isinstance(cl, With):
+                    cl = With(cl.items + (hidden,), cl.distinct,
+                              cl.where, cl.order_by, cl.skip, cl.limit)
+                elif isinstance(cl, Return):
+                    cl = Return(cl.items + (hidden,), cl.distinct)
+                _apply_clause(pchild, cl)
+            part_dfs.append(pchild.df)
+        cols0 = part_dfs[0].columns
+        for p in part_dfs[1:]:
+            if sorted(p.columns) != sorted(cols0):
+                raise CypherCompileError(
+                    f"{sub.op.upper()} parts must return the same "
+                    f"columns: {cols0} vs {p.columns}")
+        out = part_dfs[0]
+        for p in part_dfs[1:]:
+            p = p.select(*cols0)
+            if sub.op == "union":
+                out = out.unionByName(p)
+            elif sub.op == "intersect":
+                out = out.intersectAll(p) if sub.all else out.intersect(p)
+            else:
+                out = out.exceptAll(p) if sub.all else out.subtract(p)
+        if sub.op == "union" and not sub.all:
+            out = out.dropDuplicates()
+        out_cols = [c for c in out.columns if c != rid]
+        clash = [c for c in out_cols if c in ctx.env]
+        if clash:
+            raise CypherCompileError(
+                f"CALL {{ }} output columns collide with outer "
+                f"variables: {clash}")
+        ctx.df = base.join(out, rid, "inner").drop(rid)
+        for c in out_cols:
+            ctx.env[c] = Binding("scalar", None, {"_value": c})
+        return
+
     ret0 = sub.clauses[-1]
     all_agg0 = all(contains_aggregate(it.expr) for it in ret0.items)
     # matched-group witness for the left-join fill below: count(*) is

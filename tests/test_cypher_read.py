@@ -737,12 +737,59 @@ def test_subquery_review_fixes(kg):
         "CALL { MATCH (p:Person) WHERE p.age > 78 RETURN p.name AS nm "
         "UNION MATCH (p:Person) WHERE p.age > 78 RETURN p.name AS nm } "
         "RETURN count(*) AS c").first().c > 0
-    # ...but a correlated UNION is a clear error
+    # correlated set-op subqueries run PER OUTER ROW (the threaded row
+    # id joins the set op): union = out|in neighbors, dedup per row
     import pytest as _p
-    with _p.raises(CypherCompileError, match="UNION"):
-        kg.cypher("MATCH (a:Person) CALL { WITH a MATCH (a)-[:KNOWS]->(b) "
-                  "RETURN b.name AS n UNION MATCH (a)-[:KNOWS]->(c) "
-                  "RETURN c.name AS n } RETURN n").collect()
+    u = kg.cypher(
+        "MATCH (a:Person) WHERE a.age > 75 "
+        "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) RETURN b.name AS nb "
+        "UNION MATCH (a)<-[:KNOWS]-(c:Person) RETURN c.name AS nb } "
+        "RETURN a.name AS an, nb")
+    outn = {(r.an, r.nb) for r in kg.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WHERE a.age > 75 "
+        "RETURN a.name AS an, b.name AS nb").collect()}
+    inn = {(r.an, r.nb) for r in kg.cypher(
+        "MATCH (a:Person)<-[:KNOWS]-(c:Person) WHERE a.age > 75 "
+        "RETURN a.name AS an, c.name AS nb").collect()}
+    assert {(r.an, r.nb) for r in u.collect()} == (outn | inn)
+    ex = kg.cypher(
+        "MATCH (a:Person) WHERE a.age > 75 "
+        "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) RETURN b.name AS nb "
+        "EXCEPT MATCH (a)<-[:KNOWS]-(c:Person) RETURN c.name AS nb } "
+        "RETURN a.name AS an, nb")
+    assert {(r.an, r.nb) for r in ex.collect()} == (outn - inn)
+    # ...with aggregates or ordering inside the parts rejected clearly
+    with _p.raises(CypherCompileError, match="set-op"):
+        kg.cypher("MATCH (a:Person) CALL { WITH a "
+                  "MATCH (a)-[:KNOWS]->(b) RETURN count(*) AS n "
+                  "UNION MATCH (a)<-[:KNOWS]-(c) RETURN count(*) AS n } "
+                  "RETURN n").collect()
+
+
+def test_correlated_intersect_mutual_edges(spark):
+    """Per-row INTERSECT: mutual followers only."""
+    from rust_graph_db_spark import PropertyGraph
+
+    g = PropertyGraph(spark)
+    g.cypher("CREATE (a:P {name:'a'})-[:K]->(b:P {name:'b'})").collect()
+    g.cypher("MATCH (a:P {name:'b'}), (b:P {name:'a'}) "
+             "CREATE (a)-[:K]->(b)").collect()
+    g.cypher("MATCH (a:P {name:'b'}), (c:P {name:'a'}) "
+             "CREATE (a)-[:K]->(c)").collect()  # duplicate edge b->a
+    df = g.cypher(
+        "MATCH (a:P) CALL { WITH a "
+        "MATCH (a)-[:K]->(b:P) RETURN b.name AS nb "
+        "INTERSECT MATCH (a)<-[:K]-(c:P) RETURN c.name AS nb } "
+        "RETURN a.name AS an, nb")
+    assert sorted((r.an, r.nb) for r in df.collect()) == [
+        ("a", "b"), ("b", "a")]
+
+
+def test_subquery_review_fixes_2(kg):
+    import pytest as _p
+
+    from rust_graph_db_spark.compiler import CypherCompileError
+
     # named-path variable colliding with an outer variable is rejected
     with _p.raises(CypherCompileError, match="collides"):
         kg.cypher("MATCH (p:Person) MATCH p = (a:Person)-[:KNOWS]->(b) "
