@@ -625,9 +625,12 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
                 F.col("b").alias(_flat(rvar, "_TO")),
                 F.col("hops").alias(_flat(rvar, "hops")),
                 F.col("vpath").alias(_flat(rvar, "vpath")),
+                F.col("epath").alias(_flat(rvar, "epath")),
             )
             rb = Binding("varlength", rel.label,
-                         {"hops": _flat(rvar, "hops"), "vpath": _flat(rvar, "vpath")})
+                         {"hops": _flat(rvar, "hops"),
+                          "vpath": _flat(rvar, "vpath"),
+                          "epath": _flat(rvar, "epath")})
             df = df.join(pdf, F.col(_flat(prev, "id")) == F.col(_flat(rvar, "_FROM")))
         else:
             pdf, rb = _edge_df(ctx, rvar, rel.label, rel.direction)
@@ -673,7 +676,7 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
                 "variable")
         nodes = F.array(F.col(_flat(node_vars[0], "id")))
         length = F.lit(0).cast("long")
-        rel_ids, has_vl = [], False
+        rel_segs = []          # per-segment ARRAY<LONG> of edge ids
         for (rvar, vl), nvar in zip(rel_info, node_vars[1:]):
             if vl:
                 vp = F.col(_flat(rvar, "vpath"))
@@ -682,22 +685,22 @@ def _compile_path(ctx: _Ctx, pat: PathPattern, hint: dict) -> tuple:
                 nodes = F.concat(nodes, F.slice(
                     vp, F.lit(2), F.greatest(F.size(vp) - 1, F.lit(0))))
                 length = length + F.col(_flat(rvar, "hops"))
-                has_vl = True
+                # expand_paths tracks edge ids since r3-s5 (the
+                # reference GraphPath's edge list, path.rs:23-40)
+                rel_segs.append(F.col(_flat(rvar, "epath")))
             else:
                 nodes = F.concat(
                     nodes, F.array(F.col(_flat(nvar, "id"))))
                 length = length + F.lit(1)
-                rel_ids.append(F.col(_flat(rvar, "id")))
+                rel_segs.append(F.array(F.col(_flat(rvar, "id"))))
         pcols = {"length": _flat(pvar, "length"),
-                 "nodes": _flat(pvar, "nodes")}
+                 "nodes": _flat(pvar, "nodes"),
+                 "rels": _flat(pvar, "rels")}
         df = df.withColumn(pcols["length"], length) \
-               .withColumn(pcols["nodes"], nodes)
-        if not has_vl:
-            pcols["rels"] = _flat(pvar, "rels")
-            df = df.withColumn(
-                pcols["rels"],
-                F.array(*rel_ids) if rel_ids
-                else F.array().cast("array<long>"))
+               .withColumn(pcols["nodes"], nodes) \
+               .withColumn(pcols["rels"],
+                           F.concat(*rel_segs) if rel_segs
+                           else F.array().cast("array<long>"))
         if pat.shortest is not None:
             # shortestPath()/allShortestPaths(): keep only min-length
             # rows PER ENDPOINT PAIR — the expansion already enumerated

@@ -331,17 +331,37 @@ def expand_paths(
 ) -> DataFrame:
     """Variable-length expansion (reference G3, vle.rs:85-153).
 
-    One row per path: ``(a, b, hops, vpath ARRAY<LONG>)``. ``start`` is
+    One row per path: ``(a, b, hops, vpath ARRAY<LONG>, epath
+    ARRAY<LONG>)``. ``epath`` carries the traversed EDGE ids (the
+    reference GraphPath's edge list, path.rs:23-40) when the input has
+    an ``id`` column — Cypher named paths read ``relationships(p)``
+    from it; for bare (src, dst) frames it is NULL. ``start`` is
     None (expand from every vertex — used by the Cypher compiler for
     ``[:R*min..max]``), an id list, or a one-column DataFrame.
     Cycle-freedom = no repeated vertex (reference default), enforced with
     ``array_contains`` on the riding path column. ``max_paths`` caps
     enumeration *per level* inside the loop (vle.rs:124-127).
     """
-    hop = _edges(edges, direction).localCheckpoint(eager=True)
+    has_eid = "id" in edges.columns
+    e = edges.where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    eid = (F.col("id") if has_eid
+           else F.lit(None).cast("long")).alias("eid")
+    fwd = e.select(F.col("src").alias("a"), F.col("dst").alias("b"), eid)
+    rev = e.select(F.col("dst").alias("a"), F.col("src").alias("b"), eid)
+    if direction == "out":
+        hop = fwd
+    elif direction == "in":
+        hop = rev
+    elif direction == "both":
+        hop = fwd.unionAll(rev)
+    else:
+        raise ValueError(f"bad direction {direction!r}")
+    hop = hop.localCheckpoint(eager=True)
+    epath0 = (F.array("eid") if has_eid
+              else F.lit(None).cast("array<long>")).alias("epath")
     paths = hop.select(
         F.col("a"), F.col("b"), F.lit(1).alias("hops"),
-        F.array("a", "b").alias("vpath"),
+        F.array("a", "b").alias("vpath"), epath0,
     )
     if start is not None:
         sf = _start_frame(edges, start).select(F.col("id").alias("a"))
@@ -358,7 +378,8 @@ def expand_paths(
     while level < max_hops:
         level += 1
         ext = cur.join(
-            hop.select(F.col("a").alias("_ja"), F.col("b").alias("_jb")),
+            hop.select(F.col("a").alias("_ja"), F.col("b").alias("_jb"),
+                       F.col("eid").alias("_je")),
             cur["b"] == F.col("_ja"),
         )
         if not allow_cycles:
@@ -366,6 +387,8 @@ def expand_paths(
         ext = ext.select(
             F.col("a"), F.col("_jb").alias("b"), F.lit(level).alias("hops"),
             F.array_append("vpath", F.col("_jb")).alias("vpath"),
+            (F.array_append("epath", F.col("_je")) if has_eid
+             else F.lit(None).cast("array<long>")).alias("epath"),
         )
         if max_paths is not None:
             ext = ext.limit(max_paths)
@@ -377,7 +400,8 @@ def expand_paths(
         cur = ext
 
     if not out:
-        schema = "a LONG, b LONG, hops INT, vpath ARRAY<LONG>"
+        schema = ("a LONG, b LONG, hops INT, vpath ARRAY<LONG>, "
+                  "epath ARRAY<LONG>")
         return edges.sparkSession.createDataFrame([], schema)
     res = out[0]
     for p in out[1:]:

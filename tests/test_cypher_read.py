@@ -495,10 +495,11 @@ def test_pattern_comprehensions(kg, oracle):
 
 def test_named_paths(kg, oracle):
     """MATCH p = ... — GraphPath as data: nodes(p) (vertex ids in
-    traversal order), relationships(p) (edge ids; unavailable across
-    varlength segments), length(p) (hop count). Mirrors the
-    reference's GraphPath invariants (src/types/path.rs:23-40):
-    len(nodes) == length + 1, edge i connects node i -> i+1."""
+    traversal order), relationships(p) (edge ids — tracked through
+    varlength segments too since r3-s5), length(p) (hop count).
+    Mirrors the reference's GraphPath invariants
+    (src/types/path.rs:23-40): len(nodes) == length + 1, edge i
+    connects node i -> i+1."""
     rows = kg.cypher(
         "MATCH p = (a:Person {name:'Person0'})-[:KNOWS]->(b)-[:KNOWS]->(c) "
         "RETURN length(p) AS hops, nodes(p) AS ns, "
@@ -516,18 +517,24 @@ def test_named_paths(kg, oracle):
         "281474976710656 + k2.dst] AS ns "
         "FROM knows k1 JOIN knows k2 ON k1.dst = k2.src "
         "JOIN person p1 ON k1.src = p1.key WHERE p1.name = 'Person0'")
-    # varlength segment: nodes stitch through vpath, length sums hops
+    # varlength segment: nodes stitch through vpath, length sums hops,
+    # and relationships(p) carries the traversed EDGE ids (one per hop,
+    # all non-null, edge labid = 2 << 48 in the knows graph)
     vr = kg.cypher(
         "MATCH p = (a:Person {name:'Person0'})-[:KNOWS*1..3]->(b) "
-        "RETURN length(p) AS hops, nodes(p) AS ns").collect()
+        "RETURN length(p) AS hops, nodes(p) AS ns, "
+        "relationships(p) AS rs").collect()
     assert {r.hops for r in vr} == {1, 2, 3}
+    eids = {r["id"] for r in kg.edge_frame("KNOWS").select("id").collect()}
     for r in vr:
         assert len(r.ns) == r.hops + 1
-    # relationships() across a varlength segment is a clear error
-    from rust_graph_db_spark.compiler import CypherCompileError
-    with pytest.raises(CypherCompileError, match="variable-length"):
-        kg.cypher("MATCH p = (a:Person)-[:KNOWS*1..2]->(b) "
-                  "RETURN relationships(p) AS r").collect()
+        assert len(r.rs) == r.hops and set(r.rs) <= eids
+    # mixed fixed + varlength segments concatenate their edge lists
+    for r in kg.cypher(
+            "MATCH p = (a:Person {name:'Person0'})-[:KNOWS]->(m)"
+            "-[:KNOWS*1..2]->(b) RETURN length(p) AS hops, "
+            "relationships(p) AS rs").collect():
+        assert len(r.rs) == r.hops and set(r.rs) <= eids
 
 
 def test_shortest_path_match(kg, oracle):
