@@ -1121,6 +1121,7 @@ def _apply_projection(ctx: _Ctx, clause) -> None:
             item_names.append((name, it.expr))
 
         key_cols = []
+        group_out: dict[str, list[str]] = {}   # item name -> output cols
         for name, ge in group_specs:
             b = ctx.env.get(ge.name) if isinstance(ge, Var) else None
             if b is not None and b.kind in ("vertex", "edge", "varlength", "path"):
@@ -1132,13 +1133,16 @@ def _apply_projection(ctx: _Ctx, clause) -> None:
                         key_cols.append(F.col(c).alias(nc))
                         newcols[p] = nc
                     new_env[name] = Binding(b.kind, b.label, newcols)
+                    group_out[name] = list(newcols.values())
                 else:
                     key_cols.append(_entity_struct(b).alias(name))
                     new_env[name] = Binding("scalar", None, {"_value": name})
+                    group_out[name] = [name]
             else:
                 c, _ = compile_expr(ctx, ge, df)
                 key_cols.append(c.alias(name))
                 new_env[name] = Binding("scalar", None, {"_value": name})
+                group_out[name] = [name]
 
         agg_cols = []
         for name, rewritten, aggs in agg_items:
@@ -1156,21 +1160,21 @@ def _apply_projection(ctx: _Ctx, clause) -> None:
                 post_env[ph] = Binding("scalar", None, {"_value": ph})
         old_env = ctx.env
         ctx.env = post_env
-        post_cols = []
-        for name, _ in group_specs:
-            post_cols.append(_qcol(name))
+        agg_out = {}
         for name, rewritten, aggs in agg_items:
             c, _ = compile_expr(ctx, rewritten, grouped)
-            post_cols.append(c.alias(name))
+            agg_out[name] = c.alias(name)
             new_env[name] = Binding("scalar", None, {"_value": name})
         ctx.env = old_env
-        # keep declared order of items
+        # keep declared order of items; a WITH entity group key expands
+        # to its flattened columns (a single _qcol(name) would be
+        # unresolvable — the entity has no one output column)
         ordered = []
-        gi = iter([_qcol(n) for n, _ in group_specs])
-        ai = iter([c for c in post_cols[len(group_specs):]])
-        gnames = {n for n, _ in group_specs}
         for it, name in zip(items, out_names):
-            ordered.append(next(gi) if name in gnames else next(ai))
+            if name in group_out:
+                ordered.extend(_qcol(c) for c in group_out[name])
+            else:
+                ordered.append(agg_out[name])
         proj = grouped.select(*ordered)
         hidden = []
 
@@ -1580,8 +1584,14 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             if w_lat:
                 names = {it.alias or _expr_name(it.expr)
                          for it in cl.items}
+                by_item = {it.expr: (it.alias or _expr_name(it.expr))
+                           for it in cl.items}
                 for oi in cl.order_by:
-                    if _vars_of(oi.expr) <= names:
+                    if oi.expr in by_item:
+                        # structural match to a projected item (incl.
+                        # aggregates, which cannot recompile post-hoc)
+                        w_plan.append((by_item[oi.expr], oi))
+                    elif _vars_of(oi.expr) <= names:
                         w_plan.append((None, oi))
                     elif cl.distinct:
                         raise CypherCompileError(

@@ -773,6 +773,30 @@ def test_subquery_review_fixes(kg):
                   "RETURN n").collect()
 
 
+def test_with_entity_group_key(kg, oracle):
+    """WITH <entity>, <aggregate>: the entity groups on ALL its columns
+    and stays a live binding afterwards (previously crashed — the
+    post-aggregation select looked for one column named like the
+    entity)."""
+    oracle(
+        kg.cypher("MATCH (a:Person)-[:KNOWS]->(b:Person) "
+                  "WITH b, count(*) AS fanin "
+                  "RETURN b.name AS n, fanin ORDER BY fanin DESC, n "
+                  "LIMIT 5"),
+        "SELECT p.name AS n, fanin FROM ("
+        "SELECT dst, count(*) AS fanin FROM knows GROUP BY dst) t "
+        "JOIN person p ON p.key = t.dst "
+        "ORDER BY fanin DESC, n LIMIT 5")
+    # ...and inside a correlated CALL with lateral ORDER BY count(*)
+    r = kg.cypher(
+        "MATCH (a:Person) WHERE a.age > 75 "
+        "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person)-[:KNOWS]->(c) "
+        "WITH b, count(*) AS fanout ORDER BY count(*) DESC, b.name "
+        "LIMIT 1 RETURN b.name AS via, fanout } "
+        "RETURN a.name AS an, via, fanout")
+    assert r.count() > 0
+
+
 def test_correlated_intersect_mutual_edges(spark):
     """Per-row INTERSECT: mutual followers only."""
     from rust_graph_db_spark import PropertyGraph
