@@ -548,6 +548,28 @@ def _q_pq_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("mae", 9).alias("mae_r"))
 
 
+def _q_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e9: asymmetric-distance (ADC) top-10 over the PQ codes from e8's
+    deterministic codebooks — the query (vec_id 0's embedding) stays
+    full precision, candidates are scored by m table lookups over their
+    2-byte codes, TakeOrderedAndProject keeps the scan shuffle-free.
+    The oracle re-derives the assignment AND the ADC sum in SQL from
+    the same first-16 codebooks."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import (pq_codebooks,
+                                                          pq_encode,
+                                                          pq_topk)
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = pq_codebooks(emb, m=4, ksub=16, train_iters=0)
+    q = emb.where(F.col("vec_id") == 0).first()["embedding"]
+    codes = pq_encode(emb, books)
+    return (pq_topk(codes, books, q, k=10)
+            .select(F.col("id").alias("vec_id"),
+                    F.round("adist", 6).alias("adist_r")))
+
+
 def _q_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t8: the COMPOSED curation pass — quality filter → PII redaction
     → exact dedup on the redacted text → deterministic split, one
@@ -1531,11 +1553,11 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
     # FIRST 50 keys; the explicit _R3_WINDOW list below the registry sets
-    # that order. Priority (the registry outgrew the window — 120 queries,
+    # that order. Priority (the registry outgrew the window — 121 queries,
     # 50 slots — so freshness-for-all is no longer achievable and slots go
     # to the worst case first):
-    #   1. every query with NO driver verdict yet (the 44 entries added in
-    #      round 3: w10-w12, m4, d6-d11, t2-t10, c1-c4, k2, e6-e8,
+    #   1. every query with NO driver verdict yet (the 45 entries added in
+    #      round 3: w10-w12, m4, d6-d11, t2-t10, c1-c4, k2, e6-e9,
     #      g11-g16, p10-p20) — a never-verified query is strictly worse
     #      than a stale green row;
     #   2. w9 (its builder changed since its r2 row — relationship ON
@@ -1643,6 +1665,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e6_kmeans": _q_kmeans,
         "e7_int8_quantize": _q_int8_quantize,
         "e8_pq_encode": _q_pq_encode,
+        "e9_pq_topk": _q_pq_topk,
         # --------- new this session: ranking / sampling / packing / LPA
         # (never verified before, so they take window slots; the
         # r3-touched-but-r2-green proxies they displace — w8, w9, e1,
@@ -1906,14 +1929,16 @@ _R3_WINDOW = [
     "p11_list_comp", "p13_exists", "p19_call_sub", "p18_map_proj",
     "p17_shortest_path", "p16_named_path", "p15_pattern_comp",
     "p14_count_sub", "p12_quantifiers", "d11_semdedup",
-    "p20_lateral_call",
+    "p20_lateral_call", "e9_pq_topk",
     # 1 whose query text changed since its green row
     "w9_merge_upsert",
-    # 5 refresh slots: r1/r2-green, library code changed in r3 (g2's
-    # r1 row stays: its slot went to the never-verified p20, and the
-    # size-adaptive SSSP shares its adaptive scaffold with in-window g1)
+    # 4 refresh slots: r1/r2-green, library code changed in r3 (g2's
+    # and g10's r1 rows stay: their slots went to the never-verified
+    # p20/e9 — the size-adaptive SSSP shares its adaptive scaffold
+    # with in-window g1, and graph_algos' normalization change is
+    # exercised by in-window g8/g11-g16)
     "w4_dml_pipeline", "w8_durable_graph", "g1_bfs_distances",
-    "g8_pagerank", "g10_triangles",
+    "g8_pagerank",
 ]
 
 
@@ -2645,6 +2670,7 @@ def oracle_sql() -> dict[str, str]:
         "d11_semdedup": _SEMDEDUP_SQL,
         "e7_int8_quantize": _INT8_SQL,
         "e8_pq_encode": _PQ_SQL,
+        "e9_pq_topk": _pq_topk_sql(),
         # LSH at its design threshold: verified candidates == exact join
         # restricted to jac >= 0.8 (recall 0.9998 there; see dedup.py)
         "d3_minhash_lsh": _JACCARD_PAIRS_SQL.replace("0.5", "0.8"),
@@ -2846,6 +2872,19 @@ a2 AS (SELECT vec_id, c, d2 FROM
        (SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, c) rn FROM d2_) WHERE rn = 1)
 SELECT c AS cluster, CAST(count(*) AS BIGINT) AS n, round(sum(d2), 6) AS inertia
 FROM a2 GROUP BY c"""
+
+# e9: ADC top-k — reuse _PQ_SQL's CTE chain through the per-subspace
+# assignment `best`, then the asymmetric distance is the sum over
+# subspaces of ||q_s - assigned codeword||² for q = vec_id 0's vector.
+def _pq_topk_sql() -> str:
+    ctes = _PQ_SQL[:_PQ_SQL.rindex("SELECT vec_id,")]
+    return ctes + """, q AS (SELECT v FROM e WHERE vec_id = 0),
+ad AS (SELECT b.vec_id,
+       sum(list_sum(list_transform(range(1, 17),
+         i -> (q.v[b.s*16+i]-cb.v[b.s*16+i])*(q.v[b.s*16+i]-cb.v[b.s*16+i])))) d
+       FROM best b JOIN cb ON cb.c = b.c CROSS JOIN q GROUP BY b.vec_id)
+SELECT vec_id, round(d, 6) AS adist_r FROM ad ORDER BY d, vec_id LIMIT 10"""
+
 
 # d11: SemDeDup — e6's unrolled kmeans iteration (identical CTE chain
 # through the final assignment a2), then exact cosine pairs restricted

@@ -572,6 +572,46 @@ def kmeans_summary(
                  F.round(F.sum("dist2"), 6).alias("inertia")))
 
 
+def pq_topk(
+    codes: DataFrame, codebooks: np.ndarray, query_vec: Sequence[float],
+    k: int = 10, id_col: str = "id", codes_col: str = "codes",
+) -> DataFrame:
+    """Asymmetric-distance (ADC) top-k over PQ codes (Jégou, Douze &
+    Schmid 2011, "Product Quantization for Nearest Neighbor Search").
+
+    The query stays full precision; per-subspace lookup tables
+    ``T[s][c] = ||q_s − codebook[s][c]||²`` are built once (m × ksub
+    doubles, rides the UDF closure) and each candidate's distance is m
+    table lookups summed — the codes are never decoded. Returns
+    ``(id, adist)`` ascending, ties on id; Catalyst plans the
+    orderBy+limit as TakeOrderedAndProject, so the scan reads ONLY the
+    2-byte-per-subspace codes (32× less IO than float32 vectors) and
+    no corpus shuffle happens. This is the memory-bound ANN serving
+    path PQ exists for; compose with IVF partition pruning for the
+    disk-bound path.
+    """
+    B = np.ascontiguousarray(codebooks, dtype=np.float64)
+    m, ksub, dsub = B.shape
+    q = np.asarray(list(query_vec), dtype=np.float64)
+    if q.shape != (m * dsub,):
+        raise ValueError(f"query dim {q.shape[0]} != m*dsub {m * dsub}")
+    T = np.stack([(((q[s * dsub:(s + 1) * dsub][None, :] - B[s]) ** 2)
+                   .sum(axis=1)) for s in range(m)])      # (m, ksub)
+
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def _adist(cs: pd.Series) -> pd.Series:
+        if len(cs) == 0:
+            return pd.Series([], dtype="float64")
+        C = np.stack(cs.to_numpy()).astype(np.int64)       # (n, m)
+        return pd.Series(T[np.arange(m)[None, :], C].sum(axis=1))
+
+    return (codes.select(F.col(id_col).alias("id"),
+                         _adist(F.col(codes_col)).alias("adist"))
+            .orderBy(F.col("adist").asc(), F.col("id").asc()).limit(k))
+
+
 def semdedup(
     emb: DataFrame, threshold: float = 0.45, k: int = 8, iters: int = 2,
     id_col: str = "vec_id", vec_col: str = "embedding",

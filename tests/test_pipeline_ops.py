@@ -708,6 +708,30 @@ def test_pq_trained_matches_numpy(emb):
         assert abs(mae - want_err / X.shape[1]) < 1e-9
 
 
+def test_pq_topk_adc_matches_numpy(emb):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.similarity import (pq_codebooks,
+                                                          pq_encode,
+                                                          pq_topk)
+
+    books = pq_codebooks(emb, m=4, ksub=16, train_iters=1)  # trained path
+    codes_df = pq_encode(emb, books)
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    q = np.array(list(rows[7].embedding), dtype=np.float64)
+    got = [(r.id, r.adist)
+           for r in pq_topk(codes_df, books, q, k=5).collect()]
+    m, ksub, dsub = books.shape
+    T = np.stack([(((q[s * dsub:(s + 1) * dsub][None, :] - books[s]) ** 2)
+                   .sum(axis=1)) for s in range(m)])
+    codes = {r.id: np.array(list(r.codes)) for r in codes_df.collect()}
+    d = {i: T[np.arange(m), c].sum() for i, c in codes.items()}
+    want = sorted(d.items(), key=lambda kv: (kv[1], kv[0]))[:5]
+    assert [i for i, _ in got] == [i for i, _ in want]
+    for (_, ga), (_, wa) in zip(got, want):
+        assert abs(ga - wa) < 1e-9
+
+
 def test_pq_rejects_indivisible_dim(spark):
     import pytest as _pytest
 
