@@ -137,6 +137,29 @@ def _q_weighted_sssp(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("dist", 2).alias("dist"))
 
 
+def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g17: strongly connected components of a directed graph derived
+    from customer keys — 7-cycles per key block (the SCCs) plus sparse
+    forward jumps (condensation edges, so weak != strong connectivity
+    and a CC-vs-SCC confusion fails the oracle). Oracle: recursive-CTE
+    transitive closure, component = min over the mutual-reach set."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k"))
+    cyc = c.select(
+        F.col("k").alias("u"),
+        ((F.col("k") - F.col("k") % 7)
+         + ((F.col("k") % 7 + 1) % 7)).alias("v"))
+    jump = c.where(F.col("k") % 11 == 0).select(
+        F.col("k").alias("u"), (F.col("k") + 9).alias("v"))
+    return strongly_connected_components(cyc.unionAll(jump))
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1798,6 +1821,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "none(x IN range(1, p.age) WHERE x > p.age) AS none_over, "
             "single(x IN range(1, p.age) WHERE x * 2 = p.age) AS one_half "
             "ORDER BY name"),
+        # directed strongly connected components (r3-s6): Tarjan under
+        # 500k edges, distributed coloring above; full closure oracle
+        "g17_scc": _q_scc,
+        # statistical aggregates (r3-s6 extension): stDev/stDevP +
+        # percentileCont/percentileDisc; floats rounded on both sides
+        # (variance accumulation order differs between engines)
+        "a6_stat_aggs": _q_cypher_knows(
+            "MATCH (p:Person) RETURN p.city AS city, "
+            "round(stDev(p.age), 6) AS sd, round(stDevP(p.age), 6) AS sdp, "
+            "percentileCont(p.age, 0.25) AS q1, "
+            "percentileDisc(p.age, 0.5) AS med "
+            "ORDER BY city"),
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2250,6 +2285,29 @@ def oracle_sql() -> dict[str, str]:
             "ON k.dst = p2.key WHERE k.src = p1.key AND p2.age > p1.age) "
             "AND NOT EXISTS (SELECT 1 FROM knows k JOIN person p2 "
             "ON k.dst = p2.key WHERE k.src = p1.key AND p2.city = 'SF')"),
+        "g17_scc": (
+            "WITH RECURSIVE e AS ("
+            "SELECT CAST(c_custkey AS BIGINT) AS u, "
+            "CAST((c_custkey - c_custkey % 7) + ((c_custkey % 7 + 1) % 7) "
+            "AS BIGINT) AS v FROM customer "
+            "UNION ALL "
+            "SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey + 9 AS BIGINT) "
+            "FROM customer WHERE c_custkey % 11 = 0), "
+            "r AS (SELECT u AS a, v AS b FROM e "
+            "UNION SELECT r.a, e.v FROM r JOIN e ON r.b = e.u), "
+            "verts AS (SELECT u AS id FROM e UNION SELECT v AS id FROM e), "
+            "mutual AS (SELECT r1.a AS o, r1.b AS me FROM r r1 "
+            "JOIN r r2 ON r1.a = r2.b AND r1.b = r2.a) "
+            "SELECT v.id AS id, least(v.id, coalesce(MIN(m.o), v.id)) "
+            "AS component FROM verts v LEFT JOIN mutual m ON m.me = v.id "
+            "GROUP BY v.id"),
+        "a6_stat_aggs": pre + (
+            " SELECT city, round(stddev_samp(age), 6) AS sd, "
+            "round(stddev_pop(age), 6) AS sdp, "
+            "quantile_cont(age, 0.25) AS q1, "
+            "(array_agg(age ORDER BY age))"
+            "[greatest(CAST(ceil(0.5 * count(age)) AS INT), 1)] AS med "
+            "FROM person GROUP BY city ORDER BY city"),
         "p12_quantifiers": pre + (
             " SELECT name, "
             "len(list_filter(generate_series(1, age), x -> NOT x > 0)) = 0 "

@@ -996,6 +996,24 @@ def _compile_aggregate(ctx: _Ctx, e: FuncCall, df) -> Column:
         c, _ = compile_expr(ctx, e.args[0], df)
         return F.count_distinct(c) if e.distinct else F.count(c)
     c, _ = compile_expr(ctx, e.args[0], df)
+    if e.name in ("percentilecont", "percentiledisc"):
+        # openCypher inverse-distribution aggregates. Cont = linear
+        # interpolation (Spark's exact `percentile`); disc = Neo4j
+        # nearest-rank: the element at 1-indexed rank ceil(p * n),
+        # p = 0 → min. Disc is computed from the sorted group array so
+        # Spark and the DuckDB oracle share one definition; group
+        # cardinality is the unit of memory (document for huge groups).
+        if len(e.args) != 2:
+            raise CypherCompileError(f"{e.name}() takes (expr, percentile)")
+        if e.distinct:
+            raise CypherCompileError(f"DISTINCT not supported for {e.name}()")
+        p, _ = compile_expr(ctx, e.args[1], df)
+        if e.name == "percentilecont":
+            return F.percentile(c, p)
+        arr = F.sort_array(F.collect_list(c))
+        idx = F.greatest(
+            F.ceil(p * F.count(c)).cast("int") - F.lit(1), F.lit(0))
+        return F.get(arr, idx)
     if e.distinct:
         if e.name == "sum":
             return F.sum_distinct(c)
@@ -1015,6 +1033,10 @@ def _compile_aggregate(ctx: _Ctx, e: FuncCall, df) -> Column:
         return F.max(c)
     if e.name == "collect":
         return F.collect_list(c)
+    if e.name == "stdev":
+        return F.stddev_samp(c)
+    if e.name == "stdevp":
+        return F.stddev_pop(c)
     raise CypherCompileError(f"unknown aggregate {e.name}")
 
 

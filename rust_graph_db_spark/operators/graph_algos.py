@@ -725,3 +725,184 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
             break
         prev_tot = tot
     return balls.select("id", F.col("harm").alias("harmonic"))
+
+
+# ------------------------------------------------------ strong components
+
+def _tarjan_scc(pairs: list) -> list:
+    """Iterative Tarjan over a collected (u, v) edge list (driver path).
+    Returns (id, component) with component = min member id."""
+    adj: dict = {}
+    ids = set()
+    for u, v in pairs:
+        ids.add(u)
+        ids.add(v)
+        if u != v:
+            adj.setdefault(u, []).append(v)
+    index: dict = {}
+    low: dict = {}
+    on_stack: set = set()
+    stack: list = []
+    sccs: list = []
+    counter = [0]
+    for root in sorted(ids):
+        if root in index:
+            continue
+        # explicit DFS stack of (vertex, iterator position)
+        work = [(root, 0)]
+        while work:
+            v, pi = work.pop()
+            if pi == 0:
+                index[v] = low[v] = counter[0]
+                counter[0] += 1
+                stack.append(v)
+                on_stack.add(v)
+            recurse = False
+            nbrs = adj.get(v, ())
+            for i in range(pi, len(nbrs)):
+                w = nbrs[i]
+                if w not in index:
+                    work.append((v, i + 1))
+                    work.append((w, 0))
+                    recurse = True
+                    break
+                if w in on_stack:
+                    low[v] = min(low[v], index[w])
+            if recurse:
+                continue
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    on_stack.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                sccs.append(comp)
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+    out = []
+    for comp in sccs:
+        m = min(comp)
+        out.extend((int(v), int(m)) for v in comp)
+    return sorted(out)
+
+
+def strongly_connected_components(
+        edges: DataFrame, driver_threshold: int = 500_000,
+        max_phases: int = 30, max_prop_iter: int = 100) -> DataFrame:
+    """Strongly connected components of the DIRECTED edge list: returns
+    ``(id, component)`` with component = min member id (deterministic).
+    Every vertex incident to an edge (including self-loops) is assigned.
+
+    Size-adaptive like :func:`connected_components`: below
+    ``driver_threshold`` edges, one collect + iterative Tarjan on the
+    driver (SCC structure of a pair graph is tiny next to the corpus
+    that produced it). Above it, the distributed coloring algorithm
+    (Orzan 2004; Salihoglu & Widom, VLDB'14): each phase (1) trims
+    vertices with no in- or out-edges in the active subgraph — each is
+    its own singleton SCC, (2) propagates the MAX vertex id forward to a
+    fixpoint (``color(v)`` = max id with a path to ``v``), (3) walks
+    BACKWARD from each color root (``color(v) == v``) within its color
+    class — the reached set is exactly that root's SCC — then peels the
+    found SCCs and repeats. Every join is an equi-join on vertex id
+    (same shuffle discipline as the PageRank loop), per-iteration frames
+    are ``localCheckpoint``-pinned, and phases peel one SCC per color
+    class, so phase count is bounded by the SCC condensation depth, not
+    vertex count. Forward propagation is diameter-bound like
+    :func:`~rust_graph_db_spark.operators.traversal.bfs_distances`.
+    """
+    s, d = _pair_cols(edges)
+    raw = (edges.select(F.col(s).cast("long").alias("u"),
+                        F.col(d).cast("long").alias("v"))
+           .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+           .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    if raw.count() <= driver_threshold:
+        out = _tarjan_scc([(r["u"], r["v"]) for r in raw.collect()])
+        return spark.createDataFrame(out or [], "id LONG, component LONG")
+
+    verts = (raw.select(F.col("u").alias("id"))
+             .unionAll(raw.select(F.col("v").alias("id"))).distinct())
+    active_e = raw.where(F.col("u") != F.col("v")).distinct() \
+                  .localCheckpoint(eager=True)
+    active_v = verts.localCheckpoint(eager=True)
+    assigned = spark.createDataFrame([], "id LONG, component LONG")
+
+    for _ in range(max_phases):
+        # ---- trim: no out-edges or no in-edges ⇒ singleton SCC
+        while True:
+            core = (active_e.select(F.col("u").alias("id")).distinct()
+                    .join(active_e.select(F.col("v").alias("id")).distinct(),
+                          "id"))
+            trimmed = active_v.join(core, "id", "left_anti") \
+                              .localCheckpoint(eager=True)
+            if trimmed.isEmpty():
+                break
+            assigned = assigned.unionAll(
+                trimmed.select("id", F.col("id").alias("component")))
+            active_v = active_v.join(core, "id").localCheckpoint(eager=True)
+            active_e = (active_e
+                        .join(active_v.withColumnRenamed("id", "u"), "u",
+                              "left_semi")
+                        .join(active_v.withColumnRenamed("id", "v"), "v",
+                              "left_semi")
+                        .select("u", "v").localCheckpoint(eager=True))
+        if active_v.isEmpty():
+            break
+        # ---- forward max-id propagation to fixpoint
+        colors = active_v.select("id", F.col("id").alias("color")) \
+                         .localCheckpoint(eager=True)
+        prev_probe = None
+        for _i in range(max_prop_iter):
+            msgs = (colors.join(active_e, colors["id"] == active_e["u"])
+                    .select(F.col("v").alias("id"), "color"))
+            colors = (colors.unionAll(msgs).groupBy("id")
+                      .agg(F.max("color").alias("color"))
+                      .localCheckpoint(eager=True))
+            probe = tuple(colors.agg(
+                F.sum(F.xxhash64("id", "color").cast("decimal(38,0)"))
+            ).first())
+            if probe == prev_probe:
+                break
+            prev_probe = probe
+        else:
+            raise RuntimeError(
+                "scc: forward propagation did not converge within "
+                f"max_prop_iter={max_prop_iter}")
+        # ---- backward reach from color roots within each color class
+        members = colors.where(F.col("id") == F.col("color")) \
+                        .localCheckpoint(eager=True)
+        frontier = members
+        while not frontier.isEmpty():
+            step = (active_e.join(frontier.withColumnRenamed("id", "v"), "v")
+                    .select(F.col("u").alias("id"), "color")
+                    .distinct())
+            # stay inside the color class, drop already-found members
+            step = (step.join(colors.withColumnRenamed("color", "c"), "id")
+                    .where(F.col("color") == F.col("c"))
+                    .select("id", "color"))
+            frontier = step.join(members, "id", "left_anti") \
+                           .localCheckpoint(eager=True)
+            members = members.unionAll(frontier).localCheckpoint(eager=True)
+        # normalize component = min member id per SCC root
+        rel = members.groupBy("color").agg(F.min("id").alias("component"))
+        assigned = assigned.unionAll(
+            members.join(rel, "color").select("id", "component"))
+        # ---- peel found SCCs
+        active_v = active_v.join(members, "id", "left_anti") \
+                           .localCheckpoint(eager=True)
+        active_e = (active_e
+                    .join(active_v.withColumnRenamed("id", "u"), "u",
+                          "left_semi")
+                    .join(active_v.withColumnRenamed("id", "v"), "v",
+                          "left_semi")
+                    .select("u", "v").localCheckpoint(eager=True))
+        if active_v.isEmpty():
+            break
+    else:
+        if not active_v.isEmpty():
+            raise RuntimeError(
+                f"scc: not converged within max_phases={max_phases}")
+    return assigned

@@ -152,7 +152,8 @@ class CaseExpr:
 Expr = Union[Literal, Var, Prop, Unary, Binary, FuncCall, ListLit, MapLit,
              IsNull, InList, Subscript, CaseExpr]
 
-AGGREGATE_FUNCS = {"count", "sum", "avg", "min", "max", "collect"}
+AGGREGATE_FUNCS = {"count", "sum", "avg", "min", "max", "collect",
+                   "stdev", "stdevp", "percentilecont", "percentiledisc"}
 
 
 def contains_aggregate(e: Expr) -> bool:

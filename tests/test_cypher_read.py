@@ -836,3 +836,38 @@ def test_subquery_review_fixes_2(kg):
         "MATCH (n:Person) RETURN n.city AS city, "
         "count(*) AS c ORDER BY city LIMIT 1").first()
     assert r2.c > 0
+
+
+def test_stat_aggregates(kg, oracle):
+    # stDev/stDevP/percentileCont/percentileDisc (openCypher inverse
+    # distribution + dispersion aggregates; extension — the reference
+    # executes only count/sum/avg/min/max, src/executor/mod.rs:686-853).
+    # Floats rounded on both sides: Spark and DuckDB may differ in the
+    # last ulp of a variance accumulation.
+    oracle(
+        kg.cypher(
+            "MATCH (p:Person) RETURN p.city AS city, "
+            "round(stDev(p.age), 6) AS sd, round(stDevP(p.age), 6) AS sdp, "
+            "percentileCont(p.age, 0.25) AS q1, "
+            "percentileDisc(p.age, 0.5) AS med "
+            "ORDER BY city"),
+        "SELECT city, round(stddev_samp(age), 6) AS sd, "
+        "round(stddev_pop(age), 6) AS sdp, "
+        "quantile_cont(age, 0.25) AS q1, "
+        "(array_agg(age ORDER BY age))"
+        "[greatest(CAST(ceil(0.5 * count(age)) AS INT), 1)] AS med "
+        "FROM person GROUP BY city ORDER BY city")
+
+
+def test_stat_aggregates_edge_cases(kg):
+    # single-element group: stDev → NULL (sample), stDevP → 0.0;
+    # percentileDisc(p=0) → min; global (ungrouped) form works
+    r = kg.cypher(
+        "MATCH (p:Person {name: 'Person7'}) "
+        "RETURN stDev(p.age) AS sd, stDevP(p.age) AS sdp, "
+        "percentileDisc(p.age, 0.0) AS lo").first()
+    assert r.sd is None and r.sdp == 0.0 and r.lo == 27
+    g = kg.cypher(
+        "MATCH (p:Person) RETURN percentileCont(p.age, 0.5) AS med, "
+        "percentileDisc(p.age, 1.0) AS hi").first()
+    assert g.hi is not None and g.med is not None

@@ -439,3 +439,73 @@ def test_harmonic_centrality_vs_exact_bfs(spark):
     for v in nodes:
         want = exact_h(v)
         assert abs(got[v] - want) <= max(0.1, 0.05 * want), (v, got[v], want)
+
+
+# ------------------------------------------------------ strong components
+
+SCC_EDGES = [
+    # 3-cycle {1,2,3} feeding a 2-cycle {4,5}; 6 points in (singleton);
+    # 7 has only a self-loop (singleton); 8->9 chain (two singletons)
+    (1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 4),
+    (6, 4), (7, 7), (8, 9),
+]
+SCC_EXPECT = {(1, 1), (2, 1), (3, 1), (4, 4), (5, 4),
+              (6, 6), (7, 7), (8, 8), (9, 9)}
+
+
+def test_scc_driver(spark):
+    from rust_graph_db_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(SCC_EDGES, "u LONG, v LONG")
+    got = {(r.id, r.component)
+           for r in strongly_connected_components(e).collect()}
+    assert got == SCC_EXPECT
+
+
+def test_scc_distributed(spark):
+    from rust_graph_db_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(SCC_EDGES, "u LONG, v LONG")
+    got = {(r.id, r.component)
+           for r in strongly_connected_components(
+               e, driver_threshold=0).collect()}
+    assert got == SCC_EXPECT
+
+
+def test_scc_distributed_matches_driver_random(spark):
+    # random sparse digraph: the distributed coloring path must agree
+    # with driver-side Tarjan exactly
+    import random
+
+    rng = random.Random(7)
+    n = 60
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(150)})
+    from rust_graph_db_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    e = spark.createDataFrame(edges, "u LONG, v LONG")
+    drv = {(r.id, r.component)
+           for r in strongly_connected_components(e).collect()}
+    dist = {(r.id, r.component)
+            for r in strongly_connected_components(
+                e, driver_threshold=0).collect()}
+    assert drv == dist
+
+
+def test_scc_nested_cycles_driver(spark):
+    # one big SCC {0..5} built from two overlapping cycles, plus a tail
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4), (4, 5), (5, 2), (5, 6)],
+        "u LONG, v LONG")
+    from rust_graph_db_spark.operators.graph_algos import (
+        strongly_connected_components,
+    )
+
+    got = {(r.id, r.component)
+           for r in strongly_connected_components(e).collect()}
+    assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 6)}
