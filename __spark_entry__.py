@@ -160,6 +160,29 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return strongly_connected_components(cyc.unionAll(jump))
 
 
+def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g18: exact betweenness centrality over a binary out-tree on
+    customer keys (heap edges u→2u+1, u→2u+2 capped at max key). On a
+    directed tree the closed form is ancestors(v) × descendants(v), so
+    the DuckDB oracle checks the full Brandes machinery (forward sigma
+    counting + backward dependency accumulation) against a recursive
+    CTE — not just row counts."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k"))
+    mx = c.agg(F.max("k")).first()[0]
+    e = (c.select(F.col("k").alias("u"), (F.col("k") * 2 + 1).alias("v"))
+         .unionAll(c.select(F.col("k").alias("u"),
+                            (F.col("k") * 2 + 2).alias("v")))
+         .where(F.col("v") <= mx))
+    return betweenness_centrality(e)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1824,6 +1847,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # directed strongly connected components (r3-s6): Tarjan under
         # 500k edges, distributed coloring above; full closure oracle
         "g17_scc": _q_scc,
+        # exact Brandes betweenness on a tree (closed-form oracle)
+        "g18_betweenness": _q_betweenness,
         # statistical aggregates (r3-s6 extension): stDev/stDevP +
         # percentileCont/percentileDisc; floats rounded on both sides
         # (variance accumulation order differs between engines)
@@ -2301,6 +2326,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v.id AS id, least(v.id, coalesce(MIN(m.o), v.id)) "
             "AS component FROM verts v LEFT JOIN mutual m ON m.me = v.id "
             "GROUP BY v.id"),
+        "g18_betweenness": (
+            "WITH RECURSIVE mx AS (SELECT max(c_custkey) AS m FROM customer), "
+            "e AS ("
+            "SELECT CAST(c_custkey AS BIGINT) AS u, "
+            "CAST(2 * c_custkey + 1 AS BIGINT) AS v FROM customer "
+            "WHERE 2 * c_custkey + 1 <= (SELECT m FROM mx) "
+            "UNION ALL "
+            "SELECT CAST(c_custkey AS BIGINT), CAST(2 * c_custkey + 2 AS BIGINT) "
+            "FROM customer WHERE 2 * c_custkey + 2 <= (SELECT m FROM mx)), "
+            "r AS (SELECT u AS a, v AS b FROM e "
+            "UNION ALL SELECT r.a, e.v FROM r JOIN e ON r.b = e.u), "
+            # explicit DISTINCT: duckdb 1.0 does not dedup a two-branch
+            # UNION CTE under WITH RECURSIVE unless it self-references
+            "verts AS (SELECT DISTINCT id FROM (SELECT u AS id FROM e "
+            "UNION ALL SELECT v AS id FROM e)), "
+            "anc AS (SELECT b AS id, count(*) AS na FROM r GROUP BY b), "
+            "des AS (SELECT a AS id, count(*) AS nd FROM r GROUP BY a) "
+            "SELECT v.id AS id, CAST(coalesce(na, 0) * coalesce(nd, 0) "
+            "AS DOUBLE) AS betweenness FROM verts v "
+            "LEFT JOIN anc ON anc.id = v.id LEFT JOIN des ON des.id = v.id"),
         "a6_stat_aggs": pre + (
             " SELECT city, round(stddev_samp(age), 6) AS sd, "
             "round(stddev_pop(age), 6) AS sdp, "

@@ -906,3 +906,108 @@ def strongly_connected_components(
             raise RuntimeError(
                 f"scc: not converged within max_phases={max_phases}")
     return assigned
+
+
+# ------------------------------------------------------ betweenness
+
+def betweenness_centrality(
+        edges: DataFrame, sources: Optional[DataFrame] = None,
+        sample: Optional[int] = None, seed: int = 0,
+        max_hops: int = 30) -> DataFrame:
+    """Betweenness centrality over the DIRECTED unweighted edge list:
+    ``(id, betweenness)``, Brandes' dependency accumulation expressed as
+    two level-synchronous DataFrame loops.
+
+    Exact when run from every vertex (the default); pass ``sample=k``
+    for the Brandes–Pich pivot estimator (Centrality Estimation in
+    Large Networks, IJBC 2007): BFS from k deterministically-hashed
+    pivots, results scaled by n/k — the standard trade at corpus scale,
+    since exact betweenness is O(V·E). ``sources`` overrides pivot
+    selection with an explicit one-column frame.
+
+    Shape: forward pass = per-level frontier join counting shortest
+    paths (``sigma``), backward pass = per-level join pushing
+    ``sigma_v/sigma_w * (1 + delta_w)`` from each level to its
+    predecessors (Brandes 2001, Thm. 6). All state is (source, vertex)
+    keyed — k pivots × reachable vertices — every join an equi-join on
+    vertex id, frames ``localCheckpoint``-pinned per level. Level count
+    is diameter-bound like
+    :func:`~rust_graph_db_spark.operators.traversal.bfs_distances`.
+    """
+    s, d = _pair_cols(edges)
+    e = (edges.select(F.col(s).cast("long").alias("u"),
+                      F.col(d).cast("long").alias("v"))
+         .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    verts = (e.select(F.col("u").alias("id"))
+             .unionAll(e.select(F.col("v").alias("id"))).distinct()
+             .localCheckpoint(eager=True))
+    n = verts.count()
+    if sources is not None:
+        srcs = sources.select(F.col(sources.columns[0]).cast("long")
+                              .alias("s")).distinct()
+        k = srcs.count()
+    elif sample is not None and sample < n:
+        # deterministic pivots: k smallest salted hashes — a seeded
+        # uniform draw that is a pure function of (vertex set, seed)
+        srcs = (verts.orderBy(F.xxhash64("id", F.lit(seed)))
+                .limit(int(sample)).select(F.col("id").alias("s")))
+        k = int(sample)
+    else:
+        srcs = verts.select(F.col("id").alias("s"))
+        k = n
+    scale = float(n) / float(k) if k else 1.0
+
+    # ---- forward: per-level shortest-path counts sigma(s, v)
+    frontier = srcs.select("s", F.col("s").alias("v"),
+                           F.lit(1).cast("double").alias("sigma")) \
+                   .localCheckpoint(eager=True)
+    vis = frontier.withColumn("dist", F.lit(0))
+    levels = [frontier]          # levels[l] = (s, v, sigma) first seen at l
+    for lvl in range(1, max_hops + 1):
+        cand = (frontier.join(e, frontier["v"] == e["u"])
+                .select("s", e["v"].alias("v"), "sigma")
+                .groupBy("s", "v").agg(F.sum("sigma").alias("sigma")))
+        frontier = (cand.join(vis.select("s", "v"), ["s", "v"], "left_anti")
+                    .localCheckpoint(eager=True))
+        if frontier.isEmpty():
+            break
+        vis = vis.unionAll(frontier.withColumn("dist", F.lit(lvl))) \
+                 .localCheckpoint(eager=True)
+        levels.append(frontier)
+
+    # ---- backward: delta(s, v) accumulated from the deepest level up
+    spark = edges.sparkSession
+    delta = spark.createDataFrame([], "s LONG, v LONG, delta DOUBLE")
+    acc = spark.createDataFrame([], "id LONG, contrib DOUBLE")
+    for lvl in range(len(levels) - 1, 0, -1):
+        w_nodes = (levels[lvl]
+                   .join(delta, ["s", "v"], "left")
+                   .select("s", F.col("v").alias("w"),
+                           F.col("sigma").alias("sigma_w"),
+                           F.coalesce("delta", F.lit(0.0)).alias("delta_w")))
+        # push to predecessors: u at level-1 with an edge u→w
+        pred = (e.join(w_nodes, e["v"] == w_nodes["w"])
+                .select("s", "u", "sigma_w", "delta_w"))
+        pred = (pred.join(
+            levels[lvl - 1].select(
+                "s", F.col("v").alias("u"), F.col("sigma").alias("sigma_u")),
+            ["s", "u"]))
+        contrib = (pred.groupBy("s", F.col("u").alias("v"))
+                   .agg(F.sum(F.col("sigma_u") / F.col("sigma_w")
+                              * (F.lit(1.0) + F.col("delta_w")))
+                        .alias("delta"))
+                   .localCheckpoint(eager=True))
+        delta = contrib
+        # endpoints excluded (standard Brandes: v != s)
+        acc = acc.unionAll(
+            contrib.where(F.col("v") != F.col("s"))
+            .select(F.col("v").alias("id"), F.col("delta").alias("contrib")))
+        if lvl % 8 == 0:
+            acc = acc.localCheckpoint(eager=True)
+    bc = (verts.join(acc.groupBy("id").agg(F.sum("contrib").alias("b")),
+                     "id", "left")
+          .select("id", (F.coalesce("b", F.lit(0.0)) * F.lit(scale))
+                  .alias("betweenness")))
+    return bc

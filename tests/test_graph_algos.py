@@ -509,3 +509,90 @@ def test_scc_nested_cycles_driver(spark):
     got = {(r.id, r.component)
            for r in strongly_connected_components(e).collect()}
     assert got == {(0, 0), (1, 0), (2, 0), (3, 0), (4, 0), (5, 0), (6, 6)}
+
+
+# ------------------------------------------------------ betweenness
+
+def _exact_betweenness(edges, nodes):
+    """Pure-Python directed unweighted Brandes (reference oracle)."""
+    from collections import defaultdict, deque
+
+    adj = defaultdict(list)
+    for u, v in edges:
+        if u != v:
+            adj[u].append(v)
+    bc = dict.fromkeys(nodes, 0.0)
+    for s in nodes:
+        # BFS
+        sigma = defaultdict(float)
+        sigma[s] = 1.0
+        dist = {s: 0}
+        order = []
+        preds = defaultdict(list)
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            order.append(v)
+            for w in adj[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+                if dist[w] == dist[v] + 1:
+                    sigma[w] += sigma[v]
+                    preds[w].append(v)
+        delta = defaultdict(float)
+        for w in reversed(order):
+            for v in preds[w]:
+                delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+    return bc
+
+
+def test_betweenness_exact_matches_bruteforce(spark):
+    import random
+
+    from rust_graph_db_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    rng = random.Random(11)
+    n = 25
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(70)})
+    nodes = sorted({x for e in edges for x in e})
+    want = _exact_betweenness(edges, nodes)
+    e = spark.createDataFrame(edges, "u LONG, v LONG")
+    got = {r.id: r.betweenness
+           for r in betweenness_centrality(e).collect()}
+    assert set(got) == set(nodes)
+    for v in nodes:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+
+
+def test_betweenness_path_graph(spark):
+    # directed path 0->1->2->3->4: interior v has v*(4-v) pair paths
+    from rust_graph_db_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    e = spark.createDataFrame([(i, i + 1) for i in range(4)],
+                              "u LONG, v LONG")
+    got = {r.id: r.betweenness
+           for r in betweenness_centrality(e).collect()}
+    assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
+
+
+def test_betweenness_sampled_scales(spark):
+    from rust_graph_db_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    # star: center 0 on every shortest path between leaf pairs
+    edges = [(0, i) for i in range(1, 9)] + [(i, 0) for i in range(1, 9)]
+    e = spark.createDataFrame(edges, "u LONG, v LONG")
+    exact = {r.id: r.betweenness for r in betweenness_centrality(e).collect()}
+    assert exact[0] == 8 * 7 and all(exact[i] == 0.0 for i in range(1, 9))
+    est = {r.id: r.betweenness
+           for r in betweenness_centrality(e, sample=4, seed=3).collect()}
+    # every pivot's BFS routes through the center, scaled by n/k
+    assert est[0] > 0 and all(est[i] == 0.0 for i in range(1, 9))
