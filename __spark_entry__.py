@@ -183,6 +183,18 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     return betweenness_centrality(e)
 
 
+def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t11: BPE tokenizer training (Sennrich 2016) on the documents
+    corpus — 16 merge rounds over the distinct-word frequency table.
+    Rows-only driver check (the iterative argmax has no portable SQL
+    mirror); exact parity with a pure-Python reference trainer is
+    pytest-proven (test_pipeline_ops.py::test_train_bpe_matches_reference)."""
+    from rust_graph_db_spark.operators.bpe import train_bpe
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_bpe(docs, text_col="text", num_merges=16, min_freq=2)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1858,6 +1870,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "percentileCont(p.age, 0.25) AS q1, "
             "percentileDisc(p.age, 0.5) AS med "
             "ORDER BY city"),
+        # procedure CALL surface (r3-s6): registered algorithm invoked
+        # from Cypher with YIELD rename + WHERE + downstream RETURN
+        "p21_proc_call": _q_cypher_knows(
+            "CALL algo.degrees('KNOWS') YIELD id, out_deg, in_deg, deg "
+            "WHERE deg > 2 RETURN id, out_deg, in_deg, deg"),
+        # BPE tokenizer training (r3-s6; rows-only — iterative argmax)
+        "t11_bpe_merges": _q_bpe_merges,
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2346,6 +2365,14 @@ def oracle_sql() -> dict[str, str]:
             "SELECT v.id AS id, CAST(coalesce(na, 0) * coalesce(nd, 0) "
             "AS DOUBLE) AS betweenness FROM verts v "
             "LEFT JOIN anc ON anc.id = v.id LEFT JOIN des ON des.id = v.id"),
+        "p21_proc_call": pre + (
+            ", o AS (SELECT src AS k, count(*) AS od FROM knows GROUP BY src)"
+            ", i AS (SELECT dst AS k, count(*) AS idg FROM knows GROUP BY dst)"
+            " SELECT 281474976710656 + coalesce(o.k, i.k) AS id, "
+            "coalesce(od, 0) AS out_deg, coalesce(idg, 0) AS in_deg, "
+            "coalesce(od, 0) + coalesce(idg, 0) AS deg "
+            "FROM o FULL JOIN i ON o.k = i.k "
+            "WHERE coalesce(od, 0) + coalesce(idg, 0) > 2"),
         "a6_stat_aggs": pre + (
             " SELECT city, round(stddev_samp(age), 6) AS sd, "
             "round(stddev_pop(age), 6) AS sdp, "

@@ -36,7 +36,7 @@ from pyspark.sql import types as T
 
 from rust_graph_db_spark.functions.scalar import compile_scalar_call
 from rust_graph_db_spark.parser.ast_nodes import (
-    AGGREGATE_FUNCS, Binary, CallSubquery, CaseExpr, CountSubquery,
+    AGGREGATE_FUNCS, Binary, CallSubquery, CaseExpr, CountSubquery, ProcCall,
     Create, Delete,
     ExistsSubquery, Foreach, FuncCall, InList, PatternComp,
     IsNull, ListComp, ListLit, Literal, MapLit, MapProj, Match, Merge,
@@ -1325,6 +1325,8 @@ def _apply_clause(ctx: _Ctx, clause) -> None:
         _apply_projection(ctx, clause)
     elif isinstance(clause, CallSubquery):
         _apply_call(ctx, clause)
+    elif isinstance(clause, ProcCall):
+        _apply_proc_call(ctx, clause)
     elif isinstance(clause, Foreach):
         # per-element writes: explode the list for the write clauses,
         # then RESTORE the pipeline — FOREACH never changes downstream
@@ -1416,6 +1418,52 @@ def _lateral_rank_filter(child: "_Ctx", ctx: "_Ctx", rid: str,
     if limit is not None:
         cond = cond & (F.col(rn) <= lo + limit)
     child.df = child.df.where(cond).drop(rn, *drop_extra)
+
+
+def _apply_proc_call(ctx: _Ctx, pc: ProcCall) -> None:
+    """CALL name(args) [YIELD ...] [WHERE ...] — invoke a registered
+    procedure (functions/procedures.py). Args are literals, so the
+    result is row-independent: standalone CALL seeds the pipeline,
+    mid-pipeline CALL is the openCypher per-row multiplication, which
+    for an uncorrelated subplan is exactly a cross join (and Spark
+    broadcasts the small side)."""
+    from .functions.procedures import REGISTRY
+
+    fn = REGISTRY.get(pc.name.lower())
+    if fn is None:
+        raise CypherCompileError(
+            f"unknown procedure {pc.name!r} — register it via "
+            "rust_graph_db_spark.functions.procedures.register()")
+    vals = []
+    for a in pc.args:
+        if isinstance(a, Literal):
+            vals.append(a.value)
+        elif (isinstance(a, Unary) and a.op == "-"
+                and isinstance(a.operand, Literal)
+                and isinstance(a.operand.value, (int, float))):
+            vals.append(-a.operand.value)
+        else:
+            raise CypherCompileError(
+                f"procedure arguments must be literals, got {a!r}")
+    df = fn(ctx.graph, *vals)
+    if pc.yields is not None:
+        missing = [c for c, _ in pc.yields if c not in df.columns]
+        if missing:
+            raise CypherCompileError(
+                f"procedure {pc.name} does not yield {missing}; "
+                f"available: {df.columns}")
+        df = df.select(*[F.col(c).alias(al or c) for c, al in pc.yields])
+    clash = [c for c in df.columns if c in ctx.env]
+    if clash:
+        raise CypherCompileError(
+            f"CALL {pc.name} output columns collide with bound "
+            f"variables: {clash} (YIELD ... AS to rename)")
+    ctx.df = df if ctx.df is None else ctx.df.crossJoin(df)
+    for name in df.columns:
+        ctx.env[name] = Binding("scalar", None, {"_value": name})
+    if pc.where is not None:
+        c, _ = compile_expr(ctx, pc.where)
+        ctx.df = ctx.df.where(c)
 
 
 def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
@@ -1721,7 +1769,9 @@ def compile_query(graph, query) -> DataFrame:
         _apply_clause(ctx, clause)
         last = clause
 
-    if isinstance(last, Return):
+    if isinstance(last, (Return, ProcCall)):
+        # standalone trailing CALL proc() implicitly returns its yield
+        # columns (Neo4j behavior)
         return ctx.df
     # write-only query: return a one-row summary
     stats = ctx.write_stats or {"rows": 0}

@@ -1,0 +1,117 @@
+"""Procedure registry for ``CALL name(args) [YIELD ...]`` in Cypher.
+
+The reference exposes its graph algorithms only as Rust library calls
+(re-exported at src/lib.rs:48-64 — shortest_path, variable_length_expand,
+k_hop_neighbors); this engine additionally surfaces the whole algorithm
+library *inside the query language*, Neo4j-GDS-style, so a reference
+user can move an analytics call into a Cypher pipeline:
+
+    CALL algo.pagerank('KNOWS', 5) YIELD id, rank
+    RETURN id, rank ORDER BY rank DESC LIMIT 10
+
+Procedures are driver-side Python callables ``fn(graph, *args) ->
+DataFrame``; their output columns become scalar bindings for the rest
+of the pipeline. Arguments must be literals (they parameterize a plan,
+they are not per-row expressions). Register your own with
+:func:`register` — the same extension stance as the scalar-UDF registry
+(SURVEY.md §2.11).
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+REGISTRY: dict[str, Callable] = {}
+
+
+def register(name: str, fn: Callable) -> None:
+    """Register ``fn(graph, *literal_args) -> DataFrame`` under a
+    case-insensitive dotted procedure name."""
+    REGISTRY[name.lower()] = fn
+
+
+def _edges(graph, rel: str | None):
+    """Edge list for one relationship type (or all), as (src, dst)."""
+    e = graph.edges(rel) if rel else graph.edges()
+    return e.select("src", "dst")
+
+
+# ------------------------------------------------------------- catalog
+
+def _db_labels(graph) -> DataFrame:
+    return graph.spark.createDataFrame(
+        [(l,) for l in graph.vertex_labels], "label STRING")
+
+
+def _db_rel_types(graph) -> DataFrame:
+    return graph.spark.createDataFrame(
+        [(l,) for l in graph.edge_labels], "relationshipType STRING")
+
+
+# ----------------------------------------------------------- algorithms
+
+def _pagerank(graph, rel=None, iterations=10, damping=0.85) -> DataFrame:
+    from ..operators.graph_algos import pagerank
+    return pagerank(_edges(graph, rel), iterations=int(iterations),
+                    damping=float(damping))
+
+
+def _wcc(graph, rel=None) -> DataFrame:
+    from ..operators.graph_algos import connected_components
+    return connected_components(_edges(graph, rel))
+
+
+def _scc(graph, rel=None) -> DataFrame:
+    from ..operators.graph_algos import strongly_connected_components
+    return strongly_connected_components(_edges(graph, rel))
+
+
+def _degrees(graph, rel=None) -> DataFrame:
+    from ..operators.graph_algos import degrees
+    return degrees(_edges(graph, rel))
+
+
+def _label_propagation(graph, rel=None, iterations=5) -> DataFrame:
+    from ..operators.graph_algos import label_propagation
+    return label_propagation(_edges(graph, rel), iterations=int(iterations))
+
+
+def _triangle_count(graph, rel=None) -> DataFrame:
+    from ..operators.graph_algos import triangle_count
+    return triangle_count(_edges(graph, rel))
+
+
+def _betweenness(graph, rel=None, sample=None, seed=0) -> DataFrame:
+    from ..operators.graph_algos import betweenness_centrality
+    return betweenness_centrality(
+        _edges(graph, rel),
+        sample=int(sample) if sample is not None else None, seed=int(seed))
+
+
+def _kcore(graph, rel=None, k=3) -> DataFrame:
+    from ..operators.graph_algos import k_core
+    return k_core(_edges(graph, rel), k=int(k))
+
+
+def _bfs(graph, start, rel=None, max_hops=30) -> DataFrame:
+    """Hop distances from a packed-graphid start vertex: (id, dist)."""
+    from ..operators.traversal import bfs_distances
+    return bfs_distances(_edges(graph, rel), [int(start)],
+                         max_hops=int(max_hops)) \
+        .select(F.col("id"), F.col("dist"))
+
+
+register("db.labels", _db_labels)
+register("db.relationshipTypes", _db_rel_types)
+register("algo.pagerank", _pagerank)
+register("algo.wcc", _wcc)
+register("algo.scc", _scc)
+register("algo.degrees", _degrees)
+register("algo.labelPropagation", _label_propagation)
+register("algo.triangleCount", _triangle_count)
+register("algo.betweenness", _betweenness)
+register("algo.kcore", _kcore)
+register("algo.bfs", _bfs)

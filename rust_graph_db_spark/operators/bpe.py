@@ -1,0 +1,164 @@
+"""Byte-pair-encoding tokenizer training and encoding over a corpus.
+
+Extension operators (the reference has no text tooling at all): the
+standard subword-vocabulary learner for an LLM data pipeline — Sennrich,
+Haddow & Birch, "Neural Machine Translation of Rare Words with Subword
+Units" (ACL 2016). Training works on the distinct-WORD frequency table,
+not raw documents, so its working set is corpus vocabulary (millions of
+rows at 100 TB, trivially distributed), and each merge round is one
+pair-count aggregation (map-side combinable) + one JVM-side array fold
+— no Python in the training loop.
+
+``bpe_encode`` applies a learned merge list with an Arrow-batched
+pandas UDF (per-word memoized); encoding is the embarrassingly-parallel
+half, so Python-per-batch is the right trade there.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+END = "</w>"  # end-of-word marker (Sennrich §3.2)
+
+
+def _chars_with_end(word: Column) -> Column:
+    """'low' → ['l', 'o', 'w', '</w>']."""
+    return F.concat(
+        F.filter(F.split(word, ""), lambda x: x != F.lit("")),
+        F.array(F.lit(END)))
+
+
+def _merge_pair(syms: Column, left: str, right: str) -> Column:
+    """Greedy left-to-right merge of the adjacent pair (left, right)
+    into one symbol — a single JVM-side array fold. Correct for
+    overlapping runs ('aaa' + merge(a,a) → ['aa','a']) because a
+    just-merged tail symbol no longer equals ``left``."""
+    joined = left + right
+    return F.aggregate(
+        syms,
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            # F.get is 0-based and NULL-safe on the empty accumulator
+            # (element_at(-1) would throw under ANSI mode)
+            (F.get(acc, F.size(acc) - 1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, 1, F.size(acc) - 1),
+                     F.array(F.lit(joined)))
+        ).otherwise(F.concat(acc, F.array(x))))
+
+
+def word_frequencies(df: DataFrame, text_col: str = "text",
+                     min_freq: int = 1) -> DataFrame:
+    """(word, freq) over whitespace tokens of the corpus."""
+    return (df.select(F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda x: x != F.lit(""))).alias("word"))
+            .groupBy("word").agg(F.count("*").alias("freq"))
+            .where(F.col("freq") >= int(min_freq)))
+
+
+def train_bpe(df: DataFrame, text_col: str = "text",
+              num_merges: int = 50, min_freq: int = 2,
+              min_pair_freq: int = 2) -> DataFrame:
+    """Learn ``num_merges`` BPE merges; returns (rank, left, right,
+    freq) ordered by rank. Deterministic: ties break on (left, right)
+    lexicographically, so the merge list is a pure function of the
+    corpus. Each round shuffles only (pair, partial-count) — map-side
+    combine keeps the exchange at reducer-cardinality = live pair
+    vocabulary. Stops early when no pair reaches ``min_pair_freq``.
+    """
+    words = (word_frequencies(df, text_col, min_freq)
+             .withColumn("syms", _chars_with_end(F.col("word")))
+             .select("freq", "syms")
+             .localCheckpoint(eager=True))
+    merges = []
+    for rank in range(int(num_merges)):
+        pairs = words.select(
+            "freq",
+            F.explode(F.transform(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                lambda s, i: F.struct(
+                    s.alias("left"),
+                    F.element_at(F.col("syms"), i + F.lit(2)).alias("right"))
+            )).alias("p"))
+        best = (pairs.groupBy("p.left", "p.right")
+                .agg(F.sum("freq").alias("pfreq"))
+                .orderBy(F.desc("pfreq"), F.asc("left"), F.asc("right"))
+                .first())
+        if best is None or best["pfreq"] < int(min_pair_freq):
+            break
+        merges.append((rank, best["left"], best["right"],
+                       int(best["pfreq"])))
+        words = words.withColumn(
+            "syms", _merge_pair(F.col("syms"), best["left"], best["right"])
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges or [], "rank INT, left STRING, right STRING, freq BIGINT")
+
+
+def bpe_vocab(df: DataFrame, merges: DataFrame,
+              text_col: str = "text", min_freq: int = 1) -> DataFrame:
+    """Final (symbol, freq) table after applying a learned merge list
+    to the corpus word frequencies."""
+    ms = [(r["left"], r["right"])
+          for r in merges.orderBy("rank").collect()]
+    words = (word_frequencies(df, text_col, min_freq)
+             .withColumn("syms", _chars_with_end(F.col("word"))))
+    for left, right in ms:
+        words = words.withColumn(
+            "syms", _merge_pair(F.col("syms"), left, right))
+    return (words.select("freq", F.explode("syms").alias("symbol"))
+            .groupBy("symbol").agg(F.sum("freq").alias("freq")))
+
+
+def bpe_encode(df: DataFrame, merges, text_col: str = "text",
+               out_col: str = "bpe_tokens") -> DataFrame:
+    """Tokenize ``text_col`` with a learned merge list (DataFrame from
+    :func:`train_bpe` or a [(left, right), ...] sequence). Adds
+    ``out_col ARRAY<STRING>``. Arrow-batched pandas UDF with per-word
+    memoization — the merge table broadcasts with the closure."""
+    if isinstance(merges, DataFrame):
+        ms = [(r["left"], r["right"])
+              for r in merges.orderBy("rank").collect()]
+    else:
+        ms = [tuple(m) for m in merges]
+    ranks = {pair: i for i, pair in enumerate(ms)}
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def encode_word(w: str) -> list:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            syms = list(w) + [END]
+            while len(syms) > 1:
+                # lowest-rank adjacent pair, standard BPE apply order
+                cand = [(ranks.get((syms[i], syms[i + 1])), i)
+                        for i in range(len(syms) - 1)]
+                cand = [(rk, i) for rk, i in cand if rk is not None]
+                if not cand:
+                    break
+                rk, _ = min(cand)
+                a, b = ms[rk]
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        out.append(a + b)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            cache[w] = syms
+            return syms
+
+        return texts.map(lambda t: [s for w in (t or "").split()
+                                    for s in encode_word(w)])
+
+    return df.withColumn(out_col, enc(F.col(text_col)))

@@ -287,6 +287,18 @@ class CallSubquery:
 
 
 @dataclass(frozen=True)
+class ProcCall:
+    """CALL name.space.proc(args) [YIELD col [AS alias], ...]
+    [WHERE expr] — registered-procedure invocation (engine extension;
+    the reference exposes algorithms only as library calls,
+    src/lib.rs:48-64). Args must be literal expressions."""
+    name: str
+    args: tuple                 # tuple[Expr, ...]
+    yields: object = None       # Optional[tuple[(str, Optional[str]), ...]]
+    where: object = None        # Optional[Expr]
+
+
+@dataclass(frozen=True)
 class Unwind:
     expr: Expr
     alias: str

@@ -11,6 +11,7 @@ from typing import Optional
 
 from rust_graph_db_spark.parser.ast_nodes import (
     CallSubquery, CountSubquery, ExistsSubquery, Foreach, ListComp,
+    ProcCall,
     MapProj,
     PatternComp,
     ReduceExpr,
@@ -260,6 +261,34 @@ class Parser:
                 sub = self._query_chain(stop_at_brace=True)
                 self.eat_punct("}")
                 clauses.append(CallSubquery(imports, sub))
+                continue
+            if self.at_word("CALL") and self.peek().kind == "name":
+                # CALL name.space.proc(args) [YIELD c [AS a], ...]
+                # [WHERE expr] — registered-procedure invocation
+                self.advance()
+                parts = [self.name()]
+                while self.try_punct("."):
+                    parts.append(self.name())
+                self.eat_punct("(")
+                args = []
+                if not self.at_punct(")"):
+                    args.append(self.expr())
+                    while self.try_punct(","):
+                        args.append(self.expr())
+                self.eat_punct(")")
+                yields, where = None, None
+                if self.try_word("YIELD"):
+                    items = [(self.name(),
+                              self.name() if self.try_kw("AS") else None)]
+                    while self.try_punct(","):
+                        items.append(
+                            (self.name(),
+                             self.name() if self.try_kw("AS") else None))
+                    yields = tuple(items)
+                    if self.try_kw("WHERE"):
+                        where = self.expr()
+                clauses.append(
+                    ProcCall(".".join(parts), tuple(args), yields, where))
                 continue
             if self.at_kw("OPTIONAL"):
                 self.advance()

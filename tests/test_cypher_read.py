@@ -871,3 +871,49 @@ def test_stat_aggregates_edge_cases(kg):
         "MATCH (p:Person) RETURN percentileCont(p.age, 0.5) AS med, "
         "percentileDisc(p.age, 1.0) AS hi").first()
     assert g.hi is not None and g.med is not None
+
+
+def test_proc_call_surface(kg):
+    # standalone trailing CALL returns its yield columns
+    rows = kg.cypher("CALL db.labels()").collect()
+    assert [r.label for r in rows] == ["Person"]
+    # YIELD subset + rename + WHERE + downstream aggregation
+    r = kg.cypher(
+        "CALL algo.degrees('KNOWS') YIELD id, out_deg AS o "
+        "WHERE o > 1 RETURN count(*) AS n").first()
+    assert r.n > 0
+    # pipeline continuation with ORDER BY/LIMIT
+    top = kg.cypher(
+        "CALL algo.pagerank('KNOWS', 5) YIELD id, rank "
+        "RETURN id, rank ORDER BY rank DESC, id LIMIT 3").collect()
+    assert len(top) == 3 and top[0].rank >= top[2].rank
+    # mid-pipeline CALL = uncorrelated cross join
+    r = kg.cypher(
+        "WITH 2 AS two CALL algo.triangleCount('KNOWS') "
+        "YIELD triangles RETURN two * triangles AS t2").first()
+    assert r.t2 == 2 * kg.cypher(
+        "CALL algo.triangleCount('KNOWS')").first().triangles
+
+
+def test_proc_call_errors_and_registration(kg):
+    import pytest as _p
+
+    from rust_graph_db_spark.compiler import CypherCompileError
+    from rust_graph_db_spark.functions import procedures
+
+    with _p.raises(CypherCompileError, match="unknown procedure"):
+        kg.cypher("CALL algo.nope() RETURN 1 AS one").collect()
+    with _p.raises(CypherCompileError, match="does not yield"):
+        kg.cypher("CALL db.labels() YIELD wat RETURN wat").collect()
+    with _p.raises(CypherCompileError, match="literals"):
+        kg.cypher("MATCH (p:Person) CALL algo.bfs(p.age) YIELD id "
+                  "RETURN id").collect()
+
+    def _const(graph, x):
+        return graph.spark.createDataFrame([(int(x),)], "answer LONG")
+
+    procedures.register("test.const", _const)
+    assert kg.cypher("CALL test.const(42) YIELD answer "
+                     "RETURN answer").first().answer == 42
+    # negative literal args fold
+    assert kg.cypher("CALL test.const(-7)").first().answer == -7

