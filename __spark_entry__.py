@@ -2011,13 +2011,16 @@ _R3_WINDOW = [
     "p20_lateral_call", "e9_pq_topk",
     # 1 whose query text changed since its green row
     "w9_merge_upsert",
-    # 4 refresh slots: r1/r2-green, library code changed in r3 (g2's
-    # and g10's r1 rows stay: their slots went to the never-verified
-    # p20/e9 — the size-adaptive SSSP shares its adaptive scaffold
-    # with in-window g1, and graph_algos' normalization change is
-    # exercised by in-window g8/g11-g16)
-    "w4_dml_pipeline", "w8_durable_graph", "g1_bfs_distances",
-    "g8_pagerank",
+    # 4 never-verified r3-s6 queries with FULL oracles (never-verified
+    # outranks refresh, the policy the r2 verdict endorsed). The four
+    # r1/r2-green refresh slots they displace (w4, w8, g1, g8) keep
+    # in-window proxies for every r3-touched module: storage commits →
+    # w10/w11/w12; dml SET/CREATE → w9 + the FOREACH/REMOVE pytest
+    # battery; the traversal loop scaffold → g13/g14/g16; the PageRank
+    # co-partitioned loop → g13 (shares _pr_run). t11_bpe_merges stays
+    # below the line: its driver check would be rows-only, and its real
+    # verification is the pure-Python parity pytest.
+    "g17_scc", "g18_betweenness", "a6_stat_aggs", "p21_proc_call",
 ]
 
 
