@@ -195,6 +195,40 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, text_col="text", num_merges=16, min_freq=2)
 
 
+def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c5: trainable quality classifier, the CCNet/GPT-3 setup (train
+    the corpus against a deterministically-corrupted copy): hashed
+    uni+bigram features, distributed full-batch logistic regression,
+    then score both classes. Rows-only driver check (iterative GD has
+    no SQL mirror); exact numpy-GD parity and held-out generalization
+    are pytest-proven (test_pipeline_ops.py logreg tests)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.classifier import (
+        hash_ngram_features, score_documents, train_logistic,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                     .select("doc_id", "text")
+    junk = ("click here free buy now winner prize deal "
+            "subscribe limited offer act fast")
+    corrupted = docs.select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"),
+        F.concat_ws(" ", F.lit(junk),
+                    F.substring("text", 1, 80), F.lit(junk)).alias("text"))
+    labeled = (docs.withColumn("y", F.lit(1))
+               .unionByName(corrupted.withColumn("y", F.lit(0))))
+    dim = 1 << 15
+    feats = hash_ngram_features(labeled, dim=dim)
+    w, b, _ = train_logistic(feats, "y", dim=dim, iterations=8, lr=40.0)
+    scored = score_documents(labeled, w, b, dim=dim)
+    return (scored.groupBy("y")
+            .agg(F.count("*").alias("n"),
+                 F.avg((F.col("quality_prob") > 0.5).cast("double"))
+                 .alias("frac_predicted_quality"))
+            .orderBy("y"))
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1877,6 +1911,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "WHERE deg > 2 RETURN id, out_deg, in_deg, deg"),
         # BPE tokenizer training (r3-s6; rows-only — iterative argmax)
         "t11_bpe_merges": _q_bpe_merges,
+        # trainable quality classifier (r3-s6; rows-only — iterative GD)
+        "c5_quality_classifier": _q_quality_classifier,
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,

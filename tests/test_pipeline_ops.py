@@ -898,3 +898,81 @@ def test_bpe_encode_consistent_with_training_segmentation(spark):
     # "low" appears 5x in the corpus: with 8 merges it ends fully fused
     assert enc == {("low</w>",)} or all(
         "".join(t) == "low</w>" for t in enc)
+
+
+# ------------------------------------------------------ quality classifier
+
+def test_logreg_separable_and_numpy_parity(spark):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.classifier import (
+        hash_ngram_features, score_documents, train_logistic,
+    )
+
+    dim = 1 << 12
+    docs = ([(i, "clean prose with useful facts and structure", 1)
+             for i in range(40)]
+            + [(100 + i, "spam junk buy now click here free", 0)
+               for i in range(40)])
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING, y INT")
+    feats = hash_ngram_features(df, dim=dim)
+    w, b, hist = train_logistic(feats, "y", dim=dim, iterations=15, lr=40.0)
+    # separable corpus: loss decreases and classification is perfect
+    assert hist[-1] < hist[0] and hist[-1] < 0.1
+    scored = score_documents(df, w, b, dim=dim).collect()
+    assert all((r.quality_prob > 0.5) == (r.y == 1) for r in scored)
+
+    # exact parity with the same GD in numpy on the same features
+    rows = feats.select("y", "f_idx", "f_val").collect()
+    wref = np.zeros(dim)
+    bref = 0.0
+    n = len(rows)
+    lr, l2 = 40.0, 1e-6
+    for _ in range(15):
+        resid = []
+        for r in rows:
+            m = float(np.dot(wref[np.array(r.f_idx)], np.array(r.f_val))) + bref
+            resid.append(1.0 / (1.0 + np.exp(-m)) - r.y)
+        grad = {}
+        for r, rr in zip(rows, resid):
+            for i, v in zip(r.f_idx, r.f_val):
+                grad[i] = grad.get(i, 0.0) + v * rr
+        wref *= (1.0 - lr * l2)
+        for i in sorted(grad):
+            wref[i] -= lr * grad[i] / n
+        bref -= lr * sum(resid) / n
+    assert abs(b - bref) < 1e-8
+    assert np.allclose(w, wref, atol=1e-8)
+
+
+def test_logreg_generalizes_with_shared_vocab(spark):
+    # classes share half their vocabulary; the model must key on the
+    # class-specific words and classify HELD-OUT docs correctly
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.classifier import (
+        hash_ngram_features, score_documents, train_logistic,
+    )
+
+    shared = ["data", "table", "row", "query", "join"]
+    pos = ["insight", "analysis", "evidence"]
+    neg = ["clickbait", "spam", "scam"]
+
+    def doc(i, words):
+        return " ".join(
+            [shared[(i * 3 + j) % len(shared)] for j in range(4)]
+            + [words[(i + j) % len(words)] for j in range(2)])
+
+    rows = ([(i, doc(i, pos), 1) for i in range(60)]
+            + [(200 + i, doc(i, neg), 0) for i in range(60)])
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, y INT")
+    train = df.where(F.col("doc_id") % 5 != 0)
+    test = df.where(F.col("doc_id") % 5 == 0)
+    dim = 1 << 14
+    w, b, _ = train_logistic(hash_ngram_features(train, dim=dim), "y",
+                             dim=dim, iterations=15, lr=40.0)
+    scored = score_documents(test, w, b, dim=dim)
+    acc = scored.select(
+        F.avg(((F.col("quality_prob") > 0.5).cast("int")
+               == F.col("y")).cast("double")).alias("a")).first().a
+    assert acc == 1.0, acc
