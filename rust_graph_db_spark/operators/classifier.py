@@ -48,19 +48,25 @@ def hash_ngram_features(df: DataFrame, text_col: str = "text",
                       lambda g: F.pmod(F.xxhash64(g), F.lit(dim))
                       .cast("int"))
     n = F.size(idx)
+    # empty text keeps its row with empty arrays (margin = bias) — the
+    # transform lambda never evaluates over [], so no division by zero
     val = F.transform(idx, lambda _: F.lit(1.0) / n)
-    return df.withColumn(idx_col, idx).withColumn(val_col, val) \
-             .where(n > 0)
+    return df.withColumn(idx_col, idx).withColumn(val_col, val)
 
 
-def _dot_udf(weights: np.ndarray, bias: float):
-    w = weights
+def _dot_udf(spark, weights: np.ndarray, bias: float):
+    # a REAL broadcast, not closure capture: the 2 MB weight vector
+    # ships to each executor once per stage instead of riding every
+    # serialized task
+    bw = spark.sparkContext.broadcast(weights)
 
     @F.pandas_udf("double")
     def margin(idx: pd.Series, val: pd.Series) -> pd.Series:
+        w = bw.value
         out = np.empty(len(idx))
         for i, (ii, vv) in enumerate(zip(idx, val)):
-            out[i] = float(np.dot(w[np.asarray(ii)], np.asarray(vv)))
+            ia = np.asarray(ii)
+            out[i] = float(np.dot(w[ia], np.asarray(vv))) if ia.size else 0.0
         return pd.Series(out + bias)
 
     return margin
@@ -88,7 +94,7 @@ def train_logistic(df: DataFrame, label_col: str,
     b = 0.0
     history = []
     for _ in range(int(iterations)):
-        m = _dot_udf(w, b)
+        m = _dot_udf(df.sparkSession, w, b)
         scored = data.withColumn("_r",
                                  F.lit(1.0) / (F.lit(1.0)
                                                + F.exp(-m("_i", "_v")))
@@ -125,7 +131,7 @@ def score_documents(df: DataFrame, weights: np.ndarray, bias: float,
     d = dim or len(weights)
     feats = hash_ngram_features(df, text_col, dim=d, bigrams=bigrams,
                                 idx_col="_si", val_col="_sv")
-    m = _dot_udf(weights, bias)
+    m = _dot_udf(df.sparkSession, weights, bias)
     return (feats.withColumn(
                 out_col,
                 F.lit(1.0) / (F.lit(1.0) + F.exp(-m("_si", "_sv"))))

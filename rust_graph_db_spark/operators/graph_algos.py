@@ -932,7 +932,9 @@ def betweenness_centrality(
     keyed — k pivots × reachable vertices — every join an equi-join on
     vertex id, frames ``localCheckpoint``-pinned per level. Level count
     is diameter-bound like
-    :func:`~rust_graph_db_spark.operators.traversal.bfs_distances`.
+    :func:`~rust_graph_db_spark.operators.traversal.bfs_distances`;
+    paths longer than ``max_hops`` are truncated (contributions from
+    deeper vertices are dropped), so raise it for high-diameter graphs.
     """
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("u"),

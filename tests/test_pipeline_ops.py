@@ -976,3 +976,17 @@ def test_logreg_generalizes_with_shared_vocab(spark):
         F.avg(((F.col("quality_prob") > 0.5).cast("int")
                == F.col("y")).cast("double")).alias("a")).first().a
     assert acc == 1.0, acc
+
+
+def test_classifier_empty_text_keeps_row(spark):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.classifier import score_documents
+
+    df = spark.createDataFrame([(0, "data table"), (1, ""), (2, None)],
+                               "doc_id LONG, text STRING")
+    out = score_documents(df.fillna({"text": ""}), np.zeros(1 << 8), 0.0,
+                          dim=1 << 8).collect()
+    # no silent row drops; zero weights → bias-only sigmoid = 0.5
+    assert len(out) == 3 and all(abs(r.quality_prob - 0.5) < 1e-9
+                                 for r in out)
