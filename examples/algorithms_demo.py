@@ -45,6 +45,19 @@ def main(spark=None):
     print("-- k-core / label propagation")
     k_core(edges, k=3).show(5)
     label_propagation(edges, iterations=4).groupBy("label").count().show(5)
+    print("-- strongly connected components (directed)")
+    from rust_graph_db_spark.operators.graph_algos import (
+        betweenness_centrality, strongly_connected_components,
+    )
+    strongly_connected_components(edges).groupBy("component").count() \
+        .orderBy(F.desc("count")).show(5)
+    print("-- betweenness centrality (8 hashed pivots)")
+    betweenness_centrality(edges, sample=8, seed=1) \
+        .orderBy(F.desc("betweenness")).show(5)
+    print("-- the same algorithms from Cypher via CALL ... YIELD")
+    g.cypher(
+        "CALL algo.scc('" + g.edge_labels[0] + "') YIELD id, component "
+        "RETURN component, count(*) AS n ORDER BY n DESC LIMIT 5").show()
     print("-- random walks -> skip-gram pairs")
     walks = random_walks(edges, walk_length=5, seed=1)
     pairs = walk_skipgram_pairs(walks, window=2)

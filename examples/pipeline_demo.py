@@ -62,6 +62,31 @@ def main(spark=None):
     from rust_graph_db_spark.operators.similarity import semdedup
     sem = semdedup(emb, threshold=0.45, k=4, iters=1)
     print("semantic near-dup pairs:", sem.count())
+
+    # BPE tokenizer training + encoding (Sennrich 2016)
+    from rust_graph_db_spark.operators.bpe import bpe_encode, train_bpe
+    merges = train_bpe(docs, num_merges=8, min_freq=2)
+    merges.show(8)
+    bpe_encode(docs.limit(3), merges).select("doc_id", "bpe_tokens").show(
+        3, truncate=60)
+
+    # trainable quality classifier: corpus vs corrupted copy
+    from pyspark.sql import functions as F
+    from rust_graph_db_spark.operators.classifier import (
+        hash_ngram_features, score_documents, train_logistic,
+    )
+    bad = docs.select(
+        (F.col("doc_id") + 10**6).alias("doc_id"),
+        F.concat_ws(" ", F.lit("click free buy now"),
+                    F.substring("text", 1, 60)).alias("text"))
+    labeled = (docs.select("doc_id", "text").withColumn("y", F.lit(1))
+               .unionByName(bad.withColumn("y", F.lit(0))))
+    w, b, hist = train_logistic(
+        hash_ngram_features(labeled, dim=1 << 14), "y",
+        dim=1 << 14, iterations=6, lr=40.0)
+    print("classifier logloss:", [round(h, 3) for h in hist])
+    score_documents(labeled.limit(3), w, b, dim=1 << 14) \
+        .select("doc_id", "y", "quality_prob").show()
     return kept
 
 
