@@ -1081,6 +1081,18 @@ def _split_aggregates(e, counter):
 
 def _apply_projection(ctx: _Ctx, clause) -> None:
     items = clause.items
+    if getattr(clause, "star", False):
+        # WITH * / RETURN *: every bound (non-internal) variable, in
+        # binding order, ahead of any explicitly-listed items
+        star_items = tuple(
+            ReturnItem(Var(n), None) for n in ctx.env
+            if not n.startswith("_"))
+        if not star_items and not items:
+            raise CypherCompileError(
+                "RETURN * / WITH * with no variables in scope")
+        listed = {it.alias or _expr_name(it.expr) for it in items}
+        items = tuple(it for it in star_items
+                      if it.expr.name not in listed) + items
     if any(_contains_count_subquery(it.expr) for it in items):
         # materialize COUNT {} columns onto the pipeline first; the
         # rewritten items then project ordinary scalars
@@ -1567,9 +1579,11 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             for cl in q.clauses:
                 if isinstance(cl, With):
                     cl = With(cl.items + (hidden,), cl.distinct,
-                              cl.where, cl.order_by, cl.skip, cl.limit)
+                              cl.where, cl.order_by, cl.skip, cl.limit,
+                              star=cl.star)
                 elif isinstance(cl, Return):
-                    cl = Return(cl.items + (hidden,), cl.distinct)
+                    cl = Return(cl.items + (hidden,), cl.distinct,
+                                star=cl.star)
                 _apply_clause(pchild, cl)
             part_dfs.append(pchild.df)
         cols0 = part_dfs[0].columns
@@ -1673,7 +1687,7 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
                         w_hidden.append(ReturnItem(oi.expr, nm))
                         w_plan.append((nm, oi))
             cl2 = With(cl.items + (hidden, *w_hidden), cl.distinct,
-                       cl.where, (), None, None)
+                       cl.where, (), None, None, star=cl.star)
             _apply_clause(child, cl2)
             if w_lat:
                 sort_cols = []
@@ -1692,7 +1706,7 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             # below (openCypher lateral semantics), not globally
             extra = ((hidden, mark) if all_agg0
                      else (hidden, *extra_sort_items))
-            cl = Return(cl.items + extra, cl.distinct)
+            cl = Return(cl.items + extra, cl.distinct, star=cl.star)
         _apply_clause(child, cl)
     if lateral:
         sort_cols = [(_qcol(nm).desc_nulls_last() if desc

@@ -257,6 +257,7 @@ class With:
     order_by: tuple = ()
     skip: Optional[int] = None
     limit: Optional[int] = None
+    star: bool = False        # WITH * [, items]
 
 
 @dataclass(frozen=True)
@@ -266,6 +267,7 @@ class Return:
     order_by: tuple = ()
     skip: Optional[int] = None
     limit: Optional[int] = None
+    star: bool = False        # RETURN * [, items]
 
 
 @dataclass(frozen=True)

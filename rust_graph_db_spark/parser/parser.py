@@ -485,9 +485,18 @@ class Parser:
 
     def _projection(self, cls):
         distinct = self.try_kw("DISTINCT")
-        items = [self._return_item()]
-        while self.try_punct(","):
-            items.append(self._return_item())
+        star = False
+        items = []
+        if self.try_punct("*"):
+            # WITH * / RETURN * — project every bound variable, plus
+            # any explicitly-listed extra items
+            star = True
+            while self.try_punct(","):
+                items.append(self._return_item())
+        else:
+            items = [self._return_item()]
+            while self.try_punct(","):
+                items.append(self._return_item())
         where = None
         if cls is With and self.at_kw("WHERE"):
             # openCypher puts WHERE after ORDER BY/LIMIT is illegal; but the
@@ -498,8 +507,10 @@ class Parser:
         if cls is With and where is None and self.try_kw("WHERE"):
             where = self.expr()
         if cls is With:
-            return With(tuple(items), distinct, where, tuple(order_by), skip, limit)
-        return Return(tuple(items), distinct, tuple(order_by), skip, limit)
+            return With(tuple(items), distinct, where, tuple(order_by),
+                        skip, limit, star=star)
+        return Return(tuple(items), distinct, tuple(order_by), skip,
+                      limit, star=star)
 
     def _return_item(self) -> ReturnItem:
         expr = self.expr()

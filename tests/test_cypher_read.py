@@ -917,3 +917,36 @@ def test_proc_call_errors_and_registration(kg):
                      "RETURN answer").first().answer == 42
     # negative literal args fold
     assert kg.cypher("CALL test.const(-7)").first().answer == -7
+
+
+def test_star_projection(kg, oracle):
+    # WITH * threads all bindings; RETURN * projects all variables
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person)-[r:KNOWS]->(b:Person) WHERE a.age = 25 "
+            "WITH * RETURN a.name AS an, r.since AS s, b.name AS bn"),
+        "SELECT 'Person' || k.src AS an, k.since AS s, "
+        "'Person' || k.dst AS bn FROM knows k "
+        "JOIN person p ON p.key = k.src WHERE p.age = 25")
+    cols = kg.cypher(
+        "MATCH (a:Person)-[r:KNOWS]->(b:Person) RETURN *").columns
+    assert cols == ["a", "r", "b"]
+    # star + extra item; explicit alias shadowing a bound name wins
+    row = kg.cypher(
+        "MATCH (p:Person {name: 'Person7'}) WITH *, p.age AS age "
+        "RETURN p.name AS n, age").first()
+    assert row.n == "Person7" and row.age == 27
+    # DISTINCT composes with star
+    n = kg.cypher(
+        "MATCH (a:Person)-[:KNOWS]->(b:Person) WITH DISTINCT * "
+        "RETURN count(*) AS c").first().c
+    assert n > 0
+
+
+def test_star_projection_errors(kg):
+    import pytest as _p
+
+    from rust_graph_db_spark.compiler import CypherCompileError
+
+    with _p.raises(CypherCompileError, match="no variables"):
+        kg.cypher("RETURN *").collect()
