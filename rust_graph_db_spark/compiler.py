@@ -338,6 +338,9 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
             return lc / rc, T.DoubleType()
         if op == "%":
             return lc % rc, _num_result(lt, rt)
+        if op == "^":
+            # openCypher exponentiation always yields a float
+            return F.pow(lc, rc), T.DoubleType()
         # openCypher string predicates (extensions over the reference,
         # which has none in its grammar — cypher.pest:212-223)
         if op == "STARTS WITH":

@@ -16,6 +16,7 @@ Spark-first redesign (SURVEY.md §1.4):
 
 from __future__ import annotations
 
+import re
 from typing import Iterable, Optional
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -272,10 +273,25 @@ class PropertyGraph:
     # ------------------------------------------------------------------ query
 
     def cypher(self, query: str) -> DataFrame:
-        """Parse + compile a Cypher query to a lazy DataFrame plan."""
+        """Parse + compile a Cypher query to a lazy DataFrame plan.
+
+        ``EXPLAIN [simple|extended|formatted|cost|codegen] <query>``
+        returns the Spark physical plan as one-line-per-row text instead
+        of executing — the plan-audit surface (the reference has no
+        EXPLAIN; its AST is interpreted directly, SURVEY.md §3.1)."""
         from rust_graph_db_spark.parser import parse_cypher
         from rust_graph_db_spark.compiler import compile_query
 
+        m = re.match(
+            r"\s*EXPLAIN\b(\s+(?P<mode>SIMPLE|EXTENDED|FORMATTED|COST|"
+            r"CODEGEN)\b)?", query, re.IGNORECASE)
+        if m:
+            mode = (m.group("mode") or "formatted").lower()
+            df = compile_query(self, parse_cypher(query[m.end():]))
+            jqe = df._jdf.queryExecution()
+            text = self.spark._jvm.PythonSQLUtils.explainString(jqe, mode)
+            return self.spark.createDataFrame(
+                [(ln,) for ln in text.splitlines()], "plan STRING")
         return compile_query(self, parse_cypher(query))
 
     # ------------------------------------------------------------------ persist

@@ -41,7 +41,7 @@ _TOKEN_RE = re.compile(
   | (?P<num>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
-  | (?P<punct>=~|<=|>=|<>|!=|->|<-|\.\.|[()\[\]{},:.+\-*/%=<>|])
+  | (?P<punct>=~|<=|>=|<>|!=|->|<-|\.\.|[()\[\]{},:.+\-*/%=<>|^])
     """,
     re.VERBOSE | re.DOTALL,
 )
@@ -681,16 +681,25 @@ class Parser:
         return left
 
     def _multiplicative(self):
-        left = self._unary()
+        left = self._power()
         while self.at_punct("*", "/", "%"):
             op = self.advance().text
-            left = Binary(op, left, self._unary())
+            left = Binary(op, left, self._power())
         return left
+
+    def _power(self):
+        # openCypher ^: binds tighter than unary minus (-2^2 = -4),
+        # right-associative (2^3^2 = 512)
+        base = self._unary()
+        if self.at_punct("^"):
+            self.advance()
+            return Binary("^", base, self._power())
+        return base
 
     def _unary(self):
         if self.at_punct("-", "+"):
             op = self.advance().text
-            return Unary(op, self._unary())
+            return Unary(op, self._power())
         return self._postfix()
 
     def _postfix(self):

@@ -950,3 +950,25 @@ def test_star_projection_errors(kg):
 
     with _p.raises(CypherCompileError, match="no variables"):
         kg.cypher("RETURN *").collect()
+
+
+def test_power_operator(kg, oracle):
+    r = kg.cypher("RETURN 2 ^ 10 AS p, -2 ^ 2 AS neg, 2 ^ 3 ^ 2 AS ra").first()
+    # binds tighter than unary minus; right-associative; float result
+    assert (r.p, r.neg, r.ra) == (1024.0, -4.0, 512.0)
+    oracle(
+        kg.cypher("MATCH (p:Person) WHERE p.age % 25 = 0 "
+                  "RETURN p.name AS n, p.age ^ 2 AS sq"),
+        "SELECT name AS n, CAST(age AS DOUBLE) ** 2 AS sq "
+        "FROM person WHERE age % 25 = 0")
+
+
+def test_explain_prefix(kg):
+    plan = kg.cypher(
+        "EXPLAIN MATCH (p:Person) WHERE p.age > 30 RETURN p.name AS n")
+    lines = [r.plan for r in plan.collect()]
+    assert len(lines) > 5 and any("Scan" in ln for ln in lines)
+    # pushdown is visible in the formatted plan
+    assert any("PushedFilters" in ln for ln in lines)
+    ext = kg.cypher("EXPLAIN EXTENDED MATCH (p:Person) RETURN p.name AS n")
+    assert any("Physical Plan" in r.plan for r in ext.collect())
