@@ -229,6 +229,28 @@ def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .orderBy("y"))
 
 
+def _q_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r3: ordered-sequence funnel view→click→purchase within 7 days —
+    per-stage user counts. Greedy-from-earliest anchored at the first
+    'view'; oracle is the identical chain of min() CTEs in DuckDB."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.temporal import funnel
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (funnel(ev, ["view", "click", "purchase"], within=86400.0 * 7)
+            .groupBy("stage").agg(F.count("*").alias("users"))
+            .orderBy("stage"))
+
+
+def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r4: weekly cohort retention matrix over the events table."""
+    from rust_graph_db_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return cohort_retention(ev, period=86400.0 * 7, max_periods=8)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1913,6 +1935,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_bpe_merges": _q_bpe_merges,
         # trainable quality classifier (r3-s6; rows-only — iterative GD)
         "c5_quality_classifier": _q_quality_classifier,
+        # event analytics (r3-s6): funnel + cohort retention, full oracles
+        "r3_funnel": _q_funnel,
+        "r4_retention": _q_retention,
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2412,6 +2437,37 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(od, 0) + coalesce(idg, 0) AS deg "
             "FROM o FULL JOIN i ON o.k = i.k "
             "WHERE coalesce(od, 0) + coalesce(idg, 0) > 2"),
+        "r3_funnel": (
+            "WITH s1 AS (SELECT user_id u, min(epoch(ts)) t1 FROM events "
+            "WHERE event_type = 'view' GROUP BY 1), "
+            "s2 AS (SELECT e.user_id u, s1.t1, min(epoch(e.ts)) t2 "
+            "FROM events e JOIN s1 ON s1.u = e.user_id "
+            "WHERE e.event_type = 'click' AND epoch(e.ts) > s1.t1 "
+            "AND epoch(e.ts) - s1.t1 <= 604800 GROUP BY 1, 2), "
+            "s3 AS (SELECT e.user_id u, s2.t1, min(epoch(e.ts)) t3 "
+            "FROM events e JOIN s2 ON s2.u = e.user_id "
+            "WHERE e.event_type = 'purchase' AND epoch(e.ts) > s2.t2 "
+            "AND epoch(e.ts) - s2.t1 <= 604800 GROUP BY 1, 2), "
+            "stages AS (SELECT u, 3 AS stage FROM s3 UNION ALL "
+            "SELECT u, 2 FROM s2 WHERE u NOT IN (SELECT u FROM s3) "
+            "UNION ALL "
+            "SELECT u, 1 FROM s1 WHERE u NOT IN (SELECT u FROM s2)) "
+            "SELECT stage, count(*) AS users FROM stages GROUP BY stage"),
+        "r4_retention": (
+            "WITH f AS (SELECT user_id u, min(epoch(ts)) t0 "
+            "FROM events GROUP BY 1), "
+            "fc AS (SELECT u, CAST(floor(t0 / 604800.0) AS BIGINT) cohort "
+            "FROM f), "
+            "act AS (SELECT DISTINCT e.user_id u, fc.cohort, "
+            "CAST(floor(epoch(e.ts) / 604800.0) AS BIGINT) - fc.cohort AS k "
+            "FROM events e JOIN fc ON fc.u = e.user_id), "
+            "sizes AS (SELECT cohort, count(*) cohort_size FROM fc "
+            "GROUP BY 1) "
+            "SELECT a.cohort AS cohort, a.k AS k, count(*) AS active, "
+            "s.cohort_size AS cohort_size, "
+            "round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) AS retention "
+            "FROM act a JOIN sizes s ON s.cohort = a.cohort WHERE a.k <= 8 "
+            "GROUP BY a.cohort, a.k, s.cohort_size"),
         "a6_stat_aggs": pre + (
             " SELECT city, round(stddev_samp(age), 6) AS sd, "
             "round(stddev_pop(age), 6) AS sdp, "

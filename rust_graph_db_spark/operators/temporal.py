@@ -175,3 +175,91 @@ def range_join(
     joined = lb.join(rb, keys + ["_bin"]).where(
         (rtn >= lt2 + F.lit(float(lower))) & (rtn <= lt2 + F.lit(float(upper))))
     return joined.drop("_bin")
+
+
+# ----------------------------------------------------------- event analytics
+
+def funnel(events: DataFrame, steps: Sequence[str],
+           user_col: str = "user_id", ts_col: str = "ts",
+           type_col: str = "event_type",
+           within: Optional[float] = None) -> DataFrame:
+    """Ordered-sequence funnel: per user, the furthest step reached by
+    events matching ``steps`` in order — ``(user, stage, first_ts,
+    last_ts)`` with stage in 1..len(steps) (users with no step-1 event
+    are absent).
+
+    Greedy-from-earliest semantics (the convention of product-analytics
+    funnels): the window anchors at the user's FIRST step-1 event; each
+    later step takes its earliest qualifying event strictly after the
+    previous one, and ``within`` (seconds) bounds last_ts − first_ts.
+    Greedy is exact for existence at every stage because taking the
+    earliest qualifying event never excludes a later completion with the
+    same anchor.
+
+    Shape: len(steps)−1 per-user min-aggregation joins, all keyed on the
+    user column — one hash partitioning reused across every stage (no
+    per-stage wide shuffle of raw events; each stage scans only its own
+    step's events). SQL-oracle-able as a chain of min() CTEs.
+    """
+    if not steps:
+        raise ValueError("funnel: steps must be non-empty")
+    ev = events.select(F.col(user_col).alias("u"),
+                       _epoch_seconds(F.col(ts_col)).alias("t"),
+                       F.col(type_col).alias("et"))
+    cur = (ev.where(F.col("et") == steps[0])
+           .groupBy("u").agg(F.min("t").alias("t1"))
+           .withColumn("stage", F.lit(1))
+           .withColumn("tk", F.col("t1")))
+    for k, step in enumerate(steps[1:], start=2):
+        # only users at EXACTLY the previous stage may advance —
+        # joining all of cur would let a stage-1 user skip stage 2
+        prev = cur.where(F.col("stage") == k - 1)
+        nxt = (ev.where(F.col("et") == step)
+               .join(prev.select("u", "t1", "tk"), "u")
+               .where(F.col("t") > F.col("tk")))
+        if within is not None:
+            nxt = nxt.where(F.col("t") - F.col("t1") <= float(within))
+        nxt = (nxt.groupBy("u", "t1").agg(F.min("t").alias("t_next"))
+               .select("u", "t1", F.col("t_next").alias("tk"),
+                       F.lit(k).alias("stage")))
+        # users who stall keep their previous stage row
+        cur = (cur.join(nxt.select("u"), "u", "left_anti")
+               .unionByName(nxt.select("u", "t1", "tk", "stage")))
+    return cur.select(F.col("u").alias(user_col), "stage",
+                      F.col("t1").alias("first_ts"),
+                      F.col("tk").alias("last_ts"))
+
+
+def cohort_retention(events: DataFrame, user_col: str = "user_id",
+                     ts_col: str = "ts", period: float = 86400.0 * 7,
+                     max_periods: int = 8) -> DataFrame:
+    """Cohort retention matrix: users cohorted by the period of their
+    first event; for each (cohort, k) the count and fraction of cohort
+    members active k periods later — ``(cohort, k, active, cohort_size,
+    retention)``.
+
+    Two user-keyed aggregations: first-seen per user, then distinct
+    (user, period) activity joined back — period arithmetic stays on
+    epoch-second doubles, so the same expressions run in the DuckDB
+    oracle. Shuffles are user-keyed then cohort-keyed; the matrix
+    itself is tiny (cohorts × periods).
+    """
+    ev = events.select(F.col(user_col).alias("u"),
+                       _epoch_seconds(F.col(ts_col)).alias("t"))
+    first = ev.groupBy("u").agg(F.min("t").alias("t0"))
+    first = first.withColumn(
+        "cohort", F.floor(F.col("t0") / F.lit(float(period))).cast("long"))
+    act = (ev.join(first, "u")
+           .select("u", "cohort",
+                   (F.floor(F.col("t") / F.lit(float(period))).cast("long")
+                    - F.col("cohort")).alias("k"))
+           .where(F.col("k") <= int(max_periods))
+           .distinct())
+    sizes = first.groupBy("cohort").agg(
+        F.count("*").alias("cohort_size"))
+    out = (act.groupBy("cohort", "k").agg(F.count("*").alias("active"))
+           .join(sizes, "cohort")
+           .withColumn("retention",
+                       F.round(F.col("active")
+                               / F.col("cohort_size"), 6)))
+    return out.select("cohort", "k", "active", "cohort_size", "retention")

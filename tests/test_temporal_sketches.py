@@ -177,3 +177,84 @@ def test_cms_bounds_merge_and_exactness(spark):
     with pytest.raises(ValueError, match="geometry"):
         cms_merge(cms_table(h1, "v", depth=3, width=32),
                   cms_table(h2, "v", depth=4, width=32))
+
+
+# ------------------------------------------------------------- event funnels
+
+def test_funnel_vs_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.temporal import funnel
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = sorted(
+        (r.user_id, r.stage, round(r.first_ts, 6), round(r.last_ts, 6))
+        for r in funnel(ev, ["view", "click", "purchase"],
+                        within=86400.0 * 7).collect())
+    sql = """
+    WITH s1 AS (SELECT user_id u, min(epoch(ts)) t1
+                FROM events WHERE event_type = 'view' GROUP BY 1),
+    s2 AS (SELECT e.user_id u, s1.t1, min(epoch(e.ts)) t2
+           FROM events e JOIN s1 ON s1.u = e.user_id
+           WHERE e.event_type = 'click' AND epoch(e.ts) > s1.t1
+             AND epoch(e.ts) - s1.t1 <= 604800 GROUP BY 1, 2),
+    s3 AS (SELECT e.user_id u, s2.t1, min(epoch(e.ts)) t3
+           FROM events e JOIN s2 ON s2.u = e.user_id
+           WHERE e.event_type = 'purchase' AND epoch(e.ts) > s2.t2
+             AND epoch(e.ts) - s2.t1 <= 604800 GROUP BY 1, 2)
+    SELECT u, 3 AS stage, t1, t3 AS tk FROM s3
+    UNION ALL
+    SELECT u, 2, t1, t2 FROM s2 WHERE u NOT IN (SELECT u FROM s3)
+    UNION ALL
+    SELECT u, 1, t1, t1 FROM s1 WHERE u NOT IN (SELECT u FROM s2)
+    """
+    exp = sorted((int(u), int(s), round(a, 6), round(b, 6))
+                 for u, s, a, b in duck.execute(sql).fetchall())
+    assert got == exp
+    # a user that never does step 1 is absent
+    assert all(s >= 1 for _, s, _, _ in got)
+
+
+def test_funnel_basics(spark):
+    from rust_graph_db_spark.operators.temporal import funnel
+
+    rows = [
+        # u1 completes in order; u2 has click before view (stage 1);
+        # u3 completes but outside the window; u4 never views
+        (1, 10.0, "view"), (1, 20.0, "click"), (1, 30.0, "purchase"),
+        (2, 10.0, "click"), (2, 20.0, "view"),
+        (3, 10.0, "view"), (3, 20.0, "click"), (3, 500.0, "purchase"),
+        (4, 10.0, "click"), (4, 20.0, "purchase"),
+        # u5 views then purchases with NO click: must stay at stage 1
+        # (regression: a stage-1 row must not satisfy stage 3's join)
+        (5, 10.0, "view"), (5, 20.0, "purchase"),
+    ]
+    ev = spark.createDataFrame(rows, "user_id LONG, ts DOUBLE, et STRING")
+    got = {r.user_id: r.stage
+           for r in funnel(ev, ["view", "click", "purchase"],
+                           type_col="et", within=100.0).collect()}
+    assert got == {1: 3, 2: 1, 3: 2, 5: 1}
+
+
+def test_cohort_retention_vs_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.temporal import cohort_retention
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = sorted(
+        (r.cohort, r.k, r.active, r.cohort_size, r.retention)
+        for r in cohort_retention(ev, period=86400.0 * 7).collect())
+    sql = """
+    WITH f AS (SELECT user_id u, min(epoch(ts)) t0 FROM events GROUP BY 1),
+    fc AS (SELECT u, CAST(floor(t0 / 604800.0) AS BIGINT) cohort FROM f),
+    act AS (SELECT DISTINCT e.user_id u, fc.cohort,
+                   CAST(floor(epoch(e.ts) / 604800.0) AS BIGINT)
+                   - fc.cohort AS k
+            FROM events e JOIN fc ON fc.u = e.user_id),
+    sizes AS (SELECT cohort, count(*) cohort_size FROM fc GROUP BY 1)
+    SELECT a.cohort, a.k, count(*) active, s.cohort_size,
+           round(count(*) / CAST(s.cohort_size AS DOUBLE), 6) retention
+    FROM act a JOIN sizes s ON s.cohort = a.cohort
+    WHERE a.k <= 8
+    GROUP BY a.cohort, a.k, s.cohort_size
+    """
+    exp = sorted((int(c), int(k), int(a), int(n), float(r))
+                 for c, k, a, n, r in duck.execute(sql).fetchall())
+    assert got == exp
