@@ -40,6 +40,7 @@ from rust_graph_db_spark.parser.ast_nodes import (
     Create, Delete,
     ExistsSubquery, Foreach, FuncCall, InList, PatternComp,
     IsNull, ListComp, ListLit, Literal, MapLit, MapProj, Match, Merge,
+    Param,
     NodePattern,
     OrderItem, PathPattern, Prop, Quantifier, Query, ReduceExpr, RelPattern,
     Return,
@@ -80,6 +81,7 @@ class _Ctx:
         self.spark = graph.spark
         self.df: Optional[DataFrame] = None
         self.env: dict[str, Binding] = {}
+        self.params: dict = {}
         # lambda-scoped variables (list comprehensions / reduce) — a
         # stack of name -> Column bindings consulted BEFORE env
         self.lambda_vars: dict[str, Column] = {}
@@ -128,6 +130,42 @@ def _lambda_body(ctx: _Ctx, binds: dict, body, df) -> Column:
 _UNSET = object()
 
 
+def _param_lit(v):
+    """Python parameter value -> (Column, DataType|None). Scalars map
+    to typed literals; lists to array literals; dicts to map literals
+    (string keys)."""
+    if v is None:
+        return F.lit(None), T.NullType()
+    if isinstance(v, bool):
+        return F.lit(v), T.BooleanType()
+    if isinstance(v, int):
+        return F.lit(v).cast("long"), T.LongType()
+    if isinstance(v, float):
+        return F.lit(v), T.DoubleType()
+    if isinstance(v, str):
+        return F.lit(v), T.StringType()
+    if isinstance(v, (list, tuple)):
+        if not v:
+            return (F.array().cast("array<string>"),
+                    T.ArrayType(T.StringType()))
+        parts = [_param_lit(x) for x in v]
+        et = parts[0][1]
+        return (F.array(*[c for c, _ in parts]),
+                T.ArrayType(et) if et is not None else None)
+    if isinstance(v, dict):
+        kv = []
+        vt = None
+        for k, x in v.items():
+            kv.append(F.lit(str(k)))
+            c, t = _param_lit(x)
+            kv.append(c)
+            vt = vt or t
+        return (F.create_map(*kv),
+                T.MapType(T.StringType(), vt) if vt is not None else None)
+    raise CypherCompileError(
+        f"unsupported parameter value type {type(v).__name__}")
+
+
 def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
     """Compile an AST expression -> (Column, DataType|None)."""
     df = df if df is not None else ctx.df
@@ -143,6 +181,13 @@ def compile_expr(ctx: _Ctx, e, df: Optional[DataFrame] = None):
         if isinstance(v, float):
             return F.lit(v), T.DoubleType()
         return F.lit(v), T.StringType()
+
+    if isinstance(e, Param):
+        if e.name not in ctx.params:
+            raise CypherCompileError(
+                f"missing query parameter ${e.name} — pass it via "
+                "cypher(query, params={...})")
+        return _param_lit(ctx.params[e.name])
 
     if isinstance(e, Var):
         if e.name in ctx.lambda_vars:
@@ -1512,10 +1557,11 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
                     "write clauses inside CALL { } are not supported")
     if call.imports is None:
         if isinstance(sub, UnionQuery):
-            child_df = compile_query(ctx.graph, sub)
+            child_df = compile_query(ctx.graph, sub, ctx.params)
         else:
             child = _Ctx(ctx.graph)
             child._gensym = ctx._gensym      # shared: no column collisions
+            child.params = ctx.params
             for cl in sub.clauses:
                 _apply_clause(child, cl)
             child_df = child.df
@@ -1543,6 +1589,7 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             .localCheckpoint(eager=True))
     child = _Ctx(ctx.graph)
     child._gensym = ctx._gensym
+    child.params = ctx.params
     keep: list[str] = [rid]
     for v in call.imports:
         keep.extend(ctx.env[v].cols.values())
@@ -1576,6 +1623,7 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
                     "outside the CALL")
             pchild = _Ctx(ctx.graph)
             pchild._gensym = ctx._gensym
+            pchild.params = ctx.params
             pchild.df = base.select(*dict.fromkeys(keep))
             pchild.env = {v: ctx.env[v] for v in call.imports}
             pchild.env[rid] = Binding("scalar", None, {"_value": rid})
@@ -1758,9 +1806,9 @@ def _apply_call(ctx: _Ctx, call: CallSubquery) -> None:
             ctx.env[c] = Binding("scalar", None, {"_value": c})
 
 
-def compile_query(graph, query) -> DataFrame:
+def compile_query(graph, query, params: dict = None) -> DataFrame:
     if isinstance(query, UnionQuery):
-        parts = [compile_query(graph, p) for p in query.parts]
+        parts = [compile_query(graph, p, params) for p in query.parts]
         cols = parts[0].columns
         for p in parts[1:]:
             if p.columns != cols:
@@ -1781,6 +1829,7 @@ def compile_query(graph, query) -> DataFrame:
             return out.dropDuplicates()
         return out
     ctx = _Ctx(graph)
+    ctx.params = dict(params or {})
     last = None
     for clause in query.clauses:
         _apply_clause(ctx, clause)

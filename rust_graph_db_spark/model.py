@@ -272,13 +272,17 @@ class PropertyGraph:
 
     # ------------------------------------------------------------------ query
 
-    def cypher(self, query: str) -> DataFrame:
+    def cypher(self, query: str, params: Optional[dict] = None) -> DataFrame:
         """Parse + compile a Cypher query to a lazy DataFrame plan.
 
-        ``EXPLAIN [simple|extended|formatted|cost|codegen] <query>``
-        returns the Spark physical plan as one-line-per-row text instead
-        of executing — the plan-audit surface (the reference has no
-        EXPLAIN; its AST is interpreted directly, SURVEY.md §3.1)."""
+        ``params`` resolves ``$name`` query parameters (Neo4j-driver
+        style): scalars, lists, and string-keyed dicts become typed
+        literals, so a parameterized query plans identically to its
+        inlined form. ``EXPLAIN [simple|extended|formatted|cost|codegen]
+        <query>`` returns the Spark physical plan as one-line-per-row
+        text instead of executing — the plan-audit surface (the
+        reference has no EXPLAIN; its AST is interpreted directly,
+        SURVEY.md §3.1)."""
         from rust_graph_db_spark.parser import parse_cypher
         from rust_graph_db_spark.compiler import compile_query
 
@@ -287,12 +291,12 @@ class PropertyGraph:
             r"CODEGEN)\b)?", query, re.IGNORECASE)
         if m:
             mode = (m.group("mode") or "formatted").lower()
-            df = compile_query(self, parse_cypher(query[m.end():]))
+            df = compile_query(self, parse_cypher(query[m.end():]), params)
             jqe = df._jdf.queryExecution()
             text = self.spark._jvm.PythonSQLUtils.explainString(jqe, mode)
             return self.spark.createDataFrame(
                 [(ln,) for ln in text.splitlines()], "plan STRING")
-        return compile_query(self, parse_cypher(query))
+        return compile_query(self, parse_cypher(query), params)
 
     # ------------------------------------------------------------------ persist
 

@@ -19,6 +19,14 @@ class Var:
 
 
 @dataclass(frozen=True)
+class Param:
+    """Query parameter ``$name`` — resolved from the params dict at
+    compile time (engine extension; Neo4j-driver-style parameterized
+    queries)."""
+    name: str
+
+
+@dataclass(frozen=True)
 class Prop:
     """Property access ``base.a.b`` (nested paths supported,
     reference: src/executor/set_executor.rs:157-202)."""

@@ -18,7 +18,8 @@ from rust_graph_db_spark.parser.ast_nodes import (
     Quantifier,
     Binary, CaseExpr, Create, Delete, FuncCall, InList, IsNull, ListLit,
     Literal, MapLit, Match, Merge, NodePattern, OrderItem, PathPattern, Prop,
-    Query, RelPattern, Return, ReturnItem, SetClause, SetItem, Subscript,
+    Param, Query, RelPattern, Return, ReturnItem, SetClause, SetItem,
+    Subscript,
     Unary, UnionQuery, Unwind, Var, With,
 )
 
@@ -40,6 +41,7 @@ _TOKEN_RE = re.compile(
     (?P<ws>\s+|//[^\n]*|/\*.*?\*/)
   | (?P<num>\d+\.\d+([eE][+-]?\d+)?|\d+[eE][+-]?\d+|\d+)
   | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+  | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
   | (?P<name>[A-Za-z_][A-Za-z0-9_]*|`[^`]+`)
   | (?P<punct>=~|<=|>=|<>|!=|->|<-|\.\.|[()\[\]{},:.+\-*/%=<>|^])
     """,
@@ -741,6 +743,10 @@ class Parser:
         if path:
             if isinstance(e, Var):
                 e = Prop(e.name, tuple(path))
+            elif isinstance(e, Param):
+                # $m.k.j — key access on a map parameter via subscripts
+                for k in path:
+                    e = Subscript(e, Literal(k))
             else:
                 raise CypherSyntaxError("property access only supported on variables")
         while self.at_punct("["):
@@ -761,6 +767,9 @@ class Parser:
         if t.kind == "str":
             self.advance()
             return Literal(_unquote(t.text))
+        if t.kind == "param":
+            self.advance()
+            return Param(t.text[1:])
         if t.kind == "kw":
             up = t.text.upper()
             if up == "NULL":

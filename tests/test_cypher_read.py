@@ -972,3 +972,43 @@ def test_explain_prefix(kg):
     assert any("PushedFilters" in ln for ln in lines)
     ext = kg.cypher("EXPLAIN EXTENDED MATCH (p:Person) RETURN p.name AS n")
     assert any("Physical Plan" in r.plan for r in ext.collect())
+
+
+def test_query_parameters(kg, oracle):
+    # $scalar in WHERE and pattern property maps
+    oracle(
+        kg.cypher("MATCH (p:Person) WHERE p.age > $min AND p.city = $city "
+                  "RETURN p.name AS name",
+                  params={"min": 30, "city": "NYC"}),
+        "SELECT name FROM person WHERE age > 30 AND city = 'NYC'")
+    r = kg.cypher("MATCH (p:Person {name: $n}) RETURN p.age AS a",
+                  params={"n": "Person7"}).first()
+    assert r.a == 27
+    # list + map params: subscript, size, IN, UNWIND
+    row = kg.cypher(
+        "RETURN $xs[1] AS second, size($xs) AS n, $m.k AS mk",
+        params={"xs": [10, 20, 30], "m": {"k": "v"}}).first()
+    assert (row.second, row.n, row.mk) == (20, 3, "v")
+    s = kg.cypher("UNWIND $xs AS x RETURN sum(x) AS s",
+                  params={"xs": [1, 2, 3]}).first().s
+    assert s == 6
+    c = kg.cypher("MATCH (p:Person) WHERE p.name IN $names "
+                  "RETURN count(*) AS c",
+                  params={"names": ["Person1", "Person2"]}).first().c
+    assert c == 2
+    # params flow into CALL {} subqueries
+    row = kg.cypher(
+        "MATCH (a:Person) WHERE a.name = $n "
+        "CALL { WITH a MATCH (a)-[:KNOWS]->(b:Person) "
+        "RETURN count(*) AS deg } RETURN deg",
+        params={"n": "Person0"}).first()
+    assert row.deg >= 1
+
+
+def test_query_parameters_missing(kg):
+    import pytest as _p
+
+    from rust_graph_db_spark.compiler import CypherCompileError
+
+    with _p.raises(CypherCompileError, match="missing query parameter"):
+        kg.cypher("RETURN $nope AS x").collect()
