@@ -251,6 +251,17 @@ def _q_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cohort_retention(ev, period=86400.0 * 7, max_periods=8)
 
 
+def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c6: one-pass dataset profile (deequ/TFDV shape) over events —
+    per-column rows/nulls/distinct/min/max/mean; exact=True is the
+    oracle path (HLL++ distinct is the 100 TB default)."""
+    from rust_graph_db_spark.operators.profiling import profile
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return profile(ev, columns=["event_id", "user_id", "event_type"],
+                   exact=True)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1938,6 +1949,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # event analytics (r3-s6): funnel + cohort retention, full oracles
         "r3_funnel": _q_funnel,
         "r4_retention": _q_retention,
+        # one-pass dataset profiling (r3-s6; full oracle)
+        "c6_profile": _q_profile,
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2437,6 +2450,24 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(od, 0) + coalesce(idg, 0) AS deg "
             "FROM o FULL JOIN i ON o.k = i.k "
             "WHERE coalesce(od, 0) + coalesce(idg, 0) > 2"),
+        "c6_profile": (
+            "SELECT 'event_id' AS \"column\", count(*) AS n_rows, "
+            "sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls, "
+            "count(DISTINCT event_id) AS \"distinct\", "
+            "CAST(min(event_id) AS VARCHAR) AS vmin, "
+            "CAST(max(event_id) AS VARCHAR) AS vmax, "
+            "round(avg(event_id), 6) AS mean FROM events "
+            "UNION ALL "
+            "SELECT 'user_id', count(*), "
+            "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), "
+            "CAST(max(user_id) AS VARCHAR), round(avg(user_id), 6) "
+            "FROM events "
+            "UNION ALL "
+            "SELECT 'event_type', count(*), "
+            "sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), "
+            "count(DISTINCT event_type), min(event_type), "
+            "max(event_type), NULL FROM events"),
         "r3_funnel": (
             "WITH s1 AS (SELECT user_id u, min(epoch(ts)) t1 FROM events "
             "WHERE event_type = 'view' GROUP BY 1), "

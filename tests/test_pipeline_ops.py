@@ -990,3 +990,22 @@ def test_classifier_empty_text_keeps_row(spark):
     # no silent row drops; zero weights → bias-only sigmoid = 0.5
     assert len(out) == 3 and all(abs(r.quality_prob - 0.5) < 1e-9
                                  for r in out)
+
+
+def test_profile(spark):
+    from rust_graph_db_spark.operators.profiling import profile
+
+    df = spark.createDataFrame(
+        [(1, "a", 2.0, [1]), (2, None, 4.0, []), (3, "a", None, None)],
+        "i LONG, s STRING, x DOUBLE, arr ARRAY<LONG>")
+    got = {r.column: r for r in profile(df, exact=True).collect()}
+    assert got["i"].n_rows == 3 and got["i"].nulls == 0
+    assert got["i"].distinct == 3 and got["i"].vmin == "1"
+    assert got["i"].mean == 2.0
+    assert got["s"].nulls == 1 and got["s"].distinct == 1
+    assert got["s"].mean is None and got["s"].vmax == "a"
+    assert got["x"].nulls == 1 and got["x"].mean == 3.0
+    # complex column: counts only
+    assert got["arr"].nulls == 1 and got["arr"].distinct is None
+    # column subset
+    assert profile(df, columns=["i"], exact=True).count() == 1
