@@ -1951,6 +1951,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_retention": _q_retention,
         # one-pass dataset profiling (r3-s6; full oracle)
         "c6_profile": _q_profile,
+        # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
+        "p22_pattern_expr": _q_cypher_knows(
+            "MATCH (a:Person) WHERE a.age > 60 "
+            "AND (a)-[:KNOWS]->(:Person {city: 'NYC'}) "
+            "AND NOT (a)-[:KNOWS]->(:Person {city: 'LA'}) "
+            "RETURN a.name AS name, a.age AS age"),
         "d2_ngram_jaccard": _q_ngram_jaccard,
         "w8_durable_graph": _q_durable_roundtrip,
         "w9_merge_upsert": _q_merge_upsert,
@@ -2450,6 +2456,13 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(od, 0) + coalesce(idg, 0) AS deg "
             "FROM o FULL JOIN i ON o.k = i.k "
             "WHERE coalesce(od, 0) + coalesce(idg, 0) > 2"),
+        "p22_pattern_expr": pre + (
+            " SELECT p1.name AS name, p1.age AS age FROM person p1 "
+            "WHERE p1.age > 60 AND EXISTS (SELECT 1 FROM knows k "
+            "JOIN person p2 ON k.dst = p2.key WHERE k.src = p1.key "
+            "AND p2.city = 'NYC') AND NOT EXISTS (SELECT 1 FROM knows k "
+            "JOIN person p2 ON k.dst = p2.key WHERE k.src = p1.key "
+            "AND p2.city = 'LA')"),
         "c6_profile": (
             "SELECT 'event_id' AS \"column\", count(*) AS n_rows, "
             "sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls, "

@@ -867,7 +867,20 @@ class Parser:
                 return FuncCall(fname, tuple(args), distinct)
             self.advance()
             return Var(t.text)
-        if self.try_punct("("):
+        if self.at_punct("("):
+            # pattern expression `(a)-[:R]->(b)` in predicate position
+            # (openCypher sugar for EXISTS) — speculative parse with
+            # backtracking; a real pattern has >= 3 items, so `(expr)`
+            # falls through to the parenthesized-expression branch
+            save = self.i
+            try:
+                pat = self._path_pattern()
+                if len(pat.items) < 3:
+                    raise CypherSyntaxError("not a pattern")
+                return ExistsSubquery((pat,), None)
+            except CypherSyntaxError:
+                self.i = save
+            self.advance()
             e = self.expr()
             self.eat_punct(")")
             return e

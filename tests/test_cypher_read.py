@@ -1012,3 +1012,26 @@ def test_query_parameters_missing(kg):
 
     with _p.raises(CypherCompileError, match="missing query parameter"):
         kg.cypher("RETURN $nope AS x").collect()
+
+
+def test_pattern_expression_in_where(kg, oracle):
+    # bare pattern as a predicate (openCypher sugar for EXISTS)
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE a.age > 70 "
+            "AND (a)-[:KNOWS]->(:Person {city: 'NYC'}) "
+            "RETURN a.name AS name"),
+        "SELECT p1.name FROM person p1 WHERE p1.age > 70 AND EXISTS ("
+        "SELECT 1 FROM knows k JOIN person p2 ON k.dst = p2.key "
+        "WHERE k.src = p1.key AND p2.city = 'NYC')")
+    # negated pattern
+    oracle(
+        kg.cypher(
+            "MATCH (a:Person) WHERE a.age < 25 "
+            "AND NOT (a)-[:KNOWS]->(:Person {active: true}) "
+            "RETURN a.name AS name"),
+        "SELECT p1.name FROM person p1 WHERE p1.age < 25 AND NOT EXISTS ("
+        "SELECT 1 FROM knows k JOIN person p2 ON k.dst = p2.key "
+        "WHERE k.src = p1.key AND p2.active)")
+    # parenthesized expressions still parse as expressions
+    assert kg.cypher("RETURN (1 + 2) * 3 AS x").first().x == 9
