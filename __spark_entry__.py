@@ -262,6 +262,21 @@ def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                    exact=True)
 
 
+def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g19: node2vec(p=2, q=0.5) biased walk corpus over the knows
+    graph → skip-gram pairs. Rows-only (the deterministic weighted
+    choice has no portable SQL mirror); bias direction and edge
+    validity are pytest-proven (test_graph_algos node2vec tests)."""
+    from rust_graph_db_spark.operators.graph_algos import (
+        node2vec_walks, walk_skipgram_pairs,
+    )
+
+    g = _knows(spark, sf_dir)
+    e = g.edge_frame("KNOWS").select("src", "dst")
+    walks = node2vec_walks(e, walk_length=6, p=2.0, q=0.5, seed=13)
+    return walk_skipgram_pairs(walks, window=2)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1951,6 +1966,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_retention": _q_retention,
         # one-pass dataset profiling (r3-s6; full oracle)
         "c6_profile": _q_profile,
+        # node2vec biased walks (r3-s6; rows-only — hash-driven choice)
+        "g19_node2vec": _q_node2vec,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
         "p22_pattern_expr": _q_cypher_knows(
             "MATCH (a:Person) WHERE a.age > 60 "

@@ -1013,3 +1013,93 @@ def betweenness_centrality(
           .select("id", (F.coalesce("b", F.lit(0.0)) * F.lit(scale))
                   .alias("betweenness")))
     return bc
+
+
+def node2vec_walks(edges: DataFrame, walk_length: int = 10,
+                   p: float = 1.0, q: float = 1.0,
+                   walks_per_vertex: int = 1, seed: int = 0,
+                   starts: Optional[DataFrame] = None) -> DataFrame:
+    """Second-order biased random walks (node2vec — Grover & Leskovec,
+    KDD 2016): the step from ``cur`` (having arrived from ``prev``)
+    weights each neighbor x by 1/p if x == prev (return), 1 if x is
+    also a neighbor of prev (BFS-ish), else 1/q (DFS-ish). p = q = 1
+    degenerates to the uniform :func:`random_walks` distribution.
+
+    Same determinism contract as :func:`random_walks`: the weighted
+    choice draws its uniform from ``xxhash64(seed, walk_id, t, cur)``,
+    so the corpus is a pure function of (graph, p, q, seed). Returns
+    ``(walk_id, start, step, vertex)``.
+
+    Cost shape: per step, TWO adjacency joins (cur's and prev's
+    neighbor lists) and an O(deg_cur) fold whose membership probe is
+    O(deg_prev) — the inherent node2vec quadratic-in-degree factor;
+    all arithmetic stays in Catalyst HOFs (no Python). The alias-table
+    trick doesn't apply distributed (it preprocesses per DIRECTED EDGE
+    pair — O(Σ deg²) storage), so the fold is the standard trade.
+    """
+    s, d = _pair_cols(edges)
+    e = (edges.select(F.col(s).cast("long").alias("src"),
+                      F.col(d).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull()))
+    links = (e.groupBy("src")
+             .agg(F.sort_array(F.collect_list("dst")).alias("nbrs"))
+             .localCheckpoint(eager=True))
+    plinks = (links.select(F.col("src").alias("psrc"),
+                           F.col("nbrs").alias("pnbrs")))
+    base = (starts.select(F.col(starts.columns[0]).cast("long")
+                          .alias("start"))
+            if starts is not None else
+            e.select(F.col("src").alias("start")).distinct())
+    frontier = (base.select(
+        "start",
+        F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)]))
+         .alias("rep"))
+        .select(F.xxhash64(F.lit(seed), "start", "rep").alias("walk_id"),
+                "start", F.col("start").alias("cur"),
+                F.lit(None).cast("long").alias("prev"))
+        .localCheckpoint(eager=True))
+    out = frontier.select("walk_id", "start", F.lit(0).alias("step"),
+                          F.col("cur").alias("vertex"))
+    inv_p, inv_q = 1.0 / float(p), 1.0 / float(q)
+    for t in range(1, walk_length):
+        j = (frontier.join(links, frontier["cur"] == links["src"])
+             .join(plinks, frontier["prev"] == plinks["psrc"], "left"))
+        pn = F.coalesce(F.col("pnbrs"), F.array().cast("array<long>"))
+        prev_c = F.col("prev")
+        # per-candidate node2vec weight; first step (prev NULL) = uniform
+        weights = F.transform(
+            F.col("nbrs"),
+            lambda x: F.when(prev_c.isNull(), F.lit(1.0))
+                       .when(x == prev_c, F.lit(inv_p))
+                       .when(F.array_contains(pn, x), F.lit(1.0))
+                       .otherwise(F.lit(inv_q)))
+        total = F.aggregate(weights, F.lit(0.0), lambda a, w: a + w)
+        r = (F.pmod(F.xxhash64(F.lit(seed), F.col("walk_id"),
+                               F.lit(t), F.col("cur")),
+                    F.lit(1_000_003)).cast("double")
+             / F.lit(1_000_003.0)) * total
+        # first index whose cumulative weight reaches r (inverse-CDF);
+        # fold state = (cumulative, chosen index, position counter)
+        idx = F.aggregate(
+            weights,
+            F.struct(F.lit(0.0).alias("cum"), F.lit(-1).alias("idx"),
+                     F.lit(0).alias("i")),
+            lambda st, w: F.struct(
+                (st["cum"] + w).alias("cum"),
+                F.when(st["idx"] >= 0, st["idx"])
+                 .when(st["cum"] + w >= r, st["i"])
+                 .otherwise(F.lit(-1)).alias("idx"),
+                (st["i"] + 1).alias("i")),
+            # float-edge fallback: r == total exactly → last index
+            lambda st: F.when(st["idx"] >= 0, st["idx"])
+                        .otherwise(st["i"] - 1))
+        nxt = (j.select("walk_id", "start",
+                        F.element_at("nbrs", (idx + 1).cast("int"))
+                         .alias("cur"),
+                        frontier["cur"].alias("prev"))
+               .localCheckpoint(eager=True))
+        out = out.unionAll(nxt.select(
+            "walk_id", "start", F.lit(t).alias("step"),
+            F.col("cur").alias("vertex")))
+        frontier = nxt
+    return out

@@ -596,3 +596,54 @@ def test_betweenness_sampled_scales(spark):
            for r in betweenness_centrality(e, sample=4, seed=3).collect()}
     # every pivot's BFS routes through the center, scaled by n/k
     assert est[0] > 0 and all(est[i] == 0.0 for i in range(1, 9))
+
+
+# ------------------------------------------------------------- node2vec
+
+def test_node2vec_walks_valid_and_deterministic(spark):
+    import random
+
+    from rust_graph_db_spark.operators.graph_algos import node2vec_walks
+
+    rng = random.Random(3)
+    n = 30
+    edges = list({(rng.randrange(n), rng.randrange(n)) for _ in range(120)}
+                 - {(i, i) for i in range(n)})
+    e = spark.createDataFrame(edges, "u LONG, v LONG")
+    w1 = sorted(map(tuple, node2vec_walks(
+        e, walk_length=6, p=2.0, q=0.5, seed=4).collect()))
+    w2 = sorted(map(tuple, node2vec_walks(
+        e, walk_length=6, p=2.0, q=0.5, seed=4).collect()))
+    assert w1 == w2 and len(w1) > 0
+    # every consecutive step follows a real edge
+    eset = set(edges)
+    bywalk = {}
+    for wid, start, step, v in w1:
+        bywalk.setdefault(wid, {})[step] = v
+    for steps in bywalk.values():
+        for t in range(1, max(steps) + 1):
+            if t in steps and t - 1 in steps:
+                assert (steps[t - 1], steps[t]) in eset
+
+
+def test_node2vec_bias(spark):
+    # path 0<->1<->2: from 1 (prev 0) the choice is return (1/p) vs
+    # advance (1/q) — p>>q must mostly advance, p<<q mostly return
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import node2vec_walks
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 0), (1, 2), (2, 1)], "u LONG, v LONG")
+    starts = spark.createDataFrame([(0,)], "id LONG")
+
+    def step2_counts(p, q):
+        w = node2vec_walks(e, walk_length=3, p=p, q=q,
+                           walks_per_vertex=400, seed=9, starts=starts)
+        rows = w.where(F.col("step") == 2).groupBy("vertex").count().collect()
+        return {r.vertex: r["count"] for r in rows}
+
+    outward = step2_counts(p=10.0, q=0.1)
+    homing = step2_counts(p=0.1, q=10.0)
+    assert outward.get(2, 0) > outward.get(0, 0) * 5
+    assert homing.get(0, 0) > homing.get(2, 0) * 5
