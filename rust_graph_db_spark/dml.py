@@ -39,29 +39,38 @@ class CypherWriteError(ValueError):
     pass
 
 
-def _lit_col(expr) -> F.Column:
+def _lit_col(expr, params=None) -> F.Column:
     """Literal CREATE property value → Column. Nested map literals
     become STRUCT columns (reference §1.2: nested objects are real
     values, exercised by SET n.address.city —
-    tests/test_set_nested_integration.rs); lists become ARRAYs."""
-    from rust_graph_db_spark.parser.ast_nodes import ListLit
+    tests/test_set_nested_integration.rs); lists become ARRAYs;
+    ``$name`` parameters resolve from ``params``."""
+    from rust_graph_db_spark.parser.ast_nodes import ListLit, Param
 
     if isinstance(expr, Literal):
         return F.lit(expr.value)
+    if isinstance(expr, Param):
+        from rust_graph_db_spark.compiler import _param_lit
+        if params is None or expr.name not in params:
+            raise CypherWriteError(
+                f"missing query parameter ${expr.name} — pass it via "
+                "cypher(query, params={...})")
+        return _param_lit(params[expr.name])[0]
     if isinstance(expr, MapLit):
-        return F.struct(*[_lit_col(v).alias(k) for k, v in expr.pairs])
+        return F.struct(*[_lit_col(v, params).alias(k)
+                          for k, v in expr.pairs])
     if isinstance(expr, ListLit):
-        return F.array(*[_lit_col(v) for v in expr.items])
+        return F.array(*[_lit_col(v, params) for v in expr.items])
     raise CypherWriteError(
         "CREATE property maps accept literals only (reference "
         "match_executor.rs:360-367)")
 
 
-def _literal_props(props) -> dict:
+def _literal_props(props, params=None) -> dict:
     """name → Column of literal (possibly nested) property values."""
     if props is None:
         return {}
-    return {k: _lit_col(v) for k, v in props.pairs}
+    return {k: _lit_col(v, params) for k, v in props.pairs}
 
 
 def _expr_props(ctx, props) -> dict:
@@ -79,7 +88,7 @@ def _expr_props(ctx, props) -> dict:
     out = {}
     for k, v in props.pairs:
         try:
-            out[k] = _lit_col(v)
+            out[k] = _lit_col(v, getattr(ctx, "params", None))
         except CypherWriteError:
             if ctx.df is None:
                 raise
@@ -262,7 +271,7 @@ def apply_merge(ctx, clause) -> None:
         raise CypherWriteError(
             "MERGE variable must be unbound (re-MERGE of a bound "
             "variable is a no-op match in Cypher; rename the variable)")
-    props = _literal_props(node.props)
+    props = _literal_props(node.props, ctx.params)
     outer = ctx.df     # mid-query MERGE: merge standalone, then attach
     if outer is not None and outer.limit(1).count() == 0:
         # Cypher executes MERGE once per pipeline row: zero rows means
@@ -419,7 +428,7 @@ def _merge_edge(ctx, clause) -> None:
     if left.props or right.props or left.label or right.label:
         raise CypherWriteError(
             "relationship MERGE endpoints must be bare bound variables")
-    props = _literal_props(rel.props)
+    props = _literal_props(rel.props, ctx.params)
     g = ctx.graph
     elabel = rel.label
     labid = g.label_id(elabel)

@@ -25,6 +25,10 @@ def profile(df: DataFrame, columns=None, exact: bool = False,
     output column); ``mean`` is NULL for non-numeric columns. Complex
     columns (arrays/maps/structs/binary) report counts only.
     """
+    if columns is not None:
+        missing = set(columns) - {f_.name for f_ in df.schema.fields}
+        if missing:
+            raise ValueError(f"profile: unknown columns {sorted(missing)}")
     fields = [f_ for f_ in df.schema.fields
               if columns is None or f_.name in set(columns)]
     aggs = [F.count(F.lit(1)).alias("_n")]

@@ -378,3 +378,21 @@ def test_foreach_ordered_set_and_edge_multiplicity(g):
     g.cypher("MATCH (a:Person {name:'Alice'}) "
              "CREATE (a)-[:SELF {w: a.age * 10}]->(a)").collect()
     assert g.edge_frame("SELF").first()["w"] == 30
+
+
+def test_dml_params(spark):
+    from rust_graph_db_spark.graphs import knows_graph
+
+    g = knows_graph(spark, "/root/testdata/sf0.001")
+    g.cypher("CREATE (n:PTag {name: $nm, weight: $w})",
+             params={"nm": "x", "w": 3}).collect()
+    r = g.cypher("MATCH (t:PTag) RETURN t.name AS n, t.weight AS w").first()
+    assert (r.n, r.w) == ("x", 3)
+    g.cypher("MERGE (n:PTag {name: $nm}) ON MATCH SET n.weight = $w2",
+             params={"nm": "x", "w2": 7}).collect()
+    r = g.cypher("MATCH (t:PTag) RETURN count(*) AS c, "
+                 "max(t.weight) AS w").first()
+    assert (r.c, r.w) == (1, 7)
+    g.cypher("MATCH (t:PTag {name: $nm}) DETACH DELETE t",
+             params={"nm": "x"}).collect()
+    assert g.cypher("MATCH (t:PTag) RETURN count(*) AS c").first().c == 0
