@@ -277,6 +277,25 @@ def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgram_pairs(walks, window=2)
 
 
+def _q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """r5: rolling 7-day distinct active users per day (WAU shape)."""
+    from rust_graph_db_spark.operators.temporal import rolling_active_users
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return rolling_active_users(ev, window_periods=7)
+
+
+def _q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d12: sorted-neighborhood dedup (Hernández & Stolfo) — 6th
+    blocking modality: global sort-key rank, window-8 candidate band,
+    exact shingle-Jaccard verify. Full oracle (row_number + band join
+    + substr-shingle Jaccard in DuckDB)."""
+    from rust_graph_db_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return sorted_neighborhood_pairs(docs, window=8, threshold=0.5, k=8)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1966,6 +1985,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r4_retention": _q_retention,
         # one-pass dataset profiling (r3-s6; full oracle)
         "c6_profile": _q_profile,
+        # rolling 7-day active users (r3-s6; full oracle)
+        "r5_rolling_dau": _q_rolling_dau,
+        # sorted-neighborhood dedup (r3-s6; full oracle)
+        "d12_sorted_neighborhood": _q_sorted_neighborhood,
         # node2vec biased walks (r3-s6; rows-only — hash-driven choice)
         "g19_node2vec": _q_node2vec,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
@@ -2473,6 +2496,36 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(od, 0) + coalesce(idg, 0) AS deg "
             "FROM o FULL JOIN i ON o.k = i.k "
             "WHERE coalesce(od, 0) + coalesce(idg, 0) > 2"),
+        "d12_sorted_neighborhood": (
+            r"WITH base AS (SELECT doc_id id, text, "
+            r"substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 24) k "
+            "FROM documents), "
+            "ranked AS (SELECT id, text, "
+            "row_number() OVER (ORDER BY k, id) rn FROM base), "
+            "cands AS (SELECT a.id i, b.id j FROM ranked a JOIN ranked b "
+            "ON b.rn > a.rn AND b.rn - a.rn < 8), "
+            "sh AS (SELECT DISTINCT r.id, substr(r.text, g.i, 8) gr "
+            "FROM ranked r, unnest(generate_series(1, "
+            "greatest(length(r.text) - 7, 1))) AS g(i)), "
+            "sz AS (SELECT id, count(*) n FROM sh GROUP BY id), "
+            "inter AS (SELECT c.i, c.j, count(*) m FROM cands c "
+            "JOIN sh a ON a.id = c.i JOIN sh b "
+            "ON b.id = c.j AND b.gr = a.gr GROUP BY c.i, c.j) "
+            "SELECT t.i AS i, t.j AS j, "
+            "round(CAST(m AS DOUBLE) / (si.n + sj.n - m), 6) AS jac "
+            "FROM inter t JOIN sz si ON si.id = t.i "
+            "JOIN sz sj ON sj.id = t.j "
+            "WHERE CAST(m AS DOUBLE) / (si.n + sj.n - m) >= 0.5"),
+        "r5_rolling_dau": (
+            "WITH pu AS (SELECT DISTINCT user_id u, "
+            "CAST(floor(epoch(ts) / 86400.0) AS BIGINT) pid FROM events), "
+            "daily AS (SELECT pid, count(*) active FROM pu GROUP BY pid), "
+            "win AS (SELECT d.pid anchor, count(DISTINCT p.u) wu "
+            "FROM daily d JOIN pu p ON p.pid <= d.pid AND p.pid > d.pid - 7 "
+            "GROUP BY d.pid) "
+            "SELECT d.pid AS period_id, d.active AS active_users, "
+            "w.wu AS window_users FROM daily d "
+            "JOIN win w ON w.anchor = d.pid"),
         "p22_pattern_expr": pre + (
             " SELECT p1.name AS name, p1.age AS age FROM person p1 "
             "WHERE p1.age > 60 AND EXISTS (SELECT 1 FROM knows k "

@@ -1505,7 +1505,11 @@ def _apply_proc_call(ctx: _Ctx, pc: ProcCall) -> None:
         else:
             raise CypherCompileError(
                 f"procedure arguments must be literals, got {a!r}")
-    df = fn(ctx.graph, *vals)
+    try:
+        df = fn(ctx.graph, *vals)
+    except TypeError as exc:
+        raise CypherCompileError(
+            f"CALL {pc.name}({', '.join(map(repr, vals))}): {exc}") from exc
     if pc.yields is not None:
         missing = [c for c, _ in pc.yields if c not in df.columns]
         if missing:

@@ -672,3 +672,68 @@ def simhash_pairs(
         .dropDuplicates(["i", "j"])
         .where(F.col("hamming") <= max_hamming)
     )
+
+
+def sorted_neighborhood_pairs(
+        df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+        window: int = 5, threshold: float = 0.5, k: int = 8,
+        key: Column | None = None) -> DataFrame:
+    """Sorted-neighborhood dedup (Hernández & Stolfo, SIGMOD'95): sort
+    the corpus by a blocking key, compare each record only against its
+    ``window − 1`` successors, verify candidates with exact k-char
+    shingle Jaccard. Returns ``(i, j, jac)`` with i < j by rank order
+    and ``jac ≥ threshold``.
+
+    The alternative blocking family to hash-based LSH: one global sort
+    instead of banded buckets — catches near-dups whose edit noise
+    preserves a sort-key prefix that minhash banding can miss at low
+    similarity, at the cost of recall for edits IN the key. ``key``
+    defaults to the first 24 chars of the whitespace-normalized text.
+
+    Scale shape: the global rank uses :func:`packing.global_cumsum`
+    (range partition + driver prefix-sum of per-partition counts —
+    never a single-partition window); candidates come from a self-join
+    on rank blocks of width ``window`` (each left row probes 2 blocks),
+    so candidate volume is ≤ n·window; the Jaccard verify builds
+    shingle sets for candidate ROWS only.
+    """
+    from rust_graph_db_spark.operators.packing import global_cumsum
+
+    key_col = key if key is not None else F.substring(
+        F.regexp_replace(F.lower(F.col(text_col)), r"\s+", " "), 1, 24)
+    base = df.select(F.col(id_col).cast("long").alias("id"),
+                     F.col(text_col).alias("_txt"),
+                     key_col.alias("_k"))
+    ranked = global_cumsum(
+        base.withColumn("_one", F.lit(1))
+            .withColumn("_ord", F.struct("_k", "id")),
+        "_ord", "_one", out_col="rn").select("id", "_txt", "rn")
+    w = int(window)
+    lb = ranked.select(
+        F.col("id").alias("i"), F.col("rn").alias("ri"),
+        F.explode(F.array((F.col("rn") / w).cast("long"),
+                          (F.col("rn") / w).cast("long") + 1)).alias("b"))
+    rb = ranked.select(F.col("id").alias("j"), F.col("rn").alias("rj"),
+                       (F.col("rn") / w).cast("long").alias("b"))
+    cands = (lb.join(rb, "b")
+             .where((F.col("ri") < F.col("rj"))
+                    & (F.col("rj") - F.col("ri") < w))
+             .select("i", "j").distinct())
+    ids = (cands.select(F.col("i").alias("id"))
+           .unionAll(cands.select(F.col("j").alias("id"))).distinct())
+    sets = (shingle_hash_rows(
+                base.join(ids, base["id"] == ids["id"], "left_semi"),
+                "id", "_txt", k, distinct=False)
+            .groupBy("id").agg(F.collect_set("gh").alias("sh")))
+    out = (cands
+           .join(sets.select(F.col("id").alias("i"),
+                             F.col("sh").alias("shi")), "i")
+           .join(sets.select(F.col("id").alias("j"),
+                             F.col("sh").alias("shj")), "j")
+           .withColumn("inter", F.size(F.array_intersect("shi", "shj")))
+           .withColumn("jac", F.round(
+               F.col("inter")
+               / (F.size("shi") + F.size("shj") - F.col("inter")), 6))
+           .where(F.col("jac") >= float(threshold))
+           .select("i", "j", "jac"))
+    return out

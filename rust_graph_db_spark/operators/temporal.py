@@ -263,3 +263,38 @@ def cohort_retention(events: DataFrame, user_col: str = "user_id",
                        F.round(F.col("active")
                                / F.col("cohort_size"), 6)))
     return out.select("cohort", "k", "active", "cohort_size", "retention")
+
+
+def rolling_active_users(events: DataFrame, window_periods: int = 7,
+                         user_col: str = "user_id", ts_col: str = "ts",
+                         period: float = 86400.0) -> DataFrame:
+    """Rolling distinct-user counts (DAU/WAU/MAU family): for each
+    period, the number of distinct users active in the trailing
+    ``window_periods`` periods (inclusive) — ``(period_id, active_users,
+    window_users)``.
+
+    Distinct-over-a-sliding-window doesn't decompose into a window
+    aggregate (COUNT DISTINCT isn't subtractable), so the standard
+    exact shape is: dedup to (period, user), then band-join each
+    period to the window of periods ending at it and count distinct
+    users per anchor. Volume is (periods × window) × per-period users
+    — fine at daily granularity for years; for approximate at extreme
+    scale, keep per-period HLL sketches and merge
+    (``sketches.hll_table`` composes the same way).
+    """
+    ev = events.select(F.col(user_col).alias("u"),
+                       F.floor(_epoch_seconds(F.col(ts_col))
+                               / F.lit(float(period)))
+                       .cast("long").alias("pid"))
+    pu = ev.distinct()
+    daily = pu.groupBy("pid").agg(F.count("*").alias("active_users"))
+    anchors = daily.select(F.col("pid").alias("anchor"))
+    win = (pu.join(anchors,
+                   (pu["pid"] <= F.col("anchor"))
+                   & (pu["pid"] > F.col("anchor")
+                      - F.lit(int(window_periods))))
+           .groupBy("anchor").agg(F.count_distinct("u")
+                                  .alias("window_users")))
+    return (daily.join(win, daily["pid"] == win["anchor"])
+            .select(F.col("pid").alias("period_id"), "active_users",
+                    "window_users"))

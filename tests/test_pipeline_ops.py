@@ -1009,3 +1009,35 @@ def test_profile(spark):
     assert got["arr"].nulls == 1 and got["arr"].distinct is None
     # column subset
     assert profile(df, columns=["i"], exact=True).count() == 1
+
+
+def test_sorted_neighborhood_pairs(spark, duck):
+    from rust_graph_db_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted((r.i, r.j, r.jac)
+                 for r in sorted_neighborhood_pairs(
+                     docs, window=8, threshold=0.5, k=8).collect())
+    sql = r"""
+    WITH base AS (SELECT doc_id id, text,
+            substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 24) k
+          FROM documents),
+    ranked AS (SELECT id, text,
+            row_number() OVER (ORDER BY k, id) rn FROM base),
+    cands AS (SELECT a.id i, b.id j FROM ranked a JOIN ranked b
+            ON b.rn > a.rn AND b.rn - a.rn < 8),
+    sh AS (SELECT DISTINCT r.id, substr(r.text, g.i, 8) gr
+           FROM ranked r, unnest(generate_series(1,
+                greatest(length(r.text) - 7, 1))) AS g(i)),
+    sz AS (SELECT id, count(*) n FROM sh GROUP BY id),
+    inter AS (SELECT c.i, c.j, count(*) m FROM cands c
+            JOIN sh a ON a.id = c.i JOIN sh b
+            ON b.id = c.j AND b.gr = a.gr GROUP BY c.i, c.j)
+    SELECT t.i, t.j,
+           round(CAST(m AS DOUBLE) / (si.n + sj.n - m), 6) jac
+    FROM inter t JOIN sz si ON si.id = t.i JOIN sz sj ON sj.id = t.j
+    WHERE CAST(m AS DOUBLE) / (si.n + sj.n - m) >= 0.5
+    """
+    exp = sorted((int(a), int(b), float(c))
+                 for a, b, c in duck.execute(sql).fetchall())
+    assert got == exp and len(got) > 0

@@ -258,3 +258,24 @@ def test_cohort_retention_vs_duckdb(spark, duck):
     exp = sorted((int(c), int(k), int(a), int(n), float(r))
                  for c, k, a, n, r in duck.execute(sql).fetchall())
     assert got == exp
+
+
+def test_rolling_active_users_vs_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.temporal import rolling_active_users
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = sorted((r.period_id, r.active_users, r.window_users)
+                 for r in rolling_active_users(ev, window_periods=7).collect())
+    sql = """
+    WITH pu AS (SELECT DISTINCT user_id u,
+                CAST(floor(epoch(ts) / 86400.0) AS BIGINT) pid FROM events),
+    daily AS (SELECT pid, count(*) active FROM pu GROUP BY pid),
+    win AS (SELECT d.pid anchor, count(DISTINCT p.u) wu
+            FROM daily d JOIN pu p
+              ON p.pid <= d.pid AND p.pid > d.pid - 7
+            GROUP BY d.pid)
+    SELECT d.pid, d.active, w.wu FROM daily d JOIN win w ON w.anchor = d.pid
+    """
+    exp = sorted((int(a), int(b), int(c))
+                 for a, b, c in duck.execute(sql).fetchall())
+    assert got == exp and len(got) > 10
