@@ -23,10 +23,13 @@ Route parity (17 routes):
     DELETE /api/v1/posts/<id>/like      body {"username": ...}
     GET    /api/v1/posts/<id>/likes
 
-plus one engine extension: POST /api/v1/admin/commit {"root": path}
+plus two engine extensions: POST /api/v1/admin/commit {"root": path}
 durably commits the current graph via storage.save_graph (the reference
 persists every mutation through RocksDB; here mutations are the
-session WriteBatch and commit is explicit).
+session WriteBatch and commit is explicit), and POST
+/api/v1/admin/cypher {"query": ..., "params": {...}, "limit": n} runs
+any (parameterized) Cypher query against the live service graph — the
+reference's API layer never exposes its query language.
 
 Architecture: pure-stdlib ``http.server`` (the sandbox ships no web
 framework) in front of ``SocialGraphService``, which keeps the graph as
@@ -228,11 +231,10 @@ class SocialGraphService:
 
     # -------------------------------------------------------- persistence
 
-    def commit(self, root: str) -> dict:
-        """Engine extension: durably commit users/posts/follows/likes as
-        a PropertyGraph version (storage.py manifest-swap)."""
+    def _graph(self):
+        """The service state as a PropertyGraph (shared by commit and
+        the Cypher endpoint)."""
         from rust_graph_db_spark.model import PropertyGraph
-        from rust_graph_db_spark.storage import save_graph
 
         g = PropertyGraph(self.spark, "social")
         g._labels = {"User": USER_LABID, "Post": POST_LABID,
@@ -246,8 +248,38 @@ class SocialGraphService:
         g._edges["LIKES"] = self.likes.select(
             pack_graphid(4, F.monotonically_increasing_id()).alias("id"),
             "src", "dst")
-        version = save_graph(g, root)
+        return g
+
+    def commit(self, root: str) -> dict:
+        """Engine extension: durably commit users/posts/follows/likes as
+        a PropertyGraph version (storage.py manifest-swap)."""
+        from rust_graph_db_spark.storage import save_graph
+
+        version = save_graph(self._graph(), root)
         return {"root": root, "version": version}
+
+    def run_cypher(self, query: str, params: dict = None,
+                   limit: int = 1000) -> dict:
+        """Engine extension: run a (parameterized) Cypher query against
+        the live service graph — the reference's API layer never exposes
+        its query language; here the whole Cypher surface is one route.
+        Results are capped at ``limit`` rows (use LIMIT for paging)."""
+
+        def _plain(v):
+            if hasattr(v, "asDict"):
+                return {k: _plain(x) for k, x in v.asDict().items()}
+            if isinstance(v, (list, tuple)):
+                return [_plain(x) for x in v]
+            if isinstance(v, (str, int, float, bool)) or v is None:
+                return v
+            return str(v)
+
+        df = self._graph().cypher(query, params or {})
+        rows = df.limit(int(limit)).collect()
+        return {"columns": df.columns,
+                "rows": [{c: _plain(r[c]) for c in df.columns}
+                         for r in rows],
+                "row_count": len(rows)}
 
 
 _ROUTES = [
@@ -285,6 +317,9 @@ _ROUTES = [
      lambda s, m, b, q: s.post_likes(int(m[0]))),
     ("POST", r"^/api/v1/admin/commit$",
      lambda s, m, b, q: s.commit(b["root"])),
+    ("POST", r"^/api/v1/admin/cypher$",
+     lambda s, m, b, q: s.run_cypher(b["query"], b.get("params"),
+                                     int(b.get("limit", 1000)))),
 ]
 
 

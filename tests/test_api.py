@@ -104,3 +104,19 @@ def test_commit_endpoint_durable(api, spark, tmp_path):
     g = load_graph(spark, root)
     names = {r.username for r in g.vertex_frame("User").collect()}
     assert "alice" in names and "dave" not in names
+
+
+def test_cypher_endpoint(api):
+    status, out = call(api, "POST", "/api/v1/admin/cypher", {
+        "query": "MATCH (u:User) WHERE u.username = $n "
+                 "RETURN u.username AS username",
+        "params": {"n": "alice"}})
+    assert status in (200, 201)
+    assert out["columns"] == ["username"]
+    assert out["rows"] == [{"username": "alice"}]
+    # graph-shaped query over the service's FOLLOWS edges
+    status, out = call(api, "POST", "/api/v1/admin/cypher", {
+        "query": "MATCH (a:User)-[:FOLLOWS]->(b:User) "
+                 "RETURN a.username AS a, b.username AS b ORDER BY a, b",
+        "limit": 5})
+    assert status in (200, 201) and out["row_count"] <= 5
