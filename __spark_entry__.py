@@ -296,6 +296,18 @@ def _q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(docs, window=8, threshold=0.5, k=8)
 
 
+def _q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c7: exactly-10-per-language deterministic sample (md5-ranked
+    within stratum — the reservoir-sampling replacement)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.sampling import stratified_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (stratified_exact(docs, "lang", 10)
+            .select("doc_id", "lang"))
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -1989,6 +2001,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_rolling_dau": _q_rolling_dau,
         # sorted-neighborhood dedup (r3-s6; full oracle)
         "d12_sorted_neighborhood": _q_sorted_neighborhood,
+        # per-stratum exact-n deterministic sample (r3-s6; full oracle)
+        "c7_stratified_exact": _q_stratified_exact,
         # node2vec biased walks (r3-s6; rows-only — hash-driven choice)
         "g19_node2vec": _q_node2vec,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
@@ -2496,6 +2510,12 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(od, 0) + coalesce(idg, 0) AS deg "
             "FROM o FULL JOIN i ON o.k = i.k "
             "WHERE coalesce(od, 0) + coalesce(idg, 0) > 2"),
+        "c7_stratified_exact": (
+            "SELECT doc_id, lang FROM ("
+            "SELECT doc_id, lang, row_number() OVER ("
+            "PARTITION BY lang "
+            "ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rk "
+            "FROM documents) WHERE rk <= 10"),
         "d12_sorted_neighborhood": (
             r"WITH base AS (SELECT doc_id id, text, "
             r"substr(regexp_replace(lower(text), '\s+', ' ', 'g'), 1, 24) k "

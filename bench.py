@@ -200,9 +200,16 @@ def main() -> None:
     # twinned corpus); d9 shuffles (hash,doc,pos) triples for the
     # first-occurrence window; e6/e8 are Arrow-matmul assignment scans.
     pipeline_timings: dict[str, float] = {}
+    # session-6 additions: SNM dedup (global-rank band join), funnel +
+    # retention + rolling DAU (user-keyed event analytics), one-pass
+    # profile, SCC + betweenness (driver-Tarjan / tree-Brandes at this
+    # SF), BPE training (16 merge rounds over word frequencies)
     for name in ["t6_quality_filter", "t8_curation_pipeline",
                  "d9_chunk_dedup", "d10_containment", "e6_kmeans",
-                 "e7_int8_quantize", "e8_pq_encode", "d11_semdedup"]:
+                 "e7_int8_quantize", "e8_pq_encode", "d11_semdedup",
+                 "d12_sorted_neighborhood", "r3_funnel", "r4_retention",
+                 "r5_rolling_dau", "c6_profile", "g17_scc",
+                 "g18_betweenness", "t11_bpe_merges"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

@@ -139,3 +139,23 @@ SELECT d.* FROM {table} d JOIN thr ON d.{source_col} = thr.src
 WHERE CAST(('0x' || substr(md5(CAST(d.{id_col} AS VARCHAR)), 1, 8)) AS BIGINT)
       % {_BUCKETS} < thr.thr
 """
+
+
+def stratified_exact(df: DataFrame, strata_col: str, n_per: int,
+                     id_col: str = "doc_id") -> DataFrame:
+    """Exactly ``min(n_per, stratum size)`` pseudo-random rows PER
+    STRATUM — the deterministic replacement for per-key reservoir
+    sampling: rank within each stratum by ``md5(id)`` (uniform,
+    content-independent, tie-broken by id) and keep the first
+    ``n_per``. One shuffle keyed on the stratum; each stratum sorts
+    independently (no global order), and the md5 ranking reproduces the
+    same rows in the SQL oracle, under repartitioning, and when the
+    corpus grows only by appends that hash later.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col))
+    return (df.withColumn("_rk", F.row_number().over(w))
+            .where(F.col("_rk") <= int(n_per))
+            .drop("_rk"))

@@ -277,3 +277,24 @@ def test_k_core_peels_pendant_chain(spark):
     df = spark.createDataFrame(edges, "src LONG, dst LONG")
     got = {r["id"]: r["degree"] for r in k_core(df, k=2).collect()}
     assert got == {0: 2, 1: 2, 2: 2}
+
+
+def test_stratified_exact_vs_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.sampling import stratified_exact
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(r.doc_id for r in
+                 stratified_exact(docs, "lang", 5).collect())
+    exp = sorted(i for (i,) in duck.execute("""
+        SELECT doc_id FROM (
+          SELECT doc_id, row_number() OVER (
+            PARTITION BY lang
+            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) rk
+          FROM documents) WHERE rk <= 5
+    """).fetchall())
+    assert got == exp
+    # per-stratum counts respect stratum sizes
+    from pyspark.sql import functions as F
+    cnt = (stratified_exact(docs, "lang", 5)
+           .groupBy("lang").count().collect())
+    assert all(r["count"] <= 5 for r in cnt) and len(cnt) > 1
