@@ -1041,3 +1041,15 @@ def test_sorted_neighborhood_pairs(spark, duck):
     exp = sorted((int(a), int(b), float(c))
                  for a, b, c in duck.execute(sql).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_snm_no_single_partition_exchange(spark):
+    # the scale contract of the global rank: NO "Exchange
+    # SinglePartition" (an unpartitioned row_number window would put
+    # the whole corpus through one task)
+    from rust_graph_db_spark.operators.dedup import sorted_neighborhood_pairs
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    out = sorted_neighborhood_pairs(docs, window=4, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "SinglePartition" not in plan, plan[:500]
