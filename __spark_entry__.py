@@ -308,6 +308,28 @@ def _q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "lang"))
 
 
+def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g20: Newman modularity of the key-block partition over the same
+    7-cycle + jump graph g17 uses — full closed-form SQL oracle."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import modularity
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey").cast("long").alias("k"))
+    cyc = c.select(
+        F.col("k").alias("u"),
+        ((F.col("k") - F.col("k") % 7)
+         + ((F.col("k") % 7 + 1) % 7)).alias("v"))
+    jump = c.where(F.col("k") % 11 == 0).select(
+        F.col("k").alias("u"), (F.col("k") + 9).alias("v"))
+    e = cyc.unionAll(jump)
+    verts = (e.select(F.col("u").alias("id"))
+             .unionAll(e.select(F.col("v").alias("id"))).distinct())
+    asg = verts.select("id", F.floor(F.col("id") / 7).alias("community"))
+    return modularity(e, asg)
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -2003,6 +2025,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d12_sorted_neighborhood": _q_sorted_neighborhood,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
+        # Newman modularity of a community assignment (r3-s6; oracle)
+        "g20_modularity": _q_modularity,
         # node2vec biased walks (r3-s6; rows-only — hash-driven choice)
         "g19_node2vec": _q_node2vec,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
@@ -2510,6 +2534,25 @@ def oracle_sql() -> dict[str, str]:
             "coalesce(od, 0) + coalesce(idg, 0) AS deg "
             "FROM o FULL JOIN i ON o.k = i.k "
             "WHERE coalesce(od, 0) + coalesce(idg, 0) > 2"),
+        "g20_modularity": (
+            "WITH e0 AS ("
+            "SELECT CAST(c_custkey AS BIGINT) AS u, "
+            "CAST((c_custkey - c_custkey % 7) + ((c_custkey % 7 + 1) % 7) "
+            "AS BIGINT) AS v FROM customer "
+            "UNION ALL "
+            "SELECT CAST(c_custkey AS BIGINT), CAST(c_custkey + 9 AS BIGINT) "
+            "FROM customer WHERE c_custkey % 11 = 0), "
+            "sym AS (SELECT DISTINCT u, v FROM "
+            "(SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0) "
+            "WHERE u <> v), "
+            "lab AS (SELECT CAST(floor(u / 7.0) AS BIGINT) cu, "
+            "CAST(floor(v / 7.0) AS BIGINT) cv FROM sym), "
+            "stats AS (SELECT cu, count(*) d_c, "
+            "sum(CASE WHEN cu = cv THEN 1 ELSE 0 END) i2 "
+            "FROM lab GROUP BY cu) "
+            "SELECT round(sum(i2) / CAST(sum(d_c) AS DOUBLE) "
+            "- sum(d_c * d_c) / (CAST(sum(d_c) AS DOUBLE) * sum(d_c)), 6) "
+            "AS modularity FROM stats"),
         "c7_stratified_exact": (
             "SELECT doc_id, lang FROM ("
             "SELECT doc_id, lang, row_number() OVER ("

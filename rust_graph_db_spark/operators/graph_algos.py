@@ -1103,3 +1103,49 @@ def node2vec_walks(edges: DataFrame, walk_length: int = 10,
             F.col("cur").alias("vertex")))
         frontier = nxt
     return out
+
+
+def modularity(edges: DataFrame, assignment: DataFrame,
+               id_col: str = "id", community_col: str = "community",
+               decimals: int = 6) -> DataFrame:
+    """Newman modularity Q of a community assignment over the
+    UNDIRECTED simple graph: Q = Σ_c (e_c/m − (d_c/2m)²), where e_c is
+    the intra-community edge count and d_c the community's total degree
+    (Newman & Girvan 2004) — the standard evaluation metric for
+    :func:`label_propagation` / :func:`connected_components` output.
+    Returns one row ``(modularity)``; vertices missing from the
+    assignment count as their own singleton communities.
+
+    One symmetric-pair scan: degrees and intra-edges are two
+    aggregations off the same (u, v, cu, cv) join; all shuffles are
+    vertex- or community-keyed and the result is O(communities).
+    """
+    und = _undirected_min_nbr(edges)      # symmetric, self-loop-free
+    asg = assignment.select(
+        F.col(id_col).cast("long").alias("vid"),
+        F.col(community_col).cast("long").alias("c"))
+    labeled = (und
+               .join(asg.withColumnRenamed("vid", "u")
+                        .withColumnRenamed("c", "cu"), "u", "left")
+               .join(asg.withColumnRenamed("vid", "v")
+                        .withColumnRenamed("c", "cv"), "v", "left")
+               # singleton fallback: unassigned vertex = own community,
+               # encoded as a negative key that cannot collide with a
+               # community id (ids are nonneg longs under the packing)
+               .select(F.coalesce("cu", -F.col("u") - 1).alias("cu"),
+                       F.coalesce("cv", -F.col("v") - 1).alias("cv")))
+    # und has each undirected edge as BOTH orientations: m2 = 2m,
+    # intra2 = 2·e_c, and per-community degree is the row count
+    stats = (labeled.groupBy("cu")
+             .agg(F.count("*").alias("d_c"),
+                  F.sum((F.col("cu") == F.col("cv")).cast("long"))
+                  .alias("intra2")))
+    q = (stats.agg(
+            F.sum("d_c").alias("m2"),
+            F.sum("intra2").alias("i2"),
+            F.sum(F.col("d_c") * F.col("d_c")).alias("dsq"))
+         .select(F.round(
+             F.col("i2") / F.col("m2")
+             - F.col("dsq") / (F.col("m2") * F.col("m2")),
+             decimals).alias("modularity")))
+    return q

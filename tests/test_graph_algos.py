@@ -647,3 +647,26 @@ def test_node2vec_bias(spark):
     homing = step2_counts(p=0.1, q=10.0)
     assert outward.get(2, 0) > outward.get(0, 0) * 5
     assert homing.get(0, 0) > homing.get(2, 0) * 5
+
+
+def test_modularity_textbook(spark):
+    # two triangles joined by a bridge, split at the bridge:
+    # m=7, e_c=3 each, d_c=7 each -> Q = 2*(3/7 - 0.25) = 0.357143
+    from rust_graph_db_spark.operators.graph_algos import modularity
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 5), (5, 3), (2, 3)],
+        "u LONG, v LONG")
+    asg = spark.createDataFrame(
+        [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)],
+        "id LONG, community LONG")
+    q = modularity(e, asg).first().modularity
+    assert abs(q - 0.357143) < 1e-6
+    # everything in ONE community: Q = 1 - sum(d^2)/(2m)^2... for a
+    # single community Q = e/m - (d/2m)^2 = 1 - 1 = 0
+    one = asg.select("id", (asg.community * 0).alias("community"))
+    assert abs(modularity(e, one).first().modularity) < 1e-9
+    # unassigned vertices become singletons (bridge endpoints split)
+    partial = asg.where("id < 3")
+    qp = modularity(e, partial).first().modularity
+    assert qp < q
