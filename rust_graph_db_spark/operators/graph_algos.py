@@ -975,8 +975,10 @@ def betweenness_centrality(
                     .localCheckpoint(eager=True))
         if frontier.isEmpty():
             break
-        vis = vis.unionAll(frontier.withColumn("dist", F.lit(lvl))) \
-                 .localCheckpoint(eager=True)
+        # vis stays a LAZY union of checkpointed levels: every branch
+        # is pinned, so recomputing the union is a concat, and skipping
+        # the per-level vis materialization saves one job per level
+        vis = vis.unionAll(frontier.withColumn("dist", F.lit(lvl)))
         levels.append(frontier)
 
     # ---- backward: delta(s, v) accumulated from the deepest level up
