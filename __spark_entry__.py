@@ -2151,6 +2151,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver verifies the FIRST 50 keys of queries() — see the priority
 # note at the top of queries() for how these slots were chosen.
+# ROUND-4 ROTATION PLAN: promote the session-6 queries still below the
+# line (t11, c5, r3_funnel, r4_retention, r5_rolling_dau, c6_profile,
+# c7_stratified_exact, d12_sorted_neighborhood, g19_node2vec,
+# g20_modularity, p22_pattern_expr) plus any r4-touched keys; all were
+# locally sweep-green at sf0.01 this session (scripts/check_oracle.py).
 _R3_WINDOW = [
     # 43 never-verified (new in round 3)
     "w10_stream_commits", "m4_real_audio", "d7_drop_neardups",
