@@ -296,3 +296,58 @@ def test_containment_superset_of_jaccard_random(spark, data):
         a, b = sh(docs[i][1]), sh(docs[j][1])
         want = len(a & b) / min(len(a), len(b))
         assert abs(v - round(want, 6)) < 1e-9 and want >= t
+
+
+def _ref_funnel(rows, steps, within):
+    """Brute-force greedy-from-earliest funnel (pure Python model)."""
+    by_user = {}
+    for u, t, et in rows:
+        by_user.setdefault(u, []).append((t, et))
+    out = {}
+    for u, evs in by_user.items():
+        evs.sort()
+        t1s = [t for t, et in evs if et == steps[0]]
+        if not t1s:
+            continue
+        t1 = min(t1s)
+        stage, tk = 1, t1
+        for step in steps[1:]:
+            cand = [t for t, et in evs
+                    if et == step and t > tk
+                    and (within is None or t - t1 <= within)]
+            if not cand:
+                break
+            tk = min(cand)
+            stage += 1
+        out[u] = stage
+    return out
+
+
+@_SETTINGS
+@given(data=st.lists(
+    st.tuples(st.integers(min_value=0, max_value=6),      # user
+              st.integers(min_value=0, max_value=50),     # ts
+              st.sampled_from(["a", "b", "c", "x"])),     # type
+    min_size=0, max_size=60),
+    within=st.sampled_from([None, 10.0, 25.0]))
+def test_funnel_matches_python_model(spark, data, within):
+    from rust_graph_db_spark.operators.temporal import funnel
+
+    # distinct timestamps per user: equal-ts ordering is tie-ambiguous
+    # in the model (the operator uses strict >, the model too — but a
+    # step-1 event and a step-2 event at the SAME ts are excluded by
+    # both, so dedup (u, ts) pairs to keep the comparison exact)
+    seen = set()
+    rows = []
+    for u, t, et in data:
+        if (u, t) not in seen:
+            seen.add((u, t))
+            rows.append((u, float(t), et))
+    want = _ref_funnel(rows, ["a", "b", "c"], within)
+    if not rows:
+        return
+    ev = spark.createDataFrame(rows, "user_id LONG, ts DOUBLE, et STRING")
+    got = {r.user_id: r.stage
+           for r in funnel(ev, ["a", "b", "c"], type_col="et",
+                           within=within).collect()}
+    assert got == want
