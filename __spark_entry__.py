@@ -330,6 +330,24 @@ def _q_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return modularity(e, asg)
 
 
+def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g21: weight-proportional PageRank over the knows graph with a
+    deterministic derived weight (1 + src%5) — rank mass splits by
+    edge weight instead of out-degree; unrolled weighted-CTE oracle."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import unpack_locid
+    from rust_graph_db_spark.operators.graph_algos import pagerank
+
+    g = _knows(spark, sf_dir)
+    e = (g.edge_frame("KNOWS")
+         .select(unpack_locid(F.col("src")).alias("src"),
+                 unpack_locid(F.col("dst")).alias("dst"))
+         .withColumn("w", (F.lit(1) + F.col("src") % 5).cast("double")))
+    pr = pagerank(e, iterations=6, weight_col="w")
+    return pr.select(F.col("id"), F.round("rank", 6).alias("rank"))
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -2027,6 +2045,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
         "g20_modularity": _q_modularity,
+        # weighted PageRank (r3-s6; unrolled weighted-CTE oracle)
+        "g21_weighted_pagerank": _q_weighted_pagerank,
         # node2vec biased walks (r3-s6; rows-only — hash-driven choice)
         "g19_node2vec": _q_node2vec,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
@@ -2208,6 +2228,30 @@ def _pagerank_oracle_sql(pre: str, iterations: int = 8,
             f"SELECT k.dst AS id, sum(r.rank / o.odeg) AS c "
             f"FROM knows k JOIN r{i-1} r ON r.id = k.src "
             f"JOIN od o ON o.src = k.src GROUP BY k.dst) c ON c.id = v.id)")
+    return (pre + ", " + ", ".join(ctes)
+            + f" SELECT id, round(rank, 6) AS rank FROM r{iterations}")
+
+
+def _weighted_pagerank_oracle_sql(pre: str, iterations: int = 6,
+                                  damping: float = 0.85) -> str:
+    """Unrolled WEIGHTED-PageRank oracle: contribution = rank·w/out_w
+    with the deterministic derived weight w = 1 + src%5 (mirrors
+    _q_weighted_pagerank exactly)."""
+    ctes = [
+        "we AS (SELECT src, dst, CAST(1 + src % 5 AS DOUBLE) AS w "
+        "FROM knows)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM we UNION ALL SELECT dst FROM we))",
+        "ow AS (SELECT src, sum(w) AS tw FROM we GROUP BY src)",
+        "r0 AS (SELECT id, 1.0 AS rank FROM verts)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"r{i} AS (SELECT v.id, {1 - damping} + {damping} * "
+            f"coalesce(c.c, 0) AS rank FROM verts v LEFT JOIN ("
+            f"SELECT k.dst AS id, sum(r.rank * k.w / o.tw) AS c "
+            f"FROM we k JOIN r{i-1} r ON r.id = k.src "
+            f"JOIN ow o ON o.src = k.src GROUP BY k.dst) c ON c.id = v.id)")
     return (pre + ", " + ", ".join(ctes)
             + f" SELECT id, round(rank, 6) AS rank FROM r{iterations}")
 
@@ -2435,6 +2479,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM knows JOIN person ON person.key = knows.src "
             "WHERE person.age = 25"),
         "g8_pagerank": _pagerank_oracle_sql(pre, iterations=8),
+        "g21_weighted_pagerank": _weighted_pagerank_oracle_sql(
+            pre, iterations=6),
         "g13_personalized_pr": _ppr_oracle_sql(pre, source=0, iterations=6),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "

@@ -193,14 +193,22 @@ def degrees(edges: DataFrame) -> DataFrame:
 # explicit opt-out (and keeps the parity test honest).
 
 
-def _pr_frames(e: DataFrame, nparts: Optional[int]) -> tuple:
+def _pr_frames(e: DataFrame, nparts: Optional[int],
+               weighted: bool = False) -> tuple:
     """(verts, links) for the PageRank loop, optionally pinned to a
     shared HashPartitioning on vertex id (``localCheckpoint`` captures
-    the layout in the LogicalRDD, so every iteration reuses it)."""
+    the layout in the LogicalRDD, so every iteration reuses it).
+    ``weighted`` links carry (dst, w) structs + the out-weight total."""
     verts = (e.select(F.col("src").alias("id"))
              .unionAll(e.select(F.col("dst").alias("id")))
              .distinct())
-    links = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
+    if weighted:
+        links = (e.groupBy("src")
+                 .agg(F.collect_list(F.struct(F.col("dst").alias("d"),
+                                              F.col("w"))).alias("nbrs"),
+                      F.sum("w").alias("tw")))
+    else:
+        links = e.groupBy("src").agg(F.collect_list("dst").alias("nbrs"))
     if nparts:
         verts = verts.repartition(nparts, F.col("id"))
         links = links.repartition(nparts, F.col("src"))
@@ -209,12 +217,20 @@ def _pr_frames(e: DataFrame, nparts: Optional[int]) -> tuple:
 
 
 def _pr_step(verts: DataFrame, links: DataFrame, r: DataFrame,
-             damping: float) -> DataFrame:
+             damping: float, weighted: bool = False) -> DataFrame:
     """One damped-PageRank iteration (pure plan — no action)."""
-    contribs = (links.join(r, links["src"] == r["id"])
-                .select(F.explode("nbrs").alias("id"),
-                        (F.col("rank") / F.size("nbrs")).alias("c"))
-                .groupBy("id").agg(F.sum("c").alias("c")))
+    if weighted:
+        contribs = (links.join(r, links["src"] == r["id"])
+                    .select(F.explode("nbrs").alias("nb"),
+                            (F.col("rank") / F.col("tw")).alias("rpw"))
+                    .select(F.col("nb.d").alias("id"),
+                            (F.col("rpw") * F.col("nb.w")).alias("c"))
+                    .groupBy("id").agg(F.sum("c").alias("c")))
+    else:
+        contribs = (links.join(r, links["src"] == r["id"])
+                    .select(F.explode("nbrs").alias("id"),
+                            (F.col("rank") / F.size("nbrs")).alias("c"))
+                    .groupBy("id").agg(F.sum("c").alias("c")))
     return (verts.join(contribs, "id", "left")
             .select("id",
                     (F.lit(1.0 - damping)
@@ -224,7 +240,8 @@ def _pr_step(verts: DataFrame, links: DataFrame, r: DataFrame,
 
 def pagerank(edges: DataFrame, iterations: int = 10,
              damping: float = 0.85,
-             copartition: Optional[bool] = None) -> DataFrame:
+             copartition: Optional[bool] = None,
+             weight_col: Optional[str] = None) -> DataFrame:
     """Classic damped PageRank over a (src, dst) edge list.
 
     Returns ``(id, rank)`` (GraphX convention: rank = (1-d) +
@@ -253,7 +270,10 @@ def pagerank(edges: DataFrame, iterations: int = 10,
     parallelism) does the work AQE's coalescing otherwise would.
     """
     return _pr_run(edges, copartition,
-                   lambda e, np: _pagerank_loop(e, np, iterations, damping))
+                   lambda e, np: _pagerank_loop(
+                       e, np, iterations, damping,
+                       weighted=weight_col is not None),
+                   weight_col=weight_col)
 
 
 def personalized_pagerank(edges: DataFrame, sources,
@@ -286,17 +306,25 @@ def personalized_pagerank(edges: DataFrame, sources,
                    lambda e, np: _ppr_loop(e, np, src, iterations, damping))
 
 
-def _pr_run(edges: DataFrame, copartition: Optional[bool], loop) -> DataFrame:
+def _pr_run(edges: DataFrame, copartition: Optional[bool], loop,
+            weight_col: Optional[str] = None) -> DataFrame:
     """Shared scaffold for the PageRank-family loops: normalize the
     edge list, pick plain vs co-partitioned mode on edge count, and in
     co-partitioned mode pin AQE off + shuffle.partitions == nparts for
     the loop's duration (see ``pagerank``'s docstring for why)."""
     s, d = _pair_cols(edges)
     spark = edges.sparkSession
-    e = (edges.select(F.col(s).cast("long").alias("src"),
-                      F.col(d).cast("long").alias("dst"))
-         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
-         .localCheckpoint(eager=True))
+    cols = [F.col(s).cast("long").alias("src"),
+            F.col(d).cast("long").alias("dst")]
+    if weight_col is not None:
+        cols.append(F.col(weight_col).cast("double").alias("w"))
+    e = edges.select(*cols) \
+             .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+    if weight_col is not None:
+        # zero/negative/null weights carry no rank; dropping them keeps
+        # tw strictly positive (no divide-by-zero source rows)
+        e = e.where(F.col("w") > 0)
+    e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     if copartition is None:
         copartition = True
@@ -319,17 +347,19 @@ def _pr_run(edges: DataFrame, copartition: Optional[bool], loop) -> DataFrame:
 
 
 def _pagerank_loop(e: DataFrame, nparts: Optional[int],
-                   iterations: int, damping: float) -> DataFrame:
-    verts, links = _pr_frames(e, nparts)
+                   iterations: int, damping: float,
+                   weighted: bool = False) -> DataFrame:
+    verts, links = _pr_frames(e, nparts, weighted=weighted)
     ranks = verts.withColumn("rank", F.lit(1.0))
     # Two lazy steps per checkpoint: the composed 2-iteration plan runs
     # as one job, halving driver barriers; lineage stays O(1) via the
     # per-round checkpoint.
     done = 0
     while done < iterations:
-        ranks = _pr_step(verts, links, ranks, damping)
+        ranks = _pr_step(verts, links, ranks, damping, weighted=weighted)
         if done + 1 < iterations:
-            ranks = _pr_step(verts, links, ranks, damping)
+            ranks = _pr_step(verts, links, ranks, damping,
+                             weighted=weighted)
             done += 2
         else:
             done += 1

@@ -670,3 +670,43 @@ def test_modularity_textbook(spark):
     partial = asg.where("id < 3")
     qp = modularity(e, partial).first().modularity
     assert qp < q
+
+
+def test_weighted_pagerank_vs_power_iteration(spark):
+    import random
+
+    from rust_graph_db_spark.operators.graph_algos import pagerank
+
+    rng = random.Random(5)
+    n = 20
+    edges = list({(rng.randrange(n), rng.randrange(n))
+                  for _ in range(60)} - {(i, i) for i in range(n)})
+    wedges = [(u, v, 0.5 + ((u * 7 + v) % 10) / 4.0) for u, v in edges]
+    e = spark.createDataFrame(wedges, "u LONG, v LONG, w DOUBLE")
+    got = {r.id: r.rank
+           for r in pagerank(e, iterations=12, weight_col="w").collect()}
+
+    # reference: direct weighted power iteration (same GraphX-style
+    # update: rank = (1-d) + d * sum(in_rank * w / out_weight))
+    nodes = sorted({x for u, v, _ in wedges for x in (u, v)})
+    out_w = {}
+    for u, v, w in wedges:
+        out_w[u] = out_w.get(u, 0.0) + w
+    r = dict.fromkeys(nodes, 1.0)
+    for _ in range(12):
+        nxt = dict.fromkeys(nodes, 0.0)
+        for u, v, w in wedges:
+            nxt[v] += r[u] * w / out_w[u]
+        r = {v: 0.15 + 0.85 * nxt[v] for v in nodes}
+    for v in nodes:
+        assert abs(got[v] - r[v]) < 1e-9, (v, got[v], r[v])
+    # uniform weights reproduce the unweighted ranks
+    uni = spark.createDataFrame([(u, v, 1.0) for u, v in edges],
+                                "u LONG, v LONG, w DOUBLE")
+    unw = {r2.id: r2.rank
+           for r2 in pagerank(spark.createDataFrame(
+               edges, "u LONG, v LONG"), iterations=6).collect()}
+    wun = {r2.id: r2.rank
+           for r2 in pagerank(uni, iterations=6, weight_col="w").collect()}
+    for v in nodes:
+        assert abs(unw[v] - wun[v]) < 1e-9
