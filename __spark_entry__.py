@@ -348,6 +348,23 @@ def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pr.select(F.col("id"), F.round("rank", 6).alias("rank"))
 
 
+def _q_ppmi_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e10: PPMI+SVD word embeddings (Levy & Goldberg 2014) trained on
+    the documents corpus — distributed co-occurrence counting, driver
+    SVD of the vocab-capped matrix. Rows-only (SVD has no SQL mirror);
+    semantic structure + determinism are pytest-proven."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.embeddings import (
+        ppmi_svd_embeddings, token_cooccurrence_pairs,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = token_cooccurrence_pairs(docs, window=2)
+    emb = ppmi_svd_embeddings(pairs, dim=16, vocab_size=256)
+    return emb.select("token", F.size("embedding").alias("dim"))
+
+
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup clustering: MinHash-LSH pair graph → connected components
     (cluster = min member id; rows with id != cluster are the drops)."""
@@ -2047,6 +2064,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g20_modularity": _q_modularity,
         # weighted PageRank (r3-s6; unrolled weighted-CTE oracle)
         "g21_weighted_pagerank": _q_weighted_pagerank,
+        # PPMI+SVD embedding training (r3-s6; rows-only — driver SVD)
+        "e10_ppmi_embeddings": _q_ppmi_embeddings,
         # node2vec biased walks (r3-s6; rows-only — hash-driven choice)
         "g19_node2vec": _q_node2vec,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)

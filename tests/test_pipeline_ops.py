@@ -1053,3 +1053,63 @@ def test_snm_no_single_partition_exchange(spark):
     out = sorted_neighborhood_pairs(docs, window=4, threshold=0.9)
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "SinglePartition" not in plan, plan[:500]
+
+
+# -------------------------------------------------------------- embeddings
+
+def test_ppmi_svd_embeddings_semantic_structure(spark):
+    import numpy as np
+
+    from rust_graph_db_spark.operators.embeddings import (
+        ppmi_svd_embeddings, token_cooccurrence_pairs,
+    )
+
+    # cat/dog share contexts; rock does not — their embeddings must be
+    # closer to each other than either is to rock
+    sents = (["the cat sat on the mat", "a cat ate the food",
+              "the dog sat on the rug", "a dog ate the food",
+              "the rock lay in the sun", "a rock fell off the cliff"] * 4)
+    df = spark.createDataFrame([(s,) for s in sents], "text STRING")
+    pairs = token_cooccurrence_pairs(df, window=2)
+    emb = {r.token: np.array(r.embedding)
+           for r in ppmi_svd_embeddings(pairs, dim=8).collect()}
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    assert cos(emb["cat"], emb["dog"]) > cos(emb["cat"], emb["rock"])
+    assert cos(emb["cat"], emb["dog"]) > cos(emb["dog"], emb["rock"])
+    # deterministic: a second run is byte-identical
+    emb2 = {r.token: np.array(r.embedding)
+            for r in ppmi_svd_embeddings(pairs, dim=8).collect()}
+    for t in emb:
+        assert np.array_equal(emb[t], emb2[t])
+
+
+def test_ppmi_svd_graph_embeddings(spark):
+    # spectral DeepWalk: walks over two loosely-linked cliques; same
+    # clique -> closer embeddings
+    import numpy as np
+
+    from rust_graph_db_spark.operators.embeddings import ppmi_svd_embeddings
+    from rust_graph_db_spark.operators.graph_algos import (
+        random_walks, walk_skipgram_pairs,
+    )
+
+    c1 = [(i, j) for i in range(4) for j in range(4) if i != j]
+    c2 = [(i, j) for i in range(10, 14) for j in range(10, 14) if i != j]
+    e = spark.createDataFrame(c1 + c2 + [(3, 10), (10, 3)],
+                              "u LONG, v LONG")
+    walks = random_walks(e, walk_length=8, walks_per_vertex=4, seed=2)
+    pairs = walk_skipgram_pairs(walks, window=2) \
+        .selectExpr("center", "context")
+    emb = {int(r.token): np.array(r.embedding)
+           for r in ppmi_svd_embeddings(pairs, dim=4).collect()}
+
+    def cos(a, b):
+        return float(np.dot(a, b)
+                     / (np.linalg.norm(a) * np.linalg.norm(b) + 1e-12))
+
+    assert cos(emb[0], emb[1]) > cos(emb[0], emb[12])
+    assert cos(emb[11], emb[13]) > cos(emb[11], emb[1])
