@@ -122,6 +122,12 @@ def compile_scalar_call(name: str, args: list, arg_types: list) -> Column:
         return args[0].isNotNull()
     if name == "rand":
         return F.rand(42)  # deterministic by default; seed fixed
+    if name == "timestamp":
+        # Neo4j timestamp(): current epoch milliseconds (the reference
+        # stores times as plain integers — social_graph.rs:38-40)
+        return F.unix_millis(F.current_timestamp())
+    if name == "randomuuid":
+        return F.expr("uuid()")
     if name in _LITERAL_ARG_FUNCS:
         # pyspark wrappers that demand Python literals for some args
         # (e.g. array_join's delimiter) — call the SQL function directly,

@@ -1035,3 +1035,9 @@ def test_pattern_expression_in_where(kg, oracle):
         "WHERE k.src = p1.key AND p2.active)")
     # parenthesized expressions still parse as expressions
     assert kg.cypher("RETURN (1 + 2) * 3 AS x").first().x == 9
+
+
+def test_timestamp_and_uuid_functions(kg):
+    r = kg.cypher("RETURN timestamp() AS t, randomUUID() AS u").first()
+    assert r.t > 1_700_000_000_000          # epoch milliseconds
+    assert len(r.u) == 36 and r.u.count("-") == 4
