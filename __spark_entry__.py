@@ -2193,8 +2193,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ROUND-4 ROTATION PLAN: promote the session-6 queries still below the
 # line (t11, c5, r3_funnel, r4_retention, r5_rolling_dau, c6_profile,
 # c7_stratified_exact, d12_sorted_neighborhood, g19_node2vec,
-# g20_modularity, p22_pattern_expr) plus any r4-touched keys; all were
-# locally sweep-green at sf0.01 this session (scripts/check_oracle.py).
+# g20_modularity, g21_weighted_pagerank, e10_ppmi_embeddings,
+# p22_pattern_expr) plus any r4-touched keys; all were locally
+# sweep-green at sf0.01 this session (scripts/check_oracle.py).
 _R3_WINDOW = [
     # 43 never-verified (new in round 3)
     "w10_stream_commits", "m4_real_audio", "d7_drop_neardups",
