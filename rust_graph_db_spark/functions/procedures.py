@@ -104,6 +104,44 @@ def _bfs(graph, start, rel=None, max_hops=30) -> DataFrame:
         .select(F.col("id"), F.col("dist"))
 
 
+def _sssp(graph, start, rel=None, weight="weight") -> DataFrame:
+    """Weighted single-source shortest distances (Bellman-Ford
+    relaxation) from a packed-graphid start: (id, dist). ``weight``
+    names an edge property of the relationship type."""
+    from ..operators.traversal import weighted_shortest_distances
+    e = graph.edges(rel) if rel else graph.edges()
+    if weight not in e.columns:
+        raise ValueError(
+            f"algo.sssp: relationship has no {weight!r} property "
+            f"(columns: {[c for c in e.columns]})")
+    return weighted_shortest_distances(
+        e.select("src", "dst", weight), int(start), weight_col=weight)
+
+
+def _modularity(graph, rel=None, iterations=5) -> DataFrame:
+    """Modularity of the label-propagation communities over one
+    relationship type — community DETECTION + EVALUATION in one call."""
+    from ..operators.graph_algos import label_propagation, modularity
+    e = _edges(graph, rel)
+    asg = label_propagation(e, iterations=int(iterations)) \
+        .withColumnRenamed("label", "community")
+    return modularity(e, asg)
+
+
+def _db_property_keys(graph) -> DataFrame:
+    """All property keys across vertex and edge labels (Neo4j
+    db.propertyKeys parity)."""
+    keys = set()
+    for lbl in graph.vertex_labels:
+        keys.update(c for c in graph.vertex_frame(lbl).columns
+                    if c != "id")
+    for lbl in graph.edge_labels:
+        keys.update(c for c in graph.edge_frame(lbl).columns
+                    if c not in ("id", "src", "dst"))
+    return graph.spark.createDataFrame(
+        [(k,) for k in sorted(keys)], "propertyKey STRING")
+
+
 register("db.labels", _db_labels)
 register("db.relationshipTypes", _db_rel_types)
 register("algo.pagerank", _pagerank)
@@ -115,3 +153,6 @@ register("algo.triangleCount", _triangle_count)
 register("algo.betweenness", _betweenness)
 register("algo.kcore", _kcore)
 register("algo.bfs", _bfs)
+register("algo.sssp", _sssp)
+register("algo.modularity", _modularity)
+register("db.propertyKeys", _db_property_keys)

@@ -1041,3 +1041,17 @@ def test_timestamp_and_uuid_functions(kg):
     r = kg.cypher("RETURN timestamp() AS t, randomUUID() AS u").first()
     assert r.t > 1_700_000_000_000          # epoch milliseconds
     assert len(r.u) == 36 and r.u.count("-") == 4
+
+
+def test_proc_sssp_modularity_propkeys(kg):
+    # weighted SSSP from Person0's packed id over KNOWS.weight
+    start = (1 << 48) | 0
+    rows = kg.cypher(
+        f"CALL algo.sssp({start}, 'KNOWS', 'weight') YIELD id, dist "
+        "RETURN count(*) AS n, min(dist) AS mn").first()
+    assert rows.n > 1 and rows.mn == 0.0
+    # LPA communities + modularity in one call: one row, sane range
+    q = kg.cypher("CALL algo.modularity('KNOWS', 3)").first().modularity
+    assert -0.5 <= q <= 1.0
+    keys = [r.propertyKey for r in kg.cypher("CALL db.propertyKeys()").collect()]
+    assert "name" in keys and "since" in keys
