@@ -128,6 +128,16 @@ def _modularity(graph, rel=None, iterations=5) -> DataFrame:
     return modularity(e, asg)
 
 
+def _harmonic(graph, rel=None, max_hops=8) -> DataFrame:
+    from ..operators.graph_algos import harmonic_centrality
+    return harmonic_centrality(_edges(graph, rel), max_hops=int(max_hops))
+
+
+def _closeness(graph, rel=None, max_hops=8) -> DataFrame:
+    from ..operators.graph_algos import closeness_centrality
+    return closeness_centrality(_edges(graph, rel), max_hops=int(max_hops))
+
+
 def _db_property_keys(graph) -> DataFrame:
     """All property keys across vertex and edge labels (Neo4j
     db.propertyKeys parity)."""
@@ -155,4 +165,6 @@ register("algo.kcore", _kcore)
 register("algo.bfs", _bfs)
 register("algo.sssp", _sssp)
 register("algo.modularity", _modularity)
+register("algo.harmonic", _harmonic)
+register("algo.closeness", _closeness)
 register("db.propertyKeys", _db_property_keys)

@@ -757,6 +757,80 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
     return balls.select("id", F.col("harm").alias("harmonic"))
 
 
+def closeness_centrality(edges: DataFrame, max_hops: int = 8,
+                         lgk: int = 12) -> DataFrame:
+    """Approximate closeness centrality via HyperBall (Boldi & Vigna,
+    2013, §5), Lin's index so disconnected graphs stay comparable:
+
+        C(v) = r(v)² / (n · S(v))
+
+    with r(v) = |reachable from v, excluding v|, S(v) = Σ d(v, u) over
+    those vertices, n = vertex count; vertices reaching nothing score
+    0. (Classic closeness r/S is recoverable as n·C/r; Lin's form is
+    the one HyperBall recommends because r/S ranks a vertex whose only
+    neighbor is one hop away above the center of a large component.)
+
+    Convention matches :func:`harmonic_centrality`: OUTWARD — balls
+    grow along out-edges; swap src/dst for the inward variant.
+
+    Returns ``(id, closeness DOUBLE)``, one row per vertex.
+
+    100 TB shape: identical to ``harmonic_centrality`` — per-vertex
+    state is one fixed-size HLL register array plus two running
+    doubles (est, sumd = Σ h·Δ|B(v,h)|), one frontier join and one
+    ``hll_union_agg`` groupBy per hop, map-side partial merges,
+    ``localCheckpoint`` per round, early exit on saturation. Per-hop
+    deltas inherit HLL error and are clamped at 0.
+    """
+    s, d = _pair_cols(edges)
+    e = (edges.select(F.col(s).cast("long").alias("src"),
+                      F.col(d).cast("long").alias("dst"))
+         .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
+         .localCheckpoint(eager=True))
+    verts = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id")))
+             .distinct())
+    balls = (verts.groupBy("id")
+             .agg(F.hll_sketch_agg("id", F.lit(lgk)).alias("sk"))
+             .select("id", "sk",
+                     F.lit(1.0).alias("est"),      # |B(v,0)| = 1
+                     F.lit(0.0).alias("sumd"))     # Σ d(v,·) so far
+             .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    n = balls.count()
+    if n == 0:
+        return spark.createDataFrame([], "id LONG, closeness DOUBLE")
+    prev_tot = float(n)
+    for h in range(1, max_hops + 1):
+        from_nbrs = (e.join(balls, e["dst"] == balls["id"])
+                     .select(e["src"].alias("id"), "sk",
+                             F.lit(None).cast("double").alias("est"),
+                             F.lit(None).cast("double").alias("sumd")))
+        merged = (balls.unionAll(from_nbrs)
+                  .groupBy("id")
+                  .agg(F.hll_union_agg("sk", True).alias("sk"),
+                       F.max("est").alias("est_prev"),
+                       F.max("sumd").alias("sumd")))
+        balls = (merged.select(
+            "id", "sk",
+            F.hll_sketch_estimate("sk").cast("double").alias("est"),
+            (F.col("sumd")
+             + F.greatest(
+                 F.hll_sketch_estimate("sk") - F.col("est_prev"),
+                 F.lit(0.0)) * F.lit(float(h))).alias("sumd"))
+            .localCheckpoint(eager=True))
+        tot = float(balls.agg(F.sum("est").alias("t")).first()["t"])
+        if tot <= prev_tot:
+            break
+        prev_tot = tot
+    r = F.greatest(F.col("est") - 1.0, F.lit(0.0))
+    return balls.select(
+        "id",
+        F.when(F.col("sumd") > 0.0,
+               r * r / (F.lit(float(n)) * F.col("sumd")))
+         .otherwise(F.lit(0.0)).alias("closeness"))
+
+
 # ------------------------------------------------------ strong components
 
 def _tarjan_scc(pairs: list) -> list:

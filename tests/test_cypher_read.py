@@ -1055,3 +1055,16 @@ def test_proc_sssp_modularity_propkeys(kg):
     assert -0.5 <= q <= 1.0
     keys = [r.propertyKey for r in kg.cypher("CALL db.propertyKeys()").collect()]
     assert "name" in keys and "since" in keys
+
+
+def test_proc_harmonic_closeness(kg):
+    # both centralities surface through CALL; scores are finite and the
+    # best-connected vertices rank > 0
+    h = kg.cypher(
+        "CALL algo.harmonic('KNOWS') YIELD id, harmonic "
+        "RETURN count(*) AS n, max(harmonic) AS mx").first()
+    assert h.n > 1 and h.mx > 0.0
+    c = kg.cypher(
+        "CALL algo.closeness('KNOWS') YIELD id, closeness "
+        "RETURN count(*) AS n, max(closeness) AS mx").first()
+    assert c.n == h.n and 0.0 < c.mx <= 1.0

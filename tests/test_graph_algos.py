@@ -441,6 +441,51 @@ def test_harmonic_centrality_vs_exact_bfs(spark):
         assert abs(got[v] - want) <= max(0.1, 0.05 * want), (v, got[v], want)
 
 
+def test_closeness_centrality_vs_exact_bfs(spark):
+    """HyperBall closeness (Lin's index) vs exact per-vertex BFS on the
+    same cycle+tail+bridge graph: C(v) = r(v)² / (n·S(v)) with r the
+    reachable count and S the distance sum. Tiny balls at lgk=12 are
+    near-exact; the isolated sink (102) must score 0."""
+    import collections
+
+    from rust_graph_db_spark.operators.graph_algos import \
+        closeness_centrality
+
+    edges = ([(i, (i + 1) % 20) for i in range(20)]
+             + [(100, 101), (101, 102)]
+             + [(0, 100)])
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    out = collections.defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        out[s].add(d)
+        nodes |= {s, d}
+
+    def exact_c(v):
+        dist = {v: 0}
+        frontier = {v}
+        h = 0
+        while frontier:
+            h += 1
+            frontier = {w for u in frontier for w in out.get(u, ())
+                        if w not in dist}
+            for w in frontier:
+                dist[w] = h
+        r = len(dist) - 1
+        s_ = sum(d_ for u, d_ in dist.items() if u != v)
+        return (r * r) / (len(nodes) * s_) if s_ else 0.0
+
+    got = {r.id: r.closeness
+           for r in closeness_centrality(df, max_hops=32).collect()}
+    assert set(got) == nodes
+    assert got[102] == 0.0
+    for v in nodes:
+        want = exact_c(v)
+        assert abs(got[v] - want) <= max(0.01, 0.08 * want), \
+            (v, got[v], want)
+
+
 # ------------------------------------------------------ strong components
 
 SCC_EDGES = [
