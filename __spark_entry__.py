@@ -445,6 +445,23 @@ def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("id", F.round("harmonic", 2).alias("harmonic")))
 
 
+def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g22: HyperBall closeness centrality, Lin's index
+    C(v) = r(v)²/(n·S(v)) over the KNOWS graph
+    (graph_algos.closeness_centrality). Like g16, HLL estimates have
+    no portable SQL mirror, so rows-only; exactness-within-error is
+    pytest-proven against per-vertex BFS
+    (test_closeness_centrality_vs_exact_bfs)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import \
+        closeness_centrality
+
+    return (closeness_centrality(_knows_raw_edges(spark, sf_dir),
+                                 max_hops=6)
+            .select("id", F.round("closeness", 4).alias("closeness")))
+
+
 def _q_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g15: deterministic random walks → skip-gram co-occurrence
     counts (graph_algos.random_walks + walk_skipgram_pairs — the
@@ -1946,6 +1963,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g14_neighborhood": _q_neighborhood_function,
         "g15_walk_pairs": _q_walk_pairs,
         "g16_harmonic": _q_harmonic,
+        "g22_closeness": _q_closeness,
         # openCypher string predicates (r3-s3 extension; full oracle)
         "p10_string_preds": _q_cypher_knows(
             "MATCH (p:Person) WHERE p.name STARTS WITH 'Person1' "
@@ -2190,12 +2208,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver verifies the FIRST 50 keys of queries() — see the priority
 # note at the top of queries() for how these slots were chosen.
-# ROUND-4 ROTATION PLAN: promote the session-6 queries still below the
-# line (t11, c5, r3_funnel, r4_retention, r5_rolling_dau, c6_profile,
-# c7_stratified_exact, d12_sorted_neighborhood, g19_node2vec,
-# g20_modularity, g21_weighted_pagerank, e10_ppmi_embeddings,
-# p22_pattern_expr) plus any r4-touched keys; all were locally
-# sweep-green at sf0.01 this session (scripts/check_oracle.py).
+# ROUND-4 ROTATION PLAN: promote the session-6/7 queries still below
+# the line (t11, c5, r3_funnel, r4_retention, r5_rolling_dau,
+# c6_profile, c7_stratified_exact, d12_sorted_neighborhood,
+# g19_node2vec, g20_modularity, g21_weighted_pagerank,
+# e10_ppmi_embeddings, p22_pattern_expr, g22_closeness) plus any
+# r4-touched keys; all were locally sweep-green at sf0.01 in the
+# session-7 full sweep (scripts/check_oracle.py — 138/138, 0 failures).
 _R3_WINDOW = [
     # 43 never-verified (new in round 3)
     "w10_stream_commits", "m4_real_audio", "d7_drop_neardups",
