@@ -70,6 +70,29 @@ def _q_cypher_tpch(q: str) -> Callable[[SparkSession, str], DataFrame]:
     return run
 
 
+def _q_cypher_knows_joined(q: str) -> Callable[[SparkSession, str], DataFrame]:
+    """Like :func:`_q_cypher_knows`, but flattens every array-typed
+    output column to a comma-joined string (``array_join``). The
+    driver's pandas canonicalizer cannot ``sort_values`` list columns
+    (the r3 red rows p11/p15/p16 were exactly this), so registry
+    entries must never return raw arrays; oracles mirror with DuckDB
+    ``array_to_string(..., ',')``."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        from pyspark.sql import functions as F
+        from pyspark.sql import types as T
+
+        df = _knows(spark, sf_dir).cypher(q)
+        for f in df.schema.fields:
+            if isinstance(f.dataType, T.ArrayType):
+                df = df.withColumn(
+                    f.name,
+                    F.array_join(F.col(f.name).cast("array<string>"), ","))
+        return df
+
+    return run
+
+
 def _q_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G1/G2: unweighted shortest distances from Person key 0, ≤8 hops."""
     from pyspark.sql import functions as F
@@ -1970,8 +1993,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "AND NOT p.name ENDS WITH '3' AND p.name CONTAINS '1' "
             "RETURN p.name AS name"),
         # list comprehension + reduce over per-row data (r3-s3; oracle
-        # via DuckDB list_filter/list_transform/list_reduce)
-        "p11_list_comp": _q_cypher_knows(
+        # via DuckDB list_filter/list_transform/list_reduce; arrays
+        # comma-joined so the driver canonicalizer can sort — r4 fix)
+        "p11_list_comp": _q_cypher_knows_joined(
             "MATCH (p:Person) WHERE p.age % 20 = 0 "
             "RETURN p.name AS name, "
             "[x IN range(1, p.age) WHERE x % 7 = 0 | x * 2] AS sevens, "
@@ -2017,14 +2041,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "-[:KNOWS*1..4]->(b:Person)) "
             "RETURN b.name AS bn, length(p) AS d"),
         # named paths (r3-s3 extension; full oracle — packed-graphid
-        # node lists recomputed in SQL)
-        "p16_named_path": _q_cypher_knows(
+        # node lists recomputed in SQL, comma-joined for the driver)
+        "p16_named_path": _q_cypher_knows_joined(
             "MATCH p = (a:Person)-[:KNOWS]->(b)-[:KNOWS]->(c) "
             "WHERE a.age = 30 RETURN a.name AS name, length(p) AS hops, "
             "nodes(p) AS ns"),
         # pattern comprehensions (r3-s3 extension; full oracle via
-        # DuckDB correlated list() aggregate, both sides sorted)
-        "p15_pattern_comp": _q_cypher_knows(
+        # DuckDB correlated list() aggregate, both sides sorted and
+        # comma-joined for the driver canonicalizer)
+        "p15_pattern_comp": _q_cypher_knows_joined(
             "MATCH (a:Person) WHERE a.age % 8 = 0 "
             "RETURN a.name AS name, "
             "[(a)-[:KNOWS]->(b:Person) WHERE b.active | b.name] "
@@ -2526,8 +2551,9 @@ def oracle_sql() -> dict[str, str]:
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),
         "p11_list_comp": pre + (
             " SELECT name, "
-            "list_transform(list_filter(generate_series(1, age), "
-            "x -> x % 7 = 0), x -> CAST(x * 2 AS BIGINT)) AS sevens, "
+            "array_to_string(list_transform(list_filter("
+            "generate_series(1, age), "
+            "x -> x % 7 = 0), x -> CAST(x * 2 AS BIGINT)), ',') AS sevens, "
             "list_reduce(list_transform(generate_series(1, 10), "
             "x -> CAST(x * age AS BIGINT)), (a, b) -> a + b) AS wsum "
             "FROM person WHERE age % 20 = 0 ORDER BY name"),
@@ -2560,14 +2586,17 @@ def oracle_sql() -> dict[str, str]:
             "JOIN person p2 ON t.b = p2.key WHERE p1.name = 'Person0'"),
         "p16_named_path": pre + (
             " SELECT p1.name, 2 AS hops, "
-            "[281474976710656 + k1.src, 281474976710656 + k1.dst, "
-            "281474976710656 + k2.dst] AS ns "
+            "array_to_string([281474976710656 + k1.src, "
+            "281474976710656 + k1.dst, "
+            "281474976710656 + k2.dst], ',') AS ns "
             "FROM knows k1 JOIN knows k2 ON k1.dst = k2.src "
             "JOIN person p1 ON k1.src = p1.key WHERE p1.age = 30"),
         "p15_pattern_comp": pre + (
-            " SELECT p1.name, coalesce((SELECT list_sort(list(p2.name)) "
+            " SELECT p1.name, coalesce(array_to_string("
+            "(SELECT list_sort(list(p2.name)) "
             "FROM knows k JOIN person p2 ON k.dst = p2.key "
-            "WHERE k.src = p1.key AND p2.active), []) AS active_friends "
+            "WHERE k.src = p1.key AND p2.active), ','), '') "
+            "AS active_friends "
             "FROM person p1 WHERE p1.age % 8 = 0"),
         "p14_count_sub": pre + (
             " SELECT p1.name, (SELECT count(*) FROM knows k "
