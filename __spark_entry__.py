@@ -287,16 +287,20 @@ def _q_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g19: node2vec(p=2, q=0.5) biased walk corpus over the knows
-    graph → skip-gram pairs. Rows-only (the deterministic weighted
-    choice has no portable SQL mirror); bias direction and edge
-    validity are pytest-proven (test_graph_algos node2vec tests)."""
+    graph → skip-gram pairs. Runs ``hash_mode="md5"`` so the weighted
+    inverse-CDF choice replays in SQL: the oracle explodes candidates,
+    window-cumulates the (0.5/1.0/2.0 — all dyadic, hence exact)
+    weights in the same sorted order, and picks the first cand whose
+    cumulative weight crosses the md5-derived uniform (r4; was
+    rows-only under xxhash64). Bias direction and edge validity are
+    additionally pytest-proven (test_graph_algos node2vec tests)."""
     from rust_graph_db_spark.operators.graph_algos import (
         node2vec_walks, walk_skipgram_pairs,
     )
 
-    g = _knows(spark, sf_dir)
-    e = g.edge_frame("KNOWS").select("src", "dst")
-    walks = node2vec_walks(e, walk_length=6, p=2.0, q=0.5, seed=13)
+    e = _knows_raw_edges(spark, sf_dir)
+    walks = node2vec_walks(e, walk_length=6, p=2.0, q=0.5, seed=13,
+                           hash_mode="md5")
     return walk_skipgram_pairs(walks, window=2)
 
 
@@ -438,67 +442,70 @@ def _q_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_neighborhood_function(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """g14: HyperBall neighborhood function N(h) for h ≤ 6 over the
-    KNOWS graph (graph_algos.neighborhood_function). HLL-estimated
-    ball sizes are deterministic but not expressible in portable SQL,
-    so this entry has no oracle_sql — the driver records the weaker
-    rows-only check; exactness-within-error is pytest-proven against
-    all-pairs BFS (test_neighborhood_function_vs_exact_bfs)."""
+    """g14: neighborhood function N(h) for h ≤ 6 over the KNOWS graph
+    (graph_algos.neighborhood_function). Runs ``exact=True`` — the
+    exact bounded all-pairs BFS — so the entry has a FULL recursive-CTE
+    oracle (r3 verdict item 3; this was rows-only when it ran the HLL
+    estimator). The HLL path stays the 100 TB default and is
+    pytest-proven against this same exact loop
+    (test_neighborhood_function_vs_exact_bfs)."""
     from rust_graph_db_spark.operators.graph_algos import \
         neighborhood_function
 
     return neighborhood_function(_knows_raw_edges(spark, sf_dir),
-                                 max_hops=6)
+                                 max_hops=6, exact=True)
 
 
 def _q_harmonic(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """g16: HyperBall harmonic centrality H(v) = Σ 1/d(v,u) over the
-    KNOWS graph (graph_algos.harmonic_centrality) — the closeness-
-    family ranking at sketch cost. Like g14, HLL estimates have no
-    portable SQL mirror, so rows-only; exactness-within-error is
-    pytest-proven against per-vertex BFS
-    (test_harmonic_centrality_vs_exact_bfs)."""
+    """g16: harmonic centrality H(v) = Σ 1/d(v,u) over the KNOWS graph
+    (graph_algos.harmonic_centrality), ``exact=True`` for a full SQL
+    oracle. Determinism trick: H·60 is an integer for d ≤ 6 (every
+    hop count divides 60), so both sides emit round(H·60)/60 — an
+    exact dyadic-free value immune to float-summation order. The HLL
+    path stays the scale default (pytest-proven within error)."""
     from pyspark.sql import functions as F
 
     from rust_graph_db_spark.operators.graph_algos import \
         harmonic_centrality
 
     return (harmonic_centrality(_knows_raw_edges(spark, sf_dir),
-                                max_hops=6)
-            .select("id", F.round("harmonic", 2).alias("harmonic")))
+                                max_hops=6, exact=True)
+            .select("id", (F.round(F.col("harmonic") * 60, 0)
+                           / F.lit(60.0)).alias("harmonic")))
 
 
 def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """g22: HyperBall closeness centrality, Lin's index
-    C(v) = r(v)²/(n·S(v)) over the KNOWS graph
-    (graph_algos.closeness_centrality). Like g16, HLL estimates have
-    no portable SQL mirror, so rows-only; exactness-within-error is
-    pytest-proven against per-vertex BFS
-    (test_closeness_centrality_vs_exact_bfs)."""
+    """g22: closeness centrality, Lin's index C(v) = r(v)²/(n·S(v))
+    over the KNOWS graph (graph_algos.closeness_centrality),
+    ``exact=True`` for a full SQL oracle — r, S, n are exact integers
+    so the quotient is bitwise-deterministic on both engines. The HLL
+    path stays the scale default (pytest-proven within error)."""
     from pyspark.sql import functions as F
 
     from rust_graph_db_spark.operators.graph_algos import \
         closeness_centrality
 
     return (closeness_centrality(_knows_raw_edges(spark, sf_dir),
-                                 max_hops=6)
+                                 max_hops=6, exact=True)
             .select("id", F.round("closeness", 4).alias("closeness")))
 
 
 def _q_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g15: deterministic random walks → skip-gram co-occurrence
     counts (graph_algos.random_walks + walk_skipgram_pairs — the
-    DeepWalk corpus path). Hash-driven neighbor choice (xxhash64) has
-    no DuckDB equivalent, so no oracle_sql; determinism and edge
-    validity are pytest-proven (test_random_walks_valid_deterministic,
-    test_walk_skipgram_pairs)."""
+    DeepWalk corpus path). Runs ``hash_mode="md5"`` so the neighbor
+    choice hash is computable in DuckDB (('0x'||substr(md5,1,15))::
+    BIGINT) and the whole corpus replays as a full unrolled-CTE
+    oracle (r3 verdict item 3; xxhash64 mode was rows-only).
+    Determinism and edge validity are additionally pytest-proven."""
     from pyspark.sql import functions as F
 
     from rust_graph_db_spark.operators.graph_algos import (
         random_walks, walk_skipgram_pairs)
 
     e = _knows_raw_edges(spark, sf_dir)
-    walks = random_walks(e, walk_length=6, walks_per_vertex=1, seed=42)
+    walks = random_walks(e, walk_length=6, walks_per_vertex=1, seed=42,
+                         hash_mode="md5")
     return (walk_skipgram_pairs(walks, window=2)
             .groupBy("center", "context")
             .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
@@ -2353,6 +2360,157 @@ def _mixture_oracle_sql() -> str:
     return f"SELECT doc_id, source FROM ({inner})"
 
 
+# -- exact-BFS oracles for the HyperBall family (graph_algos exact=True) --
+
+def _exact_bfs_with(max_hops: int) -> str:
+    """Shared WITH RECURSIVE block: ``vv`` = vertex set, ``md`` =
+    (root, node, d) minimum out-hop distances over ``knows``, bounded
+    at ``max_hops`` — the SQL twin of graph_algos._exact_out_dists.
+    Must live inside a subquery (outer ``pre`` WITH is not RECURSIVE)."""
+    return (
+        # DISTINCT-over-UNION-ALL: DuckDB 1.0 does not dedup a plain
+        # two-branch UNION CTE inside WITH RECURSIVE
+        "WITH RECURSIVE vv AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM knows UNION ALL "
+        "SELECT dst AS id FROM knows)), "
+        "walk AS (SELECT id AS root, id AS node, 0 AS d FROM vv "
+        "UNION SELECT w.root, k.dst, w.d + 1 FROM walk w "
+        f"JOIN knows k ON w.node = k.src WHERE w.d < {max_hops}), "
+        "md AS (SELECT root, node, min(d) AS d FROM walk "
+        "GROUP BY root, node)")
+
+
+def _neighborhood_oracle_sql(pre: str, max_hops: int = 6) -> str:
+    """N(h) = pairs within distance ≤ h — cumulative count over md."""
+    return pre + (
+        f" SELECT hop, n_pairs FROM ({_exact_bfs_with(max_hops)} "
+        "SELECT CAST(h.hop AS INT) AS hop, "
+        "CAST(count(md.root) AS BIGINT) AS n_pairs "
+        f"FROM (SELECT unnest(generate_series(0, {max_hops})) AS hop) h "
+        "LEFT JOIN md ON md.d <= h.hop GROUP BY h.hop) q")
+
+
+def _harmonic_oracle_sql(pre: str, max_hops: int = 6) -> str:
+    """H(v)·60 = Σ 60/d is an exact integer for d ≤ 6 (60 = lcm 1..6),
+    so both engines emit the bitwise-identical sum/60 — mirrors
+    _q_harmonic's round(H·60)/60 trick."""
+    assert max_hops <= 6, "60 = lcm(1..6); widen the scale for more hops"
+    return pre + (
+        f" SELECT id, harmonic FROM ({_exact_bfs_with(max_hops)} "
+        "SELECT v.id, CAST(coalesce(t.s, 0) AS DOUBLE) / "
+        "CAST(60.0 AS DOUBLE) AS harmonic "
+        "FROM vv v LEFT JOIN (SELECT root, sum(60 // d) AS s FROM md "
+        "WHERE d >= 1 GROUP BY root) t ON t.root = v.id) q")
+
+
+def _closeness_oracle_sql(pre: str, max_hops: int = 6) -> str:
+    """Lin's index r²/(n·S) from exact integer r, S, n — bitwise-
+    deterministic on both engines (mirrors closeness exact=True)."""
+    return pre + (
+        f" SELECT id, closeness FROM ({_exact_bfs_with(max_hops)}, "
+        "t AS (SELECT root, CAST(count(*) AS DOUBLE) AS r, "
+        "CAST(sum(d) AS DOUBLE) AS sumd FROM md WHERE d >= 1 "
+        "GROUP BY root) "
+        "SELECT v.id, round(CASE WHEN coalesce(t.sumd, 0) > 0 "
+        "THEN t.r * t.r / "
+        "(CAST((SELECT count(*) FROM vv) AS DOUBLE) * t.sumd) "
+        "ELSE CAST(0.0 AS DOUBLE) END, 4) AS closeness "
+        "FROM vv v LEFT JOIN t ON t.root = v.id) q")
+
+
+# ------- md5-replayable walk oracles (graph_algos hash_mode="md5") -------
+
+def _md5_choice(seed: int, t: int, wid: str = "w.walk_id",
+                cur: str = "w.cur") -> str:
+    """DuckDB twin of graph_algos._walk_choice_hash md5 mode:
+    int(md5("seed:walk_id:t:cur")[:15 hex], 16) — always a positive
+    60-bit BIGINT on both engines."""
+    return (f"('0x' || substr(md5(concat_ws(':', '{seed}', {wid}, "
+            f"'{t}', {cur})), 1, 15))::BIGINT")
+
+
+def _walks_ctes(seed: int, walk_length: int) -> str:
+    """Unrolled uniform random_walks(hash_mode='md5', wpv=1): sorted
+    adjacency list + one CTE per step indexing nbrs[H % deg]."""
+    ctes = [
+        "adj AS (SELECT src, list_sort(list(dst)) AS nbrs "
+        "FROM knows GROUP BY src)",
+        "w0 AS (SELECT DISTINCT src AS walk_id, src AS start, "
+        "src AS cur FROM knows)",
+    ]
+    for t in range(1, walk_length):
+        ctes.append(
+            f"w{t} AS (SELECT w.walk_id, w.start, "
+            f"a.nbrs[CAST({_md5_choice(seed, t)} % len(a.nbrs) + 1 "
+            f"AS INT)] AS cur FROM w{t-1} w JOIN adj a ON a.src = w.cur)")
+    steps = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM w{t}"
+        for t in range(walk_length))
+    ctes.append(f"walks AS ({steps})")
+    return ", ".join(ctes)
+
+
+def _walk_pairs_oracle_sql(pre: str, seed: int = 42,
+                           walk_length: int = 6, window: int = 2) -> str:
+    return (pre + ", " + _walks_ctes(seed, walk_length) +
+            " SELECT a.vertex AS center, b.vertex AS context, "
+            "CAST(count(*) AS BIGINT) AS cnt "
+            "FROM walks a JOIN walks b ON a.walk_id = b.walk_id "
+            f"AND a.step <> b.step AND abs(a.step - b.step) <= {window} "
+            "GROUP BY a.vertex, b.vertex")
+
+
+def _node2vec_oracle_sql(pre: str, seed: int = 13, walk_length: int = 6,
+                         p: float = 2.0, q: float = 0.5,
+                         window: int = 2) -> str:
+    """Unrolled node2vec(hash_mode='md5'): per step, explode cur's
+    out-edges, weight each candidate (1/p return, 1 shared-neighbor,
+    1/q otherwise — all dyadic, so window-cumulated sums are exact),
+    and pick the first candidate in sorted order whose cumulative
+    weight crosses the md5-derived uniform r — the relational twin of
+    the Spark-side inverse-CDF array fold."""
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    ctes = [
+        "s0 AS (SELECT DISTINCT src AS walk_id, src AS start, "
+        "src AS cur, CAST(NULL AS BIGINT) AS prev FROM knows)",
+    ]
+    for t in range(1, walk_length):
+        ctes.append(
+            f"c{t} AS (SELECT f.walk_id, f.start, f.cur, f.prev, "
+            "k.dst AS cand, "
+            "CASE WHEN f.prev IS NULL THEN CAST(1.0 AS DOUBLE) "
+            f"WHEN k.dst = f.prev THEN CAST({inv_p} AS DOUBLE) "
+            "WHEN EXISTS (SELECT 1 FROM knows pk WHERE pk.src = f.prev "
+            "AND pk.dst = k.dst) THEN CAST(1.0 AS DOUBLE) "
+            f"ELSE CAST({inv_q} AS DOUBLE) END AS wt "
+            f"FROM s{t-1} f JOIN knows k ON k.src = f.cur)")
+        ctes.append(
+            f"p{t} AS (SELECT *, sum(wt) OVER (PARTITION BY walk_id "
+            "ORDER BY cand ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS cum, "
+            f"sum(wt) OVER (PARTITION BY walk_id) AS total FROM c{t})")
+        ctes.append(
+            f"r{t} AS (SELECT *, "
+            f"CAST({_md5_choice(seed, t, 'walk_id', 'cur')} % 1000003 "
+            "AS DOUBLE) / CAST(1000003.0 AS DOUBLE) * total AS r "
+            f"FROM p{t})")
+        ctes.append(
+            f"s{t} AS (SELECT walk_id, start, new_cur AS cur, "
+            "prev_cur AS prev FROM (SELECT walk_id, start, "
+            "cur AS prev_cur, r, coalesce(min(cand) FILTER "
+            "(WHERE cum >= r), max(cand)) AS new_cur "
+            f"FROM r{t} GROUP BY walk_id, start, cur, r) qq)")
+    steps = " UNION ALL ".join(
+        f"SELECT walk_id, {t} AS step, cur AS vertex FROM s{t}"
+        for t in range(walk_length))
+    ctes.append(f"walks AS ({steps})")
+    return (pre + ", " + ", ".join(ctes) +
+            " SELECT a.vertex AS center, b.vertex AS context, "
+            "CAST(abs(a.step - b.step) AS INT) AS dist "
+            "FROM walks a JOIN walks b ON a.walk_id = b.walk_id "
+            f"AND a.step <> b.step AND abs(a.step - b.step) <= {window}")
+
+
 def _lpa_oracle_sql(pre: str, iterations: int = 2) -> str:
     """Unrolled synchronous label propagation: one CTE per round,
     argmax by row_number over (count DESC, label) — mirrors
@@ -2546,6 +2704,15 @@ def oracle_sql() -> dict[str, str]:
         "g21_weighted_pagerank": _weighted_pagerank_oracle_sql(
             pre, iterations=6),
         "g13_personalized_pr": _ppr_oracle_sql(pre, source=0, iterations=6),
+        # r4: HyperBall family exact=True + md5-mode walks now have
+        # full oracles (r3 verdict item 3 — these were rows-only)
+        "g14_neighborhood": _neighborhood_oracle_sql(pre, max_hops=6),
+        "g16_harmonic": _harmonic_oracle_sql(pre, max_hops=6),
+        "g22_closeness": _closeness_oracle_sql(pre, max_hops=6),
+        "g15_walk_pairs": _walk_pairs_oracle_sql(
+            pre, seed=42, walk_length=6, window=2),
+        "g19_node2vec": _node2vec_oracle_sql(
+            pre, seed=13, walk_length=6, p=2.0, q=0.5, window=2),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),

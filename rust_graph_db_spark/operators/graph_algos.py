@@ -524,9 +524,29 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count("*").cast("long").alias("triangles"))
 
 
+def _walk_choice_hash(hash_mode: str, seed: int, t, walk_id_col, cur_col):
+    """The deterministic uniform driving a walk's neighbor choice.
+
+    ``xxhash64`` (default): one JVM hash call — the fast path.
+    ``md5``: ``int(md5("seed:walk_id:t:cur")[:15 hex], 16)`` — chosen
+    because BOTH Spark (``conv(substring(md5(..)),16,10)``) and DuckDB
+    (``('0x' || substr(md5(..),1,15))::BIGINT``) can compute it
+    bit-identically, which turns the walk corpus into a full SQL
+    oracle (r3 verdict item: walks were rows-only without it). 15 hex
+    digits = 60 bits, always a positive BIGINT on both engines.
+    """
+    if hash_mode == "md5":
+        key = F.concat_ws(
+            ":", F.lit(str(seed)), walk_id_col.cast("string"),
+            F.lit(str(t)), cur_col.cast("string"))
+        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+    return F.xxhash64(F.lit(seed), walk_id_col, F.lit(t), cur_col)
+
+
 def random_walks(edges: DataFrame, walk_length: int = 10,
                  walks_per_vertex: int = 1, seed: int = 0,
-                 starts: Optional[DataFrame] = None) -> DataFrame:
+                 starts: Optional[DataFrame] = None,
+                 hash_mode: str = "xxhash64") -> DataFrame:
     """Deterministic uniform random walks over a (src, dst) edge list —
     the DeepWalk/node2vec(p=q=1) corpus generator: the walk sequences
     are the "sentences" a skip-gram embedding trains on, which makes
@@ -568,23 +588,28 @@ def random_walks(edges: DataFrame, walk_length: int = 10,
     base = (starts.select(F.col(starts.columns[0]).cast("long").alias("start"))
             if starts is not None else
             e.select(F.col("src").alias("start")).distinct())
+    # md5 mode keeps walk_id SQL-trivial (start*wpv + rep) so the
+    # oracle can reproduce it; xxhash64 mode spreads ids for skew.
+    wid = (F.col("start") * walks_per_vertex + F.col("rep")
+           if hash_mode == "md5" else
+           F.xxhash64(F.lit(seed), "start", "rep"))
     frontier = (base.select(
         "start",
         F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)]))
          .alias("rep"))
-        .select(F.xxhash64(F.lit(seed), "start", "rep").alias("walk_id"),
+        .select(wid.cast("long").alias("walk_id"),
                 "start", F.col("start").alias("cur"))
         .localCheckpoint(eager=True))
     out = frontier.select("walk_id", "start", F.lit(0).alias("step"),
                           F.col("cur").alias("vertex"))
     for t in range(1, walk_length):
+        h = _walk_choice_hash(hash_mode, seed, t,
+                              F.col("walk_id"), F.col("cur"))
         nxt = (frontier.join(links, frontier["cur"] == links["src"])
                .select("walk_id", "start",
                        F.element_at(
                            "nbrs",
-                           (F.pmod(F.xxhash64(F.lit(seed), "walk_id",
-                                              F.lit(t), "cur"),
-                                   F.size("nbrs")) + 1).cast("int"))
+                           (F.pmod(h, F.size("nbrs")) + 1).cast("int"))
                         .alias("cur"))
                .localCheckpoint(eager=True))
         out = out.unionAll(nxt.select(
@@ -622,8 +647,43 @@ def walk_skipgram_pairs(walks: DataFrame, window: int = 2) -> DataFrame:
                      .alias("dist")))
 
 
+def _exact_out_dists(e: DataFrame, max_hops: int) -> DataFrame:
+    """All-pairs bounded BFS: ``(root, node, d)`` with d = min number
+    of OUT-edge hops root→node (d = 0 for root itself), d ≤ max_hops.
+
+    This is the EXACT-oracle substrate behind ``exact=True`` on the
+    HyperBall family — level-synchronous frontier expansion with an
+    anti-join against settled pairs, the same loop shape as
+    ``traversal.bfs_distances`` but rooted at every vertex at once.
+    State is O(Σ ball sizes) rows, i.e. up to V² — deliberately NOT
+    the 100 TB path (that's the HLL sketches); it exists so the
+    sketch estimators have a driver-checkable ground truth.
+    """
+    verts = (e.select(F.col("src").alias("id"))
+             .unionAll(e.select(F.col("dst").alias("id")))
+             .distinct())
+    dist = (verts.select(F.col("id").alias("root"),
+                         F.col("id").alias("node"),
+                         F.lit(0).alias("d"))
+            .localCheckpoint(eager=True))
+    frontier = dist
+    for h in range(1, max_hops + 1):
+        nxt = (frontier.join(e, frontier["node"] == e["src"])
+               .select("root", e["dst"].alias("node"),
+                       F.lit(h).alias("d"))
+               .distinct()
+               .join(dist.select("root", "node"), ["root", "node"],
+                     "left_anti")
+               .localCheckpoint(eager=True))
+        if nxt.isEmpty():
+            break
+        dist = dist.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    return dist
+
+
 def neighborhood_function(edges: DataFrame, max_hops: int = 8,
-                          lgk: int = 12) -> DataFrame:
+                          lgk: int = 12, exact: bool = False) -> DataFrame:
     """HyperBall (Boldi & Vigna, 2013): the neighborhood function
     N(h) = number of ordered vertex pairs within distance ≤ h, via one
     HyperLogLog sketch per vertex — the estimator behind effective-
@@ -646,12 +706,29 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 8,
     Early-exits when N(h) stops growing (all balls saturated).
     Estimates carry HLL error (~1.04/√2^lgk ≈ 1.6% at lgk=12); the
     pytest checks them against exact all-pairs BFS within that bound.
+
+    ``exact=True`` swaps the sketches for an exact bounded all-pairs
+    BFS (``_exact_out_dists`` — O(Σ ball) state, NOT the scale path):
+    identical output contract, zero estimation error, fully mirrorable
+    as a recursive-CTE SQL oracle. Use it for correctness gates and
+    small graphs; leave the default for production scale.
     """
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("src"),
                       F.col(d).cast("long").alias("dst"))
          .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
          .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    if exact:
+        dists = _exact_out_dists(e, max_hops)
+        by_d = {int(r["d"]): int(r["c"]) for r in
+                dists.groupBy("d").agg(F.count(F.lit(1)).alias("c"))
+                .collect()}
+        out, run = [], 0
+        for h in range(max_hops + 1):
+            run += by_d.get(h, 0)
+            out.append((h, run))
+        return spark.createDataFrame(out, "hop INT, n_pairs LONG")
     verts = (e.select(F.col("src").alias("id"))
              .unionAll(e.select(F.col("dst").alias("id")))
              .distinct())
@@ -685,7 +762,7 @@ def neighborhood_function(edges: DataFrame, max_hops: int = 8,
 
 
 def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
-                        lgk: int = 12) -> DataFrame:
+                        lgk: int = 12, exact: bool = False) -> DataFrame:
     """Approximate harmonic centrality via HyperBall (Boldi & Vigna,
     2013, §5): H(v) = Σ_{u reachable from v, u≠v} 1 / d(v, u),
     accumulated from successive ball-size differences,
@@ -711,6 +788,10 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
     (~1.04/√2^lgk) and are clamped at 0, since a sketch estimate can
     jitter slightly downward between rounds; the pytest checks the
     result against exact all-pairs BFS within that bound.
+
+    ``exact=True`` computes H(v) = Σ 1/d(v,u) from the exact bounded
+    all-pairs BFS (``_exact_out_dists``) instead of sketch deltas —
+    the driver-checkable oracle path, not the 100 TB path.
     """
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("src"),
@@ -720,6 +801,14 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
     verts = (e.select(F.col("src").alias("id"))
              .unionAll(e.select(F.col("dst").alias("id")))
              .distinct())
+    if exact:
+        dists = _exact_out_dists(e, max_hops)
+        h = (dists.where(F.col("d") >= 1)
+             .groupBy("root")
+             .agg(F.sum(F.lit(1.0) / F.col("d")).alias("harmonic")))
+        return (verts.join(h, verts["id"] == h["root"], "left")
+                .select("id", F.coalesce("harmonic", F.lit(0.0))
+                        .alias("harmonic")))
     balls = (verts.groupBy("id")
              .agg(F.hll_sketch_agg("id", F.lit(lgk)).alias("sk"))
              .select("id", "sk",
@@ -758,7 +847,7 @@ def harmonic_centrality(edges: DataFrame, max_hops: int = 8,
 
 
 def closeness_centrality(edges: DataFrame, max_hops: int = 8,
-                         lgk: int = 12) -> DataFrame:
+                         lgk: int = 12, exact: bool = False) -> DataFrame:
     """Approximate closeness centrality via HyperBall (Boldi & Vigna,
     2013, §5), Lin's index so disconnected graphs stay comparable:
 
@@ -781,6 +870,10 @@ def closeness_centrality(edges: DataFrame, max_hops: int = 8,
     ``hll_union_agg`` groupBy per hop, map-side partial merges,
     ``localCheckpoint`` per round, early exit on saturation. Per-hop
     deltas inherit HLL error and are clamped at 0.
+
+    ``exact=True`` computes r(v)/S(v) from the exact bounded all-pairs
+    BFS (``_exact_out_dists``) — the driver-checkable oracle path, not
+    the 100 TB path.
     """
     s, d = _pair_cols(edges)
     e = (edges.select(F.col(s).cast("long").alias("src"),
@@ -790,6 +883,23 @@ def closeness_centrality(edges: DataFrame, max_hops: int = 8,
     verts = (e.select(F.col("src").alias("id"))
              .unionAll(e.select(F.col("dst").alias("id")))
              .distinct())
+    if exact:
+        n = verts.count()
+        if n == 0:
+            return edges.sparkSession.createDataFrame(
+                [], "id LONG, closeness DOUBLE")
+        dists = _exact_out_dists(e, max_hops)
+        agg = (dists.where(F.col("d") >= 1)
+               .groupBy("root")
+               .agg(F.count(F.lit(1)).cast("double").alias("r"),
+                    F.sum("d").cast("double").alias("sumd")))
+        return (verts.join(agg, verts["id"] == agg["root"], "left")
+                .select(
+                    "id",
+                    F.when(F.coalesce("sumd", F.lit(0.0)) > 0.0,
+                           F.col("r") * F.col("r")
+                           / (F.lit(float(n)) * F.col("sumd")))
+                     .otherwise(F.lit(0.0)).alias("closeness")))
     balls = (verts.groupBy("id")
              .agg(F.hll_sketch_agg("id", F.lit(lgk)).alias("sk"))
              .select("id", "sk",
@@ -1124,7 +1234,8 @@ def betweenness_centrality(
 def node2vec_walks(edges: DataFrame, walk_length: int = 10,
                    p: float = 1.0, q: float = 1.0,
                    walks_per_vertex: int = 1, seed: int = 0,
-                   starts: Optional[DataFrame] = None) -> DataFrame:
+                   starts: Optional[DataFrame] = None,
+                   hash_mode: str = "xxhash64") -> DataFrame:
     """Second-order biased random walks (node2vec — Grover & Leskovec,
     KDD 2016): the step from ``cur`` (having arrived from ``prev``)
     weights each neighbor x by 1/p if x == prev (return), 1 if x is
@@ -1132,9 +1243,10 @@ def node2vec_walks(edges: DataFrame, walk_length: int = 10,
     degenerates to the uniform :func:`random_walks` distribution.
 
     Same determinism contract as :func:`random_walks`: the weighted
-    choice draws its uniform from ``xxhash64(seed, walk_id, t, cur)``,
-    so the corpus is a pure function of (graph, p, q, seed). Returns
-    ``(walk_id, start, step, vertex)``.
+    choice draws its uniform from ``xxhash64(seed, walk_id, t, cur)``
+    (or the SQL-mirrorable md5 variant when ``hash_mode="md5"`` — see
+    :func:`_walk_choice_hash`), so the corpus is a pure function of
+    (graph, p, q, seed). Returns ``(walk_id, start, step, vertex)``.
 
     Cost shape: per step, TWO adjacency joins (cur's and prev's
     neighbor lists) and an O(deg_cur) fold whose membership probe is
@@ -1156,11 +1268,14 @@ def node2vec_walks(edges: DataFrame, walk_length: int = 10,
                           .alias("start"))
             if starts is not None else
             e.select(F.col("src").alias("start")).distinct())
+    wid = (F.col("start") * walks_per_vertex + F.col("rep")
+           if hash_mode == "md5" else
+           F.xxhash64(F.lit(seed), "start", "rep"))
     frontier = (base.select(
         "start",
         F.explode(F.array(*[F.lit(r) for r in range(walks_per_vertex)]))
          .alias("rep"))
-        .select(F.xxhash64(F.lit(seed), "start", "rep").alias("walk_id"),
+        .select(wid.cast("long").alias("walk_id"),
                 "start", F.col("start").alias("cur"),
                 F.lit(None).cast("long").alias("prev"))
         .localCheckpoint(eager=True))
@@ -1180,8 +1295,8 @@ def node2vec_walks(edges: DataFrame, walk_length: int = 10,
                        .when(F.array_contains(pn, x), F.lit(1.0))
                        .otherwise(F.lit(inv_q)))
         total = F.aggregate(weights, F.lit(0.0), lambda a, w: a + w)
-        r = (F.pmod(F.xxhash64(F.lit(seed), F.col("walk_id"),
-                               F.lit(t), F.col("cur")),
+        r = (F.pmod(_walk_choice_hash(hash_mode, seed, t,
+                                      F.col("walk_id"), F.col("cur")),
                     F.lit(1_000_003)).cast("double")
              / F.lit(1_000_003.0)) * total
         # first index whose cumulative weight reaches r (inverse-CDF);

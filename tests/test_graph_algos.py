@@ -755,3 +755,103 @@ def test_weighted_pagerank_vs_power_iteration(spark):
            for r2 in pagerank(uni, iterations=6, weight_col="w").collect()}
     for v in nodes:
         assert abs(unw[v] - wun[v]) < 1e-9
+
+
+def test_exact_modes_match_ground_truth(spark):
+    """exact=True on the HyperBall trio must return the EXACT values
+    (zero estimation error) on the cycle+tail+bridge graph — this is
+    the driver-oracle path (r4), so equality is strict, not
+    within-HLL-error like the sketch tests above."""
+    import collections
+
+    from rust_graph_db_spark.operators.graph_algos import (
+        closeness_centrality, harmonic_centrality, neighborhood_function)
+
+    edges = ([(i, (i + 1) % 20) for i in range(20)]
+             + [(100, 101), (101, 102)]
+             + [(0, 100)])
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    out = collections.defaultdict(set)
+    nodes = set()
+    for s, d in edges:
+        out[s].add(d)
+        nodes |= {s, d}
+
+    def dists(v, cap):
+        dist = {v: 0}
+        frontier = {v}
+        h = 0
+        while frontier and h < cap:
+            h += 1
+            frontier = {w for u in frontier for w in out.get(u, ())
+                        if w not in dist}
+            for w in frontier:
+                dist[w] = h
+        return dist
+
+    cap = 10
+    got_nf = {r.hop: r.n_pairs
+              for r in neighborhood_function(df, max_hops=cap,
+                                             exact=True).collect()}
+    for h in range(cap + 1):
+        want = sum(sum(1 for d_ in dists(v, cap).values() if d_ <= h)
+                   for v in nodes)
+        assert got_nf[h] == want, (h, got_nf[h], want)
+
+    got_h = {r.id: r.harmonic
+             for r in harmonic_centrality(df, max_hops=cap,
+                                          exact=True).collect()}
+    for v in nodes:
+        want = sum(1.0 / d_ for u, d_ in dists(v, cap).items() if u != v)
+        assert abs(got_h[v] - want) < 1e-9, (v, got_h[v], want)
+    assert got_h[102] == 0.0
+
+    n = len(nodes)
+    got_c = {r.id: r.closeness
+             for r in closeness_centrality(df, max_hops=cap,
+                                           exact=True).collect()}
+    for v in nodes:
+        dv = {u: d_ for u, d_ in dists(v, cap).items() if u != v}
+        r_, s_ = len(dv), sum(dv.values())
+        want = (r_ * r_) / (n * s_) if s_ else 0.0
+        assert abs(got_c[v] - want) < 1e-12, (v, got_c[v], want)
+
+
+def test_walks_md5_mode(spark):
+    """hash_mode="md5" (the SQL-replayable oracle mode, r4) keeps every
+    walk invariant: valid edges, start at step 0, deterministic across
+    runs, walk_id = start*wpv + rep, and node2vec md5 walks are valid
+    too. The choice hash differs from xxhash64 so the corpora differ,
+    but both are uniform walks over the same graph."""
+    from rust_graph_db_spark.operators.graph_algos import (
+        node2vec_walks, random_walks)
+
+    edges = [(1, 2), (1, 3), (2, 3), (3, 1), (3, 4), (4, 5), (6, 1)]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    eset = set(edges)
+
+    rows = random_walks(df, walk_length=6, walks_per_vertex=2, seed=7,
+                        hash_mode="md5").collect()
+    walks: dict = {}
+    starts: dict = {}
+    for r in rows:
+        walks.setdefault(r.walk_id, {})[r.step] = r.vertex
+        starts[r.walk_id] = r.start
+    assert len(walks) == 10
+    for wid, steps in walks.items():
+        seq = [steps[i] for i in sorted(steps)]
+        assert seq[0] == starts[wid]
+        assert wid in (starts[wid] * 2, starts[wid] * 2 + 1)
+        assert all((a, b) in eset for a, b in zip(seq, seq[1:]))
+    again = random_walks(df, walk_length=6, walks_per_vertex=2, seed=7,
+                         hash_mode="md5").collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+
+    n2v = node2vec_walks(df, walk_length=6, p=2.0, q=0.5, seed=7,
+                         hash_mode="md5").collect()
+    w2: dict = {}
+    for r in n2v:
+        w2.setdefault(r.walk_id, {})[r.step] = r.vertex
+    for wid, steps in w2.items():
+        seq = [steps[i] for i in sorted(steps)]
+        assert all((a, b) in eset for a, b in zip(seq, seq[1:]))
