@@ -184,12 +184,15 @@ def _q_scc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """g18: exact betweenness centrality over a binary out-tree on
-    customer keys (heap edges u→2u+1, u→2u+2 capped at max key). On a
-    directed tree the closed form is ancestors(v) × descendants(v), so
-    the DuckDB oracle checks the full Brandes machinery (forward sigma
+    """g18: betweenness centrality over a binary out-tree on customer
+    keys (heap edges u→2u+1, u→2u+2 capped at max key). On a directed
+    tree the closed form is ancestors(v) × descendants(v), so the
+    DuckDB oracle checks the full Brandes machinery (forward sigma
     counting + backward dependency accumulation) against a recursive
-    CTE — not just row counts."""
+    CTE — not just row counts. Run with defaults: below the r4 size
+    gate (4096 vertices) that is the exact path, so the sf0.01 oracle
+    stays a strict value check; at sf0.1+ the gate flips to the
+    Brandes-Pich sampled estimator — the 100 TB-safe default."""
     from pyspark.sql import functions as F
 
     from rust_graph_db_spark.operators.graph_algos import (

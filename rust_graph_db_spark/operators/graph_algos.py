@@ -1127,17 +1127,27 @@ def strongly_connected_components(
 def betweenness_centrality(
         edges: DataFrame, sources: Optional[DataFrame] = None,
         sample: Optional[int] = None, seed: int = 0,
-        max_hops: int = 30) -> DataFrame:
+        max_hops: int = 30,
+        auto_sample_threshold: Optional[int] = 4096) -> DataFrame:
     """Betweenness centrality over the DIRECTED unweighted edge list:
     ``(id, betweenness)``, Brandes' dependency accumulation expressed as
     two level-synchronous DataFrame loops.
 
-    Exact when run from every vertex (the default); pass ``sample=k``
-    for the Brandes–Pich pivot estimator (Centrality Estimation in
-    Large Networks, IJBC 2007): BFS from k deterministically-hashed
-    pivots, results scaled by n/k — the standard trade at corpus scale,
-    since exact betweenness is O(V·E). ``sources`` overrides pivot
-    selection with an explicit one-column frame.
+    Exact when run from every vertex; pass ``sample=k`` for the
+    Brandes–Pich pivot estimator (Centrality Estimation in Large
+    Networks, IJBC 2007): BFS from k deterministically-hashed pivots,
+    results scaled by n/k — the standard trade at corpus scale, since
+    exact betweenness is O(V·E). ``sources`` overrides pivot selection
+    with an explicit one-column frame.
+
+    Default SIZE GATE (r3 verdict item 4 — exact-by-default was the
+    100×-scale killer): when neither ``sources`` nor ``sample`` is
+    given and the graph has more than ``auto_sample_threshold``
+    vertices, the sampled path switches on automatically with
+    k = clamp(√n, 64, 1024) pivots — the same auto-degradation
+    pattern as the SCC driver-Tarjan gate below. Pass
+    ``auto_sample_threshold=None`` to force exact regardless of size
+    (e.g. for oracles), or an explicit ``sample=k`` to pin k.
 
     Shape: forward pass = per-level frontier join counting shortest
     paths (``sigma``), backward pass = per-level join pushing
@@ -1160,6 +1170,10 @@ def betweenness_centrality(
              .unionAll(e.select(F.col("v").alias("id"))).distinct()
              .localCheckpoint(eager=True))
     n = verts.count()
+    if (sources is None and sample is None
+            and auto_sample_threshold is not None
+            and n > auto_sample_threshold):
+        sample = max(64, min(1024, int(n ** 0.5)))
     if sources is not None:
         srcs = sources.select(F.col(sources.columns[0]).cast("long")
                               .alias("s")).distinct()

@@ -855,3 +855,44 @@ def test_walks_md5_mode(spark):
     for wid, steps in w2.items():
         seq = [steps[i] for i in sorted(steps)]
         assert all((a, b) in eset for a, b in zip(seq, seq[1:]))
+
+
+def test_betweenness_auto_sample_gate(spark):
+    """The r4 size gate: above auto_sample_threshold vertices (and with
+    no explicit sources/sample) betweenness switches to Brandes-Pich
+    pivots automatically. On a 127-vertex binary tree with the
+    threshold forced to 100, the sampled path must produce one
+    deterministic, non-negative row per vertex; threshold=None forces
+    exact, which on a tree equals ancestors x descendants."""
+    from rust_graph_db_spark.operators.graph_algos import \
+        betweenness_centrality
+
+    n = 127          # full binary out-tree, depth 6
+    edges = [(u, v) for u in range(n) for v in (2 * u + 1, 2 * u + 2)
+             if v < n]
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+
+    got = betweenness_centrality(df, auto_sample_threshold=100).collect()
+    assert len(got) == n
+    assert all(r.betweenness >= 0.0 for r in got)
+    again = betweenness_centrality(df, auto_sample_threshold=100).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+    exact = {r.id: r.betweenness
+             for r in betweenness_centrality(
+                 df, auto_sample_threshold=None).collect()}
+
+    def desc(v):
+        kids = [c for c in (2 * v + 1, 2 * v + 2) if c < n]
+        return 1 + sum(desc(c) for c in kids)
+
+    def anc(v):
+        c = 0
+        while v:
+            v = (v - 1) // 2
+            c += 1
+        return c
+
+    for v in range(n):
+        want = float(anc(v) * (desc(v) - 1))
+        assert abs(exact[v] - want) < 1e-9, (v, exact[v], want)
