@@ -65,6 +65,35 @@ _POST_SCHEMA = "post_id LONG, author LONG, content STRING, ts LONG"
 _EDGE_SCHEMA = "src LONG, dst LONG"
 
 
+def _has_write_clause(query: str) -> bool:
+    """True if the parsed query contains any write clause, at any
+    nesting depth (UNION branches, CALL {} subqueries, FOREACH bodies).
+    Parse-based, not regex — a property named 'create' or a string
+    literal 'DELETE x' must not trip it. Parse errors return False;
+    the compiler will surface them with a proper message."""
+    from rust_graph_db_spark.parser.ast_nodes import (
+        CallSubquery, Create, Delete, Foreach, Merge, Query, SetClause,
+        UnionQuery,
+    )
+    from rust_graph_db_spark.parser.parser import parse_cypher
+
+    def walk(node) -> bool:
+        if isinstance(node, UnionQuery):
+            return any(walk(p) for p in node.parts)
+        if isinstance(node, Query):
+            return any(walk(c) for c in node.clauses)
+        if isinstance(node, (Create, Merge, Delete, SetClause, Foreach)):
+            return True
+        if isinstance(node, CallSubquery):
+            return walk(node.query)
+        return False
+
+    try:
+        return walk(parse_cypher(query))
+    except Exception:  # noqa: BLE001 — let cypher() report the syntax error
+        return False
+
+
 class ApiError(Exception):
     def __init__(self, status: int, message: str):
         super().__init__(message)
@@ -260,10 +289,28 @@ class SocialGraphService:
 
     def run_cypher(self, query: str, params: dict = None,
                    limit: int = 1000) -> dict:
-        """Engine extension: run a (parameterized) Cypher query against
-        the live service graph — the reference's API layer never exposes
-        its query language; here the whole Cypher surface is one route.
-        Results are capped at ``limit`` rows (use LIMIT for paging)."""
+        """Engine extension: run a (parameterized) READ-ONLY Cypher
+        query against the live service graph — the reference's API
+        layer never exposes its query language; here the whole Cypher
+        read surface is one route. Results are capped at ``limit``
+        rows (use LIMIT for paging).
+
+        Write clauses (CREATE/MERGE/SET/REMOVE/DELETE/FOREACH) are
+        rejected with 400: ``_graph()`` builds a throwaway snapshot of
+        the service frames, so a write would mutate a discarded copy
+        while reporting success (r3 ADVICE item). Mutations go through
+        the typed routes; durability through POST /admin/commit.
+
+        Trust model: like every route in this dev server, /admin/cypher
+        is UNAUTHENTICATED and the query plan's cost is unbounded (only
+        the returned rows are capped) — deploy behind a gateway that
+        adds authn and timeouts; this process is a test/dev harness,
+        not a hardened endpoint.
+        """
+        if _has_write_clause(query):
+            raise ApiError(
+                400, "write clauses are not allowed on /admin/cypher; "
+                     "use the typed mutation routes")
 
         def _plain(v):
             if hasattr(v, "asDict"):

@@ -14,8 +14,12 @@ the classic driver-coordinated Spark LR:
   (2^18 floats ≈ 2 MB) broadcasts each iteration, the gradient comes
   back as a SPARSE (index, Σ residual·value) aggregation — the only
   shuffle per iteration, reducer cardinality = live feature vocabulary.
-  Deterministic: no sampling, float-sum order fixed by the final
-  driver-side sort.
+  Deterministic up to float-summation order: no sampling, and the
+  driver applies updates in sorted index order, but the per-index
+  partial sums come from ``F.sum`` whose accumulation order across
+  partitions is not fixed — weights can differ in the last ulps
+  between runs/partitionings (bit-exactness would need sorted-array
+  aggregation per index, not worth the shuffle).
 - scoring: one Arrow-batched UDF (sigmoid of sparse dot), map-only.
 """
 

@@ -41,13 +41,27 @@ def token_cooccurrence_pairs(df: DataFrame, text_col: str = "text",
                                  lambda x: x != F.lit("")))
                     .alias("pos", "tok"))
             .localCheckpoint(eager=True))
-    a = toks.select("rid", F.col("pos").alias("pa"),
+    # Band key = floor(pos/window): positions within `window` of each
+    # other differ by at most one band, so joining on (rid, band) with
+    # the context side replicated into its 3 adjacent bands bounds the
+    # join fan-out at 3·window rows per token — O(tokens·window), not
+    # O(tokens-per-doc²) (r3 ADVICE: the rid-only join blew up
+    # quadratically on long documents). Each qualifying pair matches
+    # exactly once: the center's single band hits exactly one of the
+    # context's three distinct band replicas.
+    w = int(window)
+    a = toks.select("rid", F.floor(F.col("pos") / w).alias("band"),
+                    F.col("pos").alias("pa"),
                     F.col("tok").alias("center"))
-    b = toks.select("rid", F.col("pos").alias("pb"),
-                    F.col("tok").alias("context"))
-    return (a.join(b, "rid")
+    band_b = F.floor(F.col("pos") / w)
+    b = toks.select(
+        "rid",
+        F.explode(F.array(band_b - 1, band_b, band_b + 1)).alias("band"),
+        F.col("pos").alias("pb"),
+        F.col("tok").alias("context"))
+    return (a.join(b, ["rid", "band"])
             .where((F.col("pa") != F.col("pb"))
-                   & (F.abs(F.col("pa") - F.col("pb")) <= int(window)))
+                   & (F.abs(F.col("pa") - F.col("pb")) <= w))
             .select("center", "context"))
 
 

@@ -203,7 +203,10 @@ def _pr_frames(e: DataFrame, nparts: Optional[int],
              .unionAll(e.select(F.col("dst").alias("id")))
              .distinct())
     if weighted:
-        links = (e.groupBy("src")
+        # links drop non-positive-weight edges (they carry no rank and
+        # keep tw strictly positive); verts above keep their endpoints
+        links = (e.where(F.col("w") > 0)
+                 .groupBy("src")
                  .agg(F.collect_list(F.struct(F.col("dst").alias("d"),
                                               F.col("w"))).alias("nbrs"),
                       F.sum("w").alias("tw")))
@@ -321,9 +324,12 @@ def _pr_run(edges: DataFrame, copartition: Optional[bool], loop,
     e = edges.select(*cols) \
              .where(F.col("src").isNotNull() & F.col("dst").isNotNull())
     if weight_col is not None:
-        # zero/negative/null weights carry no rank; dropping them keeps
-        # tw strictly positive (no divide-by-zero source rows)
-        e = e.where(F.col("w") > 0)
+        # zero/negative/null weights carry no rank, but their ENDPOINTS
+        # stay in the vertex universe (r3 ADVICE: filtering rows here
+        # made such vertices vanish from the output entirely, whereas
+        # unweighted mode still ranks them (1-d)). _pr_frames drops
+        # only the LINKS; normalizing null→0 keeps the filter sargable.
+        e = e.withColumn("w", F.coalesce(F.col("w"), F.lit(0.0)))
     e = e.localCheckpoint(eager=True)
     n_edges = e.count()
     if copartition is None:

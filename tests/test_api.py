@@ -120,3 +120,29 @@ def test_cypher_endpoint(api):
                  "RETURN a.username AS a, b.username AS b ORDER BY a, b",
         "limit": 5})
     assert status in (200, 201) and out["row_count"] <= 5
+
+
+def test_cypher_endpoint_rejects_writes(api):
+    """r4 (ADVICE): /admin/cypher runs against a throwaway graph
+    snapshot, so write clauses must 400 instead of claiming success —
+    at any nesting depth, and without tripping on look-alike strings."""
+    for q in [
+        "CREATE (u:User {username: 'eve'})",
+        "MATCH (u:User) SET u.username = 'x'",
+        "MATCH (u:User) DELETE u",
+        "MERGE (u:User {username: 'eve'})",
+        "MATCH (u:User) FOREACH (x IN [1] | SET u.username = 'x')",
+        "MATCH (u:User) CALL { WITH u SET u.username = 'x' "
+        "RETURN 1 AS one } RETURN one",
+        "MATCH (u:User) RETURN u.username AS n UNION "
+        "CREATE (v:User {username: 'e2'})",
+    ]:
+        status, out = call(api, "POST", "/api/v1/admin/cypher",
+                           {"query": q})
+        assert status == 400, (q, status, out)
+        assert "write" in out["error"]
+    # look-alike read queries must still pass
+    status, out = call(api, "POST", "/api/v1/admin/cypher", {
+        "query": "MATCH (u:User) WHERE u.username = 'DELETE u' "
+                 "RETURN count(*) AS c"})
+    assert status in (200, 201) and out["rows"] == [{"c": 0}]

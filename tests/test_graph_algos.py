@@ -896,3 +896,22 @@ def test_betweenness_auto_sample_gate(spark):
     for v in range(n):
         want = float(anc(v) * (desc(v) - 1))
         assert abs(exact[v] - want) < 1e-9, (v, exact[v], want)
+
+
+def test_weighted_pagerank_keeps_nonpositive_weight_vertices(spark):
+    """r4 (ADVICE): a vertex whose incident edges all have null/zero/
+    negative weight must still appear in weighted-PageRank output with
+    rank (1-d) — dropping the LINK is correct, dropping the VERTEX was
+    not (unweighted mode keeps it)."""
+    from rust_graph_db_spark.operators.graph_algos import pagerank
+
+    e = spark.createDataFrame(
+        [(1, 2, 1.0), (2, 1, 2.0), (3, 4, 0.0), (5, 1, -1.0),
+         (6, 2, None)],
+        "src LONG, dst LONG, w DOUBLE")
+    got = {r.id: r.rank
+           for r in pagerank(e, iterations=4, weight_col="w").collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    for isolated in (3, 4, 5, 6):
+        assert abs(got[isolated] - 0.15) < 1e-12, (isolated, got[isolated])
+    assert got[1] > 0.15 and got[2] > 0.15
