@@ -307,6 +307,44 @@ def _q_node2vec(spark: SparkSession, sf_dir: str) -> DataFrame:
     return walk_skipgram_pairs(walks, window=2)
 
 
+def _q_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t12: CCNet-style LM quality signal (Wenzek et al. 2020) via a
+    stupid-backoff bigram model (Brants et al. 2007, operators/lm.py):
+    train on the src0-src2 slice, score EVERY document's perplexity,
+    flag the keep set under ppl ≤ 33. Full oracle — counts, backoff
+    ratios, and the ln/exp pipeline are mirrored in SQL; ppl is
+    rounded to 3 digits on both sides to absorb last-ulp libm
+    differences."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.lm import (
+        perplexity, train_backoff_lm)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_backoff_lm(
+        docs.where(F.col("source").isin("src0", "src1", "src2")))
+    return (perplexity(docs, lm)
+            .select("doc_id", "n_tokens", "ppl",
+                    (F.col("ppl") <= F.lit(33.0)).alias("kept")))
+
+
+def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c8: Cavnar-Trenkle character-trigram-profile language ID
+    (operators/lm.py): profiles from the even-doc_id half, predictions
+    for the odd half. Integer distinct-trigram overlap scoring with
+    (overlap DESC, lang ASC) ties — bitwise-deterministic, full SQL
+    oracle."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.lm import (
+        language_id, language_profiles)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    prof = language_profiles(docs.where(F.col("doc_id") % 2 == 0),
+                             top=200)
+    return language_id(docs.where(F.col("doc_id") % 2 == 1), prof)
+
+
 def _q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: rolling 7-day distinct active users per day (WAU shape)."""
     from rust_graph_db_spark.operators.temporal import rolling_active_users
@@ -2119,8 +2157,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g21_weighted_pagerank": _q_weighted_pagerank,
         # PPMI+SVD embedding training (r3-s6; rows-only — driver SVD)
         "e10_ppmi_embeddings": _q_ppmi_embeddings,
-        # node2vec biased walks (r3-s6; rows-only — hash-driven choice)
+        # node2vec biased walks (r3-s6; md5 mode + full oracle since r4)
         "g19_node2vec": _q_node2vec,
+        # CCNet-style LM perplexity filtering (r4; full oracle)
+        "t12_perplexity": _q_perplexity,
+        # n-gram-profile language ID (r4; full oracle)
+        "c8_langid": _q_langid,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
         "p22_pattern_expr": _q_cypher_knows(
             "MATCH (a:Person) WHERE a.age > 60 "
@@ -2421,6 +2463,73 @@ def _closeness_oracle_sql(pre: str, max_hops: int = 6) -> str:
         "FROM vv v LEFT JOIN t ON t.root = v.id) q")
 
 
+def _perplexity_oracle_sql(max_ppl: float = 33.0) -> str:
+    """Stupid-backoff bigram LM trained on src0-src2, scored over all
+    documents — the SQL twin of operators/lm.py train_backoff_lm +
+    perplexity (same α=0.4, same OOV floor, same first-token unigram
+    rule, same round-to-3 on exp(-mean ln S))."""
+    return (
+        "WITH train AS (SELECT string_split_regex(lower(text), '\\s+') "
+        "AS toks FROM documents WHERE source IN ('src0','src1','src2')), "
+        "uni AS (SELECT w, count(*) AS c FROM "
+        "(SELECT unnest(toks) AS w FROM train) GROUP BY w), "
+        "big AS (SELECT w1, w2, count(*) AS c FROM "
+        "(SELECT toks[i-1] AS w1, toks[i] AS w2 FROM "
+        "(SELECT toks, unnest(generate_series(2, len(toks))) AS i "
+        "FROM train WHERE len(toks) >= 2)) GROUP BY w1, w2), "
+        "tot AS (SELECT CAST(sum(c) AS DOUBLE) AS n FROM uni), "
+        "occ AS (SELECT doc_id, CASE WHEN i = 1 THEN NULL "
+        "ELSE toks[i-1] END AS prev, toks[i] AS w FROM "
+        "(SELECT doc_id, toks, unnest(generate_series(1, len(toks))) "
+        "AS i FROM (SELECT doc_id, "
+        "string_split_regex(lower(text), '\\s+') AS toks "
+        "FROM documents))), "
+        "sc AS (SELECT o.doc_id, ln("
+        "CASE WHEN o.prev IS NULL THEN "
+        "coalesce(CAST(uw.c AS DOUBLE) / t.n, CAST(0.4 AS DOUBLE) / t.n) "
+        "WHEN b.c IS NOT NULL THEN "
+        "CAST(b.c AS DOUBLE) / CAST(up.c AS DOUBLE) "
+        "ELSE CAST(0.4 AS DOUBLE) * coalesce(CAST(uw.c AS DOUBLE) / t.n, "
+        "CAST(0.4 AS DOUBLE) / t.n) END) AS lp "
+        "FROM occ o CROSS JOIN tot t "
+        "LEFT JOIN uni uw ON uw.w = o.w "
+        "LEFT JOIN uni up ON up.w = o.prev "
+        "LEFT JOIN big b ON b.w1 = o.prev AND b.w2 = o.w) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(exp(-sum(lp) / count(*)), 3) AS ppl, "
+        f"round(exp(-sum(lp) / count(*)), 3) <= {max_ppl} AS kept "
+        "FROM sc GROUP BY doc_id")
+
+
+def _langid_oracle_sql(top: int = 200) -> str:
+    """Cavnar-Trenkle trigram-profile language ID: profiles from even
+    doc_ids, argmax distinct-trigram overlap for odd doc_ids — the SQL
+    twin of operators/lm.py language_profiles + language_id."""
+    tri = ("list_distinct(list_transform(generate_series(1, "
+           "greatest(len(lower(text)) - 2, 0)), "
+           "i -> substr(lower(text), i, 3)))")
+    return (
+        f"WITH sg AS (SELECT lang, gram, count(*) AS c FROM "
+        f"(SELECT lang, unnest({tri}) AS gram FROM documents "
+        "WHERE doc_id % 2 = 0) GROUP BY lang, gram), "
+        "prof AS (SELECT lang, gram FROM (SELECT lang, gram, "
+        "row_number() OVER (PARTITION BY lang "
+        "ORDER BY c DESC, gram ASC) AS r FROM sg) "
+        f"WHERE r <= {int(top)}), "
+        f"dg AS (SELECT doc_id, unnest({tri}) AS gram FROM documents "
+        "WHERE doc_id % 2 = 1), "
+        "scores AS (SELECT dg.doc_id, p.lang, "
+        "CAST(count(*) AS BIGINT) AS overlap "
+        "FROM dg JOIN prof p USING (gram) GROUP BY dg.doc_id, p.lang), "
+        "best AS (SELECT doc_id, lang, overlap FROM (SELECT *, "
+        "row_number() OVER (PARTITION BY doc_id "
+        "ORDER BY overlap DESC, lang ASC) AS r FROM scores) WHERE r = 1) "
+        "SELECT d.doc_id, b.lang, "
+        "CAST(coalesce(b.overlap, 0) AS BIGINT) AS overlap "
+        "FROM (SELECT DISTINCT doc_id FROM documents WHERE doc_id % 2 = 1) "
+        "d LEFT JOIN best b USING (doc_id)")
+
+
 # ------- md5-replayable walk oracles (graph_algos hash_mode="md5") -------
 
 def _md5_choice(seed: int, t: int, wid: str = "w.walk_id",
@@ -2716,6 +2825,8 @@ def oracle_sql() -> dict[str, str]:
             pre, seed=42, walk_length=6, window=2),
         "g19_node2vec": _node2vec_oracle_sql(
             pre, seed=13, walk_length=6, p=2.0, q=0.5, window=2),
+        "t12_perplexity": _perplexity_oracle_sql(max_ppl=33.0),
+        "c8_langid": _langid_oracle_sql(top=200),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),

@@ -351,23 +351,50 @@ def curate(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     thresholds: dict[str, float] | None = None,
     weights: dict[str, float] | None = None,
+    lm=None, max_ppl: float | None = None,
+    languages=None, language_profiles_df: DataFrame | None = None,
 ) -> DataFrame:
     """The composed end-to-end curation pass a pretraining pipeline
-    runs per crawl batch: quality rule-chain filter → PII redaction →
-    exact dedup (on the REDACTED text, so docs differing only in
-    scrubbed PII collapse) → deterministic train/val/test split.
+    runs per crawl batch: [LM perplexity filter →] [language filter →]
+    quality rule-chain filter → PII redaction → exact dedup (on the
+    REDACTED text, so docs differing only in scrubbed PII collapse) →
+    deterministic train/val/test split.
 
     Returns ``(id, clean_text, split)`` for surviving documents.
 
+    Optional stages (r4): pass ``lm`` (an ``operators.lm.BackoffLM``)
+    + ``max_ppl`` to drop the high-perplexity tail first (the CCNet
+    recipe), and/or ``languages`` (an iterable of lang codes) +
+    ``language_profiles_df`` (``operators.lm.language_profiles``
+    output) to keep only documents whose n-gram-profile language ID
+    lands in the set.
+
     Plan shape at 100 TB: filter + redaction + split are ONE
     codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
-    into it); the only shuffle in the whole pipeline is the dedup's
-    16-byte-digest groupBy. Each stage reuses the standalone
-    operator, and every stage has a SQL twin, so the composition is
-    oracle-checkable end to end.
+    into it); the only shuffles are the dedup's 16-byte-digest groupBy
+    plus, when enabled, the LM-score joins and the language-ID count —
+    each the standalone operator's own audited shape. Each stage has a
+    SQL twin, so the composition is oracle-checkable end to end.
     """
     from pyspark.sql import Window
 
+    if lm is not None and max_ppl is not None:
+        from rust_graph_db_spark.operators.lm import perplexity_filter
+
+        df = perplexity_filter(df, lm, max_ppl, text_col=text_col,
+                               id_col=id_col)
+    if languages is not None:
+        if language_profiles_df is None:
+            raise ValueError(
+                "curate(languages=...) needs language_profiles_df "
+                "(operators.lm.language_profiles output)")
+        from rust_graph_db_spark.operators.lm import language_id
+
+        lid = language_id(df, language_profiles_df,
+                          text_col=text_col, id_col=id_col)
+        keep = lid.where(F.col("lang").isin(list(languages))) \
+                  .select(id_col)
+        df = df.join(keep, id_col, "left_semi")
     red = filter_redact(df, id_col, text_col, thresholds)
     # Min-id-per-digest as ONE window pass (same survivors as the
     # groupBy + semi-join form, half the plan evaluations; the shuffle

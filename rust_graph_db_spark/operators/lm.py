@@ -1,0 +1,218 @@
+"""Distributed n-gram language modeling: stupid-backoff LM training,
+per-document perplexity scoring, and n-gram-profile language ID.
+
+The CCNet corpus-filtering recipe (Wenzek et al., LREC 2020) scores
+every web document with a language model trained on a trusted corpus
+and drops the high-perplexity tail — the standard public
+quality-filtering signal next to the classifier (`classifier.py`) and
+the heuristic rules (`curation.py`). CCNet uses a 5-gram Kneser-Ney
+model; at corpus scale the usual substitute is STUPID BACKOFF (Brants
+et al., "Large Language Models in Machine Translation", EMNLP 2007),
+which needs no discount fitting — score(w | prev) falls back from the
+bigram relative frequency to α·unigram with a fixed α = 0.4 — and is
+exactly the model whose counts and scores a SQL oracle can mirror.
+
+Language ID is the Cavnar–Trenkle n-gram-profile method ("N-Gram-Based
+Text Categorization", SDAIR 1994): build a character-trigram profile
+per language from labeled seed text, score a document by how many of
+its distinct trigrams appear in each profile, predict the argmax.
+Integer overlap counts (not tf-idf floats) keep every comparison
+bitwise-deterministic across engines. fastText-style hashed-ngram
+logistic language ID is available by composing
+``classifier.hash_ngram_features`` + ``train_quality_classifier`` on
+(text, lang) pairs; this module is the closed-form profile variant.
+
+Extension operators — the reference (a graph store, src/lib.rs) has no
+text-model surface.
+
+100 TB shape:
+- training is two groupBy counts (unigrams, bigrams), both map-side
+  combinable; the shuffle carries (gram, partial count) bounded by
+  vocabulary, not corpus size. The LM "model" stays a pair of
+  DataFrames — it is never collected to the driver.
+- scoring joins each token occurrence against the unigram/bigram
+  tables, hash-keyed on the token strings (intern to int64 ids
+  upstream if vocabulary strings dominate the shuffle), then one
+  per-document aggregation. No Python in the path.
+- profiles are top-K trigrams per language (K small); the profile
+  table broadcasts.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.functions.text import tokens
+
+BACKOFF_ALPHA = 0.4          # Brants et al. 2007's fixed backoff weight
+
+
+@dataclass(frozen=True)
+class BackoffLM:
+    """A trained stupid-backoff bigram LM: two count frames + the
+    total token count. ``unigrams`` is (w, c); ``bigrams`` is
+    (w1, w2, c). Both stay distributed."""
+    unigrams: DataFrame
+    bigrams: DataFrame
+    total: int
+    alpha: float = BACKOFF_ALPHA
+
+
+def train_backoff_lm(docs: DataFrame, text_col: str = "text",
+                     alpha: float = BACKOFF_ALPHA) -> BackoffLM:
+    """Count unigrams and bigrams over the corpus — the whole training
+    step of a stupid-backoff model (no discounts to fit). Two
+    map-side-combinable groupBy counts; ``total`` is the one driver
+    scalar (Σ unigram counts)."""
+    t = docs.select(tokens(F.col(text_col)).alias("_toks"))
+    uni = (t.select(F.explode("_toks").alias("w"))
+           .groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
+    # positions i=1..n-1 pair toks[i-1], toks[i]; same transform-over-
+    # materialized-array shape as curation.ngram_stream (O(n) per doc)
+    big = (t.where(F.size("_toks") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(2, size(_toks)),"
+               " i -> struct(element_at(_toks, i - 1) AS w1,"
+               " element_at(_toks, i) AS w2))")).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
+    total = int(uni.agg(F.coalesce(F.sum("c"), F.lit(0))).first()[0])
+    return BackoffLM(unigrams=uni, bigrams=big, total=total,
+                     alpha=float(alpha))
+
+
+def perplexity(docs: DataFrame, lm: BackoffLM, text_col: str = "text",
+               id_col: str = "doc_id", ndigits: int = 3) -> DataFrame:
+    """(id_col, n_tokens, ppl): per-document stupid-backoff perplexity
+    exp(-mean log S), with
+
+        S(w | prev) = c(prev w)/c(prev)      if the bigram was seen
+                    = α · S_uni(w)           otherwise
+        S_uni(w)    = c(w)/N  if seen else α/N   (OOV floor)
+
+    and the first token of each document scored with S_uni alone.
+    ``ppl`` is rounded to ``ndigits`` — the log/exp transcendentals
+    differ in the last ulp across engines, so the oracle comparison
+    needs a rounding margin (counts and ratios themselves are exact).
+
+    Shape: one explode to (doc, prev, w) occurrence rows, three hash
+    joins against the count tables, one per-document aggregation.
+    """
+    if lm.total <= 0:
+        raise ValueError("perplexity: empty language model")
+    occ = (docs.select(F.col(id_col), tokens(F.col(text_col))
+                       .alias("_toks"))
+           .select(id_col, F.explode(F.expr(
+               # get() is 0-based and returns NULL out of bounds, so
+               # the first token's prev is NULL without a branch
+               "transform(sequence(1, size(_toks)),"
+               " i -> struct(get(_toks, i - 2) AS prev,"
+               " element_at(_toks, i) AS w))")).alias("p"))
+           .select(id_col, "p.prev", "p.w"))
+    uni_w = lm.unigrams.select(F.col("w"), F.col("c").alias("cw"))
+    uni_p = lm.unigrams.select(F.col("w").alias("prev"),
+                               F.col("c").alias("cp"))
+    big = lm.bigrams.select(F.col("w1").alias("prev"),
+                            F.col("w2").alias("w"),
+                            F.col("c").alias("cb"))
+    n = float(lm.total)
+    a = float(lm.alpha)
+    s_uni = F.coalesce(F.col("cw").cast("double") / F.lit(n),
+                       F.lit(a) / F.lit(n))
+    s = (F.when(F.col("prev").isNull(), s_uni)
+         .when(F.col("cb").isNotNull(),
+               F.col("cb").cast("double") / F.col("cp").cast("double"))
+         .otherwise(F.lit(a) * s_uni))
+    scored = (occ.join(uni_w, "w", "left")
+              .join(uni_p, "prev", "left")
+              .join(big, ["prev", "w"], "left")
+              .select(id_col, F.log(s).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("lp").alias("_slp"))
+            .select(id_col, "n_tokens",
+                    F.round(F.exp(-F.col("_slp") / F.col("n_tokens")),
+                            ndigits).alias("ppl")))
+
+
+def perplexity_filter(docs: DataFrame, lm: BackoffLM,
+                      max_ppl: float, text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """CCNet's keep-the-head filter: documents whose LM perplexity is
+    ≤ ``max_ppl``. Returns the input rows (all columns) that pass."""
+    keep = (perplexity(docs, lm, text_col=text_col, id_col=id_col)
+            .where(F.col("ppl") <= F.lit(float(max_ppl)))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
+# ----------------------------------------------------- language ID
+
+def _char_trigrams(text_col) -> F.Column:
+    """Distinct character trigrams of the lowercased text (positions
+    1..len-2). The length guard matters: Spark's sequence(1, 0) is
+    DESCENDING [1, 0], not empty, so texts under 3 chars must
+    short-circuit to []. DuckDB twin: list_distinct(list_transform(
+    generate_series(1, greatest(len(lower(t)) - 2, 0)),
+    i -> substr(lower(t), i, 3))) — generate_series IS empty there."""
+    return F.array_distinct(
+        F.when(F.length("_lc") >= 3, F.expr(
+            "transform(sequence(1, length(_lc) - 2),"
+            " i -> substring(_lc, i, 3))"))
+        .otherwise(F.array().cast("array<string>")))
+
+
+def language_profiles(docs: DataFrame, lang_col: str = "lang",
+                      text_col: str = "text", top: int = 200) -> DataFrame:
+    """(lang, gram): the ``top`` most frequent character trigrams per
+    language over the labeled seed corpus — a Cavnar–Trenkle profile
+    per language. Document-frequency counts (each doc contributes a
+    trigram once) with (count DESC, gram ASC) rank ties, so the
+    profile is a pure function of the corpus. The result is tiny
+    (langs × top) — broadcast it at scoring time."""
+    grams = (docs.select(F.col(lang_col).alias("lang"),
+                         F.lower(F.col(text_col)).alias("_lc"))
+             .select("lang", F.explode(_char_trigrams("_lc"))
+                     .alias("gram"))
+             .groupBy("lang", "gram")
+             .agg(F.count(F.lit(1)).alias("c")))
+    rk = Window.partitionBy("lang").orderBy(F.desc("c"), F.asc("gram"))
+    return (grams.withColumn("_r", F.row_number().over(rk))
+            .where(F.col("_r") <= int(top))
+            .select("lang", "gram"))
+
+
+def language_id(docs: DataFrame, profiles: DataFrame,
+                text_col: str = "text",
+                id_col: str = "doc_id") -> DataFrame:
+    """(id_col, lang, overlap): predicted language per document =
+    argmax over languages of |doc's distinct trigrams ∩ profile|,
+    ties broken by language name — integer scoring, so the prediction
+    is bitwise-deterministic and exactly SQL-mirrorable.
+
+    Shape: explode distinct doc trigrams, broadcast-join the (langs ×
+    top) profile table, one (doc, lang) count aggregation, one
+    row_number window keyed on the document. Documents matching NO
+    profile trigram are returned with lang NULL and overlap 0 (no
+    evidence — callers route them to a fallback)."""
+    grams = (docs.select(F.col(id_col),
+                         F.lower(F.col(text_col)).alias("_lc"))
+             .select(id_col, F.explode(_char_trigrams("_lc"))
+                     .alias("gram")))
+    scores = (grams.join(F.broadcast(profiles), "gram")
+              .groupBy(id_col, "lang")
+              .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
+    rk = Window.partitionBy(id_col).orderBy(
+        F.desc("overlap"), F.asc("lang"))
+    best = (scores.withColumn("_r", F.row_number().over(rk))
+            .where(F.col("_r") == 1).select(id_col, "lang", "overlap"))
+    return (docs.select(id_col).distinct()
+            .join(best, id_col, "left")
+            .select(id_col, "lang",
+                    F.coalesce("overlap", F.lit(0)).cast("long")
+                    .alias("overlap")))

@@ -1,0 +1,173 @@
+"""operators/lm.py: stupid-backoff LM, perplexity, n-gram language ID.
+
+Strategy mirrors the other pipeline-op suites: every distributed
+result is checked against a pure-Python reference implementation on a
+small hand-made corpus, plus behavioural checks (filter keeps the low
+tail, language ID discriminates genuinely distinct languages, curate()
+stages compose).
+"""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from rust_graph_db_spark.operators.lm import (
+    BACKOFF_ALPHA,
+    BackoffLM,
+    language_id,
+    language_profiles,
+    perplexity,
+    perplexity_filter,
+    train_backoff_lm,
+)
+
+CORPUS = [
+    (0, "the cat sat on the mat"),
+    (1, "the dog sat on the log"),
+    (2, "the cat ate the fish"),
+]
+
+
+def _py_counts(texts):
+    uni, big = {}, {}
+    for t in texts:
+        toks = t.lower().split()
+        for w in toks:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    return uni, big, sum(uni.values())
+
+
+def _py_ppl(text, uni, big, n, a=BACKOFF_ALPHA):
+    toks = text.lower().split()
+    lp = 0.0
+    for i, w in enumerate(toks):
+        s_uni = uni.get(w, None)
+        s_uni = s_uni / n if s_uni is not None else a / n
+        if i == 0:
+            s = s_uni
+        elif (toks[i - 1], w) in big:
+            s = big[(toks[i - 1], w)] / uni[toks[i - 1]]
+        else:
+            s = a * s_uni
+        lp += math.log(s)
+    return math.exp(-lp / len(toks))
+
+
+@pytest.fixture(scope="module")
+def corpus_df(spark):
+    return spark.createDataFrame(CORPUS, "doc_id LONG, text STRING")
+
+
+def test_train_backoff_lm_counts(spark, corpus_df):
+    lm = train_backoff_lm(corpus_df)
+    uni, big, n = _py_counts([t for _, t in CORPUS])
+    assert lm.total == n
+    got_uni = {r.w: r.c for r in lm.unigrams.collect()}
+    assert got_uni == uni
+    got_big = {(r.w1, r.w2): r.c for r in lm.bigrams.collect()}
+    assert got_big == big
+
+
+def test_perplexity_matches_reference(spark, corpus_df):
+    lm = train_backoff_lm(corpus_df)
+    uni, big, n = _py_counts([t for _, t in CORPUS])
+    # score the training docs plus one with OOV words and unseen bigrams
+    score_rows = CORPUS + [(9, "the cat sat on a zebra")]
+    docs = spark.createDataFrame(score_rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_tokens, r.ppl)
+           for r in perplexity(docs, lm).collect()}
+    for did, text in score_rows:
+        want = _py_ppl(text, uni, big, n)
+        assert got[did][0] == len(text.split())
+        assert abs(got[did][1] - round(want, 3)) <= 1e-3, \
+            (did, got[did], want)
+    # in-distribution text scores lower than the OOV one
+    assert got[0][1] < got[9][1]
+
+
+def test_perplexity_filter_keeps_low_tail(spark, corpus_df):
+    lm = train_backoff_lm(corpus_df)
+    docs = spark.createDataFrame(
+        CORPUS + [(9, "zebra quux flarp glorp blitz")],
+        "doc_id LONG, text STRING")
+    pp = {r.doc_id: r.ppl for r in perplexity(docs, lm).collect()}
+    cut = (max(pp[i] for i, _ in CORPUS) + pp[9]) / 2
+    kept = sorted(r.doc_id
+                  for r in perplexity_filter(docs, lm, cut).collect())
+    assert kept == [0, 1, 2]
+    # filter preserves the input schema
+    assert perplexity_filter(docs, lm, cut).columns == docs.columns
+
+
+def test_empty_lm_raises(spark):
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    lm = train_backoff_lm(empty)
+    assert lm.total == 0
+    with pytest.raises(ValueError, match="empty language model"):
+        perplexity(empty, lm)
+
+
+MULTI = [
+    # "english": th/he/in-heavy; "xx": completely disjoint alphabet use
+    (0, "en", "the thin hen went in then the thing"),
+    (1, "en", "when the hen went in the shed then"),
+    (2, "xx", "zzq zzq vvk vvk zzq wwp vvk zzq wwp"),
+    (3, "xx", "vvk zzq wwp wwp zzq vvk zzq zzq"),
+]
+
+
+def test_language_id_discriminates(spark):
+    docs = spark.createDataFrame(MULTI, "doc_id LONG, lang STRING, "
+                                        "text STRING")
+    prof = language_profiles(docs, top=50)
+    langs = {r.lang for r in prof.collect()}
+    assert langs == {"en", "xx"}
+    test_docs = spark.createDataFrame(
+        [(10, "then the hen went in"), (11, "zzq vvk wwp zzq"),
+         (12, "")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.lang, r.overlap)
+           for r in language_id(test_docs, prof).collect()}
+    assert got[10][0] == "en" and got[10][1] > 0
+    assert got[11][0] == "xx" and got[11][1] > 0
+    # no-evidence doc: NULL lang, overlap 0
+    assert got[12] == (None, 0)
+
+
+def test_language_profiles_deterministic_ties(spark):
+    docs = spark.createDataFrame(MULTI, "doc_id LONG, lang STRING, "
+                                        "text STRING")
+    a = sorted(map(tuple, language_profiles(docs, top=10).collect()))
+    b = sorted(map(tuple, language_profiles(docs, top=10).collect()))
+    assert a == b and len(a) == 20      # 10 per language
+
+
+def test_curate_with_lm_and_language_stages(spark):
+    from rust_graph_db_spark.operators.curation import curate
+
+    rows = [
+        (0, "the thin hen went in then the thing going fine today ok"),
+        (1, "when the hen went in the shed then the thing was fine"),
+        (2, "zzq zzq vvk vvk zzq wwp vvk zzq wwp zzq vvk wwp zzq"),
+        (3, "glorp blitz quux flarp zebra nine ten eleven twelve go"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    seed = spark.createDataFrame(MULTI, "doc_id LONG, lang STRING, "
+                                        "text STRING")
+    lm = train_backoff_lm(seed.where(F.col("lang") == "en"))
+    prof = language_profiles(seed, top=50)
+    pp = {r.doc_id: r.ppl for r in perplexity(docs, lm).collect()}
+    cut = (pp[1] + min(pp[2], pp[3])) / 2     # en docs below, rest above
+    # no thresholds pressure from the rule chain (permissive), so the
+    # survivors are exactly the LM ∩ language keeps
+    out = curate(docs, thresholds={"min_chars": 1, "max_chars": 10_000,
+                                   "min_tokens": 1},
+                 lm=lm, max_ppl=cut,
+                 languages=["en"], language_profiles_df=prof)
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1]
+    # languages without profiles frame is a usage error
+    with pytest.raises(ValueError, match="language_profiles_df"):
+        curate(docs, languages=["en"])
