@@ -1868,25 +1868,23 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
-    # FIRST 50 keys; the explicit _R3_WINDOW list below the registry sets
-    # that order. Priority (the registry outgrew the window — 121 queries,
-    # 50 slots — so freshness-for-all is no longer achievable and slots go
-    # to the worst case first):
-    #   1. every query with NO driver verdict yet (the 45 entries added in
-    #      round 3: w10-w12, m4, d6-d11, t2-t10, c1-c4, k2, e6-e9,
-    #      g11-g16, p10-p20) — a never-verified query is strictly worse
-    #      than a stale green row;
-    #   2. w9 (its builder changed since its r2 row — relationship ON
-    #      CREATE/ON MATCH arms — so the r2 verdict covers a different
-    #      query text);
-    #   3. refresh slots for r1-green queries whose LIBRARY code changed
-    #      in r3: w4 (dml.py FOREACH/REMOVE/CREATE-multiplicity), g1
-    #      (size-adaptive BFS in traversal.py), g8 (co-partitioned
-    #      scale-adaptive PageRank), g10 (null-endpoint normalization in
-    #      graph_algos.py), plus w8 (storage.py commit-path hardening).
-    # Everything below the window keeps its newest green row from r1/r2;
-    # all of it is pytest-covered and swept locally by
-    # scripts/check_oracle.py (0 failures at sf0.01 this session).
+    # FIRST 50 keys; the explicit _R4_WINDOW list below the registry sets
+    # that order. The r4 rotation executes the r3 verdict's plan exactly
+    # (VERDICT.md "Next round" item 2):
+    #   1. the 14 keys that have never had a driver verdict (r3-s6/s7
+    #      additions: t11, c5-c7, r3-r5, d12, e10, p22, g19-g22);
+    #   2. the 3 list-column entries red in r3 (p11/p15/p16), now emitting
+    #      comma-joined scalars on both sides;
+    #   3. the 26 keys whose newest green row was r1 (two rounds stale):
+    #      w4-w6, g1-g6, g8-g10, s3/s7/s8/s12/s14/s15, j2_two_hop_region,
+    #      j6, p2, p7, x3_order_totals, x5, x7, a4;
+    #   4. 7 slots for r4-touched queries: g14/g15/g16 (exact/md5 modes —
+    #      full oracles now), g18 (size-gated default), t12/c8 (new
+    #      operators), j1 (the one-hop heartbeat, compiler-adjacent).
+    # After this round every key's newest green row is r2+ and no key is
+    # never-verified. Everything below the window keeps its newest green
+    # row from r2/r3; all of it is pytest-covered and swept locally by
+    # scripts/check_oracle.py (0 failures at sf0.01/sf0.001 this session).
     reg = {
         # --------- 26 rotated: newest green row was r1
         # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
@@ -2274,52 +2272,49 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # d11: SemDeDup cluster-then-verify near-dup pairs (r3-s5)
         "d11_semdedup": _q_semdedup,
     }
-    window = [k for k in _R3_WINDOW]
+    window = [k for k in _R4_WINDOW]
     # len(set(...)) catches duplicate window keys too — a duplicate
     # would silently hand slot 50 to the first non-window registry key
     assert len(set(window)) == 50 and set(window) <= set(reg), \
-        sorted(set(window) - set(reg)) or "duplicate key in _R3_WINDOW"
+        sorted(set(window) - set(reg)) or "duplicate key in _R4_WINDOW"
     rest = [k for k in reg if k not in set(window)]
     return {k: reg[k] for k in window + rest}
 
 
 # The driver verifies the FIRST 50 keys of queries() — see the priority
-# note at the top of queries() for how these slots were chosen.
-# ROUND-4 ROTATION PLAN: promote the session-6/7 queries still below
-# the line (t11, c5, r3_funnel, r4_retention, r5_rolling_dau,
-# c6_profile, c7_stratified_exact, d12_sorted_neighborhood,
-# g19_node2vec, g20_modularity, g21_weighted_pagerank,
-# e10_ppmi_embeddings, p22_pattern_expr, g22_closeness) plus any
-# r4-touched keys; all were locally sweep-green at sf0.01 in the
-# session-7 full sweep (scripts/check_oracle.py — 138/138, 0 failures).
-_R3_WINDOW = [
-    # 43 never-verified (new in round 3)
-    "w10_stream_commits", "m4_real_audio", "d7_drop_neardups",
-    "d8_stream_dedup", "t4_pii_redact", "t5_top_ngrams",
-    "w11_snapshot_diff", "t6_quality_filter", "t8_curation_pipeline",
-    "w12_stream_curate", "t7_quality_stats", "d9_chunk_dedup",
-    "d10_containment", "e6_kmeans", "e7_int8_quantize", "e8_pq_encode",
-    "t9_tfidf", "t10_bm25", "c1_stratified_sample", "c2_mixture_sample",
-    "c3_sample_exact", "c4_pack_sequences", "g11_label_prop",
-    "g12_kcore", "d6_decontaminate", "t2_hash_split", "t3_repetition",
-    "k2_cms_bigrams", "g13_personalized_pr", "g14_neighborhood",
-    "g15_walk_pairs", "g16_harmonic", "p10_string_preds",
-    "p11_list_comp", "p13_exists", "p19_call_sub", "p18_map_proj",
-    "p17_shortest_path", "p16_named_path", "p15_pattern_comp",
-    "p14_count_sub", "p12_quantifiers", "d11_semdedup",
-    "p20_lateral_call", "e9_pq_topk",
-    # 1 whose query text changed since its green row
-    "w9_merge_upsert",
-    # 4 never-verified r3-s6 queries with FULL oracles (never-verified
-    # outranks refresh, the policy the r2 verdict endorsed). The four
-    # r1/r2-green refresh slots they displace (w4, w8, g1, g8) keep
-    # in-window proxies for every r3-touched module: storage commits →
-    # w10/w11/w12; dml SET/CREATE → w9 + the FOREACH/REMOVE pytest
-    # battery; the traversal loop scaffold → g13/g14/g16; the PageRank
-    # co-partitioned loop → g13 (shares _pr_run). t11_bpe_merges stays
-    # below the line: its driver check would be rows-only, and its real
-    # verification is the pure-Python parity pytest.
-    "g17_scc", "g18_betweenness", "a6_stat_aggs", "p21_proc_call",
+# note at the top of queries() for how these slots were chosen. This is
+# the r4 rotation the r3 verdict prescribed; after it lands, zero keys
+# are never-verified and no key's newest green row predates r2.
+# ROUND-5 ROTATION PLAN: refresh the 46 keys whose newest green row
+# will then be r2 (w9, g17, a6, p21, p10/p12-p14/p17-p20, d1-d5, e1-e5,
+# w1-w3/w7/w8, x1/x2/x4/x6, j1 (if not green r4), k1, t1, g7, m1-m3,
+# r1/r2, a5, j3-j5, u1-u4, s1, p1/p4/p6/p8/p9, o1/o2, x3_timeline,
+# j2_three_hop, a1-a3) prioritizing any whose library code r5 touches,
+# plus slots for r5 additions.
+_R4_WINDOW = [
+    # 14 never driver-verified (r3-s6/s7 additions; all locally green)
+    "t11_bpe_merges", "c5_quality_classifier", "r3_funnel",
+    "r4_retention", "r5_rolling_dau", "c6_profile",
+    "c7_stratified_exact", "d12_sorted_neighborhood", "g19_node2vec",
+    "g20_modularity", "g21_weighted_pagerank", "e10_ppmi_embeddings",
+    "p22_pattern_expr", "g22_closeness",
+    # 3 red in r3 (driver canonicalizer vs list columns; arrays now
+    # comma-joined on both sides)
+    "p11_list_comp", "p15_pattern_comp", "p16_named_path",
+    # 26 whose newest green row was r1 (two rounds stale)
+    "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
+    "g1_bfs_distances", "g2_weighted_sssp", "g3_vle", "g4_vle_between",
+    "g5_k_hop", "g6_within_k", "g8_pagerank", "g9_degrees",
+    "g10_triangles", "s3_point_lookup", "s7_json_roundtrip",
+    "s8_csv_roundtrip", "s12_bulk_load", "s14_generator_grid",
+    "s15_generator_tree", "j2_two_hop_region", "j6_undirected",
+    "p2_edge_props", "p7_graph_funcs", "x3_order_totals",
+    "x5_network_analysis", "x7_revenue_by_nation", "a4_lineitem_pricing",
+    # 7 r4-touched: exact/md5 modes (full oracles replace rows-only),
+    # the size-gated betweenness default, the two new operators, and
+    # the one-hop heartbeat (compiler-adjacent; throughput item 5)
+    "g14_neighborhood", "g15_walk_pairs", "g16_harmonic",
+    "g18_betweenness", "t12_perplexity", "c8_langid", "j1_one_hop",
 ]
 
 

@@ -250,36 +250,52 @@ def main() -> None:
 
     from rust_graph_db_spark.model import pack_graphid
 
+    # Each probe runs once UNMEASURED (whole-stage-codegen JIT +
+    # first-shuffle setup), then the measured pass — the r2→r3 one-hop
+    # "regression" (11.8M → 7.2M elem/s) was a single cold measurement
+    # landing at a different point of the JIT warm-up curve: the same
+    # probe measures 2.1 M cold and ~14 M warm back-to-back on this VM.
+    # BASELINE.md's reference numbers are steady-state set throughput,
+    # so warm is the comparable measurement.
     tp: dict[str, int] = {}
-    t0 = time.perf_counter()
-    n_scan = 50_000_000
-    (spark.range(n_scan)
-     .select((F.col("id") % 100).alias("age"))
-     .where(F.col("age") > 60).count())
-    tp["vertex_scan_elems_per_s"] = int(n_scan / (time.perf_counter() - t0))
 
-    t0 = time.perf_counter()
-    n_create = 5_000_000
-    (spark.range(n_create)
-     .select(pack_graphid(3, F.col("id")).alias("id"),
-             F.concat(F.lit("v"), F.col("id")).alias("name"))
-     .count())
-    tp["batch_create_elems_per_s"] = int(n_create / (time.perf_counter() - t0))
+    def _scan():
+        n = 50_000_000
+        (spark.range(n)
+         .select((F.col("id") % 100).alias("age"))
+         .where(F.col("age") > 60).count())
+        return n
 
-    t0 = time.perf_counter()
-    nv, ne = 1_000_000, 10_000_000
-    v = spark.range(nv).select(F.col("id").alias("vid"),
-                               (F.col("id") % 100).alias("age"))
-    e = spark.range(ne).select(
-        F.pmod(F.xxhash64("id"), F.lit(nv)).alias("src"),
-        F.pmod(F.xxhash64(F.lit(1), "id"), F.lit(nv)).alias("dst"))
-    matched = (v.join(e, v.vid == e.src)
-               .join(v.select(F.col("vid").alias("dvid"),
-                              F.col("age").alias("dage")),
-                     F.col("dst") == F.col("dvid"))
-               .where(F.col("age") > F.col("dage")).count())
-    tp["one_hop_match_elems_per_s"] = int(ne / (time.perf_counter() - t0))
-    print(f"# throughput: {tp} (1-hop matched {matched})", file=sys.stderr)
+    def _create():
+        n = 5_000_000
+        (spark.range(n)
+         .select(pack_graphid(3, F.col("id")).alias("id"),
+                 F.concat(F.lit("v"), F.col("id")).alias("name"))
+         .count())
+        return n
+
+    def _one_hop():
+        nv, ne = 1_000_000, 10_000_000
+        v = spark.range(nv).select(F.col("id").alias("vid"),
+                                   (F.col("id") % 100).alias("age"))
+        e = spark.range(ne).select(
+            F.pmod(F.xxhash64("id"), F.lit(nv)).alias("src"),
+            F.pmod(F.xxhash64(F.lit(1), "id"), F.lit(nv)).alias("dst"))
+        (v.join(e, v.vid == e.src)
+         .join(v.select(F.col("vid").alias("dvid"),
+                        F.col("age").alias("dage")),
+               F.col("dst") == F.col("dvid"))
+         .where(F.col("age") > F.col("dage")).count())
+        return ne
+
+    for key, probe in [("vertex_scan_elems_per_s", _scan),
+                       ("batch_create_elems_per_s", _create),
+                       ("one_hop_match_elems_per_s", _one_hop)]:
+        probe()                                   # warm-up, unmeasured
+        t0 = time.perf_counter()
+        n = probe()
+        tp[key] = int(n / (time.perf_counter() - t0))
+    print(f"# throughput (warm): {tp}", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
