@@ -212,9 +212,11 @@ def _q_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t11: BPE tokenizer training (Sennrich 2016) on the documents
     corpus — 16 merge rounds over the distinct-word frequency table.
-    Rows-only driver check (the iterative argmax has no portable SQL
-    mirror); exact parity with a pure-Python reference trainer is
-    pytest-proven (test_pipeline_ops.py::test_train_bpe_matches_reference)."""
+    FULL oracle since r4: the 16 argmax rounds unroll into CTEs and
+    the greedy merge replays as a DuckDB list_reduce string fold
+    (_bpe_oracle_sql); exact parity with a pure-Python reference
+    trainer is additionally pytest-proven
+    (test_pipeline_ops.py::test_train_bpe_matches_reference)."""
     from rust_graph_db_spark.operators.bpe import train_bpe
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -2458,6 +2460,58 @@ def _closeness_oracle_sql(pre: str, max_hops: int = 6) -> str:
         "FROM vv v LEFT JOIN t ON t.root = v.id) q")
 
 
+def _bpe_oracle_sql(num_merges: int = 16, min_freq: int = 2,
+                    min_pair_freq: int = 2) -> str:
+    """Unrolled BPE training (SQL twin of operators/bpe.py train_bpe):
+    per round, one pair-count + (pfreq DESC, left, right) argmax CTE,
+    then the greedy left-to-right merge replayed as a DuckDB
+    ``list_reduce`` string fold — the accumulator is the symbol list
+    joined on chr(31) (which cannot occur in corpus text), and
+    ``ends_with(chr(31)||acc, chr(31)||left)`` matches the ENTIRE last
+    symbol only at a separator boundary, reproducing Spark's
+    ``_merge_pair`` array fold exactly (just-merged tails no longer
+    match ``left``). Early stop mirrored by gating ranks at the first
+    round whose best pair drops under ``min_pair_freq``."""
+    s = "chr(31)"
+    ctes = [
+        "wf AS (SELECT word, count(*) AS freq FROM (SELECT "
+        "unnest(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '')) AS word FROM documents) GROUP BY word "
+        f"HAVING count(*) >= {int(min_freq)})",
+        "w0 AS (SELECT freq, list_append(list_transform("
+        "generate_series(1, len(word)), i -> substr(word, i, 1)), "
+        "'</w>') AS syms FROM wf)",
+    ]
+    for r in range(1, int(num_merges) + 1):
+        # MATERIALIZED is load-bearing: w{r-1} is referenced twice per
+        # round (pair counts + merge apply); inlined CTEs re-expand the
+        # whole chain → 2^rounds scans (observed as fd exhaustion)
+        ctes.append(
+            f"p{r} AS (SELECT syms[i] AS l, syms[i+1] AS r2, freq "
+            f"FROM (SELECT freq, syms, unnest(generate_series(1, "
+            f"len(syms) - 1)) AS i FROM w{r-1}))")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT l, r2, sum(freq) AS pfreq "
+            f"FROM p{r} "
+            "GROUP BY l, r2 ORDER BY pfreq DESC, l ASC, r2 ASC LIMIT 1)")
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT w.freq, "
+            "string_split(list_reduce(w.syms, "
+            f"(acc, x) -> CASE WHEN ends_with({s} || acc, {s} || b.l) "
+            "AND x = b.r2 THEN substr(acc, 1, len(acc) - len(b.l)) "
+            f"|| b.l || b.r2 ELSE acc || {s} || x END), {s}) AS syms "
+            f"FROM w{r-1} w CROSS JOIN b{r} b)")
+    union = " UNION ALL ".join(
+        f"SELECT {r - 1} AS rank, l, r2, pfreq FROM b{r}"
+        for r in range(1, int(num_merges) + 1))
+    ctes.append(f"allm AS ({union})")
+    return ("WITH " + ", ".join(ctes) +
+            ' SELECT CAST(rank AS INT) AS rank, l AS "left", '
+            'r2 AS "right", CAST(pfreq AS BIGINT) AS freq FROM allm '
+            "WHERE rank < coalesce((SELECT min(rank) FROM allm "
+            f"WHERE pfreq < {int(min_pair_freq)}), {int(num_merges)})")
+
+
 def _perplexity_oracle_sql(max_ppl: float = 33.0) -> str:
     """Stupid-backoff bigram LM trained on src0-src2, scored over all
     documents — the SQL twin of operators/lm.py train_backoff_lm +
@@ -2822,6 +2876,10 @@ def oracle_sql() -> dict[str, str]:
             pre, seed=13, walk_length=6, p=2.0, q=0.5, window=2),
         "t12_perplexity": _perplexity_oracle_sql(max_ppl=33.0),
         "c8_langid": _langid_oracle_sql(top=200),
+        # r4: BPE training now fully oracled — the iterative argmax
+        # unrolls and the greedy merge replays as a list_reduce fold
+        "t11_bpe_merges": _bpe_oracle_sql(
+            num_merges=16, min_freq=2, min_pair_freq=2),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),
