@@ -347,6 +347,22 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs.where(F.col("doc_id") % 2 == 1), prof)
 
 
+def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t13: DSIR data selection (Xie et al. 2023, operators/dsir.py):
+    hashed uni+bigram importance log-weights of every document against
+    the src0 target slice, then derandomized Gumbel top-100 resampling
+    (md5-derived uniforms — the cross-engine hash). Full oracle: the
+    bucket hash, Laplace ratios, per-doc sums, and Gumbel keys all
+    replay in SQL; logw/key round to 4 digits for libm-ulp margin."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.dsir import dsir_resample
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    target = docs.where(F.col("source") == "src0")
+    return dsir_resample(docs, target, k=100, buckets=4096, seed=7)
+
+
 def _q_rolling_dau(spark: SparkSession, sf_dir: str) -> DataFrame:
     """r5: rolling 7-day distinct active users per day (WAU shape)."""
     from rust_graph_db_spark.operators.temporal import rolling_active_users
@@ -1880,9 +1896,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. the 26 keys whose newest green row was r1 (two rounds stale):
     #      w4-w6, g1-g6, g8-g10, s3/s7/s8/s12/s14/s15, j2_two_hop_region,
     #      j6, p2, p7, x3_order_totals, x5, x7, a4;
-    #   4. 7 slots for r4-touched queries: g14/g15/g16 (exact/md5 modes —
-    #      full oracles now), g18 (size-gated default), t12/c8 (new
-    #      operators), j1 (the one-hop heartbeat, compiler-adjacent).
+    #   4. 7 slots for r4-touched/new queries: g14/g15/g16 (exact/md5
+    #      modes — full oracles now), g18 (size-gated default),
+    #      t12/c8/t13 (new operators).
     # After this round every key's newest green row is r2+ and no key is
     # never-verified. Everything below the window keeps its newest green
     # row from r2/r3; all of it is pytest-covered and swept locally by
@@ -2163,6 +2179,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t12_perplexity": _q_perplexity,
         # n-gram-profile language ID (r4; full oracle)
         "c8_langid": _q_langid,
+        # DSIR importance resampling (r4; full oracle)
+        "t13_dsir": _q_dsir,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
         "p22_pattern_expr": _q_cypher_knows(
             "MATCH (a:Person) WHERE a.age > 60 "
@@ -2312,11 +2330,14 @@ _R4_WINDOW = [
     "s15_generator_tree", "j2_two_hop_region", "j6_undirected",
     "p2_edge_props", "p7_graph_funcs", "x3_order_totals",
     "x5_network_analysis", "x7_revenue_by_nation", "a4_lineitem_pricing",
-    # 7 r4-touched: exact/md5 modes (full oracles replace rows-only),
-    # the size-gated betweenness default, the two new operators, and
-    # the one-hop heartbeat (compiler-adjacent; throughput item 5)
+    # 7 r4-touched/new: exact/md5 modes (full oracles replace
+    # rows-only), the size-gated betweenness default, and the three
+    # new operators (t12 perplexity, c8 langid, t13 DSIR). j1 was the
+    # provisional 7th slot but the one-hop item resolved to a
+    # bench-measurement artifact with no compiler change (SCALE.md
+    # §11), so the never-verified t13 outranks it.
     "g14_neighborhood", "g15_walk_pairs", "g16_harmonic",
-    "g18_betweenness", "t12_perplexity", "c8_langid", "j1_one_hop",
+    "g18_betweenness", "t12_perplexity", "c8_langid", "t13_dsir",
 ]
 
 
@@ -2510,6 +2531,54 @@ def _bpe_oracle_sql(num_merges: int = 16, min_freq: int = 2,
             'r2 AS "right", CAST(pfreq AS BIGINT) AS freq FROM allm '
             "WHERE rank < coalesce((SELECT min(rank) FROM allm "
             f"WHERE pfreq < {int(min_pair_freq)}), {int(num_merges)})")
+
+
+def _dsir_oracle_sql(buckets: int = 4096, seed: int = 7,
+                     k: int = 100) -> str:
+    """SQL twin of operators/dsir.py dsir_resample over documents with
+    target = source='src0': hashed uni+bigram buckets (the md5 15-hex
+    hash), Laplace log-ratios, per-doc sums, Gumbel keys from
+    md5-derived uniforms, top-k by (key DESC, doc_id)."""
+    b = int(buckets)
+    toks = "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+    feats = (
+        "SELECT {id} AS did, ('0x' || substr(md5('dsir:' || g), 1, 15))"
+        f"::BIGINT % {b} AS bucket FROM ("
+        "SELECT {id}, unnest(toks) AS g FROM {src} "
+        "UNION ALL SELECT {id}, unnest(list_transform("
+        "generate_series(2, len(toks)), "
+        "i -> toks[i-1] || ' ' || toks[i])) AS g FROM {src} "
+        "WHERE len(toks) >= 2)")
+    return (
+        f"WITH tt AS (SELECT 0 AS did, {toks} AS toks FROM documents "
+        "WHERE source = 'src0'), "
+        f"rt AS (SELECT doc_id AS did, {toks} AS toks FROM documents), "
+        "tf AS (" + feats.format(id="did", src="tt") + "), "
+        "rf AS (" + feats.format(id="did", src="rt") + "), "
+        "tc AS (SELECT bucket, count(*) AS tc FROM tf GROUP BY bucket), "
+        "rc AS (SELECT bucket, count(*) AS rc FROM rf GROUP BY bucket), "
+        "tn AS (SELECT CAST(coalesce(sum(tc), 0) AS DOUBLE) AS n FROM tc), "
+        "rn AS (SELECT CAST(coalesce(sum(rc), 0) AS DOUBLE) AS n FROM rc), "
+        "ratio AS (SELECT coalesce(tc.bucket, rc.bucket) AS bucket, "
+        "ln((CAST(coalesce(tc, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) / "
+        f"(tn.n + CAST({b}.0 AS DOUBLE))) - "
+        "ln((CAST(coalesce(rc, 0) AS DOUBLE) + CAST(1.0 AS DOUBLE)) / "
+        f"(rn.n + CAST({b}.0 AS DOUBLE))) AS lr "
+        "FROM tc FULL JOIN rc ON tc.bucket = rc.bucket "
+        "CROSS JOIN tn CROSS JOIN rn), "
+        "sc AS (SELECT rf.did, sum(coalesce(r.lr, 0.0)) AS s "
+        "FROM rf LEFT JOIN ratio r ON r.bucket = rf.bucket "
+        "GROUP BY rf.did), "
+        "lw AS (SELECT d.doc_id, coalesce(sc.s, 0.0) AS raw_lw FROM "
+        "(SELECT DISTINCT doc_id FROM documents) d "
+        "LEFT JOIN sc ON sc.did = d.doc_id), "
+        "keyed AS (SELECT doc_id, round(raw_lw, 4) AS logw, "
+        "round(raw_lw - ln(-ln(((('0x' || substr(md5("
+        f"'{int(seed)}:' || doc_id), 1, 15))::BIGINT % {1 << 20})"
+        f"::DOUBLE + CAST(0.5 AS DOUBLE)) / CAST({float(1 << 20)} "
+        "AS DOUBLE))), 4) AS key FROM lw) "
+        "SELECT doc_id, logw, key FROM keyed "
+        f"ORDER BY key DESC, doc_id LIMIT {int(k)}")
 
 
 def _perplexity_oracle_sql(max_ppl: float = 33.0) -> str:
@@ -2880,6 +2949,7 @@ def oracle_sql() -> dict[str, str]:
         # unrolls and the greedy merge replays as a list_reduce fold
         "t11_bpe_merges": _bpe_oracle_sql(
             num_merges=16, min_freq=2, min_pair_freq=2),
+        "t13_dsir": _dsir_oracle_sql(buckets=4096, seed=7, k=100),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),
