@@ -299,6 +299,7 @@ def stream_curate(
     checkpoint: Optional[str] = None,
     thresholds: Optional[dict] = None,
     trigger_available_now: bool = True,
+    lm=None, max_ppl: Optional[float] = None,
 ):
     """Streaming END-TO-END curation: the batch ``curation.curate``
     pipeline (quality rule-chain → PII redaction → exact dedup →
@@ -315,6 +316,12 @@ def stream_curate(
     scrubbed PII still collapse across batches. Appends survivors
     ``(id, clean_text, split, _batch_id)`` to ``out_dir``.
 
+    Optional ``lm`` + ``max_ppl`` (r4): run the CCNet perplexity
+    filter (``operators.lm.perplexity_filter``) at the head of each
+    micro-batch — the LM count frames are STATIC tables trained
+    offline, so inside foreachBatch the scoring is plain stream-static
+    hash joins with no extra streaming state.
+
     Same non-idempotence caveat as ``stream_exact_dedup`` (two
     appends per batch; transactional sinks fix it at scale). Returns
     the StreamingQuery.
@@ -323,6 +330,11 @@ def stream_curate(
                                                         hash_split)
 
     def curate_batch(batch: DataFrame, batch_id: int) -> None:
+        if lm is not None and max_ppl is not None:
+            from rust_graph_db_spark.operators.lm import perplexity_filter
+
+            batch = perplexity_filter(batch, lm, max_ppl,
+                                      text_col=text_col, id_col=id_col)
         red = (filter_redact(batch, id_col, text_col, thresholds)
                .withColumn("_digest", F.md5(F.col("clean_text"))))
         red = _dedup_against_state(red, state_dir, id_col)

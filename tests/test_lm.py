@@ -171,3 +171,51 @@ def test_curate_with_lm_and_language_stages(spark):
     # languages without profiles frame is a usage error
     with pytest.raises(ValueError, match="language_profiles_df"):
         curate(docs, languages=["en"])
+
+
+def test_stream_curate_with_lm_stage(spark, tmp_path):
+    """r4: stream_curate(lm=, max_ppl=) drops high-perplexity docs at
+    the head of each micro-batch (stream-static joins against the
+    offline-trained count tables), before filter/redact/dedup."""
+    import glob
+    import os
+    import shutil
+
+    from rust_graph_db_spark.streaming import stream_curate
+
+    base = ("the quick brown fox jumped over a lazy dog while it was "
+            "raining and the farmer watched from his porch in quiet "
+            "wonder as evening settled softly across that wide valley "
+            "of golden wheat beneath slowly darkening autumn skies")
+    gibberish = ("zzq vvk wwp flarp glorp blitz quux snerd plonk wibble "
+                 "frobnicate zork grue xyzzy plugh thud quux zzq vvk "
+                 "wwp flarp glorp blitz snerd plonk wibble frobnicate "
+                 "zork grue xyzzy plugh noise chatter static fuzz hum")
+    lm = train_backoff_lm(
+        spark.createDataFrame([(0, base)], "doc_id LONG, text STRING"))
+    pp = {r.doc_id: r.ppl for r in perplexity(
+        spark.createDataFrame([(1, base), (2, gibberish)],
+                              "doc_id LONG, text STRING"), lm).collect()}
+    cut = (pp[1] + pp[2]) / 2
+    assert pp[1] < cut < pp[2]
+
+    watch = tmp_path / "in"
+    watch.mkdir()
+    rows = [(1, base), (2, gibberish)]
+    part = str(tmp_path / "b0")
+    spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+         .coalesce(1).write.parquet(part)
+    dst = str(watch / "batch0.parquet")
+    shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+    os.utime(dst, (1_600_000_000,) * 2)
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .parquet(str(watch)))
+    stream_curate(
+        stream, str(tmp_path / "out"), str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        lm=lm, max_ppl=cut).awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [r.doc_id for r in out] == [1]
