@@ -87,6 +87,24 @@ def main(spark=None):
     print("classifier logloss:", [round(h, 3) for h in hist])
     score_documents(labeled.limit(3), w, b, dim=1 << 14) \
         .select("doc_id", "y", "quality_prob").show()
+
+    # LM perplexity filtering (CCNet recipe, r4): train stupid-backoff
+    # on a trusted slice, score everything, keep the low tail
+    from rust_graph_db_spark.operators.lm import (
+        language_id, language_profiles, perplexity, train_backoff_lm,
+    )
+    lm = train_backoff_lm(docs.where(F.col("source") == "src0"))
+    perplexity(docs, lm).orderBy("ppl").show(5)
+
+    # n-gram-profile language ID (Cavnar-Trenkle, r4)
+    prof = language_profiles(docs.where(F.col("doc_id") % 2 == 0))
+    language_id(docs.where(F.col("doc_id") % 2 == 1), prof).show(5)
+
+    # DSIR importance resampling (Xie et al. 2023, r4): select the
+    # documents whose hashed-ngram profile matches the target slice
+    from rust_graph_db_spark.operators.dsir import dsir_resample
+    target = docs.where(F.col("source") == "src0")
+    dsir_resample(docs, target, k=10, buckets=4096, seed=7).show(10)
     return kept
 
 
