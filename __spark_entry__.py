@@ -347,6 +347,19 @@ def _q_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     return language_id(docs.where(F.col("doc_id") % 2 == 1), prof)
 
 
+def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g23: deterministic Luby maximal independent set over the KNOWS
+    graph (graph_algos.maximal_independent_set) — the dedup
+    keep-selection substrate (dedup.keep_maximal_nondup). Priorities
+    are the cross-engine md5 hash, so the full run (3-4 rounds on this
+    near-2-regular graph; oracle unrolls 8) replays exactly in SQL."""
+    from rust_graph_db_spark.operators.graph_algos import \
+        maximal_independent_set
+
+    return maximal_independent_set(_knows_raw_edges(spark, sf_dir),
+                                   seed=3)
+
+
 def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t13: DSIR data selection (Xie et al. 2023, operators/dsir.py):
     hashed uni+bigram importance log-weights of every document against
@@ -1897,8 +1910,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      w4-w6, g1-g6, g8-g10, s3/s7/s8/s12/s14/s15, j2_two_hop_region,
     #      j6, p2, p7, x3_order_totals, x5, x7, a4;
     #   4. 7 slots for r4-touched/new queries: g14/g15/g16 (exact/md5
-    #      modes — full oracles now), g18 (size-gated default),
-    #      t12/c8/t13 (new operators).
+    #      modes — full oracles now), t12/c8/t13/g23 (new operators;
+    #      g18's size gate doesn't trigger at sf0.01 so its r3 green
+    #      row still covers the executed path).
     # After this round every key's newest green row is r2+ and no key is
     # never-verified. Everything below the window keeps its newest green
     # row from r2/r3; all of it is pytest-covered and swept locally by
@@ -2181,6 +2195,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c8_langid": _q_langid,
         # DSIR importance resampling (r4; full oracle)
         "t13_dsir": _q_dsir,
+        # Luby maximal independent set / dedup keep-selection (r4)
+        "g23_mis": _q_mis,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
         "p22_pattern_expr": _q_cypher_knows(
             "MATCH (a:Person) WHERE a.age > 60 "
@@ -2331,13 +2347,15 @@ _R4_WINDOW = [
     "p2_edge_props", "p7_graph_funcs", "x3_order_totals",
     "x5_network_analysis", "x7_revenue_by_nation", "a4_lineitem_pricing",
     # 7 r4-touched/new: exact/md5 modes (full oracles replace
-    # rows-only), the size-gated betweenness default, and the three
-    # new operators (t12 perplexity, c8 langid, t13 DSIR). j1 was the
-    # provisional 7th slot but the one-hop item resolved to a
-    # bench-measurement artifact with no compiler change (SCALE.md
-    # §11), so the never-verified t13 outranks it.
+    # rows-only) and the four new operators (t12 perplexity, c8
+    # langid, t13 DSIR, g23 MIS). Two provisional slots were
+    # reassigned to never-verified newcomers: j1 (the one-hop item
+    # resolved to a bench-measurement artifact, no compiler change —
+    # SCALE.md §11) and g18 (green r3, and its r4 change — the size
+    # gate — does not even trigger at sf0.01's 1500 vertices, so a
+    # refresh would re-verify the identical code path).
     "g14_neighborhood", "g15_walk_pairs", "g16_harmonic",
-    "g18_betweenness", "t12_perplexity", "c8_langid", "t13_dsir",
+    "g23_mis", "t12_perplexity", "c8_langid", "t13_dsir",
 ]
 
 
@@ -2531,6 +2549,46 @@ def _bpe_oracle_sql(num_merges: int = 16, min_freq: int = 2,
             'r2 AS "right", CAST(pfreq AS BIGINT) AS freq FROM allm '
             "WHERE rank < coalesce((SELECT min(rank) FROM allm "
             f"WHERE pfreq < {int(min_pair_freq)}), {int(num_merges)})")
+
+
+def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
+    """Unrolled deterministic-Luby MIS over `knows` (SQL twin of
+    graph_algos.maximal_independent_set): per round, winners = active
+    vertices whose md5 priority strictly exceeds every active
+    neighbor's max, then winners+neighbors retire. ``rounds`` must
+    exceed the actual convergence round count (3-4 on this graph);
+    extra rounds are no-ops over the empty active set. MATERIALIZED
+    for the same 2^rounds-inlining reason as the BPE oracle."""
+    ctes = [
+        "du AS (SELECT u, v FROM (SELECT src AS u, dst AS v FROM knows "
+        "UNION ALL SELECT dst AS u, src AS v FROM knows) "
+        "WHERE u <> v GROUP BY u, v)",
+        "vv0 AS (SELECT DISTINCT u AS id FROM du)",
+        f"a0 AS MATERIALIZED (SELECT id, ('0x' || substr(md5("
+        f"'{int(seed)}:' || id), 1, 15))::BIGINT AS pri FROM vv0)",
+        "e0 AS MATERIALIZED (SELECT u, v FROM du)",
+    ]
+    for r in range(1, int(rounds) + 1):
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT a.id FROM a{r-1} a "
+            f"LEFT JOIN (SELECT e.u, max(p.pri) AS mp FROM e{r-1} e "
+            f"JOIN a{r-1} p ON p.id = e.v GROUP BY e.u) nm "
+            "ON nm.u = a.id WHERE nm.mp IS NULL OR a.pri > nm.mp)")
+        ctes.append(
+            f"rt{r} AS (SELECT id FROM w{r} UNION "
+            f"SELECT e.v AS id FROM e{r-1} e JOIN w{r} w ON e.u = w.id)")
+        ctes.append(
+            f"a{r} AS MATERIALIZED (SELECT a.id, a.pri FROM a{r-1} a "
+            f"WHERE a.id NOT IN (SELECT id FROM rt{r}))")
+        ctes.append(
+            f"e{r} AS MATERIALIZED (SELECT e.u, e.v FROM e{r-1} e "
+            f"JOIN a{r} x ON e.u = x.id JOIN a{r} y ON e.v = y.id)")
+    union = " UNION ALL ".join(
+        f"SELECT id FROM w{r}" for r in range(1, int(rounds) + 1))
+    ctes.append(f"mis AS ({union})")
+    return (pre + ", " + ", ".join(ctes) +
+            " SELECT v.id, (m.id IS NOT NULL) AS in_mis "
+            "FROM vv0 v LEFT JOIN mis m ON m.id = v.id")
 
 
 def _dsir_oracle_sql(buckets: int = 4096, seed: int = 7,
@@ -2950,6 +3008,7 @@ def oracle_sql() -> dict[str, str]:
         "t11_bpe_merges": _bpe_oracle_sql(
             num_merges=16, min_freq=2, min_pair_freq=2),
         "t13_dsir": _dsir_oracle_sql(buckets=4096, seed=7, k=100),
+        "g23_mis": _mis_oracle_sql(pre, seed=3, rounds=8),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),

@@ -116,6 +116,36 @@ def drop_near_dups(docs: DataFrame, pairs: DataFrame,
     return docs.join(drops, id_col, "left_anti")
 
 
+def keep_maximal_nondup(docs: DataFrame, pairs: DataFrame,
+                        id_col: str = "doc_id",
+                        pair_cols=("i", "j"),
+                        seed: int = 0) -> DataFrame:
+    """Dedup keep-selection that retains MORE data than clustering:
+    keep a MAXIMAL INDEPENDENT SET of the near-dup pair graph
+    (``graph_algos.maximal_independent_set`` — deterministic Luby)
+    plus every unpaired document.
+
+    ``drop_near_dups`` keeps one representative per CONNECTED
+    COMPONENT — correct when near-duplication is transitive, but the
+    pair relation usually is not (A~B and B~C with A≁C), and a
+    component can chain together thousands of documents of which only
+    neighbors are actually similar. The MIS rule keeps a set with no
+    near-dup PAIR inside it while every dropped doc has a kept near
+    neighbor — the maximal data retention consistent with the pair
+    evidence. Same shuffle bill as the clustering path: O(log n)
+    rounds over the pair graph (ids only), one final anti-join.
+    """
+    from rust_graph_db_spark.operators.graph_algos import \
+        maximal_independent_set
+
+    e = pairs.select(F.col(pair_cols[0]).alias("u"),
+                     F.col(pair_cols[1]).alias("v"))
+    mis = maximal_independent_set(e, seed=seed)
+    drops = (mis.where(~F.col("in_mis"))
+             .select(F.col("id").alias(id_col)))
+    return docs.join(drops, id_col, "left_anti")
+
+
 def embedding_neardup_counts(
     docs: DataFrame, emb: DataFrame, threshold: float,
     doc_id: str = "doc_id", vec_id: str = "vec_id",

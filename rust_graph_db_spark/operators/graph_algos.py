@@ -170,6 +170,94 @@ def duplicate_clusters(pairs: DataFrame, id_cols=("i", "j")) -> DataFrame:
             .select(F.col("id"), F.col("component").alias("cluster")))
 
 
+def maximal_independent_set(edges: DataFrame, seed: int = 0,
+                            max_rounds: int = 40) -> DataFrame:
+    """Deterministic Luby-style maximal independent set over the
+    UNDIRECTED graph of ``edges``: ``(id, in_mis)`` for every vertex,
+    such that no two in_mis vertices are adjacent and every excluded
+    vertex has an in_mis neighbor (maximality).
+
+    Luby's algorithm (Luby, "A Simple Parallel Algorithm for the
+    Maximal Independent Set Problem", SIAM J. Comput. 1986),
+    derandomized: a vertex's round priority is the cross-engine md5
+    hash ``int(md5(seed:id)[:15 hex], 16)`` instead of a random draw —
+    a vertex enters the MIS when its priority strictly exceeds every
+    ACTIVE neighbor's, then it and its neighbors retire. The run is a
+    pure function of (graph, seed), so an unrolled SQL oracle replays
+    it exactly. Hash ties between neighbors would stall that edge
+    (neither side strictly wins); with 60-bit priorities that needs an
+    md5 collision, and the ``max_rounds`` guard turns a stall into an
+    error instead of an infinite loop.
+
+    The pipeline use is dedup KEEP-SELECTION (see
+    ``dedup.keep_maximal_nondup``): over the near-duplicate pair
+    graph, an MIS is a maximal set of mutually non-duplicate documents
+    — strictly more kept data than min-id-per-component clustering
+    when near-duplication is non-transitive (A~B~C but A≁C keeps
+    {A, C}, not just {A}).
+
+    100 TB shape: O(log n) expected rounds; each round is one
+    neighbor-max aggregation (map-side combinable) + two anti-joins,
+    all hash-keyed on vertex id; per-round ``localCheckpoint`` keeps
+    lineage O(1). State is one (id, priority) row per ACTIVE vertex —
+    monotonically shrinking.
+    """
+    s, d = _pair_cols(edges)
+    dir_e = (edges.select(F.col(s).cast("long").alias("u"),
+                          F.col(d).cast("long").alias("v"))
+             .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    e = (dir_e.unionAll(dir_e.select(F.col("v").alias("u"),
+                                     F.col("u").alias("v")))
+         .where(F.col("u") != F.col("v")).distinct()
+         .localCheckpoint(eager=True))
+    pri = F.conv(F.substring(F.md5(F.concat_ws(
+        ":", F.lit(str(int(seed))), F.col("id").cast("string"))),
+        1, 15), 16, 10).cast("long")
+    verts = (e.select(F.col("u").alias("id")).distinct()
+             .select("id", pri.alias("pri"))
+             .localCheckpoint(eager=True))
+    spark = edges.sparkSession
+    mis = spark.createDataFrame([], "id LONG")
+    active = verts
+    act_e = e
+    for _ in range(int(max_rounds)):
+        if active.isEmpty():
+            break
+        nbr_max = (act_e.join(active.select(F.col("id").alias("v"),
+                                            F.col("pri").alias("npri")),
+                              "v")
+                   .groupBy("u").agg(F.max("npri").alias("mp")))
+        winners = (active.join(nbr_max,
+                               active["id"] == nbr_max["u"], "left")
+                   .where(F.col("mp").isNull()
+                          | (F.col("pri") > F.col("mp")))
+                   .select("id")
+                   .localCheckpoint(eager=True))
+        mis = mis.unionAll(winners)
+        retired = winners.unionAll(
+            act_e.join(winners.withColumnRenamed("id", "u"), "u",
+                       "left_semi")
+            .select(F.col("v").alias("id"))).distinct()
+        active = (active.join(retired, "id", "left_anti")
+                  .localCheckpoint(eager=True))
+        act_e = (act_e
+                 .join(active.select(F.col("id").alias("u")), "u",
+                       "left_semi")
+                 .join(active.select(F.col("id").alias("v")), "v",
+                       "left_semi")
+                 .select("u", "v").localCheckpoint(eager=True))
+    else:
+        if not active.isEmpty():
+            raise RuntimeError(
+                "maximal_independent_set: not converged within "
+                f"max_rounds={max_rounds} (md5 priority tie?)")
+    mis = mis.localCheckpoint(eager=True)
+    return (verts.select("id")
+            .join(mis.withColumn("in_mis", F.lit(True)), "id", "left")
+            .select("id", F.coalesce("in_mis", F.lit(False))
+                    .alias("in_mis")))
+
+
 def degrees(edges: DataFrame) -> DataFrame:
     """Per-vertex (id, out_deg, in_deg, deg) from a (src, dst) edge list."""
     s, d = _pair_cols(edges)

@@ -915,3 +915,63 @@ def test_weighted_pagerank_keeps_nonpositive_weight_vertices(spark):
     for isolated in (3, 4, 5, 6):
         assert abs(got[isolated] - 0.15) < 1e-12, (isolated, got[isolated])
     assert got[1] > 0.15 and got[2] > 0.15
+
+
+def test_maximal_independent_set(spark):
+    """Deterministic Luby MIS (r4): independence (no adjacent pair in
+    the set), maximality (every excluded vertex has an in-set
+    neighbor), determinism across runs, and seed sensitivity — on a
+    path + triangle + star composite."""
+    from rust_graph_db_spark.operators.graph_algos import \
+        maximal_independent_set
+
+    edges = ([(0, 1), (1, 2), (2, 3), (3, 4)]          # path
+             + [(10, 11), (11, 12), (12, 10)]          # triangle
+             + [(20, 21), (20, 22), (20, 23), (20, 24)])  # star
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    und = set(edges) | {(b, a) for a, b in edges}
+    nb: dict = {}
+    for a, b in und:
+        nb.setdefault(a, set()).add(b)
+
+    rows = maximal_independent_set(df, seed=5).collect()
+    assert {r.id for r in rows} == set(nb)
+    ms = {r.id for r in rows if r.in_mis}
+    assert not any((a, b) in und for a in ms for b in ms if a != b)
+    assert all(v in ms or (nb[v] & ms) for v in nb)
+    again = maximal_independent_set(df, seed=5).collect()
+    assert sorted(map(tuple, rows)) == sorted(map(tuple, again))
+    # some seed in a small range flips at least one membership
+    flipped = any(
+        {r.id for r in maximal_independent_set(df, seed=s).collect()
+         if r.in_mis} != ms
+        for s in range(6, 12))
+    assert flipped
+
+
+def test_keep_maximal_nondup_retains_more_than_clustering(spark):
+    """r4: on a non-transitive near-dup chain A~B~C (A not~ C), the
+    MIS keep rule retains both endpoints while min-id-per-component
+    keeps only one document of the three."""
+    from rust_graph_db_spark.operators.dedup import (
+        drop_near_dups, keep_maximal_nondup)
+
+    docs = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(6)], "doc_id LONG, text STRING")
+    # chain 0~1~2; pair 3~4; doc 5 unpaired
+    pairs = spark.createDataFrame([(0, 1), (1, 2), (3, 4)],
+                                  "i LONG, j LONG")
+    kept_mis = sorted(r.doc_id
+                      for r in keep_maximal_nondup(docs, pairs).collect())
+    kept_cc = sorted(r.doc_id
+                     for r in drop_near_dups(docs, pairs).collect())
+    assert kept_cc == [0, 3, 5]
+    # MIS: one of {1} or {0,2} from the chain, one of {3,4}, plus 5
+    assert 5 in kept_mis
+    assert set(kept_mis) & {3, 4}
+    chain_kept = set(kept_mis) & {0, 1, 2}
+    assert chain_kept in ({0, 2}, {1})
+    # pair evidence respected: no adjacent pair both kept
+    for a, b in [(0, 1), (1, 2), (3, 4)]:
+        assert not (a in kept_mis and b in kept_mis)
+    assert len(kept_mis) >= len(kept_cc)
