@@ -378,7 +378,12 @@ def curate(
     """
     from pyspark.sql import Window
 
-    if lm is not None and max_ppl is not None:
+    if (lm is None) != (max_ppl is None):
+        # half-specified silently skipping the stage would look like
+        # "LM filtering ran and kept everything"
+        raise ValueError("curate(): lm and max_ppl must be given "
+                         "together")
+    if lm is not None:
         from rust_graph_db_spark.operators.lm import perplexity_filter
 
         df = perplexity_filter(df, lm, max_ppl, text_col=text_col,
@@ -388,6 +393,8 @@ def curate(
             raise ValueError(
                 "curate(languages=...) needs language_profiles_df "
                 "(operators.lm.language_profiles output)")
+        if isinstance(languages, str):       # list("en") would match
+            languages = [languages]          # the chars 'e' and 'n'
         from rust_graph_db_spark.operators.lm import language_id
 
         lid = language_id(df, language_profiles_df,

@@ -39,13 +39,13 @@ from rust_graph_db_spark.functions.text import tokens
 
 
 def _md5_bucket(col, buckets: int, salt: str) -> F.Column:
-    """Deterministic bucket id in [0, buckets): int(md5(salt:value)
-    [:15 hex], 16) % buckets — the cross-engine-stable hash (DuckDB:
-    ('0x' || substr(md5(...), 1, 15))::BIGINT % buckets)."""
-    key = F.concat_ws(":", F.lit(salt), col.cast("string"))
-    return F.pmod(
-        F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long"),
-        F.lit(int(buckets)))
+    """Deterministic bucket id in [0, buckets): md5_long(salt:value)
+    % buckets — the cross-engine-stable hash (see
+    functions/hashing.py for the DuckDB twin)."""
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+    return F.pmod(md5_long(md5_key(F.lit(salt), col)),
+                  F.lit(int(buckets)))
 
 
 def _doc_features(docs: DataFrame, text_col: str, id_expr,
@@ -55,8 +55,12 @@ def _doc_features(docs: DataFrame, text_col: str, id_expr,
     The n-gram stream is built JVM-side (same transform-over-
     materialized-array shape as curation.ngram_stream); only the
     bucket hash runs per occurrence."""
+    # '' tokens (empty text, padded whitespace) are FILTERED — the
+    # oracle does the same; an unfiltered side would shift n_feats and
+    # the corpus totals on any padded document
     base = docs.select(id_expr.alias("_id"),
-                       tokens(F.col(text_col)).alias("_toks"))
+                       F.filter(tokens(F.col(text_col)),
+                                lambda x: x != F.lit("")).alias("_toks"))
     uni = base.select("_id", F.explode("_toks").alias("g"))
     big = (base.where(F.size("_toks") >= 2)
            .select("_id", F.explode(F.expr(
@@ -87,10 +91,19 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
 
     Documents whose text yields zero features get logw 0 (no
     evidence). The ratio table is ``buckets`` rows — broadcast."""
-    t_cnt = hashed_ngram_dist(target, text_col, buckets) \
-        .select("bucket", F.col("cnt").alias("tc"))
-    r_cnt = hashed_ngram_dist(raw, text_col, buckets) \
-        .select("bucket", F.col("cnt").alias("rc"))
+    # One tokenize+hash pass per corpus: the raw feature stream is
+    # checkpointed and reused for BOTH its bucket histogram and the
+    # per-doc scoring join; the count frames are checkpointed before
+    # the driver-sum actions (un-pinned, the raw corpus would be
+    # re-scanned three times per call).
+    feats = (_doc_features(raw, text_col, F.col(id_col), buckets)
+             .localCheckpoint(eager=True))
+    t_cnt = (hashed_ngram_dist(target, text_col, buckets)
+             .select("bucket", F.col("cnt").alias("tc"))
+             .localCheckpoint(eager=True))
+    r_cnt = (feats.groupBy("bucket")
+             .agg(F.count(F.lit(1)).alias("rc"))
+             .localCheckpoint(eager=True))
     tn = int(t_cnt.agg(F.coalesce(F.sum("tc"), F.lit(0))
                        .alias("s")).first()["s"])
     rn = int(r_cnt.agg(F.coalesce(F.sum("rc"), F.lit(0))
@@ -103,7 +116,6 @@ def dsir_logweights(raw: DataFrame, target: DataFrame,
                       - F.log((F.coalesce("rc", F.lit(0)).cast("double")
                                + F.lit(1.0)) / F.lit(float(rn) + b)))
                      .alias("lr")))
-    feats = _doc_features(raw, text_col, F.col(id_col), buckets)
     scored = (feats.join(F.broadcast(ratio), "bucket", "left")
               .groupBy("_id")
               .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
@@ -134,9 +146,10 @@ def dsir_resample(raw: DataFrame, target: DataFrame, k: int,
     m = float(1 << 20)
     lw = dsir_logweights(raw, target, text_col, id_col, buckets,
                          ndigits=None)
-    u = ((F.pmod(F.conv(F.substring(F.md5(F.concat_ws(
-            ":", F.lit(str(seed)), F.col(id_col).cast("string"))),
-            1, 15), 16, 10).cast("long"), F.lit(1 << 20))
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+    u = ((F.pmod(md5_long(md5_key(F.lit(seed), F.col(id_col))),
+                 F.lit(1 << 20))
           .cast("double") + F.lit(0.5)) / F.lit(m))
     keyed = lw.select(id_col,
                       F.round("logw", ndigits).alias("logw"),

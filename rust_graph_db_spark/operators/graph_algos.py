@@ -210,9 +210,9 @@ def maximal_independent_set(edges: DataFrame, seed: int = 0,
                                      F.col("u").alias("v")))
          .where(F.col("u") != F.col("v")).distinct()
          .localCheckpoint(eager=True))
-    pri = F.conv(F.substring(F.md5(F.concat_ws(
-        ":", F.lit(str(int(seed))), F.col("id").cast("string"))),
-        1, 15), 16, 10).cast("long")
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+    pri = md5_long(md5_key(F.lit(int(seed)), F.col("id")))
     verts = (e.select(F.col("u").alias("id")).distinct()
              .select("id", pri.alias("pri"))
              .localCheckpoint(eager=True))
@@ -630,10 +630,10 @@ def _walk_choice_hash(hash_mode: str, seed: int, t, walk_id_col, cur_col):
     digits = 60 bits, always a positive BIGINT on both engines.
     """
     if hash_mode == "md5":
-        key = F.concat_ws(
-            ":", F.lit(str(seed)), walk_id_col.cast("string"),
-            F.lit(str(t)), cur_col.cast("string"))
-        return F.conv(F.substring(F.md5(key), 1, 15), 16, 10).cast("long")
+        from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+        return md5_long(md5_key(F.lit(seed), walk_id_col,
+                                F.lit(t), cur_col))
     return F.xxhash64(F.lit(seed), walk_id_col, F.lit(t), cur_col)
 
 

@@ -153,13 +153,16 @@ def perplexity_filter(docs: DataFrame, lm: BackoffLM,
 
 # ----------------------------------------------------- language ID
 
-def _char_trigrams(text_col) -> F.Column:
-    """Distinct character trigrams of the lowercased text (positions
-    1..len-2). The length guard matters: Spark's sequence(1, 0) is
-    DESCENDING [1, 0], not empty, so texts under 3 chars must
-    short-circuit to []. DuckDB twin: list_distinct(list_transform(
-    generate_series(1, greatest(len(lower(t)) - 2, 0)),
-    i -> substr(lower(t), i, 3))) — generate_series IS empty there."""
+def _char_trigrams() -> F.Column:
+    """Distinct character trigrams (positions 1..len-2) of the column
+    ``_lc`` — callers MUST alias their lowercased text to ``_lc``
+    first (the expr strings below hardcode the name; a parameter here
+    would be a trap since it could not reach them). The length guard
+    matters: Spark's sequence(1, 0) is DESCENDING [1, 0], not empty,
+    so texts under 3 chars must short-circuit to []. DuckDB twin:
+    list_distinct(list_transform(generate_series(1,
+    greatest(len(lower(t)) - 2, 0)), i -> substr(lower(t), i, 3))) —
+    generate_series IS empty there."""
     return F.array_distinct(
         F.when(F.length("_lc") >= 3, F.expr(
             "transform(sequence(1, length(_lc) - 2),"
@@ -177,7 +180,7 @@ def language_profiles(docs: DataFrame, lang_col: str = "lang",
     (langs × top) — broadcast it at scoring time."""
     grams = (docs.select(F.col(lang_col).alias("lang"),
                          F.lower(F.col(text_col)).alias("_lc"))
-             .select("lang", F.explode(_char_trigrams("_lc"))
+             .select("lang", F.explode(_char_trigrams())
                      .alias("gram"))
              .groupBy("lang", "gram")
              .agg(F.count(F.lit(1)).alias("c")))
@@ -202,7 +205,7 @@ def language_id(docs: DataFrame, profiles: DataFrame,
     evidence — callers route them to a fallback)."""
     grams = (docs.select(F.col(id_col),
                          F.lower(F.col(text_col)).alias("_lc"))
-             .select(id_col, F.explode(_char_trigrams("_lc"))
+             .select(id_col, F.explode(_char_trigrams())
                      .alias("gram")))
     scores = (grams.join(F.broadcast(profiles), "gram")
               .groupBy(id_col, "lang")

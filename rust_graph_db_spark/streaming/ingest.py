@@ -329,8 +329,12 @@ def stream_curate(
     from rust_graph_db_spark.operators.curation import (filter_redact,
                                                         hash_split)
 
+    if (lm is None) != (max_ppl is None):
+        raise ValueError("stream_curate(): lm and max_ppl must be "
+                         "given together")
+
     def curate_batch(batch: DataFrame, batch_id: int) -> None:
-        if lm is not None and max_ppl is not None:
+        if lm is not None:
             from rust_graph_db_spark.operators.lm import perplexity_filter
 
             batch = perplexity_filter(batch, lm, max_ppl,

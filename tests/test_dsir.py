@@ -109,10 +109,11 @@ def test_dsir_resample_deterministic_topk(spark, frames):
 
 def test_dsir_empty_text_scores_zero(spark, frames):
     _, tgt = frames
-    raw = spark.createDataFrame(RAW + [(9, "")],
+    raw = spark.createDataFrame(RAW + [(9, ""), (10, "  ")],
                                 "doc_id LONG, text STRING")
     got = {r.doc_id: (r.n_feats, r.logw)
            for r in dsir_logweights(raw, tgt, buckets=B).collect()}
-    # split('') yields [''] which the tokenizer keeps as one token —
-    # it still hashes; what matters is the row EXISTS with finite logw
-    assert 9 in got and math.isfinite(got[9][1])
+    # '' tokens are filtered (mirrors the oracle): empty/whitespace
+    # docs contribute NO features and score exactly 0
+    assert got[9] == (0, 0.0)
+    assert got[10] == (0, 0.0)

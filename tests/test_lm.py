@@ -171,6 +171,17 @@ def test_curate_with_lm_and_language_stages(spark):
     # languages without profiles frame is a usage error
     with pytest.raises(ValueError, match="language_profiles_df"):
         curate(docs, languages=["en"])
+    # half-specified LM stage is a usage error, not a silent no-op
+    with pytest.raises(ValueError, match="lm and max_ppl"):
+        curate(docs, lm=lm)
+    with pytest.raises(ValueError, match="lm and max_ppl"):
+        curate(docs, max_ppl=100.0)
+    # a bare-string language must mean the code, not its characters —
+    # list("en") would match the langs 'e'/'n' (none) and keep nothing
+    out2 = curate(docs, thresholds={"min_chars": 1, "max_chars": 10_000,
+                                    "min_tokens": 1},
+                  languages="en", language_profiles_df=prof)
+    assert sorted(r.doc_id for r in out2.collect()) == [0, 1]
 
 
 def test_stream_curate_with_lm_stage(spark, tmp_path):
