@@ -360,6 +360,23 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    seed=3)
 
 
+def _q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g24: one-row whole-graph profile (graph_algos.graph_profile) of
+    KNOWS ∪ 2-hop-KNOWS (the closure makes triangles/transitivity
+    non-trivial — the base ring+chord graph is triangle-free, same
+    construction as g10). Every ratio is a quotient of exact integer
+    aggregates, so the SQL oracle matches bitwise after round(6)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import graph_profile
+
+    e = _knows_raw_edges(spark, sf_dir)
+    a, b = e.alias("a"), e.alias("b")
+    e2 = a.join(b, F.col("a.dst") == F.col("b.src")).select(
+        F.col("a.src").alias("src"), F.col("b.dst").alias("dst"))
+    return graph_profile(e.unionByName(e2))
+
+
 def _q_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t13: DSIR data selection (Xie et al. 2023, operators/dsir.py):
     hashed uni+bigram importance log-weights of every document against
@@ -2197,6 +2214,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t13_dsir": _q_dsir,
         # Luby maximal independent set / dedup keep-selection (r4)
         "g23_mis": _q_mis,
+        # one-row graph profile: density/reciprocity/transitivity/
+        # assortativity from exact integer aggregates (r4)
+        "g24_graph_profile": _q_graph_profile,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
         "p22_pattern_expr": _q_cypher_knows(
             "MATCH (a:Person) WHERE a.age > 60 "
@@ -2321,12 +2341,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # note at the top of queries() for how these slots were chosen. This is
 # the r4 rotation the r3 verdict prescribed; after it lands, zero keys
 # are never-verified and no key's newest green row predates r2.
-# ROUND-5 ROTATION PLAN: refresh the 46 keys whose newest green row
-# will then be r2 (w9, g17, a6, p21, p10/p12-p14/p17-p20, d1-d5, e1-e5,
-# w1-w3/w7/w8, x1/x2/x4/x6, j1 (if not green r4), k1, t1, g7, m1-m3,
-# r1/r2, a5, j3-j5, u1-u4, s1, p1/p4/p6/p8/p9, o1/o2, x3_timeline,
-# j2_three_hop, a1-a3) prioritizing any whose library code r5 touches,
-# plus slots for r5 additions.
+# ROUND-5 ROTATION PLAN, priority order: (1) the late-r4 additions
+# with no driver verdict yet (g24_graph_profile; g18_betweenness's
+# size-gate default and j1_one_hop gave up their slots to newcomers —
+# all locally oracle-green); (2) refresh the ~46 keys whose newest
+# green row will then be r2 (w9, g17, a6, p21, p10/p12-p14/p17-p20,
+# d1-d5, e1-e5, w1-w3/w7/w8, x1/x2/x4/x6, k1, t1, g7, m1-m3, r1/r2,
+# a5, j3-j5, u1-u4, s1, p1/p4/p6/p8/p9, o1/o2, x3_timeline,
+# j2_three_hop, a1-a3) prioritizing any whose library code r5 touches;
+# (3) slots for r5 additions.
 _R4_WINDOW = [
     # 14 never driver-verified (r3-s6/s7 additions; all locally green)
     "t11_bpe_merges", "c5_quality_classifier", "r3_funnel",
@@ -2589,6 +2612,67 @@ def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
     return (pre + ", " + ", ".join(ctes) +
             " SELECT v.id, (m.id IS NOT NULL) AS in_mis "
             "FROM vv0 v LEFT JOIN mis m ON m.id = v.id")
+
+
+def _graph_profile_oracle_sql(pre: str) -> str:
+    """SQL twin of graph_algos.graph_profile over knows ∪ knows²:
+    every ratio from the same exact integer aggregates, identical
+    operation order before round(6)."""
+    return pre + (
+        ", raw AS MATERIALIZED (SELECT src AS u, dst AS v FROM knows "
+        "UNION ALL SELECT k1.src, k2.dst FROM knows k1 "
+        "JOIN knows k2 ON k1.dst = k2.src), "
+        "lp AS (SELECT CAST(count(*) AS BIGINT) AS n_self_loops "
+        "FROM raw WHERE u = v), "
+        "ed AS MATERIALIZED (SELECT DISTINCT u, v FROM raw "
+        "WHERE u <> v), "
+        "nv AS (SELECT CAST(count(*) AS BIGINT) AS n_vertices FROM "
+        "(SELECT DISTINCT id FROM (SELECT u AS id FROM raw "
+        "UNION ALL SELECT v AS id FROM raw))), "
+        "ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM ed), "
+        "rc AS (SELECT CAST(count(*) AS BIGINT) AS n_recip FROM ed e "
+        "WHERE EXISTS (SELECT 1 FROM ed r WHERE r.u = e.v "
+        "AND r.v = e.u)), "
+        "mo AS (SELECT CAST(max(c) AS BIGINT) AS max_out_deg FROM "
+        "(SELECT count(*) AS c FROM ed GROUP BY u)), "
+        "mi AS (SELECT CAST(max(c) AS BIGINT) AS max_in_deg FROM "
+        "(SELECT count(*) AS c FROM ed GROUP BY v)), "
+        "und AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        "(SELECT u, v FROM ed UNION ALL SELECT v AS u, u AS v "
+        "FROM ed)), "
+        "dg AS MATERIALIZED (SELECT u, count(*) AS d FROM und "
+        "GROUP BY u), "
+        "wz AS (SELECT CAST(sum(d * (d - 1) / 2) AS BIGINT) AS wedges "
+        "FROM dg), "
+        "uu AS MATERIALIZED (SELECT u, v FROM und WHERE u < v), "
+        "tr AS (SELECT CAST(count(*) AS BIGINT) AS triangles FROM "
+        "uu e1 JOIN uu e2 ON e2.u = e1.u AND e2.v > e1.v "
+        "JOIN uu e3 ON e3.u = e1.v AND e3.v = e2.v), "
+        "asr AS (SELECT CAST(count(*) AS BIGINT) AS m2, "
+        "CAST(sum(a.d) AS BIGINT) AS sx, "
+        "CAST(sum(a.d * a.d) AS BIGINT) AS sxx, "
+        "CAST(sum(a.d * b.d) AS BIGINT) AS sxy "
+        "FROM und j JOIN dg a ON a.u = j.u JOIN dg b ON b.u = j.v) "
+        "SELECT n_vertices, n_edges, n_self_loops, "
+        "CASE WHEN n_vertices > 1 THEN round(CAST(n_edges AS DOUBLE) / "
+        "CAST(n_vertices * (n_vertices - 1) AS DOUBLE), 6) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS density, "
+        "CASE WHEN n_edges > 0 THEN round(CAST(n_recip AS DOUBLE) / "
+        "CAST(n_edges AS DOUBLE), 6) ELSE CAST(0.0 AS DOUBLE) END "
+        "AS reciprocity, "
+        "coalesce(max_out_deg, 0) AS max_out_deg, "
+        "coalesce(max_in_deg, 0) AS max_in_deg, "
+        "triangles, coalesce(wedges, 0) AS wedges, "
+        "CASE WHEN wedges > 0 THEN round(CAST(3.0 AS DOUBLE) * "
+        "triangles / CAST(wedges AS DOUBLE), 6) "
+        "ELSE CAST(0.0 AS DOUBLE) END AS transitivity, "
+        "CASE WHEN m2 * sxx - sx * sx <> 0 THEN "
+        "round(CAST(m2 * sxy - sx * sx AS DOUBLE) / "
+        "CAST(m2 * sxx - sx * sx AS DOUBLE), 6) "
+        "ELSE CAST(NULL AS DOUBLE) END AS assortativity "
+        "FROM nv CROSS JOIN ne CROSS JOIN lp CROSS JOIN rc "
+        "CROSS JOIN mo CROSS JOIN mi CROSS JOIN tr CROSS JOIN wz "
+        "CROSS JOIN asr")
 
 
 def _dsir_oracle_sql(buckets: int = 4096, seed: int = 7,
@@ -3009,6 +3093,7 @@ def oracle_sql() -> dict[str, str]:
             num_merges=16, min_freq=2, min_pair_freq=2),
         "t13_dsir": _dsir_oracle_sql(buckets=4096, seed=7, k=100),
         "g23_mis": _mis_oracle_sql(pre, seed=3, rounds=8),
+        "g24_graph_profile": _graph_profile_oracle_sql(pre),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),

@@ -618,6 +618,98 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count("*").cast("long").alias("triangles"))
 
 
+def graph_profile(edges: DataFrame) -> DataFrame:
+    """One-row whole-graph summary — the graph twin of
+    ``profiling.profile`` (deequ/TFDV shape) for dataset audits:
+
+    ``(n_vertices, n_edges, n_self_loops, density, reciprocity,
+    max_out_deg, max_in_deg, triangles, wedges, transitivity,
+    assortativity)``
+
+    Definitions: ``n_edges`` = distinct directed pairs excluding self
+    loops; ``density`` = m/(n·(n−1)); ``reciprocity`` = fraction of
+    directed edges whose reverse exists; ``triangles``/``wedges``/
+    ``transitivity`` (= 3·tri/wedges) over the undirected simple
+    graph; ``assortativity`` = Pearson degree correlation over both
+    orientations of every undirected edge (Newman 2002), NULL on
+    regular graphs (zero variance).
+
+    Every ratio is a quotient of EXACT integer aggregates (counts,
+    Σdeg, Σdeg², Σdeg·deg), so the output is bitwise-deterministic and
+    SQL-oracle-able; the integer sums stay exact in doubles below 2^53
+    — beyond that (Σ of deg² over ~10¹² edges) switch the sums to
+    DecimalType. Shape: a handful of count/sum aggregations plus the
+    degree-ordered triangle join (`triangle_count`), all one-row
+    results cross-joined at the end — no driver state beyond the
+    final row.
+    """
+    s, d = _pair_cols(edges)
+    raw = (edges.select(F.col(s).cast("long").alias("u"),
+                        F.col(d).cast("long").alias("v"))
+           .where(F.col("u").isNotNull() & F.col("v").isNotNull())
+           .localCheckpoint(eager=True))
+    loops = raw.where(F.col("u") == F.col("v")) \
+               .agg(F.count(F.lit(1)).cast("long").alias("n_self_loops"))
+    ed = (raw.where(F.col("u") != F.col("v")).distinct()
+          .localCheckpoint(eager=True))
+    verts = (raw.select(F.col("u").alias("id"))
+             .unionAll(raw.select(F.col("v").alias("id"))).distinct())
+    nv = verts.agg(F.count(F.lit(1)).cast("long").alias("n_vertices"))
+    ne = ed.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    recip = (ed.join(ed.select(F.col("v").alias("u"),
+                               F.col("u").alias("v")),
+                     ["u", "v"], "left_semi")
+             .agg(F.count(F.lit(1)).cast("long").alias("n_recip")))
+    mo = (ed.groupBy("u").agg(F.count(F.lit(1)).alias("od"))
+          .agg(F.max("od").cast("long").alias("max_out_deg")))
+    mi = (ed.groupBy("v").agg(F.count(F.lit(1)).alias("idg"))
+          .agg(F.max("idg").cast("long").alias("max_in_deg")))
+    # undirected simple graph: both orientations, then degree table
+    und = (ed.unionAll(ed.select(F.col("v").alias("u"),
+                                 F.col("u").alias("v")))
+           .distinct().localCheckpoint(eager=True))
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("dg"))
+    wedges = deg.agg(
+        F.sum(F.col("dg") * (F.col("dg") - 1) / 2).cast("long")
+        .alias("wedges"))
+    tri = triangle_count(ed)
+    # assortativity sums over both orientations (x = deg(u), y = deg(v)):
+    # by symmetry Σx = Σy and Σx² = Σy², so four integer sums suffice
+    dd = (und.join(deg, "u")
+          .join(deg.select(F.col("u").alias("v"),
+                           F.col("dg").alias("dh")), "v"))
+    asum = dd.agg(F.count(F.lit(1)).cast("long").alias("m2"),
+                  F.sum("dg").cast("long").alias("sx"),
+                  F.sum(F.col("dg") * F.col("dg")).cast("long")
+                  .alias("sxx"),
+                  F.sum(F.col("dg") * F.col("dh")).cast("long")
+                  .alias("sxy"))
+    row = (nv.crossJoin(ne).crossJoin(loops).crossJoin(recip)
+           .crossJoin(mo).crossJoin(mi).crossJoin(tri)
+           .crossJoin(wedges).crossJoin(asum))
+    n, m = F.col("n_vertices"), F.col("n_edges")
+    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
+    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    return row.select(
+        "n_vertices", "n_edges", "n_self_loops",
+        F.when(n > 1, F.round(m.cast("double")
+                              / (n * (n - 1)).cast("double"), 6))
+         .otherwise(F.lit(0.0)).alias("density"),
+        F.when(m > 0, F.round(F.col("n_recip").cast("double")
+                              / m.cast("double"), 6))
+         .otherwise(F.lit(0.0)).alias("reciprocity"),
+        F.coalesce("max_out_deg", F.lit(0)).alias("max_out_deg"),
+        F.coalesce("max_in_deg", F.lit(0)).alias("max_in_deg"),
+        "triangles", F.coalesce("wedges", F.lit(0)).alias("wedges"),
+        F.when(F.col("wedges") > 0,
+               F.round(F.lit(3.0) * F.col("triangles")
+                       / F.col("wedges").cast("double"), 6))
+         .otherwise(F.lit(0.0)).alias("transitivity"),
+        F.when(den != 0,
+               F.round(num.cast("double") / den.cast("double"), 6))
+         .otherwise(F.lit(None).cast("double")).alias("assortativity"))
+
+
 def _walk_choice_hash(hash_mode: str, seed: int, t, walk_id_col, cur_col):
     """The deterministic uniform driving a walk's neighbor choice.
 

@@ -975,3 +975,32 @@ def test_keep_maximal_nondup_retains_more_than_clustering(spark):
     for a, b in [(0, 1), (1, 2), (3, 4)]:
         assert not (a in kept_mis and b in kept_mis)
     assert len(kept_mis) >= len(kept_cc)
+
+
+def test_graph_profile(spark):
+    """r4: one-row graph summary — every field checked against hand
+    computation on a triangle + reciprocal pair + self-loop graph."""
+    from rust_graph_db_spark.operators.graph_algos import graph_profile
+
+    e = spark.createDataFrame(
+        [(0, 1), (1, 2), (2, 0), (3, 4), (4, 3), (5, 5), (0, 1)],
+        "src LONG, dst LONG")
+    r = graph_profile(e).collect()[0]
+    assert r.n_vertices == 6            # 0..5 (loop vertex counts)
+    assert r.n_edges == 5               # distinct directed, no loops
+    assert r.n_self_loops == 1
+    assert abs(r.density - round(5 / 30, 6)) < 1e-9
+    assert abs(r.reciprocity - 0.4) < 1e-9      # (3,4),(4,3) of 5
+    assert r.max_out_deg == 1 and r.max_in_deg == 1
+    assert r.triangles == 1
+    assert r.wedges == 3                # three degree-2 vertices
+    assert abs(r.transitivity - 1.0) < 1e-9
+    # degree-2s link to degree-2s, degree-1s to degree-1s: perfect
+    assert abs(r.assortativity - 1.0) < 1e-9
+
+    # regular graph (4-cycle): zero degree variance -> NULL
+    cyc = spark.createDataFrame([(0, 1), (1, 2), (2, 3), (3, 0)],
+                                "src LONG, dst LONG")
+    r2 = graph_profile(cyc).collect()[0]
+    assert r2.assortativity is None
+    assert r2.triangles == 0 and r2.transitivity == 0.0
