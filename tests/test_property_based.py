@@ -351,3 +351,81 @@ def test_funnel_matches_python_model(spark, data, within):
            for r in funnel(ev, ["a", "b", "c"], type_col="et",
                            within=within).collect()}
     assert got == want
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.tuples(st.integers(0, 19), st.integers(0, 19)),
+    min_size=1, max_size=40),
+    seed=st.integers(0, 5))
+def test_mis_invariants_random(spark, data, seed):
+    """r4: on random digraphs the deterministic-Luby MIS must ALWAYS be
+    independent (no adjacent members) and maximal (every non-member has
+    a member neighbor), and two runs must agree exactly."""
+    from rust_graph_db_spark.operators.graph_algos import \
+        maximal_independent_set
+
+    edges = [(a, b) for a, b in data if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    rows = maximal_independent_set(df, seed=seed).collect()
+    und = set(edges) | {(b, a) for a, b in edges}
+    nb: dict = {}
+    for a, b in und:
+        nb.setdefault(a, set()).add(b)
+    assert {r.id for r in rows} == set(nb)
+    ms = {r.id for r in rows if r.in_mis}
+    assert not any((a, b) in und for a in ms for b in ms if a != b)
+    assert all(v in ms or (nb[v] & ms) for v in nb)
+    again = {r.id for r in maximal_independent_set(df, seed=seed)
+             .collect() if r.in_mis}
+    assert again == ms
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.lists(st.sampled_from(["the", "cat", "sat", "dog", "ran",
+                              "big", "zzq"]), min_size=1, max_size=8),
+    min_size=1, max_size=8))
+def test_perplexity_matches_python_random(spark, data):
+    """r4: stupid-backoff perplexity equals the pure-Python model on
+    random small corpora (train = score set, so every backoff branch —
+    seen bigram, unigram-only, first token — gets exercised)."""
+    import math
+
+    from rust_graph_db_spark.operators.lm import (
+        perplexity, train_backoff_lm)
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(data)]
+    docs = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    lm = train_backoff_lm(docs)
+
+    uni: dict = {}
+    big: dict = {}
+    for _, t in rows:
+        ws = t.split()
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ws, ws[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    n = sum(uni.values())
+
+    got = {r.doc_id: r.ppl for r in perplexity(docs, lm).collect()}
+    for did, t in rows:
+        ws = t.split()
+        lp = 0.0
+        for i, w in enumerate(ws):
+            su = uni.get(w, 0) / n if w in uni else 0.4 / n
+            if i == 0:
+                s = su
+            elif (ws[i - 1], w) in big:
+                s = big[(ws[i - 1], w)] / uni[ws[i - 1]]
+            else:
+                s = 0.4 * su
+            lp += math.log(s)
+        want = math.exp(-lp / len(ws))
+        assert abs(got[did] - round(want, 3)) <= 1.5e-3, \
+            (did, got[did], want)
