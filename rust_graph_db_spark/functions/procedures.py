@@ -138,6 +138,19 @@ def _closeness(graph, rel=None, max_hops=8) -> DataFrame:
     return closeness_centrality(_edges(graph, rel), max_hops=int(max_hops))
 
 
+def _mis(graph, rel=None, seed=0) -> DataFrame:
+    """Deterministic Luby maximal independent set: (id, in_mis)."""
+    from ..operators.graph_algos import maximal_independent_set
+    return maximal_independent_set(_edges(graph, rel), seed=int(seed))
+
+
+def _graph_profile(graph, rel=None) -> DataFrame:
+    """One-row graph summary (density/reciprocity/transitivity/
+    assortativity...) — algo.graphProfile."""
+    from ..operators.graph_algos import graph_profile
+    return graph_profile(_edges(graph, rel))
+
+
 def _db_property_keys(graph) -> DataFrame:
     """All property keys across vertex and edge labels (Neo4j
     db.propertyKeys parity)."""
@@ -167,4 +180,6 @@ register("algo.sssp", _sssp)
 register("algo.modularity", _modularity)
 register("algo.harmonic", _harmonic)
 register("algo.closeness", _closeness)
+register("algo.mis", _mis)
+register("algo.graphProfile", _graph_profile)
 register("db.propertyKeys", _db_property_keys)

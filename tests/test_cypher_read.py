@@ -1068,3 +1068,19 @@ def test_proc_harmonic_closeness(kg):
         "CALL algo.closeness('KNOWS') YIELD id, closeness "
         "RETURN count(*) AS n, max(closeness) AS mx").first()
     assert c.n == h.n and 0.0 < c.mx <= 1.0
+
+
+def test_proc_mis_and_graph_profile(kg):
+    """r4: algo.mis yields a valid in_mis flag per vertex (some in,
+    some out on the ring graph); algo.graphProfile yields the one-row
+    summary with sane ranges, both composable with downstream Cypher."""
+    m = kg.cypher(
+        "CALL algo.mis('KNOWS', 3) YIELD id, in_mis "
+        "RETURN count(*) AS n, "
+        "sum(CASE WHEN in_mis THEN 1 ELSE 0 END) AS kept").first()
+    assert 0 < m.kept < m.n
+    p = kg.cypher("CALL algo.graphProfile('KNOWS')").first()
+    assert p.n_vertices > 0 and p.n_edges > 0
+    assert 0.0 <= p.density <= 1.0
+    assert 0.0 <= p.reciprocity <= 1.0
+    assert p.triangles == 0          # ring+chords is triangle-free
