@@ -495,8 +495,19 @@ def minhash_lsh_pairs(
     # collect_set below are duplicate-idempotent, so the per-(id, gh)
     # distinct shuffle (the largest cost of the shingle stage) is
     # skipped entirely.
+    # Serialized storage is load-bearing at scale: this frame is ~#chars
+    # rows of (id, gh) pairs, and the checkpoint default
+    # (MEMORY_AND_DISK_DESER) caches them as Java objects at ~10× their
+    # 16-byte payload — measured ~120 GB of MemoryStore pressure for a
+    # 2M-doc rehearsal corpus (scripts/scale_rehearsal.py) vs a few GB
+    # serialized (MEMORY_AND_DISK is the serialized level in Spark 4).
+    # Three downstream passes re-read it; pair deserialization is
+    # trivially cheaper than recomputing the substring+hash scan.
+    from pyspark import StorageLevel
+
     rows = shingle_hash_rows(df, id_col, text_col, k, distinct=False) \
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=True,
+                         storageLevel=StorageLevel.MEMORY_AND_DISK)
 
     # Signature via explode + num_hashes min-aggregates: one pass over
     # (doc, shingle) rows through a codegen'd hash aggregate. The

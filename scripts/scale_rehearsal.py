@@ -1,0 +1,153 @@
+"""Scale rehearsal: run the headline pipeline/graph operators on
+synthetic data 10-100x the bench SF and record wall times + shuffle
+counts, so the SCALE.md claims are measured, not just argued.
+
+Synthetic inputs are generated with spark.range + deterministic
+xxhash64 draws (no RNG, no disk dependency beyond a transient /tmp
+parquet so operators pay a real scan). This is a PERFORMANCE harness —
+correctness stays the driver-oracle gate at the sf testdata.
+
+Usage: python scripts/scale_rehearsal.py [n_docs] [n_edges]
+Defaults: 2_000_000 docs (~60 tokens each), 10_000_000 edges.
+Prints one JSON line per stage and a summary line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+WORDS = ("the a of to and in for on with by data table query stream "
+         "join filter sort hash merge scan row column value key part "
+         "batch window group order fast slow big small line spark "
+         "customer agg vector cat dog fox hen zebra nine ten eleven").split()
+
+
+def _gen_docs(spark, n_docs: int, path: str):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import pack_graphid  # noqa: F401
+
+    # ~60 deterministic words per doc, JVM-side: base word from
+    # xxhash64(doc, pos) plus a numeric suffix widening the vocabulary
+    # to ~44*97 distinct tokens — WITHOUT the suffix every doc shares
+    # most shingles and the LSH candidate set goes quadratic (916k
+    # pairs from just 20k docs in the smoke run)
+    words_arr = F.array(*[F.lit(w) for w in WORDS])
+    toks = F.transform(
+        F.sequence(F.lit(1), F.lit(60)),
+        lambda i: F.concat(
+            F.element_at(
+                words_arr,
+                (F.pmod(F.xxhash64(F.col("id"), i), F.lit(len(WORDS)))
+                 + 1).cast("int")),
+            F.pmod(F.xxhash64(F.lit(7), F.col("id"), i), F.lit(9973))
+            .cast("string")))
+    (spark.range(n_docs)
+     .select(F.col("id").alias("doc_id"),
+             F.array_join(toks, " ").alias("text"),
+             F.concat(F.lit("src"),
+                      F.pmod(F.col("id"), F.lit(20))).alias("source"),
+             F.element_at(F.array(F.lit("en"), F.lit("de"), F.lit("fr"),
+                                  F.lit("es"), F.lit("zh")),
+                          (F.pmod(F.col("id"), F.lit(5)) + 1)
+                          .cast("int")).alias("lang"))
+     .write.mode("overwrite").parquet(path))
+
+
+def _n_exchanges(df) -> int:
+    import contextlib
+    import io
+    import re
+
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return len(set(re.findall(r"\((\d+)\) Exchange", buf.getvalue())))
+
+
+def main() -> None:
+    n_docs = int(sys.argv[1]) if len(sys.argv) > 1 else 2_000_000
+    n_edges = int(sys.argv[2]) if len(sys.argv) > 2 else 10_000_000
+
+    import rust_graph_db_spark as rg
+    from pyspark.sql import functions as F
+
+    spark = rg.get_spark("scale-rehearsal")
+    tmp = tempfile.mkdtemp(prefix="scale_rehearsal_")
+    docs_path = f"{tmp}/docs.parquet"
+    t0 = time.time()
+    _gen_docs(spark, n_docs, docs_path)
+    print(json.dumps({"stage": "gen_docs", "n": n_docs,
+                      "sec": round(time.time() - t0, 1)}))
+    docs = spark.read.parquet(docs_path)
+    results = {}
+
+    def stage(name, fn):
+        t = time.time()
+        df = fn()
+        n = df.count()
+        dt = round(time.time() - t, 1)
+        results[name] = dt
+        print(json.dumps({"stage": name, "rows": n, "sec": dt,
+                          "exchanges": _n_exchanges(df)}))
+
+    from rust_graph_db_spark.operators.dedup import (exact_dedup,
+                                                     minhash_lsh_pairs)
+    stage("exact_dedup", lambda: exact_dedup(docs, "doc_id", "text"))
+    stage("minhash_lsh_pairs",
+          lambda: minhash_lsh_pairs(docs, "doc_id", "text",
+                                    num_hashes=32, bands=8,
+                                    verify=False))
+
+    from rust_graph_db_spark.operators.lm import (language_id,
+                                                  language_profiles,
+                                                  perplexity,
+                                                  train_backoff_lm)
+    t = time.time()
+    lm = train_backoff_lm(docs.where(F.col("source") == "src0"))
+    print(json.dumps({"stage": "lm_train", "total_tokens": lm.total,
+                      "sec": round(time.time() - t, 1)}))
+    stage("perplexity_score", lambda: perplexity(docs, lm))
+    t = time.time()
+    prof = language_profiles(
+        docs.where(F.col("doc_id") % 100 == 0)).localCheckpoint()
+    print(json.dumps({"stage": "lang_profiles",
+                      "sec": round(time.time() - t, 1)}))
+    stage("language_id", lambda: language_id(docs, prof))
+
+    from rust_graph_db_spark.operators.dsir import dsir_logweights
+    stage("dsir_logweights",
+          lambda: dsir_logweights(
+              docs, docs.where(F.col("source") == "src0"),
+              buckets=65_536))
+
+    # ---- graph side: power-law-ish random digraph
+    from rust_graph_db_spark.operators.graph_algos import (
+        graph_profile, maximal_independent_set, pagerank)
+    nv = max(1000, n_edges // 10)
+    edges = (spark.range(n_edges)
+             .select(F.pmod(F.xxhash64("id"), F.lit(nv)).alias("src"),
+                     F.pmod(F.xxhash64(F.lit(1), "id"),
+                            F.lit(nv)).alias("dst"))
+             .localCheckpoint())
+    stage("pagerank_5it", lambda: pagerank(edges, iterations=5))
+    stage("mis", lambda: maximal_independent_set(edges, seed=1))
+    stage("graph_profile", lambda: graph_profile(edges))
+
+    print(json.dumps({"metric": "scale_rehearsal_seconds",
+                      "n_docs": n_docs, "n_edges": n_edges,
+                      "stages": results,
+                      "value": round(sum(results.values()), 1)}))
+    shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
