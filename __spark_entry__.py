@@ -360,6 +360,24 @@ def _q_mis(spark: SparkSession, sf_dir: str) -> DataFrame:
                                    seed=3)
 
 
+def _q_ppmi_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e11: distributed PPMI co-occurrence matrix (top-200 positive
+    entries) over the documents corpus — the corpus-sized 90% of the
+    e10 embedding pipeline (co-occurrence window + PPMI) with a FULL
+    SQL oracle; only the vocab-capped driver SVD stays pytest-only.
+    The banded co-occurrence self-join is semantically the plain
+    |pa−pb| ≤ 2 position join, which is how the oracle writes it."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.embeddings import (
+        ppmi_table, token_cooccurrence_pairs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = token_cooccurrence_pairs(docs, "text", window=2)
+    return (ppmi_table(pairs)
+            .orderBy(F.desc("ppmi"), "a", "b").limit(200))
+
+
 def _q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g24: one-row whole-graph profile (graph_algos.graph_profile) of
     KNOWS ∪ 2-hop-KNOWS (the closure makes triangles/transitivity
@@ -2217,6 +2235,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # one-row graph profile: density/reciprocity/transitivity/
         # assortativity from exact integer aggregates (r4)
         "g24_graph_profile": _q_graph_profile,
+        # distributed PPMI matrix — e10's corpus-sized stage, oracled
+        "e11_ppmi_table": _q_ppmi_table,
         # pattern expressions in WHERE (r3-s6; EXISTS sugar, full oracle)
         "p22_pattern_expr": _q_cypher_knows(
             "MATCH (a:Person) WHERE a.age > 60 "
@@ -2342,9 +2362,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the r4 rotation the r3 verdict prescribed; after it lands, zero keys
 # are never-verified and no key's newest green row predates r2.
 # ROUND-5 ROTATION PLAN, priority order: (1) the late-r4 additions
-# with no driver verdict yet (g24_graph_profile; g18_betweenness's
-# size-gate default and j1_one_hop gave up their slots to newcomers —
-# all locally oracle-green); (2) refresh the ~46 keys whose newest
+# with no driver verdict yet (g24_graph_profile, e11_ppmi_table;
+# g18_betweenness's size-gate default and j1_one_hop gave up their
+# slots to newcomers — all locally oracle-green); (2) refresh the ~46 keys whose newest
 # green row will then be r2 (w9, g17, a6, p21, p10/p12-p14/p17-p20,
 # d1-d5, e1-e5, w1-w3/w7/w8, x1/x2/x4/x6, k1, t1, g7, m1-m3, r1/r2,
 # a5, j3-j5, u1-u4, s1, p1/p4/p6/p8/p9, o1/o2, x3_timeline,
@@ -3094,6 +3114,27 @@ def oracle_sql() -> dict[str, str]:
         "t13_dsir": _dsir_oracle_sql(buckets=4096, seed=7, k=100),
         "g23_mis": _mis_oracle_sql(pre, seed=3, rounds=8),
         "g24_graph_profile": _graph_profile_oracle_sql(pre),
+        "e11_ppmi_table": (
+            "WITH tk AS (SELECT doc_id AS rid, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "pos AS MATERIALIZED (SELECT rid, i AS p, toks[i] AS tok "
+            "FROM (SELECT rid, toks, unnest(generate_series(1, "
+            "len(toks))) AS i FROM tk)), "
+            "pr AS (SELECT a.tok AS a, b.tok AS b FROM pos a "
+            "JOIN pos b ON a.rid = b.rid AND a.p <> b.p "
+            "AND abs(a.p - b.p) <= 2), "
+            "counts AS MATERIALIZED (SELECT a, b, count(*) AS nab "
+            "FROM pr GROUP BY a, b), "
+            "na AS (SELECT a, sum(nab) AS na FROM counts GROUP BY a), "
+            "nb AS (SELECT b, sum(nab) AS nb FROM counts GROUP BY b), "
+            "tot AS (SELECT CAST(sum(nab) AS DOUBLE) AS n FROM counts) "
+            "SELECT a, b, ppmi FROM (SELECT c.a, c.b, "
+            "round(ln(CAST(c.nab AS DOUBLE) * t.n / "
+            "(CAST(na.na AS DOUBLE) * CAST(nb.nb AS DOUBLE))), 6) "
+            "AS ppmi FROM counts c JOIN na USING (a) "
+            "JOIN nb USING (b) CROSS JOIN tot t) "
+            "WHERE ppmi > 0 ORDER BY ppmi DESC, a, b LIMIT 200"),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),

@@ -65,6 +65,42 @@ def token_cooccurrence_pairs(df: DataFrame, text_col: str = "text",
             .select("center", "context"))
 
 
+def ppmi_table(pairs: DataFrame, center_col: str = "center",
+               context_col: str = "context",
+               shift: float = 0.0, ndigits: int = 6) -> DataFrame:
+    """Distributed PPMI matrix as a (a, b, ppmi) table — the
+    corpus-sized 90% of :func:`ppmi_svd_embeddings` (everything except
+    the vocab-capped driver SVD), kept fully distributed so a SQL
+    oracle can value-check it:
+
+        ppmi(a, b) = max(0, ln(n(a,b)·N / (n(a)·n(b))) − shift)
+
+    with N the total pair count and n(·) the marginal sums. Only
+    positive entries are returned (the PPMI matrix is sparse by
+    construction). Shape: one (a, b) count shuffle (map-side
+    combinable), two marginal aggregations joined back on their keys,
+    one scalar broadcast — no driver matrix. ``ppmi`` rounds to
+    ``ndigits`` (ln differs in the last ulp across engines).
+    """
+    p = pairs.select(F.col(center_col).cast("string").alias("a"),
+                     F.col(context_col).cast("string").alias("b"))
+    counts = (p.groupBy("a", "b").agg(F.count(F.lit(1)).alias("nab"))
+              .localCheckpoint(eager=True))
+    na = counts.groupBy("a").agg(F.sum("nab").alias("na"))
+    nb = counts.groupBy("b").agg(F.sum("nab").alias("nb"))
+    n = int(counts.agg(F.coalesce(F.sum("nab"), F.lit(0))).first()[0])
+    if n == 0:
+        return pairs.sparkSession.createDataFrame(
+            [], "a STRING, b STRING, ppmi DOUBLE")
+    val = (F.log(F.col("nab").cast("double") * F.lit(float(n))
+                 / (F.col("na").cast("double")
+                    * F.col("nb").cast("double")))
+           - F.lit(float(shift)))
+    return (counts.join(na, "a").join(nb, "b")
+            .select("a", "b", F.round(val, ndigits).alias("ppmi"))
+            .where(F.col("ppmi") > 0))
+
+
 def ppmi_svd_embeddings(pairs: DataFrame, dim: int = 32,
                         vocab_size: int = 2048,
                         center_col: str = "center",

@@ -1113,3 +1113,34 @@ def test_ppmi_svd_graph_embeddings(spark):
 
     assert cos(emb[0], emb[1]) > cos(emb[0], emb[12])
     assert cos(emb[11], emb[13]) > cos(emb[11], emb[1])
+
+
+def test_ppmi_table_matches_reference(spark):
+    """r4: the distributed PPMI table equals a pure-Python computation
+    over the same co-occurrence pairs (only positive entries kept)."""
+    import math
+
+    from rust_graph_db_spark.operators.embeddings import ppmi_table
+
+    pairs = [("a", "b")] * 6 + [("a", "c")] * 2 + [("b", "a")] * 4 \
+        + [("c", "c")] * 3
+    df = spark.createDataFrame(pairs, "center STRING, context STRING")
+    got = {(r.a, r.b): r.ppmi for r in ppmi_table(df).collect()}
+
+    cnt: dict = {}
+    for a, b in pairs:
+        cnt[(a, b)] = cnt.get((a, b), 0) + 1
+    n = sum(cnt.values())
+    na: dict = {}
+    nb: dict = {}
+    for (a, b), c in cnt.items():
+        na[a] = na.get(a, 0) + c
+        nb[b] = nb.get(b, 0) + c
+    want = {}
+    for (a, b), c in cnt.items():
+        v = round(math.log(c * n / (na[a] * nb[b])), 6)
+        if v > 0:
+            want[(a, b)] = v
+    assert set(got) == set(want)
+    for k, v in want.items():
+        assert abs(got[k] - v) <= 1e-6, (k, got[k], v)
