@@ -585,16 +585,17 @@ def _q_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g22: closeness centrality, Lin's index C(v) = r(v)²/(n·S(v))
     over the KNOWS graph (graph_algos.closeness_centrality),
     ``exact=True`` for a full SQL oracle — r, S, n are exact integers
-    so the quotient is bitwise-deterministic on both engines. The HLL
-    path stays the scale default (pytest-proven within error)."""
-    from pyspark.sql import functions as F
-
+    so the quotient is bitwise-deterministic on both engines and needs
+    NO rounding. Rounding would in fact BREAK it: C values land on
+    exact decimal midpoints systematically (sf0.1: 900/6e6 = 0.00015
+    for 1500 vertices), and Spark's round() is decimal HALF_UP while
+    DuckDB rounds the binary value — 0.0002 vs 0.0001. The HLL path
+    stays the scale default (pytest-proven within error)."""
     from rust_graph_db_spark.operators.graph_algos import \
         closeness_centrality
 
-    return (closeness_centrality(_knows_raw_edges(spark, sf_dir),
-                                 max_hops=6, exact=True)
-            .select("id", F.round("closeness", 4).alias("closeness")))
+    return closeness_centrality(_knows_raw_edges(spark, sf_dir),
+                                max_hops=6, exact=True)
 
 
 def _q_walk_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2529,16 +2530,18 @@ def _harmonic_oracle_sql(pre: str, max_hops: int = 6) -> str:
 
 def _closeness_oracle_sql(pre: str, max_hops: int = 6) -> str:
     """Lin's index r²/(n·S) from exact integer r, S, n — bitwise-
-    deterministic on both engines (mirrors closeness exact=True)."""
+    deterministic on both engines, deliberately UNROUNDED (see
+    _q_closeness: rounding hits systematic decimal midpoints where
+    Spark's decimal HALF_UP and DuckDB's binary round disagree)."""
     return pre + (
         f" SELECT id, closeness FROM ({_exact_bfs_with(max_hops)}, "
         "t AS (SELECT root, CAST(count(*) AS DOUBLE) AS r, "
         "CAST(sum(d) AS DOUBLE) AS sumd FROM md WHERE d >= 1 "
         "GROUP BY root) "
-        "SELECT v.id, round(CASE WHEN coalesce(t.sumd, 0) > 0 "
+        "SELECT v.id, CASE WHEN coalesce(t.sumd, 0) > 0 "
         "THEN t.r * t.r / "
         "(CAST((SELECT count(*) FROM vv) AS DOUBLE) * t.sumd) "
-        "ELSE CAST(0.0 AS DOUBLE) END, 4) AS closeness "
+        "ELSE CAST(0.0 AS DOUBLE) END AS closeness "
         "FROM vv v LEFT JOIN t ON t.root = v.id) q")
 
 
@@ -2674,21 +2677,21 @@ def _graph_profile_oracle_sql(pre: str) -> str:
         "CAST(sum(a.d * b.d) AS BIGINT) AS sxy "
         "FROM und j JOIN dg a ON a.u = j.u JOIN dg b ON b.u = j.v) "
         "SELECT n_vertices, n_edges, n_self_loops, "
-        "CASE WHEN n_vertices > 1 THEN round(CAST(n_edges AS DOUBLE) / "
-        "CAST(n_vertices * (n_vertices - 1) AS DOUBLE), 6) "
+        "CASE WHEN n_vertices > 1 THEN CAST(n_edges AS DOUBLE) / "
+        "CAST(n_vertices * (n_vertices - 1) AS DOUBLE) "
         "ELSE CAST(0.0 AS DOUBLE) END AS density, "
-        "CASE WHEN n_edges > 0 THEN round(CAST(n_recip AS DOUBLE) / "
-        "CAST(n_edges AS DOUBLE), 6) ELSE CAST(0.0 AS DOUBLE) END "
+        "CASE WHEN n_edges > 0 THEN CAST(n_recip AS DOUBLE) / "
+        "CAST(n_edges AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END "
         "AS reciprocity, "
         "coalesce(max_out_deg, 0) AS max_out_deg, "
         "coalesce(max_in_deg, 0) AS max_in_deg, "
         "triangles, coalesce(wedges, 0) AS wedges, "
-        "CASE WHEN wedges > 0 THEN round(CAST(3.0 AS DOUBLE) * "
-        "triangles / CAST(wedges AS DOUBLE), 6) "
+        "CASE WHEN wedges > 0 THEN CAST(3.0 AS DOUBLE) * "
+        "triangles / CAST(wedges AS DOUBLE) "
         "ELSE CAST(0.0 AS DOUBLE) END AS transitivity, "
         "CASE WHEN m2 * sxx - sx * sx <> 0 THEN "
-        "round(CAST(m2 * sxy - sx * sx AS DOUBLE) / "
-        "CAST(m2 * sxx - sx * sx AS DOUBLE), 6) "
+        "CAST(m2 * sxy - sx * sx AS DOUBLE) / "
+        "CAST(m2 * sxx - sx * sx AS DOUBLE) "
         "ELSE CAST(NULL AS DOUBLE) END AS assortativity "
         "FROM nv CROSS JOIN ne CROSS JOIN lp CROSS JOIN rc "
         "CROSS JOIN mo CROSS JOIN mi CROSS JOIN tr CROSS JOIN wz "

@@ -636,12 +636,16 @@ def graph_profile(edges: DataFrame) -> DataFrame:
 
     Every ratio is a quotient of EXACT integer aggregates (counts,
     Σdeg, Σdeg², Σdeg·deg), so the output is bitwise-deterministic and
-    SQL-oracle-able; the integer sums stay exact in doubles below 2^53
-    — beyond that (Σ of deg² over ~10¹² edges) switch the sums to
-    DecimalType. Shape: a handful of count/sum aggregations plus the
-    degree-ordered triangle join (`triangle_count`), all one-row
-    results cross-joined at the end — no driver state beyond the
-    final row.
+    SQL-oracle-able; the quotients are deliberately UNROUNDED —
+    identical doubles need no rounding, and rounding integer-quotient
+    values is actively wrong cross-engine (they land on exact decimal
+    midpoints where Spark's decimal HALF_UP and DuckDB's binary round
+    disagree — the g22 sf0.1 lesson). The integer sums stay exact in
+    doubles below 2^53 — beyond that (Σ of deg² over ~10¹² edges)
+    switch the sums to DecimalType. Shape: a handful of count/sum
+    aggregations plus the degree-ordered triangle join
+    (`triangle_count`), all one-row results cross-joined at the end —
+    no driver state beyond the final row.
     """
     s, d = _pair_cols(edges)
     raw = (edges.select(F.col(s).cast("long").alias("u"),
@@ -692,21 +696,19 @@ def graph_profile(edges: DataFrame) -> DataFrame:
     den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
     return row.select(
         "n_vertices", "n_edges", "n_self_loops",
-        F.when(n > 1, F.round(m.cast("double")
-                              / (n * (n - 1)).cast("double"), 6))
+        F.when(n > 1, m.cast("double") / (n * (n - 1)).cast("double"))
          .otherwise(F.lit(0.0)).alias("density"),
-        F.when(m > 0, F.round(F.col("n_recip").cast("double")
-                              / m.cast("double"), 6))
+        F.when(m > 0, F.col("n_recip").cast("double")
+               / m.cast("double"))
          .otherwise(F.lit(0.0)).alias("reciprocity"),
         F.coalesce("max_out_deg", F.lit(0)).alias("max_out_deg"),
         F.coalesce("max_in_deg", F.lit(0)).alias("max_in_deg"),
         "triangles", F.coalesce("wedges", F.lit(0)).alias("wedges"),
         F.when(F.col("wedges") > 0,
-               F.round(F.lit(3.0) * F.col("triangles")
-                       / F.col("wedges").cast("double"), 6))
+               F.lit(3.0) * F.col("triangles")
+               / F.col("wedges").cast("double"))
          .otherwise(F.lit(0.0)).alias("transitivity"),
-        F.when(den != 0,
-               F.round(num.cast("double") / den.cast("double"), 6))
+        F.when(den != 0, num.cast("double") / den.cast("double"))
          .otherwise(F.lit(None).cast("double")).alias("assortativity"))
 
 

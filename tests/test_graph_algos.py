@@ -989,7 +989,7 @@ def test_graph_profile(spark):
     assert r.n_vertices == 6            # 0..5 (loop vertex counts)
     assert r.n_edges == 5               # distinct directed, no loops
     assert r.n_self_loops == 1
-    assert abs(r.density - round(5 / 30, 6)) < 1e-9
+    assert abs(r.density - 5 / 30) < 1e-12
     assert abs(r.reciprocity - 0.4) < 1e-9      # (3,4),(4,3) of 5
     assert r.max_out_deg == 1 and r.max_in_deg == 1
     assert r.triangles == 1
