@@ -21,6 +21,13 @@ sys.path.insert(0, "/root/repo")
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# Oracles valid only below a vertex/scale bound, by design: g18's
+# default flips to the Brandes-Pich SAMPLED estimator above 4096
+# vertices (graph_algos size gate), while its oracle is the exact
+# closed form — matching is the contract at the driver's sf0.01, not
+# beyond. Maps query -> max sf_dir suffix the oracle is exact at.
+SF_BOUNDED = {"g18_betweenness": 0.01}
+
 
 def _norm(v):
     if v is None:
@@ -67,8 +74,18 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
+    sf_val = None
+    try:
+        sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
+    except ValueError:
+        pass
     for name, fn in qs.items():
         if only and name not in only:
+            continue
+        if (name in SF_BOUNDED and sf_val is not None
+                and sf_val > SF_BOUNDED[name]):
+            print(f"skip {name}: oracle exact only at sf <= "
+                  f"{SF_BOUNDED[name]} (see SF_BOUNDED)")
             continue
         try:
             df = fn(spark, sf_dir)
