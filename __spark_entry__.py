@@ -382,8 +382,10 @@ def _q_graph_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """g24: one-row whole-graph profile (graph_algos.graph_profile) of
     KNOWS ∪ 2-hop-KNOWS (the closure makes triangles/transitivity
     non-trivial — the base ring+chord graph is triangle-free, same
-    construction as g10). Every ratio is a quotient of exact integer
-    aggregates, so the SQL oracle matches bitwise after round(6)."""
+    construction as g10). Every ratio derives from exact integer
+    aggregates through identical double arithmetic on both engines, so
+    the SQL oracle matches bitwise UNROUNDED — do not add rounding
+    (the g22 midpoint lesson, SURVEY 2.12)."""
     from pyspark.sql import functions as F
 
     from rust_graph_db_spark.operators.graph_algos import graph_profile
@@ -2639,8 +2641,9 @@ def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
 
 def _graph_profile_oracle_sql(pre: str) -> str:
     """SQL twin of graph_algos.graph_profile over knows ∪ knows²:
-    every ratio from the same exact integer aggregates, identical
-    operation order before round(6)."""
+    every ratio from the same exact integer aggregates through the
+    same double operation order, UNROUNDED on both sides (adding
+    rounding would reintroduce the g22 midpoint mismatch)."""
     return pre + (
         ", raw AS MATERIALIZED (SELECT src AS u, dst AS v FROM knows "
         "UNION ALL SELECT k1.src, k2.dst FROM knows k1 "
@@ -2689,9 +2692,12 @@ def _graph_profile_oracle_sql(pre: str) -> str:
         "CASE WHEN wedges > 0 THEN CAST(3.0 AS DOUBLE) * "
         "triangles / CAST(wedges AS DOUBLE) "
         "ELSE CAST(0.0 AS DOUBLE) END AS transitivity, "
-        "CASE WHEN m2 * sxx - sx * sx <> 0 THEN "
-        "CAST(m2 * sxy - sx * sx AS DOUBLE) / "
-        "CAST(m2 * sxx - sx * sx AS DOUBLE) "
+        "CASE WHEN CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) <> 0.0 THEN "
+        "(CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / "
+        "(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE) - "
+        "CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) "
         "ELSE CAST(NULL AS DOUBLE) END AS assortativity "
         "FROM nv CROSS JOIN ne CROSS JOIN lp CROSS JOIN rc "
         "CROSS JOIN mo CROSS JOIN mi CROSS JOIN tr CROSS JOIN wz "

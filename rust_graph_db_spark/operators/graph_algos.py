@@ -590,7 +590,7 @@ def k_core(edges: DataFrame, k: int = 3, max_rounds: int = 20) -> DataFrame:
             .agg(F.count(F.lit(1)).cast("long").alias("degree")))
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def triangle_count(edges: DataFrame, symmetric: bool = False) -> DataFrame:
     """Total triangle count of the undirected graph (one-row DataFrame
     ``(triangles)``).
 
@@ -599,8 +599,13 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     the closing edge. Each triangle counted exactly once; the
     orientation bounds wedge fan-out by arboricity, which is what keeps
     the self-join tractable on power-law graphs at scale.
+
+    ``symmetric=True`` declares the input ALREADY the symmetrized
+    loop-free distinct (u, v) pair set, skipping the union+distinct
+    rebuild — callers that built it anyway (``graph_profile``) don't
+    pay those shuffles twice.
     """
-    sym = _undirected_min_nbr(edges)
+    sym = edges if symmetric else _undirected_min_nbr(edges)
     deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("d"))
     ranked = (sym.join(deg.withColumnRenamed("id", "u").withColumnRenamed("d", "du"), "u")
               .join(deg.withColumnRenamed("id", "v").withColumnRenamed("d", "dv"), "v"))
@@ -640,12 +645,17 @@ def graph_profile(edges: DataFrame) -> DataFrame:
     identical doubles need no rounding, and rounding integer-quotient
     values is actively wrong cross-engine (they land on exact decimal
     midpoints where Spark's decimal HALF_UP and DuckDB's binary round
-    disagree — the g22 sf0.1 lesson). The integer sums stay exact in
-    doubles below 2^53 — beyond that (Σ of deg² over ~10¹² edges)
-    switch the sums to DecimalType. Shape: a handful of count/sum
-    aggregations plus the degree-ordered triangle join
-    (`triangle_count`), all one-row results cross-joined at the end —
-    no driver state beyond the final row.
+    disagree — the g22 sf0.1 lesson). The assortativity num/den are
+    formed as DOUBLE products of the integer aggregates: long·long
+    (m2·sxx ~ 2e21 on a 1e5-degree hub) would overflow int64 — ANSI
+    mode throws — far below the 2^53 double-exactness bound of the
+    sums themselves, and identical double arithmetic on both engines
+    preserves the bitwise contract without the overflow. Shape: a
+    handful of count/sum aggregations plus the degree-ordered triangle
+    join (`triangle_count` fed the prebuilt symmetric edge set — the
+    union+distinct+degree shuffles are NOT paid twice), all one-row
+    results cross-joined at the end — no driver state beyond the
+    final row.
     """
     s, d = _pair_cols(edges)
     raw = (edges.select(F.col(s).cast("long").alias("u"),
@@ -676,7 +686,7 @@ def graph_profile(edges: DataFrame) -> DataFrame:
     wedges = deg.agg(
         F.sum(F.col("dg") * (F.col("dg") - 1) / 2).cast("long")
         .alias("wedges"))
-    tri = triangle_count(ed)
+    tri = triangle_count(und, symmetric=True)
     # assortativity sums over both orientations (x = deg(u), y = deg(v)):
     # by symmetry Σx = Σy and Σx² = Σy², so four integer sums suffice
     dd = (und.join(deg, "u")
@@ -692,8 +702,10 @@ def graph_profile(edges: DataFrame) -> DataFrame:
            .crossJoin(mo).crossJoin(mi).crossJoin(tri)
            .crossJoin(wedges).crossJoin(asum))
     n, m = F.col("n_vertices"), F.col("n_edges")
-    num = F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sx")
-    den = F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")
+    m2d = F.col("m2").cast("double")
+    sxd = F.col("sx").cast("double")
+    num = m2d * F.col("sxy").cast("double") - sxd * sxd
+    den = m2d * F.col("sxx").cast("double") - sxd * sxd
     return row.select(
         "n_vertices", "n_edges", "n_self_loops",
         F.when(n > 1, m.cast("double") / (n * (n - 1)).cast("double"))
@@ -708,7 +720,7 @@ def graph_profile(edges: DataFrame) -> DataFrame:
                F.lit(3.0) * F.col("triangles")
                / F.col("wedges").cast("double"))
          .otherwise(F.lit(0.0)).alias("transitivity"),
-        F.when(den != 0, num.cast("double") / den.cast("double"))
+        F.when(den != 0.0, num / den)
          .otherwise(F.lit(None).cast("double")).alias("assortativity"))
 
 

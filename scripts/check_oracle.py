@@ -74,11 +74,19 @@ def main() -> None:
     qs = entry.queries()
     oracles = entry.oracle_sql()
     failures = []
-    sf_val = None
-    try:
-        sf_val = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1])
-    except ValueError:
-        pass
+    import os
+    import re as _re
+
+    # Strict parse: the LAST path component must be exactly sf<number>
+    # (e.g. /root/testdata/sf0.1). Anything else -> None + a visible
+    # warning, so SF_BOUNDED never silently mis-fires on exotic paths.
+    m = _re.fullmatch(r"sf(\d+(?:\.\d+)?)",
+                      os.path.basename(sf_dir.rstrip("/")))
+    sf_val = float(m.group(1)) if m else None
+    if sf_val is None and SF_BOUNDED:
+        print(f"WARNING: cannot parse scale factor from {sf_dir!r}; "
+              f"SF_BOUNDED skips disabled — {sorted(SF_BOUNDED)} may "
+              "report spurious mismatches above their bounds")
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -118,9 +126,16 @@ def main() -> None:
         if problems:
             failures.append(name)
             print(f"FAIL {name}: {'; '.join(problems)}")
-            # show a sample diff
-            ss = {"|".join(_norm(v) for v in sorted(zip(cols, r)))
-                  for r in [dict(zip(cols, r)).items() for r in rows]}
+            # sample diff: first rows present on only one side (each
+            # side rendered in ITS OWN name-sorted column order)
+            order = sorted(range(len(cols)), key=lambda i: cols[i])
+            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
+            ss = {"|".join(_norm(r[i]) for i in order) for r in rows}
+            oo = {"|".join(_norm(r[i]) for i in oorder) for r in orows}
+            for side, only_rows in (("spark", ss - oo),
+                                    ("oracle", oo - ss)):
+                for ln in sorted(only_rows)[:3]:
+                    print(f"  only-{side}: {ln}")
         else:
             print(f"ok {name}: {len(rows)} rows")
     print(f"\n{len(failures)} failures" + (": " + ", ".join(failures)

@@ -37,9 +37,9 @@ def _gen_docs(spark, n_docs: int, path: str):
 
     # ~60 deterministic words per doc, JVM-side: base word from
     # xxhash64(doc, pos) plus a numeric suffix widening the vocabulary
-    # to ~44*97 distinct tokens — WITHOUT the suffix every doc shares
-    # most shingles and the LSH candidate set goes quadratic (916k
-    # pairs from just 20k docs in the smoke run)
+    # to ~44*9973 ≈ 440k distinct tokens — WITHOUT the suffix every
+    # doc shares most shingles and the LSH candidate set goes
+    # quadratic (916k pairs from just 20k docs in the smoke run)
     words_arr = F.array(*[F.lit(w) for w in WORDS])
     toks = F.transform(
         F.sequence(F.lit(1), F.lit(60)),
@@ -113,14 +113,16 @@ def main() -> None:
                                                   train_backoff_lm)
     t = time.time()
     lm = train_backoff_lm(docs.where(F.col("source") == "src0"))
+    results["lm_train"] = round(time.time() - t, 1)
     print(json.dumps({"stage": "lm_train", "total_tokens": lm.total,
-                      "sec": round(time.time() - t, 1)}))
+                      "sec": results["lm_train"]}))
     stage("perplexity_score", lambda: perplexity(docs, lm))
     t = time.time()
     prof = language_profiles(
         docs.where(F.col("doc_id") % 100 == 0)).localCheckpoint()
+    results["lang_profiles"] = round(time.time() - t, 1)
     print(json.dumps({"stage": "lang_profiles",
-                      "sec": round(time.time() - t, 1)}))
+                      "sec": results["lang_profiles"]}))
     stage("language_id", lambda: language_id(docs, prof))
 
     from rust_graph_db_spark.operators.dsir import dsir_logweights
