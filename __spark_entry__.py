@@ -223,13 +223,32 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, text_col="text", num_merges=16, min_freq=2)
 
 
+def _q_classifier_score_pinned(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    """c5: quality-classifier SCORING with a pinned weight vector —
+    hashed uni+bigram features (cross-engine md5 hash), integer
+    pinned weights, exact BIGINT dot product; top-100 documents by
+    (score DESC, doc_id). Full value-hash oracle (r5 — was rows-only;
+    GD *training* stays pytest-proven, see c5b and
+    test_pipeline_ops.py logreg tests)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.classifier import score_pinned
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (score_pinned(docs, dim=4096, salt="c5")
+            .orderBy(F.desc("score"), F.asc("doc_id")).limit(100))
+
+
 def _q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """c5: trainable quality classifier, the CCNet/GPT-3 setup (train
+    """c5b: trainable quality classifier, the CCNet/GPT-3 setup (train
     the corpus against a deterministically-corrupted copy): hashed
     uni+bigram features, distributed full-batch logistic regression,
     then score both classes. Rows-only driver check (iterative GD has
     no SQL mirror); exact numpy-GD parity and held-out generalization
-    are pytest-proven (test_pipeline_ops.py logreg tests)."""
+    are pytest-proven (test_pipeline_ops.py logreg tests). The
+    SQL-mirrorable scoring half is `c5_quality_classifier`
+    (score_pinned)."""
     from pyspark.sql import functions as F
 
     from rust_graph_db_spark.operators.classifier import (
@@ -2206,8 +2225,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "WHERE deg > 2 RETURN id, out_deg, in_deg, deg"),
         # BPE tokenizer training (r3-s6; rows-only — iterative argmax)
         "t11_bpe_merges": _q_bpe_merges,
-        # trainable quality classifier (r3-s6; rows-only — iterative GD)
-        "c5_quality_classifier": _q_quality_classifier,
+        # quality-classifier scoring, pinned weights (r5; full oracle —
+        # the exact-BIGINT md5-hashed-feature dot product)
+        "c5_quality_classifier": _q_classifier_score_pinned,
+        # trainable quality classifier (r3-s6; rows-only — iterative GD
+        # has no SQL mirror; numpy-parity pytest-proven)
+        "c5b_classifier_train": _q_quality_classifier,
         # event analytics (r3-s6): funnel + cohort retention, full oracles
         "r3_funnel": _q_funnel,
         "r4_retention": _q_retention,
@@ -3313,18 +3336,41 @@ def oracle_sql() -> dict[str, str]:
             "AND p2.city = 'NYC') AND NOT EXISTS (SELECT 1 FROM knows k "
             "JOIN person p2 ON k.dst = p2.key WHERE k.src = p1.key "
             "AND p2.city = 'LA')"),
+        "c5_quality_classifier": (
+            # SQL twin of classifier.score_pinned(dim=4096, salt='c5'):
+            # md5-hashed uni+bigram indices, pinned integer weights
+            # w(i) = ((i*2654435761 + 101) % 2001) - 1000, exact BIGINT
+            # per-doc sum, top-100 by (score DESC, doc_id).
+            "WITH rt AS (SELECT doc_id AS did, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "gf AS (SELECT did, ('0x' || substr(md5('c5:' || g), 1, 15))"
+            "::BIGINT % 4096 AS i FROM ("
+            "SELECT did, unnest(toks) AS g FROM rt "
+            "UNION ALL SELECT did, unnest(list_transform("
+            "generate_series(2, len(toks)), "
+            "i -> toks[i-1] || ' ' || toks[i])) AS g FROM rt "
+            "WHERE len(toks) >= 2)), "
+            "sc AS (SELECT did, count(*) AS n_feats, "
+            "sum(((i * 2654435761 + 101) % 2001) - 1000) AS score "
+            "FROM gf GROUP BY did) "
+            "SELECT d.doc_id, CAST(coalesce(sc.n_feats, 0) AS BIGINT) "
+            "AS n_feats, CAST(coalesce(sc.score, 0) AS BIGINT) AS score "
+            "FROM (SELECT DISTINCT doc_id FROM documents) d "
+            "LEFT JOIN sc ON sc.did = d.doc_id "
+            "ORDER BY score DESC, doc_id LIMIT 100"),
         "c6_profile": (
             "SELECT 'event_id' AS \"column\", count(*) AS n_rows, "
             "sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls, "
             "count(DISTINCT event_id) AS \"distinct\", "
             "CAST(min(event_id) AS VARCHAR) AS vmin, "
             "CAST(max(event_id) AS VARCHAR) AS vmax, "
-            "round(avg(event_id), 6) AS mean FROM events "
+            "avg(event_id) AS mean FROM events "
             "UNION ALL "
             "SELECT 'user_id', count(*), "
             "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), "
             "count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), "
-            "CAST(max(user_id) AS VARCHAR), round(avg(user_id), 6) "
+            "CAST(max(user_id) AS VARCHAR), avg(user_id) "
             "FROM events "
             "UNION ALL "
             "SELECT 'event_type', count(*), "

@@ -127,6 +127,63 @@ def train_logistic(df: DataFrame, label_col: str,
     return w, b, history
 
 
+def score_pinned(df: DataFrame, text_col: str = "text",
+                 id_col: str = "doc_id", dim: int = 4096,
+                 salt: str = "c5") -> DataFrame:
+    """(id_col, n_feats, score): linear quality score with a PINNED
+    weight vector — the oracle-replayable scoring twin of
+    :func:`score_documents`. Same feature definition (whitespace
+    uni+bigrams, hashing trick into ``dim``), but
+
+    - the feature hash is the cross-engine md5 construction
+      (``functions/hashing.md5_long`` — DuckDB twin exists; xxhash64
+      does not), and
+    - the weight for index ``i`` is the pinned integer
+      ``w(i) = ((i * 2654435761 + 101) % 2001) - 1000`` (Knuth's
+      multiplicative constant), so the model is a pure function of the
+      text and the score ``Σ_grams w(h(gram))`` is an exact BIGINT sum
+      — order-independent, bit-identical in any engine.
+
+    Trained-weight scoring stays on :func:`score_documents` (xxhash64 +
+    Arrow dot — the fast path); GD training determinism is covered by
+    the pytest numpy-parity tests. This entry point exists so the
+    scoring semantics have a full value-hash oracle.
+
+    100 TB shape: one tokenize+explode pass, all-JVM expressions, one
+    map-side-combinable groupBy(id) — no Python, no broadcast needed
+    (the weight vector is a formula, not data).
+    """
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+    from rust_graph_db_spark.functions.text import tokens
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.filter(tokens(F.col(text_col)),
+                 lambda x: x != F.lit("")).alias("_toks"))
+    uni = base.select("_id", F.explode("_toks").alias("g"))
+    big = (base.where(F.size("_toks") >= 2)
+           .select("_id", F.explode(F.expr(
+               "transform(sequence(2, size(_toks)),"
+               " i -> concat(element_at(_toks, i - 1), ' ',"
+               " element_at(_toks, i)))")).alias("g")))
+    idx = F.pmod(md5_long(md5_key(F.lit(salt), F.col("g"))),
+                 F.lit(int(dim)))
+    w = (F.pmod(idx * F.lit(2654435761) + F.lit(101), F.lit(2001))
+         - F.lit(1000))
+    scored = (uni.unionByName(big)
+              .select("_id", w.alias("_w"))
+              .groupBy("_id")
+              .agg(F.count(F.lit(1)).cast("long").alias("n_feats"),
+                   F.sum("_w").cast("long").alias("score")))
+    return (df.select(F.col(id_col)).distinct()
+            .join(scored, F.col(id_col) == F.col("_id"), "left")
+            .select(id_col,
+                    F.coalesce("n_feats", F.lit(0)).cast("long")
+                    .alias("n_feats"),
+                    F.coalesce("score", F.lit(0)).cast("long")
+                    .alias("score")))
+
+
 def score_documents(df: DataFrame, weights: np.ndarray, bias: float,
                     text_col: str = "text", out_col: str = "quality_prob",
                     dim: int = None, bigrams: bool = True) -> DataFrame:

@@ -48,9 +48,20 @@ def profile(df: DataFrame, columns=None, exact: bool = False,
             aggs.append(F.lit(None).cast("long").alias(f"_dst_{name}"))
             aggs.append(F.lit(None).cast("string").alias(f"_min_{name}"))
             aggs.append(F.lit(None).cast("string").alias(f"_max_{name}"))
-        if isinstance(f_.dataType, _NUMERIC):
+        if isinstance(f_.dataType, (T.FloatType, T.DoubleType,
+                                    T.DecimalType)):
+            # Float sums are order-sensitive; round to absorb last-ulp
+            # differences between summation orders / engines.
             aggs.append(F.round(F.avg(c), mean_decimals)
                         .alias(f"_avg_{name}"))
+        elif isinstance(f_.dataType, _NUMERIC):
+            # avg() of an integer column is a bit-identical quotient of
+            # exact integer aggregates in every engine — rounding it
+            # (decimal HALF_UP in Spark vs binary-double in DuckDB)
+            # splits systematically at exact decimal midpoints, so the
+            # value is emitted unrounded (see SURVEY §2.12 harness
+            # quirk; same class as the g22 closeness fix).
+            aggs.append(F.avg(c).alias(f"_avg_{name}"))
         else:
             aggs.append(F.lit(None).cast("double").alias(f"_avg_{name}"))
     row = df.agg(*aggs).first()

@@ -37,7 +37,13 @@ def _norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
-        return f"{v:.6g}"
+        # repr = shortest round-trip representation: bit-level strict,
+        # at least as strict as the driver's canonicalizer. r3 (list
+        # cells) and r4 (c6 midpoint at the 7th significant digit) both
+        # slipped past the former "%.6g" while the driver caught them —
+        # local green must PREDICT driver green, so over-strict beats
+        # over-permissive.
+        return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     return str(v)

@@ -992,6 +992,35 @@ def test_classifier_empty_text_keeps_row(spark):
                                  for r in out)
 
 
+def test_score_pinned_exact_and_total(spark):
+    """score_pinned is a pure integer function of the text: exact
+    python recomputation matches, every doc keeps a row, empty text
+    scores (0 feats, 0)."""
+    import hashlib
+
+    from rust_graph_db_spark.operators.classifier import score_pinned
+
+    df = spark.createDataFrame(
+        [(0, "the quick brown fox"), (1, "the the"), (2, ""), (3, None)],
+        "doc_id LONG, text STRING").fillna({"text": ""})
+    got = {r.doc_id: (r.n_feats, r.score)
+           for r in score_pinned(df, dim=4096).collect()}
+
+    def ref(text):
+        toks = [t for t in text.lower().split() if t]
+        grams = toks + [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        s = 0
+        for g in grams:
+            h = int(hashlib.md5(f"c5:{g}".encode()).hexdigest()[:15], 16)
+            s += ((h % 4096) * 2654435761 + 101) % 2001 - 1000
+        return len(grams), s
+
+    assert got[0] == ref("the quick brown fox")
+    assert got[1] == ref("the the")          # repeated grams accumulate
+    assert got[2] == (0, 0) and got[3] == (0, 0)
+    assert len(got) == 4                      # no silent row drops
+
+
 def test_profile(spark):
     from rust_graph_db_spark.operators.profiling import profile
 
