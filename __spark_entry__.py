@@ -2032,11 +2032,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "ORDER BY total DESC, name LIMIT 10"),
         # TPC-H Q5 shape: multi-MATCH joined on shared var + expression
         # inside the aggregate, 4-table heterogeneous join
+        # revenue is computed integer-exactly (price→cents and
+        # discount→percent are integers recovered by round(); their
+        # products sum exactly in doubles < 2^53; the single final
+        # division of a bit-identical integer is deterministic) so the
+        # value hash is immune to float summation order — a raw
+        # sum(price*(1-disc)) differs between engines in the last ulps.
         "x7_revenue_by_nation": _q_cypher_tpch(
             "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
             "MATCH (c)-[:PLACED]->(o:Order)-[li:HAS_ITEM]->(p:Part) "
             "RETURN n.name AS nation, "
-            "sum(li.extendedprice * (1 - li.discount)) AS revenue "
+            "sum(round(li.extendedprice * 100) * "
+            "(100 - round(li.discount * 100))) / 10000.0 AS revenue "
             "ORDER BY nation"),
         # TPC-H Q1 shape over HAS_ITEM edge properties
         "a4_lineitem_pricing": _q_cypher_tpch(
@@ -3106,7 +3113,8 @@ def oracle_sql() -> dict[str, str]:
             "FROM r GROUP BY id"),
         "x7_revenue_by_nation": (
             "SELECT n_name AS nation, "
-            "sum(l_extendedprice * (1 - l_discount)) AS revenue "
+            "sum(round(l_extendedprice * 100) * "
+            "(100 - round(l_discount * 100))) / 10000.0 AS revenue "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN orders ON o_custkey = c_custkey "
             "JOIN lineitem ON l_orderkey = o_orderkey "
