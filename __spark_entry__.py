@@ -451,6 +451,42 @@ def _q_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sorted_neighborhood_pairs(docs, window=8, threshold=0.5, k=8)
 
 
+def _q_exact_substring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d13: exact-substring dedup (Lee et al. 2022) — every duplicated
+    ≥10-token sliding span is cut from all but its corpus-first
+    occurrence, overlapping windows merged to maximal spans, text
+    reassembled. ``hash_mode="md5"`` so the oracle replays window keys
+    bit-identically (production default is xxhash64)."""
+    from rust_graph_db_spark.operators.dedup import exact_substring_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_substring_dedup(docs, k=10, hash_mode="md5")
+
+
+def _q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c9: URL/domain curation (C4/RefinedWeb recipe) — host +
+    registrable-domain extraction, domain blocklist anti-join,
+    deterministic per-domain frequency cap (md5 rank). The documents
+    table has no URL column, so the entry derives one as a pure
+    function of (doc_id, source) — mirrored verbatim in the oracle."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import domain_curate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    did = F.col("doc_id").cast("string")
+    url = F.when(
+        F.col("doc_id") % 13 == 0,
+        F.concat(F.lit("https://x.ads-net.bad/q/"), did)
+    ).otherwise(F.concat(
+        F.lit("https://"), F.col("source"), F.lit("-"),
+        (F.col("doc_id") % 7).cast("string"), F.lit(".site"),
+        (F.col("doc_id") % 5).cast("string"), F.lit(".com/p/"), did))
+    return (domain_curate(docs.withColumn("url", url), "url", "doc_id",
+                          max_per_domain=12, blocklist=["ads-net.bad"])
+            .select("doc_id", "host", "domain"))
+
+
 def _q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c7: exactly-10-per-language deterministic sample (md5-ranked
     within stratum — the reservoir-sampling replacement)."""
@@ -2247,6 +2283,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "r5_rolling_dau": _q_rolling_dau,
         # sorted-neighborhood dedup (r3-s6; full oracle)
         "d12_sorted_neighborhood": _q_sorted_neighborhood,
+        # exact-substring (sliding-span) dedup, Lee et al. 2022 (r5;
+        # full oracle via md5 window keys)
+        "d13_exact_substring": _q_exact_substring,
+        # URL/domain curation, C4/RefinedWeb recipe (r5; full oracle)
+        "c9_domain_curation": _q_domain_curation,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -3327,6 +3368,73 @@ def oracle_sql() -> dict[str, str]:
             "FROM inter t JOIN sz si ON si.id = t.i "
             "JOIN sz sj ON sj.id = t.j "
             "WHERE CAST(m AS DOUBLE) / (si.n + sj.n - m) >= 0.5"),
+        "d13_exact_substring": (
+            # SQL twin of dedup.exact_substring_dedup(k=10, md5 mode):
+            # md5-hashed 10-token sliding windows, keep the corpus-first
+            # occurrence per window, merge overlapping removal windows
+            # (gaps-and-islands), drop covered tokens, reassemble.
+            r"WITH base AS (SELECT doc_id AS id, "
+            r"list_filter(string_split_regex(lower(text), '\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "tok AS (SELECT id, i - 1 AS pos, toks[i] AS tok FROM ("
+            "SELECT id, toks, unnest(generate_series(1, len(toks))) AS i "
+            "FROM base)), "
+            "wins AS (SELECT id, i - 1 AS pos, "
+            "('0x' || substr(md5('ess:' || "
+            "array_to_string(toks[i:i+9], ' ')), 1, 15))::BIGINT AS gh "
+            "FROM (SELECT id, toks, "
+            "unnest(generate_series(1, len(toks) - 9)) AS i "
+            "FROM base WHERE len(toks) >= 10)), "
+            "rem AS (SELECT id, pos, pos + 10 AS e FROM ("
+            "SELECT id, pos, row_number() OVER ("
+            "PARTITION BY gh ORDER BY id, pos) AS rn FROM wins) "
+            "WHERE rn > 1), "
+            "isl AS (SELECT id, pos, e, sum(brk) OVER ("
+            "PARTITION BY id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp "
+            "FROM (SELECT id, pos, e, CASE WHEN "
+            "max(e) OVER w IS NULL OR pos > max(e) OVER w "
+            "THEN 1 ELSE 0 END AS brk FROM rem "
+            "WINDOW w AS (PARTITION BY id ORDER BY pos "
+            "ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING))), "
+            "mrg AS (SELECT id, grp, min(pos) AS s, max(e) AS e "
+            "FROM isl GROUP BY id, grp), "
+            "cov AS (SELECT id, unnest(generate_series(s, e - 1)) "
+            "AS cpos FROM mrg), "
+            "kept AS (SELECT t.id, t.pos, t.tok FROM tok t "
+            "LEFT JOIN cov c ON c.id = t.id AND c.cpos = t.pos "
+            "WHERE c.cpos IS NULL), "
+            "reb AS (SELECT id, string_agg(tok, ' ' ORDER BY pos) "
+            "AS text_clean, count(*) AS kept_n FROM kept GROUP BY id) "
+            "SELECT b.id AS doc_id, CAST(len(b.toks) AS BIGINT) "
+            "AS n_tokens, CAST(len(b.toks) - coalesce(reb.kept_n, 0) "
+            "AS BIGINT) AS n_removed, "
+            "coalesce(reb.text_clean, '') AS text_clean "
+            "FROM base b LEFT JOIN reb ON reb.id = b.id"),
+        "c9_domain_curation": (
+            # SQL twin of curation.domain_curate over the derived URL:
+            # same host regex (RE2-safe), last-two-labels domain,
+            # blocklist, md5-ranked per-domain cap of 12.
+            "WITH u AS (SELECT doc_id, CASE WHEN doc_id % 13 = 0 THEN "
+            "'https://x.ads-net.bad/q/' || CAST(doc_id AS VARCHAR) "
+            "ELSE 'https://' || source || '-' || "
+            "CAST(doc_id % 7 AS VARCHAR) || '.site' || "
+            "CAST(doc_id % 5 AS VARCHAR) || '.com/p/' || "
+            "CAST(doc_id AS VARCHAR) END AS url FROM documents), "
+            "h AS (SELECT doc_id, lower(regexp_extract(url, "
+            r"'^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@]*@)?([^/:?#]+)', 1)) "
+            "AS host FROM u), "
+            "d AS (SELECT doc_id, host, CASE WHEN "
+            "len(string_split(host, '.')) >= 2 THEN "
+            "string_split(host, '.')[-2] || '.' || "
+            "string_split(host, '.')[-1] ELSE host END AS domain "
+            "FROM h), "
+            "f AS (SELECT * FROM d WHERE domain <> 'ads-net.bad'), "
+            "r AS (SELECT doc_id, host, domain, row_number() OVER ("
+            "PARTITION BY domain ORDER BY "
+            "md5('0:' || CAST(doc_id AS VARCHAR)), doc_id) AS rk "
+            "FROM f) "
+            "SELECT doc_id, host, domain FROM r WHERE rk <= 12"),
         "r5_rolling_dau": (
             "WITH pu AS (SELECT DISTINCT user_id u, "
             "CAST(floor(epoch(ts) / 86400.0) AS BIGINT) pid FROM events), "

@@ -347,18 +347,85 @@ def filter_redact(
     return redact_pii(kept, id_col, text_col).select(id_col, "clean_text")
 
 
+def with_domain(df: DataFrame, url_col: str = "url",
+                host_col: str = "host",
+                domain_col: str = "domain") -> DataFrame:
+    """Add ``host`` (lowercased authority, userinfo/port/path stripped)
+    and ``domain`` (last two host labels — the registrable-domain
+    approximation C4 keys its per-domain statistics on) extracted from
+    a URL column. Pure ``regexp_extract`` + array ops — no UDF, no
+    shuffle; the regex avoids lookaround so RE2-based engines (the
+    DuckDB oracle) reproduce it byte-for-byte."""
+    host = F.lower(F.regexp_extract(
+        F.col(url_col),
+        r"^[A-Za-z][A-Za-z0-9+.\-]*://(?:[^/@]*@)?([^/:?#]+)", 1))
+    labels = F.split(host, r"\.")
+    n = F.size(labels)
+    reg = F.when(n >= 2, F.concat_ws(
+        ".", F.get(labels, n - 2), F.get(labels, n - 1))).otherwise(host)
+    return df.withColumn(host_col, host).withColumn(domain_col, reg)
+
+
+def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
+    """(domain, n_docs, n_hosts): per-registrable-domain corpus
+    frequency — the table a crawl-curation pass inspects before
+    setting caps/blocklists. One map-side-combinable groupBy."""
+    return (with_domain(df, url_col)
+            .groupBy("domain")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.count_distinct("host").alias("n_hosts")))
+
+
+def domain_curate(df: DataFrame, url_col: str = "url",
+                  id_col: str = "doc_id",
+                  max_per_domain: int | None = None,
+                  blocklist=None, seed: int = 0) -> DataFrame:
+    """URL/domain-level curation (the C4/RefinedWeb recipe): drop
+    blocklisted registrable domains, then cap each domain at
+    ``max_per_domain`` documents — the survivors chosen by a
+    DETERMINISTIC md5 rank (same substrate as ``sampling.
+    stratified_exact``), so reruns and the SQL oracle select the same
+    rows. Returns the kept rows with ``host``/``domain`` columns.
+
+    100 TB shape: the blocklist (thousands of rows) broadcasts into
+    the scan stage; the cap is one rank-window shuffle keyed by
+    domain. Skewed mega-domains are exactly the rows the cap discards,
+    and the rank needs only (domain, md5, id) — text stays in place
+    until the final semi-join... here the window runs on the full row
+    instead, which is fine while rows are scan-partitioned; swap to
+    rank-on-ids + semi-join if row bodies are wide.
+    """
+    from pyspark.sql import Window
+
+    out = with_domain(df, url_col)
+    if blocklist is not None:
+        bl = (blocklist if isinstance(blocklist, DataFrame)
+              else df.sparkSession.createDataFrame(
+                  [(d,) for d in blocklist], "domain STRING"))
+        out = out.join(F.broadcast(bl), "domain", "left_anti")
+    if max_per_domain is not None:
+        rk = F.md5(F.concat_ws(":", F.lit(int(seed)).cast("string"),
+                               F.col(id_col).cast("string")))
+        w = Window.partitionBy("domain").orderBy(rk, F.col(id_col))
+        out = (out.withColumn("_rk", F.row_number().over(w))
+               .where(F.col("_rk") <= int(max_per_domain)).drop("_rk"))
+    return out
+
+
 def curate(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     thresholds: dict[str, float] | None = None,
     weights: dict[str, float] | None = None,
     lm=None, max_ppl: float | None = None,
     languages=None, language_profiles_df: DataFrame | None = None,
+    url_col: str | None = None, max_per_domain: int | None = None,
+    domain_blocklist=None,
 ) -> DataFrame:
     """The composed end-to-end curation pass a pretraining pipeline
-    runs per crawl batch: [LM perplexity filter →] [language filter →]
-    quality rule-chain filter → PII redaction → exact dedup (on the
-    REDACTED text, so docs differing only in scrubbed PII collapse) →
-    deterministic train/val/test split.
+    runs per crawl batch: [domain curation →] [LM perplexity filter →]
+    [language filter →] quality rule-chain filter → PII redaction →
+    exact dedup (on the REDACTED text, so docs differing only in
+    scrubbed PII collapse) → deterministic train/val/test split.
 
     Returns ``(id, clean_text, split)`` for surviving documents.
 
@@ -369,6 +436,11 @@ def curate(
     output) to keep only documents whose n-gram-profile language ID
     lands in the set.
 
+    Optional stage (r5): pass ``url_col`` (plus ``max_per_domain``
+    and/or ``domain_blocklist``) to run URL/domain curation FIRST —
+    cheapest filter, so it prunes before any text-derived stage
+    (``domain_curate``; the C4/RefinedWeb recipe).
+
     Plan shape at 100 TB: filter + redaction + split are ONE
     codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
     into it); the only shuffles are the dedup's 16-byte-digest groupBy
@@ -378,6 +450,15 @@ def curate(
     """
     from pyspark.sql import Window
 
+    if url_col is None and (max_per_domain is not None
+                            or domain_blocklist is not None):
+        raise ValueError("curate(): max_per_domain/domain_blocklist "
+                         "need url_col")
+    if url_col is not None:
+        df = domain_curate(df, url_col, id_col,
+                           max_per_domain=max_per_domain,
+                           blocklist=domain_blocklist) \
+            .drop("host", "domain")
     if (lm is None) != (max_ppl is None):
         # half-specified silently skipping the stage would look like
         # "LM filtering ran and kept everything"

@@ -234,6 +234,121 @@ def chunk_dedup(
          .alias("n_dropped"))
 
 
+def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 50,
+                          hash_mode: str = "xxhash") -> DataFrame:
+    """(id, start, end): merged token-position intervals (0-based,
+    half-open) covering every SLIDING k-token window whose content
+    occurs elsewhere in the corpus — minus the canonical first
+    occurrence (lowest ``(doc_id, position)``) of each distinct
+    window, which is kept. The relational equivalent of suffix-array
+    exact-substring dedup (Lee et al. 2022, "Deduplicating Training
+    Data Makes Language Models Better"): repeated ≥k-token spans are
+    found as runs of repeated k-grams, and overlapping/adjacent
+    windows merge into maximal spans (gaps-and-islands).
+
+    ``chunk_dedup`` quantizes spans to fixed chunk boundaries; this is
+    the exact sliding-window version — a span repeated at ANY offset
+    is caught.
+
+    ``hash_mode="md5"`` swaps xxhash64 for the cross-engine md5 hash
+    (``functions/hashing.md5_long``) so an SQL oracle can replay every
+    window key bit-identically; the production default stays xxhash64
+    (JVM-codegen, no hex round-trip).
+
+    100 TB shape: one explode produces (id, pos, window-hash) triples
+    — 24 bytes each, text never shuffles; one groupBy(hash) finds the
+    canonical occurrence; interval merge is a per-document window
+    (partition key = doc id, no global sort). Hashing is O(n·k) bytes
+    of input per corpus token (k ≈ 50 → ~50× the scan bytes of CPU,
+    embarrassingly parallel); a polynomial rolling pre-hash would cut
+    that to O(n) at the cost of a verify join — worth it only when the
+    corpus is CPU-bound, since both shapes shuffle identically.
+    60-bit window-hash collisions first appear around 2^30 distinct
+    windows per corpus; Lee et al.'s verify pass applies unchanged if
+    that bound is reached.
+    """
+    from pyspark.sql import Window
+
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+    from rust_graph_db_spark.functions.text import tokens
+
+    kk = int(k)
+    base = (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.filter(tokens(F.col(text_col)),
+                             lambda x: x != F.lit("")).alias("_toks")))
+    win_txt = F.expr(
+        f"transform(sequence(1, size(_toks) - {kk - 1}),"
+        f" i -> array_join(slice(_toks, i, {kk}), ' '))")
+    wins = (base.where(F.size("_toks") >= kk)
+            .select("id", F.posexplode(win_txt).alias("pos", "g")))
+    gh = (md5_long(md5_key(F.lit("ess"), F.col("g")))
+          if hash_mode == "md5" else F.xxhash64(F.lit("ess"), F.col("g")))
+    occ = wins.select("id", "pos", gh.alias("gh"))
+    w = Window.partitionBy("gh").orderBy("id", "pos")
+    rem = (occ.withColumn("rn", F.row_number().over(w))
+           .where(F.col("rn") > 1)
+           .select("id", "pos", (F.col("pos") + kk).alias("e")))
+    # gaps-and-islands interval merge per document: a window starts a
+    # new island iff it begins past every previous window's end
+    dw = Window.partitionBy("id").orderBy("pos")
+    prev_end = F.max("e").over(dw.rowsBetween(Window.unboundedPreceding, -1))
+    isl = (rem.withColumn(
+               "brk", F.when(prev_end.isNull()
+                             | (F.col("pos") > prev_end), 1).otherwise(0))
+           .withColumn("grp", F.sum("brk").over(
+               dw.rowsBetween(Window.unboundedPreceding, 0))))
+    return (isl.groupBy("id", "grp")
+            .agg(F.min("pos").alias("start"), F.max("e").alias("end"))
+            .select("id", "start", "end"))
+
+
+def exact_substring_dedup(df: DataFrame, id_col: str = "doc_id",
+                          text_col: str = "text", k: int = 50,
+                          hash_mode: str = "xxhash") -> DataFrame:
+    """The corpus after exact-substring removal: every duplicated
+    ≥k-token span (see :func:`duplicate_token_spans`) is cut from all
+    occurrences except the corpus-first one, and the surviving tokens
+    are reassembled in order. Returns
+    ``(id_col, n_tokens, n_removed, text_clean)`` — counts are over
+    whitespace tokens; ``text_clean`` is single-space normalized.
+
+    Removal joins the covered positions (ints) against the token
+    stream and re-aggregates per document — the only stage that
+    carries tokens is the per-document rebuild, which groups on the
+    document id (same partitioning the scan already has after the
+    explode). Documents without removals pass through unchanged.
+    """
+    from rust_graph_db_spark.functions.text import tokens
+
+    spans = duplicate_token_spans(df, id_col, text_col, k, hash_mode)
+    cov = spans.select(
+        "id", F.explode(F.sequence("start", F.col("end") - 1))
+        .alias("pos"))
+    base = df.select(F.col(id_col).alias("id"),
+                     F.filter(tokens(F.col(text_col)),
+                              lambda x: x != F.lit("")).alias("_toks"))
+    tok = base.select("id", F.posexplode("_toks").alias("pos", "tok"))
+    kept = tok.join(cov, ["id", "pos"], "left_anti")
+    rebuilt = (kept.groupBy("id")
+               .agg(F.array_join(
+                        F.transform(
+                            F.array_sort(F.collect_list(
+                                F.struct("pos", "tok"))),
+                            lambda s: s["tok"]), " ").alias("text_clean"),
+                    F.count(F.lit(1)).alias("_kept")))
+    return (base.select("id", F.size("_toks").cast("long")
+                        .alias("n_tokens"))
+            .join(rebuilt, "id", "left")
+            .select(F.col("id").alias(id_col), "n_tokens",
+                    (F.col("n_tokens")
+                     - F.coalesce("_kept", F.lit(0))).cast("long")
+                    .alias("n_removed"),
+                    F.coalesce("text_clean", F.lit(""))
+                    .alias("text_clean")))
+
+
 def containment_pairs(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     k: int = 5, threshold: float = 0.8,

@@ -300,6 +300,9 @@ def stream_curate(
     thresholds: Optional[dict] = None,
     trigger_available_now: bool = True,
     lm=None, max_ppl: Optional[float] = None,
+    url_col: Optional[str] = None,
+    max_per_domain: Optional[int] = None,
+    domain_blocklist=None,
 ):
     """Streaming END-TO-END curation: the batch ``curation.curate``
     pipeline (quality rule-chain → PII redaction → exact dedup →
@@ -322,18 +325,86 @@ def stream_curate(
     offline, so inside foreachBatch the scoring is plain stream-static
     hash joins with no extra streaming state.
 
-    Same non-idempotence caveat as ``stream_exact_dedup`` (two
+    Optional ``url_col`` (r5): run URL/domain curation at the very
+    head of each micro-batch (``curation.domain_curate``). The
+    blocklist join is stateless; ``max_per_domain`` is enforced
+    ACROSS batches through a second durable state table — an
+    append-only per-domain kept-count log in the sibling directory
+    ``state_dir + "_domains"`` (sum-mergeable on read, the same
+    append-only discipline as the digest set): each batch ranks its
+    own rows deterministically and keeps only ranks that fit under
+    ``cap - already_kept``.
+
+    Same non-idempotence caveat as ``stream_exact_dedup`` (multiple
     appends per batch; transactional sinks fix it at scale). Returns
     the StreamingQuery.
     """
     from rust_graph_db_spark.operators.curation import (filter_redact,
-                                                        hash_split)
+                                                        hash_split,
+                                                        with_domain)
 
     if (lm is None) != (max_ppl is None):
         raise ValueError("stream_curate(): lm and max_ppl must be "
                          "given together")
+    if url_col is None and (max_per_domain is not None
+                            or domain_blocklist is not None):
+        raise ValueError("stream_curate(): max_per_domain/"
+                         "domain_blocklist need url_col")
+    # a SIBLING of state_dir, not nested: an underscore-prefixed
+    # subdirectory would make the digest-state path exist-but-look-
+    # empty to the parquet reader and break the batch-0 detection
+    dom_counts_dir = f"{state_dir}_domains"
 
     def curate_batch(batch: DataFrame, batch_id: int) -> None:
+        if url_col is not None:
+            from pyspark.sql import Window
+
+            batch = with_domain(batch, url_col)
+            if domain_blocklist is not None:
+                bl = (domain_blocklist
+                      if isinstance(domain_blocklist, DataFrame)
+                      else batch.sparkSession.createDataFrame(
+                          [(d,) for d in domain_blocklist],
+                          "domain STRING"))
+                batch = batch.join(F.broadcast(bl), "domain",
+                                   "left_anti")
+            if max_per_domain is not None:
+                from pyspark.errors import AnalysisException
+
+                try:
+                    prev = (batch.sparkSession.read
+                            .parquet(dom_counts_dir)
+                            .groupBy("domain")
+                            .agg(F.sum("kept").alias("_prev")))
+                except AnalysisException as e:
+                    # only a MISSING path (batch 0) is tolerated —
+                    # same discipline as _dedup_against_state: a
+                    # swallowed read failure would silently lift the
+                    # cross-batch cap
+                    if ("PATH_NOT_FOUND" not in str(e)
+                            and "Path does not exist" not in str(e)):
+                        raise
+                    prev = None
+                rk = F.md5(F.concat_ws(
+                    ":", F.lit(0).cast("string"),
+                    F.col(id_col).cast("string")))
+                w = Window.partitionBy("domain").orderBy(
+                    rk, F.col(id_col))
+                batch = batch.withColumn("_rk", F.row_number().over(w))
+                if prev is not None:
+                    batch = (batch.join(prev, "domain", "left")
+                             .withColumn("_prev", F.coalesce(
+                                 "_prev", F.lit(0))))
+                else:
+                    batch = batch.withColumn("_prev", F.lit(0))
+                batch = (batch.where(F.col("_rk") + F.col("_prev")
+                                     <= int(max_per_domain))
+                         .localCheckpoint(eager=True))
+                (batch.groupBy("domain")
+                 .agg(F.count(F.lit(1)).alias("kept"))
+                 .write.mode("append").parquet(dom_counts_dir))
+                batch = batch.drop("_rk", "_prev")
+            batch = batch.drop("host", "domain")
         if lm is not None:
             from rust_graph_db_spark.operators.lm import perplexity_filter
 

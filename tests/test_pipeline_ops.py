@@ -533,6 +533,69 @@ def test_chunk_dedup_preserves_token_stream(docs):
     assert bad == 0
 
 
+def test_exact_substring_crafted(spark):
+    from rust_graph_db_spark.operators.dedup import (
+        duplicate_token_spans, exact_substring_dedup)
+
+    rows = [(0, "a b c d e f g h"),            # canonical (lowest id)
+            (1, "x y a b c d e f g h z"),      # embedded copy -> [2,10)
+            (2, "a b c d q e f g h"),          # two partial hits
+            (3, "too short")]                  # < k tokens: untouched
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    spans = sorted((r.id, r.start, r.end)
+                   for r in duplicate_token_spans(df, k=4).collect())
+    # overlapping windows merged into maximal spans; first occurrence
+    # (doc 0) keeps everything
+    assert spans == [(1, 2, 10), (2, 0, 4), (2, 5, 9)]
+    got = {r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+           for r in exact_substring_dedup(df, k=4).collect()}
+    assert got[0] == (8, 0, "a b c d e f g h")
+    assert got[1] == (11, 8, "x y z")
+    assert got[2] == (9, 8, "q")
+    assert got[3] == (2, 0, "too short")
+
+
+def test_exact_substring_matches_bruteforce(spark):
+    """Randomized corpus vs a direct python suffix-window reference."""
+    import random
+
+    rng = random.Random(7)
+    vocab = ["v%d" % i for i in range(12)]
+    docs = [" ".join(rng.choice(vocab) for _ in range(rng.randint(4, 40)))
+            for _ in range(40)]
+    k = 5
+
+    # reference: mark every non-first occurrence of each k-window,
+    # merge covered positions, rebuild
+    from collections import defaultdict
+    occ = defaultdict(list)
+    toks = [d.split() for d in docs]
+    for i, ts in enumerate(toks):
+        for p in range(len(ts) - k + 1):
+            occ[" ".join(ts[p:p + k])].append((i, p))
+    covered = defaultdict(set)
+    for g, lst in occ.items():
+        for i, p in sorted(lst)[1:]:
+            covered[i].update(range(p, p + k))
+    want = {}
+    for i, ts in enumerate(toks):
+        keep = [t for p, t in enumerate(ts) if p not in covered[i]]
+        want[i] = (len(ts), len(covered[i]), " ".join(keep))
+
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id LONG, text STRING")
+    for mode in ("xxhash", "md5"):
+        got = {r.doc_id: (r.n_tokens, r.n_removed, r.text_clean)
+               for r in exact_substring_dedup_import(
+                   df, k=k, hash_mode=mode).collect()}
+        assert got == want, mode
+
+
+def exact_substring_dedup_import(df, **kw):
+    from rust_graph_db_spark.operators.dedup import exact_substring_dedup
+    return exact_substring_dedup(df, **kw)
+
+
 def test_containment_catches_embedded_doc(spark):
     from rust_graph_db_spark.operators.dedup import (containment_pairs,
                                                      ngram_jaccard_pairs)
@@ -783,6 +846,110 @@ def test_stream_curate_cross_batch_pii_twin(spark, tmp_path):
     assert [(r.doc_id, r._batch_id) for r in out] == [(1, 0)]
     assert "<EMAIL>" in out[0].clean_text
     assert out[0].split in ("train", "val", "test")
+
+
+def test_domain_ops_crafted(spark):
+    from rust_graph_db_spark.operators.curation import (
+        domain_curate, domain_stats, with_domain)
+
+    rows = [(1, "https://user@News.Example.com:8080/a?x=1"),
+            (2, "http://blog.example.com/b"),
+            (3, "https://localhost/c"),
+            (4, "https://cdn.ads-net.bad/d"),
+            (5, "https://news.example.com/e"),
+            (6, "https://news.example.com/f")]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    got = {r.doc_id: (r.host, r.domain)
+           for r in with_domain(df).collect()}
+    assert got[1] == ("news.example.com", "example.com")  # userinfo+port
+    assert got[2] == ("blog.example.com", "example.com")
+    assert got[3] == ("localhost", "localhost")           # single label
+    assert got[4] == ("cdn.ads-net.bad", "ads-net.bad")
+
+    stats = {r.domain: (r.n_docs, r.n_hosts)
+             for r in domain_stats(df).collect()}
+    assert stats["example.com"] == (4, 2)
+    assert stats["ads-net.bad"] == (1, 1)
+
+    kept = domain_curate(df, max_per_domain=2,
+                         blocklist=["ads-net.bad"])
+    ids = sorted(r.doc_id for r in kept.collect())
+    assert 4 not in ids and len([i for i in ids if i != 3]) == 2
+    assert 3 in ids                                       # own domain
+    # deterministic: rerun selects the same survivors
+    assert ids == sorted(r.doc_id for r in kept.collect())
+
+
+def test_curate_domain_stage(spark):
+    from rust_graph_db_spark.operators.curation import curate
+
+    base = ("the quick brown fox jumped over a lazy dog while it was "
+            "raining and the farmer watched from his porch in quiet "
+            "wonder as evening settled softly across that wide valley "
+            "of golden wheat beneath slowly darkening autumn skies")
+    rows = [(i, base + f" tail{i}",
+             "https://spam.bad/x" if i == 0
+             else f"https://ok.example.com/{i}") for i in range(5)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, url STRING")
+    out = curate(df, url_col="url", domain_blocklist=["spam.bad"],
+                 max_per_domain=3)
+    ids = sorted(r.doc_id for r in out.collect())
+    assert 0 not in ids and len(ids) == 3
+    import pytest
+    with pytest.raises(ValueError):
+        curate(df, max_per_domain=3)                      # needs url_col
+
+
+def test_stream_curate_domain_cap_cross_batch(spark, tmp_path):
+    """max_per_domain holds ACROSS micro-batches via the durable
+    per-domain kept-count state."""
+    import glob
+    import os
+    import shutil
+
+    from rust_graph_db_spark.streaming import stream_curate
+
+    base = ("the quick brown fox jumped over a lazy dog while it was "
+            "raining and the farmer watched from his porch in quiet "
+            "wonder as evening settled softly across that wide valley "
+            "of golden wheat beneath slowly darkening autumn skies")
+    dom = "https://news.example.com/"
+    batches = [
+        [(1, base + " one", dom + "1"), (2, base + " two", dom + "2")],
+        # batch1: same domain — cap 3 admits exactly ONE more, ranked
+        # by the deterministic md5 order; plus a blocklisted doc
+        [(3, base + " three", dom + "3"), (4, base + " four", dom + "4"),
+         (5, base + " spam", "https://x.ads-net.bad/s")],
+    ]
+    watch = tmp_path / "in"
+    watch.mkdir()
+    for b, rows in enumerate(batches):
+        part = str(tmp_path / f"b{b}")
+        spark.createDataFrame(
+            rows, "doc_id LONG, text STRING, url STRING") \
+            .coalesce(1).write.parquet(part)
+        dst = str(watch / f"batch{b}.parquet")
+        shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_600_000_000 + b * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING, url STRING")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    stream_curate(
+        stream, str(tmp_path / "out"), str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"), url_col="url",
+        max_per_domain=3, domain_blocklist=["ads-net.bad"]
+    ).awaitTermination(180)
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    by_batch = {0: set(), 1: set()}
+    for r in out:
+        by_batch[r._batch_id].add(r.doc_id)
+    assert by_batch[0] == {1, 2}          # under cap
+    assert 5 not in by_batch[1]           # blocklisted
+    assert len(by_batch[1]) == 1          # cap 3 - 2 already kept
+    assert by_batch[1] <= {3, 4}
 
 
 def test_sparse_prefix_path_matches_dense(docs, planted_pairs, monkeypatch):
