@@ -2674,17 +2674,27 @@ def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
     """Unrolled deterministic-Luby MIS over `knows` (SQL twin of
     graph_algos.maximal_independent_set): per round, winners = active
     vertices whose md5 priority strictly exceeds every active
-    neighbor's max, then winners+neighbors retire. ``rounds`` must
-    exceed the actual convergence round count (3-4 on this graph);
-    extra rounds are no-ops over the empty active set. MATERIALIZED
-    for the same 2^rounds-inlining reason as the BPE oracle."""
+    neighbor's max, then winners+neighbors retire. Self-loop vertices
+    mirror the library's r5 contract: in the output universe,
+    in_mis=false, ineligible for the rounds. ``rounds`` must exceed
+    the actual convergence round count (3-4 on this graph); extra
+    rounds are no-ops over the empty active set. If the graph ever
+    needs MORE rounds, the oracle emits a SENTINEL row
+    (id = -424242424242) instead of silently mislabeling still-active
+    vertices — the resulting rowcount mismatch names the unroll depth
+    as the cause (r4 ADVICE). MATERIALIZED for the same
+    2^rounds-inlining reason as the BPE oracle."""
     ctes = [
+        "allv AS (SELECT DISTINCT id FROM (SELECT src AS id FROM knows "
+        "UNION ALL SELECT dst FROM knows))",
+        "lv AS (SELECT DISTINCT src AS id FROM knows WHERE src = dst)",
         "du AS (SELECT u, v FROM (SELECT src AS u, dst AS v FROM knows "
         "UNION ALL SELECT dst AS u, src AS v FROM knows) "
-        "WHERE u <> v GROUP BY u, v)",
-        "vv0 AS (SELECT DISTINCT u AS id FROM du)",
+        "WHERE u <> v AND u NOT IN (SELECT id FROM lv) "
+        "AND v NOT IN (SELECT id FROM lv) GROUP BY u, v)",
         f"a0 AS MATERIALIZED (SELECT id, ('0x' || substr(md5("
-        f"'{int(seed)}:' || id), 1, 15))::BIGINT AS pri FROM vv0)",
+        f"'{int(seed)}:' || id), 1, 15))::BIGINT AS pri FROM allv "
+        "WHERE id NOT IN (SELECT id FROM lv))",
         "e0 AS MATERIALIZED (SELECT u, v FROM du)",
     ]
     for r in range(1, int(rounds) + 1):
@@ -2707,7 +2717,9 @@ def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
     ctes.append(f"mis AS ({union})")
     return (pre + ", " + ", ".join(ctes) +
             " SELECT v.id, (m.id IS NOT NULL) AS in_mis "
-            "FROM vv0 v LEFT JOIN mis m ON m.id = v.id")
+            "FROM allv v LEFT JOIN mis m ON m.id = v.id "
+            "UNION ALL (SELECT -424242424242 AS id, false AS in_mis "
+            f"FROM a{int(rounds)} LIMIT 1)")
 
 
 def _graph_profile_oracle_sql(pre: str) -> str:

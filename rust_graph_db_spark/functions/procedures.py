@@ -84,11 +84,24 @@ def _triangle_count(graph, rel=None) -> DataFrame:
     return triangle_count(_edges(graph, rel))
 
 
-def _betweenness(graph, rel=None, sample=None, seed=0) -> DataFrame:
+def _betweenness(graph, rel=None, sample=None, seed=0,
+                 exact=False) -> DataFrame:
+    """CALL algo.betweenness([rel], [sample], [seed], [exact]).
+
+    By default graphs above 4096 vertices auto-degrade to the
+    Brandes–Pich SAMPLED estimator (k = clamp(√n, 64, 1024) pivots) —
+    the library's ``auto_sample_threshold`` size gate. Pass
+    ``exact: true`` to force the exact O(V·E) computation regardless
+    of graph size (estimates and exact values can differ on any graph
+    past the gate), or ``sample: k`` to pin the pivot count."""
     from ..operators.graph_algos import betweenness_centrality
+
+    truthy = (True, "true", "TRUE", "True", 1)
     return betweenness_centrality(
         _edges(graph, rel),
-        sample=int(sample) if sample is not None else None, seed=int(seed))
+        sample=int(sample) if sample is not None else None,
+        seed=int(seed),
+        auto_sample_threshold=None if exact in truthy else 4096)
 
 
 def _kcore(graph, rel=None, k=3) -> DataFrame:

@@ -138,8 +138,13 @@ def keep_maximal_nondup(docs: DataFrame, pairs: DataFrame,
     from rust_graph_db_spark.operators.graph_algos import \
         maximal_independent_set
 
-    e = pairs.select(F.col(pair_cols[0]).alias("u"),
-                     F.col(pair_cols[1]).alias("v"))
+    # degenerate (i, i) pairs are producer noise ("i duplicates
+    # itself"), not evidence against keeping i — filtered here so the
+    # MIS self-loop rule (self-adjacent => in_mis=false) cannot drop
+    # the document
+    e = (pairs.select(F.col(pair_cols[0]).alias("u"),
+                      F.col(pair_cols[1]).alias("v"))
+         .where(F.col("u") != F.col("v")))
     mis = maximal_independent_set(e, seed=seed)
     drops = (mis.where(~F.col("in_mis"))
              .select(F.col("id").alias(id_col)))

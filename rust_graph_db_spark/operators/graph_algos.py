@@ -184,7 +184,10 @@ def maximal_independent_set(edges: DataFrame, seed: int = 0,
     a vertex enters the MIS when its priority strictly exceeds every
     ACTIVE neighbor's, then it and its neighbors retire. The run is a
     pure function of (graph, seed), so an unrolled SQL oracle replays
-    it exactly. Hash ties between neighbors would stall that edge
+    it exactly. Self-loops: a self-adjacent vertex cannot belong to an
+    independent set, so it is reported ``in_mis=false`` (it still
+    appears in the output — r4 ADVICE) and, not being an MIS member,
+    never excludes its neighbors. Hash ties between neighbors would stall that edge
     (neither side strictly wins); with 60-bit priorities that needs an
     md5 collision, and the ``max_rounds`` guard turns a stall into an
     error instead of an infinite loop.
@@ -206,14 +209,28 @@ def maximal_independent_set(edges: DataFrame, seed: int = 0,
     dir_e = (edges.select(F.col(s).cast("long").alias("u"),
                           F.col(d).cast("long").alias("v"))
              .where(F.col("u").isNotNull() & F.col("v").isNotNull()))
+    # a self-adjacent vertex can never be in an independent set: it
+    # stays in the OUTPUT universe with in_mis=false but is ineligible
+    # for the rounds, and its edges never constrain anyone (a non-MIS
+    # vertex excludes no neighbor). Without this, self-loop-only
+    # vertices were silently absent from the result (r4 ADVICE).
+    loops = (dir_e.where(F.col("u") == F.col("v"))
+             .select(F.col("u").alias("id")).distinct()
+             .localCheckpoint(eager=True))
     e = (dir_e.unionAll(dir_e.select(F.col("v").alias("u"),
                                      F.col("u").alias("v")))
          .where(F.col("u") != F.col("v")).distinct()
+         .join(loops.withColumnRenamed("id", "u"), "u", "left_anti")
+         .join(loops.withColumnRenamed("id", "v"), "v", "left_anti")
+         .select("u", "v")
          .localCheckpoint(eager=True))
     from rust_graph_db_spark.functions.hashing import md5_key, md5_long
 
+    all_verts = (dir_e.select(F.col("u").alias("id"))
+                 .unionAll(dir_e.select(F.col("v").alias("id")))
+                 .distinct().localCheckpoint(eager=True))
     pri = md5_long(md5_key(F.lit(int(seed)), F.col("id")))
-    verts = (e.select(F.col("u").alias("id")).distinct()
+    verts = (all_verts.join(loops, "id", "left_anti")
              .select("id", pri.alias("pri"))
              .localCheckpoint(eager=True))
     spark = edges.sparkSession
@@ -252,7 +269,7 @@ def maximal_independent_set(edges: DataFrame, seed: int = 0,
                 "maximal_independent_set: not converged within "
                 f"max_rounds={max_rounds} (md5 priority tie?)")
     mis = mis.localCheckpoint(eager=True)
-    return (verts.select("id")
+    return (all_verts
             .join(mis.withColumn("in_mis", F.lit(True)), "id", "left")
             .select("id", F.coalesce("in_mis", F.lit(False))
                     .alias("in_mis")))

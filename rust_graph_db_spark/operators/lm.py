@@ -202,12 +202,24 @@ def language_id(docs: DataFrame, profiles: DataFrame,
     top) profile table, one (doc, lang) count aggregation, one
     row_number window keyed on the document. Documents matching NO
     profile trigram are returned with lang NULL and overlap 0 (no
-    evidence — callers route them to a fallback)."""
+    evidence — callers route them to a fallback).
+
+    The join key is INTERNED to int64 (``xxhash64``) on both sides —
+    the same fix SCALE.md §11 prescribes for the LM joins: the
+    exploded gram stream (the dominant row count of this operator,
+    ~450 rows/doc) carries 8-byte longs instead of string cells, and
+    the broadcast-hash probe compares longs. Semantics differ from
+    the string join only if a document trigram 64-bit-collides with
+    one of the (langs × top) profile grams — P ≈ distinct_grams ×
+    (langs·top) / 2^64, vanishing at any corpus size (the c8 oracle
+    joins strings and stays green)."""
     grams = (docs.select(F.col(id_col),
                          F.lower(F.col(text_col)).alias("_lc"))
              .select(id_col, F.explode(_char_trigrams())
-                     .alias("gram")))
-    scores = (grams.join(F.broadcast(profiles), "gram")
+                     .alias("gram"))
+             .select(id_col, F.xxhash64("gram").alias("_gh")))
+    prof = profiles.select(F.xxhash64("gram").alias("_gh"), "lang")
+    scores = (grams.join(F.broadcast(prof), "_gh")
               .groupBy(id_col, "lang")
               .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
     rk = Window.partitionBy(id_col).orderBy(

@@ -131,6 +131,46 @@ def main() -> None:
               docs, docs.where(F.col("source") == "src0"),
               buckets=65_536))
 
+    # ---- the r5 composite seam: curate() with domain + LM + langid
+    # stages chained, then DSIR resampling over the survivors — the
+    # per-stage numbers above say nothing about checkpoint/reuse
+    # behavior ACROSS stages, which is what this measures.
+    from rust_graph_db_spark.operators.curation import curate
+    from rust_graph_db_spark.operators.dsir import dsir_resample
+
+    permissive = {"min_tokens": 1, "max_tokens": 10**9,
+                  "min_stopword": 0.0, "max_punct": 1.0,
+                  "max_dup2": 1.0, "min_word_len": 0.0,
+                  "max_word_len": 100.0}
+    holder = {}
+
+    def _composite():
+        withu = docs.withColumn("url", F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(9973)).cast("string"),
+            F.lit(".site"),
+            F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string")))
+        cur = curate(withu, thresholds=permissive,
+                     lm=lm, max_ppl=1e9,
+                     languages=["en", "de", "fr", "es", "zh"],
+                     language_profiles_df=prof,
+                     url_col="url",
+                     max_per_domain=max(1000, n_docs // 110),
+                     domain_blocklist=["site13.com"])
+        # eager checkpoint: the composite's own cost is what the stage
+        # times; the DSIR stage below then starts from materialized
+        # survivors instead of re-running the whole chain
+        holder["cur"] = cur.localCheckpoint(eager=True)
+        return holder["cur"]
+
+    stage("curate_composite", _composite)
+    stage("dsir_after_curate",
+          lambda: dsir_resample(
+              holder["cur"].withColumnRenamed("clean_text", "text"),
+              docs.where(F.col("source") == "src0"),
+              k=max(1000, n_docs // 20), buckets=65_536))
+
     # ---- graph side: power-law-ish random digraph
     from rust_graph_db_spark.operators.graph_algos import (
         graph_profile, maximal_independent_set, pagerank)

@@ -1084,3 +1084,27 @@ def test_proc_mis_and_graph_profile(kg):
     assert 0.0 <= p.density <= 1.0
     assert 0.0 <= p.reciprocity <= 1.0
     assert p.triangles == 0          # ring+chords is triangle-free
+
+
+def test_proc_betweenness_exact_flag(kg, monkeypatch):
+    """r5 ADVICE: the Cypher surface can force exact betweenness —
+    CALL algo.betweenness(rel, sample, seed, exact) maps exact=true to
+    auto_sample_threshold=None (no silent estimator switch)."""
+    from rust_graph_db_spark.functions import procedures
+
+    seen = {}
+    import rust_graph_db_spark.operators.graph_algos as ga
+    real = ga.betweenness_centrality
+
+    def spy(edges, **kw):
+        seen.update(kw)
+        return real(edges, **kw)
+
+    monkeypatch.setattr(ga, "betweenness_centrality", spy)
+    kg.cypher("CALL algo.betweenness('KNOWS', 4, 0, true) "
+              "YIELD id RETURN count(*) AS n").first()
+    assert seen["auto_sample_threshold"] is None and seen["sample"] == 4
+    seen.clear()
+    kg.cypher("CALL algo.betweenness('KNOWS', 4) "
+              "YIELD id RETURN count(*) AS n").first()
+    assert seen["auto_sample_threshold"] == 4096

@@ -949,6 +949,35 @@ def test_maximal_independent_set(spark):
     assert flipped
 
 
+def test_mis_self_loops(spark):
+    """r5 ADVICE: self-loop vertices appear in the output as
+    in_mis=false (self-adjacent => never independent) and never
+    exclude their neighbors; keep_maximal_nondup ignores degenerate
+    (i, i) pairs instead of dropping the document."""
+    from rust_graph_db_spark.operators.dedup import keep_maximal_nondup
+    from rust_graph_db_spark.operators.graph_algos import \
+        maximal_independent_set
+
+    # 7: self-loop only; 8: self-loop + edge to 9; 0-1: plain edge
+    df = spark.createDataFrame([(7, 7), (8, 8), (8, 9), (0, 1)],
+                               "src LONG, dst LONG")
+    got = {r.id: r.in_mis
+           for r in maximal_independent_set(df, seed=3).collect()}
+    assert set(got) == {7, 8, 9, 0, 1}        # nobody vanishes
+    assert got[7] is False and got[8] is False
+    assert got[9] is True                     # 8 is ineligible, not a blocker
+    assert got[0] != got[1] or (got[0] and got[1]) is False
+    assert got[0] or got[1]                   # maximality on 0-1
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(3)],
+                                 "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame([(0, 0), (1, 2)], "i LONG, j LONG")
+    kept = sorted(r.doc_id
+                  for r in keep_maximal_nondup(docs, pairs).collect())
+    assert 0 in kept                          # self-pair is noise
+    assert len(set(kept) & {1, 2}) == 1
+
+
 def test_keep_maximal_nondup_retains_more_than_clustering(spark):
     """r4: on a non-transitive near-dup chain A~B~C (A not~ C), the
     MIS keep rule retains both endpoints while min-id-per-component
