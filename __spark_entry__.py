@@ -2422,57 +2422,59 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # d11: SemDeDup cluster-then-verify near-dup pairs (r3-s5)
         "d11_semdedup": _q_semdedup,
     }
-    window = [k for k in _R4_WINDOW]
+    window = [k for k in _R5_WINDOW]
     # len(set(...)) catches duplicate window keys too — a duplicate
     # would silently hand slot 50 to the first non-window registry key
     assert len(set(window)) == 50 and set(window) <= set(reg), \
-        sorted(set(window) - set(reg)) or "duplicate key in _R4_WINDOW"
+        sorted(set(window) - set(reg)) or "duplicate key in _R5_WINDOW"
     rest = [k for k in reg if k not in set(window)]
     return {k: reg[k] for k in window + rest}
 
 
 # The driver verifies the FIRST 50 keys of queries() — see the priority
 # note at the top of queries() for how these slots were chosen. This is
-# the r4 rotation the r3 verdict prescribed; after it lands, zero keys
-# are never-verified and no key's newest green row predates r2.
-# ROUND-5 ROTATION PLAN, priority order: (1) the late-r4 additions
-# with no driver verdict yet (g24_graph_profile, e11_ppmi_table;
-# g18_betweenness's size-gate default and j1_one_hop gave up their
-# slots to newcomers — all locally oracle-green); (2) refresh the ~46 keys whose newest
-# green row will then be r2 (w9, g17, a6, p21, p10/p12-p14/p17-p20,
-# d1-d5, e1-e5, w1-w3/w7/w8, x1/x2/x4/x6, k1, t1, g7, m1-m3, r1/r2,
-# a5, j3-j5, u1-u4, s1, p1/p4/p6/p8/p9, o1/o2, x3_timeline,
-# j2_three_hop, a1-a3) prioritizing any whose library code r5 touches;
-# (3) slots for r5 additions.
-_R4_WINDOW = [
-    # 14 never driver-verified (r3-s6/s7 additions; all locally green)
-    "t11_bpe_merges", "c5_quality_classifier", "r3_funnel",
-    "r4_retention", "r5_rolling_dau", "c6_profile",
-    "c7_stratified_exact", "d12_sorted_neighborhood", "g19_node2vec",
-    "g20_modularity", "g21_weighted_pagerank", "e10_ppmi_embeddings",
-    "p22_pattern_expr", "g22_closeness",
-    # 3 red in r3 (driver canonicalizer vs list columns; arrays now
-    # comma-joined on both sides)
-    "p11_list_comp", "p15_pattern_comp", "p16_named_path",
-    # 26 whose newest green row was r1 (two rounds stale)
-    "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
-    "g1_bfs_distances", "g2_weighted_sssp", "g3_vle", "g4_vle_between",
-    "g5_k_hop", "g6_within_k", "g8_pagerank", "g9_degrees",
-    "g10_triangles", "s3_point_lookup", "s7_json_roundtrip",
-    "s8_csv_roundtrip", "s12_bulk_load", "s14_generator_grid",
-    "s15_generator_tree", "j2_two_hop_region", "j6_undirected",
-    "p2_edge_props", "p7_graph_funcs", "x3_order_totals",
-    "x5_network_analysis", "x7_revenue_by_nation", "a4_lineitem_pricing",
-    # 7 r4-touched/new: exact/md5 modes (full oracles replace
-    # rows-only) and the four new operators (t12 perplexity, c8
-    # langid, t13 DSIR, g23 MIS). Two provisional slots were
-    # reassigned to never-verified newcomers: j1 (the one-hop item
-    # resolved to a bench-measurement artifact, no compiler change —
-    # SCALE.md §11) and g18 (green r3, and its r4 change — the size
-    # gate — does not even trigger at sf0.01's 1500 vertices, so a
-    # refresh would re-verify the identical code path).
-    "g14_neighborhood", "g15_walk_pairs", "g16_harmonic",
-    "g23_mis", "t12_perplexity", "c8_langid", "t13_dsir",
+# the r5 rotation the r4 verdict prescribed: every never-verified key
+# gets a slot, the one r4 red (c6) retests, every key whose library
+# code r5 touched re-verifies, and the remainder refreshes the oldest
+# (r2-green) block. After this lands no key's newest green row predates
+# r3 except the 8 held keys listed below.
+# ROUND-6 ROTATION PLAN, priority order: (1) any r5 red retests +
+# r5-code-touched keys; (2) the 8 r2-green keys held this round
+# (a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join,
+# u4_unwind — chosen as the most pytest-redundant/stable paths);
+# (3) refresh the r3-green block (w9, w10-w12, g11-g13, g17, a6, p21,
+# p10, p12-p14, p17-p21, d6-d11, t2-t10, c1-c4, e6-e9, k2, d7, m4);
+# (4) slots for r6 additions. c5b_classifier_train and e10 stay
+# OUT of the window by design (rows-only; their SQL-mirrorable halves
+# c5/e11 carry the hash verdicts).
+_R5_WINDOW = [
+    # 5 never driver-verified (late-r4 + r5 additions; local green)
+    "e11_ppmi_table", "g24_graph_profile", "c5_quality_classifier",
+    "d13_exact_substring", "c9_domain_curation",
+    # the one r4 red row: dual-sided integer-quotient rounding removed
+    # on both sides (profiling.py + oracle)
+    "c6_profile",
+    # r5-code-touched: langid join-key interning, MIS self-loop
+    # contract + oracle universe, x7 integer-exact revenue
+    "c8_langid", "g23_mis", "x7_revenue_by_nation",
+    # 41 of the 49 keys whose newest green row is r2 (8 held for r6)
+    "a1_agg_group", "a2_agg_global", "a3_count_distinct",
+    "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
+    "d4_simhash", "d5_embedding_neardup",
+    "e1_cosine_topk", "e2_cosine_pairs", "e3_lsh_cosine_pairs",
+    "e4_ivf_topk", "e5_knn_join",
+    "g7_dup_clusters",
+    "j1_one_hop", "j2_three_hop", "j3_multi_match",
+    "j4_optional_match", "j5_mutual_knows",
+    "o1_top_k", "o2_skip_limit",
+    "p1_pattern_props", "p4_scalar_funcs", "p6_with_where",
+    "p8_entity_funcs", "p9_case_expr",
+    "s1_scan_filter", "t1_text_metrics",
+    "u1_union", "u2_intersect", "u3_except",
+    "w1_windowed_events", "w2_sessionize", "w3_window_rank",
+    "w7_running_totals", "w8_durable_graph",
+    "x1_follow_unfollow", "x2_followers", "x3_timeline",
+    "x4_suggestions", "x6_likes",
 ]
 
 
