@@ -1992,24 +1992,25 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
-    # FIRST 50 keys; the explicit _R4_WINDOW list below the registry sets
-    # that order. The r4 rotation executes the r3 verdict's plan exactly
-    # (VERDICT.md "Next round" item 2):
-    #   1. the 14 keys that have never had a driver verdict (r3-s6/s7
-    #      additions: t11, c5-c7, r3-r5, d12, e10, p22, g19-g22);
-    #   2. the 3 list-column entries red in r3 (p11/p15/p16), now emitting
-    #      comma-joined scalars on both sides;
-    #   3. the 26 keys whose newest green row was r1 (two rounds stale):
-    #      w4-w6, g1-g6, g8-g10, s3/s7/s8/s12/s14/s15, j2_two_hop_region,
-    #      j6, p2, p7, x3_order_totals, x5, x7, a4;
-    #   4. 7 slots for r4-touched/new queries: g14/g15/g16 (exact/md5
-    #      modes — full oracles now), t12/c8/t13/g23 (new operators;
-    #      g18's size gate doesn't trigger at sf0.01 so its r3 green
-    #      row still covers the executed path).
-    # After this round every key's newest green row is r2+ and no key is
-    # never-verified. Everything below the window keeps its newest green
-    # row from r2/r3; all of it is pytest-covered and swept locally by
-    # scripts/check_oracle.py (0 failures at sf0.01/sf0.001 this session).
+    # FIRST 50 keys; the explicit _R5_WINDOW list below the registry sets
+    # that order. The r5 rotation executes the r4 verdict's plan
+    # (VERDICT.md "Next round" items 3-4):
+    #   1. the 5 keys with no driver verdict yet (e11, g24, and the r5
+    #      additions c5-pinned-scoring, d13, c9);
+    #   2. the one r4 red row (c6 — integer-quotient rounding removed on
+    #      both sides);
+    #   3. the 3 keys whose library code r5 touched (c8 interning, g23
+    #      self-loop contract + oracle universe, x7 integer-exact
+    #      revenue);
+    #   4. 41 of the 49 keys whose newest green row is r2 (the 8 held
+    #      for r6 are listed in the _R5_WINDOW rotation comment).
+    # After this round no key's newest green row predates r3 except the
+    # 8 held keys; rows-only entries (c5b GD-training, e10 driver-SVD)
+    # stay out of the window by design — their SQL-mirrorable halves
+    # (c5, e11) carry the hash verdicts. Everything below the window is
+    # pytest-covered and swept locally by scripts/check_oracle.py
+    # (148/148 at sf0.01 with the repr-strict canonicalizer this
+    # session).
     reg = {
         # --------- 26 rotated: newest green row was r1
         # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
@@ -2070,10 +2071,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # inside the aggregate, 4-table heterogeneous join
         # revenue is computed integer-exactly (price→cents and
         # discount→percent are integers recovered by round(); their
-        # products sum exactly in doubles < 2^53; the single final
-        # division of a bit-identical integer is deterministic) so the
-        # value hash is immune to float summation order — a raw
-        # sum(price*(1-disc)) differs between engines in the last ulps.
+        # products sum exactly in doubles while the per-nation running
+        # sum stays < 2^53; the single final division of a
+        # bit-identical integer is deterministic) so the value hash is
+        # immune to float summation order — a raw sum(price*(1-disc))
+        # differs between engines in the last ulps. BOUND: products
+        # are ≤ ~1.05e9, so exactness holds to ~9e6 lineitems/nation
+        # (≈ SF 35); past that, partial sums round and order-
+        # sensitivity returns — recorded in check_oracle.SF_BOUNDED
+        # (sf ≤ 10), same discipline as g18's estimator gate.
         "x7_revenue_by_nation": _q_cypher_tpch(
             "MATCH (c:Customer)-[:IN_NATION]->(n:Nation) "
             "MATCH (c)-[:PLACED]->(o:Order)-[li:HAS_ITEM]->(p:Part) "
@@ -2425,8 +2431,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     window = [k for k in _R5_WINDOW]
     # len(set(...)) catches duplicate window keys too — a duplicate
     # would silently hand slot 50 to the first non-window registry key
-    assert len(set(window)) == 50 and set(window) <= set(reg), \
-        sorted(set(window) - set(reg)) or "duplicate key in _R5_WINDOW"
+    assert len(set(window)) == 50 and set(window) <= set(reg), (
+        sorted(set(window) - set(reg))
+        or (f"_R5_WINDOW has {len(window)} entries "
+            f"({len(set(window))} distinct); need exactly 50"))
     rest = [k for k in reg if k not in set(window)]
     return {k: reg[k] for k in window + rest}
 

@@ -376,6 +376,17 @@ def domain_stats(df: DataFrame, url_col: str = "url") -> DataFrame:
                  F.count_distinct("host").alias("n_hosts")))
 
 
+def domain_cap_order(id_col: str, seed: int = 0) -> Column:
+    """The deterministic per-domain cap ordering key shared by
+    ``domain_curate`` and ``streaming.stream_curate``: md5 of the
+    colon-joined (seed, id) — ONE definition, so the streaming cap
+    selects exactly the survivors the batch twin (and the c9 oracle:
+    ``md5(seed || ':' || id)``) would."""
+    from rust_graph_db_spark.functions.hashing import md5_key
+
+    return F.md5(md5_key(F.lit(int(seed)), F.col(id_col)))
+
+
 def domain_curate(df: DataFrame, url_col: str = "url",
                   id_col: str = "doc_id",
                   max_per_domain: int | None = None,
@@ -404,9 +415,8 @@ def domain_curate(df: DataFrame, url_col: str = "url",
                   [(d,) for d in blocklist], "domain STRING"))
         out = out.join(F.broadcast(bl), "domain", "left_anti")
     if max_per_domain is not None:
-        rk = F.md5(F.concat_ws(":", F.lit(int(seed)).cast("string"),
-                               F.col(id_col).cast("string")))
-        w = Window.partitionBy("domain").orderBy(rk, F.col(id_col))
+        w = Window.partitionBy("domain").orderBy(
+            domain_cap_order(id_col, seed), F.col(id_col))
         out = (out.withColumn("_rk", F.row_number().over(w))
                .where(F.col("_rk") <= int(max_per_domain)).drop("_rk"))
     return out

@@ -239,9 +239,23 @@ def chunk_dedup(
          .alias("n_dropped"))
 
 
+def _token_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """(id, _toks): the filtered whitespace-token arrays — built ONCE
+    per exact-substring call and reused by every consumer (window
+    hashing, token explode, n_tokens), so the corpus scan+tokenize
+    (the dominant per-row cost) does not run three times."""
+    from rust_graph_db_spark.functions.text import tokens
+
+    return (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.filter(tokens(F.col(text_col)),
+                             lambda x: x != F.lit("")).alias("_toks")))
+
+
 def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 50,
-                          hash_mode: str = "xxhash") -> DataFrame:
+                          hash_mode: str = "xxhash",
+                          base: DataFrame | None = None) -> DataFrame:
     """(id, start, end): merged token-position intervals (0-based,
     half-open) covering every SLIDING k-token window whose content
     occurs elsewhere in the corpus — minus the canonical first
@@ -281,13 +295,10 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
     from pyspark.sql import Window
 
     from rust_graph_db_spark.functions.hashing import md5_key, md5_long
-    from rust_graph_db_spark.functions.text import tokens
 
     kk = int(k)
-    base = (spread(df)
-            .select(F.col(id_col).alias("id"),
-                    F.filter(tokens(F.col(text_col)),
-                             lambda x: x != F.lit("")).alias("_toks")))
+    if base is None:
+        base = _token_base(df, id_col, text_col)
     if hash_mode == "md5":
         win = F.expr(
             f"transform(sequence(1, size(_toks) - {kk - 1}),"
@@ -338,16 +349,19 @@ def exact_substring_dedup(df: DataFrame, id_col: str = "doc_id",
     carries tokens is the per-document rebuild, which groups on the
     document id (same partitioning the scan already has after the
     explode). Documents without removals pass through unchanged.
-    """
-    from rust_graph_db_spark.functions.text import tokens
 
-    spans = duplicate_token_spans(df, id_col, text_col, k, hash_mode)
+    The filtered token arrays are built once and ``localCheckpoint``
+    -pinned: span detection, the token explode, and the n_tokens side
+    all read the pinned frame, so the corpus is scanned+tokenized one
+    time instead of three (one materialization ≈ corpus token bytes —
+    cheaper than two extra scan+regex-split passes).
+    """
+    base = _token_base(df, id_col, text_col).localCheckpoint(eager=True)
+    spans = duplicate_token_spans(df, id_col, text_col, k, hash_mode,
+                                  base=base)
     cov = spans.select(
         "id", F.explode(F.sequence("start", F.col("end") - 1))
         .alias("pos"))
-    base = df.select(F.col(id_col).alias("id"),
-                     F.filter(tokens(F.col(text_col)),
-                              lambda x: x != F.lit("")).alias("_toks"))
     tok = base.select("id", F.posexplode("_toks").alias("pos", "tok"))
     kept = tok.join(cov, ["id", "pos"], "left_anti")
     rebuilt = (kept.groupBy("id")

@@ -339,7 +339,8 @@ def stream_curate(
     appends per batch; transactional sinks fix it at scale). Returns
     the StreamingQuery.
     """
-    from rust_graph_db_spark.operators.curation import (filter_redact,
+    from rust_graph_db_spark.operators.curation import (domain_cap_order,
+                                                        filter_redact,
                                                         hash_split,
                                                         with_domain)
 
@@ -385,11 +386,8 @@ def stream_curate(
                             and "Path does not exist" not in str(e)):
                         raise
                     prev = None
-                rk = F.md5(F.concat_ws(
-                    ":", F.lit(0).cast("string"),
-                    F.col(id_col).cast("string")))
                 w = Window.partitionBy("domain").orderBy(
-                    rk, F.col(id_col))
+                    domain_cap_order(id_col), F.col(id_col))
                 batch = batch.withColumn("_rk", F.row_number().over(w))
                 if prev is not None:
                     batch = (batch.join(prev, "domain", "left")

@@ -25,8 +25,11 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 # default flips to the Brandes-Pich SAMPLED estimator above 4096
 # vertices (graph_algos size gate), while its oracle is the exact
 # closed form — matching is the contract at the driver's sf0.01, not
-# beyond. Maps query -> max sf_dir suffix the oracle is exact at.
-SF_BOUNDED = {"g18_betweenness": 0.01}
+# beyond. x7's integer-exact revenue stays order-independent only
+# while the per-nation sum of ~1e9-sized integer products fits in
+# 2^53 (~9e6 lineitems/nation ≈ SF 35; bounded at 10 with margin).
+# Maps query -> max sf_dir suffix the oracle is exact at.
+SF_BOUNDED = {"g18_betweenness": 0.01, "x7_revenue_by_nation": 10}
 
 
 def _norm(v):
