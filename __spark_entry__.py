@@ -933,6 +933,55 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("_batch_id").alias("batch_id")))
 
 
+def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w13: STREAMING near-duplicate dedup — documents plus NEAR-dup
+    twins (text || ' zz', ids +100001 so a twin's batch parity FLIPS
+    relative to its original) arrive as 2 ordered micro-batches
+    (id % 2); ``streaming.stream_neardup_dedup`` drops any doc whose
+    MinHash band bucket was already claimed (durable LSH-bucket state
+    across batches, min-per-bucket greedy inside a batch).
+    ``hash_mode="md5"`` makes every bucket a pure md5 function of the
+    text, so the oracle replays the ENTIRE cross-batch run — 32
+    signature minima, 8 band buckets, both batch rules — in SQL."""
+    import glob
+    import os
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.streaming import stream_neardup_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    twins = docs.where(F.col("doc_id") % 4 == 0).select(
+        (F.col("doc_id") + 100001).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" zz")).alias("text"))
+    corpus = docs.unionByName(twins)
+
+    tmp = tempfile.mkdtemp(prefix="rgds_w13_")
+    watch = f"{tmp}/in"
+    os.makedirs(watch)
+    for b in range(2):
+        part = f"{tmp}/b{b}"
+        corpus.where(F.col("doc_id") % 2 == b).coalesce(1) \
+              .write.parquet(part)
+        src = glob.glob(f"{part}/part-*.parquet")[0]
+        dst = f"{watch}/batch{b}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_600_000_000 + b * 3600, 1_600_000_000 + b * 3600))
+
+    stream = (spark.readStream.schema(corpus.schema)
+              .option("maxFilesPerTrigger", 1).parquet(watch))
+    stream_neardup_dedup(
+        stream, f"{tmp}/out", f"{tmp}/state",
+        id_col="doc_id", text_col="text",
+        num_hashes=32, bands=8, k=5, hash_mode="md5",
+        checkpoint=f"{tmp}/ckpt").awaitTermination(300)
+    return (spark.read.parquet(f"{tmp}/out")
+            .select("doc_id", F.col("_batch_id").alias("batch_id")))
+
+
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t5: corpus-wide vocabulary scan — the 25 most frequent word
     bigrams (ties broken by gram text: total order, deterministic).
@@ -2294,6 +2343,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d13_exact_substring": _q_exact_substring,
         # URL/domain curation, C4/RefinedWeb recipe (r5; full oracle)
         "c9_domain_curation": _q_domain_curation,
+        # streaming near-dup dedup: durable cross-batch MinHash-LSH
+        # bucket state (r5; FULL md5-replay oracle of both batches)
+        "w13_stream_neardup": _q_stream_neardup,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2730,6 +2782,63 @@ def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
             "FROM allv v LEFT JOIN mis m ON m.id = v.id "
             "UNION ALL (SELECT -424242424242 AS id, false AS in_mis "
             f"FROM a{int(rounds)} LIMIT 1)")
+
+
+def _stream_neardup_oracle_sql(num_hashes: int = 32, bands: int = 8,
+                               k: int = 5) -> str:
+    """SQL twin of the ENTIRE w13 cross-batch streaming run
+    (streaming.stream_neardup_dedup, hash_mode='md5'): rebuild the
+    corpus+twins, the 5-char-shingle md5 hashes, the 32-min MinHash
+    signature (same (h1 + s*h2) & 2^32-1 seed family), the 8 band
+    buckets, then replay batch 0 (min-per-bucket greedy) and batch 1
+    (durable bucket state of batch-0 survivors + in-batch greedy)."""
+    n, b = int(num_hashes), int(bands)
+    r = n // b
+
+    def md5l(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    mins = ", ".join(
+        f"min((h1 + {s} * h2) & 4294967295) AS m{s}" for s in range(n))
+    arms = " UNION ALL ".join(
+        f"SELECT id, {b_} AS band, "
+        + md5l(f"'b:{b_}:' || " + " || ':' || ".join(
+            f"CAST(m{b_ * r + i} AS VARCHAR)" for i in range(r)))
+        + " AS bucket FROM sig"
+        for b_ in range(b))
+    return (
+        "WITH corpus AS (SELECT doc_id AS id, text, doc_id % 2 AS batch "
+        "FROM documents UNION ALL "
+        "SELECT doc_id + 100001, text || ' zz', (doc_id + 100001) % 2 "
+        "FROM documents WHERE doc_id % 4 = 0), "
+        "sh AS (SELECT id, "
+        + md5l(f"'mh:' || substr(text, i, {int(k)})")
+        + " AS gh FROM corpus, unnest(generate_series(1, "
+        f"greatest(length(text) - {int(k) - 1}, 1))) AS g(i)), "
+        "hh AS (SELECT id, (gh & 4294967295) AS h1, ("
+        + md5l("'1:' || CAST(gh AS VARCHAR)")
+        + " & 4294967295) AS h2 FROM sh), "
+        f"sig AS MATERIALIZED (SELECT id, {mins} FROM hh GROUP BY id), "
+        f"bb AS MATERIALIZED (SELECT id, "
+        + md5l("CAST(band AS VARCHAR) || ':' || CAST(bucket AS VARCHAR)")
+        + f" AS bkt FROM ({arms})), "
+        "ab AS MATERIALIZED (SELECT c.id, c.batch, b.bkt FROM corpus c "
+        "JOIN bb b ON b.id = c.id), "
+        "d0 AS (SELECT DISTINCT a.id FROM ab a WHERE a.batch = 0 AND "
+        "EXISTS (SELECT 1 FROM ab x WHERE x.batch = 0 "
+        "AND x.bkt = a.bkt AND x.id < a.id)), "
+        "s0 AS (SELECT DISTINCT id FROM corpus WHERE batch = 0 "
+        "AND id NOT IN (SELECT id FROM d0)), "
+        "st AS (SELECT DISTINCT bkt FROM ab "
+        "WHERE id IN (SELECT id FROM s0)), "
+        "d1 AS (SELECT DISTINCT a.id FROM ab a WHERE a.batch = 1 AND ("
+        "a.bkt IN (SELECT bkt FROM st) OR EXISTS ("
+        "SELECT 1 FROM ab x WHERE x.batch = 1 AND x.bkt = a.bkt "
+        "AND x.id < a.id))) "
+        "SELECT id AS doc_id, CAST(0 AS BIGINT) AS batch_id "
+        "FROM corpus WHERE batch = 0 AND id NOT IN (SELECT id FROM d0) "
+        "UNION ALL SELECT id, CAST(1 AS BIGINT) FROM corpus "
+        "WHERE batch = 1 AND id NOT IN (SELECT id FROM d1)")
 
 
 def _graph_profile_oracle_sql(pre: str) -> str:
@@ -3433,6 +3542,8 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS n_removed, "
             "coalesce(reb.text_clean, '') AS text_clean "
             "FROM base b LEFT JOIN reb ON reb.id = b.id"),
+        "w13_stream_neardup": _stream_neardup_oracle_sql(
+            num_hashes=32, bands=8, k=5),
         "c9_domain_curation": (
             # SQL twin of curation.domain_curate over the derived URL:
             # same host regex (RE2-safe), last-two-labels domain,

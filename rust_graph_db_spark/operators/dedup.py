@@ -621,6 +621,122 @@ def minhash_signature(text: Column, num_hashes: int = 64, k: int = 5) -> Column:
     ])
 
 
+def _minhash_sig(df: DataFrame, id_col: str, text_col: str,
+                 num_hashes: int, k: int,
+                 hash_mode: str = "xxhash"):
+    """(rows, sig): the checkpointed (id, gh) shingle-hash occurrence
+    rows and the (id, m0..m{n-1}) MinHash signature frame.
+
+    Signature via explode + num_hashes min-aggregates: one pass over
+    (doc, shingle) rows through a codegen'd hash aggregate. The
+    column-expression form (minhash_signature) re-walks the shingle
+    array once per seed in the interpreted HOF evaluator — ~30×
+    slower at corpus scale; keep it for single-column use only.
+    Seed family: h_s = (h1 + s·h2) mod 2³² from two base hashes — two
+    hash evaluations per shingle instead of num_hashes, with the
+    multiply-add folded into codegen. The mod-2³² wraparound is
+    load-bearing: without it the un-wrapped sum is dominated by s·h2
+    for large s, the seeds stop acting like independent permutations,
+    and MinHash agreement collapses (measured 0.36 agreement on a
+    0.96-Jaccard pair). Base hashes are masked to 32 bits so
+    h1 + 63·h2 ≤ 2³⁸ never overflows a long under ANSI arithmetic;
+    2³² hash space is ample for per-document shingle sets (min of
+    ~10³ draws). mod 2³² on the non-negative sum is a bitmask — one
+    AND per evaluation instead of pmod's divide.
+
+    ``hash_mode="md5"`` derives gh and h2 from the cross-engine md5
+    construction (``functions/hashing``) so an SQL oracle replays the
+    signature — and hence the band buckets — bit-identically; the
+    production default stays xxhash64.
+
+    Serialized storage is load-bearing at scale: rows is ~#chars
+    rows of (id, gh) pairs, and the checkpoint default
+    (MEMORY_AND_DISK_DESER) caches them as Java objects at ~10× their
+    16-byte payload — measured ~120 GB of MemoryStore pressure for a
+    2M-doc rehearsal corpus (scripts/scale_rehearsal.py) vs a few GB
+    serialized (MEMORY_AND_DISK is the serialized level in Spark 4).
+    Downstream passes re-read it; pair deserialization is trivially
+    cheaper than recomputing the substring+hash scan.
+    """
+    from pyspark import StorageLevel
+
+    if hash_mode == "md5":
+        from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+        rows = (spread(df)
+                .select(F.col(id_col).alias("id"),
+                        F.col(text_col).alias("_t"))
+                .select("id",
+                        F.explode(F.sequence(
+                            F.lit(1),
+                            F.greatest(F.length("_t") - (k - 1), F.lit(1))))
+                        .alias("_i"), "_t")
+                .select("id", md5_long(md5_key(
+                    F.lit("mh"),
+                    F.substr(F.col("_t"), F.col("_i"), F.lit(k))))
+                    .alias("gh")))
+        h2 = md5_long(md5_key(F.lit(1), F.col("gh")))
+    else:
+        rows = shingle_hash_rows(df, id_col, text_col, k, distinct=False)
+        h2 = F.xxhash64(F.lit(1), F.col("gh"))
+    rows = rows.localCheckpoint(
+        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    m32 = F.lit(0xFFFFFFFF)
+    inv = rows.select("id", "gh",
+                      F.col("gh").bitwiseAND(m32).alias("h1"),
+                      h2.bitwiseAND(m32).alias("h2"))
+    # NB: do NOT fold the verify-path collect_set into this aggregate —
+    # a single typed agg (collect_set) demotes the whole HashAggregate
+    # to ObjectHashAggregate and the 64 min() columns fall out of
+    # whole-stage codegen (measured 3.2s → 6s). Two codegen'd passes
+    # over the checkpointed rows beat one interpreted pass.
+    sig = inv.groupBy("id").agg(
+        *[F.min((F.col("h1") + F.lit(s) * F.col("h2")).bitwiseAND(m32))
+           .alias(f"m{s}")
+          for s in range(num_hashes)]).localCheckpoint(eager=True)
+    return rows, sig
+
+
+def _band_buckets(sig: DataFrame, num_hashes: int, bands: int,
+                  hash_mode: str = "xxhash") -> DataFrame:
+    """(id, band, bucket) from a signature frame: r = num_hashes/bands
+    consecutive minima hash into one bucket key per band. md5 mode
+    hashes the colon-joined (b, band, m...) string — the SQL-
+    replayable form."""
+    r = num_hashes // bands
+
+    def _bucket(b_):
+        cols = [F.col(f"m{b_ * r + i}") for i in range(r)]
+        if hash_mode == "md5":
+            from rust_graph_db_spark.functions.hashing import (md5_key,
+                                                               md5_long)
+
+            return md5_long(md5_key(F.lit("b"), F.lit(b_), *cols))
+        return F.xxhash64(*cols)
+
+    band_cols = F.array(*[
+        F.struct(F.lit(b_).alias("band"), _bucket(b_).alias("bucket"))
+        for b_ in range(bands)
+    ])
+    return (sig.select("id", F.explode(band_cols).alias("bb"))
+            .select("id", F.col("bb.band").alias("band"),
+                    F.col("bb.bucket").alias("bucket")))
+
+
+def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text", num_hashes: int = 32,
+                         bands: int = 8, k: int = 5,
+                         hash_mode: str = "xxhash") -> DataFrame:
+    """(id, band, bucket): each document's LSH band-bucket keys — the
+    16-byte-per-band unit of near-dup evidence. Two docs sharing ANY
+    (band, bucket) are near-dup candidates at the banding design
+    point (P[share ≥ 1 band] = 1-(1-J^r)^b). This is the state key
+    ``streaming.stream_neardup_dedup`` persists across micro-batches.
+    """
+    _, sig = _minhash_sig(df, id_col, text_col, num_hashes, k, hash_mode)
+    return _band_buckets(sig, num_hashes, bands, hash_mode)
+
+
 def minhash_lsh_pairs(
     df: DataFrame, id_col: str, text_col: str,
     num_hashes: int = 64, bands: int = 16, k: int = 5,
@@ -633,70 +749,16 @@ def minhash_lsh_pairs(
     Jaccard join restricted to LSH candidates (recall 1-(1-t^r)^b).
     Returns (i, j, jac) — jac is the exact value when verified.
     """
-    r = num_hashes // bands
-    # Shingles are hashed to longs immediately: the signature, bucket,
-    # and verification paths never touch strings again, and the
-    # vocabulary is never materialized (the property that makes MinHash
-    # the 100 TB-scale dedup path). Materialized once — it feeds three
-    # branches (signature, verify-left, verify-right).
-    # Occurrence rows, NOT deduplicated: the signature min and the
-    # collect_set below are duplicate-idempotent, so the per-(id, gh)
-    # distinct shuffle (the largest cost of the shingle stage) is
-    # skipped entirely.
-    # Serialized storage is load-bearing at scale: this frame is ~#chars
-    # rows of (id, gh) pairs, and the checkpoint default
-    # (MEMORY_AND_DISK_DESER) caches them as Java objects at ~10× their
-    # 16-byte payload — measured ~120 GB of MemoryStore pressure for a
-    # 2M-doc rehearsal corpus (scripts/scale_rehearsal.py) vs a few GB
-    # serialized (MEMORY_AND_DISK is the serialized level in Spark 4).
-    # Three downstream passes re-read it; pair deserialization is
-    # trivially cheaper than recomputing the substring+hash scan.
-    from pyspark import StorageLevel
-
-    rows = shingle_hash_rows(df, id_col, text_col, k, distinct=False) \
-        .localCheckpoint(eager=True,
-                         storageLevel=StorageLevel.MEMORY_AND_DISK)
-
-    # Signature via explode + num_hashes min-aggregates: one pass over
-    # (doc, shingle) rows through a codegen'd hash aggregate. The
-    # column-expression form (minhash_signature) re-walks the shingle
-    # array once per seed in the interpreted HOF evaluator — ~30×
-    # slower at corpus scale; keep it for single-column use only.
-    # Seed family: h_s = (h1 + s·h2) mod 2³² from two base hashes — two
-    # xxhash64 evaluations per shingle instead of num_hashes, with the
-    # multiply-add folded into codegen. The mod-2³² wraparound is
-    # load-bearing: without it the un-wrapped sum is dominated by s·h2
-    # for large s, the seeds stop acting like independent permutations,
-    # and MinHash agreement collapses (measured 0.36 agreement on a
-    # 0.96-Jaccard pair). Base hashes are masked to 32 bits so
-    # h1 + 63·h2 ≤ 2³⁸ never overflows a long under ANSI arithmetic;
-    # 2³² hash space is ample for per-document shingle sets (min of
-    # ~10³ draws). mod 2³² on the non-negative sum is a bitmask — one
-    # AND per evaluation instead of pmod's divide.
-    m32 = F.lit(0xFFFFFFFF)
-    inv = rows.select(
-        "id", "gh",
-        F.col("gh").bitwiseAND(m32).alias("h1"),
-        F.xxhash64(F.lit(1), F.col("gh")).bitwiseAND(m32).alias("h2"))
-    # NB: do NOT fold the verify-path collect_set into this aggregate —
-    # a single typed agg (collect_set) demotes the whole HashAggregate
-    # to ObjectHashAggregate and the 64 min() columns fall out of
-    # whole-stage codegen (measured 3.2s → 6s). Two codegen'd passes
-    # over the checkpointed rows beat one interpreted pass.
-    sig = inv.groupBy("id").agg(
-        *[F.min((F.col("h1") + F.lit(s) * F.col("h2")).bitwiseAND(m32))
-           .alias(f"m{s}")
-          for s in range(num_hashes)]).localCheckpoint(eager=True)
-
-    band_cols = F.array(*[
-        F.struct(F.lit(b_).alias("band"),
-                 F.xxhash64(*[F.col(f"m{b_ * r + i}") for i in range(r)])
-                  .alias("bucket"))
-        for b_ in range(bands)
-    ])
-    buckets = (sig.select("id", F.explode(band_cols).alias("bb"))
-               .select("id", F.col("bb.band").alias("band"),
-                       F.col("bb.bucket").alias("bucket")))
+    # Shingles are hashed to longs immediately (see _minhash_sig for
+    # the seed family, storage-level, and codegen notes): signature,
+    # bucket, and verification paths never touch strings again, and
+    # the vocabulary is never materialized — the property that makes
+    # MinHash the 100 TB-scale dedup path. Occurrence rows are NOT
+    # deduplicated: the signature min and the collect_set below are
+    # duplicate-idempotent, so the per-(id, gh) distinct shuffle (the
+    # largest cost of the shingle stage) is skipped entirely.
+    rows, sig = _minhash_sig(df, id_col, text_col, num_hashes, k)
+    buckets = _band_buckets(sig, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(b, (F.col("a.band") == F.col("b.band"))

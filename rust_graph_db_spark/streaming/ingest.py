@@ -427,6 +427,97 @@ def stream_curate(
     return writer.start()
 
 
+def stream_neardup_dedup(
+    stream: DataFrame, out_dir: str, state_dir: str,
+    id_col: str = "doc_id", text_col: str = "text",
+    num_hashes: int = 32, bands: int = 8, k: int = 5,
+    checkpoint: Optional[str] = None,
+    trigger_available_now: bool = True,
+    hash_mode: str = "xxhash",
+):
+    """Streaming incremental NEAR-duplicate dedup: MinHash-LSH bucket
+    state across micro-batches — the near-dup analog of
+    ``stream_exact_dedup``.
+
+    Per batch: each document's band-bucket keys
+    (``dedup.minhash_band_buckets``) are computed, and a document is
+    DROPPED iff any of its buckets (a) already exists in the durable
+    state (claimed by a surviving doc of an earlier batch), or (b) is
+    shared with a lower-``id_col`` document IN the same batch
+    (deterministic min-per-bucket greedy — for chained near-dups this
+    keeps the same min-id representative as the batch
+    connected-component rule). Survivors append their bucket keys to
+    the state and their rows to ``out_dir``.
+
+    Semantics trade (documented, standard for streaming near-dup):
+    bucket collision IS the near-dup verdict — recall at Jaccard t is
+    1-(1-t^r)^b and false positives occur at the banding scheme's
+    rate; there is no exact-verify stage because prior documents'
+    shingle sets are not retained, only their ``bands``×16-byte
+    bucket keys. That bound on state size is the point: the durable
+    state is O(bands) longs per SURVIVING document regardless of
+    document length, append-only and merge-on-read like the digest
+    state.
+
+    ``hash_mode="md5"`` makes every bucket key a pure md5 function of
+    the text (``dedup._minhash_sig``), so the full cross-batch run
+    replays in SQL — the driver oracle for ``w13``.
+    """
+    from rust_graph_db_spark.operators.dedup import minhash_band_buckets
+
+    def dedup_batch(batch: DataFrame, batch_id: int) -> None:
+        from pyspark.errors import AnalysisException
+
+        bk = (minhash_band_buckets(batch, id_col, text_col,
+                                   num_hashes=num_hashes, bands=bands,
+                                   k=k, hash_mode=hash_mode)
+              .select(F.col("id"),
+                      F.xxhash64("band", "bucket").alias("bkt")
+                      if hash_mode == "xxhash" else
+                      # md5 mode: (band, bucket) kept replayable as a
+                      # single colon-joined md5 long
+                      F.conv(F.substring(F.md5(F.concat_ws(
+                          ":", F.col("band").cast("string"),
+                          F.col("bucket").cast("string"))), 1, 15),
+                          16, 10).cast("long").alias("bkt"))
+              .localCheckpoint(eager=True))
+        # in-batch rule first (state-independent, so the SQL replay
+        # can mirror it without modeling survivor order): drop any id
+        # sharing a bucket with a lower id in THIS batch
+        first = bk.groupBy("bkt").agg(F.min("id").alias("_first"))
+        in_drop = (bk.join(first, "bkt")
+                   .where(F.col("id") > F.col("_first"))
+                   .select("id").distinct())
+        try:
+            seen = (batch.sparkSession.read.parquet(state_dir)
+                    .select("bkt").distinct())
+            st_drop = (bk.join(seen, "bkt", "left_semi")
+                       .select("id").distinct())
+            drops = in_drop.unionByName(st_drop).distinct()
+        except AnalysisException as e:
+            if ("PATH_NOT_FOUND" not in str(e)
+                    and "Path does not exist" not in str(e)):
+                raise
+            drops = in_drop
+        kept = (batch.join(drops.withColumnRenamed("id", id_col),
+                           id_col, "left_anti")
+                .withColumn("_batch_id", F.lit(batch_id).cast("long"))
+                .localCheckpoint(eager=True))
+        kept.write.mode("append").parquet(out_dir)
+        (bk.join(kept.select(F.col(id_col).alias("id")), "id",
+                 "left_semi")
+         .select("bkt").distinct()
+         .write.mode("append").parquet(state_dir))
+
+    writer = stream.writeStream.foreachBatch(dedup_batch) \
+                   .outputMode("update")
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    if trigger_available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def stream_gram_cms(
     stream: DataFrame, state_dir: str,
     text_col: str = "text", n: int = 2,

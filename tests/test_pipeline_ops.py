@@ -900,6 +900,57 @@ def test_curate_domain_stage(spark):
         curate(df, max_per_domain=3)                      # needs url_col
 
 
+def test_stream_neardup_dedup_cross_batch(spark, tmp_path):
+    """MinHash-LSH bucket state holds across micro-batches: a batch-1
+    near-duplicate of a batch-0 survivor is dropped, exact re-sends
+    are dropped, unrelated docs survive, and in-batch near-dups keep
+    only the min id."""
+    import glob
+    import os
+    import shutil
+
+    from rust_graph_db_spark.streaming import stream_neardup_dedup
+
+    base = ("the quick brown fox jumped over a lazy dog while it was "
+            "raining and the farmer watched from his porch in quiet "
+            "wonder as evening settled softly across that wide valley "
+            "of golden wheat beneath slowly darkening autumn skies")
+    other = ("completely different content about spark shuffle "
+             "partitions catalyst optimizer broadcast joins adaptive "
+             "execution columnar parquet arrow pandas vectorized "
+             "reading predicate pushdown column pruning statistics")
+    batches = [
+        [(1, base), (2, other), (3, base + " tiny tail")],  # 3 ~ 1 in-batch
+        [(4, base + " zz"),                                 # ~ 1 cross-batch
+         (5, other),                                        # exact re-send
+         (6, "entirely novel third text about graph algorithms "
+             "pagerank betweenness communities components walks "
+             "with plenty of distinct shingle material to stand "
+             "alone as its own document in the corpus")],
+    ]
+    watch = tmp_path / "in"
+    watch.mkdir()
+    for b, rows in enumerate(batches):
+        part = str(tmp_path / f"b{b}")
+        spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+             .coalesce(1).write.parquet(part)
+        dst = str(watch / f"batch{b}.parquet")
+        shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+        os.utime(dst, (1_600_000_000 + b * 3600,) * 2)
+
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .option("maxFilesPerTrigger", 1)
+              .parquet(str(watch)))
+    stream_neardup_dedup(
+        stream, str(tmp_path / "out"), str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt")).awaitTermination(180)
+
+    out = {(r.doc_id, r._batch_id)
+           for r in spark.read.parquet(str(tmp_path / "out")).collect()}
+    assert out == {(1, 0), (2, 0), (6, 1)}
+
+
 def test_stream_curate_domain_cap_cross_batch(spark, tmp_path):
     """max_per_domain holds ACROSS micro-batches via the durable
     per-domain kept-count state."""
