@@ -487,6 +487,33 @@ def _q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "host", "domain"))
 
 
+def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t14: C4/CCNet text normalization (control/zero-width strip,
+    typographic-quote/dash/NBSP folding, whitespace collapse). The
+    synthetic docs are clean ASCII, so the entry dirties them first as
+    a pure function of doc_id (NBSPs, curly quotes + soft hyphens,
+    control chars + trailing runs, curly apostrophes) — mirrored
+    verbatim in the oracle."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import normalize_text
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    m = F.col("doc_id") % 4
+    dirty = (
+        F.when(m == 0, F.expr("replace(text, ' ', ' ')"))
+        .when(m == 1, F.concat(F.lit("“"),
+                               F.expr("replace(text, 'a', 'a­')"),
+                               F.lit("”")))
+        .when(m == 2, F.concat(F.col("text"),
+                               F.lit("\x07​  tail   runs ")))
+        .otherwise(F.expr("replace(text, 'e', '’e')")))
+    d = docs.select("doc_id", dirty.alias("text"))
+    return (normalize_text(d, "text", out_col="text_norm")
+            .select("doc_id", F.length("text").cast("long")
+                    .alias("n_dirty"), "text_norm"))
+
+
 def _q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c7: exactly-10-per-language deterministic sample (md5-ranked
     within stratum — the reservoir-sampling replacement)."""
@@ -2346,6 +2373,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # streaming near-dup dedup: durable cross-batch MinHash-LSH
         # bucket state (r5; FULL md5-replay oracle of both batches)
         "w13_stream_neardup": _q_stream_neardup,
+        # C4/CCNet text normalization, RE2-safe regexp chain (r5;
+        # full oracle via curation.normalize_text_sql)
+        "t14_normalize_text": _q_normalize_text,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2839,6 +2869,24 @@ def _stream_neardup_oracle_sql(num_hashes: int = 32, bands: int = 8,
         "FROM corpus WHERE batch = 0 AND id NOT IN (SELECT id FROM d0) "
         "UNION ALL SELECT id, CAST(1 AS BIGINT) FROM corpus "
         "WHERE batch = 1 AND id NOT IN (SELECT id FROM d1)")
+
+
+def _normalize_oracle_sql() -> str:
+    """SQL twin of t14: the same deterministic dirty-up CASE, then the
+    shared NORMALIZE_RULES chain rendered by
+    curation.normalize_text_sql — ONE rule table drives both engines."""
+    from rust_graph_db_spark.operators.curation import normalize_text_sql
+
+    dirty = (
+        "CASE doc_id % 4 "
+        "WHEN 0 THEN replace(text, ' ', ' ') "
+        "WHEN 1 THEN '“' || replace(text, 'a', 'a­') || '”' "
+        "WHEN 2 THEN text || '\x07​  tail   runs ' "
+        "ELSE replace(text, 'e', '’e') END")
+    return (
+        f"WITH d AS (SELECT doc_id, {dirty} AS text FROM documents) "
+        "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_dirty, "
+        f"{normalize_text_sql('text')} AS text_norm FROM d")
 
 
 def _graph_profile_oracle_sql(pre: str) -> str:
@@ -3544,6 +3592,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM base b LEFT JOIN reb ON reb.id = b.id"),
         "w13_stream_neardup": _stream_neardup_oracle_sql(
             num_hashes=32, bands=8, k=5),
+        "t14_normalize_text": _normalize_oracle_sql(),
         "c9_domain_curation": (
             # SQL twin of curation.domain_curate over the derived URL:
             # same host regex (RE2-safe), last-two-labels domain,

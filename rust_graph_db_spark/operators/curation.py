@@ -347,6 +347,60 @@ def filter_redact(
     return redact_pii(kept, id_col, text_col).select(id_col, "clean_text")
 
 
+# (pattern, replacement) chain applied in ORDER — written with literal
+# characters (no \uXXXX escapes) so the same strings drive Java regex
+# (Spark) and RE2 (the DuckDB oracle) byte-for-byte; no lookaround.
+NORMALIZE_RULES = (
+    # C0 control chars (except \t \n \r, folded by the whitespace rule)
+    # + DEL
+    ("[\x00-\x08\x0b\x0c\x0e-\x1f\x7f]", ""),
+    # zero-width space/joiners, BOM, soft hyphen
+    ("[​‌‍﻿­]", ""),
+    # curly quotes -> ASCII
+    ("[‘’]", "'"),
+    ("[“”]", '"'),
+    # en/em dash -> hyphen
+    ("[–—]", "-"),
+    # NBSP -> space
+    (" ", " "),
+    # whitespace runs -> single space
+    (r"\s+", " "),
+)
+
+
+def normalize_text(df: DataFrame, text_col: str = "text",
+                   out_col: str | None = None) -> DataFrame:
+    """C4/CCNet-style text normalization: strip control and zero-width
+    characters, fold typographic quotes/dashes/NBSP to ASCII, collapse
+    whitespace runs, trim. A pure codegen'd ``regexp_replace`` chain
+    (``NORMALIZE_RULES``, applied in order) — one scan, zero shuffle,
+    zero UDFs; every pattern is RE2-safe so the DuckDB oracle replays
+    it byte-for-byte. Overwrites ``text_col`` unless ``out_col``."""
+    c: Column = F.col(text_col)
+    for pat, rep in NORMALIZE_RULES:
+        c = F.regexp_replace(c, pat, rep)
+    return df.withColumn(out_col or text_col, F.trim(c))
+
+
+def normalize_text_sql(expr: str) -> str:
+    """The DuckDB twin of :func:`normalize_text` as a SQL expression
+    over ``expr`` — used by the t14 oracle. Single quotes are doubled
+    for the SQL literal; C0/DEL bytes (literal chars in
+    ``NORMALIZE_RULES`` so the Spark side stays a plain Java regex)
+    are re-rendered as RE2 ``\\x{..}`` escapes — embedded raw they
+    would terminate or corrupt the SQL string literal."""
+    def esc(s: str) -> str:
+        return "".join(
+            f"\\x{{{ord(ch):02x}}}" if ord(ch) < 32 or ord(ch) == 127
+            else ("''" if ch == "'" else ch)
+            for ch in s)
+
+    out = expr
+    for pat, rep in NORMALIZE_RULES:
+        out = f"regexp_replace({out}, '{esc(pat)}', '{esc(rep)}', 'g')"
+    return f"trim({out})"
+
+
 def with_domain(df: DataFrame, url_col: str = "url",
                 host_col: str = "host",
                 domain_col: str = "domain") -> DataFrame:
@@ -429,7 +483,7 @@ def curate(
     lm=None, max_ppl: float | None = None,
     languages=None, language_profiles_df: DataFrame | None = None,
     url_col: str | None = None, max_per_domain: int | None = None,
-    domain_blocklist=None,
+    domain_blocklist=None, normalize: bool = False,
 ) -> DataFrame:
     """The composed end-to-end curation pass a pretraining pipeline
     runs per crawl batch: [domain curation →] [LM perplexity filter →]
@@ -449,7 +503,10 @@ def curate(
     Optional stage (r5): pass ``url_col`` (plus ``max_per_domain``
     and/or ``domain_blocklist``) to run URL/domain curation FIRST —
     cheapest filter, so it prunes before any text-derived stage
-    (``domain_curate``; the C4/RefinedWeb recipe).
+    (``domain_curate``; the C4/RefinedWeb recipe). Pass
+    ``normalize=True`` to run :func:`normalize_text` before any
+    text-derived stage (so LM scores, language ID, quality stats, and
+    dedup digests all see the normalized form — the CCNet order).
 
     Plan shape at 100 TB: filter + redaction + split are ONE
     codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
@@ -469,6 +526,8 @@ def curate(
                            max_per_domain=max_per_domain,
                            blocklist=domain_blocklist) \
             .drop("host", "domain")
+    if normalize:
+        df = normalize_text(df, text_col)
     if (lm is None) != (max_ppl is None):
         # half-specified silently skipping the stage would look like
         # "LM filtering ran and kept everything"

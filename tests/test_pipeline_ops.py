@@ -848,6 +848,40 @@ def test_stream_curate_cross_batch_pii_twin(spark, tmp_path):
     assert out[0].split in ("train", "val", "test")
 
 
+def test_normalize_text_crafted(spark):
+    from rust_graph_db_spark.operators.curation import (curate,
+                                                        normalize_text)
+
+    rows = [
+        (1, "a b  c"),              # NBSPs + run
+        (2, "“q” ‘s’ – —"),
+        (3, "so­ft​zw\x07bell\x00nul"),
+        (4, "  already   clean  text  "),
+        (5, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING") \
+              .fillna({"text": ""})
+    got = {r.doc_id: r.text
+           for r in normalize_text(df).collect()}
+    assert got[1] == "a b c"
+    assert got[2] == "\"q\" 's' - -"
+    assert got[3] == "softzwbellnul"
+    assert got[4] == "already clean text"
+    assert got[5] == ""
+
+    base = ("the quick brown fox jumped over a lazy dog while it was "
+            "raining and the farmer watched from his porch in quiet "
+            "wonder as evening settled softly across that wide valley "
+            "of golden wheat beneath slowly darkening autumn skies")
+    # normalize runs BEFORE dedup digests: two docs differing only in
+    # typography collapse to one survivor
+    d2 = spark.createDataFrame(
+        [(1, base), (2, base.replace(" ", " "))],
+        "doc_id LONG, text STRING")
+    out = curate(d2, normalize=True)
+    assert out.count() == 1
+
+
 def test_domain_ops_crafted(spark):
     from rust_graph_db_spark.operators.curation import (
         domain_curate, domain_stats, with_domain)
