@@ -354,7 +354,15 @@ def exact_substring_dedup(df: DataFrame, id_col: str = "doc_id",
     -pinned: span detection, the token explode, and the n_tokens side
     all read the pinned frame, so the corpus is scanned+tokenized one
     time instead of three (one materialization ≈ corpus token bytes —
-    cheaper than two extra scan+regex-split passes).
+    cheaper than two extra scan+regex-split passes). The per-token
+    rebuild (posexplode → anti-join → sorted collect_list) runs ONLY
+    for documents that actually lost a span — untouched documents
+    pass through as a direct in-scan ``array_join`` — so its cost
+    scales with the duplicated fraction, not the corpus. (At the 2M-doc
+    rehearsal the wall-clock is dominated by the token-array checkpoint
+    and window hashing either way — the semi-join gate is a plan-shape
+    guarantee for corpora where the duplicated fraction is small but
+    the corpus is not.)
     """
     base = _token_base(df, id_col, text_col).localCheckpoint(eager=True)
     spans = duplicate_token_spans(df, id_col, text_col, k, hash_mode,
@@ -362,7 +370,15 @@ def exact_substring_dedup(df: DataFrame, id_col: str = "doc_id",
     cov = spans.select(
         "id", F.explode(F.sequence("start", F.col("end") - 1))
         .alias("pos"))
-    tok = base.select("id", F.posexplode("_toks").alias("pos", "tok"))
+    hit = cov.select("id").distinct()
+    untouched = (base.join(hit, "id", "left_anti")
+                 .select("id",
+                         F.size("_toks").cast("long").alias("n_tokens"),
+                         F.lit(0).cast("long").alias("n_removed"),
+                         F.array_join("_toks", " ").alias("text_clean")))
+    touched_base = base.join(hit, "id", "left_semi")
+    tok = touched_base.select("id",
+                              F.posexplode("_toks").alias("pos", "tok"))
     kept = tok.join(cov, ["id", "pos"], "left_anti")
     rebuilt = (kept.groupBy("id")
                .agg(F.array_join(
@@ -371,15 +387,18 @@ def exact_substring_dedup(df: DataFrame, id_col: str = "doc_id",
                                 F.struct("pos", "tok"))),
                             lambda s: s["tok"]), " ").alias("text_clean"),
                     F.count(F.lit(1)).alias("_kept")))
-    return (base.select("id", F.size("_toks").cast("long")
-                        .alias("n_tokens"))
-            .join(rebuilt, "id", "left")
-            .select(F.col("id").alias(id_col), "n_tokens",
-                    (F.col("n_tokens")
-                     - F.coalesce("_kept", F.lit(0))).cast("long")
-                    .alias("n_removed"),
-                    F.coalesce("text_clean", F.lit(""))
-                    .alias("text_clean")))
+    touched = (touched_base
+               .select("id", F.size("_toks").cast("long")
+                       .alias("n_tokens"))
+               .join(rebuilt, "id", "left")
+               .select("id", "n_tokens",
+                       (F.col("n_tokens")
+                        - F.coalesce("_kept", F.lit(0))).cast("long")
+                       .alias("n_removed"),
+                       F.coalesce("text_clean", F.lit(""))
+                       .alias("text_clean")))
+    return (untouched.unionByName(touched)
+            .withColumnRenamed("id", id_col))
 
 
 def containment_pairs(

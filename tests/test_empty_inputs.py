@@ -40,6 +40,27 @@ def test_curation_ops_on_empty(empty):
     assert packing.pack_sequences(d).count() == 0
 
 
+def test_r5_ops_on_empty(empty, spark):
+    from rust_graph_db_spark.operators import classifier, curation, dedup
+
+    d = empty["docs"]
+    assert dedup.exact_substring_dedup(d, k=5).count() == 0
+    assert dedup.duplicate_token_spans(d, k=5).count() == 0
+    assert dedup.minhash_band_buckets(d).count() == 0
+    assert classifier.score_pinned(d).count() == 0
+    assert curation.normalize_text(d).count() == 0
+    u = spark.createDataFrame([], "doc_id LONG, text STRING, url STRING")
+    assert curation.domain_curate(u, max_per_domain=2,
+                                  blocklist=["x.com"]).count() == 0
+    assert curation.domain_stats(u).count() == 0
+    assert curation.curate(u, url_col="url", max_per_domain=2,
+                           normalize=True).count() == 0
+    # MIS on an empty edge list (keep_maximal_nondup path)
+    from rust_graph_db_spark.operators.graph_algos import \
+        maximal_independent_set
+    assert maximal_independent_set(empty["edges"]).count() == 0
+
+
 def test_graph_ops_on_empty(empty):
     from rust_graph_db_spark.operators import graph_algos as ga
 
