@@ -126,8 +126,12 @@ def main() -> None:
     stage("language_id", lambda: language_id(docs, prof))
 
     from rust_graph_db_spark.operators.dedup import exact_substring_dedup
+    # the one-row agg forces FULL materialization (a bare count() lets
+    # Spark prune the text_clean rebuild out of the plan entirely)
     stage("exact_substring_k50",
-          lambda: exact_substring_dedup(docs, k=50))
+          lambda: exact_substring_dedup(docs, k=50).agg(
+              F.sum(F.length("text_clean")).alias("clean_bytes"),
+              F.sum("n_removed").alias("n_removed")))
 
     from rust_graph_db_spark.operators.dsir import dsir_logweights
     stage("dsir_logweights",
