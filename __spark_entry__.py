@@ -501,7 +501,7 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     m = F.col("doc_id") % 4
     dirty = (
-        F.when(m == 0, F.expr("replace(text, ' ', ' ')"))
+        F.when(m == 0, F.expr("replace(text, ' ', chr(160))"))
         .when(m == 1, F.concat(F.lit("“"),
                                F.expr("replace(text, 'a', 'a­')"),
                                F.lit("”")))
@@ -912,6 +912,28 @@ def _q_drop_neardups(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.length("text").cast("long").alias("doc_len")))
 
 
+def _ordered_batch_watch(tmp: str, frames) -> str:
+    """Write each frame as ONE parquet file under ``tmp/in`` with
+    ascending pinned mtimes, so a ``maxFilesPerTrigger=1``
+    FileStreamSource (latestFirst=false processes oldest mtime first)
+    replays them as ordered micro-batches — the shared setup for every
+    streaming driver entry (d8/w12/w13). Returns the watch dir."""
+    import glob
+    import os
+    import shutil
+
+    watch = f"{tmp}/in"
+    os.makedirs(watch)
+    for b, frame in enumerate(frames):
+        part = f"{tmp}/b{b}"
+        frame.coalesce(1).write.parquet(part)
+        src = glob.glob(f"{part}/part-*.parquet")[0]
+        dst = f"{watch}/batch{b}.parquet"
+        shutil.copy(src, dst)
+        os.utime(dst, (1_600_000_000 + b * 3600,) * 2)
+    return watch
+
+
 def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d8: STREAMING incremental exact dedup — the same twinned corpus
     as d7 arrives as 3 ordered micro-batches (doc_id % 3 slices; file
@@ -921,9 +943,6 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     precedes its original's batch survives INSTEAD of the original, so
     the oracle (first occurrence by (batch, doc_id)) genuinely checks
     the cross-batch state, not just in-batch dedup."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -937,18 +956,8 @@ def _q_stream_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(twins)
 
     tmp = tempfile.mkdtemp(prefix="rgds_d8_")
-    watch = f"{tmp}/in"
-    os.makedirs(watch)
-    for b in range(3):
-        part = f"{tmp}/b{b}"
-        corpus.where(F.col("doc_id") % 3 == b).coalesce(1) \
-              .write.parquet(part)
-        src = glob.glob(f"{part}/part-*.parquet")[0]
-        dst = f"{watch}/batch{b}.parquet"
-        shutil.copy(src, dst)
-        # FileStreamSource (latestFirst=false) processes oldest mtime
-        # first; pin distinct ascending mtimes so batch order == b.
-        os.utime(dst, (1_600_000_000 + b * 3600, 1_600_000_000 + b * 3600))
+    watch = _ordered_batch_watch(
+        tmp, [corpus.where(F.col("doc_id") % 3 == b) for b in range(3)])
 
     stream = (spark.readStream.schema(corpus.schema)
               .option("maxFilesPerTrigger", 1).parquet(watch))
@@ -970,9 +979,6 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``hash_mode="md5"`` makes every bucket a pure md5 function of the
     text, so the oracle replays the ENTIRE cross-batch run — 32
     signature minima, 8 band buckets, both batch rules — in SQL."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -987,16 +993,8 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.unionByName(twins)
 
     tmp = tempfile.mkdtemp(prefix="rgds_w13_")
-    watch = f"{tmp}/in"
-    os.makedirs(watch)
-    for b in range(2):
-        part = f"{tmp}/b{b}"
-        corpus.where(F.col("doc_id") % 2 == b).coalesce(1) \
-              .write.parquet(part)
-        src = glob.glob(f"{part}/part-*.parquet")[0]
-        dst = f"{watch}/batch{b}.parquet"
-        shutil.copy(src, dst)
-        os.utime(dst, (1_600_000_000 + b * 3600, 1_600_000_000 + b * 3600))
+    watch = _ordered_batch_watch(
+        tmp, [corpus.where(F.col("doc_id") % 2 == b) for b in range(2)])
 
     stream = (spark.readStream.schema(corpus.schema)
               .option("maxFilesPerTrigger", 1).parquet(watch))
@@ -1118,9 +1116,6 @@ def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch precedes its original's survives INSTEAD of the original
     (digests are over REDACTED text, so twins collide across
     batches), which only the persistent digest state can get right."""
-    import glob
-    import os
-    import shutil
     import tempfile
 
     from pyspark.sql import functions as F
@@ -1137,16 +1132,8 @@ def _q_stream_curate(spark: SparkSession, sf_dir: str) -> DataFrame:
         _aug_pii_text())
 
     tmp = tempfile.mkdtemp(prefix="rgds_w12_")
-    watch = f"{tmp}/in"
-    os.makedirs(watch)
-    for b in range(3):
-        part = f"{tmp}/b{b}"
-        corpus.where(F.col("doc_id") % 3 == b).coalesce(1) \
-              .write.parquet(part)
-        src = glob.glob(f"{part}/part-*.parquet")[0]
-        dst = f"{watch}/batch{b}.parquet"
-        shutil.copy(src, dst)
-        os.utime(dst, (1_600_000_000 + b * 3600, 1_600_000_000 + b * 3600))
+    watch = _ordered_batch_watch(
+        tmp, [corpus.where(F.col("doc_id") % 3 == b) for b in range(3)])
 
     stream = (spark.readStream.schema(corpus.schema)
               .option("maxFilesPerTrigger", 1).parquet(watch))
@@ -2878,8 +2865,10 @@ def _normalize_oracle_sql() -> str:
     from rust_graph_db_spark.operators.curation import normalize_text_sql
 
     dirty = (
+        # chr(160) = NBSP spelled out: an invisible literal here once
+        # silently degraded the WHEN 0 arm to an identity replace
         "CASE doc_id % 4 "
-        "WHEN 0 THEN replace(text, ' ', ' ') "
+        "WHEN 0 THEN replace(text, ' ', chr(160)) "
         "WHEN 1 THEN '“' || replace(text, 'a', 'a­') || '”' "
         "WHEN 2 THEN text || '\x07​  tail   runs ' "
         "ELSE replace(text, 'e', '’e') END")

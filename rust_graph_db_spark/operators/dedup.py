@@ -642,7 +642,8 @@ def minhash_signature(text: Column, num_hashes: int = 64, k: int = 5) -> Column:
 
 def _minhash_sig(df: DataFrame, id_col: str, text_col: str,
                  num_hashes: int, k: int,
-                 hash_mode: str = "xxhash"):
+                 hash_mode: str = "xxhash",
+                 checkpoint_rows: bool = True):
     """(rows, sig): the checkpointed (id, gh) shingle-hash occurrence
     rows and the (id, m0..m{n-1}) MinHash signature frame.
 
@@ -698,8 +699,15 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str,
     else:
         rows = shingle_hash_rows(df, id_col, text_col, k, distinct=False)
         h2 = F.xxhash64(F.lit(1), F.col("gh"))
-    rows = rows.localCheckpoint(
-        eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
+    # the checkpoint exists for minhash_lsh_pairs' THREE consumers
+    # (signature + both verify sides); single-consumer callers
+    # (minhash_band_buckets) skip it — paying a full write+read of the
+    # ~#chars (id, gh) frame to feed one aggregate is pure overhead,
+    # and inside a streaming foreachBatch the pinned blocks would
+    # accumulate every micro-batch
+    if checkpoint_rows:
+        rows = rows.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.MEMORY_AND_DISK)
     m32 = F.lit(0xFFFFFFFF)
     inv = rows.select("id", "gh",
                       F.col("gh").bitwiseAND(m32).alias("h1"),
@@ -752,7 +760,8 @@ def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
     point (P[share ≥ 1 band] = 1-(1-J^r)^b). This is the state key
     ``streaming.stream_neardup_dedup`` persists across micro-batches.
     """
-    _, sig = _minhash_sig(df, id_col, text_col, num_hashes, k, hash_mode)
+    _, sig = _minhash_sig(df, id_col, text_col, num_hashes, k, hash_mode,
+                          checkpoint_rows=False)
     return _band_buckets(sig, num_hashes, bands, hash_mode)
 
 

@@ -468,18 +468,17 @@ def stream_neardup_dedup(
     def dedup_batch(batch: DataFrame, batch_id: int) -> None:
         from pyspark.errors import AnalysisException
 
+        from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+        # md5 mode folds (band, bucket) into ONE replayable long via
+        # the shared cross-engine construction (functions/hashing) —
+        # the same md5_long('band:bucket') the w13 oracle computes
+        bkt = (F.xxhash64("band", "bucket") if hash_mode == "xxhash"
+               else md5_long(md5_key(F.col("band"), F.col("bucket"))))
         bk = (minhash_band_buckets(batch, id_col, text_col,
                                    num_hashes=num_hashes, bands=bands,
                                    k=k, hash_mode=hash_mode)
-              .select(F.col("id"),
-                      F.xxhash64("band", "bucket").alias("bkt")
-                      if hash_mode == "xxhash" else
-                      # md5 mode: (band, bucket) kept replayable as a
-                      # single colon-joined md5 long
-                      F.conv(F.substring(F.md5(F.concat_ws(
-                          ":", F.col("band").cast("string"),
-                          F.col("bucket").cast("string"))), 1, 15),
-                          16, 10).cast("long").alias("bkt"))
+              .select(F.col("id"), bkt.alias("bkt"))
               .localCheckpoint(eager=True))
         # in-batch rule first (state-independent, so the SQL replay
         # can mirror it without modeling survivor order): drop any id
