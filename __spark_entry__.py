@@ -514,6 +514,19 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_dirty"), "text_norm"))
 
 
+def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c11: cross-split verbatim-window leakage audit — for each
+    train/val/test pair of hash_split's default 90/5/5 assignment, the
+    distinct 10-token windows occurring on both sides and the distinct
+    documents carrying them (Lee et al. 2022's train/eval overlap
+    measurement, run against the pipeline's OWN split). md5 window
+    hashes so the oracle replays the counts exactly."""
+    from rust_graph_db_spark.operators.curation import split_leakage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return split_leakage(docs, k=10, hash_mode="md5")
+
+
 def _q_stratified_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c7: exactly-10-per-language deterministic sample (md5-ranked
     within stratum — the reservoir-sampling replacement)."""
@@ -2363,6 +2376,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4/CCNet text normalization, RE2-safe regexp chain (r5;
         # full oracle via curation.normalize_text_sql)
         "t14_normalize_text": _q_normalize_text,
+        # cross-split verbatim-window leakage audit (r5; full oracle)
+        "c11_split_leakage": _q_split_leakage,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -3582,6 +3597,39 @@ def oracle_sql() -> dict[str, str]:
         "w13_stream_neardup": _stream_neardup_oracle_sql(
             num_hashes=32, bands=8, k=5),
         "t14_normalize_text": _normalize_oracle_sql(),
+        "c11_split_leakage": (
+            # SQL twin of curation.split_leakage(k=10, md5): d13's
+            # window-hash stream x t2's split assignment; DISTINCT
+            # (gh, split, id) triples, pair presence, per-pair counts.
+            r"WITH base AS (SELECT doc_id AS id, "
+            r"list_filter(string_split_regex(lower(text), '\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "wins AS (SELECT id, ('0x' || substr(md5('ess:' || "
+            "array_to_string(toks[i:i+9], ' ')), 1, 15))::BIGINT AS gh "
+            "FROM (SELECT id, toks, "
+            "unnest(generate_series(1, len(toks) - 9)) AS i "
+            "FROM base WHERE len(toks) >= 10)), "
+            "sp AS (SELECT doc_id AS id, CASE WHEN b < 900 THEN 'train' "
+            "WHEN b < 950 THEN 'val' ELSE 'test' END AS split FROM "
+            "(SELECT doc_id, CAST(('0x' || substr(md5(CAST(doc_id AS "
+            "VARCHAR)), 1, 4)) AS INT) % 1000 AS b FROM documents)), "
+            "wd AS (SELECT DISTINCT w.gh, s.split, w.id FROM wins w "
+            "JOIN sp s ON s.id = w.id), "
+            "pres AS (SELECT DISTINCT gh, split FROM wd), "
+            "pairs AS (SELECT DISTINCT a.split AS split_a, "
+            "b.split AS split_b, a.gh FROM pres a "
+            "JOIN pres b ON a.gh = b.gh AND a.split < b.split), "
+            "nw AS (SELECT split_a, split_b, "
+            "count(DISTINCT gh) AS n_windows FROM pairs GROUP BY 1, 2), "
+            "nd AS (SELECT p.split_a, p.split_b, "
+            "count(DISTINCT d.id) AS n_docs FROM pairs p JOIN wd d "
+            "ON d.gh = p.gh AND (d.split = p.split_a "
+            "OR d.split = p.split_b) GROUP BY 1, 2) "
+            "SELECT nw.split_a, nw.split_b, "
+            "CAST(nw.n_windows AS BIGINT) AS n_windows, "
+            "CAST(nd.n_docs AS BIGINT) AS n_docs FROM nw "
+            "JOIN nd ON nd.split_a = nw.split_a "
+            "AND nd.split_b = nw.split_b"),
         "c9_domain_curation": (
             # SQL twin of curation.domain_curate over the derived URL:
             # same host regex (RE2-safe), last-two-labels domain,

@@ -104,6 +104,58 @@ def hash_split(
     return df.withColumn("split", expr)
 
 
+def split_leakage(df: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", k: int = 10,
+                  weights: dict[str, float] | None = None,
+                  hash_mode: str = "xxhash") -> DataFrame:
+    """(split_a, split_b, n_windows, n_docs): cross-split verbatim
+    k-token window leakage under :func:`hash_split`'s assignment —
+    the decontamination audit of the pipeline's OWN split. For each
+    split pair (a < b by name): the number of DISTINCT window hashes
+    occurring in both splits, and the number of distinct documents
+    (either side) containing at least one such leaked window. Pairs
+    with zero leakage are omitted.
+
+    Lee et al. 2022 measure exactly this class of train/eval overlap
+    in standard corpora; a split produced by hashing ids is leak-free
+    at the DOCUMENT level by construction, but verbatim spans shared
+    by near-duplicate documents still cross the boundary — which is
+    why exact-substring dedup (``dedup.exact_substring_dedup``) runs
+    BEFORE splitting, and this audit verifies the result.
+
+    Substrate: ``dedup._window_hashes`` (shared with d13); at 100 TB
+    the shuffles carry (gh, split, id) triples — text never moves.
+    ``hash_mode="md5"`` is the oracle-replayable form.
+    """
+    from rust_graph_db_spark.operators.dedup import (_token_base,
+                                                     _window_hashes)
+
+    base = _token_base(df, id_col, text_col)
+    occ = _window_hashes(base, k, hash_mode)
+    sp = hash_split(df.select(id_col), id_col, weights) \
+        .select(F.col(id_col).alias("id"), "split")
+    wd = (occ.join(sp, "id")
+          .select("gh", "split", "id").distinct()
+          .localCheckpoint(eager=True))
+    pres = wd.select("gh", "split").distinct()
+    a, b = pres.alias("a"), pres.alias("b")
+    pairs = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                    & (F.col("a.split") < F.col("b.split")))
+             .select(F.col("a.split").alias("split_a"),
+                     F.col("b.split").alias("split_b"),
+                     F.col("a.gh").alias("gh"))
+             .distinct()
+             .localCheckpoint(eager=True))
+    n_win = (pairs.groupBy("split_a", "split_b")
+             .agg(F.count_distinct("gh").alias("n_windows")))
+    n_docs = (pairs.join(wd, "gh")
+              .where((F.col("split") == F.col("split_a"))
+                     | (F.col("split") == F.col("split_b")))
+              .groupBy("split_a", "split_b")
+              .agg(F.count_distinct("id").alias("n_docs")))
+    return n_win.join(n_docs, ["split_a", "split_b"])
+
+
 # PII patterns shared by the Spark operator and the SQL oracle builder.
 # Deliberately lookaround-free: valid under both Java regex (Spark
 # codegen) and RE2 (DuckDB / Go engines), so redaction is reproducible

@@ -252,6 +252,34 @@ def _token_base(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
                              lambda x: x != F.lit("")).alias("_toks")))
 
 
+def _window_hashes(base: DataFrame, k: int,
+                   hash_mode: str = "xxhash") -> DataFrame:
+    """(id, pos, gh): one row per sliding k-token window of a
+    ``_token_base`` frame — the shared substrate of
+    :func:`duplicate_token_spans` and ``curation.split_leakage``.
+    xxhash mode hashes the 8·k-byte token-hash slice; md5 mode hashes
+    the joined window text (the oracle-replayable form)."""
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+    kk = int(k)
+    if hash_mode == "md5":
+        win = F.expr(
+            f"transform(sequence(1, size(_toks) - {kk - 1}),"
+            f" i -> array_join(slice(_toks, i, {kk}), ' '))")
+        return (base.where(F.size("_toks") >= kk)
+                .select("id", F.posexplode(win).alias("pos", "g"))
+                .select("id", "pos",
+                        md5_long(md5_key(F.lit("ess"), F.col("g")))
+                        .alias("gh")))
+    win = F.expr(
+        f"transform(sequence(1, size(_th) - {kk - 1}),"
+        f" i -> xxhash64(slice(_th, i, {kk})))")
+    return (base.where(F.size("_toks") >= kk)
+            .withColumn("_th", F.expr(
+                "transform(_toks, t -> xxhash64(t))"))
+            .select("id", F.posexplode(win).alias("pos", "gh")))
+
+
 def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
                           text_col: str = "text", k: int = 50,
                           hash_mode: str = "xxhash",
@@ -294,32 +322,13 @@ def duplicate_token_spans(df: DataFrame, id_col: str = "doc_id",
     """
     from pyspark.sql import Window
 
-    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
-
-    kk = int(k)
     if base is None:
         base = _token_base(df, id_col, text_col)
-    if hash_mode == "md5":
-        win = F.expr(
-            f"transform(sequence(1, size(_toks) - {kk - 1}),"
-            f" i -> array_join(slice(_toks, i, {kk}), ' '))")
-        occ = (base.where(F.size("_toks") >= kk)
-               .select("id", F.posexplode(win).alias("pos", "g"))
-               .select("id", "pos",
-                       md5_long(md5_key(F.lit("ess"), F.col("g")))
-                       .alias("gh")))
-    else:
-        win = F.expr(
-            f"transform(sequence(1, size(_th) - {kk - 1}),"
-            f" i -> xxhash64(slice(_th, i, {kk})))")
-        occ = (base.where(F.size("_toks") >= kk)
-               .withColumn("_th", F.expr(
-                   "transform(_toks, t -> xxhash64(t))"))
-               .select("id", F.posexplode(win).alias("pos", "gh")))
+    occ = _window_hashes(base, k, hash_mode)
     w = Window.partitionBy("gh").orderBy("id", "pos")
     rem = (occ.withColumn("rn", F.row_number().over(w))
            .where(F.col("rn") > 1)
-           .select("id", "pos", (F.col("pos") + kk).alias("e")))
+           .select("id", "pos", (F.col("pos") + int(k)).alias("e")))
     # gaps-and-islands interval merge per document: a window starts a
     # new island iff it begins past every previous window's end
     dw = Window.partitionBy("id").orderBy("pos")

@@ -848,6 +848,40 @@ def test_stream_curate_cross_batch_pii_twin(spark, tmp_path):
     assert out[0].split in ("train", "val", "test")
 
 
+def test_split_leakage_crafted(spark):
+    """Docs assigned to different splits that share a k-token span are
+    reported; split-internal duplication is not leakage."""
+    from rust_graph_db_spark.operators.curation import (hash_split,
+                                                        split_leakage)
+
+    span = "alpha beta gamma delta"
+    fill = ["w%d" % i for i in range(20)]
+    rows = [(i, f"{span} u{i} " + " ".join(fill)) for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    splits = {r.doc_id: r.split
+              for r in hash_split(df.select("doc_id")).collect()}
+    from collections import Counter
+    by_split = Counter(splits.values())
+    assert len(by_split) >= 2          # the 40 ids land in >= 2 splits
+
+    got = {(r.split_a, r.split_b): (r.n_windows, r.n_docs)
+           for r in split_leakage(df, k=4, hash_mode="md5").collect()}
+    # the shared 4-token prefix span leaks across every populated pair
+    names = sorted(by_split)
+    for i in range(len(names)):
+        for j in range(i + 1, len(names)):
+            a, b = names[i], names[j]
+            assert (a, b) in got
+            nw, nd = got[(a, b)]
+            assert nw >= 1
+            assert nd == by_split[a] + by_split[b]  # every doc carries it
+
+    # xxhash mode reports the same counts (hash family independent)
+    got_xx = {(r.split_a, r.split_b): (r.n_windows, r.n_docs)
+              for r in split_leakage(df, k=4).collect()}
+    assert got_xx == got
+
+
 def test_normalize_text_crafted(spark):
     from rust_graph_db_spark.operators.curation import (curate,
                                                         normalize_text)
