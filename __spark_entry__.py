@@ -487,6 +487,43 @@ def _q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "host", "domain"))
 
 
+def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t15: interpolated Kneser-Ney bigram perplexity (Kneser & Ney
+    1995 / Chen & Goodman 1998 — CCNet's actual quality-LM family,
+    Wenzek et al. 2020) trained on the src0-src2 slice, scored over
+    every document; kept = ppl ≤ 35. Full oracle: the bigram counts,
+    continuation counts, and the count-of-counts discount D =
+    n1/(n1+2·n2) are exact integers, every per-token probability is a
+    correctly-rounded double expression written in the same
+    association order on both sides, and the ln/Σ/exp tail rounds to
+    3 digits (the t12 contract)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_kn_lm(
+        docs.where(F.col("source").isin("src0", "src1", "src2")))
+    return (kn_perplexity(docs, lm)
+            .select("doc_id", "n_tokens", "ppl",
+                    (F.col("ppl") <= F.lit(35.0)).alias("kept")))
+
+
+def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d14: winnowed-fingerprint candidate pairs (Schleimer, Wilkerson
+    & Aiken, SIGMOD 2003 — the MOSS scheme): hash every 3-token gram,
+    select each 4-gram window's minimum hash (rightmost on ties),
+    join documents sharing ≥ 2 fingerprint values. ``hash_mode="md5"``
+    so the oracle replays every selection bit-identically (production
+    default is xxhash64). Integer counts end to end."""
+    from rust_graph_db_spark.operators.dedup import winnow_candidate_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return winnow_candidate_pairs(docs, k=3, window=4, min_shared=2,
+                                  hash_mode="md5")
+
+
 def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t14: C4/CCNet text normalization (control/zero-width strip,
     typographic-quote/dash/NBSP folding, whitespace collapse). The
@@ -2378,6 +2415,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t14_normalize_text": _q_normalize_text,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
+        # interpolated Kneser-Ney perplexity, count-of-counts discount
+        # (r5; full oracle — exact-int counts, mirrored double exprs)
+        "t15_kn_perplexity": _q_kn_perplexity,
+        # winnowing fingerprint candidate pairs, MOSS scheme (r5;
+        # full md5-replay oracle)
+        "d14_winnow_pairs": _q_winnow_pairs,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2530,8 +2573,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # code r5 touched re-verifies, and the remainder refreshes the oldest
 # (r2-green) block. After this lands no key's newest green row predates
 # r3 except the 8 held keys listed below.
-# ROUND-6 ROTATION PLAN, priority order: (1) any r5 red retests +
-# r5-code-touched keys; (2) the 8 r2-green keys held this round
+# ROUND-6 ROTATION PLAN, priority order: (0) the r5 additions landed
+# AFTER this window was frozen — w13_stream_neardup,
+# t14_normalize_text, c11_split_leakage, t15_kn_perplexity,
+# d14_winnow_pairs (all local-oracle green at sf0.001+sf0.01, t14/c11
+# also at sf0.1) — every never-driver-verified key gets a slot first;
+# (1) any r5 red retests + r5-code-touched keys; (2) the 8 r2-green
+# keys held this round
 # (a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join,
 # u4_unwind — chosen as the most pytest-redundant/stable paths);
 # (3) refresh the r3-green block (w9, w10-w12, g11-g13, g17, a6, p21,
@@ -3044,6 +3092,84 @@ def _perplexity_oracle_sql(max_ppl: float = 33.0) -> str:
         "FROM sc GROUP BY doc_id")
 
 
+def _kn_perplexity_oracle_sql(max_ppl: float = 35.0) -> str:
+    """Interpolated Kneser-Ney bigram LM trained on src0-src2, scored
+    over all documents — the SQL twin of operators/lm.py train_kn_lm +
+    kn_perplexity. The discount D = n1/(n1+2·n2) and every per-token
+    probability are written in the SAME association order as the
+    Spark expressions (all inputs exact ints, all ops correctly-
+    rounded double arithmetic → bit-identical); only the ln/Σ/exp
+    tail carries the round-to-3 margin (the t12 contract)."""
+    s_cont = "coalesce(CAST(n.nb AS DOUBLE) / s.t, 0.4 / s.t)"
+    return (
+        "WITH train AS (SELECT string_split_regex(lower(text), '\\s+') "
+        "AS toks FROM documents WHERE source IN ('src0','src1','src2')), "
+        "big AS (SELECT w1, w2, count(*) AS c FROM "
+        "(SELECT toks[i-1] AS w1, toks[i] AS w2 FROM "
+        "(SELECT toks, unnest(generate_series(2, len(toks))) AS i "
+        "FROM train WHERE len(toks) >= 2)) GROUP BY w1, w2), "
+        "ctx AS (SELECT w1, sum(c) AS cp, count(*) AS nf "
+        "FROM big GROUP BY w1), "
+        "cont AS (SELECT w2, count(*) AS nb FROM big GROUP BY w2), "
+        "st AS (SELECT CAST(count(*) AS DOUBLE) AS t, "
+        "CASE WHEN count(*) FILTER (WHERE c = 1) "
+        "+ 2 * count(*) FILTER (WHERE c = 2) = 0 THEN 0.5 "
+        "ELSE CAST(count(*) FILTER (WHERE c = 1) AS DOUBLE) "
+        "/ CAST(count(*) FILTER (WHERE c = 1) "
+        "+ 2 * count(*) FILTER (WHERE c = 2) AS DOUBLE) END AS d "
+        "FROM big), "
+        "occ AS (SELECT doc_id, CASE WHEN i = 1 THEN NULL "
+        "ELSE toks[i-1] END AS prev, toks[i] AS w FROM "
+        "(SELECT doc_id, toks, unnest(generate_series(1, len(toks))) "
+        "AS i FROM (SELECT doc_id, "
+        "string_split_regex(lower(text), '\\s+') AS toks "
+        "FROM documents))), "
+        "sc AS (SELECT o.doc_id, ln("
+        "CASE WHEN o.prev IS NULL OR x.cp IS NULL "
+        f"THEN {s_cont} "
+        "ELSE greatest(CAST(coalesce(b.c, 0) AS DOUBLE) - s.d, 0.0) "
+        "/ CAST(x.cp AS DOUBLE) "
+        "+ ((s.d * CAST(x.nf AS DOUBLE)) / CAST(x.cp AS DOUBLE)) "
+        f"* {s_cont} END) AS lp "
+        "FROM occ o CROSS JOIN st s "
+        "LEFT JOIN cont n ON n.w2 = o.w "
+        "LEFT JOIN ctx x ON x.w1 = o.prev "
+        "LEFT JOIN big b ON b.w1 = o.prev AND b.w2 = o.w) "
+        "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+        "round(exp(-sum(lp) / count(*)), 3) AS ppl, "
+        f"round(exp(-sum(lp) / count(*)), 3) <= {max_ppl} AS kept "
+        "FROM sc GROUP BY doc_id")
+
+
+def _winnow_pairs_oracle_sql(k: int = 3, window: int = 4,
+                             min_shared: int = 2) -> str:
+    """SQL twin of dedup.winnow_fingerprints(md5) +
+    winnow_candidate_pairs: md5-hashed k-token grams, per-window
+    struct-min selection (rightmost on ties via (gh, -pos)),
+    distinct (doc, fp), self-join on fp, pair counts ≥ min_shared."""
+    w = int(window)
+    return (
+        "WITH base AS (SELECT doc_id AS id, "
+        "list_filter(string_split_regex(lower(text), '\\s+'), "
+        "x -> x <> '') AS toks FROM documents), "
+        "occ AS (SELECT id, i - 1 AS pos, "
+        "('0x' || substr(md5('ess:' || "
+        f"array_to_string(toks[i:i+{k - 1}], ' ')), 1, 15))::BIGINT "
+        "AS gh FROM (SELECT id, toks, "
+        f"unnest(generate_series(1, len(toks) - {k - 1})) AS i "
+        f"FROM base WHERE len(toks) >= {k})), "
+        "sel AS (SELECT DISTINCT id, (m).gh AS fp FROM ("
+        "SELECT id, pos, min({'gh': gh, 'np': -pos}) OVER ("
+        "PARTITION BY id ORDER BY pos ROWS BETWEEN CURRENT ROW AND "
+        f"{w - 1} FOLLOWING) AS m, "
+        "count(*) OVER (PARTITION BY id) AS n FROM occ) "
+        f"WHERE pos <= greatest(n - {w}, 0)) "
+        "SELECT a.id AS i, b.id AS j, CAST(count(*) AS BIGINT) "
+        "AS shared FROM sel a JOIN sel b "
+        "ON a.fp = b.fp AND a.id < b.id "
+        f"GROUP BY a.id, b.id HAVING count(*) >= {int(min_shared)}")
+
+
 def _langid_oracle_sql(top: int = 200) -> str:
     """Cavnar-Trenkle trigram-profile language ID: profiles from even
     doc_ids, argmax distinct-trigram overlap for odd doc_ids — the SQL
@@ -3370,6 +3496,9 @@ def oracle_sql() -> dict[str, str]:
         "g19_node2vec": _node2vec_oracle_sql(
             pre, seed=13, walk_length=6, p=2.0, q=0.5, window=2),
         "t12_perplexity": _perplexity_oracle_sql(max_ppl=33.0),
+        "t15_kn_perplexity": _kn_perplexity_oracle_sql(max_ppl=35.0),
+        "d14_winnow_pairs": _winnow_pairs_oracle_sql(
+            k=3, window=4, min_shared=2),
         "c8_langid": _langid_oracle_sql(top=200),
         # r4: BPE training now fully oracled — the iterative argmax
         # unrolls and the greedy merge replays as a list_reduce fold

@@ -208,7 +208,8 @@ def main() -> None:
     # language ID (c8), DSIR Gumbel top-k selection (t13); g18 now
     # runs the size-gated Brandes-Pich default at this SF
     # r5 additions: exact-substring dedup (d13), URL/domain curation
-    # (c9), pinned-weight classifier scoring (c5)
+    # (c9), pinned-weight classifier scoring (c5), Kneser-Ney
+    # perplexity (t15), winnowing fingerprint pairs (d14)
     for name in ["t6_quality_filter", "t8_curation_pipeline",
                  "d9_chunk_dedup", "d10_containment", "e6_kmeans",
                  "e7_int8_quantize", "e8_pq_encode", "d11_semdedup",
@@ -216,7 +217,8 @@ def main() -> None:
                  "r5_rolling_dau", "c6_profile", "g17_scc",
                  "g18_betweenness", "t11_bpe_merges", "t12_perplexity",
                  "c8_langid", "t13_dsir", "d13_exact_substring",
-                 "c9_domain_curation", "c5_quality_classifier"]:
+                 "c9_domain_curation", "c5_quality_classifier",
+                 "t15_kn_perplexity", "d14_winnow_pairs"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

@@ -586,10 +586,14 @@ def curate(
         raise ValueError("curate(): lm and max_ppl must be given "
                          "together")
     if lm is not None:
-        from rust_graph_db_spark.operators.lm import perplexity_filter
+        from rust_graph_db_spark.operators.lm import (
+            KneserNeyLM, kn_perplexity_filter, perplexity_filter)
 
-        df = perplexity_filter(df, lm, max_ppl, text_col=text_col,
-                               id_col=id_col)
+        # either LM family is a drop-in: stupid backoff (the 100 TB
+        # default) or interpolated Kneser-Ney (the CCNet model)
+        flt = (kn_perplexity_filter if isinstance(lm, KneserNeyLM)
+               else perplexity_filter)
+        df = flt(df, lm, max_ppl, text_col=text_col, id_col=id_col)
     if languages is not None:
         if language_profiles_df is None:
             raise ValueError(

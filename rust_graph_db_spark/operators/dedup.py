@@ -22,7 +22,7 @@ deterministic (fixed hash seeds) so runs are reproducible.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from rust_graph_db_spark.functions.text import shingles, tokens
@@ -408,6 +408,91 @@ def exact_substring_dedup(df: DataFrame, id_col: str = "doc_id",
                        .alias("text_clean")))
     return (untouched.unionByName(touched)
             .withColumnRenamed("id", id_col))
+
+
+# ----------------------------------------- winnowing fingerprints (MOSS)
+
+def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
+                        text_col: str = "text", k: int = 3,
+                        window: int = 4,
+                        hash_mode: str = "xxhash") -> DataFrame:
+    """(id_col, pos, fp): winnowed document fingerprints — the MOSS
+    local fingerprinting scheme (Schleimer, Wilkerson & Aiken,
+    "Winnowing: Local Algorithms for Document Fingerprinting",
+    SIGMOD 2003, public). Hash every k-token gram (the
+    :func:`_window_hashes` substrate d13 uses), slide a window of
+    ``window`` consecutive gram hashes, and select each window's
+    minimum — rightmost position on ties, per the paper — then
+    de-duplicate selections. Guarantees: any shared token run of
+    length ≥ k + window - 1 yields at least one shared fingerprint
+    (the paper's detection guarantee), and fingerprint density is
+    ~2/(window+1) of positions — a tunable sketch of the document
+    that, unlike MinHash, carries POSITIONS, so matches localize.
+
+    Documents with at least one gram but fewer than ``window`` grams
+    select the minimum over all their grams (one degenerate window),
+    so every document of ≥ k tokens fingerprints.
+
+    ``hash_mode="md5"`` swaps in the cross-engine hash so an SQL
+    oracle replays every selection bit-identically.
+
+    100 TB shape: the gram explode carries (id, pos, int64) rows —
+    text never shuffles; selection is a bounded-frame window function
+    partitioned BY DOCUMENT (no global sort, no shuffle beyond the
+    doc-id hash the explode already induced); the distinct is
+    per-document too. Output is ~2/(window+1) of token positions —
+    the downstream index is a small fraction of corpus size.
+    """
+    w = int(window)
+    if w < 1:
+        raise ValueError("winnow_fingerprints: window must be >= 1")
+    base = _token_base(df, id_col, text_col)
+    occ = _window_hashes(base, k, hash_mode)
+    dw = Window.partitionBy("id").orderBy("pos")
+    frame = dw.rowsBetween(Window.currentRow, w - 1)
+    n = F.count(F.lit(1)).over(
+        dw.rowsBetween(Window.unboundedPreceding,
+                       Window.unboundedFollowing))
+    # min over (gh, -pos) = smallest hash, rightmost position on ties
+    sel = (occ.withColumn("_m", F.min(
+               F.struct(F.col("gh"), (-F.col("pos")).alias("np")))
+               .over(frame))
+           .withColumn("_n", n)
+           .where(F.col("pos") <= F.greatest(F.col("_n") - w, F.lit(0)))
+           .select("id", (-F.col("_m.np")).alias("pos"),
+                   F.col("_m.gh").alias("fp"))
+           .distinct())
+    return (sel.withColumnRenamed("id", id_col)
+            .select(id_col, "pos", "fp"))
+
+
+def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                           text_col: str = "text", k: int = 3,
+                           window: int = 4, min_shared: int = 2,
+                           hash_mode: str = "xxhash") -> DataFrame:
+    """(i, j, shared): document pairs (i < j) sharing at least
+    ``min_shared`` winnowed fingerprint VALUES, with the shared
+    count — MOSS's candidate-generation join. Because winnowing is
+    local, a plagiarized/duplicated passage of ≥ k + window - 1
+    tokens is guaranteed to contribute a shared fingerprint, while
+    the index is ~2/(window+1) the size of the full k-gram table
+    d2/d10 join on.
+
+    Scale: inverted-index self-join on the 8-byte fingerprint value.
+    A fingerprint shared by f documents expands to f·(f-1)/2 pairs —
+    the same hot-bucket shape as LSH band joins; at real SF drop
+    fingerprints above a document-frequency ceiling first (stop-gram
+    removal, as the paper prescribes for whitespace runs)."""
+    fps = (winnow_fingerprints(df, id_col, text_col, k, window,
+                               hash_mode)
+           .select(F.col(id_col).alias("_id"), "fp").distinct())
+    a = fps.select(F.col("_id").alias("i"), "fp")
+    b = fps.select(F.col("_id").alias("j"), "fp")
+    return (a.join(b, "fp")
+            .where(F.col("i") < F.col("j"))
+            .groupBy("i", "j")
+            .agg(F.count(F.lit(1)).cast("long").alias("shared"))
+            .where(F.col("shared") >= int(min_shared)))
 
 
 def containment_pairs(

@@ -151,6 +151,144 @@ def perplexity_filter(docs: DataFrame, lm: BackoffLM,
     return docs.join(keep, id_col, "left_semi")
 
 
+# ------------------------------------------- Kneser-Ney (interpolated)
+
+#: OOV numerator of the continuation floor: an unseen continuation
+#: word scores KN_FLOOR / |bigram types| (same convention as the
+#: stupid-backoff α/N unigram floor above).
+KN_FLOOR = 0.4
+
+
+@dataclass(frozen=True)
+class KneserNeyLM:
+    """A trained interpolated Kneser-Ney bigram LM (Kneser & Ney,
+    ICASSP 1995; Chen & Goodman, TR-10-98 — both public). Three count
+    frames, all distributed, plus two driver scalars:
+
+    - ``bigrams``:       (w1, w2, c)      raw bigram counts
+    - ``contexts``:      (w1, cp, nf)     cp = Σ_w2 c(w1,w2),
+                                          nf = N1+(w1,·) distinct
+                                          continuations of w1
+    - ``continuations``: (w2, nb)         nb = N1+(·,w2) distinct
+                                          contexts w2 follows
+    - ``types``:         |distinct bigram types| (the P_cont base)
+    - ``discount``:      D = n1/(n1+2·n2), the Chen-Goodman estimate
+                         from the bigram count-of-counts (0.5 if no
+                         count-1/count-2 bigrams exist)
+    """
+    bigrams: DataFrame
+    contexts: DataFrame
+    continuations: DataFrame
+    types: int
+    discount: float
+    floor: float = KN_FLOOR
+
+
+def train_kn_lm(docs: DataFrame, text_col: str = "text",
+                floor: float = KN_FLOOR) -> KneserNeyLM:
+    """Train an interpolated KN bigram model: one bigram groupBy count
+    (map-side combinable, shuffle bounded by vocabulary²-seen), two
+    derived aggregations over it, and ONE driver-side stats row
+    (types / n1 / n2 → the discount). CCNet's quality LM is exactly
+    this model at order 5 (Wenzek et al. 2020); order 2 keeps every
+    count SQL-mirrorable while exercising the full discount +
+    continuation machinery."""
+    t = docs.select(tokens(F.col(text_col)).alias("_toks"))
+    big = (t.where(F.size("_toks") >= 2)
+           .select(F.explode(F.expr(
+               "transform(sequence(2, size(_toks)),"
+               " i -> struct(element_at(_toks, i - 1) AS w1,"
+               " element_at(_toks, i) AS w2))")).alias("p"))
+           .select("p.w1", "p.w2")
+           .groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+           .localCheckpoint(eager=True))
+    ctx = big.groupBy("w1").agg(F.sum("c").alias("cp"),
+                                F.count(F.lit(1)).alias("nf"))
+    cont = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nb"))
+    st = big.agg(
+        F.count(F.lit(1)).alias("t"),
+        F.count_if(F.col("c") == 1).alias("n1"),
+        F.count_if(F.col("c") == 2).alias("n2")).first()
+    types, n1, n2 = int(st["t"]), int(st["n1"]), int(st["n2"])
+    # types == 0 (no bigrams anywhere) trains a degenerate model;
+    # kn_perplexity raises on it — same convention as BackoffLM.
+    # correctly-rounded double division of exact ints — bit-identical
+    # to the oracle's CAST(n1 AS DOUBLE)/CAST(n1+2*n2 AS DOUBLE)
+    disc = 0.5 if n1 + 2 * n2 == 0 else float(n1) / float(n1 + 2 * n2)
+    return KneserNeyLM(bigrams=big, contexts=ctx, continuations=cont,
+                       types=types, discount=disc, floor=float(floor))
+
+
+def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  ndigits: int = 3) -> DataFrame:
+    """(id_col, n_tokens, ppl): per-document interpolated Kneser-Ney
+    perplexity exp(-mean ln P), with
+
+        P(w | prev) = max(c(prev,w) - D, 0)/cp(prev)
+                      + (D · N1+(prev,·) / cp(prev)) · P_cont(w)
+        P_cont(w)   = N1+(·,w)/T  if w was ever a continuation,
+                      else floor/T                       (OOV)
+
+    and P_cont(w) alone when prev is NULL (first token) or prev was
+    never a bigram context. Every input to the formula is an exact
+    integer count; D and the divisions are correctly-rounded double
+    ops written in the SAME association order as the SQL oracle, so
+    each per-token P is bit-identical across engines — only the
+    ln/Σ/exp tail needs the usual round-to-``ndigits`` margin (the
+    t12 contract).
+
+    Shape: one explode to (doc, prev, w) occurrence rows, three hash
+    joins against the count frames (intern the token strings to int64
+    upstream if vocabulary strings dominate the shuffle at real SF),
+    one per-document aggregation. No Python in the path."""
+    if lm.types <= 0:
+        raise ValueError("kn_perplexity: empty language model")
+    occ = (docs.select(F.col(id_col), tokens(F.col(text_col))
+                       .alias("_toks"))
+           .select(id_col, F.explode(F.expr(
+               "transform(sequence(1, size(_toks)),"
+               " i -> struct(get(_toks, i - 2) AS prev,"
+               " element_at(_toks, i) AS w))")).alias("p"))
+           .select(id_col, "p.prev", "p.w"))
+    ctx = lm.contexts.select(F.col("w1").alias("prev"), "cp", "nf")
+    cont = lm.continuations.select(F.col("w2").alias("w"), "nb")
+    big = lm.bigrams.select(F.col("w1").alias("prev"),
+                            F.col("w2").alias("w"),
+                            F.col("c").alias("cb"))
+    t = float(lm.types)
+    d = float(lm.discount)
+    s_cont = F.coalesce(F.col("nb").cast("double") / F.lit(t),
+                        F.lit(lm.floor) / F.lit(t))
+    cp = F.col("cp").cast("double")
+    p_kn = (F.greatest(F.coalesce(F.col("cb"), F.lit(0))
+                       .cast("double") - F.lit(d), F.lit(0.0)) / cp
+            + ((F.lit(d) * F.col("nf").cast("double")) / cp) * s_cont)
+    p = (F.when(F.col("prev").isNull() | F.col("cp").isNull(), s_cont)
+         .otherwise(p_kn))
+    scored = (occ.join(cont, "w", "left")
+              .join(ctx, "prev", "left")
+              .join(big, ["prev", "w"], "left")
+              .select(id_col, F.log(p).alias("lp")))
+    return (scored.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum("lp").alias("_slp"))
+            .select(id_col, "n_tokens",
+                    F.round(F.exp(-F.col("_slp") / F.col("n_tokens")),
+                            ndigits).alias("ppl")))
+
+
+def kn_perplexity_filter(docs: DataFrame, lm: KneserNeyLM,
+                         max_ppl: float, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """Keep-the-head filter under the KN model: rows whose KN
+    perplexity is ≤ ``max_ppl`` (all input columns preserved)."""
+    keep = (kn_perplexity(docs, lm, text_col=text_col, id_col=id_col)
+            .where(F.col("ppl") <= F.lit(float(max_ppl)))
+            .select(id_col))
+    return docs.join(keep, id_col, "left_semi")
+
+
 # ----------------------------------------------------- language ID
 
 def _char_trigrams() -> F.Column:

@@ -59,6 +59,17 @@ def test_r5_ops_on_empty(empty, spark):
     from rust_graph_db_spark.operators.graph_algos import \
         maximal_independent_set
     assert maximal_independent_set(empty["edges"]).count() == 0
+    # winnowing: no docs -> no grams -> no fingerprints, no pairs
+    assert dedup.winnow_fingerprints(d).count() == 0
+    assert dedup.winnow_candidate_pairs(d).count() == 0
+    # KN LM: training on empty docs yields a degenerate (types=0)
+    # model; scoring it raises (the BackoffLM convention)
+    from rust_graph_db_spark.operators import lm as lm_mod
+    klm = lm_mod.train_kn_lm(d)
+    assert klm.types == 0
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        lm_mod.kn_perplexity(d, klm)
 
 
 def test_graph_ops_on_empty(empty):

@@ -230,3 +230,138 @@ def test_stream_curate_with_lm_stage(spark, tmp_path):
 
     out = spark.read.parquet(str(tmp_path / "out")).collect()
     assert [r.doc_id for r in out] == [1]
+
+
+# ------------------------------------------- Kneser-Ney (interpolated)
+
+def _py_kn_model(texts):
+    big = {}
+    for t in texts:
+        toks = t.lower().split()
+        for a, b in zip(toks, toks[1:]):
+            big[(a, b)] = big.get((a, b), 0) + 1
+    ctx, cont = {}, {}
+    for (a, b), c in big.items():
+        cp, nf = ctx.get(a, (0, 0))
+        ctx[a] = (cp + c, nf + 1)
+        cont[b] = cont.get(b, 0) + 1
+    types = len(big)
+    n1 = sum(1 for c in big.values() if c == 1)
+    n2 = sum(1 for c in big.values() if c == 2)
+    disc = 0.5 if n1 + 2 * n2 == 0 else n1 / (n1 + 2 * n2)
+    return big, ctx, cont, types, disc
+
+
+def _py_kn_ppl(text, big, ctx, cont, types, disc, floor=0.4):
+    toks = text.lower().split()
+    lp = 0.0
+    for i, w in enumerate(toks):
+        nb = cont.get(w)
+        s_cont = nb / types if nb is not None else floor / types
+        prev = toks[i - 1] if i > 0 else None
+        if prev is None or prev not in ctx:
+            p = s_cont
+        else:
+            cp, nf = ctx[prev]
+            cb = big.get((prev, w), 0)
+            p = max(cb - disc, 0.0) / cp + ((disc * nf) / cp) * s_cont
+        lp += math.log(p)
+    return math.exp(-lp / len(toks))
+
+
+def test_train_kn_lm_counts(spark, corpus_df):
+    from rust_graph_db_spark.operators.lm import train_kn_lm
+
+    big, ctx, cont, types, disc = _py_kn_model([t for _, t in CORPUS])
+    lm = train_kn_lm(corpus_df)
+    assert lm.types == types
+    assert abs(lm.discount - disc) == 0.0  # same exact int division
+    got_ctx = {r.w1: (r.cp, r.nf) for r in lm.contexts.collect()}
+    assert got_ctx == ctx
+    got_cont = {r.w2: r.nb for r in lm.continuations.collect()}
+    assert got_cont == cont
+
+
+def test_kn_perplexity_matches_reference(spark, corpus_df):
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+
+    lm = train_kn_lm(corpus_df)
+    big, ctx, cont, types, disc = _py_kn_model([t for _, t in CORPUS])
+    # training docs + OOV words, unseen bigrams, unseen context
+    score_rows = CORPUS + [(9, "the cat sat on a zebra"),
+                           (10, "zebra fish mat")]
+    docs = spark.createDataFrame(score_rows, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_tokens, r.ppl)
+           for r in kn_perplexity(docs, lm).collect()}
+    for did, text in score_rows:
+        want = _py_kn_ppl(text, big, ctx, cont, types, disc)
+        assert got[did][0] == len(text.split())
+        assert abs(got[did][1] - round(want, 3)) <= 1e-3, \
+            (did, got[did], want)
+    assert got[0][1] < got[9][1]
+
+
+def test_kn_probabilities_sum_to_one(spark, corpus_df):
+    """Interpolated KN is a proper distribution: for a SEEN context,
+    sum of P(w | prev) over the seen-continuation vocabulary plus the
+    mass the model gives every other word's s_cont must be ~1. We
+    check the discount mass bookkeeping: sum over seen continuations
+    of max(c-D,0)/cp equals 1 - D*nf/cp."""
+    from rust_graph_db_spark.operators.lm import train_kn_lm
+
+    lm = train_kn_lm(corpus_df)
+    big, ctx, cont, types, disc = _py_kn_model([t for _, t in CORPUS])
+    for prev, (cp, nf) in ctx.items():
+        seen = sum(max(c - disc, 0.0) / cp
+                   for (a, _), c in big.items() if a == prev)
+        assert abs(seen + (disc * nf) / cp * 1.0 - 1.0) < 1e-12
+        # 1.0 stands in for sum of P_cont over the full vocab, which
+        # is exactly 1 when every word was seen as a continuation
+    assert lm.discount == disc
+
+
+def test_kn_filter_and_empty(spark, corpus_df):
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  kn_perplexity_filter,
+                                                  train_kn_lm)
+
+    lm = train_kn_lm(corpus_df)
+    docs = spark.createDataFrame(
+        CORPUS + [(9, "zebra quux flarp glorp blitz")],
+        "doc_id LONG, text STRING")
+    pp = {r.doc_id: r.ppl for r in kn_perplexity(docs, lm).collect()}
+    cut = (max(pp[i] for i, _ in CORPUS) + pp[9]) / 2
+    kept = sorted(r.doc_id
+                  for r in kn_perplexity_filter(docs, lm, cut).collect())
+    assert kept == [0, 1, 2]
+    assert kn_perplexity_filter(docs, lm, cut).columns == docs.columns
+
+    empty = spark.createDataFrame([], "doc_id LONG, text STRING")
+    klm = train_kn_lm(empty)
+    assert klm.types == 0
+    with pytest.raises(ValueError, match="empty language model"):
+        kn_perplexity(empty, klm)
+
+
+def test_curate_accepts_kn_lm(spark, corpus_df):
+    """curate(lm=...) dispatches on the model family: a KneserNeyLM
+    drives kn_perplexity_filter, dropping the same high-ppl tail."""
+    from rust_graph_db_spark.operators.curation import curate
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+
+    lm = train_kn_lm(corpus_df)
+    noise = "zzzq wwrx qqvy zzzq wwrx qqvy zzzq wwrx qqvy pplk"
+    docs = spark.createDataFrame(
+        [(i, t * 3) for i, t in CORPUS] + [(9, noise * 3)],
+        "doc_id LONG, text STRING")
+    pp = {r.doc_id: r.ppl for r in kn_perplexity(docs, lm).collect()}
+    cut = (max(pp[i] for i, _ in CORPUS) + pp[9]) / 2
+    # neutralize the quality rule-chain: this test isolates the LM stage
+    out = curate(docs, lm=lm, max_ppl=cut,
+                 thresholds={"min_tokens": 1, "max_tokens": 10**6,
+                             "min_stopword": 0.0, "max_punct": 1.0,
+                             "max_dup2": 1.0, "min_word_len": 0.0,
+                             "max_word_len": 100.0})
+    assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]

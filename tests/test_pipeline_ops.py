@@ -1459,3 +1459,89 @@ def test_ppmi_table_matches_reference(spark):
     assert set(got) == set(want)
     for k, v in want.items():
         assert abs(got[k] - v) <= 1e-6, (k, got[k], v)
+
+
+# ----------------------------------------- winnowing fingerprints (MOSS)
+
+def _py_winnow(toks, k, w, hashf):
+    """Reference winnowing: every full window of w consecutive k-gram
+    hashes selects its minimum (rightmost on ties); <w grams = one
+    degenerate window over all grams."""
+    grams = [hashf(" ".join(toks[p:p + k]))
+             for p in range(len(toks) - k + 1)]
+    n = len(grams)
+    if n == 0:
+        return set()
+    starts = range(n - w + 1) if n >= w else [0]
+    sel = set()
+    for s in starts:
+        e = min(s + w, n)
+        best = min(range(s, e), key=lambda p: (grams[p], -p))
+        sel.add((best, grams[best]))
+    return sel
+
+
+def _md5_gram(g):
+    import hashlib
+    return int(hashlib.md5(f"ess:{g}".encode()).hexdigest()[:15], 16)
+
+
+def test_winnow_matches_reference(spark):
+    import random
+
+    from rust_graph_db_spark.operators.dedup import winnow_fingerprints
+
+    rng = random.Random(11)
+    vocab = ["w%d" % i for i in range(9)]
+    rows = [(i, " ".join(rng.choice(vocab)
+                         for _ in range(rng.randint(1, 30))))
+            for i in range(50)]
+    k, w = 3, 4
+    want = {}
+    for i, t in rows:
+        for pos, fp in _py_winnow(t.lower().split(), k, w, _md5_gram):
+            want[(i, pos)] = fp
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {(r.doc_id, r.pos): r.fp
+           for r in winnow_fingerprints(df, k=k, window=w,
+                                        hash_mode="md5").collect()}
+    assert got == want
+
+
+def test_winnow_detection_guarantee(spark):
+    """The paper's guarantee: a shared token run of >= k + window - 1
+    tokens yields a shared fingerprint, surfaced by the candidate
+    join; unrelated docs share nothing."""
+    from rust_graph_db_spark.operators.dedup import (
+        winnow_candidate_pairs, winnow_fingerprints)
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 = k + w - 1
+    rows = [(0, "p q r " + shared + " s t"),
+            (1, "m n " + shared + " o"),
+            (2, "totally different words here nothing matches at all")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    pairs = {(r.i, r.j): r.shared
+             for r in winnow_candidate_pairs(
+                 df, k=3, window=4, min_shared=1).collect()}
+    assert (0, 1) in pairs and pairs[(0, 1)] >= 1
+    assert not any(2 in p for p in pairs)
+    # density: selected positions are a strict subset of gram positions
+    fps = winnow_fingerprints(df, k=3, window=4)
+    per_doc = {r[0]: r[1] for r in
+               fps.groupBy("doc_id").count().collect()}
+    n_grams0 = len(rows[0][1].split()) - 2
+    assert 1 <= per_doc[0] < n_grams0
+
+
+def test_winnow_short_docs(spark):
+    from rust_graph_db_spark.operators.dedup import winnow_fingerprints
+
+    rows = [(0, "a b c"),      # exactly k tokens -> 1 gram -> 1 fp
+            (1, "a b"),        # < k tokens -> no grams -> nothing
+            (2, "")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = winnow_fingerprints(df, k=3, window=4).collect()
+    assert [(r.doc_id, r.pos) for r in got] == [(0, 0)]
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        winnow_fingerprints(df, k=3, window=0)
