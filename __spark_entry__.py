@@ -487,6 +487,99 @@ def _q_domain_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "host", "domain"))
 
 
+def _q_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g25: 4-truss with within-truss edge supports (Cohen 2008,
+    graph_algos.k_truss) over a deterministic triangle-RICH graph
+    derived from customer — the knows ring (+5-chords) is triangle-
+    free, so this entry derives ring + 2-chords + K5 pockets every 25
+    ids, mirrored verbatim in the oracle. Synchronous peeling makes
+    the truss engine-independent; the oracle unrolls 8 rounds and
+    emits a SENTINEL row if round 8 still changed (the g23 contract),
+    so an unroll-depth shortfall surfaces as a named mismatch."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import k_truss
+
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    n = c.count()
+    base = c.select(F.col("c_custkey").alias("i"))
+
+    def shift(src_off: int, dst_off: int, pocket: bool = False):
+        d = base.where(F.col("i") % 25 == 0) if pocket else base
+        return d.select(((F.col("i") + src_off) % n).alias("src"),
+                        ((F.col("i") + dst_off) % n).alias("dst"))
+
+    edges = (shift(0, 1).unionAll(shift(0, 2))
+             .unionAll(shift(0, 3, pocket=True))
+             .unionAll(shift(0, 4, pocket=True))
+             .unionAll(shift(1, 4, pocket=True)))
+    return k_truss(edges, k=4, max_rounds=12)
+
+
+def _ktruss_oracle_sql(k: int = 4, rounds: int = 8) -> str:
+    """Unrolled synchronous k-truss peel over the derived
+    ring+2-chord+K5-pocket graph (SQL twin of _q_ktruss /
+    graph_algos.k_truss). Per round: id-ordered triangle enumeration
+    (a<b<c), explode to 3 edge incidences, keep edges with support
+    ≥ k-2. Converged rounds are no-ops, so a fixed unroll matches the
+    early-stopping loop; if round ``rounds`` STILL removed edges, a
+    sentinel row (-424242424242) makes the depth shortfall a named
+    rowcount mismatch instead of a silent value diff."""
+    need = int(k) - 2
+    ctes = [
+        "nn AS (SELECT count(*) AS n FROM customer)",
+        "raw AS ("
+        "SELECT c_custkey AS src, (c_custkey + 1) % (SELECT n FROM nn) "
+        "AS dst FROM customer "
+        "UNION ALL SELECT c_custkey, (c_custkey + 2) % "
+        "(SELECT n FROM nn) FROM customer "
+        "UNION ALL SELECT c_custkey, (c_custkey + 3) % "
+        "(SELECT n FROM nn) FROM customer WHERE c_custkey % 25 = 0 "
+        "UNION ALL SELECT c_custkey, (c_custkey + 4) % "
+        "(SELECT n FROM nn) FROM customer WHERE c_custkey % 25 = 0 "
+        "UNION ALL SELECT (c_custkey + 1) % (SELECT n FROM nn), "
+        "(c_custkey + 4) % (SELECT n FROM nn) "
+        "FROM customer WHERE c_custkey % 25 = 0)",
+        "e0 AS MATERIALIZED (SELECT least(src, dst) AS u, "
+        "greatest(src, dst) AS v FROM raw WHERE src <> dst "
+        "GROUP BY 1, 2)",
+    ]
+    r_ = 0
+    for r_ in range(1, int(rounds) + 1):
+        ctes.append(
+            f"t{r_} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, "
+            f"e2.v AS c FROM e{r_ - 1} e1 JOIN e{r_ - 1} e2 "
+            "ON e2.u = e1.u AND e2.v > e1.v "
+            f"JOIN e{r_ - 1} e3 ON e3.u = e1.v AND e3.v = e2.v)")
+        ctes.append(
+            f"s{r_} AS MATERIALIZED (SELECT u, v, count(*) AS c FROM ("
+            f"SELECT a AS u, b AS v FROM t{r_} "
+            f"UNION ALL SELECT a, c FROM t{r_} "
+            f"UNION ALL SELECT b, c FROM t{r_}) GROUP BY u, v)")
+        ctes.append(
+            f"e{r_} AS MATERIALIZED (SELECT e.u, e.v FROM e{r_ - 1} e "
+            f"LEFT JOIN s{r_} s ON s.u = e.u AND s.v = e.v "
+            f"WHERE coalesce(s.c, 0) >= {need})")
+    f = r_ + 1  # final supports, computed ON the surviving set
+    ctes.append(
+        f"t{f} AS MATERIALIZED (SELECT e1.u AS a, e1.v AS b, e2.v AS c "
+        f"FROM e{r_} e1 JOIN e{r_} e2 ON e2.u = e1.u AND e2.v > e1.v "
+        f"JOIN e{r_} e3 ON e3.u = e1.v AND e3.v = e2.v)")
+    ctes.append(
+        f"s{f} AS (SELECT u, v, count(*) AS c FROM ("
+        f"SELECT a AS u, b AS v FROM t{f} "
+        f"UNION ALL SELECT a, c FROM t{f} "
+        f"UNION ALL SELECT b, c FROM t{f}) GROUP BY u, v)")
+    return (
+        "WITH " + ", ".join(ctes) +
+        f" SELECT e.u, e.v, CAST(coalesce(s.c, 0) AS BIGINT) AS support "
+        f"FROM e{r_} e LEFT JOIN s{f} s ON s.u = e.u AND s.v = e.v "
+        "UNION ALL (SELECT -424242424242, -424242424242, "
+        "CAST(-1 AS BIGINT) FROM "
+        f"(SELECT count(*) AS ca FROM e{r_}) x, "
+        f"(SELECT count(*) AS cb FROM e{r_ - 1}) y WHERE x.ca <> y.cb)")
+
+
 def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t15: interpolated Kneser-Ney bigram perplexity (Kneser & Ney
     1995 / Chen & Goodman 1998 — CCNet's actual quality-LM family,
@@ -2421,6 +2514,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # winnowing fingerprint candidate pairs, MOSS scheme (r5;
         # full md5-replay oracle)
         "d14_winnow_pairs": _q_winnow_pairs,
+        # k-truss cohesive subgraph with edge supports (r5; unrolled
+        # synchronous-peel oracle + unroll-depth sentinel)
+        "g25_ktruss": _q_ktruss,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2576,8 +2672,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ROUND-6 ROTATION PLAN, priority order: (0) the r5 additions landed
 # AFTER this window was frozen — w13_stream_neardup,
 # t14_normalize_text, c11_split_leakage, t15_kn_perplexity,
-# d14_winnow_pairs (all local-oracle green at sf0.001+sf0.01, t14/c11
-# also at sf0.1) — every never-driver-verified key gets a slot first;
+# d14_winnow_pairs, g25_ktruss (all local-oracle green at
+# sf0.001+sf0.01, t14/c11 also at sf0.1) — every never-driver-verified
+# key gets a slot first;
 # (1) any r5 red retests + r5-code-touched keys; (2) the 8 r2-green
 # keys held this round
 # (a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join,
@@ -3499,6 +3596,7 @@ def oracle_sql() -> dict[str, str]:
         "t15_kn_perplexity": _kn_perplexity_oracle_sql(max_ppl=35.0),
         "d14_winnow_pairs": _winnow_pairs_oracle_sql(
             k=3, window=4, min_shared=2),
+        "g25_ktruss": _ktruss_oracle_sql(k=4, rounds=8),
         "c8_langid": _langid_oracle_sql(top=200),
         # r4: BPE training now fully oracled — the iterative argmax
         # unrolls and the greedy merge replays as a list_reduce fold

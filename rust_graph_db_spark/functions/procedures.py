@@ -109,6 +109,12 @@ def _kcore(graph, rel=None, k=3) -> DataFrame:
     return k_core(_edges(graph, rel), k=int(k))
 
 
+def _ktruss(graph, rel=None, k=4) -> DataFrame:
+    """k-truss edges with within-truss support: (u, v, support)."""
+    from ..operators.graph_algos import k_truss
+    return k_truss(_edges(graph, rel), k=int(k))
+
+
 def _bfs(graph, start, rel=None, max_hops=30) -> DataFrame:
     """Hop distances from a packed-graphid start vertex: (id, dist)."""
     from ..operators.traversal import bfs_distances
@@ -188,6 +194,7 @@ register("algo.labelPropagation", _label_propagation)
 register("algo.triangleCount", _triangle_count)
 register("algo.betweenness", _betweenness)
 register("algo.kcore", _kcore)
+register("algo.ktruss", _ktruss)
 register("algo.bfs", _bfs)
 register("algo.sssp", _sssp)
 register("algo.modularity", _modularity)

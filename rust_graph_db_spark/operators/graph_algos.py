@@ -640,6 +640,99 @@ def triangle_count(edges: DataFrame, symmetric: bool = False) -> DataFrame:
     return tri.agg(F.count("*").cast("long").alias("triangles"))
 
 
+def _canon_supports(canon: DataFrame) -> DataFrame:
+    """(u, v, support): per-edge triangle participation counts of an
+    id-canonical (u < v) loop-free distinct edge set. Degree-ordered
+    wedge enumeration (each triangle found exactly ONCE at its
+    lowest-degree apex, bounding wedge fan-out by arboricity — the
+    same orientation `triangle_count` uses), then each triangle is
+    exploded back to its 3 id-normalized edges and counted. Edges in
+    no triangle are absent (callers coalesce to 0)."""
+    deg = (canon.select(F.col("u").alias("x"))
+           .unionAll(canon.select(F.col("v").alias("x")))
+           .groupBy("x").agg(F.count(F.lit(1)).alias("d")))
+    ranked = (canon
+              .join(deg.select(F.col("x").alias("u"),
+                               F.col("d").alias("du")), "u")
+              .join(deg.select(F.col("x").alias("v"),
+                               F.col("d").alias("dv")), "v"))
+    lo_hi = ((F.col("du") < F.col("dv"))
+             | ((F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))))
+    oriented = ranked.select(
+        F.when(lo_hi, F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(lo_hi, F.col("v")).otherwise(F.col("u")).alias("t"))
+    w1 = oriented.select(F.col("s").alias("a"), F.col("t").alias("b"))
+    w2 = oriented.select(F.col("s").alias("a"), F.col("t").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    tri = wedges.join(canon.select(F.col("u").alias("b"),
+                                   F.col("v").alias("c")), ["b", "c"])
+    inc = (tri.select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v"))
+           .unionAll(tri.select(F.least("a", "c").alias("u"),
+                                F.greatest("a", "c").alias("v")))
+           .unionAll(tri.select(F.col("b").alias("u"),
+                                F.col("c").alias("v"))))
+    return inc.groupBy("u", "v").agg(
+        F.count(F.lit(1)).cast("long").alias("support"))
+
+
+def k_truss(edges: DataFrame, k: int = 4,
+            max_rounds: int = 30) -> DataFrame:
+    """The k-truss of the undirected simple graph (Cohen, "Trusses:
+    Cohesive Subgraphs for Social Network Analysis", NSA tech report
+    2008 — public): the maximal subgraph in which every edge
+    participates in at least k-2 triangles WITHIN the subgraph.
+    Returns ``(u, v, support)`` — the surviving id-canonical (u < v)
+    edges with their within-truss support. The community-core filter
+    one notch stronger than `k_core` (every k-truss is inside the
+    (k-1)-core), and the standard seed-region picker on near-dup /
+    co-occurrence graphs.
+
+    Deterministic: synchronous peeling (ALL under-support edges leave
+    each round) makes the result the unique maximal k-truss regardless
+    of order or engine, so a fixed-unroll SQL oracle reproduces it
+    round-for-round — identical contract to `k_core`. Convergence =
+    a round that removes nothing; that round's supports are already
+    the final answer, so the fixpoint costs no extra pass. Rounds
+    needed ≤ peel depth (a handful on real graphs; bounded by
+    ``max_rounds`` against the pathological chain-of-triangles).
+
+    100 TB shape: each round is one degree agg + the degree-oriented
+    wedge self-join of the SHRINKING edge set (the arboricity bound is
+    what keeps the wedge join tractable on power-law graphs), one
+    triangle→edge explode (3 rows/triangle, 16 bytes each), one
+    support agg, one filtering join — all shuffles keyed on vertex or
+    edge ids. The edge set is localCheckpoint-pinned per round so no
+    round re-executes its predecessors' lineage.
+    """
+    if int(k) < 2:
+        raise ValueError("k_truss: k must be >= 2")
+    need = int(k) - 2
+    canon = (_undirected_min_nbr(edges).where(F.col("u") < F.col("v"))
+             .localCheckpoint(eager=True))
+    prev = canon.count()
+    for _ in range(int(max_rounds)):
+        sup = _canon_supports(canon)
+        withs = (canon.join(sup, ["u", "v"], "left")
+                 .select("u", "v",
+                         F.coalesce("support", F.lit(0)).cast("long")
+                         .alias("support"))
+                 .localCheckpoint(eager=True))
+        nxt = withs.where(F.col("support") >= need)
+        cnt = nxt.count()
+        if cnt == prev:
+            # nothing removed: supports were computed on exactly the
+            # surviving set — this IS the k-truss with final supports
+            return nxt.select("u", "v", "support")
+        canon = nxt.select("u", "v").localCheckpoint(eager=True)
+        prev = cnt
+    sup = _canon_supports(canon)
+    return (canon.join(sup, ["u", "v"], "left")
+            .select("u", "v",
+                    F.coalesce("support", F.lit(0)).cast("long")
+                    .alias("support")))
+
+
 def graph_profile(edges: DataFrame) -> DataFrame:
     """One-row whole-graph summary — the graph twin of
     ``profiling.profile`` (deequ/TFDV shape) for dataset audits:

@@ -1108,3 +1108,17 @@ def test_proc_betweenness_exact_flag(kg, monkeypatch):
     kg.cypher("CALL algo.betweenness('KNOWS', 4) "
               "YIELD id RETURN count(*) AS n").first()
     assert seen["auto_sample_threshold"] == 4096
+
+
+def test_proc_ktruss(kg):
+    """r5: algo.ktruss is callable from Cypher; the knows ring+chords
+    graph is triangle-free, so every truss above k=3 is empty while
+    k=2 (support >= 0) keeps every edge."""
+    t4 = kg.cypher(
+        "CALL algo.ktruss('KNOWS', 4) YIELD u, v, support "
+        "RETURN count(*) AS n").first()
+    assert t4.n == 0
+    t2 = kg.cypher(
+        "CALL algo.ktruss('KNOWS', 2) YIELD u, v, support "
+        "RETURN count(*) AS n, max(support) AS mx").first()
+    assert t2.n > 0 and t2.mx == 0

@@ -1033,3 +1033,76 @@ def test_graph_profile(spark):
     r2 = graph_profile(cyc).collect()[0]
     assert r2.assortativity is None
     assert r2.triangles == 0 and r2.transitivity == 0.0
+
+
+# ------------------------------------------------------------ k-truss
+
+def _py_ktruss(pairs, k):
+    """Reference synchronous peeling: support = common neighbors in
+    the CURRENT edge set; remove all under-support edges per round."""
+    from collections import defaultdict
+
+    es = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    while True:
+        adj = defaultdict(set)
+        for u, v in es:
+            adj[u].add(v)
+            adj[v].add(u)
+        sup = {e: len(adj[e[0]] & adj[e[1]]) for e in es}
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == es:
+            return {e: sup[e] for e in es}
+        es = nxt
+
+
+def test_k_truss_clique_and_empty(spark):
+    from rust_graph_db_spark.operators.graph_algos import k_truss
+
+    k6 = [(i, j) for i in range(6) for j in range(i + 1, 6)]
+    df = spark.createDataFrame(k6, "src LONG, dst LONG")
+    got = {(r.u, r.v): r.support for r in k_truss(df, k=6).collect()}
+    # every K6 edge sits in exactly 4 triangles; the 6-truss is K6
+    assert got == {e: 4 for e in k6}
+    # 7-truss needs support 5 > 4: everything peels
+    assert k_truss(df, k=7).count() == 0
+    with _kt_pytest().raises(ValueError):
+        k_truss(df, k=1)
+
+
+def _kt_pytest():
+    import pytest
+    return pytest
+
+
+def test_k_truss_cascade_matches_reference(spark):
+    """Ring + 2-chords + K5 pockets: peeling the standalone chords
+    collapses the ring over multiple rounds while the K5 pockets
+    survive — exercises the synchronous cascade, not just one pass."""
+    from rust_graph_db_spark.operators.graph_algos import k_truss
+
+    n = 50
+    pairs = [(i, (i + 1) % n) for i in range(n)]
+    pairs += [(i, (i + 2) % n) for i in range(n)]
+    for i in (0, 25):
+        pairs += [(i, i + 3), (i, i + 4), (i + 1, i + 4)]
+    want = _py_ktruss(pairs, 4)
+    df = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    got = {(r.u, r.v): r.support for r in k_truss(df, k=4).collect()}
+    assert got == want
+    assert len(got) == 20  # exactly the two K5 pockets survive
+    assert set(got.values()) == {3}
+
+
+def test_k_truss_matches_reference_random(spark):
+    import random
+
+    from rust_graph_db_spark.operators.graph_algos import k_truss
+
+    rng = random.Random(23)
+    pairs = [(rng.randrange(30), rng.randrange(30)) for _ in range(150)]
+    df = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    for k in (3, 4, 5):
+        want = _py_ktruss(pairs, k)
+        got = {(r.u, r.v): r.support
+               for r in k_truss(df, k=k).collect()}
+        assert got == want, k
