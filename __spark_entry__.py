@@ -644,6 +644,82 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_dirty"), "text_norm"))
 
 
+def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t16: C4 line-level cleaning (Raffel et al. 2020 §2.2,
+    curation.c4_line_filter) — terminal-punctuation / ≥3-words /
+    javascript line rules + lorem-ipsum / curly-brace / ≥5-sentence
+    page rules. The synthetic docs are single-line word soup, so the
+    entry derives a deterministic multi-line page per document
+    (numbered sentence lines from a 60-char seg + boilerplate lines
+    keyed on doc_id), mirrored verbatim in the oracle."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import c4_line_filter
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    nl = F.lit("\n")
+    seg = F.substring(F.col("text"), 1, 60)
+
+    def opt(mod: int, s: str):
+        return (F.when(F.col("doc_id") % mod == 0,
+                       F.concat(F.lit(s), nl)).otherwise(F.lit("")))
+
+    page = F.concat(
+        seg, F.lit(" one.\n"),
+        F.lit("short line\n"),
+        seg, F.lit(" two!\n"),
+        opt(3, "please enable javascript to continue."),
+        seg, F.lit(" three?\n"),
+        seg, F.lit(" four.\n"),
+        opt(17, "lorem ipsum dolor sit amet."),
+        opt(19, "var f = function() { return 1; };"),
+        F.when(F.col("doc_id") % 2 == 0,
+               F.concat(seg, F.lit(" five.")))
+         .otherwise(F.lit("tail line no punct")))
+    return c4_line_filter(docs.select("doc_id", page.alias("text")))
+
+
+def _c4_line_filter_oracle_sql(min_words: int = 3,
+                               min_sentences: int = 5) -> str:
+    """SQL twin of _q_c4_line_filter: same derived page, same line
+    predicates (ends_with terminals, filtered word count, javascript
+    blocker), same page predicates (lorem ipsum / '{' / sentence
+    floor)."""
+    keepln = (
+        "(ends_with(ln, '.') OR ends_with(ln, '!') OR "
+        "ends_with(ln, '?') OR ends_with(ln, '\"')) "
+        "AND len(list_filter(string_split_regex(ln, '\\s+'), "
+        f"x -> x <> '')) >= {int(min_words)} "
+        "AND NOT contains(lower(ln), 'javascript')")
+    return (
+        "WITH s0 AS (SELECT doc_id, substr(text, 1, 60) AS seg "
+        "FROM documents), "
+        "pg AS (SELECT doc_id, "
+        "seg || ' one.' || chr(10) || 'short line' || chr(10) "
+        "|| seg || ' two!' || chr(10) "
+        "|| CASE WHEN doc_id % 3 = 0 THEN "
+        "'please enable javascript to continue.' || chr(10) "
+        "ELSE '' END "
+        "|| seg || ' three?' || chr(10) || seg || ' four.' || chr(10) "
+        "|| CASE WHEN doc_id % 17 = 0 THEN "
+        "'lorem ipsum dolor sit amet.' || chr(10) ELSE '' END "
+        "|| CASE WHEN doc_id % 19 = 0 THEN "
+        "'var f = function() { return 1; };' || chr(10) ELSE '' END "
+        "|| CASE WHEN doc_id % 2 = 0 THEN seg || ' five.' "
+        "ELSE 'tail line no punct' END AS page FROM s0), "
+        "f AS (SELECT doc_id, page, "
+        "string_split(page, chr(10)) AS lines, "
+        "list_filter(string_split(page, chr(10)), ln -> "
+        f"{keepln}) AS kept FROM pg) "
+        "SELECT doc_id, CAST(len(lines) AS BIGINT) AS n_lines, "
+        "CAST(len(kept) AS BIGINT) AS n_kept, "
+        "array_to_string(kept, chr(10)) AS text_clean FROM f "
+        "WHERE NOT contains(lower(page), 'lorem ipsum') "
+        "AND NOT contains(lower(page), '{') "
+        "AND len(regexp_extract_all(array_to_string(kept, chr(10)), "
+        f"'[.!?]')) >= {int(min_sentences)}")
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c11: cross-split verbatim-window leakage audit — for each
     train/val/test pair of hash_split's default 90/5/5 assignment, the
@@ -2517,6 +2593,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-truss cohesive subgraph with edge supports (r5; unrolled
         # synchronous-peel oracle + unroll-depth sentinel)
         "g25_ktruss": _q_ktruss,
+        # C4 line-level cleaning, Raffel et al. 2020 (r5; full oracle)
+        "t16_c4_line_filter": _q_c4_line_filter,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2672,9 +2750,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ROUND-6 ROTATION PLAN, priority order: (0) the r5 additions landed
 # AFTER this window was frozen — w13_stream_neardup,
 # t14_normalize_text, c11_split_leakage, t15_kn_perplexity,
-# d14_winnow_pairs, g25_ktruss (all local-oracle green at
-# sf0.001+sf0.01, t14/c11 also at sf0.1) — every never-driver-verified
-# key gets a slot first;
+# d14_winnow_pairs, g25_ktruss, t16_c4_line_filter (all local-oracle
+# green at sf0.001+sf0.01, t14/c11 also at sf0.1) — every
+# never-driver-verified key gets a slot first;
 # (1) any r5 red retests + r5-code-touched keys; (2) the 8 r2-green
 # keys held this round
 # (a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join,
@@ -3597,6 +3675,7 @@ def oracle_sql() -> dict[str, str]:
         "d14_winnow_pairs": _winnow_pairs_oracle_sql(
             k=3, window=4, min_shared=2),
         "g25_ktruss": _ktruss_oracle_sql(k=4, rounds=8),
+        "t16_c4_line_filter": _c4_line_filter_oracle_sql(),
         "c8_langid": _langid_oracle_sql(top=200),
         # r4: BPE training now fully oracled — the iterative argmax
         # unrolls and the greedy merge replays as a list_reduce fold

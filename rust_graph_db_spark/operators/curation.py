@@ -528,6 +528,71 @@ def domain_curate(df: DataFrame, url_col: str = "url",
     return out
 
 
+# ------------------------------------------ C4 line-level cleaning
+
+#: Line must end in one of these to be retained (C4 §2.2's "terminal
+#: punctuation mark" rule; the close-quote covers quoted sentences).
+C4_TERMINALS: tuple[str, ...] = (".", "!", "?", '"')
+
+
+def c4_line_filter(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    min_words_per_line: int = 3, min_sentences: int = 5,
+    line_blockers: tuple[str, ...] = ("javascript",),
+    page_blockers: tuple[str, ...] = ("lorem ipsum", "{"),
+) -> DataFrame:
+    """(id, n_lines, n_kept, text_clean): the C4 line-level cleaning
+    pass (Raffel et al. 2020, "Exploring the Limits of Transfer
+    Learning", §2.2 — public). Per LINE of each page: retain only
+    lines that end in a terminal punctuation mark, contain at least
+    ``min_words_per_line`` words, and don't mention a line blocker
+    (C4 drops every line with the word "javascript"). Per PAGE: drop
+    the whole page if any page blocker appears ("lorem ipsum"
+    placeholder text, "{" as the code heuristic) or if fewer than
+    ``min_sentences`` sentence-final marks survive in the retained
+    text. Only surviving pages are returned.
+
+    This is the stage C4 runs BEFORE document-level quality rules
+    (:func:`quality_filter` et al.) — boilerplate lines never reach
+    the quality statistics. `curate(line_filter=True)` composes it.
+
+    100 TB shape: pure Catalyst — one ``split`` + array ``filter``
+    lambda per page inside the scan stage (zero shuffles, zero UDFs,
+    whole-stage-codegen); the page verdict is a scalar predicate on
+    the same row. Every predicate (ends_with / token count /
+    contains / regexp_count of a character class) has a verbatim
+    DuckDB twin, so the stage is fully oracle-checkable.
+    """
+    import functools
+    import operator as _op
+
+    lines = F.split(F.col(text_col), "\n")
+
+    def _keep(ln):
+        words = F.size(F.filter(F.split(ln, r"\s+"),
+                                lambda x: x != F.lit("")))
+        term = functools.reduce(
+            _op.or_, [ln.endswith(t) for t in C4_TERMINALS])
+        cond = term & (words >= int(min_words_per_line))
+        for b in line_blockers:
+            cond = cond & ~F.contains(F.lower(ln), F.lit(b))
+        return cond
+
+    kept = F.filter(lines, _keep)
+    out = df.select(
+        F.col(id_col),
+        F.lower(F.col(text_col)).alias("_pl"),
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept"),
+        F.array_join(kept, "\n").alias("text_clean"))
+    page_ok = F.lit(True)
+    for b in page_blockers:
+        page_ok = page_ok & ~F.contains(F.col("_pl"), F.lit(b))
+    nsent = F.regexp_count(F.col("text_clean"), F.lit(r"[.!?]"))
+    return (out.where(page_ok & (nsent >= int(min_sentences)))
+            .select(id_col, "n_lines", "n_kept", "text_clean"))
+
+
 def curate(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     thresholds: dict[str, float] | None = None,
@@ -536,6 +601,7 @@ def curate(
     languages=None, language_profiles_df: DataFrame | None = None,
     url_col: str | None = None, max_per_domain: int | None = None,
     domain_blocklist=None, normalize: bool = False,
+    line_filter: bool = False,
 ) -> DataFrame:
     """The composed end-to-end curation pass a pretraining pipeline
     runs per crawl batch: [domain curation →] [LM perplexity filter →]
@@ -559,6 +625,10 @@ def curate(
     ``normalize=True`` to run :func:`normalize_text` before any
     text-derived stage (so LM scores, language ID, quality stats, and
     dedup digests all see the normalized form — the CCNet order).
+    Pass ``line_filter=True`` to run :func:`c4_line_filter` before
+    normalization (the C4 order; it must see line structure, which
+    normalization's whitespace collapse erases) — boilerplate lines
+    and blocked pages never reach any downstream stage.
 
     Plan shape at 100 TB: filter + redaction + split are ONE
     codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
@@ -578,6 +648,11 @@ def curate(
                            max_per_domain=max_per_domain,
                            blocklist=domain_blocklist) \
             .drop("host", "domain")
+    if line_filter:
+        lf = c4_line_filter(df, id_col, text_col)
+        df = df.drop(text_col).join(
+            lf.select(id_col, F.col("text_clean").alias(text_col)),
+            id_col)
     if normalize:
         df = normalize_text(df, text_col)
     if (lm is None) != (max_ppl is None):

@@ -65,6 +65,8 @@ def test_r5_ops_on_empty(empty, spark):
     # k-truss of the empty graph is empty
     from rust_graph_db_spark.operators.graph_algos import k_truss
     assert k_truss(empty["edges"], k=4).count() == 0
+    # C4 line filter on empty input / all-blocked pages
+    assert curation.c4_line_filter(d).count() == 0
     # KN LM: training on empty docs yields a degenerate (types=0)
     # model; scoring it raises (the BackoffLM convention)
     from rust_graph_db_spark.operators import lm as lm_mod

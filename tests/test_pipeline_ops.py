@@ -1545,3 +1545,56 @@ def test_winnow_short_docs(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         winnow_fingerprints(df, k=3, window=0)
+
+
+# ------------------------------------------ C4 line-level cleaning
+
+def test_c4_line_filter_rules(spark):
+    from rust_graph_db_spark.operators.curation import c4_line_filter
+
+    good = "this line ends with a period."
+    pages = [
+        # 0: five good sentences -> survives, boilerplate dropped
+        (0, "\n".join([good, "no terminal punctuation here",
+                       "Enable JavaScript to view this page.",
+                       "so short.", good, good, good,
+                       'a quoted line ends well."', "x y z"])),
+        # 1: good lines but only four sentences -> page dropped
+        (1, "\n".join([good] * 4)),
+        # 2: lorem ipsum anywhere kills the page
+        (2, "\n".join([good] * 6 + ["Lorem Ipsum dolor sit amet."])),
+        # 3: a curly brace anywhere kills the page (code heuristic)
+        (3, "\n".join([good] * 6 + ["function f() { return 1; }"])),
+        # 4: exclamations and questions count as terminal
+        (4, "\n".join(["is this a question?", "yes it is!",
+                       good, good, good])),
+    ]
+    df = spark.createDataFrame(pages, "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_lines, r.n_kept, r.text_clean)
+           for r in c4_line_filter(df).collect()}
+    assert sorted(got) == [0, 4]
+    n_lines, n_kept, clean = got[0]
+    assert (n_lines, n_kept) == (9, 5)
+    # javascript line, unpunctuated line, <3-word lines all gone
+    assert "JavaScript" not in clean and "no terminal" not in clean
+    assert "so short." not in clean and "x y z" not in clean
+    assert clean.count("\n") == 4 and 'well."' in clean
+    assert got[4][1] == 5
+
+
+def test_c4_line_filter_in_curate(spark):
+    """curate(line_filter=True) runs the C4 pass before everything:
+    the lorem-ipsum page disappears; the surviving page's cleaned
+    text (not its raw text) feeds dedup/split."""
+    from rust_graph_db_spark.operators.curation import curate
+
+    body = "the quick brown fox jumps over the lazy sleeping dog."
+    keepable = "\n".join([body, "drop me no punct"] + [body] * 5)
+    pages = [(1, keepable), (2, keepable + "\nlorem ipsum filler.")]
+    df = spark.createDataFrame(pages, "doc_id LONG, text STRING")
+    lax = {"min_tokens": 1, "max_tokens": 10**6, "min_stopword": 0.0,
+           "max_punct": 1.0, "max_dup2": 1.0, "min_word_len": 0.0,
+           "max_word_len": 100.0}
+    out = curate(df, line_filter=True, thresholds=lax).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert "drop me" not in out[0].clean_text
