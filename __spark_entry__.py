@@ -720,6 +720,85 @@ def _c4_line_filter_oracle_sql(min_words: int = 3,
         f"'[.!?]')) >= {int(min_sentences)}")
 
 
+def _q_decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d15: cross-corpus near-dup decontamination
+    (curation.decontaminate_neardup) — bipartite MinHash-LSH bucket
+    join between the training corpus and a derived eval set (every
+    5th doc with a ' qq eval' suffix), exact-Jaccard verify ≥ 0.5.
+    md5 mode replays signatures/buckets bit-identically; jac is the
+    raw double quotient of exact int set sizes (never rounded)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import decontaminate_neardup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = (docs.where(F.col("doc_id") % 5 == 0)
+             .select("doc_id",
+                     F.concat("text", F.lit(" qq eval")).alias("text")))
+    return decontaminate_neardup(docs, bench, num_hashes=32, bands=8,
+                                 k=5, threshold=0.5, hash_mode="md5")
+
+
+def _decontaminate_neardup_oracle_sql(num_hashes: int = 32,
+                                      bands: int = 8, k: int = 5,
+                                      threshold: float = 0.5) -> str:
+    """SQL twin of d15: rebuild BOTH corpora's md5 MinHash signatures
+    (same (h1 + s·h2) & 2^32-1 seed family as _minhash_sig), band
+    buckets, the bipartite bucket join, then exact k-shingle Jaccard
+    on the candidates — same machinery as the w13 oracle, bipartite."""
+    n, b = int(num_hashes), int(bands)
+    r = n // b
+
+    def md5l(expr: str) -> str:
+        return f"('0x' || substr(md5({expr}), 1, 15))::BIGINT"
+
+    mins = ", ".join(
+        f"min((h1 + {s} * h2) & 4294967295) AS m{s}" for s in range(n))
+
+    def side(p: str, corpus: str) -> str:
+        arms = " UNION ALL ".join(
+            f"SELECT id, {b_} AS band, "
+            + md5l(f"'b:{b_}:' || " + " || ':' || ".join(
+                f"CAST(m{b_ * r + i} AS VARCHAR)" for i in range(r)))
+            + f" AS bucket FROM {p}sig"
+            for b_ in range(b))
+        return (
+            f"{p}sh AS (SELECT id, "
+            + md5l(f"'mh:' || substr(text, i, {int(k)})")
+            + f" AS gh FROM {corpus}, unnest(generate_series(1, "
+            f"greatest(length(text) - {int(k) - 1}, 1))) AS g(i)), "
+            f"{p}hh AS (SELECT id, (gh & 4294967295) AS h1, ("
+            + md5l("'1:' || CAST(gh AS VARCHAR)")
+            + f" & 4294967295) AS h2 FROM {p}sh), "
+            f"{p}sig AS MATERIALIZED (SELECT id, {mins} FROM {p}hh "
+            "GROUP BY id), "
+            f"{p}bb AS MATERIALIZED (SELECT id, band, bucket "
+            f"FROM ({arms})), "
+            f"{p}ds AS (SELECT DISTINCT id, substr(text, i, {int(k)}) "
+            f"AS g FROM {corpus}, unnest(generate_series(1, "
+            f"greatest(length(text) - {int(k) - 1}, 1))) AS h(i)), "
+            f"{p}sz AS (SELECT id, count(*) AS nsz FROM {p}ds "
+            "GROUP BY id)")
+
+    jac = "CAST(iv.m AS DOUBLE) / CAST(ta.nsz + eb.nsz - iv.m AS DOUBLE)"
+    return (
+        "WITH tr AS (SELECT doc_id AS id, text FROM documents), "
+        "ev AS (SELECT doc_id AS id, text || ' qq eval' AS text "
+        "FROM documents WHERE doc_id % 5 = 0), "
+        + side("t", "tr") + ", " + side("e", "ev") + ", "
+        "cand AS (SELECT DISTINCT t.id AS id, b.id AS bench_id "
+        "FROM tbb t JOIN ebb b "
+        "ON t.band = b.band AND t.bucket = b.bucket), "
+        "iv AS (SELECT c.id, c.bench_id, count(*) AS m FROM cand c "
+        "JOIN tds a ON a.id = c.id "
+        "JOIN eds b ON b.id = c.bench_id AND b.g = a.g "
+        "GROUP BY c.id, c.bench_id) "
+        f"SELECT iv.id AS doc_id, iv.bench_id, {jac} AS jac "
+        "FROM iv JOIN tsz ta ON ta.id = iv.id "
+        "JOIN esz eb ON eb.id = iv.bench_id "
+        f"WHERE {jac} >= {float(threshold)}")
+
+
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c11: cross-split verbatim-window leakage audit — for each
     train/val/test pair of hash_split's default 90/5/5 assignment, the
@@ -2595,6 +2674,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "g25_ktruss": _q_ktruss,
         # C4 line-level cleaning, Raffel et al. 2020 (r5; full oracle)
         "t16_c4_line_filter": _q_c4_line_filter,
+        # cross-corpus near-dup decontamination: bipartite MinHash-LSH
+        # + exact-Jaccard verify (r5; full md5-replay oracle)
+        "d15_decontaminate_neardup": _q_decontaminate_neardup,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2750,9 +2832,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # ROUND-6 ROTATION PLAN, priority order: (0) the r5 additions landed
 # AFTER this window was frozen — w13_stream_neardup,
 # t14_normalize_text, c11_split_leakage, t15_kn_perplexity,
-# d14_winnow_pairs, g25_ktruss, t16_c4_line_filter (all local-oracle
-# green at sf0.001+sf0.01, t14/c11 also at sf0.1) — every
-# never-driver-verified key gets a slot first;
+# d14_winnow_pairs, g25_ktruss, t16_c4_line_filter,
+# d15_decontaminate_neardup (all local-oracle green at
+# sf0.001+sf0.01, t14/c11 also at sf0.1) — every never-driver-verified
+# key gets a slot first;
 # (1) any r5 red retests + r5-code-touched keys; (2) the 8 r2-green
 # keys held this round
 # (a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join,
@@ -3676,6 +3759,8 @@ def oracle_sql() -> dict[str, str]:
             k=3, window=4, min_shared=2),
         "g25_ktruss": _ktruss_oracle_sql(k=4, rounds=8),
         "t16_c4_line_filter": _c4_line_filter_oracle_sql(),
+        "d15_decontaminate_neardup": _decontaminate_neardup_oracle_sql(
+            num_hashes=32, bands=8, k=5, threshold=0.5),
         "c8_langid": _langid_oracle_sql(top=200),
         # r4: BPE training now fully oracled — the iterative argmax
         # unrolls and the greedy merge replays as a list_reduce fold

@@ -69,6 +69,64 @@ def decontaminate(
             .agg(F.count(F.lit(1)).cast("long").alias("n_hits")))
 
 
+def decontaminate_neardup(
+    train: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str | None = None, bench_text_col: str | None = None,
+    num_hashes: int = 32, bands: int = 8, k: int = 5,
+    threshold: float = 0.5, hash_mode: str = "xxhash",
+) -> DataFrame:
+    """(id_col, bench_id, jac): training documents NEAR-duplicating a
+    benchmark/eval document — the fuzzy companion of
+    :func:`decontaminate` (which catches verbatim shingle overlap but
+    not paraphrased/suffixed copies). GPT-3's appendix-C and the Llama
+    reports both decontaminate by fuzzy overlap against eval sets;
+    this is that stage as a BIPARTITE MinHash-LSH join.
+
+    Contract: candidates are cross-corpus pairs sharing ≥1 LSH band
+    bucket (recall 1-(1-J^r)^b at the banding design point), then
+    every candidate is verified with the EXACT k-shingle Jaccard and
+    kept iff jac ≥ ``threshold``. jac is the raw correctly-rounded
+    double quotient of exact integer set sizes (never rounded — the
+    g22/c6 midpoint lesson). ``hash_mode="md5"`` replays signatures
+    and buckets bit-identically in SQL.
+
+    100 TB shape: both corpora reduce to (id, band, bucket) rows —
+    16 bytes per band per doc, text never shuffles; the bucket join is
+    bipartite so the benchmark side (eval sets: thousands of docs, not
+    billions) broadcasts in practice; exact verification runs ONLY on
+    candidates. Same hot-bucket caveat as every LSH join
+    (dedup.minhash_lsh_pairs).
+    """
+    from rust_graph_db_spark.operators.dedup import (
+        minhash_band_buckets, shingle_hash_rows)
+
+    bid = bench_id_col or id_col
+    btx = bench_text_col or text_col
+    tb = minhash_band_buckets(train, id_col, text_col,
+                              num_hashes, bands, k, hash_mode)
+    bb = (minhash_band_buckets(benchmark, bid, btx,
+                               num_hashes, bands, k, hash_mode)
+          .withColumnRenamed("id", "bench_id"))
+    cand = (tb.join(bb, ["band", "bucket"])
+            .select("id", "bench_id").distinct())
+    tset = (shingle_hash_rows(train, id_col, text_col, k=k,
+                              distinct=True)
+            .groupBy("id").agg(F.collect_set("gh").alias("_ta")))
+    bset = (shingle_hash_rows(benchmark, bid, btx, k=k, distinct=True)
+            .groupBy(F.col("id").alias("bench_id"))
+            .agg(F.collect_set("gh").alias("_ba")))
+    withm = (cand.join(tset, "id").join(bset, "bench_id")
+             .select("id", "bench_id",
+                     F.size(F.array_intersect("_ta", "_ba")).alias("_m"),
+                     F.size("_ta").alias("_a"), F.size("_ba").alias("_b")))
+    jac = (F.col("_m").cast("double")
+           / (F.col("_a") + F.col("_b") - F.col("_m")).cast("double"))
+    return (withm.select(F.col("id").alias(id_col), "bench_id",
+                         jac.alias("jac"))
+            .where(F.col("jac") >= F.lit(float(threshold))))
+
+
 def split_bucket(id_col: Column, buckets: int = 1000) -> Column:
     """Stable [0, buckets) bucket from md5 of the stringified id —
     engine-portable (any SQL dialect with md5 reproduces it), content-

@@ -67,6 +67,11 @@ def test_r5_ops_on_empty(empty, spark):
     assert k_truss(empty["edges"], k=4).count() == 0
     # C4 line filter on empty input / all-blocked pages
     assert curation.c4_line_filter(d).count() == 0
+    # bipartite decontamination: either side empty -> no pairs
+    one = spark.createDataFrame([(1, "some text here")],
+                                "doc_id LONG, text STRING")
+    assert curation.decontaminate_neardup(d, one).count() == 0
+    assert curation.decontaminate_neardup(one, d).count() == 0
     # KN LM: training on empty docs yields a degenerate (types=0)
     # model; scoring it raises (the BackoffLM convention)
     from rust_graph_db_spark.operators import lm as lm_mod

@@ -1598,3 +1598,36 @@ def test_c4_line_filter_in_curate(spark):
     out = curate(df, line_filter=True, thresholds=lax).collect()
     assert [r.doc_id for r in out] == [1]
     assert "drop me" not in out[0].clean_text
+
+
+# ------------------------------- cross-corpus near-dup decontamination
+
+def test_decontaminate_neardup(spark):
+    from rust_graph_db_spark.operators.curation import decontaminate_neardup
+
+    base = ("the quick brown fox jumps over the lazy dog while "
+            "the band plays on and the crowd cheers loudly tonight")
+    other = ("completely different material about spark shuffles and "
+             "partition pruning with no overlap whatsoever here")
+    train = spark.createDataFrame(
+        [(0, base), (1, other), (2, "tiny")],
+        "doc_id LONG, text STRING")
+    bench = spark.createDataFrame(
+        [(100, base + " extra eval suffix"),
+         (101, "unrelated benchmark prompt about astronomy and stars")],
+        "doc_id LONG, text STRING")
+
+    def py_jac(a, b, k=5):
+        sa = {a[i:i + k] for i in range(max(len(a) - k + 1, 1))}
+        sb = {b[i:i + k] for i in range(max(len(b) - k + 1, 1))}
+        return len(sa & sb) / len(sa | sb)
+
+    for mode in ("xxhash", "md5"):
+        got = {(r.doc_id, r.bench_id): r.jac
+               for r in decontaminate_neardup(
+                   train, bench, threshold=0.5, hash_mode=mode).collect()}
+        # the suffixed twin is caught with the exact Jaccard value
+        assert set(got) == {(0, 100)}, mode
+        assert abs(got[(0, 100)] - py_jac(base, base + " extra eval suffix")) < 1e-12
+    # threshold above the twin's similarity -> nothing survives verify
+    assert decontaminate_neardup(train, bench, threshold=0.99).count() == 0
