@@ -580,6 +580,41 @@ def _ktruss_oracle_sql(k: int = 4, rounds: int = 8) -> str:
         f"(SELECT count(*) AS cb FROM e{r_ - 1}) y WHERE x.ca <> y.cb)")
 
 
+def _q_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g26: integer-exact link prediction over the knows graph
+    (graph_algos.link_prediction, Liben-Nowell & Kleinberg 2003) —
+    common-neighbor count, Jaccard (unrounded int-quotient double),
+    preferential attachment for non-adjacent pairs with ≥1 shared
+    neighbor. Full oracle: all three scores derive from exact
+    integer degree/wedge aggregates."""
+    from rust_graph_db_spark.operators.graph_algos import link_prediction
+
+    return link_prediction(_knows_raw_edges(spark, sf_dir))
+
+
+def _link_prediction_oracle_sql(pre: str) -> str:
+    """SQL twin of graph_algos.link_prediction over `knows`: symmetric
+    loop-free edges, wedge join, adjacency anti-join, degree joins —
+    cn/pa exact BIGINTs, jac the same single double division."""
+    return pre + (
+        ", sym AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        "(SELECT src AS u, dst AS v FROM knows "
+        "UNION ALL SELECT dst, src FROM knows) WHERE u <> v), "
+        "dg AS (SELECT u, count(*) AS d FROM sym GROUP BY u), "
+        "cand AS (SELECT w1.a, w2.b, count(*) AS cn FROM "
+        "(SELECT v AS w, u AS a FROM sym) w1 JOIN "
+        "(SELECT u AS w, v AS b FROM sym) w2 ON w1.w = w2.w "
+        "WHERE w1.a < w2.b GROUP BY w1.a, w2.b), "
+        "nonadj AS (SELECT c.a, c.b, c.cn FROM cand c "
+        "LEFT JOIN (SELECT u AS a, v AS b FROM sym WHERE u < v) e "
+        "ON e.a = c.a AND e.b = c.b WHERE e.a IS NULL) "
+        "SELECT n.a AS u, n.b AS v, CAST(n.cn AS BIGINT) AS cn, "
+        "CAST(n.cn AS DOUBLE) / CAST(da.d + db.d - n.cn AS DOUBLE) "
+        "AS jac, CAST(da.d * db.d AS BIGINT) AS pa "
+        "FROM nonadj n JOIN dg da ON da.u = n.a "
+        "JOIN dg db ON db.u = n.b")
+
+
 def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t15: interpolated Kneser-Ney bigram perplexity (Kneser & Ney
     1995 / Chen & Goodman 1998 — CCNet's actual quality-LM family,
@@ -797,6 +832,41 @@ def _decontaminate_neardup_oracle_sql(num_hashes: int = 32,
         "FROM iv JOIN tsz ta ON ta.id = iv.id "
         "JOIN esz eb ON eb.id = iv.bench_id "
         f"WHERE {jac} >= {float(threshold)}")
+
+
+def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c12: per-source data-mixture planning table (The Pile / LLaMA
+    recipe tables; sampling.mixture_plan) — inventory from exact
+    integer aggregates, weights derived from the source suffix
+    (1 + suffix % 5, mirrored in SQL), budget 100k tokens. The
+    derived doubles are the same operation sequence on both engines."""
+    from rust_graph_db_spark.operators.sampling import mixture_plan
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sources = [r[0] for r in docs.select("source").distinct().collect()]
+    weights = {s: 1 + int(s[3:]) % 5 for s in sources}
+    return mixture_plan(docs, weights, token_budget=100_000)
+
+
+def _mixture_plan_oracle_sql(budget: int = 100_000) -> str:
+    """SQL twin of c12: same inventory aggregates, same suffix-derived
+    weights, same double-op sequence (share → target → rate → ceil)."""
+    return (
+        "WITH st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs, "
+        "CAST(sum(len(string_split_regex(lower(text), '\\s+'))) "
+        "AS BIGINT) AS n_tokens FROM documents GROUP BY source), "
+        "w AS (SELECT source, CAST(1 + CAST(substr(source, 4) "
+        "AS BIGINT) % 5 AS DOUBLE) AS wt "
+        "FROM (SELECT DISTINCT source FROM documents)), "
+        "tw AS (SELECT CAST(sum(wt) AS DOUBLE) AS t FROM w) "
+        "SELECT st.source, st.n_docs, st.n_tokens, w.wt AS weight, "
+        f"CAST({int(budget)} AS DOUBLE) * (w.wt / tw.t) "
+        "AS target_tokens, "
+        f"(CAST({int(budget)} AS DOUBLE) * (w.wt / tw.t)) "
+        "/ CAST(st.n_tokens AS DOUBLE) AS sample_rate, "
+        f"CAST(ceil((CAST({int(budget)} AS DOUBLE) * (w.wt / tw.t)) "
+        "/ CAST(st.n_tokens AS DOUBLE)) AS BIGINT) AS epochs "
+        "FROM st JOIN w ON w.source = st.source CROSS JOIN tw")
 
 
 def _q_split_leakage(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2672,11 +2742,16 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # k-truss cohesive subgraph with edge supports (r5; unrolled
         # synchronous-peel oracle + unroll-depth sentinel)
         "g25_ktruss": _q_ktruss,
+        # integer-exact link prediction: common-neighbors / Jaccard /
+        # preferential attachment (r5; full oracle)
+        "g26_link_prediction": _q_link_prediction,
         # C4 line-level cleaning, Raffel et al. 2020 (r5; full oracle)
         "t16_c4_line_filter": _q_c4_line_filter,
         # cross-corpus near-dup decontamination: bipartite MinHash-LSH
         # + exact-Jaccard verify (r5; full md5-replay oracle)
         "d15_decontaminate_neardup": _q_decontaminate_neardup,
+        # per-source data-mixture planning table (r5; full oracle)
+        "c12_mixture_plan": _q_mixture_plan,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2833,9 +2908,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # AFTER this window was frozen — w13_stream_neardup,
 # t14_normalize_text, c11_split_leakage, t15_kn_perplexity,
 # d14_winnow_pairs, g25_ktruss, t16_c4_line_filter,
-# d15_decontaminate_neardup (all local-oracle green at
-# sf0.001+sf0.01, t14/c11 also at sf0.1) — every never-driver-verified
-# key gets a slot first;
+# d15_decontaminate_neardup, g26_link_prediction, c12_mixture_plan
+# (all local-oracle green at sf0.001+sf0.01, t14/c11 also at sf0.1) —
+# every never-driver-verified key gets a slot first;
 # (1) any r5 red retests + r5-code-touched keys; (2) the 8 r2-green
 # keys held this round
 # (a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join,
@@ -3758,9 +3833,11 @@ def oracle_sql() -> dict[str, str]:
         "d14_winnow_pairs": _winnow_pairs_oracle_sql(
             k=3, window=4, min_shared=2),
         "g25_ktruss": _ktruss_oracle_sql(k=4, rounds=8),
+        "g26_link_prediction": _link_prediction_oracle_sql(pre),
         "t16_c4_line_filter": _c4_line_filter_oracle_sql(),
         "d15_decontaminate_neardup": _decontaminate_neardup_oracle_sql(
             num_hashes=32, bands=8, k=5, threshold=0.5),
+        "c12_mixture_plan": _mixture_plan_oracle_sql(budget=100_000),
         "c8_langid": _langid_oracle_sql(top=200),
         # r4: BPE training now fully oracled — the iterative argmax
         # unrolls and the greedy merge replays as a list_reduce fold

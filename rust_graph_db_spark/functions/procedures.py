@@ -115,6 +115,13 @@ def _ktruss(graph, rel=None, k=4) -> DataFrame:
     return k_truss(_edges(graph, rel), k=int(k))
 
 
+def _link_predict(graph, rel=None, min_cn=1) -> DataFrame:
+    """Link-prediction scores for non-adjacent pairs:
+    (u, v, cn, jac, pa)."""
+    from ..operators.graph_algos import link_prediction
+    return link_prediction(_edges(graph, rel), min_cn=int(min_cn))
+
+
 def _bfs(graph, start, rel=None, max_hops=30) -> DataFrame:
     """Hop distances from a packed-graphid start vertex: (id, dist)."""
     from ..operators.traversal import bfs_distances
@@ -195,6 +202,7 @@ register("algo.triangleCount", _triangle_count)
 register("algo.betweenness", _betweenness)
 register("algo.kcore", _kcore)
 register("algo.ktruss", _ktruss)
+register("algo.linkPredict", _link_predict)
 register("algo.bfs", _bfs)
 register("algo.sssp", _sssp)
 register("algo.modularity", _modularity)

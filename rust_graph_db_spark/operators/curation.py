@@ -109,11 +109,19 @@ def decontaminate_neardup(
                                num_hashes, bands, k, hash_mode)
           .withColumnRenamed("id", "bench_id"))
     cand = (tb.join(bb, ["band", "bucket"])
-            .select("id", "bench_id").distinct())
-    tset = (shingle_hash_rows(train, id_col, text_col, k=k,
+            .select("id", "bench_id").distinct()
+            .localCheckpoint(eager=True))
+    # exact verification pays its shingle-set collect ONLY for docs
+    # that are candidates — at corpus scale the candidate set is a
+    # vanishing fraction of the training side
+    t_cand = train.join(cand.select(F.col("id").alias(id_col))
+                        .distinct(), id_col, "left_semi")
+    b_cand = benchmark.join(cand.select(F.col("bench_id").alias(bid))
+                            .distinct(), bid, "left_semi")
+    tset = (shingle_hash_rows(t_cand, id_col, text_col, k=k,
                               distinct=True)
             .groupBy("id").agg(F.collect_set("gh").alias("_ta")))
-    bset = (shingle_hash_rows(benchmark, bid, btx, k=k, distinct=True)
+    bset = (shingle_hash_rows(b_cand, bid, btx, k=k, distinct=True)
             .groupBy(F.col("id").alias("bench_id"))
             .agg(F.collect_set("gh").alias("_ba")))
     withm = (cand.join(tset, "id").join(bset, "bench_id")

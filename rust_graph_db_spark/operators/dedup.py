@@ -469,7 +469,8 @@ def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",
 def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                            text_col: str = "text", k: int = 3,
                            window: int = 4, min_shared: int = 2,
-                           hash_mode: str = "xxhash") -> DataFrame:
+                           hash_mode: str = "xxhash",
+                           max_df: int | None = None) -> DataFrame:
     """(i, j, shared): document pairs (i < j) sharing at least
     ``min_shared`` winnowed fingerprint VALUES, with the shared
     count — MOSS's candidate-generation join. Because winnowing is
@@ -480,12 +481,22 @@ def winnow_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
 
     Scale: inverted-index self-join on the 8-byte fingerprint value.
     A fingerprint shared by f documents expands to f·(f-1)/2 pairs —
-    the same hot-bucket shape as LSH band joins; at real SF drop
-    fingerprints above a document-frequency ceiling first (stop-gram
-    removal, as the paper prescribes for whitespace runs)."""
+    the same hot-bucket shape as LSH band joins. ``max_df`` is the
+    paper's prescribed mitigation (stop-gram removal): fingerprints
+    carried by MORE than ``max_df`` documents are dropped before the
+    self-join — one document-frequency window over the fingerprint
+    table bounds every bucket's fan-out to max_df·(max_df-1)/2. A
+    boilerplate gram shared corpus-wide stops being (quadratic)
+    evidence of anything; real matches rest on their rarer grams."""
     fps = (winnow_fingerprints(df, id_col, text_col, k, window,
                                hash_mode)
            .select(F.col(id_col).alias("_id"), "fp").distinct())
+    if max_df is not None:
+        from pyspark.sql import Window as _W
+
+        dfreq = F.count(F.lit(1)).over(_W.partitionBy("fp"))
+        fps = (fps.withColumn("_df", dfreq)
+               .where(F.col("_df") <= int(max_df)).drop("_df"))
     a = fps.select(F.col("_id").alias("i"), "fp")
     b = fps.select(F.col("_id").alias("j"), "fp")
     return (a.join(b, "fp")

@@ -159,3 +159,51 @@ def stratified_exact(df: DataFrame, strata_col: str, n_per: int,
     return (df.withColumn("_rk", F.row_number().over(w))
             .where(F.col("_rk") <= int(n_per))
             .drop("_rk"))
+
+
+def mixture_plan(df: DataFrame, weights: dict[str, float],
+                 token_budget: int, source_col: str = "source",
+                 text_col: str = "text") -> DataFrame:
+    """(source, n_docs, n_tokens, weight, target_tokens, sample_rate,
+    epochs): the data-mixture PLANNING table a pretraining run
+    publishes before sampling — per-source corpus inventory against
+    target mixture shares (the table in The Pile, Gao et al. 2021,
+    and LLaMA, Touvron et al. 2023, where sources are listed with
+    sampling proportion and epochs; both public).
+
+    Per source: ``target_tokens = budget · weight/Σweights``,
+    ``sample_rate = target_tokens / n_tokens`` (>1 means the source
+    repeats; its ceiling is ``epochs``), sources absent from
+    ``weights`` get weight 0. The inventory (n_docs, n_tokens) is
+    exact integers; the three derived values are the same
+    double-operation sequence in the SQL oracle, so the whole table is
+    bitwise-deterministic. ``mixture_sample`` EXECUTES a plan like
+    this; the plan itself is the auditable artifact.
+
+    100 TB shape: one groupBy(source) over the scan — the token count
+    folds into the same codegen'd aggregate — then scalar arithmetic
+    on a #sources-row frame. Nothing shuffles but (source, partials).
+    """
+    from rust_graph_db_spark.functions.text import token_count
+
+    if token_budget < 0:
+        raise ValueError("mixture_plan: token_budget must be >= 0")
+    sw = float(sum(weights.values()))
+    if sw <= 0:
+        raise ValueError("mixture_plan: weights must sum > 0")
+    wcol = F.lit(0.0)
+    for s, w in weights.items():
+        wcol = F.when(F.col(source_col) == s, F.lit(float(w))) \
+                .otherwise(wcol)
+    stats = (df.groupBy(source_col)
+             .agg(F.count(F.lit(1)).cast("long").alias("n_docs"),
+                  F.sum(token_count(F.col(text_col))).cast("long")
+                  .alias("n_tokens")))
+    share = wcol.cast("double") / F.lit(sw)
+    tgt = F.lit(float(token_budget)) * share
+    rate = tgt / F.col("n_tokens").cast("double")
+    return stats.select(
+        source_col, "n_docs", "n_tokens",
+        wcol.alias("weight"), tgt.alias("target_tokens"),
+        rate.alias("sample_rate"),
+        F.ceil(rate).cast("long").alias("epochs"))

@@ -303,6 +303,7 @@ def stream_curate(
     url_col: Optional[str] = None,
     max_per_domain: Optional[int] = None,
     domain_blocklist=None,
+    line_filter: bool = False,
 ):
     """Streaming END-TO-END curation: the batch ``curation.curate``
     pipeline (quality rule-chain → PII redaction → exact dedup →
@@ -320,10 +321,13 @@ def stream_curate(
     ``(id, clean_text, split, _batch_id)`` to ``out_dir``.
 
     Optional ``lm`` + ``max_ppl`` (r4): run the CCNet perplexity
-    filter (``operators.lm.perplexity_filter``) at the head of each
-    micro-batch — the LM count frames are STATIC tables trained
-    offline, so inside foreachBatch the scoring is plain stream-static
-    hash joins with no extra streaming state.
+    filter at the head of each micro-batch — the LM count frames are
+    STATIC tables trained offline, so inside foreachBatch the scoring
+    is plain stream-static hash joins with no extra streaming state.
+    Either LM family works (``BackoffLM`` or ``KneserNeyLM``, same
+    dispatch as batch ``curate``). ``line_filter=True`` (r5) runs the
+    stateless C4 line-level pass per micro-batch before the LM and
+    quality stages.
 
     Optional ``url_col`` (r5): run URL/domain curation at the very
     head of each micro-batch (``curation.domain_curate``). The
@@ -403,11 +407,26 @@ def stream_curate(
                  .write.mode("append").parquet(dom_counts_dir))
                 batch = batch.drop("_rk", "_prev")
             batch = batch.drop("host", "domain")
-        if lm is not None:
-            from rust_graph_db_spark.operators.lm import perplexity_filter
+        if line_filter:
+            # stateless Catalyst stage — per micro-batch, same order
+            # as batch curate(): before the LM/quality stages so
+            # boilerplate lines never reach their statistics
+            from rust_graph_db_spark.operators.curation import \
+                c4_line_filter
 
-            batch = perplexity_filter(batch, lm, max_ppl,
-                                      text_col=text_col, id_col=id_col)
+            lf = c4_line_filter(batch, id_col, text_col)
+            batch = batch.drop(text_col).join(
+                lf.select(id_col,
+                          F.col("text_clean").alias(text_col)),
+                id_col)
+        if lm is not None:
+            from rust_graph_db_spark.operators.lm import (
+                KneserNeyLM, kn_perplexity_filter, perplexity_filter)
+
+            flt = (kn_perplexity_filter
+                   if isinstance(lm, KneserNeyLM) else perplexity_filter)
+            batch = flt(batch, lm, max_ppl,
+                        text_col=text_col, id_col=id_col)
         red = (filter_redact(batch, id_col, text_col, thresholds)
                .withColumn("_digest", F.md5(F.col("clean_text"))))
         red = _dedup_against_state(red, state_dir, id_col)

@@ -179,6 +179,35 @@ def main() -> None:
               docs.where(F.col("source") == "src0"),
               k=max(1000, n_docs // 20), buckets=65_536))
 
+    # ---- r5 session-2 additions: KN LM, winnowing, C4 line filter,
+    # cross-corpus decontamination
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+    t = time.time()
+    klm = train_kn_lm(docs.where(F.col("source") == "src0"))
+    results["kn_train"] = round(time.time() - t, 1)
+    print(json.dumps({"stage": "kn_train", "types": klm.types,
+                      "sec": results["kn_train"]}))
+    stage("kn_perplexity_score", lambda: kn_perplexity(docs, klm))
+
+    from rust_graph_db_spark.operators.dedup import winnow_fingerprints
+    stage("winnow_fingerprints",
+          lambda: winnow_fingerprints(docs, k=3, window=4))
+
+    from rust_graph_db_spark.operators.curation import (
+        c4_line_filter, decontaminate_neardup)
+    # break the word soup into ~8-word lines ending in '.' so the
+    # line predicates exercise on realistic line counts
+    pages = docs.select("doc_id", F.regexp_replace(
+        F.col("text"), r"((?:\S+ ){7}\S+) ", "$1.\n").alias("text"))
+    stage("c4_line_filter",
+          lambda: c4_line_filter(pages, min_sentences=3))
+    bench = (docs.where(F.col("doc_id") % 200 == 0)
+             .select("doc_id",
+                     F.concat("text", F.lit(" qq eval")).alias("text")))
+    stage("decontaminate_neardup",
+          lambda: decontaminate_neardup(docs, bench, threshold=0.5))
+
     # ---- graph side: power-law-ish random digraph
     from rust_graph_db_spark.operators.graph_algos import (
         graph_profile, maximal_independent_set, pagerank)
@@ -191,6 +220,8 @@ def main() -> None:
     stage("pagerank_5it", lambda: pagerank(edges, iterations=5))
     stage("mis", lambda: maximal_independent_set(edges, seed=1))
     stage("graph_profile", lambda: graph_profile(edges))
+    from rust_graph_db_spark.operators.graph_algos import k_truss
+    stage("k_truss_4", lambda: k_truss(edges, k=4, max_rounds=6))
 
     print(json.dumps({"metric": "scale_rehearsal_seconds",
                       "n_docs": n_docs, "n_edges": n_edges,

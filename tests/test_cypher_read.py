@@ -1122,3 +1122,13 @@ def test_proc_ktruss(kg):
         "CALL algo.ktruss('KNOWS', 2) YIELD u, v, support "
         "RETURN count(*) AS n, max(support) AS mx").first()
     assert t2.n > 0 and t2.mx == 0
+
+
+def test_proc_link_predict(kg):
+    """r5: algo.linkPredict from Cypher — the ring+chords graph has
+    non-adjacent pairs with shared neighbors (i and i+2 share i+1);
+    scores are sane and no existing edge is predicted."""
+    r = kg.cypher(
+        "CALL algo.linkPredict('KNOWS') YIELD u, v, cn, jac, pa "
+        "RETURN count(*) AS n, min(cn) AS mncn, max(jac) AS mxj").first()
+    assert r.n > 0 and r.mncn >= 1 and 0.0 < r.mxj <= 1.0

@@ -62,9 +62,11 @@ def test_r5_ops_on_empty(empty, spark):
     # winnowing: no docs -> no grams -> no fingerprints, no pairs
     assert dedup.winnow_fingerprints(d).count() == 0
     assert dedup.winnow_candidate_pairs(d).count() == 0
-    # k-truss of the empty graph is empty
-    from rust_graph_db_spark.operators.graph_algos import k_truss
+    # k-truss / link prediction of the empty graph are empty
+    from rust_graph_db_spark.operators.graph_algos import (
+        k_truss, link_prediction)
     assert k_truss(empty["edges"], k=4).count() == 0
+    assert link_prediction(empty["edges"]).count() == 0
     # C4 line filter on empty input / all-blocked pages
     assert curation.c4_line_filter(d).count() == 0
     # bipartite decontamination: either side empty -> no pairs
@@ -72,6 +74,11 @@ def test_r5_ops_on_empty(empty, spark):
                                 "doc_id LONG, text STRING")
     assert curation.decontaminate_neardup(d, one).count() == 0
     assert curation.decontaminate_neardup(one, d).count() == 0
+    # mixture plan over an empty corpus: empty table, not an error
+    from rust_graph_db_spark.operators.sampling import mixture_plan
+    e = spark.createDataFrame([], "doc_id LONG, source STRING, "
+                                  "text STRING")
+    assert mixture_plan(e, {"s0": 1}, 100).count() == 0
     # KN LM: training on empty docs yields a degenerate (types=0)
     # model; scoring it raises (the BackoffLM convention)
     from rust_graph_db_spark.operators import lm as lm_mod

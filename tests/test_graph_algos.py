@@ -1106,3 +1106,49 @@ def test_k_truss_matches_reference_random(spark):
         got = {(r.u, r.v): r.support
                for r in k_truss(df, k=k).collect()}
         assert got == want, k
+
+
+# ----------------------------------------------------- link prediction
+
+def test_link_prediction_matches_reference(spark):
+    """Random digraph vs a direct python common-neighbor reference."""
+    import random
+    from collections import defaultdict
+
+    from rust_graph_db_spark.operators.graph_algos import link_prediction
+
+    rng = random.Random(5)
+    pairs = [(rng.randrange(25), rng.randrange(25)) for _ in range(80)]
+    adj = defaultdict(set)
+    for a, b in pairs:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            if v in adj[u]:
+                continue
+            cn = len(adj[u] & adj[v])
+            if cn >= 1:
+                want[(u, v)] = (cn, cn / len(adj[u] | adj[v]),
+                                len(adj[u]) * len(adj[v]))
+    df = spark.createDataFrame(pairs, "src LONG, dst LONG")
+    got = {(r.u, r.v): (r.cn, r.jac, r.pa)
+           for r in link_prediction(df).collect()}
+    assert set(got) == set(want)
+    for key, (cn, jac, pa) in want.items():
+        assert got[key][0] == cn and got[key][2] == pa, key
+        assert abs(got[key][1] - jac) < 1e-15, key
+
+
+def test_link_prediction_triangle_closure(spark):
+    """A path a-b-c predicts the closing edge (a,c) with cn=1; the
+    existing edge (a,b) is never predicted."""
+    from rust_graph_db_spark.operators.graph_algos import link_prediction
+
+    df = spark.createDataFrame([(0, 1), (1, 2)], "src LONG, dst LONG")
+    got = {(r.u, r.v): (r.cn, r.jac, r.pa)
+           for r in link_prediction(df).collect()}
+    assert got == {(0, 2): (1, 1.0, 1)}

@@ -1631,3 +1631,23 @@ def test_decontaminate_neardup(spark):
         assert abs(got[(0, 100)] - py_jac(base, base + " extra eval suffix")) < 1e-12
     # threshold above the twin's similarity -> nothing survives verify
     assert decontaminate_neardup(train, bench, threshold=0.99).count() == 0
+
+
+def test_winnow_max_df_drops_stop_grams(spark):
+    """A boilerplate passage shared by EVERY doc stops generating
+    pairs under max_df; the genuinely rare shared passage survives."""
+    from rust_graph_db_spark.operators.dedup import winnow_candidate_pairs
+
+    boiler = "all rights reserved contact us for details today"
+    rare = "unique shared passage appears twice only here"
+    rows = [(i, f"doc {i} body text " + boiler) for i in range(6)]
+    rows += [(10, "first " + rare), (11, "second " + rare)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    unfiltered = {(r.i, r.j) for r in winnow_candidate_pairs(
+        df, k=3, window=4, min_shared=1).collect()}
+    capped = {(r.i, r.j) for r in winnow_candidate_pairs(
+        df, k=3, window=4, min_shared=1, max_df=3).collect()}
+    assert (10, 11) in unfiltered and (10, 11) in capped
+    boiler_pairs = {p for p in unfiltered if p[0] < 10 and p[1] < 10}
+    assert len(boiler_pairs) == 15        # all C(6,2) boilerplate pairs
+    assert not any(p[0] < 10 and p[1] < 10 for p in capped)

@@ -298,3 +298,40 @@ def test_stratified_exact_vs_duckdb(spark, duck):
     cnt = (stratified_exact(docs, "lang", 5)
            .groupBy("lang").count().collect())
     assert all(r["count"] <= 5 for r in cnt) and len(cnt) > 1
+
+
+# --------------------------------------------------- mixture planning
+
+def test_mixture_plan_matches_reference(spark):
+    import math
+
+    from rust_graph_db_spark.operators.sampling import mixture_plan
+
+    rows = [(i, f"s{i % 3}", "tok " * (3 + i % 4)) for i in range(30)]
+    df = spark.createDataFrame(
+        [(i, s, t.strip()) for i, s, t in rows],
+        "doc_id LONG, source STRING, text STRING")
+    weights = {"s0": 3, "s1": 1}          # s2 unweighted -> 0
+    budget = 1000
+    inv = {}
+    for _, s, t in rows:
+        d, n = inv.get(s, (0, 0))
+        inv[s] = (d + 1, n + len(t.split()))
+    sw = float(sum(weights.values()))
+    got = {r.source: r for r in mixture_plan(df, weights, budget).collect()}
+    assert set(got) == {"s0", "s1", "s2"}
+    for s, (nd, nt) in inv.items():
+        r = got[s]
+        assert (r.n_docs, r.n_tokens) == (nd, nt), s
+        w = float(weights.get(s, 0))
+        tgt = budget * (w / sw)
+        assert abs(r.target_tokens - tgt) < 1e-9, s
+        assert abs(r.sample_rate - tgt / nt) < 1e-12, s
+        assert r.epochs == math.ceil(tgt / nt), s
+    assert got["s2"].weight == 0.0 and got["s2"].epochs == 0
+
+    import pytest as _p
+    with _p.raises(ValueError):
+        mixture_plan(df, {}, 10)
+    with _p.raises(ValueError):
+        mixture_plan(df, weights, -1)

@@ -315,3 +315,42 @@ def test_stream_gram_cms_matches_batch_counts(spark, tmp_path):
     est = {r.gram: r.est
            for r in cms_estimate(sketch, grams, "gram").collect()}
     assert est == exact
+
+
+def test_stream_curate_line_filter(spark, tmp_path):
+    """r5: stream_curate(line_filter=True) applies the C4 line pass
+    per micro-batch — boilerplate lines are cut from survivors and a
+    lorem-ipsum page never reaches the sink."""
+    import glob
+    import os
+    import shutil
+
+    from rust_graph_db_spark.streaming.ingest import stream_curate
+
+    good = "the quick brown fox jumps over the lazy dog again."
+    page = "\n".join([good, "enable javascript now."] + [good] * 5)
+    bad = "\n".join([good] * 6 + ["lorem ipsum dolor sit amet."])
+    watch = tmp_path / "in"
+    watch.mkdir()
+    part = str(tmp_path / "b0")
+    spark.createDataFrame([(1, page), (2, bad)],
+                          "doc_id LONG, text STRING") \
+         .coalesce(1).write.parquet(part)
+    dst = str(watch / "batch0.parquet")
+    shutil.copy(glob.glob(f"{part}/part-*.parquet")[0], dst)
+    os.utime(dst, (1_600_000_000,) * 2)
+
+    lax = {"min_tokens": 1, "max_tokens": 10**6, "min_stopword": 0.0,
+           "max_punct": 1.0, "max_dup2": 1.0, "min_word_len": 0.0,
+           "max_word_len": 100.0}
+    stream = (spark.readStream
+              .schema("doc_id LONG, text STRING")
+              .parquet(str(watch)))
+    stream_curate(
+        stream, str(tmp_path / "out"), str(tmp_path / "state"),
+        checkpoint=str(tmp_path / "ckpt"),
+        thresholds=lax, line_filter=True).awaitTermination(120)
+
+    out = spark.read.parquet(str(tmp_path / "out")).collect()
+    assert [r.doc_id for r in out] == [1]
+    assert "javascript" not in out[0].clean_text
