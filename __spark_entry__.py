@@ -2433,10 +2433,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. the 3 keys whose library code r5 touched (c8 interning, g23
     #      self-loop contract + oracle universe, x7 integer-exact
     #      revenue);
-    #   4. 41 of the 49 keys whose newest green row is r2 (the 8 held
-    #      for r6 are listed in the _R5_WINDOW rotation comment).
-    # After this round no key's newest green row predates r3 except the
-    # 8 held keys; rows-only entries (c5b GD-training, e10 driver-SVD)
+    #   4. the 10 operators added in the round's SECOND session (t15,
+    #      d14, g25, t16, d15, g26, c12, w13, t14, c11) — never-
+    #      verified keys outrank stale-but-once-green refreshes, so
+    #      they displaced 10 of the planned r2-block refreshes (the
+    #      displaced keys are listed in the rotation comment below and
+    #      join the r6 refresh queue; all are pytest-covered and green
+    #      in this round's full 154-key local sweep);
+    #   5. 31 of the 49 keys whose newest green row is r2.
+    # Rows-only entries (c5b GD-training, e10 driver-SVD)
     # stay out of the window by design — their SQL-mirrorable halves
     # (c5, e11) carry the hash verdicts. Everything below the window is
     # pytest-covered and swept locally by scripts/check_oracle.py
@@ -2899,22 +2904,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver verifies the FIRST 50 keys of queries() — see the priority
 # note at the top of queries() for how these slots were chosen. This is
-# the r5 rotation the r4 verdict prescribed: every never-verified key
-# gets a slot, the one r4 red (c6) retests, every key whose library
-# code r5 touched re-verifies, and the remainder refreshes the oldest
-# (r2-green) block. After this lands no key's newest green row predates
-# r3 except the 8 held keys listed below.
-# ROUND-6 ROTATION PLAN, priority order: (0) the r5 additions landed
-# AFTER this window was frozen — w13_stream_neardup,
-# t14_normalize_text, c11_split_leakage, t15_kn_perplexity,
-# d14_winnow_pairs, g25_ktruss, t16_c4_line_filter,
-# d15_decontaminate_neardup, g26_link_prediction, c12_mixture_plan
-# (all local-oracle green at sf0.001+sf0.01, t14/c11 also at sf0.1) —
-# every never-driver-verified key gets a slot first;
-# (1) any r5 red retests + r5-code-touched keys; (2) the 8 r2-green
-# keys held this round
-# (a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join,
-# u4_unwind — chosen as the most pytest-redundant/stable paths);
+# the r5 rotation the r4 verdict prescribed (never-verified keys, the
+# c6 retest, r5-code-touched keys, then r2-green refreshes), AMENDED by
+# the round's second session: its 10 new operators (w13, t14, c11, t15,
+# d14, g25, t16, d15, g26, c12) take the slots of 10 planned r2-block
+# refreshes — a never-verified key is a bigger debt than a stale-but-
+# once-green one. All 10 displaced keys (a2, a3, j3, o2, p6, p9, u2,
+# u3, w3, x6) are pytest-covered, r2-green, and green in this round's
+# full 154-key local sweep.
+# ROUND-6 ROTATION PLAN, priority order: (1) any r5 red retests +
+# r5-code-touched keys; (2) the 18 r2-green keys now pending refresh
+# (a2_agg_global, a3_count_distinct, j3_multi_match, o2_skip_limit,
+# p6_with_where, p9_case_expr, u2_intersect, u3_except,
+# w3_window_rank, x6_likes — displaced this round — plus the 8 held by
+# the original plan: a5_event_stats, k1_sketch_stats, m1-m3,
+# r1_range_join, r2_asof_join, u4_unwind);
 # (3) refresh the r3-green block (w9, w10-w12, g11-g13, g17, a6, p21,
 # p10, p12-p14, p17-p21, d6-d11, t2-t10, c1-c4, e6-e9, k2, d7, m4);
 # (4) slots for r6 additions. c5b_classifier_train and e10 stay
@@ -2930,24 +2934,31 @@ _R5_WINDOW = [
     # r5-code-touched: langid join-key interning, MIS self-loop
     # contract + oracle universe, x7 integer-exact revenue
     "c8_langid", "g23_mis", "x7_revenue_by_nation",
-    # 41 of the 49 keys whose newest green row is r2 (8 held for r6)
-    "a1_agg_group", "a2_agg_global", "a3_count_distinct",
+    # the round's second-session additions (never driver-verified;
+    # all green in the local sweep at sf0.001+sf0.01)
+    "w13_stream_neardup", "t14_normalize_text", "c11_split_leakage",
+    "t15_kn_perplexity", "d14_winnow_pairs", "g25_ktruss",
+    "t16_c4_line_filter", "d15_decontaminate_neardup",
+    "g26_link_prediction", "c12_mixture_plan",
+    # 31 of the 49 keys whose newest green row is r2 (8 held for r6
+    # by the original plan + 10 displaced by the additions above)
+    "a1_agg_group",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
     "d4_simhash", "d5_embedding_neardup",
     "e1_cosine_topk", "e2_cosine_pairs", "e3_lsh_cosine_pairs",
     "e4_ivf_topk", "e5_knn_join",
     "g7_dup_clusters",
-    "j1_one_hop", "j2_three_hop", "j3_multi_match",
+    "j1_one_hop", "j2_three_hop",
     "j4_optional_match", "j5_mutual_knows",
-    "o1_top_k", "o2_skip_limit",
-    "p1_pattern_props", "p4_scalar_funcs", "p6_with_where",
-    "p8_entity_funcs", "p9_case_expr",
+    "o1_top_k",
+    "p1_pattern_props", "p4_scalar_funcs",
+    "p8_entity_funcs",
     "s1_scan_filter", "t1_text_metrics",
-    "u1_union", "u2_intersect", "u3_except",
-    "w1_windowed_events", "w2_sessionize", "w3_window_rank",
+    "u1_union",
+    "w1_windowed_events", "w2_sessionize",
     "w7_running_totals", "w8_durable_graph",
     "x1_follow_unfollow", "x2_followers", "x3_timeline",
-    "x4_suggestions", "x6_likes",
+    "x4_suggestions",
 ]
 
 
