@@ -62,6 +62,14 @@ def main(spark=None):
     walks = random_walks(edges, walk_length=5, seed=1)
     pairs = walk_skipgram_pairs(walks, window=2)
     pairs.show(5)
+    print("-- k-truss (r5): cohesive subgraph by triangle support")
+    from rust_graph_db_spark.operators.graph_algos import (
+        k_truss, link_prediction,
+    )
+    print("4-truss edges of the (triangle-free) ring:",
+          k_truss(edges, k=4).count())
+    print("-- link prediction (r5): who should know whom")
+    link_prediction(edges).orderBy(F.desc("cn"), "u", "v").show(5)
     return pairs
 
 

@@ -105,6 +105,40 @@ def main(spark=None):
     from rust_graph_db_spark.operators.dsir import dsir_resample
     target = docs.where(F.col("source") == "src0")
     dsir_resample(docs, target, k=10, buckets=4096, seed=7).show(10)
+
+    # Kneser-Ney perplexity (r5): CCNet's actual LM family — same
+    # pipeline seat as stupid backoff, drop-in via curate(lm=...)
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+    klm = train_kn_lm(docs.where(F.col("source") == "src0"))
+    kn_perplexity(docs, klm).orderBy("ppl").show(5)
+
+    # winnowing fingerprints (MOSS, r5): position-carrying local
+    # sketches; shared fingerprints localize matching passages
+    from rust_graph_db_spark.operators.dedup import winnow_candidate_pairs
+    winnow_candidate_pairs(docs, k=3, window=4, min_shared=3,
+                           max_df=50).show(5)
+
+    # cross-corpus near-dup decontamination (r5): fuzzy eval-set
+    # overlap the verbatim decontaminate() above can't see
+    from rust_graph_db_spark.operators.curation import \
+        decontaminate_neardup
+    ev = bench.select("doc_id",
+                      F.concat("text", F.lit(" suffix")).alias("text"))
+    print("near-dup contamination pairs:",
+          decontaminate_neardup(docs, ev, threshold=0.5).count())
+
+    # C4 line-level cleaning (r5) over derived multi-line pages
+    from rust_graph_db_spark.operators.curation import c4_line_filter
+    pages = docs.select("doc_id", F.regexp_replace(
+        F.col("text"), r"((?:\S+ ){7}\S+) ", "$1.\n").alias("text"))
+    c4_line_filter(pages, min_sentences=3).show(3)
+
+    # data-mixture planning table (r5): the Pile/LLaMA recipe artifact
+    from rust_graph_db_spark.operators.sampling import mixture_plan
+    srcs = [r[0] for r in docs.select("source").distinct().collect()]
+    mixture_plan(docs, {s: 1 + int(s[3:]) % 5 for s in srcs},
+                 token_budget=50_000).orderBy("source").show()
     return kept
 
 
