@@ -429,3 +429,105 @@ def test_perplexity_matches_python_random(spark, data):
         want = math.exp(-lp / len(ws))
         assert abs(got[did] - round(want, 3)) <= 1.5e-3, \
             (did, got[did], want)
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(st.tuples(st.integers(0, 14), st.integers(0, 14)),
+                     min_size=1, max_size=60),
+       k=st.integers(3, 5))
+def test_k_truss_invariants_random(spark, data, k):
+    """r5: the k-truss must be a FIXPOINT (every surviving edge's
+    within-truss support >= k-2) and must equal the python synchronous
+    peel exactly — including reported supports."""
+    from collections import defaultdict
+
+    from rust_graph_db_spark.operators.graph_algos import k_truss
+
+    edges = [(a, b) for a, b in data if a != b]
+    if not edges:
+        return
+    df = spark.createDataFrame(edges, "src LONG, dst LONG")
+    got = {(r.u, r.v): r.support for r in k_truss(df, k=k).collect()}
+    adj = defaultdict(set)
+    for u, v in got:
+        adj[u].add(v)
+        adj[v].add(u)
+    for (u, v), sup in got.items():
+        assert sup == len(adj[u] & adj[v])
+        assert sup >= k - 2
+    # parity with the reference peel (same helper the unit tests use)
+    es = {(min(a, b), max(a, b)) for a, b in edges}
+    while True:
+        a2 = defaultdict(set)
+        for u, v in es:
+            a2[u].add(v)
+            a2[v].add(u)
+        sup = {e: len(a2[e[0]] & a2[e[1]]) for e in es}
+        nxt = {e for e in es if sup[e] >= k - 2}
+        if nxt == es:
+            break
+        es = nxt
+    assert got == {e: sup[e] for e in es}
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.lists(st.sampled_from(["aa", "bb", "cc", "dd", "ee", "ff"]),
+             min_size=0, max_size=18),
+    min_size=2, max_size=10),
+       run=st.integers(0, 3))
+def test_winnow_guarantee_random(spark, data, run):
+    """r5: the MOSS detection guarantee on random corpora — plant a
+    shared (k + window - 1)-token run into two docs; they MUST share a
+    fingerprint value. Fingerprint positions must be valid gram
+    positions of their documents."""
+    from rust_graph_db_spark.operators.dedup import winnow_fingerprints
+
+    k, w = 3, 4
+    shared = ["zz%d" % (run * 10 + i) for i in range(k + w - 1)]
+    rows = []
+    for i, toks in enumerate(data):
+        t = list(toks)
+        if i < 2:                     # plant the run in docs 0 and 1
+            cut = min(len(t), i * 3)
+            t = t[:cut] + shared + t[cut:]
+        if t:
+            rows.append((i, " ".join(t)))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    fps = winnow_fingerprints(df, k=k, window=w).collect()
+    by_doc = {}
+    for r in fps:
+        by_doc.setdefault(r.doc_id, set()).add(r.fp)
+        n_grams = len(dict(rows)[r.doc_id].split()) - k + 1
+        assert 0 <= r.pos < n_grams
+    assert by_doc.get(0, set()) & by_doc.get(1, set()), "guarantee broken"
+
+
+@settings(max_examples=8, deadline=None, derandomize=True,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(data=st.lists(
+    st.lists(st.sampled_from(["the", "cat", "sat", "dog", "ran",
+                              "big", "zzq"]), min_size=1, max_size=8),
+    min_size=2, max_size=8))
+def test_kn_perplexity_matches_python_random(spark, data):
+    """r5: interpolated KN perplexity equals the pure-Python model on
+    random small corpora (train = score set: seen bigram, unseen
+    bigram in seen context, unseen context, OOV continuation and
+    first-token branches all reachable)."""
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+    from tests.test_lm import _py_kn_model, _py_kn_ppl
+
+    texts = [" ".join(t) for t in data]
+    df = spark.createDataFrame(list(enumerate(texts)),
+                               "doc_id LONG, text STRING")
+    lm = train_kn_lm(df)
+    if lm.types == 0:
+        return
+    big, ctx, cont, types, disc = _py_kn_model(texts)
+    got = {r.doc_id: r.ppl for r in kn_perplexity(df, lm).collect()}
+    for i, t in enumerate(texts):
+        want = _py_kn_ppl(t, big, ctx, cont, types, disc)
+        assert abs(got[i] - round(want, 3)) <= 1e-3, (i, got[i], want)
