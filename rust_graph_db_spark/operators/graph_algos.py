@@ -695,7 +695,11 @@ def k_truss(edges: DataFrame, k: int = 4,
     a round that removes nothing; that round's supports are already
     the final answer, so the fixpoint costs no extra pass. Rounds
     needed ≤ peel depth (a handful on real graphs; bounded by
-    ``max_rounds`` against the pathological chain-of-triangles).
+    ``max_rounds`` against the pathological chain-of-triangles — an
+    exhausted bound returns the partially-peeled edge set with its
+    true supports, which may still contain under-support edges; raise
+    ``max_rounds`` if ``min(support) < k-2`` in the result, the same
+    bounded-iteration contract as ``k_core``).
 
     100 TB shape: each round is one degree agg + the degree-oriented
     wedge self-join of the SHRINKING edge set (the arboricity bound is
