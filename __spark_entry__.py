@@ -834,6 +834,121 @@ def _decontaminate_neardup_oracle_sql(num_hashes: int = 32,
         f"WHERE {jac} >= {float(threshold)}")
 
 
+def _q_url_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c13: URL canonicalization + crawl-stage-zero URL dedup
+    (curation.canonicalize_url / url_dedup) — tracking params,
+    fragments, case-folded hosts, default ports, www. and trailing
+    slashes all collapse to one canonical key; lowest doc_id per key
+    survives. The entry derives five messy variants per canonical URL
+    as doc_id functions (mod-39 page key × mod-5 variant class, CRT
+    ensures every class hits every page), mirrored verbatim in the
+    oracle; the Spark expression and the SQL twin are byte-identical
+    by construction (shared URL_RULES table, pytest-proven)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import url_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    d = F.col("doc_id").cast("string")
+    p = (F.col("doc_id") % 39).cast("string")
+    h = ((F.col("doc_id") % 39) % 7).cast("string")
+    hostp = F.concat(F.lit("site"), h, F.lit(".com"))
+    path = F.concat(F.lit("/Page/"), p)
+    m = F.col("doc_id") % 5
+    url = (F.when(m == 0, F.concat(
+               F.lit("https://WWW."), hostp, path,
+               F.lit("?utm_source=feed&utm_campaign=x"), d))
+           .when(m == 1, F.concat(F.lit("HTTPS://"), hostp,
+                                  F.lit(":443"), path,
+                                  F.lit("#sec"), d))
+           .when(m == 2, F.concat(F.lit("https://"), hostp, path,
+                                  F.lit("/")))
+           .when(m == 3, F.concat(F.lit("https://"), hostp, path,
+                                  F.lit("?id=7&fbclid=z"), d))
+           .otherwise(F.concat(F.lit("https://"), hostp, path)))
+    return (url_dedup(docs.select("doc_id", url.alias("url")))
+            .select("doc_id", "url_canon"))
+
+
+def _url_dedup_oracle_sql() -> str:
+    """SQL twin of c13: same derived messy URLs, the shared
+    canonicalize_url_sql chain, min-doc_id per canonical key."""
+    from rust_graph_db_spark.operators.curation import canonicalize_url_sql
+
+    return (
+        "WITH u AS (SELECT doc_id, CASE CAST(doc_id % 5 AS INT) "
+        "WHEN 0 THEN 'https://WWW.site' || (doc_id % 39) % 7 "
+        "|| '.com/Page/' || doc_id % 39 "
+        "|| '?utm_source=feed&utm_campaign=x' || doc_id "
+        "WHEN 1 THEN 'HTTPS://site' || (doc_id % 39) % 7 "
+        "|| '.com:443/Page/' || doc_id % 39 || '#sec' || doc_id "
+        "WHEN 2 THEN 'https://site' || (doc_id % 39) % 7 "
+        "|| '.com/Page/' || doc_id % 39 || '/' "
+        "WHEN 3 THEN 'https://site' || (doc_id % 39) % 7 "
+        "|| '.com/Page/' || doc_id % 39 || '?id=7&fbclid=z' || doc_id "
+        "ELSE 'https://site' || (doc_id % 39) % 7 "
+        "|| '.com/Page/' || doc_id % 39 END AS url FROM documents), "
+        f"c AS (SELECT doc_id, {canonicalize_url_sql('url')} "
+        "AS url_canon FROM u) "
+        "SELECT doc_id, url_canon FROM (SELECT doc_id, url_canon, "
+        "row_number() OVER (PARTITION BY url_canon ORDER BY doc_id) "
+        "AS rn FROM c) WHERE rn = 1")
+
+
+def _q_paragraph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d16: exact paragraph dedup (RefinedWeb/MassiveWeb segment
+    stage, dedup.paragraph_dedup) — corpus-first occurrence kept per
+    distinct paragraph, rejoined in order. The synthetic docs are
+    single-paragraph, so the entry derives a 3-paragraph page whose
+    middle/last paragraphs are site-boilerplate constants on doc_id
+    mod classes (repeated corpus-wide, the stage's target), mirrored
+    verbatim in the oracle. md5 mode replays keep/drop decisions."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.dedup import paragraph_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    page = F.concat(
+        F.substring("text", 1, 80), F.lit("\n\n"),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit("all rights reserved worldwide"))
+         .otherwise(F.substring("text", 81, 60)), F.lit("\n\n"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.lit("subscribe to our newsletter today"))
+         .otherwise(F.substring("text", 141, 60)))
+    return paragraph_dedup(docs.select("doc_id", page.alias("text")),
+                           hash_mode="md5")
+
+
+def _paragraph_dedup_oracle_sql() -> str:
+    """SQL twin of d16: same derived page, same md5 paragraph keys,
+    same first-occurrence (id, pos) rule, same in-order rebuild."""
+    return (
+        "WITH pg AS (SELECT doc_id AS id, "
+        "substr(text, 1, 80) || chr(10) || chr(10) || "
+        "CASE WHEN doc_id % 3 = 0 THEN 'all rights reserved worldwide' "
+        "ELSE substr(text, 81, 60) END || chr(10) || chr(10) || "
+        "CASE WHEN doc_id % 7 = 0 THEN "
+        "'subscribe to our newsletter today' "
+        "ELSE substr(text, 141, 60) END AS page FROM documents), "
+        "pr AS (SELECT id, i - 1 AS pos, paras[i] AS para FROM ("
+        "SELECT id, string_split(page, chr(10) || chr(10)) AS paras, "
+        "unnest(generate_series(1, len(string_split(page, "
+        "chr(10) || chr(10))))) AS i FROM pg)), "
+        "mk AS (SELECT id, pos, para, row_number() OVER ("
+        "PARTITION BY ('0x' || substr(md5('pd:' || para), 1, 15))"
+        "::BIGINT ORDER BY id, pos) AS rn FROM pr), "
+        "reb AS (SELECT id, string_agg(para, chr(10) || chr(10) "
+        "ORDER BY pos) AS text_clean, count(*) AS kept FROM mk "
+        "WHERE rn = 1 GROUP BY id), "
+        "tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_paras "
+        "FROM pr GROUP BY id) "
+        "SELECT t.id AS doc_id, t.n_paras, "
+        "CAST(t.n_paras - coalesce(r.kept, 0) AS BIGINT) AS n_removed, "
+        "coalesce(r.text_clean, '') AS text_clean "
+        "FROM tot t LEFT JOIN reb r ON r.id = t.id")
+
+
 def _q_mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c12: per-source data-mixture planning table (The Pile / LLaMA
     recipe tables; sampling.mixture_plan) — inventory from exact
@@ -2433,14 +2548,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #   3. the 3 keys whose library code r5 touched (c8 interning, g23
     #      self-loop contract + oracle universe, x7 integer-exact
     #      revenue);
-    #   4. the 10 operators added in the round's SECOND session (t15,
-    #      d14, g25, t16, d15, g26, c12, w13, t14, c11) — never-
-    #      verified keys outrank stale-but-once-green refreshes, so
-    #      they displaced 10 of the planned r2-block refreshes (the
+    #   4. the 12 operators added in the round's SECOND session (t15,
+    #      d14, g25, t16, d15, g26, c12, d16, c13, w13, t14, c11) —
+    #      never-verified keys outrank stale-but-once-green refreshes,
+    #      so they displaced 12 of the planned r2-block refreshes (the
     #      displaced keys are listed in the rotation comment below and
     #      join the r6 refresh queue; all are pytest-covered and green
-    #      in this round's full 154-key local sweep);
-    #   5. 31 of the 49 keys whose newest green row is r2.
+    #      in this round's full 158-key local sweep);
+    #   5. 29 of the 49 keys whose newest green row is r2.
     # Rows-only entries (c5b GD-training, e10 driver-SVD)
     # stay out of the window by design — their SQL-mirrorable halves
     # (c5, e11) carry the hash verdicts. Everything below the window is
@@ -2757,6 +2872,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "d15_decontaminate_neardup": _q_decontaminate_neardup,
         # per-source data-mixture planning table (r5; full oracle)
         "c12_mixture_plan": _q_mixture_plan,
+        # exact paragraph dedup, RefinedWeb segment stage (r5; full
+        # md5-replay oracle)
+        "d16_paragraph_dedup": _q_paragraph_dedup,
+        # URL canonicalization + crawl-stage-zero URL dedup (r5;
+        # full oracle via the shared URL_RULES chain)
+        "c13_url_dedup": _q_url_dedup,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -2906,19 +3027,19 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # note at the top of queries() for how these slots were chosen. This is
 # the r5 rotation the r4 verdict prescribed (never-verified keys, the
 # c6 retest, r5-code-touched keys, then r2-green refreshes), AMENDED by
-# the round's second session: its 10 new operators (w13, t14, c11, t15,
-# d14, g25, t16, d15, g26, c12) take the slots of 10 planned r2-block
-# refreshes — a never-verified key is a bigger debt than a stale-but-
-# once-green one. All 10 displaced keys (a2, a3, j3, o2, p6, p9, u2,
-# u3, w3, x6) are pytest-covered, r2-green, and green in this round's
-# full 154-key local sweep.
+# the round's second session: its 12 new operators (w13, t14, c11, t15,
+# d14, g25, t16, d15, g26, c12, d16, c13) take the slots of 12 planned
+# r2-block refreshes — a never-verified key is a bigger debt than a
+# stale-but-once-green one. All 12 displaced keys (a2, a3, j3, o2, p4,
+# p6, p9, u1, u2, u3, w3, x6) are pytest-covered, r2-green, and green
+# in this round's full 158-key local sweep.
 # ROUND-6 ROTATION PLAN, priority order: (1) any r5 red retests +
-# r5-code-touched keys; (2) the 18 r2-green keys now pending refresh
+# r5-code-touched keys; (2) the 20 r2-green keys now pending refresh
 # (a2_agg_global, a3_count_distinct, j3_multi_match, o2_skip_limit,
-# p6_with_where, p9_case_expr, u2_intersect, u3_except,
-# w3_window_rank, x6_likes — displaced this round — plus the 8 held by
-# the original plan: a5_event_stats, k1_sketch_stats, m1-m3,
-# r1_range_join, r2_asof_join, u4_unwind);
+# p4_scalar_funcs, p6_with_where, p9_case_expr, u1_union,
+# u2_intersect, u3_except, w3_window_rank, x6_likes — displaced this
+# round — plus the 8 held by the original plan: a5_event_stats,
+# k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join, u4_unwind);
 # (3) refresh the r3-green block (w9, w10-w12, g11-g13, g17, a6, p21,
 # p10, p12-p14, p17-p21, d6-d11, t2-t10, c1-c4, e6-e9, k2, d7, m4);
 # (4) slots for r6 additions. c5b_classifier_train and e10 stay
@@ -2940,8 +3061,9 @@ _R5_WINDOW = [
     "t15_kn_perplexity", "d14_winnow_pairs", "g25_ktruss",
     "t16_c4_line_filter", "d15_decontaminate_neardup",
     "g26_link_prediction", "c12_mixture_plan",
-    # 31 of the 49 keys whose newest green row is r2 (8 held for r6
-    # by the original plan + 10 displaced by the additions above)
+    "d16_paragraph_dedup", "c13_url_dedup",
+    # 29 of the 49 keys whose newest green row is r2 (8 held for r6
+    # by the original plan + 12 displaced by the additions above)
     "a1_agg_group",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
     "d4_simhash", "d5_embedding_neardup",
@@ -2951,10 +3073,9 @@ _R5_WINDOW = [
     "j1_one_hop", "j2_three_hop",
     "j4_optional_match", "j5_mutual_knows",
     "o1_top_k",
-    "p1_pattern_props", "p4_scalar_funcs",
+    "p1_pattern_props",
     "p8_entity_funcs",
     "s1_scan_filter", "t1_text_metrics",
-    "u1_union",
     "w1_windowed_events", "w2_sessionize",
     "w7_running_totals", "w8_durable_graph",
     "x1_follow_unfollow", "x2_followers", "x3_timeline",
@@ -3849,6 +3970,8 @@ def oracle_sql() -> dict[str, str]:
         "d15_decontaminate_neardup": _decontaminate_neardup_oracle_sql(
             num_hashes=32, bands=8, k=5, threshold=0.5),
         "c12_mixture_plan": _mixture_plan_oracle_sql(budget=100_000),
+        "d16_paragraph_dedup": _paragraph_dedup_oracle_sql(),
+        "c13_url_dedup": _url_dedup_oracle_sql(),
         "c8_langid": _langid_oracle_sql(top=200),
         # r4: BPE training now fully oracled — the iterative argmax
         # unrolls and the greedy merge replays as a list_reduce fold

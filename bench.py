@@ -221,7 +221,8 @@ def main() -> None:
                  "t15_kn_perplexity", "d14_winnow_pairs",
                  "g25_ktruss", "g26_link_prediction",
                  "t16_c4_line_filter", "d15_decontaminate_neardup",
-                 "c12_mixture_plan"]:
+                 "c12_mixture_plan", "d16_paragraph_dedup",
+                 "c13_url_dedup"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

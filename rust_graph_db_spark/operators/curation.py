@@ -519,6 +519,89 @@ def normalize_text_sql(expr: str) -> str:
     return f"trim({out})"
 
 
+# URL canonicalization rule chain — same shared-table discipline as
+# NORMALIZE_RULES: literal Java-regex == RE2 patterns (no lookaround,
+# no backrefs), applied in ORDER on the already-lowercased-head URL.
+_TRACKING = ("(utm_[a-z0-9_]+|fbclid|gclid|msclkid|mc_eid"
+             "|ref|ref_src|igshid)")
+URL_RULES = (
+    ("#.*", ""),                           # fragment
+    (f"&{_TRACKING}=[^&#]*", ""),          # non-leading tracking params
+    (f"\\?{_TRACKING}=[^&#]*&", "?"),      # leading one, with successor
+    (f"\\?{_TRACKING}=[^&#]*$", ""),       # leading one, only param
+    ("\\?$", ""),                          # bare '?' left behind
+    ("/$", ""),                            # trailing slash
+)
+#: head (scheme://authority) matcher — everything before the first
+#: /, ? or # after the scheme
+_URL_HEAD = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
+
+
+def canonicalize_url(url: Column) -> Column:
+    """The canonical form of a URL — the key crawl pipelines dedup and
+    frequency-cap on BEFORE any text processing (C4/RefinedWeb treat
+    URL dedup as stage zero; the exact rule set is pipeline policy,
+    this is the common core): lowercase the scheme+host, drop default
+    ports (:80 http / :443 https), drop a leading ``www.``, strip the
+    fragment, strip tracking query parameters (``URL_RULES``), strip
+    a trailing ``?`` or ``/``. Path/query CASE is preserved (paths are
+    case-sensitive). Non-URL strings pass through the query/fragment
+    rules only (no head to normalize). Pure codegen'd
+    regexp_extract/replace chain — zero UDFs; every pattern is
+    RE2-safe so the DuckDB oracle replays it byte-for-byte
+    (``canonicalize_url_sql``)."""
+    head = F.regexp_extract(url, _URL_HEAD, 0)
+    rest = F.substring(url, F.length(head) + 1, F.length(url))
+    h = F.lower(head)
+    h = (F.when(h.startswith("http://"),
+                F.regexp_replace(h, ":80$", ""))
+         .when(h.startswith("https://"),
+               F.regexp_replace(h, ":443$", ""))
+         .otherwise(h))
+    h = F.regexp_replace(h, "://www\\.", "://")
+    out = F.concat(h, rest)
+    for pat, rep in URL_RULES:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def canonicalize_url_sql(expr: str) -> str:
+    """DuckDB twin of :func:`canonicalize_url` as a SQL expression
+    over ``expr`` — the c13 oracle's builder. Same extract → lower →
+    port/www strip → rule chain, byte-for-byte."""
+    head = f"regexp_extract({expr}, '{_URL_HEAD}', 0)"
+    h = (f"CASE WHEN starts_with(lower({head}), 'http://') "
+         f"THEN regexp_replace(lower({head}), ':80$', '') "
+         f"WHEN starts_with(lower({head}), 'https://') "
+         f"THEN regexp_replace(lower({head}), ':443$', '') "
+         f"ELSE lower({head}) END")
+    out = (f"(regexp_replace({h}, '://www\\.', '://') || "
+           f"substr({expr}, length({head}) + 1))")
+    # DuckDB standard string literals do NOT process backslash escapes
+    # (normalize_text_sql precedent: '\s+' passes through literally),
+    # so patterns need only quote-doubling
+    for pat, rep in URL_RULES:
+        p = pat.replace("'", "''")
+        out = f"regexp_replace({out}, '{p}', '{rep}', 'g')"
+    return out
+
+
+def url_dedup(df: DataFrame, url_col: str = "url",
+              id_col: str = "doc_id") -> DataFrame:
+    """Keep ONE row (lowest id) per canonical URL — crawl stage zero:
+    re-crawls, tracking-tagged shares, and fragment variants of the
+    same page collapse before any text-derived stage runs. Returns
+    the surviving rows plus their ``url_canon`` key. One row_number
+    window keyed on the canonical URL; at 100 TB the shuffle carries
+    (id, canon-hash)-sized rows and nothing else grows."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url_canon").orderBy(id_col)
+    return (df.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1).drop("_rn"))
+
+
 def with_domain(df: DataFrame, url_col: str = "url",
                 host_col: str = "host",
                 domain_col: str = "domain") -> DataFrame:

@@ -410,6 +410,71 @@ def exact_substring_dedup(df: DataFrame, id_col: str = "doc_id",
             .withColumnRenamed("id", id_col))
 
 
+# ------------------------------------------------ paragraph-level dedup
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", sep: str = "\n\n",
+                    min_chars: int = 0,
+                    hash_mode: str = "xxhash") -> DataFrame:
+    """(id_col, n_paras, n_removed, text_clean): the corpus after
+    exact PARAGRAPH dedup — every paragraph (split on ``sep``) that
+    occurs elsewhere in the corpus is removed from all but its
+    corpus-first occurrence (lowest (doc id, position)), and each
+    document's surviving paragraphs are rejoined in order. The
+    RefinedWeb/MassiveWeb recipe's segment-level stage (Penedo et al.
+    2023; Rae et al. 2021 — both public): between document-level
+    exact dedup (d1) and sliding-window substring dedup (d13) in
+    granularity, and the cheapest of the three that still kills
+    boilerplate headers/footers repeated across a site's pages.
+
+    Paragraphs shorter than ``min_chars`` are EXEMPT from removal
+    (never dropped, never claim a first-occurrence slot): one-word
+    headings like "Introduction" repeat legitimately.
+
+    ``hash_mode="md5"`` uses the cross-engine hash so an SQL oracle
+    replays the keep/drop decisions bit-identically (the paragraph
+    hash IS the decision key; production default xxhash64).
+
+    100 TB shape: one split+posexplode per doc → (id, pos, hash64)
+    rows — paragraph text never shuffles (the hash is computed inside
+    the scan); one row_number window keyed on the hash finds
+    first occurrences; the rebuild groups by document id. Same
+    skeleton as d13 minus the sliding windows and interval merge.
+    """
+    import re as _re
+
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+    # sep is LITERAL (regex-escaped) — the SQL twin's string_split is
+    # non-regex, so both engines segment identically
+    paras = F.split(F.col(text_col), _re.escape(sep))
+    base = (spread(df)
+            .select(F.col(id_col).alias("id"),
+                    F.posexplode(paras).alias("pos", "para")))
+    if hash_mode == "md5":
+        ph = md5_long(md5_key(F.lit("pd"), F.col("para")))
+    else:
+        ph = F.xxhash64("para")
+    hashed = base.select(
+        "id", "pos", "para",
+        F.when(F.length("para") >= int(min_chars), ph).alias("ph"))
+    w = Window.partitionBy("ph").orderBy("id", "pos")
+    marked = hashed.withColumn(
+        "keep", F.col("ph").isNull()         # exempt: always kept
+        | (F.row_number().over(w) == 1))
+    agg = (marked.groupBy("id")
+           .agg(F.count(F.lit(1)).cast("long").alias("n_paras"),
+                F.count_if(~F.col("keep")).cast("long")
+                .alias("n_removed"),
+                F.array_join(
+                    F.transform(
+                        F.array_sort(F.collect_list(
+                            F.when(F.col("keep"),
+                                   F.struct("pos", "para")))),
+                        lambda s: s["para"]), sep).alias("text_clean")))
+    return agg.withColumnRenamed("id", id_col)
+
+
 # ----------------------------------------- winnowing fingerprints (MOSS)
 
 def winnow_fingerprints(df: DataFrame, id_col: str = "doc_id",

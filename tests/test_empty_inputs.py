@@ -79,6 +79,10 @@ def test_r5_ops_on_empty(empty, spark):
     e = spark.createDataFrame([], "doc_id LONG, source STRING, "
                                   "text STRING")
     assert mixture_plan(e, {"s0": 1}, 100).count() == 0
+    # paragraph dedup / URL dedup on empty input
+    assert dedup.paragraph_dedup(d).count() == 0
+    eu = spark.createDataFrame([], "doc_id LONG, url STRING")
+    assert curation.url_dedup(eu).count() == 0
     # KN LM: training on empty docs yields a degenerate (types=0)
     # model; scoring it raises (the BackoffLM convention)
     from rust_graph_db_spark.operators import lm as lm_mod

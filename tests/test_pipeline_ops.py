@@ -1651,3 +1651,119 @@ def test_winnow_max_df_drops_stop_grams(spark):
     boiler_pairs = {p for p in unfiltered if p[0] < 10 and p[1] < 10}
     assert len(boiler_pairs) == 15        # all C(6,2) boilerplate pairs
     assert not any(p[0] < 10 and p[1] < 10 for p in capped)
+
+
+# ------------------------------------------------ paragraph-level dedup
+
+def test_paragraph_dedup_crafted(spark):
+    from rust_graph_db_spark.operators.dedup import paragraph_dedup
+
+    boiler = "subscribe to our newsletter for updates"
+    rows = [
+        (0, "unique intro\n\n" + boiler + "\n\nunique body zero"),
+        (1, boiler + "\n\nunique body one"),          # loses boiler
+        (2, "unique body two\n\n" + boiler),          # loses boiler
+        (3, "all original content\n\nnothing shared"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for mode in ("xxhash", "md5"):
+        got = {r.doc_id: (r.n_paras, r.n_removed, r.text_clean)
+               for r in paragraph_dedup(df, hash_mode=mode).collect()}
+        assert got[0] == (3, 0, rows[0][1])           # first occurrence
+        assert got[1] == (2, 1, "unique body one")
+        assert got[2] == (2, 1, "unique body two")
+        assert got[3] == (2, 0, rows[3][1])
+
+
+def test_paragraph_dedup_min_chars_exempts_headings(spark):
+    from rust_graph_db_spark.operators.dedup import paragraph_dedup
+
+    rows = [(0, "Intro\n\nlong unique paragraph body number zero"),
+            (1, "Intro\n\nlong unique paragraph body number one")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    # without the floor, doc 1 loses "Intro"
+    got = {r.doc_id: r.text_clean
+           for r in paragraph_dedup(df).collect()}
+    assert got[1] == "long unique paragraph body number one"
+    # with min_chars, short repeated headings are exempt everywhere
+    got = {r.doc_id: r.text_clean
+           for r in paragraph_dedup(df, min_chars=10).collect()}
+    assert got[0] == rows[0][1] and got[1] == rows[1][1]
+
+
+def test_paragraph_dedup_matches_bruteforce(spark):
+    import random
+    from collections import defaultdict
+
+    from rust_graph_db_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(3)
+    pool = ["para %d words" % i for i in range(12)]
+    docs = ["\n\n".join(rng.choice(pool)
+                        for _ in range(rng.randint(1, 6)))
+            for _ in range(30)]
+    first = {}
+    want = {}
+    for i, d in enumerate(docs):
+        ps = d.split("\n\n")
+        for p_i, p in enumerate(ps):
+            first.setdefault(p, (i, p_i))
+    for i, d in enumerate(docs):
+        ps = d.split("\n\n")
+        kept = [p for p_i, p in enumerate(ps)
+                if first[p] == (i, p_i)]
+        want[i] = (len(ps), len(ps) - len(kept), "\n\n".join(kept))
+    df = spark.createDataFrame(list(enumerate(docs)),
+                               "doc_id LONG, text STRING")
+    got = {r.doc_id: (r.n_paras, r.n_removed, r.text_clean)
+           for r in paragraph_dedup(df, hash_mode="md5").collect()}
+    assert got == want
+
+
+# ------------------------------------------------ URL canonicalization
+
+URL_CASES = [
+    "HTTPS://WWW.Site3.COM:443/Page/7?utm_source=feed&utm_campaign=x",
+    "http://Example.com:80/a/b/#frag",
+    "https://site.com/page/?id=7&fbclid=abc",
+    "https://site.com/page?utm_a=1&real=2&gclid=z",
+    "https://site.com/page?utm_only=1",
+    "not a url at all?utm_x=1",
+    "https://www.x.com/",
+    "ftp://Host.Net:21/File.TXT",
+]
+
+
+def test_canonicalize_url_spark_matches_duckdb(spark):
+    """The Spark expression and its SQL twin produce byte-identical
+    canonical forms — the c13 oracle contract."""
+    import duckdb
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import (
+        canonicalize_url, canonicalize_url_sql)
+
+    df = spark.createDataFrame([(u,) for u in URL_CASES], "u STRING")
+    got = {r.u: r.c for r in df.select(
+        "u", canonicalize_url(F.col("u")).alias("c")).collect()}
+    q = ("SELECT u, " + canonicalize_url_sql("u")
+         + " AS c FROM (SELECT unnest(?) AS u)")
+    want = dict(duckdb.execute(q, [URL_CASES]).fetchall())
+    assert got == want
+    # spot semantics: host folded, port dropped, tracking stripped,
+    # path case preserved
+    assert got[URL_CASES[0]] == "https://site3.com/Page/7"
+    assert got[URL_CASES[4]] == "https://site.com/page"
+    assert got[URL_CASES[5]] == "not a url at all"
+
+
+def test_url_dedup_keeps_first_per_canonical(spark):
+    from rust_graph_db_spark.operators.curation import url_dedup
+
+    rows = [(0, "https://x.com/a?utm_source=tw"),
+            (1, "HTTPS://WWW.X.COM:443/a#top"),
+            (2, "https://x.com/a"),
+            (3, "https://x.com/b")]
+    df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
+    got = {(r.doc_id, r.url_canon) for r in url_dedup(df).collect()}
+    assert got == {(0, "https://x.com/a"), (3, "https://x.com/b")}
