@@ -750,7 +750,8 @@ def curate(
     languages=None, language_profiles_df: DataFrame | None = None,
     url_col: str | None = None, max_per_domain: int | None = None,
     domain_blocklist=None, normalize: bool = False,
-    line_filter: bool = False,
+    line_filter: bool = False, dedup_urls: bool = False,
+    dedup_paragraphs: bool = False,
 ) -> DataFrame:
     """The composed end-to-end curation pass a pretraining pipeline
     runs per crawl batch: [domain curation →] [LM perplexity filter →]
@@ -778,6 +779,11 @@ def curate(
     normalization (the C4 order; it must see line structure, which
     normalization's whitespace collapse erases) — boilerplate lines
     and blocked pages never reach any downstream stage.
+    ``dedup_urls=True`` (needs ``url_col``) runs canonical-URL dedup
+    as stage ZERO — before domain caps, so a re-crawl can't consume
+    two of its domain's slots. ``dedup_paragraphs=True`` runs
+    corpus-level paragraph dedup before the line filter (repeated
+    site boilerplate disappears whole).
 
     Plan shape at 100 TB: filter + redaction + split are ONE
     codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
@@ -789,14 +795,29 @@ def curate(
     from pyspark.sql import Window
 
     if url_col is None and (max_per_domain is not None
-                            or domain_blocklist is not None):
-        raise ValueError("curate(): max_per_domain/domain_blocklist "
-                         "need url_col")
+                            or domain_blocklist is not None
+                            or dedup_urls):
+        raise ValueError("curate(): max_per_domain/domain_blocklist/"
+                         "dedup_urls need url_col")
+    if dedup_urls:
+        # crawl stage zero: canonical-URL dedup BEFORE domain caps (a
+        # re-crawled page must not consume two slots of its domain's
+        # budget) and before any text-derived stage
+        df = url_dedup(df, url_col, id_col).drop("url_canon")
     if url_col is not None:
         df = domain_curate(df, url_col, id_col,
                            max_per_domain=max_per_domain,
                            blocklist=domain_blocklist) \
             .drop("host", "domain")
+    if dedup_paragraphs:
+        # corpus-level segment dedup before line filtering: repeated
+        # site boilerplate disappears whole, not line by line
+        from rust_graph_db_spark.operators.dedup import paragraph_dedup
+
+        pd_ = paragraph_dedup(df, id_col, text_col)
+        df = df.drop(text_col).join(
+            pd_.select(id_col, F.col("text_clean").alias(text_col)),
+            id_col)
     if line_filter:
         lf = c4_line_filter(df, id_col, text_col)
         df = df.drop(text_col).join(

@@ -1767,3 +1767,33 @@ def test_url_dedup_keeps_first_per_canonical(spark):
     df = spark.createDataFrame(rows, "doc_id LONG, url STRING")
     got = {(r.doc_id, r.url_canon) for r in url_dedup(df).collect()}
     assert got == {(0, "https://x.com/a"), (3, "https://x.com/b")}
+
+
+def test_curate_url_and_paragraph_stages(spark):
+    """curate(dedup_urls=True, dedup_paragraphs=True): the re-crawled
+    URL collapses first (not double-charging its domain), then the
+    shared boilerplate paragraph disappears from non-first docs."""
+    from rust_graph_db_spark.operators.curation import curate
+
+    body = ("the quick brown fox jumps over the lazy dog and keeps "
+            "running far away tonight")
+    boiler = "subscribe to our newsletter for all the latest updates"
+    rows = [
+        (0, body + " zero\n\n" + boiler, "https://a.com/p?utm_source=x"),
+        (1, body + " zero\n\n" + boiler, "HTTPS://WWW.A.COM/p"),  # re-crawl
+        (2, body + " two\n\n" + boiler, "https://a.com/q"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, "
+                                     "url STRING")
+    lax = {"min_tokens": 1, "max_tokens": 10**6, "min_stopword": 0.0,
+           "max_punct": 1.0, "max_dup2": 1.0, "min_word_len": 0.0,
+           "max_word_len": 100.0}
+    out = {r.doc_id: r.clean_text for r in curate(
+        df, thresholds=lax, url_col="url", dedup_urls=True,
+        dedup_paragraphs=True).collect()}
+    assert sorted(out) == [0, 2]          # doc 1 = same canonical URL
+    assert boiler in out[0]               # first occurrence keeps it
+    assert boiler not in out[2]
+    import pytest as _p
+    with _p.raises(ValueError):
+        curate(df, dedup_urls=True)       # needs url_col
