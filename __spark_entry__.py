@@ -615,6 +615,148 @@ def _link_prediction_oracle_sql(pre: str) -> str:
         "JOIN dg db ON db.u = n.b")
 
 
+def _q_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """g27: per-vertex local clustering coefficient over the knows
+    graph (graph_algos.local_clustering, Watts & Strogatz 1998) —
+    the per-vertex refinement of g24's global transitivity. Degree
+    and triangle counts are exact integers; lcc is ONE unrounded
+    double quotient of exact ints (the g22/g24 contract), so the
+    oracle hashes bitwise."""
+    from rust_graph_db_spark.operators.graph_algos import local_clustering
+
+    return local_clustering(_knows_raw_edges(spark, sf_dir))
+
+
+def _local_clustering_oracle_sql(pre: str) -> str:
+    """SQL twin of graph_algos.local_clustering over `knows`:
+    symmetric loop-free edges, per-center wedge join probed against
+    the id-ordered edge set (each vertex's triangles counted once per
+    unordered neighbor pair), then the same single double division."""
+    return pre + (
+        ", sym AS MATERIALIZED (SELECT DISTINCT u, v FROM "
+        "(SELECT src AS u, dst AS v FROM knows "
+        "UNION ALL SELECT dst, src FROM knows) WHERE u <> v), "
+        "dg AS (SELECT u AS id, count(*) AS degree FROM sym GROUP BY u), "
+        "eh AS (SELECT u AS b, v AS c FROM sym WHERE u < v), "
+        "pv AS (SELECT s1.u AS id, count(*) AS tri FROM sym s1 "
+        "JOIN sym s2 ON s1.u = s2.u AND s1.v < s2.v "
+        "JOIN eh ON eh.b = s1.v AND eh.c = s2.v GROUP BY s1.u) "
+        "SELECT dg.id, CAST(dg.degree AS BIGINT) AS degree, "
+        "CAST(coalesce(pv.tri, 0) AS BIGINT) AS triangles, "
+        "CASE WHEN dg.degree < 2 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(2 * coalesce(pv.tri, 0) AS DOUBLE) / "
+        "CAST(dg.degree * (dg.degree - 1) AS DOUBLE) END AS lcc "
+        "FROM dg LEFT JOIN pv ON pv.id = dg.id")
+
+
+def _q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d17: Levenshtein fuzzy-join dedup (dedup.edit_distance_pairs —
+    Ed-Join prefix filtering, Xiao, Wang & Lin PVLDB 2008, with the
+    Gravano et al. VLDB 2001 count-filter bound): every document pair
+    within edit distance 20, candidates from a rare-q-gram prefix
+    equi-join (+ a length-banded short-string path), verified with
+    Spark's banded builtin levenshtein. Integer-exact end to end; the
+    oracle is the NAIVE definition (all length-banded pairs), so a
+    candidate-generation recall bug cannot hide."""
+    from rust_graph_db_spark.operators.dedup import edit_distance_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return edit_distance_pairs(docs, max_dist=20, q=3)
+
+
+def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t17: corpus-level TextRank keyword scores (Mihalcea & Tarau,
+    EMNLP 2004; ranking.textrank_keywords) — adjacent-token
+    co-occurrence graph + the weighted co-partitioned pagerank loop.
+    Scores are id-independent, so the oracle runs the same unrolled
+    weighted-PR CTEs keyed by the word string; round-6 both sides
+    (the g8/g21 iterative-float contract)."""
+    from rust_graph_db_spark.operators.ranking import textrank_keywords
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return textrank_keywords(docs, iterations=6, damping=0.85)
+
+
+def _textrank_oracle_sql(iterations: int = 6,
+                         damping: float = 0.85) -> str:
+    """SQL twin of ranking.textrank_keywords: t5's tokenization,
+    adjacent-pair undirected co-occurrence weights, then g21's
+    unrolled weighted-PageRank structure keyed by word."""
+    ctes = [
+        "tr_toks AS (SELECT string_split_regex(lower(text), '\\s+') "
+        "AS t FROM documents)",
+        "tr_bg AS (SELECT t[i] AS x, t[i+1] AS y FROM (SELECT t, "
+        "unnest(generate_series(1, len(t)-1)) AS i FROM tr_toks "
+        "WHERE len(t) >= 2))",
+        "tr_und AS (SELECT least(x, y) AS a, greatest(x, y) AS b, "
+        "count(*) AS w FROM tr_bg WHERE x <> y GROUP BY 1, 2)",
+        "tr_we AS MATERIALIZED (SELECT a AS src, b AS dst, "
+        "CAST(w AS DOUBLE) AS w FROM tr_und UNION ALL "
+        "SELECT b, a, CAST(w AS DOUBLE) FROM tr_und)",
+        "tr_v AS (SELECT DISTINCT src AS word FROM tr_we)",
+        "tr_ow AS (SELECT src, sum(w) AS tw FROM tr_we GROUP BY src)",
+        "tr_r0 AS (SELECT word, 1.0 AS rank FROM tr_v)",
+    ]
+    for i in range(1, iterations + 1):
+        ctes.append(
+            f"tr_r{i} AS (SELECT v.word, {1 - damping} + {damping} * "
+            f"coalesce(c.c, 0) AS rank FROM tr_v v LEFT JOIN ("
+            f"SELECT e.dst AS word, sum(r.rank * e.w / o.tw) AS c "
+            f"FROM tr_we e JOIN tr_r{i-1} r ON r.word = e.src "
+            f"JOIN tr_ow o ON o.src = e.src GROUP BY e.dst) c "
+            f"ON c.word = v.word)")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT word, round(rank, 6) AS rank "
+              f"FROM tr_r{iterations}")
+
+
+def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c14: Bloom-filter decontamination
+    (curation.decontaminate_bloom) — d6's benchmark split (doc_id %
+    7 = 0) and shingle convention, but membership via a 2^17-bit
+    relational Bloom filter (4 md5 positions per shingle). The bit
+    positions are a pure function of the gram, so the oracle replays
+    the filter BITWISE — false positives included."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import decontaminate_bloom
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return decontaminate_bloom(
+        docs.where(F.col("doc_id") % 7 != 0),
+        docs.where(F.col("doc_id") % 7 == 0))
+
+
+def _bloom_decontaminate_oracle_sql(k: int = 8, m: int = 1 << 17,
+                                    nh: int = 4) -> str:
+    """SQL twin of curation.decontaminate_bloom: same d6 shingle
+    windows, same md5_long('j:gram') % m positions, same all-set
+    membership rule."""
+    js = ", ".join(str(i) for i in range(nh))
+    pos = f"(('0x' || substr(md5(j || ':' || g), 1, 15))::BIGINT) % {m}"
+    win = (f"unnest(generate_series(1, greatest(length(text)-{k - 1}, "
+           f"1))) AS i")
+    return (
+        f"WITH bl_eg AS (SELECT DISTINCT substr(text, i, {k}) AS g "
+        f"FROM (SELECT text, {win} FROM documents WHERE doc_id % 7 = 0)), "
+        f"bl_bits AS (SELECT DISTINCT {pos} AS pos FROM bl_eg, "
+        f"(SELECT unnest([{js}]) AS j)), "
+        f"bl_tg AS (SELECT DISTINCT doc_id, substr(text, i, {k}) AS g "
+        f"FROM (SELECT doc_id, text, {win} FROM documents "
+        f"WHERE doc_id % 7 <> 0)), "
+        f"bl_probe AS (SELECT doc_id, g, {pos} AS pos FROM bl_tg, "
+        f"(SELECT unnest([{js}]) AS j)), "
+        f"bl_hits AS (SELECT doc_id, count(*) AS n_hits FROM ("
+        f"SELECT doc_id, g FROM bl_probe JOIN bl_bits USING (pos) "
+        f"GROUP BY doc_id, g HAVING count(*) = {nh}) GROUP BY doc_id), "
+        f"bl_pd AS (SELECT doc_id, count(*) AS n_grams FROM bl_tg "
+        f"GROUP BY doc_id) "
+        f"SELECT p.doc_id, CAST(p.n_grams AS BIGINT) AS n_grams, "
+        f"CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
+        f"coalesce(h.n_hits, 0) > 0 AS flagged "
+        f"FROM bl_pd p LEFT JOIN bl_hits h ON h.doc_id = p.doc_id")
+
+
 def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t15: interpolated Kneser-Ney bigram perplexity (Kneser & Ney
     1995 / Chen & Goodman 1998 — CCNet's actual quality-LM family,
@@ -2878,6 +3020,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # URL canonicalization + crawl-stage-zero URL dedup (r5;
         # full oracle via the shared URL_RULES chain)
         "c13_url_dedup": _q_url_dedup,
+        # Levenshtein fuzzy-join dedup, Ed-Join prefix filtering (r5;
+        # full oracle — the naive definition, integer-exact)
+        "d17_edit_distance": _q_edit_distance_pairs,
+        # per-vertex local clustering coefficient (r5; full oracle —
+        # exact ints + one unrounded double quotient)
+        "g27_local_clustering": _q_local_clustering,
+        # corpus TextRank keywords: co-occurrence graph + weighted
+        # co-partitioned pagerank (r5; unrolled weighted-CTE oracle)
+        "t17_textrank": _q_textrank,
+        # Bloom-filter decontamination, the broadcastable scale path
+        # of d6 (r5; BITWISE md5-replay oracle, FPs included)
+        "c14_bloom_decontaminate": _q_bloom_decontaminate,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -3037,9 +3191,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r5-code-touched keys; (2) the 20 r2-green keys now pending refresh
 # (a2_agg_global, a3_count_distinct, j3_multi_match, o2_skip_limit,
 # p4_scalar_funcs, p6_with_where, p9_case_expr, u1_union,
-# u2_intersect, u3_except, w3_window_rank, x6_likes — displaced this
-# round — plus the 8 held by the original plan: a5_event_stats,
-# k1_sketch_stats, m1-m3, r1_range_join, r2_asof_join, u4_unwind);
+# u2_intersect, u3_except, w3_window_rank, x6_likes,
+# x1_follow_unfollow, x2_followers, x3_timeline, x4_suggestions —
+# displaced this round — plus the 8 held by the original plan:
+# a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join,
+# r2_asof_join, u4_unwind);
 # (3) refresh the r3-green block (w9, w10-w12, g11-g13, g17, a6, p21,
 # p10, p12-p14, p17-p21, d6-d11, t2-t10, c1-c4, e6-e9, k2, d7, m4);
 # (4) slots for r6 additions. c5b_classifier_train and e10 stay
@@ -3062,8 +3218,16 @@ _R5_WINDOW = [
     "t16_c4_line_filter", "d15_decontaminate_neardup",
     "g26_link_prediction", "c12_mixture_plan",
     "d16_paragraph_dedup", "c13_url_dedup",
-    # 29 of the 49 keys whose newest green row is r2 (8 held for r6
-    # by the original plan + 12 displaced by the additions above)
+    # the round's THIRD-session additions (never driver-verified;
+    # green in the local sweep at sf0.001+sf0.01) — they displace
+    # x1/x2/x3_timeline/x4 from the r2-refresh block below (same
+    # never-verified-outranks-stale rule; the displaced keys join the
+    # r6 refresh queue)
+    "d17_edit_distance", "g27_local_clustering",
+    "t17_textrank", "c14_bloom_decontaminate",
+    # 25 of the 49 keys whose newest green row is r2 (8 held for r6
+    # by the original plan + 12 displaced by the second-session
+    # additions + 4 displaced by the third-session additions)
     "a1_agg_group",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
     "d4_simhash", "d5_embedding_neardup",
@@ -3078,8 +3242,6 @@ _R5_WINDOW = [
     "s1_scan_filter", "t1_text_metrics",
     "w1_windowed_events", "w2_sessionize",
     "w7_running_totals", "w8_durable_graph",
-    "x1_follow_unfollow", "x2_followers", "x3_timeline",
-    "x4_suggestions",
 ]
 
 
@@ -3966,6 +4128,20 @@ def oracle_sql() -> dict[str, str]:
             k=3, window=4, min_shared=2),
         "g25_ktruss": _ktruss_oracle_sql(k=4, rounds=8),
         "g26_link_prediction": _link_prediction_oracle_sql(pre),
+        "g27_local_clustering": _local_clustering_oracle_sql(pre),
+        "t17_textrank": _textrank_oracle_sql(iterations=6,
+                                             damping=0.85),
+        "c14_bloom_decontaminate": _bloom_decontaminate_oracle_sql(
+            k=8, m=1 << 17, nh=4),
+        # d17: the NAIVE definition — every length-banded pair scored
+        # with DuckDB's builtin levenshtein, so the prefix-filter
+        # candidate generation is checked for RECALL, not replayed
+        "d17_edit_distance": (
+            "SELECT a.doc_id AS id1, b.doc_id AS id2, "
+            "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "AND abs(length(a.text) - length(b.text)) <= 20 "
+            "WHERE levenshtein(a.text, b.text) <= 20"),
         "t16_c4_line_filter": _c4_line_filter_oracle_sql(),
         "d15_decontaminate_neardup": _decontaminate_neardup_oracle_sql(
             num_hashes=32, bands=8, k=5, threshold=0.5),

@@ -936,3 +936,79 @@ def repetition_metrics(
                 F.size("_toks").cast("long").alias("tok_cnt"),
                 F.round(frac("_g2"), 6).alias("dup2_frac"),
                 F.round(frac("_g3"), 6).alias("dup3_frac")))
+
+
+def decontaminate_bloom(
+    train: DataFrame, benchmark: DataFrame,
+    id_col: str = "doc_id", text_col: str = "text",
+    bench_id_col: str | None = None, bench_text_col: str | None = None,
+    k: int = 8, m_bits: int = 1 << 17, n_hash: int = 4,
+) -> DataFrame:
+    """``(id, n_grams, n_hits, flagged)``: Bloom-filter variant of
+    :func:`decontaminate` — the 100 TB SCALE PATH when the benchmark
+    shingle set is too large to broadcast as raw hashes and too hot to
+    shuffle-join per run.
+
+    The filter is built relationally: every benchmark k-char shingle
+    sets ``n_hash`` bit positions ``md5_long(j || ':' || gram) %
+    m_bits`` (the cross-engine md5 substrate, functions/hashing.py),
+    and the DISTINCT set-bit table — at most ``m_bits`` ints, i.e.
+    ~1 MB at the 2^17 default REGARDLESS of benchmark size — is what
+    ships broadcast to the probe side. A training shingle "hits" iff
+    ALL ``n_hash`` of its positions are set; a doc is ``flagged`` iff
+    any shingle hits. Classic Bloom semantics: no false negatives
+    (every d6 hit is a c14 hit), false positives at the standard
+    ``(1-e^(-kn/m))^k`` rate — and because the bit positions are a
+    pure function of the gram, the FP set is DETERMINISTIC and the
+    whole construction replays in SQL, FPs included: the oracle is
+    bitwise, not approximate-tolerant.
+
+    Probe-side cost: n_hash codegen'd hashes per distinct (doc,
+    shingle) and a broadcast semi-join — no shuffle touches the
+    benchmark set after the one distinct-bits agg.
+    """
+    from rust_graph_db_spark.functions.hashing import md5_key, md5_long
+
+    bench_id = bench_id_col or id_col
+    bench_text = bench_text_col or text_col
+    m, nh = int(m_bits), int(n_hash)
+    j = F.explode(F.array(*[F.lit(i) for i in range(nh)])).alias("j")
+
+    def _grams(df: DataFrame, idc: str, txc: str) -> DataFrame:
+        # d6's shingle convention: substr windows, short docs get one
+        # whole-text gram (greatest(len-k+1, 1))
+        return (df.select(
+            F.col(idc).alias("id"), F.col(txc).alias("s"),
+            F.explode(F.sequence(F.lit(1), F.greatest(
+                F.length(txc) - (k - 1), F.lit(1)))).alias("i"))
+            .select("id", F.col("s").substr(F.col("i"), F.lit(k))
+                    .alias("g"))
+            .distinct())
+
+    bits = (_grams(benchmark, bench_id, bench_text)
+            .select("g").distinct()
+            .select(F.col("g"), j)
+            .select((md5_long(md5_key(F.col("j"), F.col("g"))) % m)
+                    .alias("pos"))
+            .distinct()
+            .localCheckpoint(eager=True))
+    probe = (_grams(train, id_col, text_col)
+             .select("id", "g", j)
+             .select("id", "g",
+                     (md5_long(md5_key(F.col("j"), F.col("g"))) % m)
+                     .alias("pos")))
+    # each probe row matches <= 1 bits row (bits is distinct), so the
+    # per-(id, g) match count IS the number of set positions
+    hits = (probe.join(F.broadcast(bits), "pos")
+            .groupBy("id", "g").agg(F.count(F.lit(1)).alias("nset"))
+            .where(F.col("nset") == nh)
+            .groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                               .alias("n_hits")))
+    per_doc = (_grams(train, id_col, text_col)
+               .groupBy("id").agg(F.count(F.lit(1)).cast("long")
+                                  .alias("n_grams")))
+    return (per_doc.join(hits, "id", "left")
+            .select(F.col("id").alias(id_col), "n_grams",
+                    F.coalesce("n_hits", F.lit(0)).cast("long")
+                    .alias("n_hits"))
+            .withColumn("flagged", F.col("n_hits") > 0))

@@ -1743,3 +1743,49 @@ def modularity(edges: DataFrame, assignment: DataFrame,
              - F.col("dsq") / (F.col("m2") * F.col("m2")),
              decimals).alias("modularity")))
     return q
+
+
+def local_clustering(edges: DataFrame) -> DataFrame:
+    """Per-vertex local clustering coefficient (Watts & Strogatz 1998):
+    ``(id, degree, triangles, lcc)`` with lcc = 2*tri / (deg*(deg-1)),
+    0 when deg < 2 — the per-vertex refinement of ``graph_profile``'s
+    global transitivity and the LAST member of the triangle family
+    (count: :func:`triangle_count`, peel: :func:`k_truss`).
+
+    Same degree-oriented wedge join as :func:`triangle_count` —
+    arboricity-bounded fan-out, the property that keeps the self-join
+    alive on power-law graphs at 100 TB — then each closed triangle is
+    exploded to its THREE corners and counted per vertex (one extra
+    map-side explode + one count shuffle keyed by vertex; nothing
+    quadratic). Numerator and denominator are exact integers; lcc is
+    ONE double division of exact ints, so the oracle hashes bitwise
+    (the g22/g24 unrounded-quotient contract).
+    """
+    sym = _undirected_min_nbr(edges)
+    deg = sym.groupBy(F.col("u").alias("id")).agg(F.count("*").alias("deg"))
+    ranked = (sym.join(deg.select(F.col("id").alias("u"),
+                                  F.col("deg").alias("du")), "u")
+              .join(deg.select(F.col("id").alias("v"),
+                               F.col("deg").alias("dv")), "v"))
+    oriented = (ranked.where((F.col("du") < F.col("dv"))
+                             | ((F.col("du") == F.col("dv"))
+                                & (F.col("u") < F.col("v"))))
+                .select("u", "v"))
+    w1 = oriented.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    w2 = oriented.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    wedges = w1.join(w2, "a").where(F.col("b") < F.col("c"))
+    closing = oriented.select(F.least("u", "v").alias("b"),
+                              F.greatest("u", "v").alias("c"))
+    tri = wedges.join(closing, ["b", "c"])
+    per_v = (tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+             .groupBy("id").agg(F.count("*").alias("tri")))
+    return (deg.join(per_v, "id", "left")
+            .select("id", F.col("deg").cast("long").alias("degree"),
+                    F.coalesce("tri", F.lit(0)).cast("long")
+                    .alias("triangles"))
+            .withColumn(
+                "lcc",
+                F.when(F.col("degree") < 2, F.lit(0.0)).otherwise(
+                    (F.lit(2) * F.col("triangles")).cast("double")
+                    / (F.col("degree") * (F.col("degree") - 1))
+                    .cast("double"))))

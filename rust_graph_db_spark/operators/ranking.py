@@ -125,3 +125,55 @@ def bm25_search(
               .agg(F.round(F.sum(contrib), 6).alias("score"))
               .orderBy(F.col("score").desc(), F.col(id_col))
               .limit(int(top)))
+
+
+def textrank_keywords(df: DataFrame, text_col: str = "text",
+                      iterations: int = 6,
+                      damping: float = 0.85) -> DataFrame:
+    """``(word, rank)``: corpus-level TextRank keyword scores
+    (Mihalcea & Tarau, EMNLP 2004) — the graph-centrality companion to
+    ``tfidf_top_terms``'s frequency ranking.
+
+    Pure composition of two existing substrates, which is the point:
+    the co-occurrence graph is the adjacent-token pair aggregation
+    (window = 2, the paper's default for undirected keyword graphs;
+    weight = corpus-wide co-occurrence count), vertex ids are
+    ``md5_long(word)`` (oracle-replayable, and a 60-bit key keeps the
+    iterative join state narrow at 100 TB instead of shuffling word
+    strings every round), and the score loop IS
+    ``graph_algos.pagerank(weight_col=...)`` — co-partitioned, one
+    Exchange per iteration, the plan already rehearsed at 10M edges.
+    Scores are independent of id values, so the DuckDB oracle runs the
+    SAME unrolled weighted loop keyed by the word string itself.
+    Symmetric edges mean no dangling-mass concerns; rank = (1-d) +
+    d*sum(in_rank*w/out_w), round-6 on both sides (the g8/g21 float
+    contract for iterative double sums).
+    """
+    from rust_graph_db_spark.functions.hashing import md5_long
+    from rust_graph_db_spark.functions.text import tokens
+    from rust_graph_db_spark.operators.curation import bigrams
+    from rust_graph_db_spark.operators.graph_algos import pagerank
+
+    toks = df.select(tokens(F.col(text_col)).alias("_toks"))
+    grams = (toks.where(F.size("_toks") >= 2)
+             .select(F.explode(bigrams()).alias("g"))
+             .select(F.split("g", " ").getItem(0).alias("x"),
+                     F.split("g", " ").getItem(1).alias("y"))
+             .where(F.col("y").isNotNull() & (F.col("x") != F.col("y"))))
+    und = (grams.select(F.least("x", "y").alias("a"),
+                        F.greatest("x", "y").alias("b"))
+           .groupBy("a", "b").agg(F.count("*").cast("double").alias("w")))
+    dic = (und.select(F.col("a").alias("word"))
+           .unionAll(und.select("b")).distinct()
+           .select("word", md5_long(F.col("word")).alias("wid")))
+    keyed = (und.join(dic.select(F.col("word").alias("a"),
+                                 F.col("wid").alias("src")), "a")
+             .join(dic.select(F.col("word").alias("b"),
+                              F.col("wid").alias("dst")), "b")
+             .select("src", "dst", "w"))
+    edges = keyed.unionAll(keyed.select(F.col("dst").alias("src"),
+                                        F.col("src").alias("dst"), "w"))
+    ranks = pagerank(edges, iterations=iterations, damping=damping,
+                     weight_col="w")
+    return (dic.join(ranks, dic["wid"] == ranks["id"])
+            .select("word", F.round("rank", 6).alias("rank")))

@@ -1152,3 +1152,47 @@ def test_link_prediction_triangle_closure(spark):
     got = {(r.u, r.v): (r.cn, r.jac, r.pa)
            for r in link_prediction(df).collect()}
     assert got == {(0, 2): (1, 1.0, 1)}
+
+
+def test_local_clustering_known_graphs(spark):
+    from rust_graph_db_spark.operators.graph_algos import (local_clustering,
+                                                           triangle_count)
+
+    # K4: every vertex lcc = 1.0 (3 triangles each... deg 3, tri 3)
+    k4 = spark.createDataFrame(
+        [(a, b) for a in range(4) for b in range(4) if a < b],
+        "src LONG, dst LONG")
+    rows = {r.id: r for r in local_clustering(k4).collect()}
+    assert all(rows[v].degree == 3 and rows[v].triangles == 3
+               and rows[v].lcc == 1.0 for v in range(4))
+
+    # path 0-1-2: middle vertex deg 2, no triangle, lcc 0; ends deg 1
+    path = spark.createDataFrame([(0, 1), (1, 2)], "src LONG, dst LONG")
+    rows = {r.id: r for r in local_clustering(path).collect()}
+    assert rows[1].lcc == 0.0 and rows[1].degree == 2
+    assert rows[0].lcc == 0.0 and rows[0].degree == 1
+
+    # triangle + pendant: vertex 0 in the triangle with a pendant (deg
+    # 3, 1 triangle): lcc = 2*1/(3*2) = 1/3 exactly
+    g = spark.createDataFrame([(0, 1), (1, 2), (2, 0), (0, 9)],
+                              "src LONG, dst LONG")
+    rows = {r.id: r for r in local_clustering(g).collect()}
+    assert rows[0].triangles == 1 and rows[0].degree == 3
+    assert rows[0].lcc == 2.0 / 6.0
+    assert rows[9].degree == 1 and rows[9].lcc == 0.0
+
+
+def test_local_clustering_sums_to_triangle_count(spark, kg):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.graph_algos import (local_clustering,
+                                                           triangle_count)
+    from rust_graph_db_spark.model import unpack_locid
+
+    e = kg.edge_frame("KNOWS").select(
+        unpack_locid(F.col("src")).alias("src"),
+        unpack_locid(F.col("dst")).alias("dst"))
+    lc = local_clustering(e)
+    total = triangle_count(e).collect()[0].triangles
+    # every triangle contributes exactly one count to each corner
+    assert lc.agg(F.sum("triangles")).collect()[0][0] == 3 * total

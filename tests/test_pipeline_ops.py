@@ -1797,3 +1797,110 @@ def test_curate_url_and_paragraph_stages(spark):
     import pytest as _p
     with _p.raises(ValueError):
         curate(df, dedup_urls=True)       # needs url_col
+
+
+# ---------------------------------------------------------------- d17
+
+def _lev(a: str, b: str) -> int:
+    # reference DP, for brute-force parity only
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                           prev[j - 1] + (ca != cb)))
+        prev = cur
+    return prev[len(b)]
+
+
+def _brute_pairs(rows, d):
+    out = []
+    for i, (ia, sa) in enumerate(rows):
+        for ib, sb in rows[i + 1:]:
+            if abs(len(sa) - len(sb)) <= d and _lev(sa, sb) <= d:
+                a, b = sorted((ia, ib))
+                out.append((a, b, _lev(sa, sb)))
+    return sorted(out)
+
+
+def test_edit_distance_pairs_crafted(spark):
+    from rust_graph_db_spark.operators.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog tonight"),
+        (2, "the quick brown fox jumps over the lazy cat tonight"),  # 3 subs
+        (3, "the quick brown fox leaps over the lazy dog tonight"),  # few
+        (4, "completely different text with no overlap whatsoever!"),
+        (5, "tiny"),          # short path
+        (6, "tins"),          # short path, dist 1
+        (7, "tin"),           # short path, dist 1/2
+        (8, ""),              # empty string: length-band partner of short
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted((r.id1, r.id2, r.dist)
+                 for r in edit_distance_pairs(df, max_dist=4, q=3).collect())
+    assert got == _brute_pairs(rows, 4)
+
+
+def test_edit_distance_pairs_randomized_matches_bruteforce(spark):
+    import random
+
+    from rust_graph_db_spark.operators.dedup import edit_distance_pairs
+
+    rng = random.Random(411)
+    vocab = ["spark", "scan", "join", "agg", "sort", "row", "key", "hash"]
+    rows = []
+    for i in range(40):
+        n = rng.randint(1, 14)   # lengths straddle the short bound for d=3
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    # plant mutated near-dups of the first ten
+    for i in range(10):
+        s = list(rows[i][1])
+        for _ in range(rng.randint(1, 3)):
+            p = rng.randrange(len(s))
+            s[p] = rng.choice("abcdefgh ")
+        rows.append((100 + i, "".join(s)))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    for d, q in [(3, 2), (6, 3)]:
+        got = sorted((r.id1, r.id2, r.dist)
+                     for r in edit_distance_pairs(df, max_dist=d,
+                                                  q=q).collect())
+        assert got == _brute_pairs(rows, d), (d, q)
+
+
+def test_edit_distance_pairs_empty(spark):
+    from rust_graph_db_spark.operators.dedup import edit_distance_pairs
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert edit_distance_pairs(df).count() == 0
+
+
+# ---------------------------------------------------------------- c14
+
+def test_bloom_decontaminate_no_false_negatives(spark):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import (decontaminate,
+                                                        decontaminate_bloom)
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    train = docs.where(F.col("doc_id") % 7 != 0)
+    bench = docs.where(F.col("doc_id") % 7 == 0)
+    exact = {r.doc_id for r in decontaminate(train, bench).collect()}
+    bloom = decontaminate_bloom(train, bench).collect()
+    flagged = {r.doc_id for r in bloom if r.flagged}
+    # Bloom membership has NO false negatives: every exact hit flagged
+    assert exact <= flagged
+    for r in bloom:
+        assert 0 <= r.n_hits <= r.n_grams
+
+
+def test_bloom_decontaminate_empty_benchmark_flags_nothing(spark):
+    from rust_graph_db_spark.operators.curation import decontaminate_bloom
+
+    train = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        "doc_id LONG, text STRING")
+    bench = spark.createDataFrame([], "doc_id LONG, text STRING")
+    rows = decontaminate_bloom(train, bench).collect()
+    assert len(rows) == 1 and not rows[0].flagged and rows[0].n_hits == 0

@@ -335,3 +335,29 @@ def test_mixture_plan_matches_reference(spark):
         mixture_plan(df, {}, 10)
     with _p.raises(ValueError):
         mixture_plan(df, weights, -1)
+
+
+def test_textrank_mass_conservation_and_hub(spark):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.ranking import textrank_keywords
+
+    # "hub" co-occurs with every filler; fillers only with hub
+    docs = spark.createDataFrame(
+        [(i, f"hub word{i} hub word{i} hub") for i in range(6)],
+        "doc_id LONG, text STRING")
+    out = textrank_keywords(docs, iterations=6)
+    rows = {r.word: r.rank for r in out.collect()}
+    n = len(rows)
+    # symmetric weighted graph conserves rank mass: sum stays n exactly
+    assert abs(sum(rows.values()) - n) < 1e-3
+    assert max(rows, key=rows.get) == "hub"
+
+
+def test_textrank_empty_and_single_token(spark):
+    from rust_graph_db_spark.operators.ranking import textrank_keywords
+
+    docs = spark.createDataFrame([(1, "solo"), (2, "")],
+                                 "doc_id LONG, text STRING")
+    # no adjacent distinct pairs -> empty keyword graph, empty result
+    assert textrank_keywords(docs).count() == 0
