@@ -44,6 +44,7 @@ HEADLINE = [
     # not a semantics change)
     "g7_dup_clusters",     # near-dup pairs -> connected components
     "d4_simhash",          # SimHash near-dup (banded Hamming)
+    "d17_edit_distance",   # Ed-Join fuzzy edit-distance join (r5)
     "t1_text_metrics",     # text analysis scan (lang-ID/quality/fingerprint)
     "t4_pii_redact",       # PII regex scrub (codegen'd scan)
     "t5_top_ngrams",       # corpus bigram frequency top-k

@@ -1219,6 +1219,36 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     d)`` (O(d*min(l)) per pair, JVM whole-stage codegen) on candidates
     only. Integer-exact end to end — the oracle is the naive
     definition and hashes bitwise.
+
+    CHOOSING ``max_dist`` AND ``q`` AT SCALE (measured, SCALE.md §14):
+    candidate volume is inherently Σ_over-join-keys df², so the
+    filter only prunes when BOTH hold:
+
+    - **rare grams exist**: ``|alphabet|^q`` must be much larger than
+      the corpus's total gram instances. At 2M 64-char keys over a
+      ~36-symbol alphabet, q=3 (46k possible trigrams → minimum
+      doc-frequency in the thousands) blew the candidate join past
+      the shuffle disk;
+    - **the prefix is a small fraction of the string**: the join keys
+      are ``d*q+1`` grams of ``l-q+1``, so ``d*q`` must be well below
+      ``l``. max_dist=8/q=5 on 64-char keys (prefix = 41 of 60 grams)
+      still flooded the disk at 2M docs even though each gram was
+      rare; max_dist=3/q=4 (13 of 61) ran ordinarily.
+
+    - **the corpus has gram entropy to spend**: even with both above
+      satisfied, the rarest gram's doc-frequency is floored at
+      ``corpus_size / distinct_key_variants`` — on a 2M-title corpus
+      whose variability lived in a ~10^4-value suffix, the floor was
+      df ≈ 1800 and Σ df² ≈ 5e10 candidates with a 13-gram prefix.
+      No parameter fixes that: low-entropy keys need higher-entropy
+      blocking (token-level signatures, d13-style window hashes)
+      before an edit-distance verify.
+
+    The defaults (20, 3) are sized for up-to-~100k-doc interactive
+    use on ~300-char documents; corpus-scale callers should keep
+    ``max_dist*q`` under ~l/4 and q at 4-5. Levenshtein joins with d
+    comparable to l are not a prefix-filterable problem — use the
+    shingle families (d2-d5) for that regime.
     """
     d, qq = int(max_dist), int(q)
     base = df.select(F.col(id_col).cast("long").alias("id"),

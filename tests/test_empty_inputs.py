@@ -165,3 +165,14 @@ def test_graph_ops_drop_null_endpoints(spark):
     assert ga.random_walks(e, 3).count() > 0
     assert sorted(r.id for r in ga.degrees(e).collect()) == [1, 2, 3]
     assert {r.id for r in ga.connected_components(e).collect()} == {1, 2, 3}
+
+
+def test_r5_s3_ops_on_empty(empty):
+    from rust_graph_db_spark.operators import curation, dedup, ranking
+    from rust_graph_db_spark.operators.graph_algos import local_clustering
+
+    d = empty["docs"]
+    assert dedup.edit_distance_pairs(d).count() == 0
+    assert ranking.textrank_keywords(d).count() == 0
+    assert curation.decontaminate_bloom(d, d).count() == 0
+    assert local_clustering(empty["edges"]).count() == 0
