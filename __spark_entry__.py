@@ -710,6 +710,27 @@ def _textrank_oracle_sql(iterations: int = 6,
               f"FROM tr_r{iterations}")
 
 
+def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """e12: Johnson-Lindenstrauss random projection 64→16 with a
+    deterministic Achlioptas ±1 sign matrix
+    (similarity.random_projection) — one scan-stage codegen
+    projection, zero shuffles/UDFs/runtime hashing. The oracle
+    renders the SAME literal left-associated ± chains
+    (similarity.random_projection_sql), so every double add happens
+    in the same order: bitwise hash, no rounding."""
+    from rust_graph_db_spark.operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb)
+
+
+def _random_projection_oracle_sql() -> str:
+    from rust_graph_db_spark.operators.similarity import \
+        random_projection_sql
+
+    return random_projection_sql()
+
+
 def _q_bloom_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """c14: Bloom-filter decontamination
     (curation.decontaminate_bloom) — d6's benchmark split (doc_id %
@@ -3032,6 +3053,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Bloom-filter decontamination, the broadcastable scale path
         # of d6 (r5; BITWISE md5-replay oracle, FPs included)
         "c14_bloom_decontaminate": _q_bloom_decontaminate,
+        # Johnson-Lindenstrauss ±1 random projection, literal sign
+        # matrix in both plans (r5; BITWISE oracle, no rounding)
+        "e12_random_projection": _q_random_projection,
         # per-stratum exact-n deterministic sample (r3-s6; full oracle)
         "c7_stratified_exact": _q_stratified_exact,
         # Newman modularity of a community assignment (r3-s6; oracle)
@@ -3192,9 +3216,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (a2_agg_global, a3_count_distinct, j3_multi_match, o2_skip_limit,
 # p4_scalar_funcs, p6_with_where, p9_case_expr, u1_union,
 # u2_intersect, u3_except, w3_window_rank, x6_likes,
-# x1_follow_unfollow, x2_followers, x3_timeline, x4_suggestions —
-# displaced this round — plus the 8 held by the original plan:
-# a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join,
+# x1_follow_unfollow, x2_followers, x3_timeline, x4_suggestions,
+# o1_top_k — displaced this round — plus the 8 held by the original
+# plan: a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join,
 # r2_asof_join, u4_unwind);
 # (3) refresh the r3-green block (w9, w10-w12, g11-g13, g17, a6, p21,
 # p10, p12-p14, p17-p21, d6-d11, t2-t10, c1-c4, e6-e9, k2, d7, m4);
@@ -3220,14 +3244,15 @@ _R5_WINDOW = [
     "d16_paragraph_dedup", "c13_url_dedup",
     # the round's THIRD-session additions (never driver-verified;
     # green in the local sweep at sf0.001+sf0.01) — they displace
-    # x1/x2/x3_timeline/x4 from the r2-refresh block below (same
+    # x1/x2/x3_timeline/x4/o1 from the r2-refresh block below (same
     # never-verified-outranks-stale rule; the displaced keys join the
     # r6 refresh queue)
     "d17_edit_distance", "g27_local_clustering",
     "t17_textrank", "c14_bloom_decontaminate",
-    # 25 of the 49 keys whose newest green row is r2 (8 held for r6
+    "e12_random_projection",
+    # 24 of the 49 keys whose newest green row is r2 (8 held for r6
     # by the original plan + 12 displaced by the second-session
-    # additions + 4 displaced by the third-session additions)
+    # additions + 5 displaced by the third-session additions)
     "a1_agg_group",
     "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
     "d4_simhash", "d5_embedding_neardup",
@@ -3236,7 +3261,6 @@ _R5_WINDOW = [
     "g7_dup_clusters",
     "j1_one_hop", "j2_three_hop",
     "j4_optional_match", "j5_mutual_knows",
-    "o1_top_k",
     "p1_pattern_props",
     "p8_entity_funcs",
     "s1_scan_filter", "t1_text_metrics",
@@ -4131,6 +4155,7 @@ def oracle_sql() -> dict[str, str]:
         "g27_local_clustering": _local_clustering_oracle_sql(pre),
         "t17_textrank": _textrank_oracle_sql(iterations=6,
                                              damping=0.85),
+        "e12_random_projection": _random_projection_oracle_sql(),
         "c14_bloom_decontaminate": _bloom_decontaminate_oracle_sql(
             k=8, m=1 << 17, nh=4),
         # d17: the NAIVE definition — every length-banded pair scored

@@ -798,3 +798,76 @@ def pq_encode(
                        _enc(F.col(vec_col)).alias("q"))
             .select("id", F.col("q.codes").alias("codes"),
                     F.col("q.mae").alias("mae")))
+
+
+def _rp_sign(seed: int, j: int, k: int) -> int:
+    """Deterministic ±1 for output dim ``j``, input dim ``k`` — the
+    lowest hex digit's parity of md5("rp:seed:j:k"). Computed at
+    PLAN-BUILD time in Python and embedded as literals in both the
+    Spark expression and the SQL oracle, so neither engine hashes
+    anything at run time and the two plans are textually twinned."""
+    import hashlib
+
+    h = hashlib.md5(f"rp:{seed}:{j}:{k}".encode()).hexdigest()
+    return 1 if int(h[-1], 16) % 2 == 0 else -1
+
+
+def _rp_terms(seed: int, j: int, in_dim: int, elem) -> str:
+    """Left-associated ± chain for output dim j; ``elem(k)`` renders
+    the engine-specific element access (0-based Spark, 1-based SQL)."""
+    parts = []
+    for k in range(in_dim):
+        op = "+" if _rp_sign(seed, j, k) > 0 else "-"
+        parts.append(f"{op} CAST({elem(k)} AS DOUBLE)")
+    joined = " ".join(parts)
+    return joined[2:] if joined.startswith("+ ") else "0.0 " + joined
+
+
+def random_projection(emb: DataFrame, id_col: str = "vec_id",
+                      vec_col: str = "embedding", in_dim: int = 64,
+                      out_dim: int = 16, seed: int = 0) -> DataFrame:
+    """``(id, proj)``: Johnson-Lindenstrauss dimensionality reduction
+    with a deterministic Achlioptas ±1 sign matrix (Achlioptas 2003,
+    "Database-friendly random projections") — proj_j = (1/sqrt(d'))
+    * Σ_k sign(j,k)·v_k. The standard pre-stage for the ANN family
+    (e1-e9): distances are preserved within (1±ε) w.h.p. while the
+    per-vector footprint drops in_dim/out_dim-fold, which at 100 TB
+    is the difference between an embedding table that fits the
+    shuffle tier and one that doesn't.
+
+    Execution shape: the whole operator is ONE scan-stage projection —
+    out_dim codegen'd ±-chains over the array column, zero shuffles,
+    zero UDFs, zero runtime hashing (the sign matrix is literal in
+    the plan; see :func:`_rp_sign`). The DuckDB oracle renders the
+    SAME left-associated chains 1-based (``random_projection_sql``),
+    so every double add happens in the same order and the output
+    hashes bitwise with no rounding.
+    """
+    import math
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    cols = [
+        F.expr(f"({_rp_terms(seed, j, in_dim, lambda k: f'{vec_col}[{k}]')}"
+               f") * {scale}").alias(f"p{j}")
+        for j in range(out_dim)]
+    return (emb.where(F.size(vec_col) >= in_dim)
+            .select(F.col(id_col).alias("id"), *cols)
+            .select("id", F.array(*[f"p{j}" for j in range(out_dim)])
+                    .alias("proj")))
+
+
+def random_projection_sql(table: str = "embeddings",
+                          id_col: str = "vec_id",
+                          vec_col: str = "embedding", in_dim: int = 64,
+                          out_dim: int = 16, seed: int = 0) -> str:
+    """DuckDB twin of :func:`random_projection` (1-based list access,
+    same literal sign chains and scale)."""
+    import math
+
+    scale = repr(1.0 / math.sqrt(out_dim))
+    chains = ", ".join(
+        f"({_rp_terms(seed, j, in_dim, lambda k: f'{vec_col}[{k + 1}]')}"
+        f") * {scale}"
+        for j in range(out_dim))
+    return (f"SELECT {id_col} AS id, [{chains}] AS proj FROM {table} "
+            f"WHERE len({vec_col}) >= {in_dim}")

@@ -361,3 +361,39 @@ def test_textrank_empty_and_single_token(spark):
                                  "doc_id LONG, text STRING")
     # no adjacent distinct pairs -> empty keyword graph, empty result
     assert textrank_keywords(docs).count() == 0
+
+
+def test_random_projection_matches_numpy(spark):
+    import hashlib
+
+    import numpy as np
+
+    from rust_graph_db_spark.operators.similarity import random_projection
+
+    rng = np.random.default_rng(7)
+    vecs = rng.normal(size=(20, 64)).astype(np.float32)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
+    df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
+    out = {r.id: np.array(r.proj) for r in random_projection(df).collect()}
+
+    signs = np.empty((16, 64))
+    for j in range(16):
+        for k in range(64):
+            h = hashlib.md5(f"rp:0:{j}:{k}".encode()).hexdigest()
+            signs[j, k] = 1.0 if int(h[-1], 16) % 2 == 0 else -1.0
+    expect = (vecs.astype(np.float64) @ signs.T) / 4.0  # 1/sqrt(16)
+    for i in range(20):
+        assert np.allclose(out[i], expect[i], atol=1e-9)
+
+    # JL sanity: pairwise distances preserved within a loose factor
+    d_hi = np.linalg.norm(vecs[0] - vecs[1])
+    d_lo = np.linalg.norm(out[0] - out[1])
+    assert 0.3 * d_hi < d_lo < 3.0 * d_hi
+
+
+def test_random_projection_skips_short_vectors(spark):
+    from rust_graph_db_spark.operators.similarity import random_projection
+
+    df = spark.createDataFrame([(1, [1.0] * 64), (2, [1.0] * 10)],
+                               "vec_id LONG, embedding ARRAY<FLOAT>")
+    assert [r.id for r in random_projection(df).collect()] == [1]
