@@ -70,6 +70,10 @@ def main(spark=None):
           k_truss(edges, k=4).count())
     print("-- link prediction (r5): who should know whom")
     link_prediction(edges).orderBy(F.desc("cn"), "u", "v").show(5)
+    print("-- local clustering coefficient (r5): how cliquish is each"
+          " neighborhood")
+    from rust_graph_db_spark.operators.graph_algos import local_clustering
+    local_clustering(edges).orderBy(F.desc("lcc"), "id").show(5)
     return pairs
 
 

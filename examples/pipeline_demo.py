@@ -139,6 +139,24 @@ def main(spark=None):
     srcs = [r[0] for r in docs.select("source").distinct().collect()]
     mixture_plan(docs, {s: 1 + int(s[3:]) % 5 for s in srcs},
                  token_budget=50_000).orderBy("source").show()
+
+    # fuzzy edit-distance join (r5): order-edit near-dups the shingle
+    # families are blind to
+    from rust_graph_db_spark.operators.dedup import edit_distance_pairs
+    print("edit-distance pairs (d<=20):",
+          edit_distance_pairs(docs, max_dist=20, q=3).count())
+
+    # Bloom-filter decontamination (r5): d6's broadcastable scale path
+    from rust_graph_db_spark.operators.curation import decontaminate_bloom
+    decontaminate_bloom(docs, bench).where("flagged").show(3)
+
+    # TextRank corpus keywords (r5): co-occurrence graph + pagerank
+    from rust_graph_db_spark.operators.ranking import textrank_keywords
+    textrank_keywords(docs).orderBy(F.desc("rank")).show(5)
+
+    # JL random projection (r5): 64->16 dims before the ANN stages
+    from rust_graph_db_spark.operators.similarity import random_projection
+    print("projected vectors:", random_projection(emb).count())
     return kept
 
 
