@@ -717,7 +717,9 @@ def _q_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     projection, zero shuffles/UDFs/runtime hashing. The oracle
     renders the SAME literal left-associated ± chains
     (similarity.random_projection_sql), so every double add happens
-    in the same order: bitwise hash, no rounding."""
+    in the same order: bitwise hash, no rounding. Output is 16
+    scalar DOUBLE columns p0…p15 (never array<double> — the driver's
+    pandas canonicalizer can't hash array cells; r5 red)."""
     from rust_graph_db_spark.operators.similarity import random_projection
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -1215,8 +1217,13 @@ def _q_weighted_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _q_ppmi_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """e10: PPMI+SVD word embeddings (Levy & Goldberg 2014) trained on
     the documents corpus — distributed co-occurrence counting, driver
-    SVD of the vocab-capped matrix. Rows-only (SVD has no SQL mirror);
-    semantic structure + determinism are pytest-proven."""
+    SVD of the vocab-capped matrix. The registry projection (token,
+    dim) IS hash-oracled since r6: the oracle replays the pair
+    extraction + marginal counts + top-256 vocab selection (ties
+    lexicographic) and dim = least(16, |vocab|) in DuckDB — exactly
+    the distributed 90% of the pipeline. The SVD numerics themselves
+    have no SQL mirror and stay pytest-proven vs numpy
+    (tests/test_pipeline_ops.py), the c5/c5b split pattern."""
     from pyspark.sql import functions as F
 
     from rust_graph_db_spark.operators.embeddings import (
@@ -1226,7 +1233,8 @@ def _q_ppmi_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = token_cooccurrence_pairs(docs, window=2)
     emb = ppmi_svd_embeddings(pairs, dim=16, vocab_size=256)
-    return emb.select("token", F.size("embedding").alias("dim"))
+    return emb.select("token",
+                      F.size("embedding").cast("long").alias("dim"))
 
 
 def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2701,30 +2709,29 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
-    # FIRST 50 keys; the explicit _R5_WINDOW list below the registry sets
-    # that order. The r5 rotation executes the r4 verdict's plan
-    # (VERDICT.md "Next round" items 3-4):
-    #   1. the 5 keys with no driver verdict yet (e11, g24, and the r5
-    #      additions c5-pinned-scoring, d13, c9);
-    #   2. the one r4 red row (c6 — integer-quotient rounding removed on
-    #      both sides);
-    #   3. the 3 keys whose library code r5 touched (c8 interning, g23
-    #      self-loop contract + oracle universe, x7 integer-exact
-    #      revenue);
-    #   4. the 12 operators added in the round's SECOND session (t15,
-    #      d14, g25, t16, d15, g26, c12, d16, c13, w13, t14, c11) —
-    #      never-verified keys outrank stale-but-once-green refreshes,
-    #      so they displaced 12 of the planned r2-block refreshes (the
-    #      displaced keys are listed in the rotation comment below and
-    #      join the r6 refresh queue; all are pytest-covered and green
-    #      in this round's full 158-key local sweep);
-    #   5. 29 of the 49 keys whose newest green row is r2.
-    # Rows-only entries (c5b GD-training, e10 driver-SVD)
-    # stay out of the window by design — their SQL-mirrorable halves
-    # (c5, e11) carry the hash verdicts. Everything below the window is
-    # pytest-covered and swept locally by scripts/check_oracle.py
-    # (148/148 at sf0.01 with the repr-strict canonicalizer this
-    # session).
+    # FIRST 50 keys; the explicit _R6_WINDOW list below the registry sets
+    # that order. The r6 rotation executes the r5 verdict's plan
+    # (VERDICT.md "Next round" items 1-5):
+    #   1. the two r5 reds, both driver-contract violations fixed this
+    #      round (c6 — oracle HUGEINT null-counters now CAST AS BIGINT;
+    #      e12 — proj array flattened to scalar p0…p15 on both sides),
+    #      plus e10, whose registry projection gained a full hash
+    #      oracle (vocab-selection + dim replay; the SVD half stays
+    #      pytest-vs-numpy per the c5/c5b pattern) after two rounds of
+    #      no_oracle-error records;
+    #   2. the full 25-key r2-green refresh block the r5 rotation
+    #      comment enumerated (12 displaced by r5's second session + 5
+    #      by its third + the 8 the original plan held for r6);
+    #   3. the oldest half of the r3-green block (w9-w12, g11-g13,
+    #      g17, a6, the p1x Cypher surface, t2-t5);
+    #   4. slots for r6 additions (never-verified outranks stale).
+    # c5b_classifier_train stays out of the window by design — the only
+    # remaining rows-only key (GD training has no SQL mirror; its
+    # SQL-mirrorable half c5 is r5-green). Everything below the window
+    # is pytest-covered and swept locally by scripts/check_oracle.py,
+    # which since r6 canonicalizes BOTH engines through pandas exactly
+    # like the driver (r5 lesson: fetchall() kept DuckDB HUGEINTs as
+    # ints and hid the c6 split; arrays crashed only in the driver).
     reg = {
         # --------- 26 rotated: newest green row was r1
         # W-series: DML (CREATE / SET / DELETE / mixed) end-to-end
@@ -3190,12 +3197,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # d11: SemDeDup cluster-then-verify near-dup pairs (r3-s5)
         "d11_semdedup": _q_semdedup,
     }
-    window = [k for k in _R5_WINDOW]
+    window = [k for k in _R6_WINDOW]
     # len(set(...)) catches duplicate window keys too — a duplicate
     # would silently hand slot 50 to the first non-window registry key
     assert len(set(window)) == 50 and set(window) <= set(reg), (
         sorted(set(window) - set(reg))
-        or (f"_R5_WINDOW has {len(window)} entries "
+        or (f"_R6_WINDOW has {len(window)} entries "
             f"({len(set(window))} distinct); need exactly 50"))
     rest = [k for k in reg if k not in set(window)]
     return {k: reg[k] for k in window + rest}
@@ -3203,69 +3210,41 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver verifies the FIRST 50 keys of queries() — see the priority
 # note at the top of queries() for how these slots were chosen. This is
-# the r5 rotation the r4 verdict prescribed (never-verified keys, the
-# c6 retest, r5-code-touched keys, then r2-green refreshes), AMENDED by
-# the round's second session: its 12 new operators (w13, t14, c11, t15,
-# d14, g25, t16, d15, g26, c12, d16, c13) take the slots of 12 planned
-# r2-block refreshes — a never-verified key is a bigger debt than a
-# stale-but-once-green one. All 12 displaced keys (a2, a3, j3, o2, p4,
-# p6, p9, u1, u2, u3, w3, x6) are pytest-covered, r2-green, and green
-# in this round's full 158-key local sweep.
-# ROUND-6 ROTATION PLAN, priority order: (1) any r5 red retests +
-# r5-code-touched keys; (2) the 20 r2-green keys now pending refresh
-# (a2_agg_global, a3_count_distinct, j3_multi_match, o2_skip_limit,
-# p4_scalar_funcs, p6_with_where, p9_case_expr, u1_union,
-# u2_intersect, u3_except, w3_window_rank, x6_likes,
-# x1_follow_unfollow, x2_followers, x3_timeline, x4_suggestions,
-# o1_top_k — displaced this round — plus the 8 held by the original
-# plan: a5_event_stats, k1_sketch_stats, m1-m3, r1_range_join,
-# r2_asof_join, u4_unwind);
-# (3) refresh the r3-green block (w9, w10-w12, g11-g13, g17, a6, p21,
-# p10, p12-p14, p17-p21, d6-d11, t2-t10, c1-c4, e6-e9, k2, d7, m4);
-# (4) slots for r6 additions. c5b_classifier_train and e10 stay
-# OUT of the window by design (rows-only; their SQL-mirrorable halves
-# c5/e11 carry the hash verdicts).
-_R5_WINDOW = [
-    # 5 never driver-verified (late-r4 + r5 additions; local green)
-    "e11_ppmi_table", "g24_graph_profile", "c5_quality_classifier",
-    "d13_exact_substring", "c9_domain_curation",
-    # the one r4 red row: dual-sided integer-quotient rounding removed
-    # on both sides (profiling.py + oracle)
-    "c6_profile",
-    # r5-code-touched: langid join-key interning, MIS self-loop
-    # contract + oracle universe, x7 integer-exact revenue
-    "c8_langid", "g23_mis", "x7_revenue_by_nation",
-    # the round's second-session additions (never driver-verified;
-    # all green in the local sweep at sf0.001+sf0.01)
-    "w13_stream_neardup", "t14_normalize_text", "c11_split_leakage",
-    "t15_kn_perplexity", "d14_winnow_pairs", "g25_ktruss",
-    "t16_c4_line_filter", "d15_decontaminate_neardup",
-    "g26_link_prediction", "c12_mixture_plan",
-    "d16_paragraph_dedup", "c13_url_dedup",
-    # the round's THIRD-session additions (never driver-verified;
-    # green in the local sweep at sf0.001+sf0.01) — they displace
-    # x1/x2/x3_timeline/x4/o1 from the r2-refresh block below (same
-    # never-verified-outranks-stale rule; the displaced keys join the
-    # r6 refresh queue)
-    "d17_edit_distance", "g27_local_clustering",
-    "t17_textrank", "c14_bloom_decontaminate",
-    "e12_random_projection",
-    # 24 of the 49 keys whose newest green row is r2 (8 held for r6
-    # by the original plan + 12 displaced by the second-session
-    # additions + 5 displaced by the third-session additions)
-    "a1_agg_group",
-    "d1_exact_dedup", "d2_ngram_jaccard", "d3_minhash_lsh",
-    "d4_simhash", "d5_embedding_neardup",
-    "e1_cosine_topk", "e2_cosine_pairs", "e3_lsh_cosine_pairs",
-    "e4_ivf_topk", "e5_knn_join",
-    "g7_dup_clusters",
-    "j1_one_hop", "j2_three_hop",
-    "j4_optional_match", "j5_mutual_knows",
-    "p1_pattern_props",
-    "p8_entity_funcs",
-    "s1_scan_filter", "t1_text_metrics",
-    "w1_windowed_events", "w2_sessionize",
-    "w7_running_totals", "w8_durable_graph",
+# the r6 rotation the r5 verdict prescribed: the two r5 contract reds
+# (both fixed this round) + e10 (newly hash-oracled), then the full
+# r2-green refresh block, then the oldest half of the r3-green block.
+# ROUND-7 ROTATION QUEUE, priority order: (1) any r6 reds; (2) the
+# remaining r3-green keys (d6-d11, t6-t10, c1-c4, e6-e9, k2, m4, g18);
+# (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
+# of the window by design (rows-only GD training; its SQL-mirrorable
+# half c5 carries the hash verdict).
+_R6_WINDOW = [
+    # the two r5 driver reds (c6 oracle HUGEINT->BIGINT cast; e12
+    # array flattened to p0..p15) + e10, never green before its r6
+    # vocab-replay oracle
+    "c6_profile", "e12_random_projection", "e10_ppmi_embeddings",
+    # the full 25-key r2-green refresh block enumerated by the r5
+    # rotation comment (12 second-session + 5 third-session
+    # displacements + the 8 held for r6 by the original plan)
+    "a2_agg_global", "a3_count_distinct", "j3_multi_match",
+    "o2_skip_limit", "p4_scalar_funcs", "p6_with_where",
+    "p9_case_expr", "u1_union", "u2_intersect", "u3_except",
+    "w3_window_rank", "x6_likes", "x1_follow_unfollow",
+    "x2_followers", "x3_timeline", "x4_suggestions", "o1_top_k",
+    "a5_event_stats", "k1_sketch_stats", "m1_image_features",
+    "m2_audio_features", "m3_frame_sample", "r1_range_join",
+    "r2_asof_join", "u4_unwind",
+    # 22 of the 44 keys whose newest green row is r3, oldest
+    # code-surface first (durable writes, iterative graph ops, the
+    # p1x Cypher surface, text metrics); the rest queue for r7
+    "w9_merge_upsert", "w10_stream_commits", "w11_snapshot_diff",
+    "w12_stream_curate", "g11_label_prop", "g12_kcore",
+    "g13_personalized_pr", "g17_scc", "a6_stat_aggs",
+    "p10_string_preds", "p12_quantifiers", "p13_exists",
+    "p14_count_sub", "p17_shortest_path", "p18_map_proj",
+    "p19_call_sub", "p20_lateral_call", "p21_proc_call",
+    "t2_hash_split", "t3_repetition", "t4_pii_redact",
+    "t5_top_ngrams",
 ]
 
 
@@ -4202,6 +4181,26 @@ def oracle_sql() -> dict[str, str]:
             "AS ppmi FROM counts c JOIN na USING (a) "
             "JOIN nb USING (b) CROSS JOIN tot t) "
             "WHERE ppmi > 0 ORDER BY ppmi DESC, a, b LIMIT 200"),
+        # e10: replays the SQL-expressible 90% of the embedding
+        # pipeline — pair extraction (e11's CTE), center marginals,
+        # top-256 vocab by (count DESC, token ASC), dim = least(16,
+        # |vocab|). The driver-side SVD values are pytest-proven vs
+        # numpy; this oracle ends e10's only-ever-error record (r5
+        # verdict What's-wrong #3).
+        "e10_ppmi_embeddings": (
+            "WITH tk AS (SELECT doc_id AS rid, "
+            "list_filter(string_split_regex(lower(text), '\\s+'), "
+            "x -> x <> '') AS toks FROM documents), "
+            "pos AS MATERIALIZED (SELECT rid, i AS p, toks[i] AS tok "
+            "FROM (SELECT rid, toks, unnest(generate_series(1, "
+            "len(toks))) AS i FROM tk)), "
+            "pr AS (SELECT a.tok AS a FROM pos a "
+            "JOIN pos b ON a.rid = b.rid AND a.p <> b.p "
+            "AND abs(a.p - b.p) <= 2), "
+            "na AS (SELECT a, count(*) AS cnt FROM pr GROUP BY a), "
+            "v AS (SELECT a FROM na ORDER BY cnt DESC, a LIMIT 256) "
+            "SELECT a AS token, CAST(least(16, "
+            "(SELECT count(*) FROM v)) AS BIGINT) AS dim FROM v"),
         "p10_string_preds": pre + (
             " SELECT name FROM person WHERE starts_with(name, 'Person1') "
             "AND NOT ends_with(name, '3') AND contains(name, '1')"),
@@ -4498,21 +4497,29 @@ def oracle_sql() -> dict[str, str]:
             "LEFT JOIN sc ON sc.did = d.doc_id "
             "ORDER BY score DESC, doc_id LIMIT 100"),
         "c6_profile": (
+            # NB: CAST(sum(CASE…) AS BIGINT) is load-bearing — DuckDB's
+            # sum() yields HUGEINT, which pandas (the driver's
+            # canonicalizer) renders as float64 ("0.0"), splitting the
+            # value hash against Spark's BIGINT "0". Root-caused in the
+            # r5 verdict after two red rounds.
             "SELECT 'event_id' AS \"column\", count(*) AS n_rows, "
-            "sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) AS nulls, "
+            "CAST(sum(CASE WHEN event_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT) AS nulls, "
             "count(DISTINCT event_id) AS \"distinct\", "
             "CAST(min(event_id) AS VARCHAR) AS vmin, "
             "CAST(max(event_id) AS VARCHAR) AS vmax, "
             "avg(event_id) AS mean FROM events "
             "UNION ALL "
             "SELECT 'user_id', count(*), "
-            "sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END), "
+            "CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), "
             "count(DISTINCT user_id), CAST(min(user_id) AS VARCHAR), "
             "CAST(max(user_id) AS VARCHAR), avg(user_id) "
             "FROM events "
             "UNION ALL "
             "SELECT 'event_type', count(*), "
-            "sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END), "
+            "CAST(sum(CASE WHEN event_type IS NULL THEN 1 ELSE 0 END) "
+            "AS BIGINT), "
             "count(DISTINCT event_type), min(event_type), "
             "max(event_type), NULL FROM events"),
         "r3_funnel": (

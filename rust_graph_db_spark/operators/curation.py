@@ -958,7 +958,9 @@ def decontaminate_bloom(
     ALL ``n_hash`` of its positions are set; a doc is ``flagged`` iff
     any shingle hits. Classic Bloom semantics: no false negatives
     (every d6 hit is a c14 hit), false positives at the standard
-    ``(1-e^(-kn/m))^k`` rate — and because the bit positions are a
+    ``(1-e^(-n_hash*n/m_bits))^n_hash`` rate for ``n`` distinct
+    benchmark shingles (NB: this function's ``k`` is the SHINGLE
+    size, not the hash count) — and because the bit positions are a
     pure function of the gram, the FP set is DETERMINISTIC and the
     whole construction replays in SQL, FPs included: the oracle is
     bitwise, not approximate-tolerant.

@@ -842,6 +842,12 @@ def random_projection(emb: DataFrame, id_col: str = "vec_id",
     SAME left-associated chains 1-based (``random_projection_sql``),
     so every double add happens in the same order and the output
     hashes bitwise with no rounding.
+
+    Output shape: ``out_dim`` scalar DOUBLE columns ``p0…p{d'-1}``,
+    NOT an ``array<double>`` — the driver's pandas canonicalizer
+    cannot hash array cells (the r5 red; same contract that converted
+    p11/p15/p16 in r4). Downstream consumers that want the array form
+    re-assemble with ``F.array("p0", …)``.
     """
     import math
 
@@ -851,9 +857,7 @@ def random_projection(emb: DataFrame, id_col: str = "vec_id",
                f") * {scale}").alias(f"p{j}")
         for j in range(out_dim)]
     return (emb.where(F.size(vec_col) >= in_dim)
-            .select(F.col(id_col).alias("id"), *cols)
-            .select("id", F.array(*[f"p{j}" for j in range(out_dim)])
-                    .alias("proj")))
+            .select(F.col(id_col).alias("id"), *cols))
 
 
 def random_projection_sql(table: str = "embeddings",
@@ -861,13 +865,14 @@ def random_projection_sql(table: str = "embeddings",
                           vec_col: str = "embedding", in_dim: int = 64,
                           out_dim: int = 16, seed: int = 0) -> str:
     """DuckDB twin of :func:`random_projection` (1-based list access,
-    same literal sign chains and scale)."""
+    same literal sign chains and scale; scalar ``p0…`` columns, never
+    an array — see the output-shape note on the Spark side)."""
     import math
 
     scale = repr(1.0 / math.sqrt(out_dim))
     chains = ", ".join(
         f"({_rp_terms(seed, j, in_dim, lambda k: f'{vec_col}[{k + 1}]')}"
-        f") * {scale}"
+        f") * {scale} AS p{j}"
         for j in range(out_dim))
-    return (f"SELECT {id_col} AS id, [{chains}] AS proj FROM {table} "
+    return (f"SELECT {id_col} AS id, {chains} FROM {table} "
             f"WHERE len({vec_col}) >= {in_dim}")

@@ -3,7 +3,18 @@
 Runs every ``queries()`` entry at sf0.01 through Spark AND its
 ``oracle_sql()`` through DuckDB, then compares row count, schema width,
 and an order-insensitive value hash (columns sorted by name, rows sorted,
-floats rounded). Mirrors what CORRECTNESS_r{N}.json records.
+floats rendered by repr). Mirrors what CORRECTNESS_r{N}.json records.
+
+CANONICALIZATION CONTRACT (r5 lesson — twice local green failed to
+predict driver red): the driver compares **pandas DataFrames** — Spark
+via ``toPandas()``, DuckDB via ``.df()`` — so every dtype coercion
+pandas performs (DuckDB HUGEINT -> float64, nullable int -> float64,
+Decimal -> object, …) is part of the comparison surface. The former
+``fetchall()`` path kept DuckDB HUGEINTs as Python ints and so rendered
+``0`` where the driver saw ``0.0`` (the c6 two-round red). This gate
+now pulls BOTH sides through pandas before hashing, and REJECTS any
+query whose Spark output schema contains an array/map/struct column
+(the driver's canonicalizer crashes on unhashable cells — the e12 red).
 
 Usage: python scripts/check_oracle.py [sf_dir] [query ...]
 """
@@ -33,6 +44,19 @@ SF_BOUNDED = {"g18_betweenness": 0.01, "x7_revenue_by_nation": 10}
 
 
 def _norm(v):
+    """Render one pandas cell the way the value hash consumes it.
+
+    Everything arriving here has already been through pandas, so numpy
+    scalars are unwrapped first; a list/ndarray cell is a contract
+    violation upstream (complex_cols) and only renders here for the
+    sample-diff printout.
+    """
+    try:
+        import numpy as np
+        if isinstance(v, np.generic):
+            v = v.item()
+    except ImportError:
+        pass
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -49,12 +73,38 @@ def _norm(v):
         return repr(v)
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
+    # pandas NaT / pd.NA (scalar-missing sentinels outside float cols)
+    try:
+        import pandas as pd
+        if v is pd.NaT or v is pd.NA:
+            return "NULL"
+    except ImportError:
+        pass
     return str(v)
 
 
-def value_hash(rows, colnames):
-    order = sorted(range(len(colnames)), key=lambda i: colnames[i])
-    lines = sorted("|".join(_norm(r[i]) for i in order) for r in rows)
+def complex_cols(pdf):
+    """Columns holding unhashable cells (list/ndarray/dict/set) — the
+    shapes that crash the driver's pandas canonicalizer."""
+    import numpy as np
+    bad = []
+    for c in pdf.columns:
+        col = pdf[c]
+        if col.dtype == object:
+            for v in col.head(20):
+                if isinstance(v, (list, np.ndarray, dict, set)):
+                    bad.append(c)
+                    break
+    return bad
+
+
+def value_hash(pdf):
+    """Order-insensitive hash of a pandas frame: columns sorted by
+    name, each row rendered via _norm, rows sorted lexicographically."""
+    cols = sorted(pdf.columns)
+    body = pdf[cols]
+    lines = sorted("|".join(_norm(v) for v in row)
+                   for row in body.itertuples(index=False, name=None))
     h = hashlib.sha256()
     for ln in lines:
         h.update(ln.encode())
@@ -71,6 +121,8 @@ def main() -> None:
         "entry", "/root/repo/__spark_entry__.py")
     entry = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry)
+
+    from pyspark.sql import types as T
 
     from rust_graph_db_spark import get_spark
     spark = get_spark("check-oracle")
@@ -106,30 +158,45 @@ def main() -> None:
             continue
         try:
             df = fn(spark, sf_dir)
-            cols = df.columns
-            rows = [tuple(r) for r in df.collect()]
+            # Pre-flight: the driver contract is scalar columns ONLY.
+            # Catch it from the declared schema, before any pandas
+            # conversion, so even an empty result can't sneak through.
+            complex_fields = [
+                f.name for f in df.schema.fields
+                if isinstance(f.dataType,
+                              (T.ArrayType, T.MapType, T.StructType))]
+            if complex_fields:
+                failures.append(name)
+                print(f"FAIL {name}: non-scalar output column(s) "
+                      f"{complex_fields} — the driver's pandas "
+                      "canonicalizer crashes on array/map/struct cells "
+                      "(r5 e12). Flatten to scalar columns.")
+                continue
+            pdf = df.toPandas()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: spark error: {exc}")
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(rows)} rows")
+            print(f"ok(rows-only) {name}: {len(pdf)} rows")
             continue
         try:
-            res = con.execute(oracles[name])
-            ocols = [d[0] for d in res.description]
-            orows = res.fetchall()
+            opdf = con.execute(oracles[name]).df()
         except Exception as exc:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL {name}: duckdb error: {exc}")
             continue
         problems = []
-        if len(rows) != len(orows):
-            problems.append(f"rowcount {len(rows)} vs {len(orows)}")
-        if sorted(cols) != sorted(ocols):
-            problems.append(f"cols {sorted(cols)} vs {sorted(ocols)}")
-        else:
-            hs, ho = value_hash(rows, cols), value_hash(orows, ocols)
+        obad = complex_cols(opdf)
+        if obad:
+            problems.append(f"oracle non-scalar column(s) {obad}")
+        if len(pdf) != len(opdf):
+            problems.append(f"rowcount {len(pdf)} vs {len(opdf)}")
+        if sorted(pdf.columns) != sorted(opdf.columns):
+            problems.append(
+                f"cols {sorted(pdf.columns)} vs {sorted(opdf.columns)}")
+        elif not problems:
+            hs, ho = value_hash(pdf), value_hash(opdf)
             if hs != ho:
                 problems.append(f"hash {hs} vs {ho}")
         if problems:
@@ -137,16 +204,18 @@ def main() -> None:
             print(f"FAIL {name}: {'; '.join(problems)}")
             # sample diff: first rows present on only one side (each
             # side rendered in ITS OWN name-sorted column order)
-            order = sorted(range(len(cols)), key=lambda i: cols[i])
-            oorder = sorted(range(len(ocols)), key=lambda i: ocols[i])
-            ss = {"|".join(_norm(r[i]) for i in order) for r in rows}
-            oo = {"|".join(_norm(r[i]) for i in oorder) for r in orows}
+            def _lines(frame):
+                cs = sorted(frame.columns)
+                return {"|".join(_norm(v) for v in row)
+                        for row in frame[cs].itertuples(index=False,
+                                                        name=None)}
+            ss, oo = _lines(pdf), _lines(opdf)
             for side, only_rows in (("spark", ss - oo),
                                     ("oracle", oo - ss)):
                 for ln in sorted(only_rows)[:3]:
                     print(f"  only-{side}: {ln}")
         else:
-            print(f"ok {name}: {len(rows)} rows")
+            print(f"ok {name}: {len(pdf)} rows")
     print(f"\n{len(failures)} failures" + (": " + ", ".join(failures)
                                            if failures else ""))
     sys.exit(1 if failures else 0)

@@ -192,14 +192,19 @@ def main() -> None:
         holder["cur"] = cur.localCheckpoint(eager=True)
         return holder["cur"]
 
-    if not want("curate_composite", "dsir_after_curate"):
-        holder["skip"] = True
     stage("curate_composite", _composite)
-    stage("dsir_after_curate",
-          lambda: dsir_resample(
-              holder["cur"].withColumnRenamed("clean_text", "text"),
-              docs.where(F.col("source") == "src0"),
-              k=max(1000, n_docs // 20), buckets=65_536))
+
+    def _dsir():
+        # dsir can be selected without curate_composite (only=dsir_...):
+        # run the composite untimed as its prerequisite in that case
+        if "cur" not in holder:
+            _composite()
+        return dsir_resample(
+            holder["cur"].withColumnRenamed("clean_text", "text"),
+            docs.where(F.col("source") == "src0"),
+            k=max(1000, n_docs // 20), buckets=65_536)
+
+    stage("dsir_after_curate", _dsir)
 
     # ---- r5 session-2 additions: KN LM, winnowing, C4 line filter,
     # cross-corpus decontamination

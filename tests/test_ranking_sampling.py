@@ -374,7 +374,8 @@ def test_random_projection_matches_numpy(spark):
     vecs = rng.normal(size=(20, 64)).astype(np.float32)
     rows = [(i, [float(x) for x in vecs[i]]) for i in range(20)]
     df = spark.createDataFrame(rows, "vec_id LONG, embedding ARRAY<FLOAT>")
-    out = {r.id: np.array(r.proj) for r in random_projection(df).collect()}
+    out = {r.id: np.array([r[f"p{j}"] for j in range(16)])
+           for r in random_projection(df).collect()}
 
     signs = np.empty((16, 64))
     for j in range(16):
