@@ -223,6 +223,21 @@ def _q_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return train_bpe(docs, text_col="text", num_merges=16, min_freq=2)
 
 
+def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t18: unigram-LM tokenizer training (Kudo, ACL 2018 /
+    SentencePiece) in its deterministic hard-EM form
+    (bpe.unigram_vocab) — seed substring pieces scored by corpus
+    frequency, per-word Viterbi under the integer (fewest-pieces,
+    max-score-sum, lexicographic) objective, exact usage counts.
+    FULL oracle: the 12-position DP unrolls into QUALIFY-argmin CTEs
+    (_unigram_oracle_sql); parity with a pure-Python trainer is
+    additionally pytest-proven."""
+    from rust_graph_db_spark.operators.bpe import unigram_vocab
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return unigram_vocab(docs)
+
+
 def _q_classifier_score_pinned(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """c5: quality-classifier SCORING with a pinned weight vector —
@@ -662,6 +677,23 @@ def _q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return edit_distance_pairs(docs, max_dist=20, q=3)
+
+
+def _q_blocked_edit_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d18: Levenshtein fuzzy-join with WINDOW-HASH candidate blocking
+    (dedup.blocked_edit_distance_pairs) — the scale-safe composition
+    d17's measured contract prescribes for low-entropy key spaces:
+    k-token window hashes (the d13 substrate, entropy |vocab|^k) block
+    candidates for docs past the pigeonhole recall threshold, a
+    length-banded path covers the short tail, Spark's banded builtin
+    levenshtein verifies. Recall is provably 100% in the default
+    banded mode, so the oracle is the NAIVE definition — a
+    candidate-generation recall bug cannot hide."""
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return blocked_edit_distance_pairs(docs, max_dist=8, k=3)
 
 
 def _q_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2995,6 +3027,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "WHERE deg > 2 RETURN id, out_deg, in_deg, deg"),
         # BPE tokenizer training (r3-s6; rows-only — iterative argmax)
         "t11_bpe_merges": _q_bpe_merges,
+        # t18: unigram/SentencePiece-style tokenizer training (r6)
+        "t18_unigram_vocab": _q_unigram_vocab,
         # quality-classifier scoring, pinned weights (r5; full oracle —
         # the exact-BIGINT md5-hashed-feature dot product)
         "c5_quality_classifier": _q_classifier_score_pinned,
@@ -3051,6 +3085,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # Levenshtein fuzzy-join dedup, Ed-Join prefix filtering (r5;
         # full oracle — the naive definition, integer-exact)
         "d17_edit_distance": _q_edit_distance_pairs,
+        # d18: window-hash-blocked fuzzy join (d17's scale-safe form)
+        "d18_blocked_edit_distance": _q_blocked_edit_distance,
         # per-vertex local clustering coefficient (r5; full oracle —
         # exact ints + one unrounded double quotient)
         "g27_local_clustering": _q_local_clustering,
@@ -3234,7 +3270,10 @@ _R6_WINDOW = [
     "a5_event_stats", "k1_sketch_stats", "m1_image_features",
     "m2_audio_features", "m3_frame_sample", "r1_range_join",
     "r2_asof_join", "u4_unwind",
-    # 22 of the 44 keys whose newest green row is r3, oldest
+    # r6 additions (never-verified outranks stale — each displaces
+    # one r3-refresh from the block below into the r7 queue)
+    "d18_blocked_edit_distance", "t18_unigram_vocab",
+    # 20 of the 44 keys whose newest green row is r3, oldest
     # code-surface first (durable writes, iterative graph ops, the
     # p1x Cypher surface, text metrics); the rest queue for r7
     "w9_merge_upsert", "w10_stream_commits", "w11_snapshot_diff",
@@ -3243,8 +3282,7 @@ _R6_WINDOW = [
     "p10_string_preds", "p12_quantifiers", "p13_exists",
     "p14_count_sub", "p17_shortest_path", "p18_map_proj",
     "p19_call_sub", "p20_lateral_call", "p21_proc_call",
-    "t2_hash_split", "t3_repetition", "t4_pii_redact",
-    "t5_top_ngrams",
+    "t2_hash_split", "t3_repetition",
 ]
 
 
@@ -3440,6 +3478,54 @@ def _bpe_oracle_sql(num_merges: int = 16, min_freq: int = 2,
             'r2 AS "right", CAST(pfreq AS BIGINT) AS freq FROM allm '
             "WHERE rank < coalesce((SELECT min(rank) FROM allm "
             f"WHERE pfreq < {int(min_pair_freq)}), {int(num_merges)})")
+
+
+def _unigram_oracle_sql(lp: int = 4, lw: int = 12, min_freq: int = 2,
+                        min_piece_freq: int = 2) -> str:
+    """Unrolled unigram-tokenizer training (SQL twin of
+    operators/bpe.py unigram_vocab, rounds=1): seed-piece scoring,
+    then the per-word Viterbi DP unrolled as one CTE per position
+    1..lw — each takes the best (np ASC, sf DESC, path ASC) tuple via
+    QUALIFY row_number, exactly Spark's argmin window. The integer
+    (count-sum, path-string) objective is what makes the replay
+    bitwise; MATERIALIZED stops DuckDB re-expanding the DP chain."""
+    ctes = [
+        "wf AS (SELECT substr(word, 1, " + str(lw) + ") AS w, "
+        "count(*) AS freq FROM (SELECT "
+        "unnest(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '')) AS word FROM documents) GROUP BY 1 "
+        f"HAVING count(*) >= {int(min_freq)})",
+        "wl AS MATERIALIZED (SELECT w, len(w) AS l, freq FROM wf)",
+        "s1 AS (SELECT w, l, freq, "
+        "unnest(generate_series(1, l)) AS i FROM wl)",
+        f"s2 AS (SELECT w, freq, i, unnest(generate_series(1, "
+        f"least({int(lp)}, l - i + 1))) AS n FROM s1)",
+        "pieces AS MATERIALIZED (SELECT p, sum(freq) AS score FROM "
+        "(SELECT substr(w, i, n) AS p, freq FROM s2) GROUP BY 1 "
+        f"HAVING sum(freq) >= {int(min_piece_freq)} OR len(p) = 1)",
+        "dp0 AS (SELECT w, l, freq, 0 AS np, "
+        "CAST(0 AS BIGINT) AS sf, '' AS path FROM wl)",
+    ]
+    for j in range(1, int(lw) + 1):
+        branches = " UNION ALL ".join(
+            f"SELECT d.w, d.l, d.freq, d.np + 1 AS np, "
+            f"d.sf + p.score AS sf, d.path || '/' || p.p AS path "
+            f"FROM dp{i} d JOIN pieces p "
+            f"ON p.p = substr(d.w, {i + 1}, {j - i}) WHERE d.l >= {j}"
+            for i in range(max(0, j - int(lp)), j))
+        ctes.append(
+            f"dp{j} AS MATERIALIZED (SELECT w, l, freq, np, sf, path "
+            f"FROM ({branches}) QUALIFY row_number() OVER "
+            "(PARTITION BY w ORDER BY np ASC, sf DESC, path ASC) = 1)")
+    seg = " UNION ALL ".join(
+        f"SELECT freq, path FROM dp{j} WHERE l = {j}"
+        for j in range(1, int(lw) + 1))
+    ctes.append(f"seg AS ({seg})")
+    return ("WITH " + ", ".join(ctes) +
+            ' SELECT p, CAST(sum(freq) AS BIGINT) AS "usage" FROM '
+            "(SELECT freq, unnest(string_split(substr(path, 2), '/')) "
+            "AS p FROM seg) GROUP BY 1 "
+            'ORDER BY "usage" DESC, p ASC')
 
 
 def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
@@ -4146,6 +4232,13 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
             "AND abs(length(a.text) - length(b.text)) <= 20 "
             "WHERE levenshtein(a.text, b.text) <= 20"),
+        # d18: same naive-definition recall check at its own band
+        "d18_blocked_edit_distance": (
+            "SELECT a.doc_id AS id1, b.doc_id AS id2, "
+            "CAST(levenshtein(a.text, b.text) AS BIGINT) AS dist "
+            "FROM documents a JOIN documents b ON a.doc_id < b.doc_id "
+            "AND abs(length(a.text) - length(b.text)) <= 8 "
+            "WHERE levenshtein(a.text, b.text) <= 8"),
         "t16_c4_line_filter": _c4_line_filter_oracle_sql(),
         "d15_decontaminate_neardup": _decontaminate_neardup_oracle_sql(
             num_hashes=32, bands=8, k=5, threshold=0.5),
@@ -4155,6 +4248,8 @@ def oracle_sql() -> dict[str, str]:
         "c8_langid": _langid_oracle_sql(top=200),
         # r4: BPE training now fully oracled — the iterative argmax
         # unrolls and the greedy merge replays as a list_reduce fold
+        "t18_unigram_vocab": _unigram_oracle_sql(
+            lp=4, lw=12, min_freq=2, min_piece_freq=2),
         "t11_bpe_merges": _bpe_oracle_sql(
             num_merges=16, min_freq=2, min_pair_freq=2),
         "t13_dsir": _dsir_oracle_sql(buckets=4096, seed=7, k=100),

@@ -162,3 +162,103 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
                                     for s in encode_word(w)])
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def unigram_vocab(df: DataFrame, text_col: str = "text",
+                  max_piece_len: int = 4, max_word_len: int = 12,
+                  min_freq: int = 2, min_piece_freq: int = 2,
+                  rounds: int = 1) -> DataFrame:
+    """Unigram-LM tokenizer vocabulary (Kudo, "Subword Regularization",
+    ACL 2018 — the SentencePiece unigram trainer) in its DETERMINISTIC
+    hard-EM form: seed pieces are all substrings up to
+    ``max_piece_len`` of the (truncated-to-``max_word_len``) distinct
+    words, scored by corpus frequency; each round Viterbi-segments
+    every distinct word under the integer objective
+
+        (fewest pieces, then highest total piece score, then
+         lexicographically smallest piece sequence)
+
+    and the expected-count E-step collapses to exact integer usage
+    counts ``usage(p) = Σ_w freq(w)·occurrences(p in seg(w))``; the
+    M-step re-scores pieces by usage and prunes zero-usage pieces.
+    Returns ``(piece, usage)``, usage > 0. The integer objective is
+    the whole trick: true unigram EM multiplies float probabilities,
+    which no SQL engine replays bit-identically, while (count-sum,
+    path) tuples are exact in both engines — so the FULL training
+    loop is hash-oracled, the same property t11's BPE trainer has.
+
+    100 TB shape (same as t11): training touches the corpus once
+    (word frequencies — one map-side-combinable shuffle on the word);
+    everything after runs on the DISTINCT-word table (vocabulary-
+    cardinality, millions of rows at corpus scale), with the piece
+    table broadcast into the per-position DP joins. The DP is
+    ``max_word_len`` rounds of (up to ``max_piece_len`` predecessor
+    joins + one per-word argmin window); single-char pieces are kept
+    unconditionally so every word segments. Words truncate to
+    ``max_word_len`` BEFORE counting (the truncation is part of the
+    model, applied identically in the oracle).
+    """
+    lp, lw = int(max_piece_len), int(max_word_len)
+    from pyspark.sql import Window
+
+    words = (df.select(F.explode(
+                F.filter(F.split(F.col(text_col), r"\s+"),
+                         lambda x: x != F.lit(""))).alias("tok"))
+             .select(F.substring("tok", 1, lw).alias("w"))
+             .groupBy("w").agg(F.count("*").alias("freq"))
+             .where(F.col("freq") >= int(min_freq))
+             .withColumn("l", F.length("w"))
+             .localCheckpoint(eager=True))
+    subs = words.select("freq", F.explode(F.expr(
+        f"flatten(transform(sequence(1, l), i -> "
+        f"transform(sequence(1, least({lp}, l - i + 1)), "
+        f"n -> substr(w, i, n))))")).alias("p"))
+    pieces = (subs.groupBy("p").agg(F.sum("freq").alias("score"))
+              .where((F.col("score") >= int(min_piece_freq))
+                     | (F.length("p") == 1)))
+
+    def _viterbi(piece_scores: DataFrame) -> DataFrame:
+        """One hard-EM round: (piece, usage) under ``piece_scores``."""
+        ps = F.broadcast(piece_scores.localCheckpoint(eager=True))
+        dp = {0: words.select("w", "l", "freq",
+                              F.lit(0).alias("np"),
+                              F.lit(0).cast("long").alias("sf"),
+                              F.lit("").alias("path"))}
+        finals = []
+        for j in range(1, lw + 1):
+            cands = None
+            for i in range(max(0, j - lp), j):
+                c = (dp[i].where(F.col("l") >= j)
+                     .join(ps, F.expr(f"substr(w, {i + 1}, {j - i})")
+                           == F.col("p"))
+                     .select("w", "l", "freq",
+                             (F.col("np") + 1).alias("np"),
+                             (F.col("sf") + F.col("score")).alias("sf"),
+                             F.concat("path", F.lit("/"), "p")
+                             .alias("path")))
+                cands = c if cands is None else cands.unionAll(c)
+            win = Window.partitionBy("w").orderBy(
+                F.asc("np"), F.desc("sf"), F.asc("path"))
+            dp[j] = (cands.withColumn("rn", F.row_number().over(win))
+                     .where(F.col("rn") == 1)
+                     .drop("rn").localCheckpoint(eager=True))
+            finals.append(dp[j].where(F.col("l") == j))
+        seg = finals[0]
+        for f in finals[1:]:
+            seg = seg.unionAll(f)
+        return (seg.select("freq", F.explode(
+                    F.split(F.expr("substr(path, 2)"), "/")).alias("p"))
+                .groupBy("p").agg(F.sum("freq").alias("usage")))
+
+    scores = pieces
+    usage = None
+    for _ in range(max(1, int(rounds))):
+        usage = _viterbi(scores)
+        # M-step: next round's scores are this round's usage counts
+        # (single-char coverage pieces re-enter at score 0 if unused)
+        scores = (pieces.select("p").join(usage, "p", "left")
+                  .select("p", F.coalesce("usage", F.lit(0))
+                          .alias("score")))
+    return (usage.where(F.col("usage") > 0)
+            .select("p", F.col("usage").cast("long").alias("usage"))
+            .orderBy(F.desc("usage"), F.asc("p")))

@@ -1316,3 +1316,129 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                     F.levenshtein("s1", "s2", d).alias("dist"))
             .where(F.col("dist") >= 0)
             .select("id1", "id2", F.col("dist").cast("long").alias("dist")))
+
+
+def blocked_edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
+                                text_col: str = "text",
+                                max_dist: int = 8, k: int = 3,
+                                fallback: str = "banded",
+                                max_df: int | None = None) -> DataFrame:
+    """``(id1, id2, dist)``: pairs within Levenshtein distance
+    ``max_dist``, with candidate generation by SHARED k-TOKEN WINDOW
+    HASHES (the d13/:func:`_window_hashes` substrate) instead of
+    :func:`edit_distance_pairs`' rare-q-gram prefixes — the composed
+    operator that operator's own measured scaling contract prescribes
+    for low-entropy key spaces (SCALE.md §15: char-q-gram entropy is
+    capped at |alphabet|^q and candidate volume is Σ_keys df², so a
+    36-symbol corpus floors the rarest-gram doc-frequency and floods
+    the shuffle tier; token windows draw from |vocabulary|^k — many
+    orders more entropy at the same k).
+
+    RECALL CONTRACT (pigeonhole over token damage): one char edit
+    damages at most 2 adjacent token positions (a separator edit
+    merges both neighbours), so ``d`` edits leave an intact run of
+    ``>= (n - 2d)/(2d + 1)`` tokens, which appears VERBATIM as a
+    contiguous token sequence on both sides. Hence any pair whose
+    SHORTER side has ``n >= T = (2d+1)*k + 2d`` tokens is guaranteed
+    to share a k-token window hash — window blocking is EXACT above
+    T. Below T, ``fallback`` picks the contract:
+
+    - ``"banded"`` (default): docs under ``T + d`` tokens also run
+      through an all-pairs join WITHIN a char-length band of width
+      ``d`` (the |l1-l2| <= d necessary condition, two-bucket trick
+      as in :func:`edit_distance_pairs`) — total recall is provably
+      100% and the naive SQL definition is a bitwise oracle. Right
+      when short docs are a sliver of the corpus (real document
+      collections at k<=4, d<=8: T+d is ~60-90 tokens).
+    - ``"none"``: window blocking only — the 100 TB form for SHORT-
+      KEY corpora (titles, entity names) where nearly everything is
+      under T and a length band would itself go quadratic. Recall is
+      heuristic below T: a pair is found iff an intact k-token run
+      survives the edits, which holds whenever the edit count is
+      small relative to the token count (1 edit on an 11-token title
+      leaves an intact run >= 3). Rehearsed at 2M 64-char titles —
+      the exact corpus that blew the pure Ed-Join path out three
+      times — in ordinary time, because the per-window doc-frequency
+      is corpus-content-bound (distinct-token entropy), not
+      alphabet-bound.
+
+    ``max_df`` (optional) drops window hashes whose doc-frequency
+    exceeds it before the candidate self-join — the guard against
+    boilerplate k-token runs (real-corpus headers/footers) whose df²
+    would dominate. Documented recall trade: a pair ALL of whose
+    shared windows are boilerplate is missed; at k>=3 on organic text
+    that is the pair you usually don't want anyway. Leave None for
+    the exact contract.
+
+    Verification is unchanged from d17: Spark's banded
+    ``levenshtein(s1, s2, d)`` on candidates only, integer-exact.
+    Shape: token arrays built once (localCheckpoint-pinned like d13);
+    the candidate join carries (id, l, gh) longs only — text shuffles
+    exclusively into the verify join.
+    """
+    d, kk = int(max_dist), int(k)
+    t_full = (2 * d + 1) * kk + 2 * d
+    base = (df.select(F.col(id_col).cast("long").alias("id"),
+                      F.col(text_col).alias("s"),
+                      F.length(text_col).cast("int").alias("l"))
+            .where(F.col("s").isNotNull()))
+    tb = (_token_base(df, id_col, text_col)
+          .select(F.col("id").cast("long").alias("id"), "_toks")
+          .localCheckpoint(eager=True))
+    ntok = tb.select("id", F.size("_toks").alias("n"))
+    # window path: distinct (id, window-hash) self-join, length-banded.
+    # EVERY doc with >= k tokens produces windows (not just those past
+    # T) — T is the recall-GUARANTEE boundary, not a participation
+    # gate: below it window blocking still finds every pair with an
+    # intact k-run, which is the whole point of fallback="none" on
+    # short-key corpora where nothing reaches T.
+    occ = _window_hashes(tb, kk).select("id", "gh").distinct()
+    if max_df is not None:
+        hot = (occ.groupBy("gh").agg(F.count("*").alias("df_"))
+               .where(F.col("df_") > int(max_df)).select("gh"))
+        occ = occ.join(hot, "gh", "left_anti")
+    linfo = base.select("id", "l")
+    lhs = (occ.join(linfo, "id")
+           .select(F.col("id").alias("id1"), F.col("l").alias("l1"),
+                   "gh"))
+    rhs = (occ.join(linfo, "id")
+           .select(F.col("id").alias("id2"), F.col("l").alias("l2"),
+                   "gh"))
+    cands = (lhs.join(rhs, "gh")
+             .where((F.col("id1") < F.col("id2"))
+                    & (F.abs(F.col("l1") - F.col("l2")) <= d))
+             .select("id1", "id2").distinct())
+    if fallback == "banded":
+        # short path: all pairs within a char-length band of width d.
+        # The two-bucket emit is ASYMMETRIC (sl carries b and b+1, sr
+        # only b) — canonicalize ids AFTER the join (see d17).
+        shorts = (base.join(ntok.where(F.col("n") < t_full + d),
+                            "id", "left_semi")
+                  .select("id", "l"))
+        sl = shorts.select(
+            F.col("id").alias("id1"), F.col("l").alias("l1"),
+            F.explode(F.array(
+                (F.col("l") / (d + 1)).cast("long"),
+                (F.col("l") / (d + 1)).cast("long") + 1)).alias("b"))
+        sr = shorts.select(F.col("id").alias("id2"),
+                           F.col("l").alias("l2"),
+                           (F.col("l") / (d + 1)).cast("long")
+                           .alias("b"))
+        cand_short = (sl.join(sr, "b")
+                      .where((F.col("id1") != F.col("id2"))
+                             & (F.abs(F.col("l1") - F.col("l2")) <= d))
+                      .select(F.least("id1", "id2").alias("id1"),
+                              F.greatest("id1", "id2").alias("id2"))
+                      .distinct())
+        cands = cands.unionAll(cand_short).distinct()
+    elif fallback != "none":
+        raise ValueError(f"fallback must be 'banded' or 'none', "
+                         f"got {fallback!r}")
+    s1 = base.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
+    s2 = base.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
+    return (cands.join(s1, "id1").join(s2, "id2")
+            .select("id1", "id2",
+                    F.levenshtein("s1", "s2", d).alias("dist"))
+            .where(F.col("dist") >= 0)
+            .select("id1", "id2",
+                    F.col("dist").cast("long").alias("dist")))

@@ -281,6 +281,28 @@ def main() -> None:
     stage("edit_distance_titles_100k",
           lambda: edit_distance_pairs(titles, max_dist=3, q=4))
 
+    # d18 on the FULL-cardinality title corpus — the one that blew the
+    # pure Ed-Join path out three times (SCALE.md §15). fallback="none"
+    # is the short-key scale form: k=2 token windows draw from the
+    # ~440k-token vocabulary (|vocab|^k entropy), where char q-grams
+    # were floored by the 36-symbol alphabet. 1000 planted single-char
+    # mutations (lev<=1, one damaged token of ~7 -> an intact 2-run
+    # survives) make the run a recall statement, not just a survival
+    # one: the stage's row count must come back >= 1000.
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+    all_titles = docs.select("doc_id",
+                             F.substring("text", 1, 64).alias("text"))
+    planted = (all_titles.where(F.col("doc_id") % 2000 == 0)
+               .select((F.col("doc_id") + 1_000_000_000).alias("doc_id"),
+                       F.concat(F.substring("text", 1, 29), F.lit("?"),
+                                F.substring("text", 31, 34))
+                       .alias("text")))
+    stage("blocked_edit_distance_titles_full",
+          lambda: blocked_edit_distance_pairs(
+              all_titles.unionByName(planted), max_dist=3, k=2,
+              fallback="none"))
+
     from rust_graph_db_spark.operators.ranking import textrank_keywords
     stage("textrank_200k",
           lambda: textrank_keywords(

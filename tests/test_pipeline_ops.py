@@ -1186,6 +1186,85 @@ def test_bpe_encode_consistent_with_training_segmentation(spark):
         "".join(t) == "low</w>" for t in enc)
 
 
+def _ref_unigram(word_freqs, lp=4, lw=12, min_piece_freq=2, rounds=1):
+    """Pure-python twin of bpe.unigram_vocab (hard-EM Viterbi with the
+    integer (np, -sf, path) objective)."""
+    from collections import Counter
+
+    wf = Counter()
+    for w, f in word_freqs.items():
+        wf[w[:lw]] += f
+    pf = Counter()
+    for w, f in wf.items():
+        for i in range(len(w)):
+            for n in range(1, min(lp, len(w) - i) + 1):
+                pf[w[i:i + n]] += f
+    pieces = {p for p, s in pf.items() if s >= min_piece_freq
+              or len(p) == 1}
+    scores = {p: pf[p] for p in pieces}
+    usage = None
+    for _ in range(rounds):
+        usage = Counter()
+        for w, f in wf.items():
+            best = {0: (0, 0, "")}
+            for j in range(1, len(w) + 1):
+                cands = []
+                for i in range(max(0, j - lp), j):
+                    p = w[i:j]
+                    if i in best and p in pieces:
+                        np_, sf, path = best[i]
+                        cands.append((np_ + 1, -(sf + scores[p]),
+                                      path + "/" + p))
+                if cands:
+                    np_, nsf, path = min(cands)
+                    best[j] = (np_, -nsf, path)
+            for p in best[len(w)][2][1:].split("/"):
+                usage[p] += f
+        scores = {p: usage.get(p, 0) for p in pieces}
+    return sorted(((p, c) for p, c in usage.items() if c > 0),
+                  key=lambda x: (-x[1], x[0]))
+
+
+def test_unigram_vocab_matches_reference(spark):
+    from collections import Counter
+
+    from rust_graph_db_spark.operators.bpe import unigram_vocab
+
+    wf = Counter(w for d in BPE_DOCS for w in d.split())
+    df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
+    for rounds in (1, 2):
+        want = _ref_unigram(dict(wf), rounds=rounds)
+        got = [(r.p, r.usage)
+               for r in unigram_vocab(df, min_freq=1,
+                                      rounds=rounds).collect()]
+        assert got == want, rounds
+
+
+def test_unigram_vocab_truncation_and_coverage(spark):
+    from rust_graph_db_spark.operators.bpe import unigram_vocab
+
+    # a word longer than max_word_len truncates BEFORE counting, and
+    # a hapax word still segments via the single-char coverage pieces
+    df = spark.createDataFrame(
+        [("internationalization internationalism zq",)], "text STRING")
+    got = dict((r.p, r.usage)
+               for r in unigram_vocab(df, max_word_len=12, min_freq=1,
+                                      min_piece_freq=2).collect())
+    # both long words truncate to 'internationa' (freq 2)
+    assert sum(got.values()) > 0
+    assert "z" in got and "q" in got   # hapax covered char-by-char
+    ref = _ref_unigram({"internationalization": 1,
+                        "internationalism": 1, "zq": 1})
+    assert sorted(got.items(), key=lambda x: (-x[1], x[0])) == ref
+
+
+def test_unigram_vocab_empty(spark):
+    from rust_graph_db_spark.operators.bpe import unigram_vocab
+
+    df = spark.createDataFrame([], "text STRING")
+    assert unigram_vocab(df, min_freq=1).count() == 0
+
+
 # ------------------------------------------------------ quality classifier
 
 def test_logreg_separable_and_numpy_parity(spark):
@@ -1873,6 +1952,114 @@ def test_edit_distance_pairs_empty(spark):
 
     df = spark.createDataFrame([], "doc_id LONG, text STRING")
     assert edit_distance_pairs(df).count() == 0
+
+
+def test_blocked_edit_distance_banded_matches_bruteforce(spark):
+    """Banded mode = exact recall: equality with the naive definition
+    on a corpus that straddles the pigeonhole threshold T (d=2, k=2 →
+    T=14 tokens; docs run 1-30 tokens, dups planted on both sides)."""
+    import random
+
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+
+    rng = random.Random(1806)
+    vocab = ["spark", "scan", "join", "agg", "sort", "row", "key",
+             "hash", "band", "verify"]
+    rows = []
+    for i in range(40):
+        n = rng.choice([1, 3, 8, 13, 14, 15, 20, 30])
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(n))))
+    for i in range(12):   # mutate short AND long docs
+        s = list(rows[i][1])
+        for _ in range(rng.randint(1, 2)):
+            s[rng.randrange(len(s))] = rng.choice("abcde ")
+        rows.append((100 + i, "".join(s)))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted((r.id1, r.id2, r.dist)
+                 for r in blocked_edit_distance_pairs(
+                     df, max_dist=2, k=2).collect())
+    assert got == _brute_pairs(rows, 2)
+
+
+def test_blocked_edit_distance_none_guarantee_above_threshold(spark):
+    """fallback='none' still has EXACT recall for pairs whose shorter
+    side is >= T = (2d+1)k + 2d tokens — the pigeonhole contract."""
+    import random
+
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+
+    rng = random.Random(7)
+    vocab = [f"w{i}" for i in range(50)]
+    rows = []
+    for i in range(20):    # 30 tokens >= T=14 for d=2,k=2
+        rows.append((i, " ".join(rng.choice(vocab) for _ in range(30))))
+    for i in range(8):     # <=2 char edits each
+        s = list(rows[i][1])
+        for _ in range(rng.randint(1, 2)):
+            s[rng.randrange(len(s))] = rng.choice("xyz")
+        rows.append((100 + i, "".join(s)))
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = sorted((r.id1, r.id2, r.dist)
+                 for r in blocked_edit_distance_pairs(
+                     df, max_dist=2, k=2, fallback="none").collect())
+    expect = _brute_pairs(rows, 2)
+    # every naive pair whose min side is >= 14 tokens must be found
+    ntok = {i: len(t.split()) for i, t in rows}
+    must = [p for p in expect if min(ntok[p[0]], ntok[p[1]]) >= 14]
+    assert set(must) <= set(got)
+    assert set(got) <= set(expect)   # verify stage keeps precision exact
+
+
+def test_blocked_edit_distance_none_short_titles(spark):
+    """fallback='none' below the guarantee threshold: a single edit on
+    a 7-token title damages <=2 adjacent tokens, leaving an intact
+    2-token run — the pair is still found (the title-corpus scale
+    scenario; no banded path involved)."""
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+
+    rows = [(i, f"alpha{i} beta{i} gamma{i} delta{i} eps{i} zeta{i} x")
+            for i in range(30)]
+    rows += [(100 + i, rows[i][1].replace("gamma", "gamba", 1))
+             for i in range(5)]   # 1 substitution mid-title
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {(r.id1, r.id2) for r in blocked_edit_distance_pairs(
+        df, max_dist=3, k=2, fallback="none").collect()}
+    assert {(i, 100 + i) for i in range(5)} <= got
+    assert got == {(i, 100 + i) for i in range(5)}  # no false pairs
+
+
+def test_blocked_edit_distance_max_df_and_errors(spark):
+    from pyspark.errors import PySparkValueError  # noqa: F401
+
+    import pytest
+
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+
+    # two 20-token docs identical except 1 char; every shared window
+    # has df=2, so max_df=1 drops them all -> no candidates
+    base = " ".join(f"tok{i}" for i in range(20))
+    rows = [(1, base), (2, base[:-1] + "x")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    full = blocked_edit_distance_pairs(df, max_dist=2, k=2,
+                                       fallback="none")
+    assert [(r.id1, r.id2, r.dist) for r in full.collect()] == [(1, 2, 1)]
+    capped = blocked_edit_distance_pairs(df, max_dist=2, k=2,
+                                         fallback="none", max_df=1)
+    assert capped.count() == 0
+    with pytest.raises(ValueError, match="fallback"):
+        blocked_edit_distance_pairs(df, fallback="bogus").count()
+
+
+def test_blocked_edit_distance_empty(spark):
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+
+    df = spark.createDataFrame([], "doc_id LONG, text STRING")
+    assert blocked_edit_distance_pairs(df).count() == 0
 
 
 # ---------------------------------------------------------------- c14
