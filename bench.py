@@ -45,6 +45,8 @@ HEADLINE = [
     "g7_dup_clusters",     # near-dup pairs -> connected components
     "d4_simhash",          # SimHash near-dup (banded Hamming)
     "d17_edit_distance",   # Ed-Join fuzzy edit-distance join (r5)
+    "d18_blocked_edit_distance",  # window-hash-blocked fuzzy join (r6)
+    "t18_unigram_vocab",   # unigram tokenizer training (r6)
     "t1_text_metrics",     # text analysis scan (lang-ID/quality/fingerprint)
     "t4_pii_redact",       # PII regex scrub (codegen'd scan)
     "t5_top_ngrams",       # corpus bigram frequency top-k

@@ -157,6 +157,17 @@ def main(spark=None):
     # JL random projection (r5): 64->16 dims before the ANN stages
     from rust_graph_db_spark.operators.similarity import random_projection
     print("projected vectors:", random_projection(emb).count())
+
+    # window-hash-blocked fuzzy join (r6): d17's scale-safe form for
+    # low-entropy key spaces — same verify, token-window candidates
+    from rust_graph_db_spark.operators.dedup import \
+        blocked_edit_distance_pairs
+    print("blocked edit-distance pairs (d<=8):",
+          blocked_edit_distance_pairs(docs, max_dist=8, k=3).count())
+
+    # unigram tokenizer training (r6): SentencePiece-style hard-EM
+    from rust_graph_db_spark.operators.bpe import unigram_vocab
+    unigram_vocab(docs).show(5)
     return kept
 
 

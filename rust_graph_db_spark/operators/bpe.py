@@ -262,3 +262,68 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
     return (usage.where(F.col("usage") > 0)
             .select("p", F.col("usage").cast("long").alias("usage"))
             .orderBy(F.desc("usage"), F.asc("p")))
+
+
+def unigram_encode(df: DataFrame, vocab, text_col: str = "text",
+                   out_col: str = "unigram_tokens",
+                   max_piece_len: int = 4,
+                   max_word_len: int = 12) -> DataFrame:
+    """Tokenize ``text_col`` with a trained unigram vocabulary
+    (DataFrame from :func:`unigram_vocab` or a ``{piece: score}``
+    mapping). Adds ``out_col ARRAY<STRING>``. Arrow-batched pandas
+    UDF with per-word memoization — the vocabulary broadcasts with
+    the closure, the encode half is embarrassingly parallel (the same
+    split as :func:`bpe_encode`).
+
+    Per word (truncated to ``max_word_len`` like training): the SAME
+    integer Viterbi objective the trainer used — fewest pieces, then
+    highest score sum, then lexicographically smallest sequence — so
+    encoding the training corpus reproduces the trainer's
+    segmentations exactly (pytest-asserted). Out-of-vocabulary
+    characters fall back to themselves as single-char pieces at score
+    0 (coverage: every string encodes).
+    """
+    if isinstance(vocab, DataFrame):
+        scores = {r["p"]: int(r["usage"]) for r in vocab.collect()}
+    else:
+        scores = {p: int(s) for p, s in dict(vocab).items()}
+    lp, lw = int(max_piece_len), int(max_word_len)
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def encode_word(word: str) -> list:
+            w = word[:lw]
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            best = {0: (0, 0, [])}
+            for j in range(1, len(w) + 1):
+                cands = []
+                for i in range(max(0, j - lp), j):
+                    if i not in best:
+                        continue
+                    p = w[i:j]
+                    sc = scores.get(p)
+                    if sc is None and len(p) == 1:
+                        sc = 0          # single-char OOV coverage
+                    if sc is None:
+                        continue
+                    np_, sf, path = best[i]
+                    cands.append((np_ + 1, -(sf + sc), path + [p]))
+                if cands:
+                    # tie-break on the '/'-joined path STRING, exactly
+                    # the trainer's (and oracle's) comparison
+                    np_, nsf, path = min(
+                        cands,
+                        key=lambda c: (c[0], c[1], "/".join(c[2])))
+                    best[j] = (np_, -nsf, path)
+            out = best[len(w)][2]
+            cache[w] = out
+            return out
+
+        return texts.map(lambda t: [p for w in (t or "").split()
+                                    for p in encode_word(w)])
+
+    return df.withColumn(out_col, enc(F.col(text_col)))

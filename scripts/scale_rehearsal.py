@@ -206,6 +206,59 @@ def main() -> None:
 
     stage("dsir_after_curate", _dsir)
 
+    # ---- r6: "next decade" state-growth rehearsal — stream the WHOLE
+    # corpus through in ~8 micro-batches so the durable state tables
+    # (w13's bucket set; w12/c9's digest set + per-domain kept-count
+    # log) grow to full-corpus size ACROSS batches, which no
+    # single-batch run exercises. Stage time covers every micro-batch
+    # including the state anti-joins against all previously appended
+    # state; a second JSON line records the final state sizes.
+    from rust_graph_db_spark.streaming import (stream_curate,
+                                               stream_neardup_dedup)
+
+    def _batched_stream():
+        import glob
+        files = glob.glob(f"{docs_path}/part-*.parquet")
+        return (spark.readStream
+                .schema("doc_id LONG, text STRING, source STRING, "
+                        "lang STRING")
+                .option("maxFilesPerTrigger", max(1, len(files) // 8))
+                .parquet(docs_path))
+
+    def _neardup_stream():
+        out, st = f"{tmp}/nd_out", f"{tmp}/nd_state"
+        stream_neardup_dedup(
+            _batched_stream(), out, st,
+            checkpoint=f"{tmp}/nd_ckpt").awaitTermination()
+        print(json.dumps({"stage": "stream_neardup_state",
+                          "bucket_rows":
+                              spark.read.parquet(st).count()}))
+        return spark.read.parquet(out)
+
+    stage("stream_neardup_fullcorpus", _neardup_stream)
+
+    def _curate_stream():
+        out, st = f"{tmp}/sc_out", f"{tmp}/sc_state"
+        s = _batched_stream().withColumn("url", F.concat(
+            F.lit("https://h"),
+            F.pmod(F.col("doc_id"), F.lit(9973)).cast("string"),
+            F.lit(".site"),
+            F.pmod(F.col("doc_id"), F.lit(97)).cast("string"),
+            F.lit(".com/p/"), F.col("doc_id").cast("string")))
+        stream_curate(
+            s, out, st, checkpoint=f"{tmp}/sc_ckpt",
+            thresholds=permissive, url_col="url",
+            max_per_domain=max(1000, n_docs // 110),
+            domain_blocklist=["site13.com"]).awaitTermination()
+        print(json.dumps({
+            "stage": "stream_curate_state",
+            "digest_rows": spark.read.parquet(st).count(),
+            "domain_log_rows":
+                spark.read.parquet(f"{st}_domains").count()}))
+        return spark.read.parquet(out)
+
+    stage("stream_curate_fullcorpus", _curate_stream)
+
     # ---- r5 session-2 additions: KN LM, winnowing, C4 line filter,
     # cross-corpus decontamination
     from rust_graph_db_spark.operators.lm import (kn_perplexity,

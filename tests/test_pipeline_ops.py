@@ -1258,6 +1258,31 @@ def test_unigram_vocab_truncation_and_coverage(spark):
     assert sorted(got.items(), key=lambda x: (-x[1], x[0])) == ref
 
 
+def test_unigram_encode_reproduces_training_segmentation(spark):
+    """Encoding the training corpus with the trained vocab reproduces
+    the trainer's usage counts exactly (same Viterbi objective), and
+    OOV text still encodes via single-char coverage."""
+    from collections import Counter
+
+    from rust_graph_db_spark.operators.bpe import (unigram_encode,
+                                                   unigram_vocab)
+
+    df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
+    vocab = unigram_vocab(df, min_freq=1)
+    want = {(r.p, r.usage) for r in vocab.collect()}
+    enc = unigram_encode(df, vocab).collect()
+    use = Counter(t for r in enc for t in r.unigram_tokens)
+    assert {(p, c) for p, c in use.items()} == want
+    # concatenating tokens restores each word
+    for r in enc:
+        assert "".join(r.unigram_tokens) == "".join(r.text.split())
+    # OOV falls back to chars, never fails
+    oov = unigram_encode(
+        spark.createDataFrame([("zzz qqq",)], "text STRING"),
+        vocab).collect()[0].unigram_tokens
+    assert "".join(oov) == "zzzqqq"
+
+
 def test_unigram_vocab_empty(spark):
     from rust_graph_db_spark.operators.bpe import unigram_vocab
 
