@@ -1392,7 +1392,11 @@ def blocked_edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     # gate: below it window blocking still finds every pair with an
     # intact k-run, which is the whole point of fallback="none" on
     # short-key corpora where nothing reaches T.
-    occ = _window_hashes(tb, kk).select("id", "gh").distinct()
+    # pinned: occ feeds BOTH sides of the candidate self-join (and the
+    # max_df agg) — without the checkpoint the window hashing runs
+    # once per consumer
+    occ = (_window_hashes(tb, kk).select("id", "gh").distinct()
+           .localCheckpoint(eager=True))
     if max_df is not None:
         hot = (occ.groupBy("gh").agg(F.count("*").alias("df_"))
                .where(F.col("df_") > int(max_df)).select("gh"))

@@ -361,6 +361,15 @@ def main() -> None:
           lambda: textrank_keywords(
               docs.where(F.col("doc_id") % 10 == 0), iterations=3))
 
+    # t18 at full corpus: the DP runs over the DISTINCT-word table
+    # (~440k rows here — WORDS x 9973 suffixes), 12 positions x <=4
+    # broadcast piece joins + one per-word argmin window each, so the
+    # cost is vocabulary-bound, not corpus-bound (the corpus is
+    # touched once for word counts) — the same scaling split as t11.
+    from rust_graph_db_spark.operators.bpe import unigram_vocab
+    stage("unigram_vocab_full",
+          lambda: unigram_vocab(docs))
+
     from rust_graph_db_spark.operators.curation import decontaminate_bloom
     stage("bloom_decontaminate_500k",
           lambda: decontaminate_bloom(
