@@ -955,7 +955,15 @@ def minhash_lsh_pairs(
     # deduplicated: the signature min and the collect_set below are
     # duplicate-idempotent, so the per-(id, gh) distinct shuffle (the
     # largest cost of the shingle stage) is skipped entirely.
-    rows, sig = _minhash_sig(df, id_col, text_col, num_hashes, k)
+    # checkpoint_rows=verify: the rows checkpoint exists for the two
+    # VERIFY consumers; with verify=False the signature aggregate is
+    # the frame's only reader and pinning it is pure storage cost —
+    # ~#chars×16 B of block-manager disk, measured FATAL at 10M docs
+    # on a 90 GB-free box (SCALE.md §16: "No space left on device"
+    # inside the checkpoint put, while the unpinned form runs in
+    # ordinary time).
+    rows, sig = _minhash_sig(df, id_col, text_col, num_hashes, k,
+                             checkpoint_rows=verify)
     buckets = _band_buckets(sig, num_hashes, bands)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
