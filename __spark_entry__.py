@@ -2755,7 +2755,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     #      comment enumerated (12 displaced by r5's second session + 5
     #      by its third + the 8 the original plan held for r6);
     #   3. the oldest half of the r3-green block (w9-w12, g11-g13,
-    #      g17, a6, the p1x Cypher surface, t2-t5);
+    #      g17, a6, the p1x Cypher surface, t2/t3 — t4/t5 were
+    #      displaced by the d18/t18 slots and queue for r7);
     #   4. slots for r6 additions (never-verified outranks stale).
     # c5b_classifier_train stays out of the window by design — the only
     # remaining rows-only key (GD training has no SQL mirror; its
@@ -3250,8 +3251,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (both fixed this round) + e10 (newly hash-oracled), then the full
 # r2-green refresh block, then the oldest half of the r3-green block.
 # ROUND-7 ROTATION QUEUE, priority order: (1) any r6 reds; (2) the
-# remaining r3-green keys (d6-d11, t6-t10, c1-c4, e6-e9, k2, m4, g18);
-# (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
+# remaining r3-green keys (d6-d11, t4-t10, c1-c4, e6-e9, k2, m4, g18
+# — t4/t5 were displaced from this round's r3 block by the d18/t18
+# additions and queue here, NOT silently dropped); (3) the r4-green
+# block, oldest first. c5b_classifier_train stays OUT
 # of the window by design (rows-only GD training; its SQL-mirrorable
 # half c5 carries the hash verdict).
 _R6_WINDOW = [
@@ -3488,7 +3491,9 @@ def _unigram_oracle_sql(lp: int = 4, lw: int = 12, min_freq: int = 2,
     1..lw — each takes the best (np ASC, sf DESC, path ASC) tuple via
     QUALIFY row_number, exactly Spark's argmin window. The integer
     (count-sum, path-string) objective is what makes the replay
-    bitwise; MATERIALIZED stops DuckDB re-expanding the DP chain."""
+    bitwise; the path separator is ' ' (pieces are whitespace-free,
+    so the split is lossless — same contract as the trainer);
+    MATERIALIZED stops DuckDB re-expanding the DP chain."""
     ctes = [
         "wf AS (SELECT substr(word, 1, " + str(lw) + ") AS w, "
         "count(*) AS freq FROM (SELECT "
@@ -3509,7 +3514,7 @@ def _unigram_oracle_sql(lp: int = 4, lw: int = 12, min_freq: int = 2,
     for j in range(1, int(lw) + 1):
         branches = " UNION ALL ".join(
             f"SELECT d.w, d.l, d.freq, d.np + 1 AS np, "
-            f"d.sf + p.score AS sf, d.path || '/' || p.p AS path "
+            f"d.sf + p.score AS sf, d.path || ' ' || p.p AS path "
             f"FROM dp{i} d JOIN pieces p "
             f"ON p.p = substr(d.w, {i + 1}, {j - i}) WHERE d.l >= {j}"
             for i in range(max(0, j - int(lp)), j))
@@ -3523,7 +3528,7 @@ def _unigram_oracle_sql(lp: int = 4, lw: int = 12, min_freq: int = 2,
     ctes.append(f"seg AS ({seg})")
     return ("WITH " + ", ".join(ctes) +
             ' SELECT p, CAST(sum(freq) AS BIGINT) AS "usage" FROM '
-            "(SELECT freq, unnest(string_split(substr(path, 2), '/')) "
+            "(SELECT freq, unnest(string_split(substr(path, 2), ' ')) "
             "AS p FROM seg) GROUP BY 1 "
             'ORDER BY "usage" DESC, p ASC')
 

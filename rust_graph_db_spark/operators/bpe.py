@@ -197,6 +197,11 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
     unconditionally so every word segments. Words truncate to
     ``max_word_len`` BEFORE counting (the truncation is part of the
     model, applied identically in the oracle).
+
+    The Viterbi path string uses ' ' (space) as its piece separator:
+    words are whitespace-split, so no piece can ever contain the
+    separator — the path both splits losslessly into its pieces and
+    tie-breaks identically in Spark, DuckDB, and the Python encoder.
     """
     lp, lw = int(max_piece_len), int(max_word_len)
     from pyspark.sql import Window
@@ -234,7 +239,7 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
                      .select("w", "l", "freq",
                              (F.col("np") + 1).alias("np"),
                              (F.col("sf") + F.col("score")).alias("sf"),
-                             F.concat("path", F.lit("/"), "p")
+                             F.concat("path", F.lit(" "), "p")
                              .alias("path")))
                 cands = c if cands is None else cands.unionAll(c)
             win = Window.partitionBy("w").orderBy(
@@ -247,7 +252,7 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
         for f in finals[1:]:
             seg = seg.unionAll(f)
         return (seg.select("freq", F.explode(
-                    F.split(F.expr("substr(path, 2)"), "/")).alias("p"))
+                    F.split(F.expr("substr(path, 2)"), " ")).alias("p"))
                 .groupBy("p").agg(F.sum("freq").alias("usage")))
 
     scores = pieces
@@ -277,9 +282,15 @@ def unigram_encode(df: DataFrame, vocab, text_col: str = "text",
 
     Per word (truncated to ``max_word_len`` like training): the SAME
     integer Viterbi objective the trainer used — fewest pieces, then
-    highest score sum, then lexicographically smallest sequence — so
-    encoding the training corpus reproduces the trainer's
-    segmentations exactly (pytest-asserted). Out-of-vocabulary
+    highest score sum, then lexicographically smallest sequence —
+    scored by the TRAINED usage counts. When those counts are a
+    hard-EM fixed point (segmenting under them reproduces them —
+    i.e. one more training round changes nothing), encoding the
+    training corpus reproduces the trainer's usage counts exactly
+    (pytest asserts the fixed point first, then the reproduction).
+    Mid-EM vocabularies carry no such guarantee: the trainer's
+    round-r segmentation used round-(r-1) scores, so score ties can
+    resolve differently under the final counts. Out-of-vocabulary
     characters fall back to themselves as single-char pieces at score
     0 (coverage: every string encodes).
     """
@@ -313,11 +324,13 @@ def unigram_encode(df: DataFrame, vocab, text_col: str = "text",
                     np_, sf, path = best[i]
                     cands.append((np_ + 1, -(sf + sc), path + [p]))
                 if cands:
-                    # tie-break on the '/'-joined path STRING, exactly
-                    # the trainer's (and oracle's) comparison
+                    # tie-break on the space-joined path STRING,
+                    # exactly the trainer's (and oracle's) comparison
+                    # (pieces are whitespace-free, so the join is
+                    # lossless)
                     np_, nsf, path = min(
                         cands,
-                        key=lambda c: (c[0], c[1], "/".join(c[2])))
+                        key=lambda c: (c[0], c[1], " ".join(c[2])))
                     best[j] = (np_, -nsf, path)
             out = best[len(w)][2]
             cache[w] = out

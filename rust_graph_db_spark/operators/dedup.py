@@ -1384,6 +1384,11 @@ def blocked_edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
     the candidate join carries (id, l, gh) longs only — text shuffles
     exclusively into the verify join.
     """
+    if fallback not in ("banded", "none"):
+        # validate BEFORE the eager corpus-wide checkpoints below —
+        # a typo'd fallback must not cost two full scans first
+        raise ValueError(f"fallback must be 'banded' or 'none', "
+                         f"got {fallback!r}")
     d, kk = int(max_dist), int(k)
     t_full = (2 * d + 1) * kk + 2 * d
     base = (df.select(F.col(id_col).cast("long").alias("id"),
@@ -1443,9 +1448,6 @@ def blocked_edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                               F.greatest("id1", "id2").alias("id2"))
                       .distinct())
         cands = cands.unionAll(cand_short).distinct()
-    elif fallback != "none":
-        raise ValueError(f"fallback must be 'banded' or 'none', "
-                         f"got {fallback!r}")
     s1 = base.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
     s2 = base.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
     return (cands.join(s1, "id1").join(s2, "id2")

@@ -826,7 +826,7 @@ def _rp_terms(seed: int, j: int, in_dim: int, elem) -> str:
 def random_projection(emb: DataFrame, id_col: str = "vec_id",
                       vec_col: str = "embedding", in_dim: int = 64,
                       out_dim: int = 16, seed: int = 0) -> DataFrame:
-    """``(id, proj)``: Johnson-Lindenstrauss dimensionality reduction
+    """``(id, p0..p{out_dim-1})``: Johnson-Lindenstrauss reduction
     with a deterministic Achlioptas ±1 sign matrix (Achlioptas 2003,
     "Database-friendly random projections") — proj_j = (1/sqrt(d'))
     * Σ_k sign(j,k)·v_k. The standard pre-stage for the ANN family

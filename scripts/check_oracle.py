@@ -91,7 +91,9 @@ def complex_cols(pdf):
     for c in pdf.columns:
         col = pdf[c]
         if col.dtype == object:
-            for v in col.head(20):
+            # scan EVERY cell: a column whose first rows are NULL
+            # (e.g. outer-join output) must not slip past the gate
+            for v in col:
                 if isinstance(v, (list, np.ndarray, dict, set)):
                     bad.append(c)
                     break

@@ -1214,11 +1214,11 @@ def _ref_unigram(word_freqs, lp=4, lw=12, min_piece_freq=2, rounds=1):
                     if i in best and p in pieces:
                         np_, sf, path = best[i]
                         cands.append((np_ + 1, -(sf + scores[p]),
-                                      path + "/" + p))
+                                      path + " " + p))
                 if cands:
                     np_, nsf, path = min(cands)
                     best[j] = (np_, -nsf, path)
-            for p in best[len(w)][2][1:].split("/"):
+            for p in best[len(w)][2][1:].split(" "):
                 usage[p] += f
         scores = {p: usage.get(p, 0) for p in pieces}
     return sorted(((p, c) for p, c in usage.items() if c > 0),
@@ -1240,6 +1240,26 @@ def test_unigram_vocab_matches_reference(spark):
         assert got == want, rounds
 
 
+def test_unigram_vocab_slash_pieces(spark):
+    """Pieces containing '/' (URLs, paths, dates) survive training
+    intact — the Viterbi path separator is ' ', which no piece can
+    contain (words are whitespace-split), so the usage explode never
+    fragments a piece. Regression for the '/'-separator bug."""
+    from rust_graph_db_spark.operators.bpe import unigram_vocab
+
+    docs = ["a/b a/b a/b 1/2 1/2", "a/b x//y x//y"]
+    df = spark.createDataFrame([(d,) for d in docs], "text STRING")
+    got = {(r.p, r.usage)
+           for r in unigram_vocab(df, min_freq=1).collect()}
+    wf = {}
+    for d in docs:
+        for w in d.split():
+            wf[w] = wf.get(w, 0) + 1
+    assert got == set(_ref_unigram(wf))
+    # the multi-char '/'-containing pieces train as single pieces
+    assert ("a/b", 4) in got and ("1/2", 2) in got
+
+
 def test_unigram_vocab_truncation_and_coverage(spark):
     from rust_graph_db_spark.operators.bpe import unigram_vocab
 
@@ -1259,9 +1279,12 @@ def test_unigram_vocab_truncation_and_coverage(spark):
 
 
 def test_unigram_encode_reproduces_training_segmentation(spark):
-    """Encoding the training corpus with the trained vocab reproduces
-    the trainer's usage counts exactly (same Viterbi objective), and
-    OOV text still encodes via single-char coverage."""
+    """At a hard-EM fixed point (asserted first: a second training
+    round changes nothing), encoding the training corpus with the
+    trained vocab reproduces the trainer's usage counts exactly
+    (same Viterbi objective, scored by those counts); OOV text still
+    encodes via single-char coverage. Mid-EM vocabularies carry no
+    such guarantee — see unigram_encode's docstring."""
     from collections import Counter
 
     from rust_graph_db_spark.operators.bpe import (unigram_encode,
@@ -1270,6 +1293,11 @@ def test_unigram_encode_reproduces_training_segmentation(spark):
     df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
     vocab = unigram_vocab(df, min_freq=1)
     want = {(r.p, r.usage) for r in vocab.collect()}
+    # fixed point: segmenting under the trained counts reproduces
+    # them — the precondition for the encode-reproduces claim below
+    again = {(r.p, r.usage)
+             for r in unigram_vocab(df, min_freq=1, rounds=2).collect()}
+    assert again == want
     enc = unigram_encode(df, vocab).collect()
     use = Counter(t for r in enc for t in r.unigram_tokens)
     assert {(p, c) for p, c in use.items()} == want
