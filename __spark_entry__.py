@@ -238,6 +238,23 @@ def _q_unigram_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return unigram_vocab(docs)
 
 
+def _q_wordpiece_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t19: WordPiece tokenizer training (Schuster & Nakajima 2012 —
+    the BERT trainer) on the documents corpus: 16 rounds, each
+    merging the pair with the highest likelihood score
+    freq(ab)/(freq(a)·freq(b)) among pairs at the frequency floor
+    (bpe.train_wordpiece). Completes the BPE(t11)/Unigram(t18)/
+    WordPiece(t19) tokenizer trio. FULL oracle: the rounds unroll
+    into CTEs whose argmax orders by the identical one-divide IEEE
+    double (_wordpiece_oracle_sql); parity with a pure-Python
+    trainer is additionally pytest-proven."""
+    from rust_graph_db_spark.operators.bpe import train_wordpiece
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return train_wordpiece(docs, text_col="text", num_merges=16,
+                           min_freq=2)
+
+
 def _q_classifier_score_pinned(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
     """c5: quality-classifier SCORING with a pinned weight vector —
@@ -3030,6 +3047,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t11_bpe_merges": _q_bpe_merges,
         # t18: unigram/SentencePiece-style tokenizer training (r6)
         "t18_unigram_vocab": _q_unigram_vocab,
+        # t19: WordPiece tokenizer training (r6) — the BERT trainer,
+        # completing the BPE/Unigram/WordPiece trio
+        "t19_wordpiece_merges": _q_wordpiece_merges,
         # quality-classifier scoring, pinned weights (r5; full oracle —
         # the exact-BIGINT md5-hashed-feature dot product)
         "c5_quality_classifier": _q_classifier_score_pinned,
@@ -3251,10 +3271,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (both fixed this round) + e10 (newly hash-oracled), then the full
 # r2-green refresh block, then the oldest half of the r3-green block.
 # ROUND-7 ROTATION QUEUE, priority order: (1) any r6 reds; (2) the
-# remaining r3-green keys (d6-d11, t4-t10, c1-c4, e6-e9, k2, m4, g18
-# — t4/t5 were displaced from this round's r3 block by the d18/t18
-# additions and queue here, NOT silently dropped); (3) the r4-green
-# block, oldest first. c5b_classifier_train stays OUT
+# remaining r3-green keys (d6-d11, t3-t10, c1-c4, e6-e9, k2, m4, g18
+# — t3/t4/t5 were displaced from this round's r3 block by the
+# d18/t18/t19 additions and queue here, NOT silently dropped);
+# (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
 # of the window by design (rows-only GD training; its SQL-mirrorable
 # half c5 carries the hash verdict).
 _R6_WINDOW = [
@@ -3276,16 +3296,18 @@ _R6_WINDOW = [
     # r6 additions (never-verified outranks stale — each displaces
     # one r3-refresh from the block below into the r7 queue)
     "d18_blocked_edit_distance", "t18_unigram_vocab",
-    # 20 of the 44 keys whose newest green row is r3, oldest
+    "t19_wordpiece_merges",
+    # 19 of the 44 keys whose newest green row is r3, oldest
     # code-surface first (durable writes, iterative graph ops, the
-    # p1x Cypher surface, text metrics); the rest queue for r7
+    # p1x Cypher surface, text metrics); the rest (incl. t3, displaced
+    # by t19) queue for r7
     "w9_merge_upsert", "w10_stream_commits", "w11_snapshot_diff",
     "w12_stream_curate", "g11_label_prop", "g12_kcore",
     "g13_personalized_pr", "g17_scc", "a6_stat_aggs",
     "p10_string_preds", "p12_quantifiers", "p13_exists",
     "p14_count_sub", "p17_shortest_path", "p18_map_proj",
     "p19_call_sub", "p20_lateral_call", "p21_proc_call",
-    "t2_hash_split", "t3_repetition",
+    "t2_hash_split",
 ]
 
 
@@ -3531,6 +3553,66 @@ def _unigram_oracle_sql(lp: int = 4, lw: int = 12, min_freq: int = 2,
             "(SELECT freq, unnest(string_split(substr(path, 2), ' ')) "
             "AS p FROM seg) GROUP BY 1 "
             'ORDER BY "usage" DESC, p ASC')
+
+
+def _wordpiece_oracle_sql(num_merges: int = 16, min_freq: int = 2,
+                          min_pair_freq: int = 2) -> str:
+    """Unrolled WordPiece training (SQL twin of operators/bpe.py
+    train_wordpiece): per round, one symbol-count CTE, one pair-count
+    CTE, then an argmax ordered by the ONE-DIVIDE IEEE-double
+    likelihood score pfreq/(lf·rf) (both engines compute it
+    bit-identically from exact integer counts; ties break on
+    (l, r2)), then the same chr(31)-fold merge replay as the BPE
+    oracle with the merged spelling dropping right's '##' marker.
+    Early stop needs no rank gate: a round whose frequency-floored
+    pair table is empty yields an empty b{r}, the CROSS JOIN empties
+    w{r}, and every later round cascades empty — exactly Spark's
+    break."""
+    s = "chr(31)"
+    ctes = [
+        "wf AS (SELECT word, count(*) AS freq FROM (SELECT "
+        "unnest(list_filter(string_split_regex(text, '\\s+'), "
+        "x -> x <> '')) AS word FROM documents) GROUP BY word "
+        f"HAVING count(*) >= {int(min_freq)})",
+        "w0 AS (SELECT freq, list_transform("
+        "generate_series(1, len(word)), i -> CASE WHEN i = 1 THEN "
+        "substr(word, i, 1) ELSE '##' || substr(word, i, 1) END) "
+        "AS syms FROM wf)",
+    ]
+    for r in range(1, int(num_merges) + 1):
+        ctes.append(
+            f"sf{r} AS MATERIALIZED (SELECT sym, sum(freq) AS sfreq "
+            f"FROM (SELECT freq, unnest(syms) AS sym FROM w{r-1}) "
+            "GROUP BY sym)")
+        ctes.append(
+            f"p{r} AS (SELECT syms[i] AS l, syms[i+1] AS r2, freq "
+            f"FROM (SELECT freq, syms, unnest(generate_series(1, "
+            f"len(syms) - 1)) AS i FROM w{r-1}))")
+        ctes.append(
+            f"b{r} AS MATERIALIZED (SELECT q.l, q.r2, q.pfreq, "
+            "q.l || substr(q.r2, 3) AS merged FROM "
+            f"(SELECT l, r2, sum(freq) AS pfreq FROM p{r} "
+            f"GROUP BY l, r2 HAVING sum(freq) >= {int(min_pair_freq)}"
+            f") q JOIN sf{r} a ON a.sym = q.l "
+            f"JOIN sf{r} c ON c.sym = q.r2 "
+            "ORDER BY CAST(q.pfreq AS DOUBLE) / "
+            "(CAST(a.sfreq AS DOUBLE) * CAST(c.sfreq AS DOUBLE)) "
+            "DESC, q.l ASC, q.r2 ASC LIMIT 1)")
+        ctes.append(
+            f"w{r} AS MATERIALIZED (SELECT w.freq, "
+            "string_split(list_reduce(w.syms, "
+            f"(acc, x) -> CASE WHEN ends_with({s} || acc, {s} || b.l) "
+            "AND x = b.r2 THEN substr(acc, 1, len(acc) - len(b.l)) "
+            f"|| b.merged ELSE acc || {s} || x END), {s}) AS syms "
+            f"FROM w{r-1} w CROSS JOIN b{r} b)")
+    union = " UNION ALL ".join(
+        f"SELECT {r - 1} AS rank, l, r2, merged, pfreq FROM b{r}"
+        for r in range(1, int(num_merges) + 1))
+    ctes.append(f"allm AS ({union})")
+    return ("WITH " + ", ".join(ctes) +
+            ' SELECT CAST(rank AS INT) AS rank, l AS "left", '
+            'r2 AS "right", merged, CAST(pfreq AS BIGINT) AS freq '
+            "FROM allm")
 
 
 def _mis_oracle_sql(pre: str, seed: int = 3, rounds: int = 8) -> str:
@@ -4256,6 +4338,8 @@ def oracle_sql() -> dict[str, str]:
         "t18_unigram_vocab": _unigram_oracle_sql(
             lp=4, lw=12, min_freq=2, min_piece_freq=2),
         "t11_bpe_merges": _bpe_oracle_sql(
+            num_merges=16, min_freq=2, min_pair_freq=2),
+        "t19_wordpiece_merges": _wordpiece_oracle_sql(
             num_merges=16, min_freq=2, min_pair_freq=2),
         "t13_dsir": _dsir_oracle_sql(buckets=4096, seed=7, k=100),
         "g23_mis": _mis_oracle_sql(pre, seed=3, rounds=8),

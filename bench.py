@@ -218,7 +218,8 @@ def main() -> None:
                  "e7_int8_quantize", "e8_pq_encode", "d11_semdedup",
                  "d12_sorted_neighborhood", "r3_funnel", "r4_retention",
                  "r5_rolling_dau", "c6_profile", "g17_scc",
-                 "g18_betweenness", "t11_bpe_merges", "t12_perplexity",
+                 "g18_betweenness", "t11_bpe_merges",
+                 "t19_wordpiece_merges", "t12_perplexity",
                  "c8_langid", "t13_dsir", "d13_exact_substring",
                  "c9_domain_curation", "c5_quality_classifier",
                  "t15_kn_perplexity", "d14_winnow_pairs",

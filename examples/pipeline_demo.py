@@ -168,6 +168,15 @@ def main(spark=None):
     # unigram tokenizer training (r6): SentencePiece-style hard-EM
     from rust_graph_db_spark.operators.bpe import unigram_vocab
     unigram_vocab(docs).show(5)
+
+    # WordPiece training + greedy longest-match encode (r6): the BERT
+    # trainer — likelihood-scored merges, not raw pair counts
+    from rust_graph_db_spark.operators.bpe import (train_wordpiece,
+                                                   wordpiece_encode,
+                                                   wordpiece_vocab)
+    wp = train_wordpiece(docs, num_merges=8, min_freq=1)
+    wp.show(4)
+    wordpiece_encode(docs, wordpiece_vocab(docs, wp)).show(2)
     return kept
 
 

@@ -31,12 +31,16 @@ def _chars_with_end(word: Column) -> Column:
         F.array(F.lit(END)))
 
 
-def _merge_pair(syms: Column, left: str, right: str) -> Column:
+def _merge_pair(syms: Column, left: str, right: str,
+                joined: str | None = None) -> Column:
     """Greedy left-to-right merge of the adjacent pair (left, right)
     into one symbol — a single JVM-side array fold. Correct for
     overlapping runs ('aaa' + merge(a,a) → ['aa','a']) because a
-    just-merged tail symbol no longer equals ``left``."""
-    joined = left + right
+    just-merged tail symbol no longer equals ``left``. ``joined``
+    overrides the merged symbol's spelling (WordPiece drops the
+    continuation marker: 'a' + '##b' → 'ab')."""
+    if joined is None:
+        joined = left + right
     return F.aggregate(
         syms,
         F.array().cast("array<string>"),
@@ -333,6 +337,169 @@ def unigram_encode(df: DataFrame, vocab, text_col: str = "text",
                         key=lambda c: (c[0], c[1], " ".join(c[2])))
                     best[j] = (np_, -nsf, path)
             out = best[len(w)][2]
+            cache[w] = out
+            return out
+
+        return texts.map(lambda t: [p for w in (t or "").split()
+                                    for p in encode_word(w)])
+
+    return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+# --------------------------------------------------------- WordPiece
+
+WP_CONT = "##"  # continuation-piece marker (Schuster & Nakajima 2012)
+
+
+def _chars_wordpiece(word: Column) -> Column:
+    """'low' → ['l', '##o', '##w'] — first char bare, continuations
+    marked, no end-of-word symbol (WordPiece convention)."""
+    return F.transform(
+        F.filter(F.split(word, ""), lambda x: x != F.lit("")),
+        lambda c, i: F.when(i == F.lit(0), c)
+                      .otherwise(F.concat(F.lit(WP_CONT), c)))
+
+
+def train_wordpiece(df: DataFrame, text_col: str = "text",
+                    num_merges: int = 50, min_freq: int = 2,
+                    min_pair_freq: int = 2) -> DataFrame:
+    """WordPiece tokenizer training (Schuster & Nakajima, "Japanese
+    and Korean Voice Search", ICASSP 2012 — the BERT trainer): like
+    BPE, but each round merges the adjacent pair maximizing the
+    LIKELIHOOD score ``freq(ab) / (freq(a)·freq(b))`` instead of the
+    raw pair count, among pairs with ``freq(ab) >= min_pair_freq``
+    (the frequency floor keeps hapax-pair scores of 1/1 from winning,
+    as in the HuggingFace trainer). Returns ``(rank, left, right,
+    merged, freq)`` ordered by rank — ``merged`` is the new symbol's
+    spelling (the continuation marker of ``right`` is dropped:
+    'a' + '##b' → 'ab').
+
+    Determinism across engines: the score is ONE IEEE-double divide
+    of exact integer counts (``pfreq / (lf·rf)`` with both factors
+    cast to double first), which Spark and DuckDB compute
+    bit-identically, and ties break on (left, right) — so the merge
+    list is a pure function of the corpus and the full training loop
+    hash-oracles like t11's BPE. Doubles, not BIGINT cross-products:
+    at 100 TB a char symbol's count can reach ~1e13, so the
+    three-way integer product would overflow int64, while the double
+    product is deterministic (exact below 2^53, identically rounded
+    above in both engines).
+
+    100 TB shape (same as t11): training runs on the distinct-WORD
+    frequency table; each round shuffles (symbol, partial-count) and
+    (pair, partial-count) — both map-side combinable, reducer
+    cardinality = live vocabulary — then one argmax `.first()` of a
+    broadcast-size scored table. No Python in the loop.
+    """
+    words = (word_frequencies(df, text_col, min_freq)
+             .withColumn("syms", _chars_wordpiece(F.col("word")))
+             .select("freq", "syms")
+             .localCheckpoint(eager=True))
+    merges = []
+    for rank in range(int(num_merges)):
+        symf = (words.select("freq", F.explode("syms").alias("s"))
+                .groupBy("s").agg(F.sum("freq").alias("sfreq")))
+        pairs = words.select(
+            "freq",
+            F.explode(F.transform(
+                F.slice(F.col("syms"), 1, F.size("syms") - 1),
+                lambda s, i: F.struct(
+                    s.alias("left"),
+                    F.element_at(F.col("syms"),
+                                 i + F.lit(2)).alias("right"))
+            )).alias("p"))
+        pf = (pairs.groupBy("p.left", "p.right")
+              .agg(F.sum("freq").alias("pfreq"))
+              .where(F.col("pfreq") >= int(min_pair_freq)))
+        scored = (pf.join(symf.select(F.col("s").alias("left"),
+                                      F.col("sfreq").alias("lf")),
+                          "left")
+                  .join(symf.select(F.col("s").alias("right"),
+                                    F.col("sfreq").alias("rf")),
+                        "right")
+                  .withColumn("score",
+                              F.col("pfreq").cast("double")
+                              / (F.col("lf").cast("double")
+                                 * F.col("rf").cast("double"))))
+        best = (scored.orderBy(F.desc("score"), F.asc("left"),
+                               F.asc("right")).first())
+        if best is None:
+            break
+        merged = best["left"] + best["right"][len(WP_CONT):]
+        merges.append((rank, best["left"], best["right"], merged,
+                       int(best["pfreq"])))
+        words = words.withColumn(
+            "syms", _merge_pair(F.col("syms"), best["left"],
+                                best["right"], merged)
+        ).localCheckpoint(eager=True)
+    return df.sparkSession.createDataFrame(
+        merges or [],
+        "rank INT, left STRING, right STRING, merged STRING, "
+        "freq BIGINT")
+
+
+def wordpiece_vocab(df: DataFrame, merges: DataFrame,
+                    text_col: str = "text",
+                    min_freq: int = 1) -> DataFrame:
+    """``(symbol)``: the encode vocabulary = corpus alphabet (bare
+    first chars + '##' continuations) ∪ every merge's ``merged``
+    spelling — the HuggingFace WordPieceTrainer vocabulary shape
+    (greedy longest-match encoding never replays merges, so
+    intermediate spellings ARE the vocab)."""
+    base = (word_frequencies(df, text_col, min_freq)
+            .select(F.explode(
+                _chars_wordpiece(F.col("word"))).alias("symbol"))
+            .distinct())
+    return (base.unionByName(
+                merges.select(F.col("merged").alias("symbol")))
+            .distinct())
+
+
+def wordpiece_encode(df: DataFrame, vocab, text_col: str = "text",
+                     out_col: str = "wp_tokens", unk: str = "[UNK]",
+                     max_input_chars: int = 100) -> DataFrame:
+    """Tokenize ``text_col`` with a WordPiece vocabulary (DataFrame
+    from :func:`wordpiece_vocab` — first column read as the piece —
+    or an iterable of piece strings). Adds ``out_col ARRAY<STRING>``.
+    BERT's greedy longest-match-first per word: take the longest
+    vocab prefix of the remaining word ('##'-prefixed after the first
+    piece), advance; a word with no match at any position (or longer
+    than ``max_input_chars``) encodes as ``[unk]``. Arrow-batched
+    pandas UDF, per-word memoized, vocab broadcast in the closure."""
+    if isinstance(vocab, DataFrame):
+        first = vocab.columns[0]
+        pieces = {r[first] for r in vocab.select(first).collect()}
+    else:
+        pieces = set(vocab)
+    mic = int(max_input_chars)
+
+    @F.pandas_udf("array<string>")
+    def enc(texts: pd.Series) -> pd.Series:
+        cache: dict = {}
+
+        def encode_word(w: str) -> list:
+            hit = cache.get(w)
+            if hit is not None:
+                return hit
+            if len(w) > mic:
+                out = [unk]
+            else:
+                out, start = [], 0
+                while start < len(w):
+                    end, cur = len(w), None
+                    while start < end:
+                        sub = w[start:end]
+                        if start > 0:
+                            sub = WP_CONT + sub
+                        if sub in pieces:
+                            cur = sub
+                            break
+                        end -= 1
+                    if cur is None:
+                        out = [unk]
+                        break
+                    out.append(cur)
+                    start = end
             cache[w] = out
             return out
 

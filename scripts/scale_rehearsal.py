@@ -370,6 +370,14 @@ def main() -> None:
     stage("unigram_vocab_full",
           lambda: unigram_vocab(docs))
 
+    # t19 at full corpus: like t11/t18 the loop is vocabulary-bound
+    # (corpus touched once for word counts; each of the 16 rounds is
+    # two map-side-combinable aggs over the exploded distinct-word
+    # symbol table + one broadcast-size argmax)
+    from rust_graph_db_spark.operators.bpe import train_wordpiece
+    stage("wordpiece_vocab_full",
+          lambda: train_wordpiece(docs, num_merges=16))
+
     from rust_graph_db_spark.operators.curation import decontaminate_bloom
     stage("bloom_decontaminate_500k",
           lambda: decontaminate_bloom(

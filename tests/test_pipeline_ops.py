@@ -1186,6 +1186,128 @@ def test_bpe_encode_consistent_with_training_segmentation(spark):
         "".join(t) == "low</w>" for t in enc)
 
 
+def _ref_wordpiece(word_freqs, num_merges, min_pair_freq=2):
+    """Pure-Python WordPiece trainer (parity oracle for
+    train_wordpiece): merge the pair maximizing
+    freq(ab)/(freq(a)·freq(b)) among pairs at the frequency floor,
+    ties broken on (left, right)."""
+    from collections import Counter
+
+    words = Counter()
+    for w, f in word_freqs.items():
+        words[tuple([w[0]] + ["##" + c for c in w[1:]])] += f
+    merges = []
+    for rank in range(num_merges):
+        pc, sc = Counter(), Counter()
+        for syms, f in words.items():
+            for s in syms:
+                sc[s] += f
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        cands = {p: c for p, c in pc.items() if c >= min_pair_freq}
+        if not cands:
+            break
+        best = min(cands, key=lambda p: (
+            -(cands[p] / (sc[p[0]] * sc[p[1]])), p))
+        a, b = best
+        merged = a + b[2:]
+        merges.append((rank, a, b, merged, cands[best]))
+        nxt = Counter()
+        for syms, f in words.items():
+            out, i = [], 0
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    out.append(merged)
+                    i += 2
+                else:
+                    out.append(syms[i])
+                    i += 1
+            nxt[tuple(out)] += f
+        words = nxt
+    return merges
+
+
+def test_train_wordpiece_matches_reference(spark):
+    from collections import Counter
+
+    from rust_graph_db_spark.operators.bpe import train_wordpiece
+
+    wf = Counter(w for d in BPE_DOCS for w in d.split())
+    want = _ref_wordpiece(dict(wf), 12, min_pair_freq=2)
+    df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
+    got = [(r.rank, r.left, r.right, r.merged, r.freq)
+           for r in train_wordpiece(df, num_merges=12, min_freq=1,
+                                    min_pair_freq=2)
+           .orderBy("rank").collect()]
+    assert got == want
+
+
+def test_wordpiece_prefers_likelihood_over_raw_count(spark):
+    """The WordPiece score freq(ab)/(freq(a)·freq(b)) picks the rarer
+    but tighter pair where raw-count BPE would pick the frequent one:
+    (x,##y) has pfreq 5 but score 5/25, (q,##z) pfreq 3 but 3/9."""
+    from rust_graph_db_spark.operators.bpe import (train_bpe,
+                                                   train_wordpiece)
+
+    docs = ["xy xy xy xy xy qz qz qz"]
+    df = spark.createDataFrame([(d,) for d in docs], "text STRING")
+    wp = train_wordpiece(df, num_merges=1, min_freq=1,
+                         min_pair_freq=2).collect()
+    assert (wp[0].left, wp[0].right, wp[0].merged) == ("q", "##z", "qz")
+    bpe = train_bpe(df, num_merges=1, min_freq=1,
+                    min_pair_freq=2).collect()
+    assert (bpe[0].left, bpe[0].right) == ("x", "y")
+
+
+def test_wordpiece_encode_greedy_and_unk(spark):
+    from rust_graph_db_spark.operators.bpe import wordpiece_encode
+
+    vocab = ["un", "##able", "u", "##n", "##a", "##b", "##l", "##e"]
+    df = spark.createDataFrame(
+        [("unable unnable xyz",)], "text STRING")
+    toks = wordpiece_encode(df, vocab).collect()[0].wp_tokens
+    # greedy longest-match: 'un' + '##able', not char-by-char
+    assert toks[:2] == ["un", "##able"]
+    # 'unnable' = un ##n ##able ('##nable' absent, '##able' matches)
+    assert toks[2:5] == ["un", "##n", "##able"]
+    # 'xyz' has no piece at position 0 -> whole word is UNK
+    assert toks[5:] == ["[UNK]"]
+    # over-long words are UNK without scanning
+    long = wordpiece_encode(
+        spark.createDataFrame([("u" * 101,)], "text STRING"),
+        vocab).collect()[0].wp_tokens
+    assert long == ["[UNK]"]
+
+
+def test_wordpiece_vocab_covers_training_corpus(spark):
+    from rust_graph_db_spark.operators.bpe import (train_wordpiece,
+                                                   wordpiece_encode,
+                                                   wordpiece_vocab)
+
+    df = spark.createDataFrame([(d,) for d in BPE_DOCS], "text STRING")
+    merges = train_wordpiece(df, num_merges=8, min_freq=1)
+    vocab = wordpiece_vocab(df, merges, min_freq=1)
+    pieces = {r.symbol for r in vocab.collect()}
+    enc = wordpiece_encode(df, vocab).collect()
+    for row in enc:
+        # the vocab contains the full corpus alphabet, so no UNK, and
+        # stripping the continuation markers restores the text
+        assert "[UNK]" not in row.wp_tokens
+        assert set(row.wp_tokens) <= pieces
+        joined = "".join(t.removeprefix("##") for t in row.wp_tokens)
+        assert joined == "".join(row.text.split())
+
+
+def test_train_wordpiece_empty(spark):
+    from rust_graph_db_spark.operators.bpe import train_wordpiece
+
+    df = spark.createDataFrame([], "text STRING")
+    out = train_wordpiece(df, min_freq=1)
+    assert out.columns == ["rank", "left", "right", "merged", "freq"]
+    assert out.count() == 0
+
+
 def _ref_unigram(word_freqs, lp=4, lw=12, min_piece_freq=2, rounds=1):
     """Pure-python twin of bpe.unigram_vocab (hard-EM Viterbi with the
     integer (np, -sf, path) objective)."""
