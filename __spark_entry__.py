@@ -852,6 +852,26 @@ def _q_kn_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("ppl") <= F.lit(35.0)).alias("kept")))
 
 
+def _q_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c15: CCNet perplexity bucketing (Wenzek et al., LREC 2020 —
+    the LLaMA corpus-quality stage): KN-LM perplexity per document
+    (t15's scorer), then exact per-language NTILE(3) head/middle/tail
+    buckets, kept = bucket <= 2. Spark computes the buckets with the
+    global_cumsum rank substrate + closed-form NTILE arithmetic
+    (never a one-partition-per-language window); the oracle uses
+    DuckDB's builtin NTILE over the identical (ppl, doc_id) order —
+    ppl itself is bit-identical per the t15 contract."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import ccnet_ppl_buckets
+    from rust_graph_db_spark.operators.lm import train_kn_lm
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    lm = train_kn_lm(
+        docs.where(F.col("source").isin("src0", "src1", "src2")))
+    return ccnet_ppl_buckets(docs, lm)
+
+
 def _q_winnow_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """d14: winnowed-fingerprint candidate pairs (Schleimer, Wilkerson
     & Aiken, SIGMOD 2003 — the MOSS scheme): hash every 3-token gram,
@@ -3050,6 +3070,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # t19: WordPiece tokenizer training (r6) — the BERT trainer,
         # completing the BPE/Unigram/WordPiece trio
         "t19_wordpiece_merges": _q_wordpiece_merges,
+        # c15: CCNet perplexity head/middle/tail bucketing (r6)
+        "c15_ccnet_buckets": _q_ccnet_buckets,
         # quality-classifier scoring, pinned weights (r5; full oracle —
         # the exact-BIGINT md5-hashed-feature dot product)
         "c5_quality_classifier": _q_classifier_score_pinned,
@@ -3271,9 +3293,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (both fixed this round) + e10 (newly hash-oracled), then the full
 # r2-green refresh block, then the oldest half of the r3-green block.
 # ROUND-7 ROTATION QUEUE, priority order: (1) any r6 reds; (2) the
-# remaining r3-green keys (d6-d11, t3-t10, c1-c4, e6-e9, k2, m4, g18
-# — t3/t4/t5 were displaced from this round's r3 block by the
-# d18/t18/t19 additions and queue here, NOT silently dropped);
+# remaining r3-green keys (d6-d11, t2-t10, c1-c4, e6-e9, k2, m4, g18
+# — t2/t3/t4/t5 were displaced from this round's r3 block by the
+# d18/t18/t19/c15 additions and queue here, NOT silently dropped);
 # (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
 # of the window by design (rows-only GD training; its SQL-mirrorable
 # half c5 carries the hash verdict).
@@ -3296,18 +3318,17 @@ _R6_WINDOW = [
     # r6 additions (never-verified outranks stale — each displaces
     # one r3-refresh from the block below into the r7 queue)
     "d18_blocked_edit_distance", "t18_unigram_vocab",
-    "t19_wordpiece_merges",
-    # 19 of the 44 keys whose newest green row is r3, oldest
+    "t19_wordpiece_merges", "c15_ccnet_buckets",
+    # 18 of the 44 keys whose newest green row is r3, oldest
     # code-surface first (durable writes, iterative graph ops, the
-    # p1x Cypher surface, text metrics); the rest (incl. t3, displaced
-    # by t19) queue for r7
+    # p1x Cypher surface, text metrics); the rest (incl. t2/t3,
+    # displaced by t19/c15) queue for r7
     "w9_merge_upsert", "w10_stream_commits", "w11_snapshot_diff",
     "w12_stream_curate", "g11_label_prop", "g12_kcore",
     "g13_personalized_pr", "g17_scc", "a6_stat_aggs",
     "p10_string_preds", "p12_quantifiers", "p13_exists",
     "p14_count_sub", "p17_shortest_path", "p18_map_proj",
     "p19_call_sub", "p20_lateral_call", "p21_proc_call",
-    "t2_hash_split",
 ]
 
 
@@ -3944,6 +3965,22 @@ def _kn_perplexity_oracle_sql(max_ppl: float = 35.0) -> str:
         "FROM sc GROUP BY doc_id")
 
 
+def _ccnet_oracle_sql(n_buckets: int = 3, keep_max: int = 2) -> str:
+    """SQL twin of curation.ccnet_ppl_buckets: the full t15 KN
+    perplexity oracle as a CTE, then builtin NTILE per language over
+    (ppl, doc_id) — the closed-form bucket arithmetic Spark uses IS
+    NTILE semantics, so the builtin replays it exactly."""
+    inner = _kn_perplexity_oracle_sql(max_ppl=35.0)
+    return (
+        f"WITH pplt AS ({inner}), "
+        "b AS (SELECT p.doc_id, d.lang, p.ppl, "
+        f"CAST(NTILE({int(n_buckets)}) OVER (PARTITION BY d.lang "
+        "ORDER BY p.ppl ASC, p.doc_id ASC) AS INT) AS bucket "
+        "FROM pplt p JOIN documents d ON d.doc_id = p.doc_id) "
+        "SELECT doc_id, lang, ppl, bucket, "
+        f"bucket <= {int(keep_max)} AS kept FROM b")
+
+
 def _winnow_pairs_oracle_sql(k: int = 3, window: int = 4,
                              min_shared: int = 2) -> str:
     """SQL twin of dedup.winnow_fingerprints(md5) +
@@ -4300,6 +4337,7 @@ def oracle_sql() -> dict[str, str]:
             pre, seed=13, walk_length=6, p=2.0, q=0.5, window=2),
         "t12_perplexity": _perplexity_oracle_sql(max_ppl=33.0),
         "t15_kn_perplexity": _kn_perplexity_oracle_sql(max_ppl=35.0),
+        "c15_ccnet_buckets": _ccnet_oracle_sql(n_buckets=3, keep_max=2),
         "d14_winnow_pairs": _winnow_pairs_oracle_sql(
             k=3, window=4, min_shared=2),
         "g25_ktruss": _ktruss_oracle_sql(k=4, rounds=8),

@@ -177,6 +177,13 @@ def main(spark=None):
     wp = train_wordpiece(docs, num_merges=8, min_freq=1)
     wp.show(4)
     wordpiece_encode(docs, wordpiece_vocab(docs, wp)).show(2)
+
+    # CCNet perplexity buckets (r6): per-language head/middle/tail
+    # over the KN perplexity — the LLaMA corpus-quality stage
+    from rust_graph_db_spark.operators.curation import ccnet_ppl_buckets
+    from rust_graph_db_spark.operators.lm import train_kn_lm
+    klm = train_kn_lm(docs)
+    ccnet_ppl_buckets(docs.withColumn("lang", F.lit("en")), klm).show(3)
     return kept
 
 

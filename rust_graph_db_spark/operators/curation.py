@@ -1014,3 +1014,69 @@ def decontaminate_bloom(
                     F.coalesce("n_hits", F.lit(0)).cast("long")
                     .alias("n_hits"))
             .withColumn("flagged", F.col("n_hits") > 0))
+
+
+def ccnet_ppl_buckets(docs: DataFrame, lm, id_col: str = "doc_id",
+                      text_col: str = "text", lang_col: str = "lang",
+                      n_buckets: int = 3,
+                      keep_max_bucket: int = 2) -> DataFrame:
+    """``(doc_id, lang, ppl, bucket, kept)``: CCNet perplexity
+    bucketing (Wenzek et al., "CCNet: Extracting High Quality
+    Monolingual Datasets from Web Crawl Data", LREC 2020 — the
+    corpus-quality stage LLaMA trained on): score every document with
+    a Kneser-Ney LM trained on a trusted slice (:func:`lm.train_kn_lm`
+    / :func:`lm.kn_perplexity`, the paper's actual LM family), then
+    split each LANGUAGE into ``n_buckets`` equal-depth perplexity
+    buckets (1 = head = most-fluent … n = tail) and keep buckets
+    ``<= keep_max_bucket`` (head+middle, the paper's and LLaMA's
+    setting). Documents with no tokens have no perplexity and are
+    absent from the output (same contract as t15).
+
+    Bucket assignment is EXACT NTILE semantics over the total order
+    (ppl, doc_id) within each language — but computed WITHOUT a
+    single-partition-per-language window: the global rank comes from
+    :func:`packing.global_cumsum` over the (lang, ppl, doc_id) struct
+    (range partition + driver prefix-sum of O(partitions) counts,
+    the d12 substrate), per-language base rank and count come from a
+    broadcast O(#languages) aggregate, and the bucket is closed-form
+    arithmetic on (rank-in-lang, count): with q = cnt div n and
+    r = cnt mod n, the first r buckets take q+1 rows and the rest q —
+    exactly what NTILE(n) produces, so the DuckDB oracle can use the
+    builtin. At 100 TB this is one range exchange + the t15 scoring
+    joins; no language ever serializes through one task.
+    """
+    n = int(n_buckets)
+    from rust_graph_db_spark.operators.lm import kn_perplexity
+    from rust_graph_db_spark.operators.packing import global_cumsum
+
+    # pinned: the scored frame has TWO downstream executions inside
+    # global_cumsum (the range-boundary sample job + the exchange
+    # materialization) — without the checkpoint the 3-join KN scoring
+    # plan runs twice. ~40 B/doc, the checkpoint is skinny.
+    scored = (kn_perplexity(docs, lm, text_col=text_col, id_col=id_col)
+              .join(docs.select(id_col, lang_col), id_col)
+              .localCheckpoint(eager=True))
+    ranked = global_cumsum(
+        scored.withColumn("_one", F.lit(1))
+              .withColumn("_ord", F.struct(F.col(lang_col),
+                                           F.col("ppl"),
+                                           F.col(id_col))),
+        "_ord", "_one", out_col="_rn")
+    st = (ranked.groupBy(lang_col)
+          .agg(F.min("_rn").alias("_basern"),
+               F.count(F.lit(1)).alias("_cnt")))
+    j = ranked.join(F.broadcast(st), lang_col)
+    rk = F.col("_rn") - F.col("_basern") + 1
+    q = F.floor(F.col("_cnt") / n).cast("long")
+    r = F.pmod(F.col("_cnt"), n)
+    # NTILE(n): buckets 1..r hold q+1 rows, r+1..n hold q. greatest()
+    # keeps the unreachable else-branch division defined when q = 0
+    # (then rk <= r = cnt always takes the first branch).
+    bucket = (F.when(rk <= r * (q + 1),
+                     F.floor((rk - 1) / (q + 1)) + 1)
+              .otherwise(r + F.floor((rk - r * (q + 1) - 1)
+                                     / F.greatest(q, F.lit(1))) + 1))
+    return (j.select(F.col(id_col), F.col(lang_col), F.col("ppl"),
+                     bucket.cast("int").alias("bucket"))
+            .withColumn("kept",
+                        F.col("bucket") <= int(keep_max_bucket)))

@@ -272,6 +272,19 @@ def main() -> None:
                           "sec": results["kn_train"]}))
     stage("kn_perplexity_score", lambda: kn_perplexity(docs, klm))
 
+    # c15: CCNet buckets on the KN scores — adds the global_cumsum
+    # range exchange + broadcast lang-stats on top of the t15 joins;
+    # the per-language NTILE never serializes a language into one task
+    from rust_graph_db_spark.operators.curation import ccnet_ppl_buckets
+    if want("ccnet_buckets"):
+        if klm is None:
+            t = time.time()
+            klm = train_kn_lm(docs.where(F.col("source") == "src0"))
+            results["kn_train"] = round(time.time() - t, 1)
+            print(json.dumps({"stage": "kn_train", "types": klm.types,
+                              "sec": results["kn_train"]}))
+        stage("ccnet_buckets", lambda: ccnet_ppl_buckets(docs, klm))
+
     from rust_graph_db_spark.operators.dedup import winnow_fingerprints
     stage("winnow_fingerprints",
           lambda: winnow_fingerprints(docs, k=3, window=4))

@@ -365,3 +365,45 @@ def test_curate_accepts_kn_lm(spark, corpus_df):
                              "max_dup2": 1.0, "min_word_len": 0.0,
                              "max_word_len": 100.0})
     assert sorted(r.doc_id for r in out.collect()) == [0, 1, 2]
+
+
+def _py_ntile(cnt, n):
+    """NTILE(n) bucket per 1-based rank: first cnt%n buckets hold
+    cnt//n + 1 rows, the rest cnt//n."""
+    q, r = divmod(cnt, n)
+    out = []
+    for b in range(1, n + 1):
+        out.extend([b] * (q + 1 if b <= r else q))
+    return out  # out[rank-1] = bucket
+
+
+def test_ccnet_ppl_buckets(spark, corpus_df):
+    from rust_graph_db_spark.operators.curation import ccnet_ppl_buckets
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+
+    lm = train_kn_lm(corpus_df)
+    # 7 'en' docs (q=2, r=1: exercises both the q+1 and q branches)
+    # and 2 'xx' docs (cnt < n_buckets: the q=0 branch -> buckets 1,2)
+    texts = [t for _, t in CORPUS] + ["the cat sat on a zebra",
+                                      "zebra fish mat", "cat hat mat",
+                                      "the dog sat", "fish ate the log",
+                                      "dog on a mat"]
+    assert len(texts) == 9
+    rows = [(i, t, "en" if i < 7 else "xx")
+            for i, t in enumerate(texts)]
+    docs = spark.createDataFrame(rows,
+                                 "doc_id LONG, text STRING, lang STRING")
+    got = {r.doc_id: (r.lang, r.ppl, r.bucket, r.kept)
+           for r in ccnet_ppl_buckets(docs, lm).collect()}
+    ppl = {r.doc_id: r.ppl for r in kn_perplexity(docs, lm).collect()}
+    assert set(got) == set(ppl)
+    for lang in ("en", "xx"):
+        ids = sorted((d for d, (lg, *_) in got.items() if lg == lang),
+                     key=lambda d: (ppl[d], d))
+        want = _py_ntile(len(ids), 3)
+        for rank, d in enumerate(ids, start=1):
+            assert got[d][2] == want[rank - 1], (lang, d, got[d])
+            assert got[d][3] == (want[rank - 1] <= 2)
+    # the 2-doc language never reaches bucket 3
+    assert {got[d][2] for d in (7, 8)} == {1, 2}
