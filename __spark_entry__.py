@@ -1570,6 +1570,30 @@ def _q_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repetition_metrics(docs, "doc_id", "text")
 
 
+def _q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t20: the full Gopher/MassiveText repetition battery (Rae et
+    al. 2021 Table A1, curation.gopher_repetition) — dup-line
+    fraction + dup-line char coverage + top-{2,3,4}-gram char
+    coverage + dup-{5..10}-gram char coverage, one scan, zero
+    shuffles (array_sort + neighbor/run folds instead of groupBys).
+    The synthetic docs are single-line, so the entry derives a
+    multi-line page (a repeated seg-headline + a boilerplate footer +
+    the original text), mirrored verbatim in the oracle, making every
+    line/dup metric non-trivial."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import gopher_repetition
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seg = F.substring(F.col("text"), 1, 60)
+    nl = F.lit("\n")
+    page = F.concat(seg, F.lit(" alpha one."), nl,
+                    F.lit("footer boilerplate row"), nl,
+                    seg, F.lit(" alpha one."), nl,
+                    F.col("text"))
+    return gopher_repetition(docs.select("doc_id", page.alias("text")))
+
+
 def _aug_pii_text():
     """The doc_id-dependent synthetic PII suffix as a Column expression
     — ONE definition shared by the t4/t8/w12 Spark queries; its SQL
@@ -3072,6 +3096,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "t19_wordpiece_merges": _q_wordpiece_merges,
         # c15: CCNet perplexity head/middle/tail bucketing (r6)
         "c15_ccnet_buckets": _q_ccnet_buckets,
+        # t20: full Gopher repetition battery (r6)
+        "t20_gopher_repetition": _q_gopher_repetition,
         # quality-classifier scoring, pinned weights (r5; full oracle —
         # the exact-BIGINT md5-hashed-feature dot product)
         "c5_quality_classifier": _q_classifier_score_pinned,
@@ -3293,10 +3319,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # (both fixed this round) + e10 (newly hash-oracled), then the full
 # r2-green refresh block, then the oldest half of the r3-green block.
 # ROUND-7 ROTATION QUEUE, priority order: (1) any r6 reds; (2) the
-# remaining r3-green keys (d6-d11, t2-t10, c1-c4, e6-e9, k2, m4, g18
-# — t2/t3/t4/t5 were displaced from this round's r3 block by the
-# d18/t18/t19/c15 additions and queue here, NOT silently dropped);
-# (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
+# remaining r3-green keys (d6-d11, t2-t10, c1-c4, e6-e9, k2, m4, g18,
+# p21 — t2/t3/t4/t5 and p21 were displaced from this round's r3 block
+# by the d18/t18/t19/c15/t20 additions and queue here, NOT silently
+# dropped); (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
 # of the window by design (rows-only GD training; its SQL-mirrorable
 # half c5 carries the hash verdict).
 _R6_WINDOW = [
@@ -3319,16 +3345,17 @@ _R6_WINDOW = [
     # one r3-refresh from the block below into the r7 queue)
     "d18_blocked_edit_distance", "t18_unigram_vocab",
     "t19_wordpiece_merges", "c15_ccnet_buckets",
-    # 18 of the 44 keys whose newest green row is r3, oldest
+    "t20_gopher_repetition",
+    # 17 of the 44 keys whose newest green row is r3, oldest
     # code-surface first (durable writes, iterative graph ops, the
-    # p1x Cypher surface, text metrics); the rest (incl. t2/t3,
-    # displaced by t19/c15) queue for r7
+    # p1x Cypher surface); the rest (incl. t2/t3 and p21, displaced
+    # by t19/c15/t20) queue for r7
     "w9_merge_upsert", "w10_stream_commits", "w11_snapshot_diff",
     "w12_stream_curate", "g11_label_prop", "g12_kcore",
     "g13_personalized_pr", "g17_scc", "a6_stat_aggs",
     "p10_string_preds", "p12_quantifiers", "p13_exists",
     "p14_count_sub", "p17_shortest_path", "p18_map_proj",
-    "p19_call_sub", "p20_lateral_call", "p21_proc_call",
+    "p19_call_sub", "p20_lateral_call",
 ]
 
 
@@ -3965,6 +3992,81 @@ def _kn_perplexity_oracle_sql(max_ppl: float = 35.0) -> str:
         "FROM sc GROUP BY doc_id")
 
 
+def _gopher_repetition_oracle_sql(top_ns=(2, 3, 4),
+                                  dup_ns=(5, 6, 7, 8, 9, 10)) -> str:
+    """SQL twin of _q_gopher_repetition: same derived page, grams via
+    unnest + GROUP BY (the relational form of Spark's sorted-array
+    folds — equal results, different plan), top gram via row_number
+    (c DESC, g ASC) = Spark's first-maximal-run-in-sorted-order,
+    fractions as one exact-int double divide rounded to 6."""
+    ns = sorted(set(tuple(top_ns) + tuple(dup_ns)))
+    ctes = [
+        "pg AS (SELECT doc_id, substr(text, 1, 60) || ' alpha one.' "
+        "|| chr(10) || 'footer boilerplate row' || chr(10) || "
+        "substr(text, 1, 60) || ' alpha one.' || chr(10) || text "
+        "AS text FROM documents)",
+        "base AS (SELECT doc_id, "
+        "string_split_regex(lower(text), '\\s+') AS toks FROM pg)",
+        "lns AS (SELECT doc_id, trim(l) AS ln FROM (SELECT doc_id, "
+        "unnest(string_split(text, chr(10))) AS l FROM pg) "
+        "WHERE trim(l) <> '')",
+        "la AS (SELECT doc_id, ln, count(*) AS c, len(ln) AS ll "
+        "FROM lns GROUP BY doc_id, ln)",
+        "ls AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS nln, "
+        "CAST(count(*) AS BIGINT) AS ndist, sum(c * ll) AS ltot, "
+        "coalesce(sum(c * ll) FILTER (WHERE c >= 2), 0) AS ldup "
+        "FROM la GROUP BY doc_id)",
+    ]
+    for n in ns:
+        ctes.append(
+            f"o{n} AS (SELECT doc_id, "
+            f"array_to_string(toks[i:i+{n - 1}], ' ') AS g FROM "
+            "(SELECT doc_id, toks, unnest(generate_series(1, "
+            f"len(toks) - {n - 1})) AS i FROM base "
+            f"WHERE len(toks) >= {n}))")
+        ctes.append(
+            f"a{n} AS MATERIALIZED (SELECT doc_id, g, count(*) AS c, "
+            f"len(g) AS lg FROM o{n} GROUP BY doc_id, g)")
+        ctes.append(
+            f"s{n} AS (SELECT doc_id, sum(c * lg) AS tot, "
+            "coalesce(sum(c * lg) FILTER (WHERE c >= 2), 0) AS dup "
+            f"FROM a{n} GROUP BY doc_id)")
+        if n in top_ns:
+            ctes.append(
+                f"t{n} AS (SELECT doc_id, c * lg AS topchars FROM "
+                "(SELECT doc_id, c, lg, row_number() OVER "
+                "(PARTITION BY doc_id ORDER BY c DESC, g ASC) AS rn "
+                f"FROM a{n}) WHERE rn = 1)")
+
+    def fr(num: str, den: str) -> str:
+        return (f"round(CASE WHEN coalesce({den}, 0) > 0 THEN "
+                f"CAST({num} AS DOUBLE) / CAST({den} AS DOUBLE) "
+                "ELSE 0.0 END, 6)")
+
+    sel = [
+        "b.doc_id",
+        "CAST(len(b.toks) AS BIGINT) AS tok_cnt",
+        "CAST(len(array_to_string(b.toks, ' ')) AS BIGINT) AS char_cnt",
+        "coalesce(ls.nln, 0) AS line_cnt",
+        "round(CASE WHEN coalesce(ls.nln, 0) > 0 THEN "
+        "1.0 - CAST(ls.ndist AS DOUBLE) / CAST(ls.nln AS DOUBLE) "
+        "ELSE 0.0 END, 6) AS dup_line_frac",
+        fr("ls.ldup", "ls.ltot") + " AS dup_line_char_frac",
+    ]
+    joins = ["LEFT JOIN ls ON ls.doc_id = b.doc_id"]
+    for n in top_ns:
+        sel.append(fr(f"t{n}.topchars", f"s{n}.tot")
+                   + f" AS top{n}_char_frac")
+        joins.append(f"LEFT JOIN t{n} ON t{n}.doc_id = b.doc_id")
+    for n in dup_ns:
+        sel.append(fr(f"s{n}.dup", f"s{n}.tot")
+                   + f" AS dup{n}_char_frac")
+    for n in ns:
+        joins.append(f"LEFT JOIN s{n} ON s{n}.doc_id = b.doc_id")
+    return ("WITH " + ", ".join(ctes) + " SELECT " + ", ".join(sel)
+            + " FROM base b " + " ".join(joins))
+
+
 def _ccnet_oracle_sql(n_buckets: int = 3, keep_max: int = 2) -> str:
     """SQL twin of curation.ccnet_ppl_buckets: the full t15 KN
     perplexity oracle as a CTE, then builtin NTILE per language over
@@ -4338,6 +4440,7 @@ def oracle_sql() -> dict[str, str]:
         "t12_perplexity": _perplexity_oracle_sql(max_ppl=33.0),
         "t15_kn_perplexity": _kn_perplexity_oracle_sql(max_ppl=35.0),
         "c15_ccnet_buckets": _ccnet_oracle_sql(n_buckets=3, keep_max=2),
+        "t20_gopher_repetition": _gopher_repetition_oracle_sql(),
         "d14_winnow_pairs": _winnow_pairs_oracle_sql(
             k=3, window=4, min_shared=2),
         "g25_ktruss": _ktruss_oracle_sql(k=4, rounds=8),

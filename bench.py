@@ -223,7 +223,7 @@ def main() -> None:
                  "c8_langid", "t13_dsir", "d13_exact_substring",
                  "c9_domain_curation", "c5_quality_classifier",
                  "t15_kn_perplexity", "c15_ccnet_buckets",
-                 "d14_winnow_pairs",
+                 "t20_gopher_repetition", "d14_winnow_pairs",
                  "g25_ktruss", "g26_link_prediction",
                  "t16_c4_line_filter", "d15_decontaminate_neardup",
                  "c12_mixture_plan", "d16_paragraph_dedup",

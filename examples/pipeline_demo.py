@@ -184,6 +184,12 @@ def main(spark=None):
     from rust_graph_db_spark.operators.lm import train_kn_lm
     klm = train_kn_lm(docs)
     ccnet_ppl_buckets(docs.withColumn("lang", F.lit("en")), klm).show(3)
+
+    # full Gopher repetition battery (r6): one scan, zero shuffles
+    from rust_graph_db_spark.operators.curation import gopher_repetition
+    gopher_repetition(docs).select(
+        "doc_id", "dup_line_frac", "top2_char_frac",
+        "dup5_char_frac").show(3)
     return kept
 
 

@@ -1080,3 +1080,131 @@ def ccnet_ppl_buckets(docs: DataFrame, lm, id_col: str = "doc_id",
                      bucket.cast("int").alias("bucket"))
             .withColumn("kept",
                         F.col("bucket") <= int(keep_max_bucket)))
+
+
+def _dup_occ_chars(sorted_col: str) -> str:
+    """SQL expr (for F.expr): total chars over OCCURRENCES of elements
+    appearing >= 2 times in the pre-sorted array column — equal
+    elements are adjacent after the sort, so an occurrence is a
+    duplicate iff it matches a neighbor."""
+    c = sorted_col
+    return (
+        f"aggregate(transform(sequence(1, size({c})), i -> "
+        f"CASE WHEN (i > 1 AND element_at({c}, i) = "
+        f"element_at({c}, i - 1)) OR (i < size({c}) AND "
+        f"element_at({c}, i) = element_at({c}, i + 1)) "
+        f"THEN CAST(length(element_at({c}, i)) AS BIGINT) "
+        f"ELSE CAST(0 AS BIGINT) END), "
+        "CAST(0 AS BIGINT), (a, x) -> a + x)")
+
+
+def _top_run_chars(sorted_col: str) -> str:
+    """SQL expr (for F.expr): count(top) * length(top) for the most
+    frequent element of the pre-sorted array column, ties resolved to
+    the lexicographically smallest (the strict '>' keeps the FIRST
+    maximal run, which is the smallest element in sorted order)."""
+    c = sorted_col
+    run = "CASE WHEN x = a.prev THEN a.run + 1 ELSE CAST(1 AS BIGINT) END"
+    return (
+        f"aggregate({c}, named_struct("
+        "'prev', CAST('' AS STRING), 'run', CAST(0 AS BIGINT), "
+        "'best', CAST(0 AS BIGINT), 'bg', CAST('' AS STRING)), "
+        f"(a, x) -> named_struct('prev', x, 'run', {run}, "
+        f"'best', CASE WHEN ({run}) > a.best THEN ({run}) "
+        "ELSE a.best END, "
+        f"'bg', CASE WHEN ({run}) > a.best THEN x ELSE a.bg END), "
+        "a -> a.best * CAST(length(a.bg) AS BIGINT))")
+
+
+def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
+                      text_col: str = "text",
+                      top_ns: tuple = (2, 3, 4),
+                      dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """The full Gopher/MassiveText repetition battery (Rae et al.
+    2021, "Scaling Language Models: ... Gopher", Table A1) — the
+    canonical LLM-corpus quality filter family, extending
+    :func:`repetition_metrics`' dup-2/3-gram fractions with the
+    line-level and character-coverage signals:
+
+    - ``dup_line_frac``: 1 − distinct/total over trimmed non-empty
+      lines (the t3 convention at line level);
+    - ``dup_line_char_frac``: chars in occurrences of lines appearing
+      ≥2× / chars over all line occurrences;
+    - ``top{n}_char_frac`` (n ∈ ``top_ns``): count·length of the most
+      frequent word n-gram / chars over all n-gram occurrences (ties
+      → lexicographically smallest gram);
+    - ``dup{n}_char_frac`` (n ∈ ``dup_ns``): chars in occurrences of
+      n-grams appearing ≥2× / chars over all n-gram occurrences.
+
+    All numerators/denominators are exact BIGINT char sums (gram
+    length includes its single joining spaces; ``char_cnt`` is the
+    length of the single-space-joined token list), fractions are one
+    exact-int double divide rounded to 6 digits, and every fraction
+    is 0 when its denominator is 0 — conventions pinned so the DuckDB
+    oracle replays bitwise.
+
+    100 TB shape: every metric is WITHIN-document, so the whole
+    battery is ONE scan with ZERO shuffles — grams build as JVM-side
+    slice/join transforms, per-gram frequencies come from
+    array_sort + neighbor/run folds (equal grams are adjacent after
+    the sort) instead of a groupBy, and nothing leaves the row until
+    the final project. Compare: the naive per-(doc, gram) groupBy
+    would shuffle ~9 gram tables of the corpus' token volume.
+    """
+    toks = tokens(F.col(text_col))
+    out = df.select(F.col(id_col), F.col(text_col).alias("_txt"),
+                    toks.alias("_toks"))
+    # trimmed non-empty lines, plus their sorted twin for dup folds
+    out = out.withColumn(
+        "_lines",
+        F.filter(F.transform(F.split(F.col("_txt"), "\n"),
+                             lambda x: F.trim(x)),
+                 lambda x: x != F.lit("")))
+    out = out.withColumn("_lsort", F.array_sort("_lines"))
+    gram_cols = {}
+    for n in sorted(set(tuple(top_ns) + tuple(dup_ns))):
+        gram_cols[n] = f"_g{n}s"
+        out = out.withColumn(
+            gram_cols[n],
+            F.array_sort(F.expr(
+                f"CASE WHEN size(_toks) >= {n} THEN "
+                f"transform(sequence(1, size(_toks) - {n - 1}), "
+                f"i -> array_join(slice(_toks, i, {n}), ' ')) "
+                "ELSE array() END")))
+
+    def frac(num: str, den: str):
+        return F.round(
+            F.when(F.expr(den) > 0,
+                   F.expr(num).cast("double")
+                   / F.expr(den).cast("double"))
+            .otherwise(F.lit(0.0)), 6)
+
+    line_tot = ("aggregate(_lsort, CAST(0 AS BIGINT), "
+                "(a, x) -> a + CAST(length(x) AS BIGINT))")
+    cols = [
+        F.col(id_col),
+        F.size("_toks").cast("long").alias("tok_cnt"),
+        F.length(F.array_join("_toks", " ")).cast("long")
+        .alias("char_cnt"),
+        F.size("_lines").cast("long").alias("line_cnt"),
+        F.round(F.when(
+            F.size("_lines") > 0,
+            F.lit(1.0) - F.size(F.array_distinct("_lines"))
+            / F.size("_lines")).otherwise(F.lit(0.0)), 6)
+        .cast("double").alias("dup_line_frac"),
+        frac(_dup_occ_chars("_lsort"), line_tot)
+        .alias("dup_line_char_frac"),
+    ]
+    for n in top_ns:
+        c = gram_cols[n]
+        tot = (f"aggregate({c}, CAST(0 AS BIGINT), "
+               "(a, x) -> a + CAST(length(x) AS BIGINT))")
+        cols.append(frac(_top_run_chars(c), tot)
+                    .alias(f"top{n}_char_frac"))
+    for n in dup_ns:
+        c = gram_cols[n]
+        tot = (f"aggregate({c}, CAST(0 AS BIGINT), "
+               "(a, x) -> a + CAST(length(x) AS BIGINT))")
+        cols.append(frac(_dup_occ_chars(c), tot)
+                    .alias(f"dup{n}_char_frac"))
+    return out.select(*cols)

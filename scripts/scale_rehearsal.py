@@ -297,6 +297,13 @@ def main() -> None:
         F.col("text"), r"((?:\S+ ){7}\S+) ", "$1.\n").alias("text"))
     stage("c4_line_filter",
           lambda: c4_line_filter(pages, min_sentences=3))
+
+    # t20: the full Gopher battery is zero-shuffle by construction
+    # (within-document sorted-array folds) — the stage measures the
+    # per-row fold cost of 9 gram families on ~60-token docs
+    from rust_graph_db_spark.operators.curation import gopher_repetition
+    stage("gopher_repetition",
+          lambda: gopher_repetition(pages))
     bench = (docs.where(F.col("doc_id") % 200 == 0)
              .select("doc_id",
                      F.concat("text", F.lit(" qq eval")).alias("text")))

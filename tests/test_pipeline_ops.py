@@ -2266,3 +2266,80 @@ def test_bloom_decontaminate_empty_benchmark_flags_nothing(spark):
     bench = spark.createDataFrame([], "doc_id LONG, text STRING")
     rows = decontaminate_bloom(train, bench).collect()
     assert len(rows) == 1 and not rows[0].flagged and rows[0].n_hits == 0
+
+
+def _ref_gopher(text, top_ns=(2, 3, 4), dup_ns=(5, 6, 7, 8, 9, 10)):
+    """Pure-Python twin of curation.gopher_repetition for one doc."""
+    from collections import Counter
+
+    # mirror Spark split semantics (split keeps empty fields, so
+    # split('', '\s+') -> [''])
+    import re
+    toks = re.split(r"\s+", text.lower())
+    lines = [ln.strip() for ln in text.split("\n")]
+    lines = [ln for ln in lines if ln != ""]
+    out = {
+        "tok_cnt": len(toks),
+        "char_cnt": len(" ".join(toks)),
+        "line_cnt": len(lines),
+    }
+    lc = Counter(lines)
+    ltot = sum(len(ln) * c for ln, c in lc.items())
+    ldup = sum(len(ln) * c for ln, c in lc.items() if c >= 2)
+    out["dup_line_frac"] = round(
+        1.0 - len(lc) / len(lines), 6) if lines else 0.0
+    out["dup_line_char_frac"] = round(ldup / ltot, 6) if ltot else 0.0
+
+    def grams(n):
+        return [" ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)] \
+            if len(toks) >= n else []
+
+    for n in top_ns:
+        g = Counter(grams(n))
+        tot = sum(len(x) * c for x, c in g.items())
+        if tot:
+            top = min(g, key=lambda x: (-g[x], x))
+            out[f"top{n}_char_frac"] = round(g[top] * len(top) / tot, 6)
+        else:
+            out[f"top{n}_char_frac"] = 0.0
+    for n in dup_ns:
+        g = Counter(grams(n))
+        tot = sum(len(x) * c for x, c in g.items())
+        dup = sum(len(x) * c for x, c in g.items() if c >= 2)
+        out[f"dup{n}_char_frac"] = round(dup / tot, 6) if tot else 0.0
+    return out
+
+
+def test_gopher_repetition_matches_reference(spark):
+    from rust_graph_db_spark.operators.curation import gopher_repetition
+
+    docs = [
+        # duplicate lines + heavy 2-gram repetition + a full repeated
+        # 10-gram (the two long identical lines)
+        (0, "the cat sat on the mat near the cat mat today ok\n"
+            "short dup line\n"
+            "the cat sat on the mat near the cat mat today ok\n"
+            "short dup line\nunique tail line"),
+        # top-gram tie: 'a b' and 'b a' both occur twice -> smallest
+        (1, "a b a b a"),
+        # fewer tokens than the larger gram sizes
+        (2, "one two three"),
+        (3, "solo"),
+    ]
+    df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
+    got = {r.doc_id: r.asDict() for r in gopher_repetition(df).collect()}
+    for did, text in docs:
+        want = _ref_gopher(text)
+        g = got[did]
+        for k, v in want.items():
+            assert g[k] == v or abs(g[k] - v) < 1e-9, (did, k, g[k], v)
+    # doc 0's duplicated lines make every metric fire
+    assert got[0]["dup_line_frac"] > 0
+    assert got[0]["dup_line_char_frac"] > 0.5
+    assert got[0]["dup10_char_frac"] > 0
+    # doc 1: top-2-gram is 'a b' (tie vs 'b a' broken lexicographically)
+    assert got[1]["top2_char_frac"] == round(2 * 3 / (4 * 3), 6)
+    # doc 3: single token -> every gram family empty, line metrics 0
+    assert got[3]["top2_char_frac"] == 0.0
+    assert got[3]["dup_line_frac"] == 0.0
