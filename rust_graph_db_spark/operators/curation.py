@@ -1064,8 +1064,14 @@ def ccnet_ppl_buckets(docs: DataFrame, lm, id_col: str = "doc_id",
         "_ord", "_one", out_col="_rn")
     st = (ranked.groupBy(lang_col)
           .agg(F.min("_rn").alias("_basern"),
-               F.count(F.lit(1)).alias("_cnt")))
-    j = ranked.join(F.broadcast(st), lang_col)
+               F.count(F.lit(1)).alias("_cnt"))
+          .withColumnRenamed(lang_col, "_lang"))
+    # eqNullSafe: a NULL language is its own partition (the oracle's
+    # NTILE PARTITION BY keeps the NULL group) — a plain equi-join
+    # would silently drop unidentified-language docs here
+    j = (ranked.join(F.broadcast(st),
+                     F.col(lang_col).eqNullSafe(F.col("_lang")))
+         .drop("_lang"))
     rk = F.col("_rn") - F.col("_basern") + 1
     q = F.floor(F.col("_cnt") / n).cast("long")
     r = F.pmod(F.col("_cnt"), n)

@@ -26,6 +26,8 @@ import math
 import sys
 
 import duckdb
+import numpy as np
+import pandas as pd
 
 sys.path.insert(0, "/root/repo")
 
@@ -51,12 +53,8 @@ def _norm(v):
     violation upstream (complex_cols) and only renders here for the
     sample-diff printout.
     """
-    try:
-        import numpy as np
-        if isinstance(v, np.generic):
-            v = v.item()
-    except ImportError:
-        pass
+    if isinstance(v, np.generic):
+        v = v.item()
     if v is None:
         return "NULL"
     if isinstance(v, bool):
@@ -74,19 +72,14 @@ def _norm(v):
     if isinstance(v, (list, tuple)):
         return "[" + ",".join(_norm(x) for x in v) + "]"
     # pandas NaT / pd.NA (scalar-missing sentinels outside float cols)
-    try:
-        import pandas as pd
-        if v is pd.NaT or v is pd.NA:
-            return "NULL"
-    except ImportError:
-        pass
+    if v is pd.NaT or v is pd.NA:
+        return "NULL"
     return str(v)
 
 
 def complex_cols(pdf):
     """Columns holding unhashable cells (list/ndarray/dict/set) — the
     shapes that crash the driver's pandas canonicalizer."""
-    import numpy as np
     bad = []
     for c in pdf.columns:
         col = pdf[c]

@@ -264,12 +264,19 @@ def main() -> None:
     from rust_graph_db_spark.operators.lm import (kn_perplexity,
                                                   train_kn_lm)
     klm = None
+
+    def _ensure_klm():
+        nonlocal klm
+        if klm is None:
+            t = time.time()
+            klm = train_kn_lm(docs.where(F.col("source") == "src0"))
+            results["kn_train"] = round(time.time() - t, 1)
+            print(json.dumps({"stage": "kn_train", "types": klm.types,
+                              "sec": results["kn_train"]}))
+        return klm
+
     if want("kn_perplexity_score"):
-        t = time.time()
-        klm = train_kn_lm(docs.where(F.col("source") == "src0"))
-        results["kn_train"] = round(time.time() - t, 1)
-        print(json.dumps({"stage": "kn_train", "types": klm.types,
-                          "sec": results["kn_train"]}))
+        _ensure_klm()
     stage("kn_perplexity_score", lambda: kn_perplexity(docs, klm))
 
     # c15: CCNet buckets on the KN scores — adds the global_cumsum
@@ -277,12 +284,7 @@ def main() -> None:
     # the per-language NTILE never serializes a language into one task
     from rust_graph_db_spark.operators.curation import ccnet_ppl_buckets
     if want("ccnet_buckets"):
-        if klm is None:
-            t = time.time()
-            klm = train_kn_lm(docs.where(F.col("source") == "src0"))
-            results["kn_train"] = round(time.time() - t, 1)
-            print(json.dumps({"stage": "kn_train", "types": klm.types,
-                              "sec": results["kn_train"]}))
+        _ensure_klm()
         stage("ccnet_buckets", lambda: ccnet_ppl_buckets(docs, klm))
 
     from rust_graph_db_spark.operators.dedup import winnow_fingerprints

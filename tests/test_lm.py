@@ -392,6 +392,9 @@ def test_ccnet_ppl_buckets(spark, corpus_df):
     assert len(texts) == 9
     rows = [(i, t, "en" if i < 7 else "xx")
             for i, t in enumerate(texts)]
+    # a NULL-lang doc is its own partition (NTILE PARTITION BY keeps
+    # the NULL group) — it must never be silently dropped
+    rows.append((9, "the cat ate the mat", None))
     docs = spark.createDataFrame(rows,
                                  "doc_id LONG, text STRING, lang STRING")
     got = {r.doc_id: (r.lang, r.ppl, r.bucket, r.kept)
@@ -407,3 +410,5 @@ def test_ccnet_ppl_buckets(spark, corpus_df):
             assert got[d][3] == (want[rank - 1] <= 2)
     # the 2-doc language never reaches bucket 3
     assert {got[d][2] for d in (7, 8)} == {1, 2}
+    # the NULL-lang singleton survives as bucket 1 of its own group
+    assert got[9][0] is None and got[9][2] == 1 and got[9][3]
