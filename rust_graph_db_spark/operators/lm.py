@@ -221,7 +221,8 @@ def train_kn_lm(docs: DataFrame, text_col: str = "text",
 
 def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
                   text_col: str = "text", id_col: str = "doc_id",
-                  ndigits: int = 3) -> DataFrame:
+                  ndigits: int = 3,
+                  broadcast_max_types: int = 50_000_000) -> DataFrame:
     """(id_col, n_tokens, ppl): per-document interpolated Kneser-Ney
     perplexity exp(-mean ln P), with
 
@@ -239,9 +240,24 @@ def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
     t12 contract).
 
     Shape: one explode to (doc, prev, w) occurrence rows, three hash
-    joins against the count frames (intern the token strings to int64
-    upstream if vocabulary strings dominate the shuffle at real SF),
-    one per-document aggregation. No Python in the path."""
+    joins against the count frames, one per-document aggregation. No
+    Python in the path. Two measured scale decisions (10M-doc
+    rehearsal, SCALE.md §17):
+
+    - the joins carry 8-byte xxhash64 INTERNED keys on both sides,
+      never the token strings (the c8/t17 interning; collision bound
+      P ≈ types²/2^65, ~2e-5 at 29M types; the oracle joins on
+      strings, so the sf-scale gate would catch a collision that
+      actually fired there);
+    - when ``lm.types <= broadcast_max_types`` the three count frames
+      are BROADCAST (~16-24 B/type interned, well under Spark's 8 GB
+      broadcast cap at the 50M default): the LM is a MODEL, and
+      shuffling the corpus-token-cardinality occurrence table three
+      times BY the model's keys is backwards at corpus >> model scale
+      — the string form of exactly that exhausted the rehearsal box's
+      shuffle tier twice. With the broadcast the corpus NEVER
+      shuffles; the only exchange is the final per-document partial
+      aggregation. Above the gate the shuffle-join form remains."""
     if lm.types <= 0:
         raise ValueError("kn_perplexity: empty language model")
     occ = (docs.select(F.col(id_col), tokens(F.col(text_col))
@@ -250,11 +266,19 @@ def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
                "transform(sequence(1, size(_toks)),"
                " i -> struct(get(_toks, i - 2) AS prev,"
                " element_at(_toks, i) AS w))")).alias("p"))
-           .select(id_col, "p.prev", "p.w"))
-    ctx = lm.contexts.select(F.col("w1").alias("prev"), "cp", "nf")
-    cont = lm.continuations.select(F.col("w2").alias("w"), "nb")
-    big = lm.bigrams.select(F.col("w1").alias("prev"),
-                            F.col("w2").alias("w"),
+           .select(id_col,
+                   # NULL prev (first token) must stay NULL, not
+                   # hash-of-null: a join key of xxhash64(NULL) = the
+                   # seed constant could collide with a real word
+                   F.when(F.col("p.prev").isNull(),
+                          F.lit(None).cast("long"))
+                    .otherwise(F.xxhash64("p.prev")).alias("_hprev"),
+                   F.xxhash64("p.w").alias("_hw")))
+    ctx = lm.contexts.select(F.xxhash64("w1").alias("_hprev"),
+                             "cp", "nf")
+    cont = lm.continuations.select(F.xxhash64("w2").alias("_hw"), "nb")
+    big = lm.bigrams.select(F.xxhash64("w1").alias("_hprev"),
+                            F.xxhash64("w2").alias("_hw"),
                             F.col("c").alias("cb"))
     t = float(lm.types)
     d = float(lm.discount)
@@ -264,11 +288,14 @@ def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
     p_kn = (F.greatest(F.coalesce(F.col("cb"), F.lit(0))
                        .cast("double") - F.lit(d), F.lit(0.0)) / cp
             + ((F.lit(d) * F.col("nf").cast("double")) / cp) * s_cont)
-    p = (F.when(F.col("prev").isNull() | F.col("cp").isNull(), s_cont)
+    p = (F.when(F.col("_hprev").isNull() | F.col("cp").isNull(),
+                s_cont)
          .otherwise(p_kn))
-    scored = (occ.join(cont, "w", "left")
-              .join(ctx, "prev", "left")
-              .join(big, ["prev", "w"], "left")
+    hint = (F.broadcast if lm.types <= int(broadcast_max_types)
+            else (lambda frame: frame))
+    scored = (occ.join(hint(cont), "_hw", "left")
+              .join(hint(ctx), "_hprev", "left")
+              .join(hint(big), ["_hprev", "_hw"], "left")
               .select(id_col, F.log(p).alias("lp")))
     return (scored.groupBy(id_col)
             .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),

@@ -302,10 +302,23 @@ def main() -> None:
 
     # t20: the full Gopher battery is zero-shuffle by construction
     # (within-document sorted-array folds) — the stage measures the
-    # per-row fold cost of 9 gram families on ~60-token docs
+    # per-row fold cost of 9 gram families on ~60-token docs. The
+    # whole-row-hash agg forces EVERY metric column to evaluate: a
+    # bare count() is answered from parquet metadata, and an agg over
+    # a column subset lets Catalyst prune the other folds
     from rust_graph_db_spark.operators.curation import gopher_repetition
-    stage("gopher_repetition",
-          lambda: gopher_repetition(pages))
+
+    def _gopher_forced():
+        g = gopher_repetition(pages)
+        cols = ", ".join(g.columns)
+        # bit_xor (never overflows under ANSI, unlike sum) + a
+        # non-tautological filter: count() of a bare global agg knows
+        # the answer is 1 row and prunes the aggregate itself
+        return (g.agg(F.expr(f"bit_xor(xxhash64(struct({cols})))")
+                      .alias("rowhash"))
+                .where(F.col("rowhash") != F.lit(123456789)))
+
+    stage("gopher_repetition", _gopher_forced)
     bench = (docs.where(F.col("doc_id") % 200 == 0)
              .select("doc_id",
                      F.concat("text", F.lit(" qq eval")).alias("text")))
