@@ -1273,10 +1273,18 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
              .select("id", "l",
                      F.col("s").substr(F.col("i"), F.lit(qq)).alias("g"),
                      F.col("i")))
+    # pinned: occ feeds BOTH the doc-frequency agg and the prefix
+    # join, and prefix feeds BOTH sides of the candidate self-join
+    # (the ≥2-consumers checkpoint rule, SCALE.md §17). Measured at
+    # sf0.1: cold 32.6 → 14.2 s (the un-pinned plan re-executed the
+    # gram+window chain per consumer); warm 11.2 → 9.8 s (exchange
+    # reuse already deduped most of the warm plan — the remaining
+    # warm cost is the banded-levenshtein verify volume itself)
     occ = grams.select(
         "id", "l", "g",
         F.row_number().over(Window.partitionBy("id", "g")
-                            .orderBy("i")).alias("occ"))
+                            .orderBy("i")).alias("occ")
+    ).localCheckpoint(eager=True)
     # corpus doc-frequency of each (gram, occ) element — each doc
     # contributes an element at most once, so count(*) IS doc-freq
     freq = occ.groupBy("g", "occ").agg(F.count("*").alias("df_"))
@@ -1287,7 +1295,8 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                           Window.partitionBy("id")
                           .orderBy("df_", "g", "occ")).alias("rk"))
               .where(F.col("rk") <= prefix_len)
-              .select("id", "l", "g", "occ"))
+              .select("id", "l", "g", "occ")
+              .localCheckpoint(eager=True))
     lhs = prefix.select(F.col("id").alias("id1"), F.col("l").alias("l1"),
                         "g", "occ")
     rhs = prefix.select(F.col("id").alias("id2"), F.col("l").alias("l2"),
