@@ -1324,6 +1324,25 @@ def _q_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return duplicate_clusters(pairs)
 
 
+def _q_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """d19: dedup keep-selection (dedup.keep_best_per_cluster) — the
+    g7 MinHash-LSH pair graph clustered by connected components, then
+    exactly one keeper per cluster: highest length(text), ties to the
+    smallest id (the RefinedWeb/SlimPajama keep-the-longest policy).
+    Singletons are their own cluster, kept. Selection is a combinable
+    max(struct(score, -id)) + one equi-join — no per-cluster window,
+    so a boilerplate mega-cluster can't serialize into one task.
+    Oracle: g7's recursive-CTE components + row_number
+    (score DESC, id ASC)."""
+    from rust_graph_db_spark.operators.dedup import (
+        keep_best_per_cluster, minhash_lsh_pairs)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32,
+                              bands=8, threshold=0.8)
+    return keep_best_per_cluster(docs, pairs)
+
+
 def _q_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
 
@@ -3301,6 +3320,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
             "UNWIND [1, 2, 3, 4, 5] AS x RETURN x, x * x AS sq ORDER BY x"),
         # d11: SemDeDup cluster-then-verify near-dup pairs (r3-s5)
         "d11_semdedup": _q_semdedup,
+        # d19: keep-best-per-cluster dedup selection (r6)
+        "d19_keep_best": _q_keep_best,
     }
     window = [k for k in _R6_WINDOW]
     # len(set(...)) catches duplicate window keys too — a duplicate
@@ -3320,9 +3341,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # r2-green refresh block, then the oldest half of the r3-green block.
 # ROUND-7 ROTATION QUEUE, priority order: (1) any r6 reds; (2) the
 # remaining r3-green keys (d6-d11, t2-t10, c1-c4, e6-e9, k2, m4, g18,
-# p21 — t2/t3/t4/t5 and p21 were displaced from this round's r3 block
-# by the d18/t18/t19/c15/t20 additions and queue here, NOT silently
-# dropped); (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
+# p20, p21 — t2/t3/t4/t5 and p20/p21 were displaced from this round's
+# r3 block by the d18/t18/t19/c15/t20/d19 additions and queue here,
+# NOT silently dropped); (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
 # of the window by design (rows-only GD training; its SQL-mirrorable
 # half c5 carries the hash verdict).
 _R6_WINDOW = [
@@ -3345,17 +3366,17 @@ _R6_WINDOW = [
     # one r3-refresh from the block below into the r7 queue)
     "d18_blocked_edit_distance", "t18_unigram_vocab",
     "t19_wordpiece_merges", "c15_ccnet_buckets",
-    "t20_gopher_repetition",
-    # 17 of the 44 keys whose newest green row is r3, oldest
+    "t20_gopher_repetition", "d19_keep_best",
+    # 16 of the 44 keys whose newest green row is r3, oldest
     # code-surface first (durable writes, iterative graph ops, the
-    # p1x Cypher surface); the rest (incl. t2/t3 and p21, displaced
-    # by t19/c15/t20) queue for r7
+    # p1x Cypher surface); the rest (incl. t2/t3, p20, p21, displaced
+    # by t19/c15/t20/d19) queue for r7
     "w9_merge_upsert", "w10_stream_commits", "w11_snapshot_diff",
     "w12_stream_curate", "g11_label_prop", "g12_kcore",
     "g13_personalized_pr", "g17_scc", "a6_stat_aggs",
     "p10_string_preds", "p12_quantifiers", "p13_exists",
     "p14_count_sub", "p17_shortest_path", "p18_map_proj",
-    "p19_call_sub", "p20_lateral_call",
+    "p19_call_sub",
 ]
 
 
@@ -4403,6 +4424,29 @@ def oracle_sql() -> dict[str, str]:
             "UNION SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u) "
             "SELECT id, CAST(min(reach) AS BIGINT) AS cluster "
             "FROM r GROUP BY id"),
+        # d19: g7's components + keep-the-longest selection (ties ->
+        # smallest id), singletons self-clustered and kept
+        "d19_keep_best": (
+            "WITH RECURSIVE " + _JACCARD_CTES + ", "
+            "pairs AS (SELECT i, j FROM p WHERE jac >= 0.8), "
+            "e AS (SELECT i AS u, j AS v FROM pairs "
+            "UNION SELECT j, i FROM pairs), "
+            "r AS (SELECT u AS id, u AS reach FROM e "
+            "UNION SELECT r.id, e.v FROM r JOIN e ON r.reach = e.u), "
+            "cl AS (SELECT id, min(reach) AS cluster FROM r "
+            "GROUP BY id), "
+            "sc AS (SELECT doc_id AS id, "
+            "CAST(len(text) AS BIGINT) AS score FROM documents), "
+            "j AS (SELECT s.id, "
+            "CAST(coalesce(c.cluster, s.id) AS BIGINT) AS cluster, "
+            "s.score FROM sc s LEFT JOIN cl c ON c.id = s.id), "
+            "b AS (SELECT cluster, id AS bid FROM "
+            "(SELECT cluster, id, row_number() OVER "
+            "(PARTITION BY cluster ORDER BY score DESC, id ASC) "
+            "AS rn FROM j) WHERE rn = 1) "
+            "SELECT j.id AS doc_id, j.cluster, j.score, "
+            "(j.id = b.bid) AS kept FROM j "
+            "JOIN b ON b.cluster = j.cluster ORDER BY doc_id"),
         "x7_revenue_by_nation": (
             "SELECT n_name AS nation, "
             "sum(round(l_extendedprice * 100) * "

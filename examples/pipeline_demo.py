@@ -190,6 +190,14 @@ def main(spark=None):
     gopher_repetition(docs).select(
         "doc_id", "dup_line_frac", "top2_char_frac",
         "dup5_char_frac").show(3)
+
+    # dedup keep-selection (r6): pairs -> clusters -> keep-longest
+    from rust_graph_db_spark.operators.dedup import (
+        keep_best_per_cluster, minhash_lsh_pairs)
+    kb = keep_best_per_cluster(
+        docs, minhash_lsh_pairs(docs, "doc_id", "text"))
+    print("keep-selection keeps",
+          kb.where("kept").count(), "of", kb.count())
     return kept
 
 

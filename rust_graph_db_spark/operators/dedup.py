@@ -1465,3 +1465,55 @@ def blocked_edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
             .where(F.col("dist") >= 0)
             .select("id1", "id2",
                     F.col("dist").cast("long").alias("dist")))
+
+
+def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
+                          id_col: str = "doc_id",
+                          text_col: str = "text",
+                          score: Column | None = None,
+                          id_cols=("i", "j")) -> DataFrame:
+    """``(doc_id, cluster, score, kept)``: the KEEP-SELECTION stage
+    that completes the dedup pipeline — near-dup ``pairs`` (from any
+    of d2-d5/d11/d17/d18) → connected-component clusters → keep
+    exactly ONE document per cluster: the highest ``score``, ties to
+    the smallest id. Default score is ``length(text_col)`` — the
+    "keep the longest member" policy of RefinedWeb/SlimPajama-style
+    dedup (longer members subsume their near-copies); pass any
+    numeric Column for quality-aware selection (e.g. c5's classifier
+    score). Documents in no pair are their own singleton cluster and
+    always kept, so ``kept`` filters the corpus directly.
+
+    Relation to g23's MIS selection: min-id/best-score clustering
+    keeps ONE doc per component; :func:`keep_maximal_nondup` keeps a
+    maximal mutually-non-dup SET (more data when near-duplication is
+    non-transitive). This operator is the policy used when a cluster
+    is trusted to be one logical document.
+
+    100 TB shape: clustering is the existing co-partitioned CC loop;
+    selection adds ONE map-side-combinable ``max(struct(score, -id))``
+    aggregate and ONE equi-join back on the cluster id — deliberately
+    NO per-cluster window sort, so a pathological mega-cluster (the
+    boilerplate blob every real corpus has) costs a combinable max,
+    not a single-task sort.
+    """
+    from rust_graph_db_spark.operators.graph_algos import \
+        duplicate_clusters
+
+    sc_col = (score if score is not None
+              else F.length(F.col(text_col)).cast("long"))
+    cl = duplicate_clusters(pairs, id_cols)
+    j = (docs.select(F.col(id_col).cast("long").alias("id"),
+                     sc_col.alias("score"))
+         .join(cl, "id", "left")
+         .select("id", F.coalesce("cluster", F.col("id"))
+                 .alias("cluster"), "score"))
+    best = (j.groupBy("cluster")
+            .agg(F.max(F.struct(F.col("score"),
+                                (-F.col("id")).alias("nid")))
+                 .alias("_b")))
+    return (j.join(best, "cluster")
+            .select(F.col("id").alias(id_col), "cluster", "score",
+                    ((F.col("score") == F.col("_b.score"))
+                     & (F.col("id") == -F.col("_b.nid")))
+                    .alias("kept"))
+            .orderBy(id_col))

@@ -426,6 +426,24 @@ def main() -> None:
     from rust_graph_db_spark.operators.graph_algos import local_clustering
     stage("local_clustering", lambda: local_clustering(edges))
 
+    # d19: keep-selection over a synthetic pair graph at doc scale —
+    # chains + a deliberate MEGA-CLUSTER (every 1000th doc pairs into
+    # one component) to prove the combinable-max selection never
+    # serializes a cluster into one task (no per-cluster window)
+    from rust_graph_db_spark.operators.dedup import keep_best_per_cluster
+
+    def _keep_best():
+        chain = (spark.range(n_docs // 2)
+                 .select((F.col("id") * 2).alias("i"),
+                         (F.col("id") * 2 + 1).alias("j")))
+        mega = (spark.range(n_docs // 1000)
+                .select(F.lit(0).cast("long").alias("i"),
+                        (F.col("id") * 1000).alias("j"))
+                .where(F.col("j") > 0))
+        return keep_best_per_cluster(docs, chain.unionByName(mega))
+
+    stage("keep_best_mega_cluster", _keep_best)
+
     print(json.dumps({"metric": "scale_rehearsal_seconds",
                       "n_docs": n_docs, "n_edges": n_edges,
                       "stages": results,

@@ -2343,3 +2343,34 @@ def test_gopher_repetition_matches_reference(spark):
     # doc 3: single token -> every gram family empty, line metrics 0
     assert got[3]["top2_char_frac"] == 0.0
     assert got[3]["dup_line_frac"] == 0.0
+
+
+def test_keep_best_per_cluster(spark):
+    from rust_graph_db_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, "short"), (2, "the longest member here"), (3, "medium txt"),
+         (4, "singleton doc"), (5, "same len"), (6, "len same")],
+        "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6)], "i LONG, j LONG")
+    got = {r.doc_id: (r.cluster, r.score, r.kept)
+           for r in keep_best_per_cluster(docs, pairs).collect()}
+    # cluster {1,2,3}: 2 is longest and wins; min-id labels the cluster
+    assert got[1] == (1, 5, False)
+    assert got[2] == (1, 23, True)
+    assert got[3] == (1, 10, False)
+    # singleton: own cluster, kept
+    assert got[4] == (4, 13, True)
+    # length tie in {5,6} -> smallest id wins
+    assert got[5] == (5, 8, True)
+    assert got[6] == (5, 8, False)
+    # exactly one keeper per cluster
+    keepers = [d for d, (_, _, k) in got.items() if k]
+    assert sorted(keepers) == [2, 4, 5]
+    # custom score flips the {1,2,3} winner to the shortest
+    from pyspark.sql import functions as F
+    got2 = {r.doc_id: r.kept
+            for r in keep_best_per_cluster(
+                docs, pairs, score=-F.length("text")).collect()}
+    assert got2[1] and not got2[2] and not got2[3]
