@@ -184,8 +184,12 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
 
     and the expected-count E-step collapses to exact integer usage
     counts ``usage(p) = Σ_w freq(w)·occurrences(p in seg(w))``; the
-    M-step re-scores pieces by usage and prunes zero-usage pieces.
-    Returns ``(piece, usage)``, usage > 0. The integer objective is
+    M-step re-scores pieces by usage. Only the RETURNED vocabulary is
+    pruned to usage > 0: during multi-round EM every seed piece stays
+    live (zero-usage pieces re-enter the next round at score 0, where
+    the fewest-pieces leg of the objective can still pick them up) —
+    pruning mid-EM would change segmentations and break the exact
+    oracle replay. Returns ``(piece, usage)``, usage > 0. The integer objective is
     the whole trick: true unigram EM multiplies float probabilities,
     which no SQL engine replays bit-identically, while (count-sum,
     path) tuples are exact in both engines — so the FULL training
@@ -390,6 +394,16 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
     (pair, partial-count) — both map-side combinable, reducer
     cardinality = live vocabulary — then one argmax `.first()` of a
     broadcast-size scored table. No Python in the loop.
+
+    Known limitation (shared with the HuggingFace trainer): corpus
+    words containing literal '#' can forge symbols in the '##'
+    continuation namespace — a word starting "##" yields the bare
+    merge '#'+'#' = '##', and a later merge can build '###', which
+    conflates with the continuation piece of '#' in the symbol-count
+    table. Spark, the DuckDB oracle, and the Python pytest reference
+    all share the behavior (no oracle split), and BERT-style
+    pipelines avoid it by vocabulary-level '#' handling upstream;
+    pre-escape '#' in inputs if your corpus hits this.
     """
     words = (word_frequencies(df, text_col, min_freq)
              .withColumn("syms", _chars_wordpiece(F.col("word")))

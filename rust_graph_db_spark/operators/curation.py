@@ -1094,14 +1094,20 @@ def _dup_occ_chars(sorted_col: str) -> str:
     elements are adjacent after the sort, so an occurrence is a
     duplicate iff it matches a neighbor."""
     c = sorted_col
+    # The size-guard CASE matters: sequence(1, 0) on an empty array
+    # would yield the auto-DESCENDING [1, 0] and lean on CASE/AND
+    # short-circuiting to dodge out-of-bounds element_at — guard the
+    # whole fold instead so empty/singleton arrays never build a
+    # sequence at all (r6 ADVICE).
     return (
+        f"CASE WHEN size({c}) < 2 THEN CAST(0 AS BIGINT) ELSE "
         f"aggregate(transform(sequence(1, size({c})), i -> "
         f"CASE WHEN (i > 1 AND element_at({c}, i) = "
         f"element_at({c}, i - 1)) OR (i < size({c}) AND "
         f"element_at({c}, i) = element_at({c}, i + 1)) "
         f"THEN CAST(length(element_at({c}, i)) AS BIGINT) "
         f"ELSE CAST(0 AS BIGINT) END), "
-        "CAST(0 AS BIGINT), (a, x) -> a + x)")
+        "CAST(0 AS BIGINT), (a, x) -> a + x) END")
 
 
 def _top_run_chars(sorted_col: str) -> str:

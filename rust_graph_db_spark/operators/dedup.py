@@ -1481,7 +1481,10 @@ def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
     dedup (longer members subsume their near-copies); pass any
     numeric Column for quality-aware selection (e.g. c5's classifier
     score). Documents in no pair are their own singleton cluster and
-    always kept, so ``kept`` filters the corpus directly.
+    always kept, so ``kept`` filters the corpus directly. NULL
+    scores rank below every non-NULL score (SQL NULLS LAST), and a
+    cluster whose members ALL score NULL still keeps exactly one
+    member (the smallest id) — ``kept`` is always a real boolean.
 
     Relation to g23's MIS selection: min-id/best-score clustering
     keeps ONE doc per component; :func:`keep_maximal_nondup` keeps a
@@ -1507,13 +1510,21 @@ def keep_best_per_cluster(docs: DataFrame, pairs: DataFrame,
          .join(cl, "id", "left")
          .select("id", F.coalesce("cluster", F.col("id"))
                  .alias("cluster"), "score"))
+    # NULL-safe selection key (r6 ADVICE): a NULL score (e.g. NULL
+    # text under the default length(text) score) must not poison the
+    # max-struct comparison or make ``kept`` three-valued. The leading
+    # has-flag ranks every non-NULL score above every NULL one (the
+    # oracle's row_number NULLS LAST), the coalesce keeps the struct
+    # comparison null-free, and an all-NULL cluster still keeps
+    # exactly one member (the smallest id, via nid). ``kept`` tests
+    # only the unique id, so it is always a real boolean.
     best = (j.groupBy("cluster")
-            .agg(F.max(F.struct(F.col("score"),
-                                (-F.col("id")).alias("nid")))
+            .agg(F.max(F.struct(
+                    F.col("score").isNotNull().alias("has"),
+                    F.coalesce(F.col("score"), F.lit(0)).alias("s"),
+                    (-F.col("id")).alias("nid")))
                  .alias("_b")))
     return (j.join(best, "cluster")
             .select(F.col("id").alias(id_col), "cluster", "score",
-                    ((F.col("score") == F.col("_b.score"))
-                     & (F.col("id") == -F.col("_b.nid")))
-                    .alias("kept"))
+                    (F.col("id") == -F.col("_b.nid")).alias("kept"))
             .orderBy(id_col))

@@ -106,22 +106,60 @@ def stream_edge_upserts(
     return writer.start()
 
 
+def _state_hits(state: DataFrame, probe: DataFrame, key: str) -> DataFrame:
+    """The one sanctioned way a foreachBatch body probes its durable
+    append-only state: return the distinct ``key`` values of ``probe``
+    (batch-bounded) that already exist in ``state`` (unbounded).
+
+    The join direction is the whole design (r6 VERDICT #1): the BATCH
+    side is broadcast and the state is only ever SCANNED — one
+    shuffle-free, embarrassingly-parallel pass, so per-batch cost
+    carries no shuffle/sort term that grows with accumulated state.
+    Never ``.distinct()`` the state first: a hit-probe needs no
+    deduplicated build side, and both dedup states are append-once per
+    key anyway (a key is claimed by exactly one surviving doc, after
+    which every later holder is dropped before the state write). At
+    10B-doc state the remaining linear term is the bare columnar scan
+    of one key column; the layout knobs for that decade are on the
+    WRITE side (`_write_state`: bloom-filtered, size-bounded files a
+    predicate-pushdown reader can skip)."""
+    return (state.join(F.broadcast(probe.select(key).distinct()), key)
+            .select(key))
+
+
+def _write_state(df: DataFrame, state_dir: str) -> None:
+    """Append a micro-batch's (batch-bounded) state rows: coalesced to
+    ONE file per batch so the state's file count grows by 1/batch (a
+    10k-batch stream stays scannable), with a parquet bloom filter on
+    every column so point-probe readers (literal IN pushdown at
+    trickle-batch sizes, external compactors) can skip row groups
+    without reading them."""
+    w = df.coalesce(1).write.mode("append")
+    for c in df.columns:
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
+    w.parquet(state_dir)
+
+
 def _dedup_against_state(df: DataFrame, state_dir: str, id_col: str):
     """Shared stateful-dedup core for the foreachBatch bodies: keep the
-    min-``id_col`` row per in-batch ``_digest``, then anti-join the
-    durable SEEN set. Only a MISSING state path (batch 0) is tolerated;
-    any other read failure (permissions, corrupt files, transient
-    store errors) must fail the batch — silently skipping the anti-join
-    would re-ingest every previously-seen document with no error."""
+    min-``id_col`` row per in-batch ``_digest``, then drop digests in
+    the durable SEEN set (via ``_state_hits`` — the state is scanned
+    with the batch broadcast, never shuffled). Only a MISSING state
+    path (batch 0) is tolerated; any other read failure (permissions,
+    corrupt files, transient store errors) must fail the batch —
+    silently skipping the probe would re-ingest every previously-seen
+    document with no error."""
     from pyspark.errors import AnalysisException
     from pyspark.sql import Window as W
 
     w = W.partitionBy("_digest").orderBy(F.col(id_col))
     df = (df.withColumn("_rn", F.row_number().over(w))
-          .where(F.col("_rn") == 1).drop("_rn"))
+          .where(F.col("_rn") == 1).drop("_rn")
+          .localCheckpoint(eager=True))   # 2 consumers: probe + anti
     try:
-        seen = df.sparkSession.read.parquet(state_dir).select("_digest")
-        return df.join(seen, "_digest", "left_anti")
+        seen = df.sparkSession.read.parquet(state_dir)
+        hits = _state_hits(seen, df, "_digest")
+        return df.join(F.broadcast(hits), "_digest", "left_anti")
     except AnalysisException as e:
         if "PATH_NOT_FOUND" in str(e) or "Path does not exist" in str(e):
             return df                            # no state yet: batch 0
@@ -164,7 +202,7 @@ def stream_exact_dedup(
         b = (b.withColumn("_batch_id", F.lit(batch_id).cast("long"))
               .localCheckpoint(eager=True))      # freeze before writing
         b.drop("_digest").write.mode("append").parquet(out_dir)
-        b.select("_digest").write.mode("append").parquet(state_dir)
+        _write_state(b.select("_digest"), state_dir)
 
     writer = stream.writeStream.foreachBatch(dedup_batch) \
                    .outputMode("update")
@@ -478,6 +516,14 @@ def stream_neardup_dedup(
     document length, append-only and merge-on-read like the digest
     state.
 
+    Per-batch probe cost: the state is SCANNED (batch bucket keys
+    broadcast into it via ``_state_hits``), never shuffled, sorted
+    or distinct-ed — the growth term per batch is one shuffle-free
+    columnar pass over the state's single long column, and state
+    files are written bloom-filtered + one-per-batch
+    (``_write_state``) so a pushdown reader can skip row groups a
+    trickle batch doesn't touch.
+
     ``hash_mode="md5"`` makes every bucket key a pure md5 function of
     the text (``dedup._minhash_sig``), so the full cross-batch run
     replays in SQL — the driver oracle for ``w13``.
@@ -507,9 +553,16 @@ def stream_neardup_dedup(
                    .where(F.col("id") > F.col("_first"))
                    .select("id").distinct())
         try:
-            seen = (batch.sparkSession.read.parquet(state_dir)
-                    .select("bkt").distinct())
-            st_drop = (bk.join(seen, "bkt", "left_semi")
+            # r6 VERDICT #1: probe the accumulated state by
+            # broadcasting the BATCH's bucket keys into one scan of
+            # the state — no `.distinct()` (a hit-probe needs no
+            # deduplicated build side, and state buckets are
+            # append-once anyway) and no state-side shuffle, so the
+            # per-batch probe cost no longer carries a shuffle/sort
+            # term that grows with total accumulated state.
+            seen = batch.sparkSession.read.parquet(state_dir)
+            hit_b = _state_hits(seen, bk, "bkt")
+            st_drop = (bk.join(F.broadcast(hit_b), "bkt", "left_semi")
                        .select("id").distinct())
             drops = in_drop.unionByName(st_drop).distinct()
         except AnalysisException as e:
@@ -522,10 +575,11 @@ def stream_neardup_dedup(
                 .withColumn("_batch_id", F.lit(batch_id).cast("long"))
                 .localCheckpoint(eager=True))
         kept.write.mode("append").parquet(out_dir)
-        (bk.join(kept.select(F.col(id_col).alias("id")), "id",
-                 "left_semi")
-         .select("bkt").distinct()
-         .write.mode("append").parquet(state_dir))
+        _write_state(
+            bk.join(kept.select(F.col(id_col).alias("id")), "id",
+                    "left_semi")
+            .select("bkt").distinct(),   # batch-bounded, not state
+            state_dir)
 
     writer = stream.writeStream.foreachBatch(dedup_batch) \
                    .outputMode("update")

@@ -227,12 +227,22 @@ def main() -> None:
 
     def _neardup_stream():
         out, st = f"{tmp}/nd_out", f"{tmp}/nd_state"
-        stream_neardup_dedup(
+        q = stream_neardup_dedup(
             _batched_stream(), out, st,
-            checkpoint=f"{tmp}/nd_ckpt").awaitTermination()
+            checkpoint=f"{tmp}/nd_ckpt")
+        q.awaitTermination()
+        # per-batch trigger durations: THE r7 measurable for the
+        # state-probe fix — with the state scanned (broadcast probe)
+        # instead of shuffled+distinct-ed, late batches must not cost
+        # more than early ones beyond the bare columnar-scan term
+        per_batch = [
+            {"batch": p["batchId"],
+             "ms": p["durationMs"].get("triggerExecution")}
+            for p in q.recentProgress if p.get("numInputRows", 0) > 0]
         print(json.dumps({"stage": "stream_neardup_state",
                           "bucket_rows":
-                              spark.read.parquet(st).count()}))
+                              spark.read.parquet(st).count(),
+                          "per_batch_ms": per_batch}))
         return spark.read.parquet(out)
 
     stage("stream_neardup_fullcorpus", _neardup_stream)

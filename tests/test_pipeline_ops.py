@@ -2326,6 +2326,10 @@ def test_gopher_repetition_matches_reference(spark):
         # fewer tokens than the larger gram sizes
         (2, "one two three"),
         (3, "solo"),
+        # empty text: every gram array is empty — the _dup_occ_chars
+        # size guard (r6 ADVICE) must yield 0, never an out-of-bounds
+        # sequence(1, 0) fold
+        (4, ""),
     ]
     df = spark.createDataFrame(docs, "doc_id LONG, text STRING")
     got = {r.doc_id: r.asDict() for r in gopher_repetition(df).collect()}
@@ -2343,6 +2347,9 @@ def test_gopher_repetition_matches_reference(spark):
     # doc 3: single token -> every gram family empty, line metrics 0
     assert got[3]["top2_char_frac"] == 0.0
     assert got[3]["dup_line_frac"] == 0.0
+    # doc 4: empty text -> every fraction 0, nothing out-of-bounds
+    assert all(v == 0.0 for k, v in got[4].items()
+               if k.endswith("_frac"))
 
 
 def test_keep_best_per_cluster(spark):
@@ -2374,3 +2381,30 @@ def test_keep_best_per_cluster(spark):
             for r in keep_best_per_cluster(
                 docs, pairs, score=-F.length("text")).collect()}
     assert got2[1] and not got2[2] and not got2[3]
+
+
+def test_keep_best_per_cluster_null_scores(spark):
+    """r6 ADVICE: NULL scores (NULL text under the default
+    length(text) score) must rank NULLS LAST, `kept` must stay a
+    real boolean, and an all-NULL cluster keeps exactly one member
+    (the smallest id) — the DuckDB row_number contract."""
+    from rust_graph_db_spark.operators.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [(1, None), (2, "real text"), (3, None), (4, None), (5, None)],
+        "doc_id LONG, text STRING")
+    pairs = spark.createDataFrame(
+        [(1, 2), (3, 4)], "i LONG, j LONG")
+    rows = keep_best_per_cluster(docs, pairs).collect()
+    got = {r.doc_id: (r.cluster, r.score, r.kept) for r in rows}
+    # kept is never NULL anywhere
+    assert all(r.kept is not None for r in rows)
+    # mixed cluster {1,2}: the non-NULL score wins over NULL
+    assert got[1] == (1, None, False)
+    assert got[2] == (1, 9, True)
+    # all-NULL cluster {3,4}: exactly one keeper, the smallest id
+    assert got[3] == (3, None, True)
+    assert got[4] == (3, None, False)
+    # NULL-score singleton is still kept
+    assert got[5] == (5, None, True)
+    assert sorted(d for d, (_, _, k) in got.items() if k) == [2, 3, 5]
