@@ -913,6 +913,49 @@ def _q_normalize_text(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("n_dirty"), "text_norm"))
 
 
+def _q_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t21: HTML → clean-text extraction (operators/html.html_extract)
+    — the stage ZERO of a crawl pipeline: strip script/style/head
+    subtrees + comments, fold block tags to lines, decode entities,
+    then drop boilerplate lines by link density (integer compare) and
+    phrase rules. The synthetic docs are plain text, so the entry
+    renders each into a full deterministic page first (head/style,
+    nav menu, heading, paragraphs split at ' table ', an
+    entity-laden paragraph, a tag list on doc_id%3==0, a tracking
+    comment + script, a legal footer) — mirrored verbatim in the
+    oracle, which replays the extraction through html_extract_sql
+    from the SAME rule tables."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.html import html_extract
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = F.concat(
+        F.lit('<html><head><title>Doc '),
+        F.col("doc_id").cast("string"),
+        F.lit('</title><style>p{margin:0}</style></head><body>'
+              '<nav><a href="/">Home</a> | <a href="/about">About</a>'
+              ' | <a href="/login">Log in</a></nav><h2>Entry '),
+        F.col("doc_id").cast("string"),
+        F.lit(' report</h2><p>'),
+        F.replace(F.col("text"), F.lit(" table "),
+                  F.lit(" x.</p>\n<p>")),
+        F.lit('</p><p>Stats &amp; figures &mdash; &quot;prices&quot;'
+              ' &lt; 100&nbsp;units today.</p>'),
+        F.when(F.col("doc_id") % 3 == 0,
+               F.lit('<ul><li><a href="/t1">Tag one</a></li>'
+                     '<li><a href="/t2">Tag two</a></li></ul>'))
+        .otherwise(F.lit("")),
+        F.lit('<!-- tracker --><script>var q=1;</script>'
+              '<footer>&copy; 2026 CorpusCo. All rights reserved. '
+              '<a href="/privacy">Privacy Policy</a></footer>'
+              '</body></html>'))
+    return (html_extract(docs.withColumn("html", h), "html",
+                         out_col="clean_text")
+            .select("doc_id", "clean_text", "n_kept", "n_dropped")
+            .orderBy("doc_id"))
+
+
 def _q_c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t16: C4 line-level cleaning (Raffel et al. 2020 §2.2,
     curation.c4_line_filter) — terminal-punctuation / ≥3-words /
@@ -3143,6 +3186,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # C4/CCNet text normalization, RE2-safe regexp chain (r5;
         # full oracle via curation.normalize_text_sql)
         "t14_normalize_text": _q_normalize_text,
+        # t21: HTML → clean-text extraction, stage zero of a crawl
+        # pipeline (r7; full oracle via html.html_extract_sql — one
+        # rule-table set drives both engines)
+        "t21_html_extract": _q_html_extract,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3811,6 +3858,36 @@ def _normalize_oracle_sql() -> str:
         f"WITH d AS (SELECT doc_id, {dirty} AS text FROM documents) "
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_dirty, "
         f"{normalize_text_sql('text')} AS text_norm FROM d")
+
+
+def _html_extract_oracle_sql() -> str:
+    """SQL twin of t21: the same deterministic page rendering, then
+    the full extraction replayed by html.html_extract_sql — ONE set
+    of rule tables (HTML_STRIP_RULES / ENTITY_RULES /
+    BOILERPLATE_LINE_RULES) drives both engines."""
+    from rust_graph_db_spark.operators.html import html_extract_sql
+
+    page = (
+        "'<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) || "
+        "'</title><style>p{margin:0}</style></head><body>"
+        "<nav><a href=\"/\">Home</a> | <a href=\"/about\">About</a>"
+        " | <a href=\"/login\">Log in</a></nav><h2>Entry ' || "
+        "CAST(doc_id AS VARCHAR) || ' report</h2><p>' || "
+        "replace(text, ' table ', ' x.</p>' || chr(10) || '<p>') || "
+        "'</p><p>Stats &amp; figures &mdash; &quot;prices&quot;"
+        " &lt; 100&nbsp;units today.</p>' || "
+        "CASE WHEN doc_id % 3 = 0 THEN "
+        "'<ul><li><a href=\"/t1\">Tag one</a></li>"
+        "<li><a href=\"/t2\">Tag two</a></li></ul>' ELSE '' END || "
+        "'<!-- tracker --><script>var q=1;</script>"
+        "<footer>&copy; 2026 CorpusCo. All rights reserved. "
+        "<a href=\"/privacy\">Privacy Policy</a></footer>"
+        "</body></html>'")
+    return (
+        f"WITH h AS (SELECT doc_id, {page} AS html FROM documents), "
+        f"s AS (SELECT doc_id, {html_extract_sql('html')} AS r FROM h) "
+        "SELECT doc_id, r.text AS clean_text, r.n_kept, r.n_dropped "
+        "FROM s ORDER BY doc_id")
 
 
 def _graph_profile_oracle_sql(pre: str) -> str:
@@ -4768,6 +4845,7 @@ def oracle_sql() -> dict[str, str]:
         "w13_stream_neardup": _stream_neardup_oracle_sql(
             num_hashes=32, bands=8, k=5),
         "t14_normalize_text": _normalize_oracle_sql(),
+        "t21_html_extract": _html_extract_oracle_sql(),
         "c11_split_leakage": (
             # SQL twin of curation.split_leakage(k=10, md5): d13's
             # window-hash stream x t2's split assignment; DISTINCT

@@ -752,6 +752,9 @@ def curate(
     domain_blocklist=None, normalize: bool = False,
     line_filter: bool = False, dedup_urls: bool = False,
     dedup_paragraphs: bool = False,
+    html_col: str | None = None,
+    neardup_keep: str | None = None,
+    neardup_threshold: float = 0.8,
 ) -> DataFrame:
     """The composed end-to-end curation pass a pretraining pipeline
     runs per crawl batch: [domain curation →] [LM perplexity filter →]
@@ -785,6 +788,23 @@ def curate(
     corpus-level paragraph dedup before the line filter (repeated
     site boilerplate disappears whole).
 
+    Optional stage (r7): pass ``html_col`` to start from raw HTML —
+    :func:`operators.html.html_extract` runs right after the URL
+    stages (which need no text) and before every text-derived stage,
+    writing the extracted main content into ``text_col``; the input
+    needs no ``text_col`` at all in that case. This makes ``curate()``
+    runnable from crawl stage zero.
+
+    Optional stage (r7): ``neardup_keep`` adds NEAR-duplicate
+    keep-selection after the exact dedup — MinHash-LSH pairs over the
+    redacted text at ``neardup_threshold``, then the keep policy:
+    ``"best"`` keeps the longest member of each cluster
+    (``dedup.keep_best_per_cluster``, the RefinedWeb policy),
+    ``"min_id"`` keeps the smallest id, ``"maximal"`` keeps a maximal
+    mutually-non-dup set (``dedup.keep_maximal_nondup`` — the most
+    data consistent with the pair evidence). Default ``None``
+    preserves the historical exact-only behavior.
+
     Plan shape at 100 TB: filter + redaction + split are ONE
     codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
     into it); the only shuffles are the dedup's 16-byte-digest groupBy
@@ -809,6 +829,14 @@ def curate(
                            max_per_domain=max_per_domain,
                            blocklist=domain_blocklist) \
             .drop("host", "domain")
+    if html_col is not None:
+        # crawl stage zero for TEXT: extract main content from raw
+        # HTML after the URL stages (metadata-only, cheaper) and
+        # before anything that reads text
+        from rust_graph_db_spark.operators.html import html_extract
+
+        df = (html_extract(df, html_col, out_col=text_col)
+              .drop(html_col, "n_kept", "n_dropped"))
     if dedup_paragraphs:
         # corpus-level segment dedup before line filtering: repeated
         # site boilerplate disappears whole, not line by line
@@ -860,6 +888,32 @@ def curate(
     w = Window.partitionBy(F.md5(F.col("clean_text"))).orderBy(id_col)
     deduped = (red.withColumn("_rn", F.row_number().over(w))
                .where(F.col("_rn") == 1).drop("_rn"))
+    if neardup_keep is not None:
+        if neardup_keep not in ("best", "min_id", "maximal"):
+            raise ValueError(
+                "curate(): neardup_keep must be 'best', 'min_id' or "
+                f"'maximal', got {neardup_keep!r}")
+        from rust_graph_db_spark.operators.dedup import (
+            keep_best_per_cluster, keep_maximal_nondup,
+            minhash_lsh_pairs)
+
+        # the exact stage already collapsed identical texts, so the
+        # pair graph here is strictly NEAR dups; 32/8 banding per the
+        # d3/d19 recall analysis
+        pairs = minhash_lsh_pairs(deduped, id_col, "clean_text",
+                                  num_hashes=32, bands=8,
+                                  threshold=neardup_threshold)
+        if neardup_keep == "maximal":
+            deduped = keep_maximal_nondup(deduped, pairs, id_col)
+        else:
+            sel = keep_best_per_cluster(
+                deduped, pairs, id_col, "clean_text",
+                score=(F.length("clean_text").cast("long")
+                       if neardup_keep == "best"
+                       else (-F.col(id_col)).cast("long")))
+            deduped = deduped.join(
+                sel.where(F.col("kept")).select(id_col),
+                id_col, "left_semi")
     return hash_split(deduped, id_col, weights) \
         .select(id_col, "clean_text", "split")
 

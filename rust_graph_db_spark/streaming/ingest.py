@@ -140,6 +140,57 @@ def _write_state(df: DataFrame, state_dir: str) -> None:
     w.parquet(state_dir)
 
 
+def _neardup_keep_batch(red: DataFrame, bucket_state_dir: str,
+                        id_col: str, keep: str) -> DataFrame:
+    """stream_curate's near-dup keep stage for ONE micro-batch: drop
+    any doc whose MinHash band bucket is already claimed in the
+    durable bucket state (first-claim-wins — the only causal
+    cross-batch policy), then per bucket shared INSIDE the batch keep
+    the policy winner (``"best"`` = longest ``clean_text``,
+    ``"min_id"`` = smallest id; ties to the smaller id). Survivors
+    claim their buckets. Same state discipline as
+    ``stream_neardup_dedup``: probe by scanning the state with the
+    batch broadcast (``_state_hits``), append via ``_write_state``."""
+    from pyspark.errors import AnalysisException
+
+    from rust_graph_db_spark.operators.dedup import minhash_band_buckets
+
+    sc = (F.length("clean_text").cast("long") if keep == "best"
+          else (-F.col(id_col)).cast("long"))
+    ids = red.select(F.col(id_col).alias("id"), sc.alias("_sc"))
+    bk = (minhash_band_buckets(red, id_col, "clean_text",
+                               num_hashes=32, bands=8, k=5)
+          .select("id", F.xxhash64("band", "bucket").alias("bkt"))
+          .join(ids, "id")
+          .localCheckpoint(eager=True))   # consumers: argmax, probe,
+    #                                       drop joins, state write
+    best = bk.groupBy("bkt").agg(
+        F.max(F.struct(F.col("_sc"), (-F.col("id")).alias("nid")))
+        .alias("_b"))
+    in_drop = (bk.join(best, "bkt")
+               .where(F.col("id") != -F.col("_b.nid"))
+               .select("id").distinct())
+    try:
+        seen = red.sparkSession.read.parquet(bucket_state_dir)
+        hit_b = _state_hits(seen, bk, "bkt")
+        st_drop = (bk.join(F.broadcast(hit_b), "bkt", "left_semi")
+                   .select("id").distinct())
+        drops = in_drop.unionByName(st_drop).distinct()
+    except AnalysisException as e:
+        if ("PATH_NOT_FOUND" not in str(e)
+                and "Path does not exist" not in str(e)):
+            raise
+        drops = in_drop
+    kept = (red.join(drops.withColumnRenamed("id", id_col),
+                     id_col, "left_anti")
+            .localCheckpoint(eager=True))   # consumers: out + claims
+    _write_state(
+        bk.join(kept.select(F.col(id_col).alias("id")), "id",
+                "left_semi").select("bkt").distinct(),
+        bucket_state_dir)
+    return kept
+
+
 def _dedup_against_state(df: DataFrame, state_dir: str, id_col: str):
     """Shared stateful-dedup core for the foreachBatch bodies: keep the
     min-``id_col`` row per in-batch ``_digest``, then drop digests in
@@ -342,6 +393,7 @@ def stream_curate(
     max_per_domain: Optional[int] = None,
     domain_blocklist=None,
     line_filter: bool = False,
+    neardup_keep: Optional[str] = None,
 ):
     """Streaming END-TO-END curation: the batch ``curation.curate``
     pipeline (quality rule-chain → PII redaction → exact dedup →
@@ -377,10 +429,26 @@ def stream_curate(
     own rows deterministically and keeps only ranks that fit under
     ``cap - already_kept``.
 
+    Optional ``neardup_keep`` (r7): ``"best"`` or ``"min_id"`` adds
+    NEAR-duplicate keep-selection after the exact dedup — the batch
+    ``curate(neardup_keep=...)`` knob's streaming counterpart. Within
+    a micro-batch the policy picks the keeper per shared MinHash band
+    bucket (longest redacted text for ``"best"``, smallest id for
+    ``"min_id"``; the greedy per-bucket form of d19's per-cluster
+    argmax); ACROSS batches the only causal policy is first-claim-wins
+    (an already-emitted doc cannot be revoked), enforced through a
+    second durable bucket state at ``state_dir + "_buckets"`` exactly
+    like ``stream_neardup_dedup``. ``"maximal"`` is batch-only: MIS
+    over a pair graph needs the whole graph at once.
+
     Same non-idempotence caveat as ``stream_exact_dedup`` (multiple
     appends per batch; transactional sinks fix it at scale). Returns
     the StreamingQuery.
     """
+    if neardup_keep is not None and neardup_keep not in ("best",
+                                                         "min_id"):
+        raise ValueError("stream_curate(): neardup_keep must be "
+                         f"'best' or 'min_id', got {neardup_keep!r}")
     from rust_graph_db_spark.operators.curation import (domain_cap_order,
                                                         filter_redact,
                                                         hash_split,
@@ -468,12 +536,15 @@ def stream_curate(
         red = (filter_redact(batch, id_col, text_col, thresholds)
                .withColumn("_digest", F.md5(F.col("clean_text"))))
         red = _dedup_against_state(red, state_dir, id_col)
+        if neardup_keep is not None:
+            red = _neardup_keep_batch(red, state_dir + "_buckets",
+                                      id_col, neardup_keep)
         out = (hash_split(red, id_col)
                .withColumn("_batch_id", F.lit(batch_id).cast("long"))
                .localCheckpoint(eager=True))     # freeze before writing
         (out.select(id_col, "clean_text", "split", "_batch_id")
             .write.mode("append").parquet(out_dir))
-        out.select("_digest").write.mode("append").parquet(state_dir)
+        _write_state(out.select("_digest"), state_dir)
 
     writer = stream.writeStream.foreachBatch(curate_batch) \
                    .outputMode("update")
