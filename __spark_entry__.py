@@ -2864,7 +2864,7 @@ def _q_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     # NOTE: dict order matters — the driver's correctness window covers the
-    # FIRST 50 keys; the explicit _R6_WINDOW list below the registry sets
+    # FIRST 50 keys; the explicit _R7_WINDOW list below the registry sets
     # that order. The r6 rotation executes the r5 verdict's plan
     # (VERDICT.md "Next round" items 1-5):
     #   1. the two r5 reds, both driver-contract violations fixed this
@@ -3370,12 +3370,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # d19: keep-best-per-cluster dedup selection (r6)
         "d19_keep_best": _q_keep_best,
     }
-    window = [k for k in _R6_WINDOW]
+    window = [k for k in _R7_WINDOW]
     # len(set(...)) catches duplicate window keys too — a duplicate
     # would silently hand slot 50 to the first non-window registry key
     assert len(set(window)) == 50 and set(window) <= set(reg), (
         sorted(set(window) - set(reg))
-        or (f"_R6_WINDOW has {len(window)} entries "
+        or (f"_R7_WINDOW has {len(window)} entries "
             f"({len(set(window))} distinct); need exactly 50"))
     rest = [k for k in reg if k not in set(window)]
     return {k: reg[k] for k in window + rest}
@@ -3383,47 +3383,44 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 # The driver verifies the FIRST 50 keys of queries() — see the priority
 # note at the top of queries() for how these slots were chosen. This is
-# the r6 rotation the r5 verdict prescribed: the two r5 contract reds
-# (both fixed this round) + e10 (newly hash-oracled), then the full
-# r2-green refresh block, then the oldest half of the r3-green block.
-# ROUND-7 ROTATION QUEUE, priority order: (1) any r6 reds; (2) the
-# remaining r3-green keys (d6-d11, t2-t10, c1-c4, e6-e9, k2, m4, g18,
-# p20, p21 — t2/t3/t4/t5 and p20/p21 were displaced from this round's
-# r3 block by the d18/t18/t19/c15/t20/d19 additions and queue here,
-# NOT silently dropped); (3) the r4-green block, oldest first. c5b_classifier_train stays OUT
-# of the window by design (rows-only GD training; its SQL-mirrorable
-# half c5 carries the hash verdict).
-_R6_WINDOW = [
-    # the two r5 driver reds (c6 oracle HUGEINT->BIGINT cast; e12
-    # array flattened to p0..p15) + e10, never green before its r6
-    # vocab-replay oracle
-    "c6_profile", "e12_random_projection", "e10_ppmi_embeddings",
-    # the full 25-key r2-green refresh block enumerated by the r5
-    # rotation comment (12 second-session + 5 third-session
-    # displacements + the 8 held for r6 by the original plan)
-    "a2_agg_global", "a3_count_distinct", "j3_multi_match",
-    "o2_skip_limit", "p4_scalar_funcs", "p6_with_where",
-    "p9_case_expr", "u1_union", "u2_intersect", "u3_except",
-    "w3_window_rank", "x6_likes", "x1_follow_unfollow",
-    "x2_followers", "x3_timeline", "x4_suggestions", "o1_top_k",
-    "a5_event_stats", "k1_sketch_stats", "m1_image_features",
-    "m2_audio_features", "m3_frame_sample", "r1_range_join",
-    "r2_asof_join", "u4_unwind",
-    # r6 additions (never-verified outranks stale — each displaces
-    # one r3-refresh from the block below into the r7 queue)
-    "d18_blocked_edit_distance", "t18_unigram_vocab",
-    "t19_wordpiece_merges", "c15_ccnet_buckets",
-    "t20_gopher_repetition", "d19_keep_best",
-    # 16 of the 44 keys whose newest green row is r3, oldest
-    # code-surface first (durable writes, iterative graph ops, the
-    # p1x Cypher surface); the rest (incl. t2/t3, p20, p21, displaced
-    # by t19/c15/t20/d19) queue for r7
-    "w9_merge_upsert", "w10_stream_commits", "w11_snapshot_diff",
-    "w12_stream_curate", "g11_label_prop", "g12_kcore",
-    "g13_personalized_pr", "g17_scc", "a6_stat_aggs",
-    "p10_string_preds", "p12_quantifiers", "p13_exists",
-    "p14_count_sub", "p17_shortest_path", "p18_map_proj",
-    "p19_call_sub",
+# the r7 rotation the r6 verdict prescribed (item 2): zero r6 reds
+# existed (50/50 green), so the window is the one never-verified r7
+# addition (t21) + ALL 28 keys whose newest green row was r3 (the
+# full stale block, nothing displaced this time) + the first 21 of
+# the 44 r4-green keys, most-refactored code surfaces first (DML
+# writes, IO roundtrips, traversal/graph core, tokenizer/LM/DSIR —
+# the code under these moved in r5/r6 while their green rows did
+# not).
+# ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
+# 23 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
+# j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
+# x5_network_analysis); (3) the r5-green block, oldest first.
+# c5b_classifier_train stays OUT of the window by design (rows-only
+# GD training; its SQL-mirrorable half c5 carries the hash verdict).
+_R7_WINDOW = [
+    # r7 addition, never driver-verified before
+    "t21_html_extract",
+    # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
+    "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
+    "d9_chunk_dedup", "d10_containment", "d11_semdedup",
+    "t2_hash_split", "t3_repetition", "t4_pii_redact",
+    "t5_top_ngrams", "t6_quality_filter", "t7_quality_stats",
+    "t8_curation_pipeline", "t9_tfidf", "t10_bm25",
+    "c1_stratified_sample", "c2_mixture_sample", "c3_sample_exact",
+    "c4_pack_sequences", "e6_kmeans", "e7_int8_quantize",
+    "e8_pq_encode", "e9_pq_topk", "k2_cms_bigrams", "m4_real_audio",
+    "g18_betweenness", "p20_lateral_call", "p21_proc_call",
+    # 21 of the 44 r4-green keys, most-refactored surfaces first:
+    # DML writes, IO/generator roundtrips, traversal + graph core,
+    # tokenizer/LM/DSIR
+    "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
+    "s3_point_lookup", "s7_json_roundtrip", "s8_csv_roundtrip",
+    "s12_bulk_load", "s14_generator_grid", "s15_generator_tree",
+    "g1_bfs_distances", "g2_weighted_sssp", "g3_vle",
+    "g4_vle_between", "g5_k_hop", "g6_within_k", "g8_pagerank",
+    "g9_degrees", "g10_triangles",
+    "t11_bpe_merges", "t12_perplexity", "t13_dsir",
 ]
 
 

@@ -206,6 +206,37 @@ def main() -> None:
 
     stage("dsir_after_curate", _dsir)
 
+    # r7: the d19 keep policy inside the composite — exact dedup +
+    # MinHash-LSH pair graph + keep-best selection end to end
+    stage("curate_neardup_keep",
+          lambda: curate(docs, thresholds=permissive,
+                         neardup_keep="best"))
+
+    # r7: HTML extraction (t21) at corpus scale — each doc rendered
+    # into a full synthetic page (nav/head/script/footer + paragraphs
+    # split mid-text), then extracted back. The agg forces the full
+    # text rebuild (§17: a bare count() would prune the extraction).
+    from rust_graph_db_spark.operators.html import html_extract
+
+    def _html():
+        pages = docs.select("doc_id", F.concat(
+            F.lit('<html><head><title>Doc '),
+            F.col("doc_id").cast("string"),
+            F.lit('</title><style>p{margin:0}</style></head><body>'
+                  '<nav><a href="/">Home</a> | <a href="/a">About</a>'
+                  ' | <a href="/l">Log in</a></nav><p>'),
+            F.replace(F.col("text"), F.lit(" data "),
+                      F.lit(" x.</p>\n<p>")),
+            F.lit('</p><!-- c --><script>var q=1;</script>'
+                  '<footer>&copy; 2026 CorpusCo. All rights reserved.'
+                  '</footer></body></html>')).alias("html"))
+        return (html_extract(pages, "html", out_col="clean")
+                .agg(F.sum(F.length("clean")).alias("clean_bytes"),
+                     F.sum("n_kept").alias("kept_lines"),
+                     F.sum("n_dropped").alias("dropped_lines")))
+
+    stage("html_extract", _html)
+
     # ---- r6: "next decade" state-growth rehearsal — stream the WHOLE
     # corpus through in ~8 micro-batches so the durable state tables
     # (w13's bucket set; w12/c9's digest set + per-domain kept-count
@@ -288,6 +319,20 @@ def main() -> None:
     if want("kn_perplexity_score"):
         _ensure_klm()
     stage("kn_perplexity_score", lambda: kn_perplexity(docs, klm))
+
+    # r7 (r6 verdict #6): the broadcast→shuffle boundary probe.
+    # kn_perplexity broadcasts its three count frames below 50M types
+    # and falls back to shuffle joins above — that fallback was never
+    # exercised. broadcast_max_types=0 forces the shuffle path on the
+    # SAME model + corpus right after the broadcast run, so the
+    # fallback costs a measured ratio, not a guess. The agg forces
+    # full ppl materialization (the §17 count()-pruning trap).
+    if want("kn_perplexity_shuffle"):
+        _ensure_klm()
+    stage("kn_perplexity_shuffle",
+          lambda: kn_perplexity(docs, klm, broadcast_max_types=0)
+          .agg(F.sum("ppl").alias("s_ppl"),
+               F.count(F.lit(1)).alias("n")))
 
     # c15: CCNet buckets on the KN scores — adds the global_cumsum
     # range exchange + broadcast lang-stats on top of the t15 joins;
