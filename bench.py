@@ -227,7 +227,9 @@ def main() -> None:
                  "g25_ktruss", "g26_link_prediction",
                  "t16_c4_line_filter", "d15_decontaminate_neardup",
                  "c12_mixture_plan", "d16_paragraph_dedup",
-                 "c13_url_dedup", "d19_keep_best"]:
+                 "c13_url_dedup", "d19_keep_best",
+                 # r7 addition: HTML extraction (t21)
+                 "t21_html_extract"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

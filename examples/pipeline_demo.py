@@ -198,6 +198,26 @@ def main(spark=None):
         docs, minhash_lsh_pairs(docs, "doc_id", "text"))
     print("keep-selection keeps",
           kb.where("kept").count(), "of", kb.count())
+
+    # crawl stage zero (r7): raw HTML in, curated text out — the
+    # extraction rule tables drive both engines (t21), and the d19
+    # keep policy now runs INSIDE curate()
+    from rust_graph_db_spark.operators.curation import curate
+    from rust_graph_db_spark.operators.html import html_extract
+    pages = docs.select("doc_id", F.concat(
+        F.lit('<html><body><nav><a href="/">Home</a> | '
+              '<a href="/a">About</a></nav><p>'),
+        F.col("text"),
+        F.lit('</p><footer>&copy; 2026 All rights reserved.'
+              '</footer></body></html>')).alias("html"))
+    html_extract(pages, "html").select(
+        "doc_id", "n_kept", "n_dropped").show(3)
+    curated = curate(pages, html_col="html", neardup_keep="best",
+                     thresholds={"min_tokens": 1, "max_tokens": 10**9,
+                                 "min_stopword": 0.0, "max_punct": 1.0,
+                                 "max_dup2": 1.0, "min_word_len": 0.0,
+                                 "max_word_len": 100.0})
+    print("curate from HTML with keep-best:", curated.count(), "docs")
     return kept
 
 

@@ -1274,3 +1274,98 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
         cols.append(frac(_dup_occ_chars(c), tot)
                     .alias(f"dup{n}_char_frac"))
     return out.select(*cols)
+
+
+def gopher_repetition_py(df: DataFrame, id_col: str = "doc_id",
+                         text_col: str = "text",
+                         top_ns: tuple = (2, 3, 4),
+                         dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+    """Arrow-batched Python twin of :func:`gopher_repetition` — the
+    r6 verdict's one untried t20 alternative (its "What's wrong #3"):
+    the HOF form pays ~150 µs/doc because Spark higher-order-function
+    lambdas are interpreted, so this computes the identical battery
+    per document in a ``mapInPandas`` body (Counter-based, CPython)
+    instead. Values are EXACTLY equal to the Catalyst form
+    (pytest-asserted): same tokenization (``re`` \\s+ ≡ Java \\s+
+    character-for-character), ASCII-space-only line trim mirroring
+    ``F.trim``, and rounding through ``Decimal(repr(x))`` HALF_UP —
+    the shortest-decimal-rendering semantics of Spark's ``round``.
+
+    Both forms are ONE shuffle-free scan; the A/B difference is pure
+    per-document compute (HOF interpreter vs CPython + Arrow
+    transfer). ``scale_rehearsal.py`` measures both back-to-back at
+    2M docs; whichever loses stays documented here. Requires
+    non-null ``text_col`` (the HOF form's null conventions are not
+    replicated).
+    """
+    import re as _re
+    from collections import Counter
+    from decimal import ROUND_HALF_UP, Decimal
+
+    from pyspark.sql import types as T
+
+    names = (["tok_cnt", "char_cnt", "line_cnt", "dup_line_frac",
+              "dup_line_char_frac"]
+             + [f"top{n}_char_frac" for n in top_ns]
+             + [f"dup{n}_char_frac" for n in dup_ns])
+    in_schema = df.select(F.col(id_col), F.col(text_col)).schema
+    out_schema = T.StructType(
+        [in_schema[0]]
+        + [T.StructField(n, T.LongType()) for n in names[:3]]
+        + [T.StructField(n, T.DoubleType()) for n in names[3:]])
+    tns, dns = tuple(top_ns), tuple(dup_ns)
+
+    def _r6(num: int, den: int) -> float:
+        if den <= 0:
+            return 0.0
+        return float(Decimal(repr(num / den)).quantize(
+            Decimal("0.000001"), rounding=ROUND_HALF_UP))
+
+    def _doc(text: str) -> list:
+        toks = _re.split(r"\s+", text.lower())
+        lines = [ln.strip(" ") for ln in text.split("\n")]
+        lines = [ln for ln in lines if ln]
+        out = [len(toks), len(" ".join(toks)), len(lines)]
+        lc = Counter(lines)
+        ltot = sum(len(x) * c for x, c in lc.items())
+        ldup = sum(len(x) * c for x, c in lc.items() if c >= 2)
+        # EXACTLY the Catalyst expression 1.0 - distinct/total (the
+        # algebraically-equal (total-distinct)/total can differ in
+        # the last ulp and flip the 6-digit rounding)
+        if lines:
+            q = 1.0 - (len(lc) / len(lines))
+            out.append(float(Decimal(repr(q)).quantize(
+                Decimal("0.000001"), rounding=ROUND_HALF_UP)))
+        else:
+            out.append(0.0)
+        out.append(_r6(ldup, ltot))
+        grams = {}
+        for n in sorted(set(tns + dns)):
+            grams[n] = Counter(
+                " ".join(toks[i:i + n])
+                for i in range(len(toks) - n + 1)) \
+                if len(toks) >= n else Counter()
+        for n in tns:
+            g = grams[n]
+            tot = sum(len(x) * c for x, c in g.items())
+            if g:
+                top = min(g, key=lambda x: (-g[x], x))
+                out.append(_r6(g[top] * len(top), tot))
+            else:
+                out.append(0.0)
+        for n in dns:
+            g = grams[n]
+            tot = sum(len(x) * c for x, c in g.items())
+            dup = sum(len(x) * c for x, c in g.items() if c >= 2)
+            out.append(_r6(dup, tot))
+        return out
+
+    def _batches(it):
+        import pandas as pd
+        for pdf in it:
+            vals = [[i] + _doc(t)
+                    for i, t in zip(pdf[id_col], pdf[text_col])]
+            yield pd.DataFrame(vals, columns=[id_col] + names)
+
+    return df.select(F.col(id_col), F.col(text_col)) \
+             .mapInPandas(_batches, out_schema)

@@ -374,6 +374,20 @@ def main() -> None:
                 .where(F.col("rowhash") != F.lit(123456789)))
 
     stage("gopher_repetition", _gopher_forced)
+
+    # r7 A/B (r6 verdict #8): the Arrow-batched Python twin on the
+    # SAME pages, same forced materialization — the one untried t20
+    # alternative to the interpreted-HOF cost
+    from rust_graph_db_spark.operators.curation import gopher_repetition_py
+
+    def _gopher_py_forced():
+        g = gopher_repetition_py(pages)
+        cols = ", ".join(g.columns)
+        return (g.agg(F.expr(f"bit_xor(xxhash64(struct({cols})))")
+                      .alias("rowhash"))
+                .where(F.col("rowhash") != F.lit(123456789)))
+
+    stage("gopher_repetition_py", _gopher_py_forced)
     bench = (docs.where(F.col("doc_id") % 200 == 0)
              .select("doc_id",
                      F.concat("text", F.lit(" qq eval")).alias("text")))

@@ -2352,6 +2352,35 @@ def test_gopher_repetition_matches_reference(spark):
                if k.endswith("_frac"))
 
 
+def test_gopher_repetition_py_twin_exact(spark):
+    """The Arrow-batched Python twin (r6 verdict 'untried
+    alternative') must equal the Catalyst HOF form EXACTLY — same
+    tokenization, trim, tie-breaks and HALF_UP shortest-decimal
+    rounding — on crafted docs plus a real-data slice."""
+    from rust_graph_db_spark.operators.curation import (
+        gopher_repetition, gopher_repetition_py)
+
+    crafted = spark.createDataFrame([
+        (0, "the cat sat on the mat near the cat mat today ok\n"
+            "short dup line\n"
+            "the cat sat on the mat near the cat mat today ok\n"
+            "short dup line\nunique tail line"),
+        (1, "a b a b a"),
+        (2, "one two three"),
+        (3, "solo"),
+        (4, ""),
+        (5, "x y " * 40),
+    ], "doc_id LONG, text STRING")
+    real = (spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+            .select("doc_id", "text").limit(60))
+    for df in (crafted, real):
+        a = {r["doc_id"]: r.asDict()
+             for r in gopher_repetition(df).collect()}
+        b = {r["doc_id"]: r.asDict()
+             for r in gopher_repetition_py(df).collect()}
+        assert a == b
+
+
 def test_keep_best_per_cluster(spark):
     from rust_graph_db_spark.operators.dedup import keep_best_per_cluster
 
