@@ -1185,7 +1185,8 @@ def _top_run_chars(sorted_col: str) -> str:
 def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
                       text_col: str = "text",
                       top_ns: tuple = (2, 3, 4),
-                      dup_ns: tuple = (5, 6, 7, 8, 9, 10)) -> DataFrame:
+                      dup_ns: tuple = (5, 6, 7, 8, 9, 10),
+                      impl: str = "py") -> DataFrame:
     """The full Gopher/MassiveText repetition battery (Rae et al.
     2021, "Scaling Language Models: ... Gopher", Table A1) — the
     canonical LLM-corpus quality filter family, extending
@@ -1210,13 +1211,28 @@ def gopher_repetition(df: DataFrame, id_col: str = "doc_id",
     oracle replays bitwise.
 
     100 TB shape: every metric is WITHIN-document, so the whole
-    battery is ONE scan with ZERO shuffles — grams build as JVM-side
-    slice/join transforms, per-gram frequencies come from
-    array_sort + neighbor/run folds (equal grams are adjacent after
-    the sort) instead of a groupBy, and nothing leaves the row until
-    the final project. Compare: the naive per-(doc, gram) groupBy
-    would shuffle ~9 gram tables of the corpus' token volume.
+    battery is ONE scan with ZERO shuffles — regardless of ``impl``.
+    The r7 A/B (same 2M-doc input, back-to-back, idle box, both
+    materializations forced) settled the r6 open question about the
+    interpreted-HOF cost decisively: ``impl="py"`` (the Arrow-batched
+    :func:`gopher_repetition_py`, value-EXACT vs this form by pytest)
+    runs the battery in **26.7 s vs 526.0 s** for ``impl="hof"`` —
+    ~20× — because Spark evaluates higher-order-function lambdas in
+    the interpreter while CPython+Counter pays ~13 µs/doc. ``"py"``
+    is therefore the default; the HOF form remains as the documented
+    loser and the byte-level mirror of the DuckDB oracle's
+    construction (the values are identical either way). Both forms:
+    grams build per row, per-gram frequencies via sort/fold or
+    Counter, nothing leaves the row until the final project —
+    compare: the naive per-(doc, gram) groupBy would shuffle ~9 gram
+    tables of the corpus' token volume.
     """
+    if impl == "py":
+        return gopher_repetition_py(df, id_col, text_col,
+                                    top_ns, dup_ns)
+    if impl != "hof":
+        raise ValueError(f"gopher_repetition: impl must be 'py' or "
+                         f"'hof', got {impl!r}")
     toks = tokens(F.col(text_col))
     out = df.select(F.col(id_col), F.col(text_col).alias("_txt"),
                     toks.alias("_toks"))
@@ -1293,10 +1309,12 @@ def gopher_repetition_py(df: DataFrame, id_col: str = "doc_id",
 
     Both forms are ONE shuffle-free scan; the A/B difference is pure
     per-document compute (HOF interpreter vs CPython + Arrow
-    transfer). ``scale_rehearsal.py`` measures both back-to-back at
-    2M docs; whichever loses stays documented here. Requires
-    non-null ``text_col`` (the HOF form's null conventions are not
-    replicated).
+    transfer). Measured back-to-back at 2M docs on an idle box, both
+    materializations forced (SCALE.md §18): **26.7 s here vs 526.0 s
+    HOF (~20×)** — so this form is ``gopher_repetition``'s default
+    and the HOF form is the documented loser (kept as the oracle's
+    byte-level mirror). Requires non-null ``text_col`` (the HOF
+    form's null conventions are not replicated).
     """
     import re as _re
     from collections import Counter

@@ -230,10 +230,12 @@ def main() -> None:
             F.lit('</p><!-- c --><script>var q=1;</script>'
                   '<footer>&copy; 2026 CorpusCo. All rights reserved.'
                   '</footer></body></html>')).alias("html"))
+        # post-agg filter per the §17 trap (see kn_perplexity_shuffle)
         return (html_extract(pages, "html", out_col="clean")
                 .agg(F.sum(F.length("clean")).alias("clean_bytes"),
                      F.sum("n_kept").alias("kept_lines"),
-                     F.sum("n_dropped").alias("dropped_lines")))
+                     F.sum("n_dropped").alias("dropped_lines"))
+                .where(F.col("clean_bytes") != F.lit(-1)))
 
     stage("html_extract", _html)
 
@@ -329,10 +331,24 @@ def main() -> None:
     # full ppl materialization (the §17 count()-pruning trap).
     if want("kn_perplexity_shuffle"):
         _ensure_klm()
+    # the post-agg filter is NOT decoration: count() of a bare global
+    # agg is answered statically (1 row) and prunes the whole
+    # aggregate — the §17 trap, re-hit live by this very stage in the
+    # first r7 run (4.4 s "measurement" of nothing). The broadcast
+    # arm gets the SAME forced shape so the A/B is like-for-like
+    # (kn_perplexity_score's per-doc count may under-force).
+    if want("kn_perplexity_broadcast"):
+        _ensure_klm()
+    stage("kn_perplexity_broadcast",
+          lambda: kn_perplexity(docs, klm)
+          .agg(F.sum("ppl").alias("s_ppl"),
+               F.count(F.lit(1)).alias("n"))
+          .where(F.col("n") != F.lit(-1)))
     stage("kn_perplexity_shuffle",
           lambda: kn_perplexity(docs, klm, broadcast_max_types=0)
           .agg(F.sum("ppl").alias("s_ppl"),
-               F.count(F.lit(1)).alias("n")))
+               F.count(F.lit(1)).alias("n"))
+          .where(F.col("n") != F.lit(-1)))
 
     # c15: CCNet buckets on the KN scores — adds the global_cumsum
     # range exchange + broadcast lang-stats on top of the t15 joins;
@@ -364,7 +380,7 @@ def main() -> None:
     from rust_graph_db_spark.operators.curation import gopher_repetition
 
     def _gopher_forced():
-        g = gopher_repetition(pages)
+        g = gopher_repetition(pages, impl="hof")
         cols = ", ".join(g.columns)
         # bit_xor (never overflows under ANSI, unlike sum) + a
         # non-tautological filter: count() of a bare global agg knows

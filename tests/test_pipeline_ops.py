@@ -2375,7 +2375,7 @@ def test_gopher_repetition_py_twin_exact(spark):
             .select("doc_id", "text").limit(60))
     for df in (crafted, real):
         a = {r["doc_id"]: r.asDict()
-             for r in gopher_repetition(df).collect()}
+             for r in gopher_repetition(df, impl="hof").collect()}
         b = {r["doc_id"]: r.asDict()
              for r in gopher_repetition_py(df).collect()}
         assert a == b
