@@ -2841,6 +2841,50 @@ def _q_pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pack_sequences(docs, budget=2048)
 
 
+def _q_chunk_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window 32-token chunks, stride 16 (RAG context prep)."""
+    from rust_graph_db_spark.operators.packing import chunk_overlap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return chunk_overlap(docs, size=32, stride=16)
+
+
+def _q_budget_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy quality-under-budget corpus selection (10k tokens,
+    length-scored) — the assemble-the-training-mix step."""
+    from rust_graph_db_spark.operators.packing import budget_select
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return budget_select(docs, budget=10_000)
+
+
+def _q_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-minimum-values distinct sketch (k=256) over document texts:
+    the full register table + the distinct-count estimate it implies,
+    both engine-portable md5 rows the oracle replays exactly. (The
+    plan's two BroadcastNestedLoopJoins are the 1-row estimate frame
+    cross-attached to the <=256-row sketch — bounded, never
+    corpus-sized.)"""
+    from rust_graph_db_spark.operators.sketches import (kmv_estimate,
+                                                        kmv_table)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sk = kmv_table(docs, "text", k=256)
+    return sk.crossJoin(kmv_estimate(sk).select("n_est"))
+
+
+def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP ROLLUP lattice over (event_type, day): per-cell, per-type
+    subtotal, and grand-total rows with matching grouping ids."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.sketches import rollup_stats
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    return rollup_stats(ev, ["event_type", "day"], "value")
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-round synchronous LPA communities on the KNOWS graph."""
     from rust_graph_db_spark.operators.graph_algos import label_propagation
@@ -3190,6 +3234,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # pipeline (r7; full oracle via html.html_extract_sql — one
         # rule-table set drives both engines)
         "t21_html_extract": _q_html_extract,
+        # --------- new in r7 session 2: chunking, budget selection,
+        # KMV distinct sketch, ROLLUP lattice (all full oracles)
+        "t22_chunk_overlap": _q_chunk_overlap,
+        "c16_budget_select": _q_budget_select,
+        "k3_kmv_sketch": _q_kmv_sketch,
+        "a7_rollup": _q_rollup,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3392,15 +3442,21 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the code under these moved in r5/r6 while their green rows did
 # not).
 # ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
-# 23 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# 27 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
 # d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
 # j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
-# x5_network_analysis); (3) the r5-green block, oldest first.
+# x5_network_analysis, plus s14/s15/g5/g6 displaced from this window
+# by the four session-2 additions); (3) the r5-green block, oldest
+# first.
 # c5b_classifier_train stays OUT of the window by design (rows-only
 # GD training; its SQL-mirrorable half c5 carries the hash verdict).
 _R7_WINDOW = [
-    # r7 addition, never driver-verified before
-    "t21_html_extract",
+    # r7 additions, never driver-verified before (never-verified
+    # outranks stale, same rule as r6; the four session-2 additions
+    # displace s14/s15/g5/g6 to the r8 queue — their families stay
+    # covered in-window via s12 bulk load and g3/g4 VLE)
+    "t21_html_extract", "t22_chunk_overlap", "c16_budget_select",
+    "k3_kmv_sketch", "a7_rollup",
     # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
     "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
     "d9_chunk_dedup", "d10_containment", "d11_semdedup",
@@ -3416,9 +3472,9 @@ _R7_WINDOW = [
     # tokenizer/LM/DSIR
     "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
     "s3_point_lookup", "s7_json_roundtrip", "s8_csv_roundtrip",
-    "s12_bulk_load", "s14_generator_grid", "s15_generator_tree",
+    "s12_bulk_load",
     "g1_bfs_distances", "g2_weighted_sssp", "g3_vle",
-    "g4_vle_between", "g5_k_hop", "g6_within_k", "g8_pagerank",
+    "g4_vle_between", "g8_pagerank",
     "g9_degrees", "g10_triangles",
     "t11_bpe_merges", "t12_perplexity", "t13_dsir",
 ]
@@ -3855,6 +3911,22 @@ def _normalize_oracle_sql() -> str:
         f"WITH d AS (SELECT doc_id, {dirty} AS text FROM documents) "
         "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_dirty, "
         f"{normalize_text_sql('text')} AS text_norm FROM d")
+
+
+def _chunk_overlap_oracle_sql() -> str:
+    """SQL twin of t22 — generated by the operator's own
+    packing.chunk_overlap_sql so both engines share one contract."""
+    from rust_graph_db_spark.operators.packing import chunk_overlap_sql
+
+    return chunk_overlap_sql(size=32, stride=16)
+
+
+def _rollup_oracle_sql() -> str:
+    """SQL twin of a7 — generated by sketches.rollup_stats_sql over
+    the ev CTE the caller prepends."""
+    from rust_graph_db_spark.operators.sketches import rollup_stats_sql
+
+    return rollup_stats_sql("ev", ["event_type", "day"], "value")
 
 
 def _html_extract_oracle_sql() -> str:
@@ -4843,6 +4915,39 @@ def oracle_sql() -> dict[str, str]:
             num_hashes=32, bands=8, k=5),
         "t14_normalize_text": _normalize_oracle_sql(),
         "t21_html_extract": _html_extract_oracle_sql(),
+        # t22: same start/suppression contract, generated from the
+        # operator's own SQL twin (packing.chunk_overlap_sql)
+        "t22_chunk_overlap": _chunk_overlap_oracle_sql(),
+        # c16: window cumsum over (score DESC, id) — the oracle may
+        # use the single-task window; the operator must not
+        "c16_budget_select": (
+            "WITH t AS (SELECT doc_id, "
+            "CAST(len(string_split_regex(lower(text), '\\s+')) "
+            "AS BIGINT) AS tok_cnt FROM documents), "
+            "s AS (SELECT doc_id, CAST(tok_cnt AS DOUBLE) AS score, "
+            "tok_cnt FROM t), "
+            "c AS (SELECT doc_id, score, tok_cnt, "
+            "CAST(sum(tok_cnt) OVER (ORDER BY score DESC, doc_id "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens FROM s) "
+            "SELECT doc_id, score, tok_cnt, cum_tokens FROM c "
+            "WHERE cum_tokens - tok_cnt < 10000"),
+        # k3: the KMV register table is bit-identical across engines
+        # (60-bit md5 prefix; Spark conv(_,16,10) == DuckDB
+        # CAST('0x…' AS BIGINT)), so the sketch AND its estimate hash
+        "k3_kmv_sketch": (
+            "WITH h AS (SELECT DISTINCT CAST(concat('0x', "
+            "substr(md5(CAST(text AS VARCHAR)), 1, 15)) AS BIGINT) AS h "
+            "FROM documents WHERE text IS NOT NULL), "
+            "sk AS (SELECT CAST(row_number() OVER (ORDER BY h) "
+            "AS BIGINT) AS rnk, h FROM h ORDER BY h LIMIT 256), "
+            "est AS (SELECT round((max(rnk) - 1) / "
+            "(max(h) / 1152921504606846976.0), 4) AS n_est FROM sk) "
+            "SELECT rnk, h, n_est FROM sk CROSS JOIN est"),
+        # a7: GROUPING() matches Spark grouping_id() bit-for-bit
+        "a7_rollup": (
+            "WITH ev AS (SELECT event_type, "
+            "strftime(ts, '%Y-%m-%d') AS day, value FROM events) "
+            + _rollup_oracle_sql()),
         "c11_split_leakage": (
             # SQL twin of curation.split_leakage(k=10, md5): d13's
             # window-hash stream x t2's split assignment; DISTINCT

@@ -228,8 +228,10 @@ def main() -> None:
                  "t16_c4_line_filter", "d15_decontaminate_neardup",
                  "c12_mixture_plan", "d16_paragraph_dedup",
                  "c13_url_dedup", "d19_keep_best",
-                 # r7 addition: HTML extraction (t21)
-                 "t21_html_extract"]:
+                 # r7 additions: HTML extraction, chunking, budget
+                 # selection, KMV sketch, rollup lattice
+                 "t21_html_extract", "t22_chunk_overlap",
+                 "c16_budget_select", "k3_kmv_sketch", "a7_rollup"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

@@ -94,3 +94,116 @@ def pack_sequences(
         id_col, "tok_cnt",
         F.floor(before / budget).cast("long").alias("bin_id"),
         (before % budget).cast("long").alias("bin_offset"))
+
+
+def chunk_overlap(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    size: int = 128, stride: int = 64,
+) -> DataFrame:
+    """(id, chunk_id, chunk, n_tokens): sliding-window token chunking
+    with overlap — the context-window prep step of RAG indexing and
+    long-document pretraining (each document is cut into ``size``-token
+    chunks whose starts advance by ``stride`` tokens, so consecutive
+    chunks share ``size - stride`` tokens of context).
+
+    Chunk starts are 0, stride, 2·stride, …; the final chunk may be
+    short, and a start whose PREVIOUS chunk already reached the end of
+    the document is suppressed (it would be a pure suffix of text the
+    previous chunk fully covers). Empty documents produce no chunks.
+
+    100 TB shape: one corpus scan, tokenize + ``sequence``/``explode``
+    + ``slice`` entirely in whole-stage codegen — ZERO shuffles and
+    zero Python; output volume is input volume × (size/stride) overlap
+    factor, and chunks inherit the scan's partitioning so a downstream
+    embed/index stage starts co-located. Deterministic (total function
+    of the text), hence exactly reproducible by the SQL oracle.
+    """
+    if size <= 0 or stride <= 0:
+        raise ValueError("size and stride must be positive")
+    if stride > size:
+        raise ValueError("stride must be <= size (gaps would drop text)")
+    base = (docs.select(
+        F.col(id_col),
+        F.filter(tokens(F.col(text_col)),
+                 lambda x: x != F.lit("")).alias("_toks"))
+        .where(F.size("_toks") > 0))
+    starts = F.sequence(F.lit(0), F.size("_toks") - 1, F.lit(stride))
+    n = F.size("_toks")
+    return (base.select(F.col(id_col), "_toks", n.alias("_n"),
+                        F.explode(starts).alias("_st"))
+            .where((F.col("_st") == 0)
+                   | (F.col("_st") - stride + size < F.col("_n")))
+            .select(
+                F.col(id_col),
+                (F.col("_st") / stride).cast("long").alias("chunk_id"),
+                F.array_join(
+                    F.slice("_toks", F.col("_st") + 1, F.lit(size)),
+                    " ").alias("chunk"),
+                F.least(F.lit(size), F.col("_n") - F.col("_st"))
+                .cast("long").alias("n_tokens")))
+
+
+def chunk_overlap_sql(table: str = "documents", id_col: str = "doc_id",
+                      text_col: str = "text", size: int = 128,
+                      stride: int = 64) -> str:
+    """DuckDB twin of :func:`chunk_overlap` (same start/suppression
+    contract; list slices are 1-based inclusive in DuckDB)."""
+    return f"""
+WITH t AS (
+  SELECT {id_col},
+         list_filter(string_split_regex(lower({text_col}), '\\s+'),
+                     x -> x <> '') AS toks
+  FROM {table}
+), nz AS (
+  SELECT {id_col}, toks, len(toks) AS n FROM t WHERE len(toks) > 0
+), s AS (
+  SELECT {id_col}, toks, n,
+         unnest(generate_series(0, n - 1, {stride})) AS st
+  FROM nz
+)
+SELECT {id_col},
+       CAST(st / {stride} AS BIGINT) AS chunk_id,
+       array_to_string(toks[st + 1 : least(st + {size}, n)], ' ')
+         AS chunk,
+       CAST(least({size}, n - st) AS BIGINT) AS n_tokens
+FROM s
+WHERE st = 0 OR st - {stride} + {size} < n
+"""
+
+
+def budget_select(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+    score_col: str | None = None, budget: int = 100_000,
+) -> DataFrame:
+    """(id, score, tok_cnt, cum_tokens): greedy quality-under-budget
+    selection — rank documents by ``score_col`` descending (ties broken
+    by id ascending) and keep the prefix whose running token total
+    stays within ``budget`` (a document is kept iff the budget was not
+    already exhausted before it; the boundary document that straddles
+    the budget is kept, matching pack-style "chop after" semantics).
+
+    This is the "assemble the best N-token training mix" step (quality
+    classifier / perplexity scores in, token-budgeted corpus out).
+    ``score_col=None`` scores by document length (token count).
+
+    100 TB shape: the global order is a RANGE partition on
+    (-score, id), the running total is :func:`global_cumsum` — the
+    driver coordinates O(partitions) bytes, never a single-task global
+    window. One corpus scan + one range shuffle.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    sc = (F.col(score_col).cast("double") if score_col
+          else F.size(tokens(F.col(text_col))).cast("double"))
+    scored = docs.select(
+        F.col(id_col),
+        F.coalesce(sc, F.lit(float("-inf"))).alias("score"),
+        F.size(tokens(F.col(text_col))).cast("long").alias("tok_cnt"))
+    # tie-free total order: score DESC then id ASC, encoded as one
+    # ascending struct key so global_cumsum range-partitions on it
+    ordered = scored.withColumn(
+        "_ord", F.struct((-F.col("score")).alias("s"),
+                         F.col(id_col).alias("i")))
+    c = global_cumsum(ordered, "_ord", "tok_cnt", out_col="cum_tokens")
+    return (c.where(F.col("cum_tokens") - F.col("tok_cnt") < budget)
+            .select(id_col, "score", "tok_cnt", "cum_tokens"))

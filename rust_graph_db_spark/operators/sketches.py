@@ -22,7 +22,7 @@ from __future__ import annotations
 
 from typing import Sequence, Union
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
@@ -152,3 +152,122 @@ def cms_estimate(sketch: DataFrame, items: DataFrame, col: str) -> DataFrame:
             .agg(F.min(F.coalesce(F.col("cnt"), F.lit(0).cast("long")))
                  .alias("est"))
             .select(F.col("x").alias(col), "est"))
+
+
+# ------------------------------------------------------------------ KMV
+
+# 60-bit hash domain: 15 hex chars of md5. Chosen because BOTH engines
+# convert it losslessly to BIGINT (Spark: conv(_,16,10); DuckDB:
+# CAST('0x…' AS BIGINT)), so the sketch — not just its estimate — is
+# bit-identical across engines and the oracle can hash-compare it.
+_KMV_BITS = 60
+_KMV_DOMAIN = float(1 << _KMV_BITS)
+
+
+def _kmv_hash(col: Column) -> Column:
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 15),
+                  16, 10).cast("long")
+
+
+def kmv_table(df: DataFrame, col: str, k: int = 256) -> DataFrame:
+    """K-minimum-values distinct sketch (Bar-Yossef et al. 2002): the
+    ``k`` smallest DISTINCT 60-bit md5 hashes of ``col``, as rows
+    ``(rnk, h)`` with rnk = 1..k. Distinct-count estimate =
+    ``(k-1) · 2^60 / h_k`` (:func:`kmv_estimate`); two sketches merge
+    by union + re-take-k (:func:`kmv_merge`), so partial sketches from
+    batches/streams/partitions combine losslessly.
+
+    vs HyperLogLog (``approx_distinct``): KMV is bigger per sketch
+    (k·8 bytes vs ~1.5 KB) but its state is engine-portable plain rows
+    — deterministic, mergeable by ANY system that can sort longs, and
+    exactly reproducible in SQL (the correctness oracle replays it).
+
+    100 TB shape: the hash is computed in codegen during the scan; the
+    distinct-of-hashes aggregate is map-side combinable, and the
+    k-smallest is ``TakeOrderedAndProject`` — every partition ships at
+    most k candidate rows to one final k-row merge, so the coordination
+    volume is O(partitions · k), never corpus-sized.
+    """
+    if k < 2:
+        raise ValueError("k must be >= 2 (estimate needs h_k)")
+    from pyspark.sql import Window
+
+    small = (df.select(_kmv_hash(F.col(col)).alias("h"))
+             .where(F.col("h").isNotNull())
+             .distinct()
+             .orderBy("h").limit(int(k)))
+    # rank AFTER the limit: the window runs over <= k rows
+    w = Window.orderBy("h")
+    return small.select(
+        F.row_number().over(w).cast("long").alias("rnk"), "h")
+
+
+def kmv_merge(*sketches: DataFrame) -> DataFrame:
+    """Merge KMV sketches: union, re-distinct, re-take the smallest k
+    (k = the LARGEST input rank, so merging never invents precision a
+    side didn't have — with equal-k inputs this is the standard KMV
+    union)."""
+    merged = sketches[0].select("h")
+    for s in sketches[1:]:
+        merged = merged.unionByName(s.select("h"))
+    k = max(int(s.agg(F.max("rnk")).first()[0] or 0) for s in sketches)
+    if k < 2:
+        raise ValueError("cannot merge empty sketches")
+    from pyspark.sql import Window
+
+    small = merged.distinct().orderBy("h").limit(k)
+    return small.select(
+        F.row_number().over(Window.orderBy("h")).cast("long")
+        .alias("rnk"), "h")
+
+
+def kmv_estimate(sketch: DataFrame) -> DataFrame:
+    """One row ``(k, n_est)`` from a KMV sketch: the unbiased estimator
+    ``(k-1) / (h_k / 2^60)``; a sketch smaller than its k (the input
+    had fewer than k distinct values) is EXACT and returns its row
+    count. Rounded to 4 places so the float is oracle-stable."""
+    return (sketch.agg(F.max("rnk").alias("k"), F.max("h").alias("hk"))
+            .select(
+                F.col("k"),
+                F.round(
+                    (F.col("k") - 1) / (F.col("hk") / F.lit(_KMV_DOMAIN)),
+                    4).alias("n_est")))
+
+
+# ------------------------------------------------------ rollup / cube
+
+def rollup_stats(df: DataFrame, keys: list, value_col: str) -> DataFrame:
+    """OLAP ROLLUP over ``keys``: one row per prefix level
+    (all keys, …, grand total) with ``(keys…, lvl, cnt, total, mean)``;
+    ``lvl`` is Spark's ``grouping_id()`` (bit i set = key i rolled
+    up), which matches DuckDB's ``GROUPING(keys…)`` bit-for-bit so the
+    whole lattice is oracle-hashable. Subtotal rows carry NULL in the
+    rolled-up key columns (both engines' convention).
+
+    100 TB shape: ONE shuffle — Spark expands each input row to its
+    rollup groupings map-side and partially aggregates before the
+    exchange, so the shuffle carries per-(group, level) partials, not
+    row multiples; no self-union of per-level aggregates."""
+    return (df.rollup(*keys).agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        # cast BEFORE round: an integer value_col would otherwise
+        # yield long here but DOUBLE in DuckDB (the c6 pandas-dtype
+        # split the gate rejects)
+        F.round(F.sum(value_col).cast("double"), 4).alias("total"),
+        F.round(F.avg(value_col), 6).alias("mean"))
+        .select(*keys, "lvl", "cnt", "total", "mean"))
+
+
+def rollup_stats_sql(table: str, keys: list, value_col: str) -> str:
+    """DuckDB twin of :func:`rollup_stats`."""
+    ks = ", ".join(keys)
+    return f"""
+SELECT {ks},
+       CAST(GROUPING({ks}) AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum({value_col}) AS DOUBLE), 4) AS total,
+       round(avg({value_col}), 6) AS mean
+FROM {table}
+GROUP BY ROLLUP ({ks})
+"""

@@ -398,3 +398,82 @@ def test_random_projection_skips_short_vectors(spark):
     df = spark.createDataFrame([(1, [1.0] * 64), (2, [1.0] * 10)],
                                "vec_id LONG, embedding ARRAY<FLOAT>")
     assert [r.id for r in random_projection(df).collect()] == [1]
+
+
+# ----------------------------------------------------- r7: chunking
+
+def test_chunk_overlap_matches_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.packing import (chunk_overlap,
+                                                       chunk_overlap_sql)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(str(tuple(r))
+                 for r in chunk_overlap(docs, size=16, stride=8).collect())
+    exp = sorted(str(tuple(r)) for r in duck.execute(
+        chunk_overlap_sql(size=16, stride=8)).fetchall())
+    assert got == exp and len(got) > 1000
+
+
+def test_chunk_overlap_semantics(spark):
+    from rust_graph_db_spark.operators.packing import chunk_overlap
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"),   # 7 toks: starts 0,2,4 (6 reaches end? 4+4=8>7 so 6 suppressed)
+         (2, "a b"),             # single chunk
+         (3, ""),                # empty: no chunks
+         (4, "x")],
+        "doc_id LONG, text STRING")
+    rows = {(r.doc_id, r.chunk_id): (r.chunk, r.n_tokens)
+            for r in chunk_overlap(df, size=4, stride=2).collect()}
+    assert rows[(1, 0)] == ("a b c d", 4)
+    assert rows[(1, 1)] == ("c d e f", 4)
+    assert rows[(1, 2)] == ("e f g", 3)
+    assert (1, 3) not in rows          # suffix of chunk 2's coverage
+    assert rows[(2, 0)] == ("a b", 2)
+    assert rows[(4, 0)] == ("x", 1)
+    assert not any(d == 3 for d, _ in rows)
+
+
+def test_chunk_overlap_rejects_bad_geometry(spark):
+    import pytest as _pytest
+
+    from rust_graph_db_spark.operators.packing import chunk_overlap
+
+    df = spark.createDataFrame([(1, "a")], "doc_id LONG, text STRING")
+    with _pytest.raises(ValueError):
+        chunk_overlap(df, size=4, stride=8)      # gap would drop text
+    with _pytest.raises(ValueError):
+        chunk_overlap(df, size=0, stride=0)
+
+
+# ------------------------------------------------ r7: budget select
+
+def test_budget_select_matches_window_oracle(spark, duck):
+    from rust_graph_db_spark.operators.packing import budget_select
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(str(tuple(r))
+                 for r in budget_select(docs, budget=5000).collect())
+    exp = sorted(str(tuple(r)) for r in duck.execute("""
+        WITH t AS (SELECT doc_id,
+               CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT)
+                 AS tok_cnt FROM documents),
+        s AS (SELECT doc_id, CAST(tok_cnt AS DOUBLE) score, tok_cnt FROM t),
+        c AS (SELECT doc_id, score, tok_cnt,
+              CAST(sum(tok_cnt) OVER (ORDER BY score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) cum_tokens FROM s)
+        SELECT doc_id, score, tok_cnt, cum_tokens FROM c
+        WHERE cum_tokens - tok_cnt < 5000""").fetchall())
+    assert got == exp and 10 < len(got) < 500
+
+
+def test_budget_select_boundary_doc_kept(spark):
+    from rust_graph_db_spark.operators.packing import budget_select
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "d e"), (3, "f")],
+        "doc_id LONG, text STRING")
+    # scores: 3, 2, 1 -> order 1,2,3; budget 4: doc1 (cum 3) kept,
+    # doc2 straddles (before=3 < 4) kept, doc3 (before=5) dropped
+    kept = sorted(r.doc_id for r in budget_select(df, budget=4).collect())
+    assert kept == [1, 2]

@@ -279,3 +279,66 @@ def test_rolling_active_users_vs_duckdb(spark, duck):
     exp = sorted((int(a), int(b), int(c))
                  for a, b, c in duck.execute(sql).fetchall())
     assert got == exp and len(got) > 10
+
+
+# ------------------------------------------------------------ r7: KMV
+
+def test_kmv_table_matches_duckdb_and_merges(spark, duck):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.sketches import (kmv_estimate,
+                                                        kmv_merge,
+                                                        kmv_table)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sk = kmv_table(docs, "text", k=64)
+    got = sorted((int(r.rnk), int(r.h)) for r in sk.collect())
+    exp = sorted((int(a), int(b)) for a, b in duck.execute("""
+        WITH h AS (SELECT DISTINCT CAST(concat('0x',
+                     substr(md5(CAST(text AS VARCHAR)), 1, 15)) AS BIGINT) h
+                   FROM documents WHERE text IS NOT NULL)
+        SELECT row_number() OVER (ORDER BY h), h
+        FROM h ORDER BY h LIMIT 64""").fetchall())
+    assert got == exp and len(got) == 64
+
+    # merge of disjoint halves == sketch of the whole
+    a = kmv_table(docs.where(F.col("doc_id") % 2 == 0), "text", k=64)
+    b = kmv_table(docs.where(F.col("doc_id") % 2 == 1), "text", k=64)
+    merged = sorted((int(r.rnk), int(r.h))
+                    for r in kmv_merge(a, b).collect())
+    assert merged == got
+
+    # estimate is within the k=64 design error (~12.5% rsd) of exact,
+    # and EXACT below k (sketch smaller than its k)
+    est = kmv_estimate(sk).first()
+    exact = docs.select("text").distinct().count()
+    assert abs(est.n_est - exact) / exact < 0.4
+    tiny = kmv_table(docs.limit(10), "text", k=64)
+    assert int(kmv_estimate(tiny).first().k) == tiny.count()
+
+
+def test_kmv_rejects_k_below_2(spark):
+    import pytest as _pytest
+
+    from rust_graph_db_spark.operators.sketches import kmv_table
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    with _pytest.raises(ValueError):
+        kmv_table(docs, "text", k=1)
+
+
+# --------------------------------------------------------- r7: rollup
+
+def test_rollup_stats_matches_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.sketches import (rollup_stats,
+                                                        rollup_stats_sql)
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    got = sorted(str(tuple(r))
+                 for r in rollup_stats(ev, ["event_type"], "value")
+                 .collect())
+    exp = sorted(str(tuple(r)) for r in duck.execute(
+        rollup_stats_sql("events", ["event_type"], "value")).fetchall())
+    assert got == exp
+    # lattice shape: 5 leaf rows + 1 grand total
+    assert len(got) == 6
