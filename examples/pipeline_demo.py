@@ -218,6 +218,20 @@ def main(spark=None):
                                  "max_dup2": 1.0, "min_word_len": 0.0,
                                  "max_word_len": 100.0})
     print("curate from HTML with keep-best:", curated.count(), "docs")
+
+    # r7 session 2: chunk for RAG, select under a token budget,
+    # sketch the distinct count, roll up the lattice
+    from rust_graph_db_spark.operators.packing import (budget_select,
+                                                       chunk_overlap)
+    from rust_graph_db_spark.operators.sketches import (kmv_estimate,
+                                                        kmv_table,
+                                                        rollup_stats)
+    chunks = chunk_overlap(docs, size=32, stride=16)
+    print("chunks (32/16):", chunks.count())
+    picked = budget_select(docs, budget=10_000)
+    print("budget_select 10k tokens:", picked.count(), "docs")
+    kmv_estimate(kmv_table(docs, "text", k=256)).show()
+    rollup_stats(docs, ["lang"], "n_chars").show(6)
     return kept
 
 

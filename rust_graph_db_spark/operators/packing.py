@@ -193,12 +193,18 @@ def budget_select(
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    # tokenize ONCE: score (when defaulted) and tok_cnt both read the
+    # same _n column rather than re-splitting the text per expression
+    counted = docs.select(
+        F.col(id_col),
+        *([F.col(score_col)] if score_col else []),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_n"))
     sc = (F.col(score_col).cast("double") if score_col
-          else F.size(tokens(F.col(text_col))).cast("double"))
-    scored = docs.select(
+          else F.col("_n").cast("double"))
+    scored = counted.select(
         F.col(id_col),
         F.coalesce(sc, F.lit(float("-inf"))).alias("score"),
-        F.size(tokens(F.col(text_col))).cast("long").alias("tok_cnt"))
+        F.col("_n").alias("tok_cnt"))
     # tie-free total order: score DESC then id ASC, encoded as one
     # ascending struct key so global_cumsum range-partitions on it
     ordered = scored.withColumn(

@@ -212,6 +212,30 @@ def main() -> None:
           lambda: curate(docs, thresholds=permissive,
                          neardup_keep="best"))
 
+    # r7 session 2: chunking / budget selection / KMV / ROLLUP at
+    # corpus scale. chunk_overlap's agg forces every chunk string to
+    # materialize (a bare count() would prune the array_join); the
+    # others return bounded frames so count() is already forcing.
+    from rust_graph_db_spark.operators.packing import (budget_select,
+                                                       chunk_overlap)
+    stage("chunk_overlap_128_64",
+          lambda: chunk_overlap(docs, size=128, stride=64)
+          .agg(F.sum(F.length("chunk")).alias("chunk_bytes"),
+               F.count(F.lit(1)).alias("n"))
+          .where(F.col("n") != F.lit(-1)))
+    # budget = ~half the corpus tokens, so the selection boundary
+    # lands mid-corpus and the range shuffle + cumsum both matter
+    stage("budget_select_half",
+          lambda: budget_select(docs, budget=max(1, n_docs * 30)))
+
+    from rust_graph_db_spark.operators.sketches import (kmv_estimate,
+                                                        kmv_table,
+                                                        rollup_stats)
+    stage("kmv_sketch_k4096",
+          lambda: kmv_estimate(kmv_table(docs, "text", k=4096)))
+    stage("rollup_source_lang",
+          lambda: rollup_stats(docs, ["source", "lang"], "doc_id"))
+
     # r7: HTML extraction (t21) at corpus scale — each doc rendered
     # into a full synthetic page (nav/head/script/footer + paragraphs
     # split mid-text), then extracted back. The agg forces the full
