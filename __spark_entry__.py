@@ -2885,6 +2885,77 @@ def _q_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return rollup_stats(ev, ["event_type", "day"], "value")
 
 
+def _q_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OLAP CUBE lattice over (event_type, day): all four grouping
+    levels (cell / per-type / per-day / grand total) in one Expand +
+    one shuffle; grouping_id() matches DuckDB GROUPING() bit-for-bit
+    (the a7 discipline extended to the full 2^k lattice)."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.sketches import cube_stats
+
+    ev = (spark.read.parquet(f"{sf_dir}/events.parquet")
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    return cube_stats(ev, ["event_type", "day"], "value")
+
+
+_QUANTILE_PROBS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def _q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT distributed quantiles of l_extendedprice (quantile_disc
+    semantics) via the range-partition + driver-prefix-sum rank
+    substrate — never Spark's builtin exact `percentile`, which
+    buffers the whole column in one aggregation buffer."""
+    from rust_graph_db_spark.operators.sketches import exact_quantiles
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return exact_quantiles(li, "l_extendedprice", _QUANTILE_PROBS)
+
+
+def _q_outlier_clip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-derived robust outlier band: drop/winsorize documents
+    outside the exact [p5, p95] token-count band — thresholds from
+    the corpus itself, not hand-picked constants. (The plan's two
+    BroadcastNestedLoopJoins are the 1-row quantile band crossed onto
+    the corpus — bounded, never corpus-sized, the k3 pattern.)"""
+    from rust_graph_db_spark.operators.curation import outlier_clip
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return outlier_clip(docs, lo=0.05, hi=0.95)
+
+
+def _q_topk_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders by price per customer — the rank-filter form
+    Spark >= 3.5 rewrites into WindowGroupLimit (per-map-task partial
+    top-k before the exchange; plan-audited in tests)."""
+    from rust_graph_db_spark.operators.sketches import topk_per_group
+
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select("o_custkey", "o_orderkey", "o_totalprice"))
+    return topk_per_group(o, ["o_custkey"], "o_totalprice", 3,
+                          tiebreak="o_orderkey")
+
+
+def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-key-aware salted equi-join lineitem ⋈ orders: keys with
+    >= 5 left rows are salted across 8 sub-keys, cold keys join
+    unsalted — output identical to the plain join (the oracle IS the
+    plain join), the physical plan is the skew-mitigation shape."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.skew import salted_join
+
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_linenumber", "l_extendedprice"))
+    o = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+         .select(F.col("o_orderkey").alias("l_orderkey"),
+                 F.date_format("o_orderdate", "yyyy-MM-dd")
+                 .alias("o_day"),
+                 "o_totalprice"))
+    return salted_join(li, o, "l_orderkey", salts=8, hot_threshold=5)
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-round synchronous LPA communities on the KNOWS graph."""
     from rust_graph_db_spark.operators.graph_algos import label_propagation
@@ -3240,6 +3311,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c16_budget_select": _q_budget_select,
         "k3_kmv_sketch": _q_kmv_sketch,
         "a7_rollup": _q_rollup,
+        # --------- new in r7 session 3: CUBE lattice, exact
+        # distributed quantiles, quantile-derived outlier clipping,
+        # top-k per group (WindowGroupLimit), hot-key salted join
+        # (all full oracles)
+        "a8_cube": _q_cube,
+        "a9_quantiles": _q_quantiles,
+        "c17_outlier_clip": _q_outlier_clip,
+        "o3_topk_group": _q_topk_group,
+        "r6_salted_join": _q_salted_join,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3442,11 +3522,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the code under these moved in r5/r6 while their green rows did
 # not).
 # ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
-# 27 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# 32 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
 # d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
 # j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
 # x5_network_analysis, plus s14/s15/g5/g6 displaced from this window
-# by the four session-2 additions); (3) the r5-green block, oldest
+# by the four session-2 additions and g9/g10/t11/t12/t13 displaced
+# by the five session-3 additions); (3) the r5-green block, oldest
 # first.
 # c5b_classifier_train stays OUT of the window by design (rows-only
 # GD training; its SQL-mirrorable half c5 carries the hash verdict).
@@ -3454,9 +3535,13 @@ _R7_WINDOW = [
     # r7 additions, never driver-verified before (never-verified
     # outranks stale, same rule as r6; the four session-2 additions
     # displace s14/s15/g5/g6 to the r8 queue — their families stay
-    # covered in-window via s12 bulk load and g3/g4 VLE)
+    # covered in-window via s12 bulk load and g3/g4 VLE — and the
+    # five session-3 additions displace g9/g10/t11/t12/t13, whose
+    # families stay covered via g8 pagerank and t15 KN)
     "t21_html_extract", "t22_chunk_overlap", "c16_budget_select",
     "k3_kmv_sketch", "a7_rollup",
+    "a8_cube", "a9_quantiles", "c17_outlier_clip", "o3_topk_group",
+    "r6_salted_join",
     # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
     "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
     "d9_chunk_dedup", "d10_containment", "d11_semdedup",
@@ -3475,8 +3560,6 @@ _R7_WINDOW = [
     "s12_bulk_load",
     "g1_bfs_distances", "g2_weighted_sssp", "g3_vle",
     "g4_vle_between", "g8_pagerank",
-    "g9_degrees", "g10_triangles",
-    "t11_bpe_merges", "t12_perplexity", "t13_dsir",
 ]
 
 
@@ -3927,6 +4010,23 @@ def _rollup_oracle_sql() -> str:
     from rust_graph_db_spark.operators.sketches import rollup_stats_sql
 
     return rollup_stats_sql("ev", ["event_type", "day"], "value")
+
+
+def _cube_oracle_sql() -> str:
+    """SQL twin of a8 — generated by sketches.cube_stats_sql over the
+    ev CTE the caller prepends."""
+    from rust_graph_db_spark.operators.sketches import cube_stats_sql
+
+    return cube_stats_sql("ev", ["event_type", "day"], "value")
+
+
+def _quantiles_oracle_sql() -> str:
+    """SQL twin of a9 — DuckDB's builtin quantile_disc, one constant-
+    parameter SELECT per prob (generated by exact_quantiles_sql)."""
+    from rust_graph_db_spark.operators.sketches import exact_quantiles_sql
+
+    return exact_quantiles_sql("lineitem", "l_extendedprice",
+                               _QUANTILE_PROBS)
 
 
 def _html_extract_oracle_sql() -> str:
@@ -4948,6 +5048,38 @@ def oracle_sql() -> dict[str, str]:
             "WITH ev AS (SELECT event_type, "
             "strftime(ts, '%Y-%m-%d') AS day, value FROM events) "
             + _rollup_oracle_sql()),
+        # a8: the full CUBE lattice, same GROUPING() bit discipline
+        "a8_cube": (
+            "WITH ev AS (SELECT event_type, "
+            "strftime(ts, '%Y-%m-%d') AS day, value FROM events) "
+            + _cube_oracle_sql()),
+        # a9: builtin quantile_disc — same discrete-rank semantics
+        # (rank = max(1, ceil(q*n)), verified point-for-point) as the
+        # range-partitioned rank substrate on the Spark side
+        "a9_quantiles": _quantiles_oracle_sql(),
+        # c17: the exact [p5, p95] token-count band as scalar
+        # subqueries; least/greatest winsorize mirrored verbatim
+        "c17_outlier_clip": (
+            r"WITH m AS (SELECT doc_id, CAST(len(string_split_regex("
+            r"lower(text), '\s+')) AS DOUBLE) AS x FROM documents), "
+            "b AS (SELECT quantile_disc(x, 0.05) AS lo_v, "
+            "quantile_disc(x, 0.95) AS hi_v FROM m) "
+            "SELECT doc_id, x, lo_v, hi_v, "
+            "least(greatest(x, lo_v), hi_v) AS x_clip, "
+            "coalesce(x BETWEEN lo_v AND hi_v, false) AS kept "
+            "FROM m CROSS JOIN b ORDER BY doc_id"),
+        # o3: row_number <= k is THE SQL spelling of top-k per group
+        "o3_topk_group": (
+            "SELECT o_custkey, o_orderkey, o_totalprice, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn "
+            "FROM orders QUALIFY rn <= 3"),
+        # r6: the salted join's oracle IS the plain equi-join — the
+        # salt must be invisible in the result
+        "r6_salted_join": (
+            "SELECT l_orderkey, l_linenumber, l_extendedprice, "
+            "strftime(o_orderdate, '%Y-%m-%d') AS o_day, o_totalprice "
+            "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
         "c11_split_leakage": (
             # SQL twin of curation.split_leakage(k=10, md5): d13's
             # window-hash stream x t2's split assignment; DISTINCT

@@ -232,6 +232,19 @@ def main(spark=None):
     print("budget_select 10k tokens:", picked.count(), "docs")
     kmv_estimate(kmv_table(docs, "text", k=256)).show()
     rollup_stats(docs, ["lang"], "n_chars").show(6)
+
+    # r7 session 3: the full CUBE lattice, corpus-derived outlier
+    # band, exact quantiles, and per-group top-k
+    from rust_graph_db_spark.operators.curation import outlier_clip
+    from rust_graph_db_spark.operators.sketches import (cube_stats,
+                                                        exact_quantiles,
+                                                        topk_per_group)
+    cube_stats(docs, ["lang"], "n_chars").show(6)
+    exact_quantiles(docs, "n_chars", [0.05, 0.5, 0.95]).show()
+    clipped = outlier_clip(docs, lo=0.05, hi=0.95)
+    print("outlier_clip keeps:", clipped.where("kept").count(), "docs")
+    topk_per_group(docs.select("lang", "doc_id", "n_chars"),
+                   ["lang"], "n_chars", 2, tiebreak="doc_id").show(6)
     return kept
 
 

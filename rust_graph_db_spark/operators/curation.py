@@ -1387,3 +1387,53 @@ def gopher_repetition_py(df: DataFrame, id_col: str = "doc_id",
 
     return df.select(F.col(id_col), F.col(text_col)) \
              .mapInPandas(_batches, out_schema)
+
+# ------------------------------------------------- outlier winsorize
+
+def outlier_clip(docs: DataFrame, id_col: str = "doc_id",
+                 text_col: str = "text", metric=None,
+                 lo: float = 0.01, hi: float = 0.99) -> DataFrame:
+    """``(id, x, lo_v, hi_v, x_clip, kept)``: robust-quantile outlier
+    stage — derive the exact ``(lo, hi)`` quantiles of a per-document
+    metric (default: whitespace token count, the length signal every
+    curation recipe thresholds), mark documents outside the band
+    (``kept``), and carry the winsorized value ``x_clip = clamp(x,
+    lo_v, hi_v)``. Unlike the fixed-constant length filters (t6/c4),
+    the thresholds here come from the corpus itself, so the stage
+    transfers across corpora without retuning — the
+    "drop the 1% tails" recipe used for pretraining-mix hygiene.
+
+    ``metric`` may be any numeric Column over the input row (e.g. a
+    c5 classifier score); it defaults to ``token_count(text_col)``.
+
+    100 TB shape: the metric is computed in codegen during ONE scan;
+    the quantile pair reuses :func:`~rust_graph_db_spark.operators.
+    sketches.exact_quantiles` (one range exchange over the metric
+    column ONLY — the texts are never shuffled), and its 2-row result
+    comes back as a broadcast cross-join onto the corpus, so the
+    second pass over the documents is shuffle-free. Nothing
+    corpus-sized is ever buffered in one task (the builtin exact
+    ``percentile`` would be).
+    """
+    from rust_graph_db_spark.functions.text import token_count
+    from rust_graph_db_spark.operators.sketches import exact_quantiles
+
+    x = (metric if metric is not None
+         else token_count(F.col(text_col))).cast("double")
+    m = docs.select(F.col(id_col), x.alias("x"))
+    qs = exact_quantiles(m, "x", [float(lo), float(hi)])
+    band = qs.agg(
+        F.min(F.when(F.col("q") == float(lo), F.col("v"))).alias("lo_v"),
+        F.max(F.when(F.col("q") == float(hi), F.col("v"))).alias("hi_v"))
+    return (m.crossJoin(F.broadcast(band))
+            .select(
+                id_col, "x", "lo_v", "hi_v",
+                F.least(F.greatest(F.col("x"), F.col("lo_v")),
+                        F.col("hi_v")).alias("x_clip"),
+                # a NULL metric (e.g. NULL text) can't be judged: kept
+                # is coalesced to false so it stays a REAL boolean
+                # (the d19 lesson — no three-valued keep flags)
+                F.coalesce(
+                    F.col("x").between(F.col("lo_v"), F.col("hi_v")),
+                    F.lit(False)).alias("kept"))
+            .orderBy(id_col))

@@ -16,6 +16,12 @@ Both are mergeable sketches, so partial aggregation (map-side combine)
 applies — the shuffle carries sketch bytes, never raw values.
 ``exact_stats`` is the exact counterpart used by the correctness oracle
 (and is the right choice below ~10⁹ rows per group).
+
+The module also carries the engine-portable KMV distinct sketch
+(``kmv_table``/``kmv_merge``/``kmv_estimate``) and the OLAP block:
+``rollup_stats``/``cube_stats`` grouping lattices, ``exact_quantiles``
+(the scale-safe exact path — range-partitioned rank, nothing buffered),
+and ``topk_per_group`` (the WindowGroupLimit form).
 """
 
 from __future__ import annotations
@@ -271,3 +277,144 @@ SELECT {ks},
 FROM {table}
 GROUP BY ROLLUP ({ks})
 """
+
+def cube_stats(df: DataFrame, keys: list, value_col: str) -> DataFrame:
+    """OLAP CUBE over ``keys``: the FULL 2^|keys| grouping lattice
+    (every key subset, down to the grand total) with the same
+    ``(keys…, lvl, cnt, total, mean)`` shape as :func:`rollup_stats`
+    — ``lvl`` is ``grouping_id()``, bit i set = key i aggregated away,
+    identical to DuckDB's ``GROUPING()`` bits so every lattice cell is
+    oracle-hashable.
+
+    100 TB shape: same as ROLLUP — ONE shuffle; Spark's Expand node
+    multiplies each row into its 2^|keys| groupings map-side and
+    partial-aggregates BEFORE the exchange, so the shuffle carries
+    per-(group, level) partials. The 2^|keys| input blow-up is the
+    real cost knob: keep |keys| <= ~4 at corpus scale (16x expansion),
+    or enumerate explicit grouping sets instead.
+    """
+    return (df.cube(*keys).agg(
+        F.grouping_id().cast("long").alias("lvl"),
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        # cast BEFORE round — the c6 pandas-dtype class (see rollup)
+        F.round(F.sum(value_col).cast("double"), 4).alias("total"),
+        F.round(F.avg(value_col), 6).alias("mean"))
+        .select(*keys, "lvl", "cnt", "total", "mean"))
+
+
+def cube_stats_sql(table: str, keys: list, value_col: str) -> str:
+    """DuckDB twin of :func:`cube_stats`."""
+    ks = ", ".join(keys)
+    return f"""
+SELECT {ks},
+       CAST(GROUPING({ks}) AS BIGINT) AS lvl,
+       CAST(count(*) AS BIGINT) AS cnt,
+       round(CAST(sum({value_col}) AS DOUBLE), 4) AS total,
+       round(avg({value_col}), 6) AS mean
+FROM {table}
+GROUP BY CUBE ({ks})
+"""
+
+
+# ------------------------------------------------- exact quantiles
+
+def exact_quantiles(df: DataFrame, col: str,
+                    probs: Sequence[float]) -> DataFrame:
+    """EXACT discrete quantiles of ``col``: rows ``(q, v)`` where
+    ``v`` is the value at 1-based rank ``max(1, ceil(q*n))`` of the
+    ascending sort over the n non-NULL values — DuckDB
+    ``quantile_disc`` / ANSI ``percentile_disc`` semantics, verified
+    point-for-point against DuckDB (including q=0 -> min, q=1 -> max,
+    and mid-run ties, which collapse to the same ``v`` whatever the
+    tie order).
+
+    100 TB shape: Spark's builtin exact ``percentile`` aggregate
+    buffers EVERY value of the group in one aggregation buffer —
+    corpus-sized memory on a single task for a global quantile. This
+    instead materializes the rank stream: ONE range exchange on the
+    value, a per-range-partition running count offset by the
+    O(partitions)-row driver prefix sum (the global_cumsum substrate,
+    packing.py), then a broadcast join of the O(|probs|) target-rank
+    table against it. The corpus is scanned and shuffled ONCE, never
+    buffered; no single-partition window anywhere. Use Spark's
+    ``percentile_approx`` (Greenwald-Khanna) when an approximate
+    answer is acceptable — this operator is the exact path that stays
+    alive when the column no longer fits one task.
+    """
+    import math
+
+    from pyspark.sql import Window
+
+    spark = df.sparkSession
+    vals = (df.select(F.col(col).cast("double").alias("v"))
+            .where(F.col("v").isNotNull()))
+    parts = spark.sparkContext.defaultParallelism
+    ranged = (vals.repartitionByRange(int(parts), "v")
+              .withColumn("_pid", F.spark_partition_id())
+              .localCheckpoint(eager=False))
+    sizes = {int(r["_pid"]): int(r["_c"])
+             for r in ranged.groupBy("_pid")
+             .agg(F.count(F.lit(1)).alias("_c")).collect()}
+    base, n = {}, 0
+    for pid in sorted(sizes):
+        base[pid] = n
+        n += sizes[pid]
+    if n == 0:
+        raise ValueError(f"exact_quantiles: no non-NULL values in {col!r}")
+    base_df = spark.createDataFrame(
+        [(pid, off) for pid, off in base.items()], "_pid INT, _base BIGINT")
+    # 1-based rank = ceil(q*n) clamped to [1, n]; computed driver-side
+    # in IEEE doubles, the same arithmetic DuckDB's C++ uses
+    tgt = spark.createDataFrame(
+        [(float(q), max(1, min(n, math.ceil(float(q) * n))))
+         for q in probs], "q DOUBLE, _rnk BIGINT")
+    w = (Window.partitionBy("_pid").orderBy("v")
+         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    ranked = (ranged.join(F.broadcast(base_df), "_pid")
+              .withColumn("_rnk", (F.col("_base")
+                                   + F.count(F.lit(1)).over(w))
+                          .cast("long")))
+    return (ranked.join(F.broadcast(tgt), "_rnk")
+            .select("q", "v").orderBy("q"))
+
+
+def exact_quantiles_sql(table: str, col: str,
+                        probs: Sequence[float]) -> str:
+    """DuckDB twin of :func:`exact_quantiles` via the builtin
+    ``quantile_disc`` (same discrete-rank semantics). One SELECT per
+    prob: DuckDB requires the quantile parameter to be constant."""
+    arms = "\nUNION ALL ".join(
+        f"SELECT CAST({float(q)!r} AS DOUBLE) AS q, "
+        f"quantile_disc(CAST({col} AS DOUBLE), {float(q)!r}) AS v "
+        f"FROM {table} WHERE {col} IS NOT NULL"
+        for q in probs)
+    return f"SELECT q, v FROM ({arms}) ORDER BY q"
+
+
+# ------------------------------------------------- top-k per group
+
+def topk_per_group(df: DataFrame, keys: list, order_col: str, k: int,
+                   descending: bool = True,
+                   tiebreak: str | None = None) -> DataFrame:
+    """The k best rows of every group: input columns plus ``rn``
+    (1..k within the group, ordered by ``order_col`` descending by
+    default, ties broken by ``tiebreak`` ascending so the selection is
+    deterministic). The OLAP staple Spark has no direct operator for
+    — SQL spells it ``row_number() OVER (...) <= k``.
+
+    100 TB shape: the rank-filter form is NOT just sugar — Spark >= 3.5
+    rewrites it into ``WindowGroupLimit``, which runs a partial
+    per-group top-k on every map task BEFORE the exchange (plan-
+    audited in tests/test_sketches.py): the shuffle carries at most
+    ``groups_per_partition * k`` rows per map task instead of the
+    whole corpus, the same partial/final split a combinable aggregate
+    gets. A mega-group therefore costs its top-k per partition, never
+    a full single-task sort.
+    """
+    from pyspark.sql import Window
+
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    order = [oc] + ([F.col(tiebreak).asc()] if tiebreak else [])
+    w = Window.partitionBy(*keys).orderBy(*order)
+    return (df.withColumn("rn", F.row_number().over(w).cast("long"))
+            .where(F.col("rn") <= int(k)))

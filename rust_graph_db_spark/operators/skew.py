@@ -29,20 +29,48 @@ def _keys(on: Union[str, Sequence[str]]) -> list:
 
 def salted_join(left: DataFrame, right: DataFrame,
                 on: Union[str, Sequence[str]], salts: int = 8,
-                how: str = "inner") -> DataFrame:
+                how: str = "inner",
+                hot_threshold: int | None = None) -> DataFrame:
     """Equi-join with the left side salted and the right side replicated
     ``salts`` times. Result is identical to ``left.join(right, on, how)``
     for inner/left joins; the hot-key rows are spread across ``salts``
-    partitions instead of one."""
+    partitions instead of one.
+
+    ``hot_threshold`` switches on the hot-key-aware form — the one to
+    use at 100 TB: a map-side-combinable per-key count finds the keys
+    with at least that many left rows, the (assumed bounded) hot-key
+    set is broadcast to both sides, and ONLY hot keys are salted /
+    replicated. Cold keys join exactly as before (salt 0, one right
+    copy), so the replication cost is ``|hot right rows| × salts``
+    instead of ``|right| × salts`` — salting stops being a tax on the
+    99% of keys that were never skewed. The output is still identical
+    to the plain join (oracle-verified)."""
     if how not in ("inner", "left"):
         raise ValueError("salted_join supports inner/left joins")
     keys = _keys(on)
     lsalt = F.pmod(
         F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(salts)
     ).cast("int")
-    l = left.withColumn("_salt", lsalt)
-    r = right.withColumn(
-        "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+    if hot_threshold is None:
+        l = left.withColumn("_salt", lsalt)
+        r = right.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(salts - 1))))
+        return l.join(r, keys + ["_salt"], how).drop("_salt")
+    hot = (left.groupBy(*keys)
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .where(F.col("_c") >= int(hot_threshold))
+           .select(*keys).withColumn("_hot", F.lit(True)))
+    l = (left.join(F.broadcast(hot), keys, "left")
+         .withColumn("_salt",
+                     F.when(F.col("_hot").isNotNull(), lsalt)
+                     .otherwise(F.lit(0)))
+         .drop("_hot"))
+    r = (right.join(F.broadcast(hot), keys, "left")
+         .withColumn("_salt", F.explode(
+             F.when(F.col("_hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(salts - 1)))
+             .otherwise(F.array(F.lit(0)))))
+         .drop("_hot"))
     return l.join(r, keys + ["_salt"], how).drop("_salt")
 
 

@@ -236,6 +236,45 @@ def main() -> None:
     stage("rollup_source_lang",
           lambda: rollup_stats(docs, ["source", "lang"], "doc_id"))
 
+    # r7 session 3: CUBE lattice, exact quantiles, outlier winsorize,
+    # per-group top-k (WindowGroupLimit), hot-key salted join. The
+    # quantile/outlier stages are the ones with a real scale story —
+    # the value column shuffles once, the texts never move.
+    from rust_graph_db_spark.operators.curation import outlier_clip
+    from rust_graph_db_spark.operators.sketches import (cube_stats,
+                                                        exact_quantiles,
+                                                        topk_per_group)
+    from rust_graph_db_spark.operators.skew import salted_join
+    stage("cube_source_lang",
+          lambda: cube_stats(docs, ["source", "lang"], "doc_id"))
+    stage("exact_quantiles_len",
+          lambda: exact_quantiles(
+              docs.select(F.length("text").alias("n")), "n",
+              [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]))
+    stage("outlier_clip_p1_p99",
+          lambda: outlier_clip(docs, lo=0.01, hi=0.99)
+          .agg(F.sum(F.col("kept").cast("long")).alias("n_kept"),
+               F.sum("x_clip").alias("sx"))
+          .where(F.col("n_kept") != F.lit(-1)))
+    stage("topk3_per_source",
+          lambda: topk_per_group(
+              docs.select("source", "doc_id",
+                          F.length("text").alias("n")),
+              ["source"], "n", 3, tiebreak="doc_id"))
+    # hot-key salted join: docs joined to a per-source dim through a
+    # deliberately skewed key (80% of rows collapse to source src0)
+    stage("salted_join_hot", lambda: salted_join(
+        docs.select(F.when(F.pmod("doc_id", F.lit(5)) < 4,
+                           F.lit("src0"))
+                    .otherwise(F.col("source")).alias("k"),
+                    "doc_id"),
+        docs.select(F.col("source").alias("k")).distinct()
+        .withColumn("w", F.length("k")),
+        "k", salts=16, hot_threshold=100_000)
+        .agg(F.count(F.lit(1)).alias("n"),
+             F.sum("w").alias("sw"))
+        .where(F.col("n") != F.lit(-1)))
+
     # r7: HTML extraction (t21) at corpus scale — each doc rendered
     # into a full synthetic page (nav/head/script/footer + paragraphs
     # split mid-text), then extracted back. The agg forces the full

@@ -2437,3 +2437,57 @@ def test_keep_best_per_cluster_null_scores(spark):
     # NULL-score singleton is still kept
     assert got[5] == (5, None, True)
     assert sorted(d for d, (_, _, k) in got.items() if k) == [2, 3, 5]
+
+
+# ---------------------------------------- r7 s3: outlier winsorize
+
+def test_outlier_clip_matches_duckdb(docs, duck):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import outlier_clip
+
+    got = [tuple(r) for r in outlier_clip(docs, lo=0.05,
+                                          hi=0.95).collect()]
+    exp = [tuple(r) for r in duck.execute(r"""
+        WITH m AS (SELECT doc_id, CAST(len(string_split_regex(
+                     lower(text), '\s+')) AS DOUBLE) AS x
+                   FROM documents),
+        b AS (SELECT quantile_disc(x, 0.05) AS lo_v,
+                     quantile_disc(x, 0.95) AS hi_v FROM m)
+        SELECT doc_id, x, lo_v, hi_v,
+               least(greatest(x, lo_v), hi_v),
+               coalesce(x BETWEEN lo_v AND hi_v, false)
+        FROM m CROSS JOIN b ORDER BY doc_id""").fetchall()]
+    assert got == exp
+    kept = sum(1 for r in got if r[5])
+    assert 0 < kept < len(got)  # the band actually clips both tails
+    # x_clip is always inside the band
+    assert all(r[2] <= r[4] <= r[3] for r in got)
+
+
+def test_outlier_clip_null_metric_kept_false(spark):
+    """A NULL text can't be judged: kept must be a REAL false, never
+    NULL (the d19 three-valued-keep lesson)."""
+    from rust_graph_db_spark.operators.curation import outlier_clip
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, None), (3, "a b c d e"), (4, "a")],
+        "doc_id LONG, text STRING")
+    out = {r.doc_id: r for r in outlier_clip(df, lo=0.0,
+                                             hi=1.0).collect()}
+    assert out[2].kept is False and out[2].x is None
+    assert all(out[i].kept is True for i in (1, 3, 4))
+
+
+def test_outlier_clip_custom_metric(docs):
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import outlier_clip
+
+    out = outlier_clip(docs, metric=F.length("text"), lo=0.1, hi=0.9)
+    rows = out.collect()
+    # the custom metric is what lands in x
+    lens = {r.doc_id: r.x for r in rows}
+    exp = {r.doc_id: float(r.n) for r in docs.select(
+        "doc_id", F.length("text").alias("n")).collect()}
+    assert lens == exp

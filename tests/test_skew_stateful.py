@@ -42,6 +42,43 @@ def test_salted_left_join_keeps_unmatched(spark):
     assert plain == salted == 10000
 
 
+def test_salted_join_hot_threshold_matches_plain(spark):
+    """The hot-key-aware form (r7 s3): only keys with >= threshold
+    left rows are salted/replicated; result identical to plain join."""
+    left = _skewed(spark)
+    right = spark.range(97).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("w"))
+    plain = sorted(map(tuple, left.join(right, "k").collect()))
+    hot = sorted(map(tuple, salted_join(
+        left, right, "k", salts=8, hot_threshold=100).collect()))
+    assert plain == hot
+    # left join keeps unmatched cold keys too
+    right3 = spark.range(3).select(F.col("id").alias("k"),
+                                   F.lit(1).alias("w"))
+    assert salted_join(left, right3, "k", salts=4, how="left",
+                       hot_threshold=100).count() == 10000
+
+
+def test_salted_join_hot_threshold_replicates_only_hot(spark):
+    """Cold keys keep ONE right copy — replication volume is
+    |hot right rows| x salts, not |right| x salts."""
+    left = _skewed(spark)  # only key 0 has >= 100 rows
+    right = spark.range(97).select(F.col("id").alias("k"),
+                                   (F.col("id") * 2).alias("w"))
+    hot = (left.groupBy("k").agg(F.count(F.lit(1)).alias("c"))
+           .where(F.col("c") >= 100).select("k")
+           .withColumn("_hot", F.lit(True)))
+    r = (right.join(F.broadcast(hot), ["k"], "left")
+         .withColumn("_salt", F.explode(
+             F.when(F.col("_hot").isNotNull(),
+                    F.sequence(F.lit(0), F.lit(7)))
+             .otherwise(F.array(F.lit(0))))))
+    per_key = {row["k"]: row["n"] for row in
+               r.groupBy("k").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert per_key[0] == 8
+    assert all(n == 1 for k, n in per_key.items() if k != 0)
+
+
 def test_salted_distinct_count_exact(spark):
     df = _skewed(spark)
     exact = {r["k"]: r["nd"] for r in

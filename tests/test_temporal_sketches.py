@@ -342,3 +342,122 @@ def test_rollup_stats_matches_duckdb(spark, duck):
     assert got == exp
     # lattice shape: 5 leaf rows + 1 grand total
     assert len(got) == 6
+
+
+# ----------------------------------------------- r7 s3: cube lattice
+
+def test_cube_stats_matches_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.sketches import (cube_stats,
+                                                        cube_stats_sql)
+
+    ev = (spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+          .withColumn("day", F.date_format("ts", "yyyy-MM-dd")))
+    got = sorted(str(tuple(r))
+                 for r in cube_stats(ev, ["event_type", "day"], "value")
+                 .collect())
+    duck.execute("CREATE OR REPLACE VIEW ev_cube AS SELECT event_type, "
+                 "strftime(ts, '%Y-%m-%d') AS day, value FROM events")
+    exp = sorted(str(tuple(r)) for r in duck.execute(
+        cube_stats_sql("ev_cube", ["event_type", "day"], "value"))
+        .fetchall())
+    assert got == exp
+    # full 2^2 lattice: cube has day-only subtotal rows rollup lacks
+    days = ev.select("day").distinct().count()
+    types = ev.select("event_type").distinct().count()
+    cells = ev.select("event_type", "day").distinct().count()
+    assert len(got) == cells + days + types + 1
+
+
+# ------------------------------------------- r7 s3: exact quantiles
+
+def test_exact_quantiles_matches_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.sketches import (
+        exact_quantiles, exact_quantiles_sql)
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    probs = [0.0, 0.01, 0.25, 0.5, 0.75, 0.99, 1.0]
+    got = [(r.q, r.v) for r in
+           exact_quantiles(li, "l_quantity", probs).collect()]
+    exp = [tuple(r) for r in duck.execute(
+        exact_quantiles_sql("lineitem", "l_quantity", probs)).fetchall()]
+    assert got == exp
+    # q=0 is the min, q=1 the max, and the list is monotone
+    vs = [v for _, v in got]
+    assert vs == sorted(vs)
+    mn, mx = li.agg(F.min("l_quantity"), F.max("l_quantity")).first()
+    assert vs[0] == float(mn) and vs[-1] == float(mx)
+
+
+def test_exact_quantiles_ties_and_nulls(spark, duck):
+    """Heavy ties + NULLs: the rank substrate must pick the same value
+    DuckDB's quantile_disc does whatever the tie order."""
+    from rust_graph_db_spark.operators.sketches import exact_quantiles
+
+    rows = [(float(v),) for v in [1, 1, 1, 1, 2, 2, 3, 9, 9, 9, 9, 9]]
+    df = spark.createDataFrame(rows + [(None,)], "x DOUBLE")
+    duck.execute("CREATE OR REPLACE TABLE q_ties(x DOUBLE)")
+    duck.executemany("INSERT INTO q_ties VALUES (?)",
+                     rows + [(None,)])
+    probs = [0.1, 0.3, 0.5, 0.6, 0.9]
+    got = [(r.q, r.v) for r in exact_quantiles(df, "x", probs).collect()]
+    exp = []
+    for q in probs:
+        exp.append((q, duck.execute(
+            f"SELECT quantile_disc(x, {q}) FROM q_ties "
+            "WHERE x IS NOT NULL").fetchone()[0]))
+    assert got == exp
+
+
+def test_exact_quantiles_all_null_raises(spark):
+    import pytest as _pytest
+
+    from rust_graph_db_spark.operators.sketches import exact_quantiles
+
+    df = spark.createDataFrame([(None,), (None,)], "x DOUBLE")
+    with _pytest.raises(ValueError):
+        exact_quantiles(df, "x", [0.5])
+
+
+# ---------------------------------------- r7 s3: top-k per group
+
+def test_topk_per_group_matches_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.sketches import topk_per_group
+
+    o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+         .select("o_custkey", "o_orderkey", "o_totalprice"))
+    got = sorted(str(tuple(r)) for r in topk_per_group(
+        o, ["o_custkey"], "o_totalprice", 3,
+        tiebreak="o_orderkey").collect())
+    exp = sorted(str(tuple(r)) for r in duck.execute(
+        "SELECT o_custkey, o_orderkey, o_totalprice, "
+        "CAST(row_number() OVER (PARTITION BY o_custkey "
+        "ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rn "
+        "FROM orders QUALIFY rn <= 3").fetchall())
+    assert got == exp
+    # every group has at most k rows, ranks are 1..k
+    per = topk_per_group(o, ["o_custkey"], "o_totalprice", 3,
+                         tiebreak="o_orderkey") \
+        .groupBy("o_custkey").agg(F.count("*").alias("c"),
+                                  F.max("rn").alias("m")).collect()
+    assert all(r.c <= 3 and r.m == r.c for r in per)
+
+
+def test_topk_per_group_plan_uses_window_group_limit(spark):
+    """The 100 TB claim: Spark rewrites the rank filter into
+    WindowGroupLimit — per-map-task partial top-k BEFORE the shuffle,
+    so the exchange never carries the full corpus."""
+    import contextlib
+    import io
+
+    from rust_graph_db_spark.operators.sketches import topk_per_group
+
+    o = (spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+         .select("o_custkey", "o_orderkey", "o_totalprice"))
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        topk_per_group(o, ["o_custkey"], "o_totalprice", 3,
+                       tiebreak="o_orderkey").explain("formatted")
+    plan = buf.getvalue()
+    assert "WindowGroupLimit" in plan
+    # both the partial (pre-shuffle) and final form appear
+    assert plan.count("WindowGroupLimit") >= 2
