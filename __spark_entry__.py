@@ -2956,6 +2956,75 @@ def _q_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return salted_join(li, o, "l_orderkey", salts=8, hot_threshold=5)
 
 
+def _q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT per-language n_chars quantiles in one pass — the c15
+    no-per-group-window substrate (range exchange + broadcast group
+    stats), quantile_disc semantics per group. (The plan's two
+    cartesians are the O(#groups) stats frame crossed with the
+    O(|probs|) prob list — bounded, never corpus-sized.)"""
+    from rust_graph_db_spark.operators.sketches import grouped_quantiles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grouped_quantiles(docs, "lang", "n_chars",
+                             [0.1, 0.25, 0.5, 0.75, 0.9])
+
+
+def _q_budget_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language token-budget mixture assembly: every language gets
+    3000 tokens except en's 5000 (the budgets-mapping path) — c16 run
+    inside every group at once on the c15 substrate."""
+    from rust_graph_db_spark.operators.packing import \
+        budget_select_by_group
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return budget_select_by_group(docs, "lang", budget=3000,
+                                  budgets={"en": 5000})
+
+
+def _q_mmr_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-5 around the vec_id=0 query (lam=0.5 —
+    exactly representable, so both engines' arithmetic is identical);
+    the oracle replays the greedy selection as unrolled CTEs."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qv = emb.where(F.col("vec_id") == 0).select("embedding").first()[0]
+    out = mmr_topk(emb, qv, k=5, lam=0.5, exclude_id=0)
+    return out.select("step", "id", F.round("rel", 6).alias("rel"),
+                      F.round("mmr", 6).alias("mmr"))
+
+
+def _mmr_oracle_sql(k: int = 5) -> str:
+    """Unrolled greedy-MMR oracle (the pagerank unrolled-CTE
+    discipline): step j picks argmax(0.5·rel − 0.5·max sim to the
+    already-picked set) via a correlated subquery over p_{j-1}."""
+    ctes = [
+        "q AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings "
+        "WHERE vec_id = 0)",
+        "cand AS (SELECT b.vec_id AS id, CAST(b.embedding AS DOUBLE[]) "
+        "AS v, list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
+        "q.e) AS rel FROM embeddings b, q WHERE b.vec_id <> 0)",
+        "s1 AS (SELECT 1 AS step, id, rel, 0.5*rel AS mmr, v FROM cand "
+        "ORDER BY 0.5*rel DESC, id LIMIT 1)",
+        "p1 AS (SELECT * FROM s1)",
+    ]
+    for j in range(2, k + 1):
+        ctes.append(
+            f"s{j} AS (SELECT {j} AS step, c.id, c.rel, "
+            f"0.5*c.rel - 0.5*(SELECT max(list_cosine_similarity("
+            f"c.v, p.v)) FROM p{j-1} p) AS mmr, c.v FROM cand c "
+            f"WHERE c.id NOT IN (SELECT id FROM p{j-1}) "
+            f"ORDER BY mmr DESC, c.id LIMIT 1)")
+        ctes.append(f"p{j} AS (SELECT * FROM p{j-1} "
+                    f"UNION ALL SELECT * FROM s{j})")
+    return ("WITH " + ", ".join(ctes)
+            + f" SELECT CAST(step AS BIGINT) AS step, id, "
+              f"round(rel, 6) AS rel, round(mmr, 6) AS mmr FROM p{k} "
+              "ORDER BY step")
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-round synchronous LPA communities on the KNOWS graph."""
     from rust_graph_db_spark.operators.graph_algos import label_propagation
@@ -3320,6 +3389,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c17_outlier_clip": _q_outlier_clip,
         "o3_topk_group": _q_topk_group,
         "r6_salted_join": _q_salted_join,
+        # --------- new in r7 session 3b: per-group quantiles/budgets
+        # on the c15 substrate, MMR diversified retrieval (full
+        # oracles — MMR replays the greedy loop as unrolled CTEs)
+        "a10_grouped_quantiles": _q_grouped_quantiles,
+        "c18_budget_by_group": _q_budget_by_group,
+        "e13_mmr_topk": _q_mmr_topk,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3522,13 +3597,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the code under these moved in r5/r6 while their green rows did
 # not).
 # ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
-# 32 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# 35 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
 # d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
 # j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
 # x5_network_analysis, plus s14/s15/g5/g6 displaced from this window
-# by the four session-2 additions and g9/g10/t11/t12/t13 displaced
-# by the five session-3 additions); (3) the r5-green block, oldest
-# first.
+# by the four session-2 additions, g9/g10/t11/t12/t13 displaced by
+# the five session-3 additions, and g3/g4/g8 displaced by the three
+# session-3b additions); (3) the r5-green block, oldest first.
 # c5b_classifier_train stays OUT of the window by design (rows-only
 # GD training; its SQL-mirrorable half c5 carries the hash verdict).
 _R7_WINDOW = [
@@ -3542,6 +3617,9 @@ _R7_WINDOW = [
     "k3_kmv_sketch", "a7_rollup",
     "a8_cube", "a9_quantiles", "c17_outlier_clip", "o3_topk_group",
     "r6_salted_join",
+    # session-3b additions (displace g3/g4/g8 — traversal stays
+    # covered in-window via g1 BFS + g2 SSSP)
+    "a10_grouped_quantiles", "c18_budget_by_group", "e13_mmr_topk",
     # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
     "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
     "d9_chunk_dedup", "d10_containment", "d11_semdedup",
@@ -3558,8 +3636,7 @@ _R7_WINDOW = [
     "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
     "s3_point_lookup", "s7_json_roundtrip", "s8_csv_roundtrip",
     "s12_bulk_load",
-    "g1_bfs_distances", "g2_weighted_sssp", "g3_vle",
-    "g4_vle_between", "g8_pagerank",
+    "g1_bfs_distances", "g2_weighted_sssp",
 ]
 
 
@@ -4027,6 +4104,16 @@ def _quantiles_oracle_sql() -> str:
 
     return exact_quantiles_sql("lineitem", "l_extendedprice",
                                _QUANTILE_PROBS)
+
+
+def _grouped_quantiles_oracle_sql() -> str:
+    """SQL twin of a10 — per-group quantile_disc arms (generated by
+    grouped_quantiles_sql)."""
+    from rust_graph_db_spark.operators.sketches import \
+        grouped_quantiles_sql
+
+    return grouped_quantiles_sql("documents", "lang", "n_chars",
+                                 [0.1, 0.25, 0.5, 0.75, 0.9])
 
 
 def _html_extract_oracle_sql() -> str:
@@ -5080,6 +5167,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT l_orderkey, l_linenumber, l_extendedprice, "
             "strftime(o_orderdate, '%Y-%m-%d') AS o_day, o_totalprice "
             "FROM lineitem JOIN orders ON l_orderkey = o_orderkey"),
+        # a10: builtin quantile_disc per group, one arm per prob
+        "a10_grouped_quantiles": _grouped_quantiles_oracle_sql(),
+        # c18: per-group running-total window (ROWS frame — (score,id)
+        # is unique so RANGE==ROWS, but be explicit); the window SUM
+        # is HUGEINT in DuckDB, so CAST AS BIGINT (the c6 class); en's
+        # budget differs to exercise the budgets mapping
+        "c18_budget_by_group": (
+            r"WITH m AS (SELECT lang, doc_id, CAST(len("
+            r"string_split_regex(lower(text), '\s+')) AS DOUBLE) AS "
+            r"score, CAST(len(string_split_regex(lower(text), '\s+')) "
+            "AS BIGINT) AS tok_cnt FROM documents), "
+            "c AS (SELECT lang, doc_id, score, tok_cnt, "
+            "CAST(sum(tok_cnt) OVER (PARTITION BY lang ORDER BY "
+            "score DESC, doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "CURRENT ROW) AS BIGINT) AS cum_tokens FROM m) "
+            "SELECT lang, doc_id, score, tok_cnt, cum_tokens FROM c "
+            "WHERE cum_tokens - tok_cnt < "
+            "CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END"),
+        # e13: the greedy MMR loop replayed as unrolled CTEs
+        "e13_mmr_topk": _mmr_oracle_sql(5),
         "c11_split_leakage": (
             # SQL twin of curation.split_leakage(k=10, md5): d13's
             # window-hash stream x t2's split assignment; DISTINCT

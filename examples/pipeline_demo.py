@@ -245,6 +245,20 @@ def main(spark=None):
     print("outlier_clip keeps:", clipped.where("kept").count(), "docs")
     topk_per_group(docs.select("lang", "doc_id", "n_chars"),
                    ["lang"], "n_chars", 2, tiebreak="doc_id").show(6)
+
+    # per-language exact quantiles + per-language token budgets (the
+    # mixture-assembly pair), then MMR-diversified retrieval
+    from rust_graph_db_spark.operators.packing import \
+        budget_select_by_group
+    from rust_graph_db_spark.operators.similarity import mmr_topk
+    from rust_graph_db_spark.operators.sketches import grouped_quantiles
+    grouped_quantiles(docs, "lang", "n_chars", [0.1, 0.5, 0.9]).show(6)
+    mix = budget_select_by_group(docs, "lang", budget=2000,
+                                 budgets={"en": 4000})
+    print("per-lang budget mix:", mix.count(), "docs")
+    from pyspark.sql import functions as F2
+    qv = emb.where(F2.col("vec_id") == 0).first()["embedding"]
+    mmr_topk(emb, qv, k=3, lam=0.5, exclude_id=0).show()
     return kept
 
 

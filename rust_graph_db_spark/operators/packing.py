@@ -213,3 +213,70 @@ def budget_select(
     c = global_cumsum(ordered, "_ord", "tok_cnt", out_col="cum_tokens")
     return (c.where(F.col("cum_tokens") - F.col("tok_cnt") < budget)
             .select(id_col, "score", "tok_cnt", "cum_tokens"))
+
+
+def budget_select_by_group(
+    docs: DataFrame, group_col: str, id_col: str = "doc_id",
+    text_col: str = "text", score_col: str | None = None,
+    budget: int = 100_000, budgets: dict | None = None,
+) -> DataFrame:
+    """(group, id, score, tok_cnt, cum_tokens): per-group greedy
+    quality-under-budget selection — :func:`budget_select` run inside
+    every group at once, each group getting ``budget`` tokens (or its
+    own entry in ``budgets``, a ``{group_value: tokens}`` mapping with
+    ``budget`` as the default). THE mixture-assembly step: "the best
+    2B tokens of English, 300M of each other language", with kept =
+    the per-group prefix whose running total stays in budget
+    (boundary document kept, same pack-style contract as c16).
+
+    100 TB shape: NOT a per-group window (a 100 TB group would
+    serialize through one task) — the c15 substrate instead: ONE
+    range exchange on ``(group, -score, id)`` with the global running
+    token total from :func:`global_cumsum`; each group's base offset
+    is ``min(cumsum - tok_cnt)`` over the group (the prefix total
+    before its first row), a broadcast O(#groups) aggregate joined
+    back ``eqNullSafe`` (NULL groups select too). Per-group budgets
+    ride the same broadcast frame. Assumes #groups bounded; one
+    corpus scan + one range shuffle, same as the global form.
+    """
+    if budget <= 0:
+        raise ValueError("budget must be positive")
+    if budgets and any(b <= 0 for b in budgets.values()):
+        raise ValueError("all budgets must be positive")
+    counted = docs.select(
+        F.col(group_col), F.col(id_col),
+        *([F.col(score_col)] if score_col else []),
+        F.size(tokens(F.col(text_col))).cast("long").alias("_n"))
+    sc = (F.col(score_col).cast("double") if score_col
+          else F.col("_n").cast("double"))
+    scored = counted.select(
+        F.col(group_col), F.col(id_col),
+        F.coalesce(sc, F.lit(float("-inf"))).alias("score"),
+        F.col("_n").alias("tok_cnt"))
+    ordered = scored.withColumn(
+        "_ord", F.struct(F.col(group_col).alias("g"),
+                         (-F.col("score")).alias("s"),
+                         F.col(id_col).alias("i")))
+    c = global_cumsum(ordered, "_ord", "tok_cnt", out_col="_cum")
+    base = (c.groupBy(group_col)
+            .agg(F.min(F.col("_cum") - F.col("tok_cnt")).alias("_base"))
+            .withColumnRenamed(group_col, "_g"))
+    spark = docs.sparkSession
+    if budgets:
+        bdf = spark.createDataFrame(
+            [(g, int(b)) for g, b in budgets.items()],
+            f"_bg {docs.schema[group_col].dataType.simpleString()}, "
+            "_budget BIGINT")
+        base = (base.join(F.broadcast(bdf),
+                          F.col("_g").eqNullSafe(F.col("_bg")), "left")
+                .select("_g", "_base",
+                        F.coalesce("_budget", F.lit(int(budget)))
+                        .alias("_budget")))
+    else:
+        base = base.withColumn("_budget", F.lit(int(budget)))
+    j = c.join(F.broadcast(base),
+               F.col(group_col).eqNullSafe(F.col("_g")))
+    cum_in_g = F.col("_cum") - F.col("_base")
+    return (j.where(cum_in_g - F.col("tok_cnt") < F.col("_budget"))
+            .select(group_col, id_col, "score", "tok_cnt",
+                    cum_in_g.alias("cum_tokens")))

@@ -876,3 +876,69 @@ def random_projection_sql(table: str = "embeddings",
         for j in range(out_dim))
     return (f"SELECT {id_col} AS id, {chains} FROM {table} "
             f"WHERE len({vec_col}) >= {in_dim}")
+
+
+def mmr_topk(
+    emb: DataFrame, query_vec: Sequence[float], k: int = 5,
+    lam: float = 0.7, id_col: str = "vec_id",
+    vec_col: str = "embedding", exclude_id: Optional[int] = None,
+) -> DataFrame:
+    """``(step, id, rel, mmr)``: Maximal-Marginal-Relevance
+    diversified top-k (Carbonell & Goldstein 1998) — greedily pick
+    the candidate maximizing ``lam·cos(q, i) − (1−lam)·max_{s∈S}
+    cos(i, s)`` over the already-selected set S (empty-set penalty 0,
+    so step 1 is plain relevance argmax); ties break on id. The
+    retrieval-diversification step a RAG stack runs after e1/e4:
+    top-k by relevance alone returns k near-copies of the same
+    passage.
+
+    100 TB shape: k bounded driver iterations; each is ONE linear
+    scan of the scored candidate frame (Arrow-batched numpy cosine,
+    the e1 scoring path) with the ≤k selected vectors embedded as
+    broadcast literals, and the argmax is orderBy+limit(1) =
+    TakeOrderedAndProject (per-partition top-1, O(partitions) rows to
+    the driver — no sort, no shuffle). The (id, vec, rel) frame is
+    computed once and localCheckpoint-pinned: k+1 consumers, the §17
+    multi-consumer rule. Pre-filter with e4's IVF probe to keep the
+    per-step scan off the full corpus when k·scans matter.
+    """
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError("lam must be in [0, 1]")
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    cand = drop_undefined(emb, vec_col)
+    if exclude_id is not None:
+        cand = cand.where(F.col(id_col) != int(exclude_id))
+    q = _vec_lit(query_vec)
+    base = (cand.select(F.col(id_col).alias("id"),
+                        F.col(vec_col).alias("v"),
+                        cosine_batch()(F.col(vec_col), q).alias("rel"))
+            .localCheckpoint(eager=True))
+    picked = []    # (step, id, rel, mmr, vec)
+    for step in range(1, int(k) + 1):
+        rest = base.where(
+            ~F.col("id").isin([p[1] for p in picked]) if picked
+            else F.lit(True))
+        if picked:
+            pen = F.greatest(*[
+                cosine_batch()(F.col("v"), _vec_lit(p[4]))
+                for p in picked]) if len(picked) > 1 else \
+                cosine_batch()(F.col("v"), _vec_lit(picked[0][4]))
+            scored = rest.select(
+                "id", "rel", "v",
+                (F.lit(float(lam)) * F.col("rel")
+                 - F.lit(1.0 - float(lam)) * pen).alias("mmr"))
+        else:
+            scored = rest.select(
+                "id", "rel", "v",
+                (F.lit(float(lam)) * F.col("rel")).alias("mmr"))
+        best = (scored.orderBy(F.col("mmr").desc(), F.col("id").asc())
+                .limit(1).first())
+        if best is None:
+            break
+        picked.append((step, best["id"], float(best["rel"]),
+                       float(best["mmr"]), list(best["v"])))
+    spark = emb.sparkSession
+    return spark.createDataFrame(
+        [(s, i, r, m) for s, i, r, m, _ in picked],
+        "step BIGINT, id BIGINT, rel DOUBLE, mmr DOUBLE")

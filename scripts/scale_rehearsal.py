@@ -261,6 +261,37 @@ def main() -> None:
               docs.select("source", "doc_id",
                           F.length("text").alias("n")),
               ["source"], "n", 3, tiebreak="doc_id"))
+    # r7 session 3b: the per-group pair on the c15 substrate + MMR.
+    # grouped ops group by source (20 groups) — the bounded-#groups
+    # shape the substrate assumes.
+    from rust_graph_db_spark.operators.packing import \
+        budget_select_by_group
+    from rust_graph_db_spark.operators.sketches import grouped_quantiles
+    stage("grouped_quantiles_source",
+          lambda: grouped_quantiles(
+              docs.withColumn("n", F.length("text")), "source", "n",
+              [0.01, 0.25, 0.5, 0.75, 0.99]))
+    stage("budget_by_group_source",
+          lambda: budget_select_by_group(
+              docs, "source", budget=max(1, n_docs * 3),
+              budgets={"src0": max(1, n_docs * 6)})
+          .agg(F.count(F.lit(1)).alias("n"),
+               F.sum("tok_cnt").alias("st"))
+          .where(F.col("n") != F.lit(-1)))
+
+    def _mmr():
+        from rust_graph_db_spark.operators.similarity import mmr_topk
+        dim = 64
+        emb = spark.range(n_docs // 4).select(
+            F.col("id").alias("vec_id"),
+            F.array(*[
+                (F.pmod(F.xxhash64(F.lit(j), "id"), F.lit(1000))
+                 .cast("double") / 500.0 - 1.0)
+                for j in range(dim)]).alias("embedding"))
+        q = [((j * 37 + 11) % 1000) / 500.0 - 1.0 for j in range(dim)]
+        return mmr_topk(emb, q, k=8, lam=0.5)
+    stage("mmr_top8_quartercorpus", _mmr)
+
     # hot-key salted join: docs joined to a per-source dim through a
     # deliberately skewed key (80% of rows collapse to source src0)
     stage("salted_join_hot", lambda: salted_join(

@@ -477,3 +477,54 @@ def test_budget_select_boundary_doc_kept(spark):
     # doc2 straddles (before=3 < 4) kept, doc3 (before=5) dropped
     kept = sorted(r.doc_id for r in budget_select(df, budget=4).collect())
     assert kept == [1, 2]
+
+
+def test_budget_select_by_group_matches_window_oracle(spark, duck):
+    from rust_graph_db_spark.operators.packing import \
+        budget_select_by_group
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = sorted(str(tuple(r)) for r in budget_select_by_group(
+        docs, "lang", budget=3000, budgets={"en": 5000}).collect())
+    exp = sorted(str(tuple(r)) for r in duck.execute(r"""
+        WITH m AS (SELECT lang, doc_id,
+               CAST(len(string_split_regex(lower(text), '\s+'))
+                 AS DOUBLE) AS score,
+               CAST(len(string_split_regex(lower(text), '\s+'))
+                 AS BIGINT) AS tok_cnt FROM documents),
+        c AS (SELECT lang, doc_id, score, tok_cnt,
+              CAST(sum(tok_cnt) OVER (PARTITION BY lang
+                ORDER BY score DESC, doc_id
+                ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+              FROM m)
+        SELECT lang, doc_id, score, tok_cnt, cum_tokens FROM c
+        WHERE cum_tokens - tok_cnt <
+              CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END""")
+        .fetchall())
+    assert got == exp
+    # every language selects something, en got the bigger budget
+    from collections import defaultdict
+    per = defaultdict(int)
+    for row in budget_select_by_group(
+            docs, "lang", budget=3000,
+            budgets={"en": 5000}).collect():
+        per[row.lang] += row.tok_cnt
+    assert len(per) == docs.select("lang").distinct().count()
+    assert per["en"] > max(v for k, v in per.items() if k != "en")
+
+
+def test_budget_select_by_group_null_group_and_boundary(spark):
+    from rust_graph_db_spark.operators.packing import \
+        budget_select_by_group
+
+    df = spark.createDataFrame(
+        [(1, "a b c", "x"), (2, "d e", "x"), (3, "f", "x"),
+         (4, "g h i j", None), (5, "k", None)],
+        "doc_id LONG, text STRING, lang STRING")
+    rows = {r.doc_id: r for r in budget_select_by_group(
+        df, "lang", budget=4).collect()}
+    # group x: scores 3,2,1 -> doc1 kept (cum 3), doc2 straddles
+    # (before=3 < 4) kept, doc3 dropped; NULL group: doc4 kept
+    # (cum 4), doc5 dropped (before=4, not < 4)
+    assert sorted(rows) == [1, 2, 4]
+    assert rows[4].lang is None and rows[4].cum_tokens == 4

@@ -461,3 +461,110 @@ def test_topk_per_group_plan_uses_window_group_limit(spark):
     assert "WindowGroupLimit" in plan
     # both the partial (pre-shuffle) and final form appear
     assert plan.count("WindowGroupLimit") >= 2
+
+
+# ------------------------------------------ r7 s3b: grouped quantiles
+
+def test_grouped_quantiles_matches_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.sketches import (
+        grouped_quantiles, grouped_quantiles_sql)
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    probs = [0.0, 0.1, 0.5, 0.9, 1.0]
+    got = [tuple(r) for r in grouped_quantiles(
+        docs, "lang", "n_chars", probs).collect()]
+    exp = [tuple(r) for r in duck.execute(grouped_quantiles_sql(
+        "documents", "lang", "n_chars", probs)).fetchall()]
+    assert got == exp
+    # per group: monotone in q, q=0 is the group min, q=1 the max
+    from collections import defaultdict
+    per = defaultdict(list)
+    for g, q, v in got:
+        per[g].append(v)
+    mins = {r["lang"]: (float(r["mn"]), float(r["mx"])) for r in
+            docs.groupBy("lang").agg(F.min("n_chars").alias("mn"),
+                                     F.max("n_chars").alias("mx"))
+            .collect()}
+    for g, vs in per.items():
+        assert vs == sorted(vs)
+        assert vs[0] == mins[g][0] and vs[-1] == mins[g][1]
+
+
+def test_grouped_quantiles_null_group_survives(spark, duck):
+    from rust_graph_db_spark.operators.sketches import grouped_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0),
+         (None, 10.0), (None, 20.0), ("b", None)],
+        "g STRING, x DOUBLE")
+    got = {(r.g, r.q): r.v for r in grouped_quantiles(
+        df, "g", "x", [0.5]).collect()}
+    # NULL group gets its own quantile; all-NULL group b is absent
+    assert got == {("a", 0.5): 2.0, (None, 0.5): 10.0}
+
+
+# ------------------------------------------------- r7 s3b: MMR
+
+def test_mmr_topk_matches_greedy_reference(spark):
+    """Pure-python greedy MMR over the collected vectors must pick the
+    same ids in the same order."""
+    import numpy as np
+
+    from rust_graph_db_spark.operators.similarity import mmr_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    rows = emb.collect()
+    vecs = {r.vec_id: np.asarray(r.embedding, dtype=np.float64)
+            for r in rows}
+    q = vecs[0]
+
+    def cos(a, b):
+        return float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+
+    lam = 0.5
+    cand = {i: cos(q, v) for i, v in vecs.items() if i != 0}
+    sel = []
+    for _ in range(5):
+        best = max(
+            ((lam * rel - (1 - lam) * max(
+                (cos(vecs[i], vecs[s]) for s, _ in sel), default=0.0),
+              i, rel) for i, rel in cand.items()
+             if i not in {s for s, _ in sel}),
+            key=lambda t: (t[0], -t[1]))
+        sel.append((best[1], best[0]))
+    got = [(r.step, r.id) for r in
+           mmr_topk(emb, list(q), k=5, lam=lam, exclude_id=0).collect()]
+    assert got == [(j + 1, s) for j, (s, _) in enumerate(sel)]
+
+
+def test_mmr_topk_diversifies(spark):
+    """With lam < 1 a selected near-duplicate's twin must NOT be
+    picked next even when it is the 2nd most relevant."""
+    from rust_graph_db_spark.operators.similarity import mmr_topk
+
+    # q = [1,0]; 1 and 2 nearly parallel to q (near-dups of each
+    # other), 3 orthogonal. At lam=0.3 the ~1.0 penalty on the twin
+    # outweighs its relevance edge; at lam=1 relevance wins again.
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.01]), (2, [1.0, 0.012]), (3, [0.0, 1.0])],
+        "vec_id LONG, embedding ARRAY<DOUBLE>")
+    out = [r.id for r in mmr_topk(df, [1.0, 0.0], k=2,
+                                  lam=0.3).collect()]
+    assert out[0] == 1 and out[1] == 3  # not the near-dup 2
+    # lam=1 is pure relevance: the near-dup wins again
+    rel = [r.id for r in mmr_topk(df, [1.0, 0.0], k=2,
+                                  lam=1.0).collect()]
+    assert rel == [1, 2]
+
+
+def test_mmr_topk_rejects_bad_params(spark):
+    import pytest as _pytest
+
+    from rust_graph_db_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame([(1, [1.0, 0.0])],
+                               "vec_id LONG, embedding ARRAY<DOUBLE>")
+    with _pytest.raises(ValueError):
+        mmr_topk(df, [1.0, 0.0], k=0)
+    with _pytest.raises(ValueError):
+        mmr_topk(df, [1.0, 0.0], lam=1.5)
