@@ -3025,6 +3025,16 @@ def _mmr_oracle_sql(k: int = 5) -> str:
               "ORDER BY step")
 
 
+def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-key skew preflight on lineitem.l_orderkey: one combinable
+    count shuffle + the a9 quantile substrate over the count table —
+    the measure-before-you-salt companion of r6."""
+    from rust_graph_db_spark.operators.skew import key_skew_profile
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return key_skew_profile(li, "l_orderkey")
+
+
 def _q_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-round synchronous LPA communities on the KNOWS graph."""
     from rust_graph_db_spark.operators.graph_algos import label_propagation
@@ -3395,6 +3405,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "a10_grouped_quantiles": _q_grouped_quantiles,
         "c18_budget_by_group": _q_budget_by_group,
         "e13_mmr_topk": _q_mmr_topk,
+        "k4_key_skew": _q_key_skew,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3597,12 +3608,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the code under these moved in r5/r6 while their green rows did
 # not).
 # ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
-# 35 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# 36 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
 # d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
 # j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
 # x5_network_analysis, plus s14/s15/g5/g6 displaced from this window
 # by the four session-2 additions, g9/g10/t11/t12/t13 displaced by
-# the five session-3 additions, and g3/g4/g8 displaced by the three
+# the five session-3 additions, and g2/g3/g4/g8 displaced by the four
 # session-3b additions); (3) the r5-green block, oldest first.
 # c5b_classifier_train stays OUT of the window by design (rows-only
 # GD training; its SQL-mirrorable half c5 carries the hash verdict).
@@ -3617,9 +3628,10 @@ _R7_WINDOW = [
     "k3_kmv_sketch", "a7_rollup",
     "a8_cube", "a9_quantiles", "c17_outlier_clip", "o3_topk_group",
     "r6_salted_join",
-    # session-3b additions (displace g3/g4/g8 — traversal stays
-    # covered in-window via g1 BFS + g2 SSSP)
+    # session-3b additions (displace g2/g3/g4/g8 — traversal stays
+    # covered in-window via g1 BFS)
     "a10_grouped_quantiles", "c18_budget_by_group", "e13_mmr_topk",
+    "k4_key_skew",
     # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
     "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
     "d9_chunk_dedup", "d10_containment", "d11_semdedup",
@@ -3636,7 +3648,7 @@ _R7_WINDOW = [
     "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
     "s3_point_lookup", "s7_json_roundtrip", "s8_csv_roundtrip",
     "s12_bulk_load",
-    "g1_bfs_distances", "g2_weighted_sssp",
+    "g1_bfs_distances",
 ]
 
 
@@ -5187,6 +5199,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END"),
         # e13: the greedy MMR loop replayed as unrolled CTEs
         "e13_mmr_topk": _mmr_oracle_sql(5),
+        # k4: count-of-counts skew profile (sum of counts is HUGEINT
+        # in DuckDB — CAST AS BIGINT, the c6 class)
+        "k4_key_skew": (
+            "WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) "
+            "AS cnt FROM lineitem GROUP BY l_orderkey), "
+            "s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, "
+            "CAST(count(*) AS BIGINT) AS n_keys, max(cnt) AS max_cnt "
+            "FROM c), "
+            "q AS (SELECT quantile_disc(CAST(cnt AS DOUBLE), 0.5) AS "
+            "p50_cnt, quantile_disc(CAST(cnt AS DOUBLE), 0.9) AS "
+            "p90_cnt, quantile_disc(CAST(cnt AS DOUBLE), 0.99) AS "
+            "p99_cnt FROM c) "
+            "SELECT n_rows, n_keys, max_cnt, p50_cnt, p90_cnt, "
+            "p99_cnt, round(max_cnt / (n_rows / "
+            "CAST(n_keys AS DOUBLE)), 4) AS skew_ratio "
+            "FROM s CROSS JOIN q"),
         "c11_split_leakage": (
             # SQL twin of curation.split_leakage(k=10, md5): d13's
             # window-hash stream x t2's split assignment; DISTINCT

@@ -259,6 +259,10 @@ def main(spark=None):
     from pyspark.sql import functions as F2
     qv = emb.where(F2.col("vec_id") == 0).first()["embedding"]
     mmr_topk(emb, qv, k=3, lam=0.5, exclude_id=0).show()
+
+    # measure, then salt: the skew preflight
+    from rust_graph_db_spark.operators.skew import key_skew_profile
+    key_skew_profile(docs, "lang").show()
     return kept
 
 

@@ -85,3 +85,48 @@ def salted_distinct_count(df: DataFrame, on: Union[str, Sequence[str]],
     partial = bucketed.groupBy(*keys, "_salt").agg(
         F.countDistinct(col).alias("_nd"))
     return partial.groupBy(*keys).agg(F.sum("_nd").alias("nd"))
+
+
+def key_skew_profile(df: DataFrame,
+                     on: Union[str, Sequence[str]]) -> DataFrame:
+    """One row ``(n_rows, n_keys, max_cnt, p50_cnt, p90_cnt, p99_cnt,
+    skew_ratio)`` profiling the join/groupBy key distribution of
+    ``on`` — the preflight for every skew decision this module (and
+    AQE) exists for: ``skew_ratio = max_cnt / (n_rows / n_keys)`` is
+    how many times hotter the hottest key runs than the average task's
+    share, and the count quantiles say whether that heat is one rogue
+    key (salt it — :func:`salted_join` ``hot_threshold`` ≈ p99_cnt) or
+    a fat head (repartition wider / pre-aggregate). Measure, then
+    salt: salting cold corpora taxes every key for nothing.
+
+    100 TB shape: ONE map-side-combinable count shuffle builds the
+    per-key count table; everything after runs on that (#keys-sized,
+    already reduced) frame — the quantiles via the a9 range-partition
+    rank substrate (:func:`~rust_graph_db_spark.operators.sketches.
+    exact_quantiles`, nothing buffered in one task even at billions of
+    keys), the scalars via one combinable aggregate, joined as
+    bounded 1-row broadcast frames. NULL keys count as a key, like
+    GROUP BY.
+    """
+    from rust_graph_db_spark.operators.sketches import exact_quantiles
+
+    keys = _keys(on)
+    cnts = (df.groupBy(*keys)
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+    stats = cnts.agg(
+        F.sum("cnt").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("cnt").alias("max_cnt"))
+    qs = (exact_quantiles(cnts, "cnt", [0.5, 0.9, 0.99])
+          .agg(F.min(F.when(F.col("q") == 0.5, F.col("v")))
+               .alias("p50_cnt"),
+               F.min(F.when(F.col("q") == 0.9, F.col("v")))
+               .alias("p90_cnt"),
+               F.min(F.when(F.col("q") == 0.99, F.col("v")))
+               .alias("p99_cnt")))
+    return (stats.crossJoin(F.broadcast(qs))
+            .select("n_rows", "n_keys", "max_cnt",
+                    "p50_cnt", "p90_cnt", "p99_cnt",
+                    F.round(F.col("max_cnt")
+                            / (F.col("n_rows") / F.col("n_keys")), 4)
+                    .alias("skew_ratio")))

@@ -292,6 +292,14 @@ def main() -> None:
         return mmr_topk(emb, q, k=8, lam=0.5)
     stage("mmr_top8_quartercorpus", _mmr)
 
+    from rust_graph_db_spark.operators.skew import key_skew_profile
+    stage("key_skew_profile",
+          lambda: key_skew_profile(
+              docs.select(F.when(F.pmod("doc_id", F.lit(5)) < 4,
+                                 F.lit("src0"))
+                          .otherwise(F.col("source")).alias("k")),
+              "k"))
+
     # hot-key salted join: docs joined to a per-source dim through a
     # deliberately skewed key (80% of rows collapse to source src0)
     stage("salted_join_hot", lambda: salted_join(

@@ -114,3 +114,36 @@ def test_oracle_running_totals(spark, duck):
         "CAST(floor(sum(value) / 100.0) AS BIGINT) AS crossings "
         "FROM events GROUP BY user_id").fetchall()))
     assert got == exp
+
+
+def test_key_skew_profile_matches_duckdb(spark, duck):
+    from rust_graph_db_spark.operators.skew import key_skew_profile
+
+    li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    got = tuple(key_skew_profile(li, "l_orderkey").first())
+    exp = tuple(duck.execute("""
+        WITH c AS (SELECT l_orderkey, CAST(count(*) AS BIGINT) AS cnt
+                   FROM lineitem GROUP BY l_orderkey),
+        s AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_rows,
+              CAST(count(*) AS BIGINT) AS n_keys, max(cnt) AS max_cnt
+              FROM c),
+        q AS (SELECT quantile_disc(CAST(cnt AS DOUBLE), 0.5) p50,
+                     quantile_disc(CAST(cnt AS DOUBLE), 0.9) p90,
+                     quantile_disc(CAST(cnt AS DOUBLE), 0.99) p99
+              FROM c)
+        SELECT n_rows, n_keys, max_cnt, p50, p90, p99,
+               round(max_cnt / (n_rows / CAST(n_keys AS DOUBLE)), 4)
+        FROM s CROSS JOIN q""").fetchone())
+    assert got == exp
+
+
+def test_key_skew_profile_flags_the_hot_key(spark):
+    from rust_graph_db_spark.operators.skew import key_skew_profile
+
+    df = _skewed(spark)  # 90% of 10k rows on key 0
+    r = key_skew_profile(df, "k").first()
+    assert r.n_rows == 10000
+    # the hot key (9000 + the id%10==9, id%97==0 overlap) dwarfs the
+    # average share; with 97 keys p99 IS the max rank, p90 is cold
+    assert r.max_cnt == 9010 and r.skew_ratio > 50
+    assert r.p90_cnt < 20
