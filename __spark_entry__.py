@@ -3003,9 +3003,13 @@ def _mmr_oracle_sql(k: int = 5) -> str:
     ctes = [
         "q AS (SELECT CAST(embedding AS DOUBLE[]) e FROM embeddings "
         "WHERE vec_id = 0)",
+        # cosines quantized to 9 dp BEFORE the greedy comparison,
+        # mirroring the operator: summation-order noise between numpy
+        # and DuckDB must not decide a pick — the id tiebreak does
         "cand AS (SELECT b.vec_id AS id, CAST(b.embedding AS DOUBLE[]) "
-        "AS v, list_cosine_similarity(CAST(b.embedding AS DOUBLE[]), "
-        "q.e) AS rel FROM embeddings b, q WHERE b.vec_id <> 0)",
+        "AS v, round(list_cosine_similarity(CAST(b.embedding AS "
+        "DOUBLE[]), q.e), 9) AS rel FROM embeddings b, q "
+        "WHERE b.vec_id <> 0)",
         "s1 AS (SELECT 1 AS step, id, rel, 0.5*rel AS mmr, v FROM cand "
         "ORDER BY 0.5*rel DESC, id LIMIT 1)",
         "p1 AS (SELECT * FROM s1)",
@@ -3013,8 +3017,8 @@ def _mmr_oracle_sql(k: int = 5) -> str:
     for j in range(2, k + 1):
         ctes.append(
             f"s{j} AS (SELECT {j} AS step, c.id, c.rel, "
-            f"0.5*c.rel - 0.5*(SELECT max(list_cosine_similarity("
-            f"c.v, p.v)) FROM p{j-1} p) AS mmr, c.v FROM cand c "
+            f"0.5*c.rel - 0.5*(SELECT max(round(list_cosine_similarity("
+            f"c.v, p.v), 9)) FROM p{j-1} p) AS mmr, c.v FROM cand c "
             f"WHERE c.id NOT IN (SELECT id FROM p{j-1}) "
             f"ORDER BY mmr DESC, c.id LIMIT 1)")
         ctes.append(f"p{j} AS (SELECT * FROM p{j-1} "

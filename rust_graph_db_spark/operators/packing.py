@@ -42,7 +42,17 @@ def global_cumsum(
     """Add ``out_col`` = running total of ``val_col`` over the TOTAL
     order of ``order_col`` (inclusive of the current row), computed in
     parallel (see module docstring; never a single-partition window).
-    ``order_col`` must be unique — it is the tie-free total order."""
+
+    Tie CONTRACT (load-bearing — a9/a10/k4 rank on a non-unique
+    order): the running total is ROW-based (``rowsBetween``, never a
+    RANGE frame), so tied order keys receive distinct consecutive
+    cumsum values in arbitrary tie order, and tied keys never straddle
+    a range-partition boundary (equal keys compare equal, so the range
+    partitioner sends them to one partition). Consumers that need a
+    deterministic PER-ROW assignment must make ``order_col`` unique
+    (c16/c18 encode (score, id) structs); consumers that only read
+    the VALUE at a rank (the quantile substrates) may pass tied keys —
+    any tie order yields the same value at every rank."""
     from pyspark.sql import Window
 
     parts = num_partitions or df.sparkSession.sparkContext.defaultParallelism

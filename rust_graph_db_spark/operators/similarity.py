@@ -890,7 +890,10 @@ def mmr_topk(
     so step 1 is plain relevance argmax); ties break on id. The
     retrieval-diversification step a RAG stack runs after e1/e4:
     top-k by relevance alone returns k near-copies of the same
-    passage.
+    passage. Every cosine is quantized to 9 decimals before the
+    greedy comparison so the selection is ENGINE-STABLE: scores
+    within summation-order noise collapse to equal and the id
+    tiebreak decides, identically here and in the SQL oracle.
 
     100 TB shape: k bounded driver iterations; each is ONE linear
     scan of the scored candidate frame (Arrow-batched numpy cosine,
@@ -910,9 +913,16 @@ def mmr_topk(
     if exclude_id is not None:
         cand = cand.where(F.col(id_col) != int(exclude_id))
     q = _vec_lit(query_vec)
+    # every cosine is QUANTIZED to 9 decimals before it enters the
+    # greedy comparison: two engines summing in different orders
+    # (numpy pairwise vs sequential) disagree in the last ulps, and an
+    # unrounded argmax would let that sub-ulp noise flip a pick and
+    # diverge every later step. At 9 dp, near-ties collapse to equal
+    # scores and the id tiebreak decides identically everywhere.
     base = (cand.select(F.col(id_col).alias("id"),
                         F.col(vec_col).alias("v"),
-                        cosine_batch()(F.col(vec_col), q).alias("rel"))
+                        F.round(cosine_batch()(F.col(vec_col), q), 9)
+                        .alias("rel"))
             .localCheckpoint(eager=True))
     picked = []    # (step, id, rel, mmr, vec)
     for step in range(1, int(k) + 1):
@@ -920,10 +930,9 @@ def mmr_topk(
             ~F.col("id").isin([p[1] for p in picked]) if picked
             else F.lit(True))
         if picked:
-            pen = F.greatest(*[
-                cosine_batch()(F.col("v"), _vec_lit(p[4]))
-                for p in picked]) if len(picked) > 1 else \
-                cosine_batch()(F.col("v"), _vec_lit(picked[0][4]))
+            sims = [F.round(cosine_batch()(F.col("v"), _vec_lit(p[4])),
+                            9) for p in picked]
+            pen = F.greatest(*sims) if len(sims) > 1 else sims[0]
             scored = rest.select(
                 "id", "rel", "v",
                 (F.lit(float(lam)) * F.col("rel")
@@ -939,6 +948,12 @@ def mmr_topk(
         picked.append((step, best["id"], float(best["rel"]),
                        float(best["mmr"]), list(best["v"])))
     spark = emb.sparkSession
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    schema = StructType([
+        StructField("step", LongType()),
+        StructField("id", emb.schema[id_col].dataType),
+        StructField("rel", DoubleType()),
+        StructField("mmr", DoubleType())])
     return spark.createDataFrame(
-        [(s, i, r, m) for s, i, r, m, _ in picked],
-        "step BIGINT, id BIGINT, rel DOUBLE, mmr DOUBLE")
+        [(s, i, r, m) for s, i, r, m, _ in picked], schema)

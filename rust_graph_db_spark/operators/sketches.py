@@ -318,6 +318,15 @@ GROUP BY CUBE ({ks})
 
 # ------------------------------------------------- exact quantiles
 
+def _check_probs(probs: Sequence[float]) -> None:
+    """Reject out-of-range probs up front — DuckDB's quantile_disc
+    errors on them, and silently clamping (q=95 meaning p95?) would
+    hand back the column max as a plausible-looking threshold."""
+    bad = [q for q in probs if not 0.0 <= float(q) <= 1.0]
+    if bad or not probs:
+        raise ValueError(f"probs must be in [0, 1], got {list(probs)}")
+
+
 def exact_quantiles(df: DataFrame, col: str,
                     probs: Sequence[float]) -> DataFrame:
     """EXACT discrete quantiles of ``col``: rows ``(q, v)`` where
@@ -343,37 +352,26 @@ def exact_quantiles(df: DataFrame, col: str,
     """
     import math
 
-    from pyspark.sql import Window
+    from rust_graph_db_spark.operators.packing import global_cumsum
 
+    _check_probs(probs)
     spark = df.sparkSession
     vals = (df.select(F.col(col).cast("double").alias("v"))
-            .where(F.col("v").isNotNull()))
-    parts = spark.sparkContext.defaultParallelism
-    ranged = (vals.repartitionByRange(int(parts), "v")
-              .withColumn("_pid", F.spark_partition_id())
-              .localCheckpoint(eager=False))
-    sizes = {int(r["_pid"]): int(r["_c"])
-             for r in ranged.groupBy("_pid")
-             .agg(F.count(F.lit(1)).alias("_c")).collect()}
-    base, n = {}, 0
-    for pid in sorted(sizes):
-        base[pid] = n
-        n += sizes[pid]
+            .where(F.col("v").isNotNull())
+            .withColumn("_one", F.lit(1)))
+    # the rank stream IS a global cumsum of 1s over the value order
+    # (ties are fine — see global_cumsum's tie contract: any tie order
+    # yields the same value at every rank). The frame is checkpointed
+    # inside global_cumsum, so the n-probe below reuses it.
+    ranked = global_cumsum(vals, "v", "_one", out_col="_rnk")
+    n = int(ranked.agg(F.max("_rnk")).first()[0] or 0)
     if n == 0:
         raise ValueError(f"exact_quantiles: no non-NULL values in {col!r}")
-    base_df = spark.createDataFrame(
-        [(pid, off) for pid, off in base.items()], "_pid INT, _base BIGINT")
     # 1-based rank = ceil(q*n) clamped to [1, n]; computed driver-side
     # in IEEE doubles, the same arithmetic DuckDB's C++ uses
     tgt = spark.createDataFrame(
         [(float(q), max(1, min(n, math.ceil(float(q) * n))))
          for q in probs], "q DOUBLE, _rnk BIGINT")
-    w = (Window.partitionBy("_pid").orderBy("v")
-         .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    ranked = (ranged.join(F.broadcast(base_df), "_pid")
-              .withColumn("_rnk", (F.col("_base")
-                                   + F.count(F.lit(1)).over(w))
-                          .cast("long")))
     return (ranked.join(F.broadcast(tgt), "_rnk")
             .select("q", "v").orderBy("q"))
 
@@ -405,7 +403,7 @@ def topk_per_group(df: DataFrame, keys: list, order_col: str, k: int,
     100 TB shape: the rank-filter form is NOT just sugar — Spark >= 3.5
     rewrites it into ``WindowGroupLimit``, which runs a partial
     per-group top-k on every map task BEFORE the exchange (plan-
-    audited in tests/test_sketches.py): the shuffle carries at most
+    audited in tests/test_temporal_sketches.py): the shuffle carries at most
     ``groups_per_partition * k`` rows per map task instead of the
     whole corpus, the same partial/final split a combinable aggregate
     gets. A mega-group therefore costs its top-k per partition, never
@@ -442,6 +440,7 @@ def grouped_quantiles(df: DataFrame, keys, col: str,
     """
     from rust_graph_db_spark.operators.packing import global_cumsum
 
+    _check_probs(probs)
     ks = [keys] if isinstance(keys, str) else list(keys)
     spark = df.sparkSession
     vals = (df.select(*ks, F.col(col).cast("double").alias("_v"))

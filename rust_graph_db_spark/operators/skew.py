@@ -111,8 +111,12 @@ def key_skew_profile(df: DataFrame,
     from rust_graph_db_spark.operators.sketches import exact_quantiles
 
     keys = _keys(on)
+    # pin: TWO consumers (the quantile substrate and the scalar agg)
+    # would otherwise each recompute the corpus scan + count shuffle —
+    # the §17 multi-consumer checkpoint rule
     cnts = (df.groupBy(*keys)
-            .agg(F.count(F.lit(1)).cast("long").alias("cnt")))
+            .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+            .localCheckpoint(eager=True))
     stats = cnts.agg(
         F.sum("cnt").alias("n_rows"),
         F.count(F.lit(1)).alias("n_keys"),

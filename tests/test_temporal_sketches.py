@@ -568,3 +568,28 @@ def test_mmr_topk_rejects_bad_params(spark):
         mmr_topk(df, [1.0, 0.0], k=0)
     with _pytest.raises(ValueError):
         mmr_topk(df, [1.0, 0.0], lam=1.5)
+
+
+def test_quantiles_reject_out_of_range_probs(spark):
+    import pytest as _pytest
+
+    from rust_graph_db_spark.operators.sketches import (
+        exact_quantiles, grouped_quantiles)
+
+    df = spark.createDataFrame([("a", 1.0)], "g STRING, x DOUBLE")
+    for bad in ([1.5], [-0.1], [95], []):
+        with _pytest.raises(ValueError):
+            exact_quantiles(df, "x", bad)
+        with _pytest.raises(ValueError):
+            grouped_quantiles(df, "g", "x", bad)
+
+
+def test_mmr_topk_string_ids(spark):
+    from rust_graph_db_spark.operators.similarity import mmr_topk
+
+    df = spark.createDataFrame(
+        [("a", [1.0, 0.01]), ("b", [1.0, 0.012]), ("c", [0.0, 1.0])],
+        "vec_id STRING, embedding ARRAY<DOUBLE>")
+    out = [(r.step, r.id) for r in
+           mmr_topk(df, [1.0, 0.0], k=2, lam=0.3).collect()]
+    assert out == [(1, "a"), (2, "c")]
