@@ -222,7 +222,7 @@ def train_kn_lm(docs: DataFrame, text_col: str = "text",
 def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
                   text_col: str = "text", id_col: str = "doc_id",
                   ndigits: int = 3,
-                  broadcast_max_types: int = 50_000_000) -> DataFrame:
+                  broadcast_max_types: int = 250_000_000) -> DataFrame:
     """(id_col, n_tokens, ppl): per-document interpolated Kneser-Ney
     perplexity exp(-mean ln P), with
 
@@ -250,14 +250,22 @@ def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
       strings, so the sf-scale gate would catch a collision that
       actually fired there);
     - when ``lm.types <= broadcast_max_types`` the three count frames
-      are BROADCAST (~16-24 B/type interned, well under Spark's 8 GB
-      broadcast cap at the 50M default): the LM is a MODEL, and
+      are BROADCAST (~16-24 B/type interned; the 250M default ≈ 6 GB,
+      inside Spark's 8 GB broadcast cap): the LM is a MODEL, and
       shuffling the corpus-token-cardinality occurrence table three
       times BY the model's keys is backwards at corpus >> model scale
       — the string form of exactly that exhausted the rehearsal box's
       shuffle tier twice. With the broadcast the corpus NEVER
       shuffles; the only exchange is the final per-document partial
-      aggregation. Above the gate the shuffle-join form remains."""
+      aggregation. Above the gate the shuffle-join form remains — but
+      note the measured inversion (SCALE.md §19): the r6 gate of 50M
+      flipped the 20M-doc/59M-type rehearsal onto the shuffle path,
+      whose corpus-sized spill exhausted a 70 GB disk and KILLED the
+      stage, while the broadcast form (~1.4 GB) completed; forcing
+      shuffle at a 5.9M-type toy scale had looked "gracefully slower"
+      (§18). The fallback trades executor memory for shuffle disk
+      that grows with the CORPUS — keep the gate at the broadcast
+      cap, not at a comfort number."""
     if lm.types <= 0:
         raise ValueError("kn_perplexity: empty language model")
     occ = (docs.select(F.col(id_col), tokens(F.col(text_col))

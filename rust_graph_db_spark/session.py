@@ -31,6 +31,12 @@ def get_spark(app_name: str = "rust_graph_db_spark", **extra_conf: str) -> Spark
         # Dimension tables (region/nation/label catalogs) should broadcast.
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        # broadcast BUILDS collect through the driver and are charged
+        # against maxResultSize (default 1g): a model-sized broadcast
+        # (kn_perplexity's count frames run ~1.4 GB at 59M types) dies
+        # there long before the 8 GB broadcast cap. 8g matches the cap;
+        # NOT 0/unlimited — a runaway collect should still error.
+        .config("spark.driver.maxResultSize", "8g")
         .config("spark.sql.session.timeZone", "UTC")
         # testdata events.parquet carries TIMESTAMP(NANOS); read as long
         # and convert (see load_events)
