@@ -231,7 +231,14 @@ def main() -> None:
                  # r7 additions: HTML extraction, chunking, budget
                  # selection, KMV sketch, rollup lattice
                  "t21_html_extract", "t22_chunk_overlap",
-                 "c16_budget_select", "k3_kmv_sketch", "a7_rollup"]:
+                 "c16_budget_select", "k3_kmv_sketch", "a7_rollup",
+                 # r7 session-3 additions: CUBE, exact + grouped
+                 # quantiles, outlier winsorize, grouped top-k,
+                 # per-group budgets, MMR, skew preflight + salted join
+                 "a8_cube", "a9_quantiles", "a10_grouped_quantiles",
+                 "c17_outlier_clip", "c18_budget_by_group",
+                 "o3_topk_group", "e13_mmr_topk", "k4_key_skew",
+                 "r6_salted_join"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()
