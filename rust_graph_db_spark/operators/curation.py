@@ -755,6 +755,7 @@ def curate(
     html_col: str | None = None,
     neardup_keep: str | None = None,
     neardup_threshold: float = 0.8,
+    outlier_band: tuple[float, float] | None = None,
 ) -> DataFrame:
     """The composed end-to-end curation pass a pretraining pipeline
     runs per crawl batch: [domain curation →] [LM perplexity filter →]
@@ -804,6 +805,15 @@ def curate(
     mutually-non-dup set (``dedup.keep_maximal_nondup`` — the most
     data consistent with the pair evidence). Default ``None``
     preserves the historical exact-only behavior.
+
+    Optional stage (r7 s3): ``outlier_band=(lo, hi)`` drops documents
+    whose token count falls outside the corpus's own exact
+    ``[p_lo, p_hi]`` quantile band (:func:`outlier_clip` — the
+    "drop the 1% tails" hygiene pass), AFTER the LM/language stages
+    (so the band reflects the corpus that will be kept) and BEFORE
+    the fixed-constant quality rules. Batch-only by design: the band
+    is a corpus-global statistic, so ``stream_curate`` has no
+    counterpart (a per-batch band would drift batch to batch).
 
     Plan shape at 100 TB: filter + redaction + split are ONE
     codegen'd scan stage (pure Catalyst, zero UDFs, predicates pushed
@@ -881,6 +891,16 @@ def curate(
         keep = lid.where(F.col("lang").isin(list(languages))) \
                   .select(id_col)
         df = df.join(keep, id_col, "left_semi")
+    if outlier_band is not None:
+        lo, hi = outlier_band
+        if not 0.0 <= float(lo) < float(hi) <= 1.0:
+            raise ValueError(
+                f"curate(): outlier_band must satisfy 0 <= lo < hi "
+                f"<= 1, got {outlier_band!r}")
+        oc = outlier_clip(df, id_col=id_col, text_col=text_col,
+                          lo=float(lo), hi=float(hi))
+        df = df.join(oc.where(F.col("kept")).select(id_col),
+                     id_col, "left_semi")
     red = filter_redact(df, id_col, text_col, thresholds)
     # Min-id-per-digest as ONE window pass (same survivors as the
     # groupBy + semi-join form, half the plan evaluations; the shuffle

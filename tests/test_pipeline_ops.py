@@ -2491,3 +2491,33 @@ def test_outlier_clip_custom_metric(docs):
     exp = {r.doc_id: float(r.n) for r in docs.select(
         "doc_id", F.length("text").alias("n")).collect()}
     assert lens == exp
+
+
+def test_curate_outlier_band_stage(spark):
+    """curate(outlier_band=...) drops the corpus's own token-count
+    tails before the fixed-constant quality rules."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import curate
+
+    docs = spark.createDataFrame(
+        [(0, "one")
+         ] + [(i, f"alpha beta gamma delta epsilon doc{i}") for i in range(1, 20)
+         ] + [(20, " ".join(f"w{j}" for j in range(400)))],
+        "doc_id LONG, text STRING")
+    permissive = {"min_tokens": 1, "max_tokens": 10**9,
+                  "min_stopword": 0.0, "max_punct": 1.0,
+                  "max_dup2": 1.0, "min_word_len": 0.0,
+                  "max_word_len": 100.0}
+    base = {r.doc_id for r in
+            curate(docs, thresholds=permissive).collect()}
+    clipped = {r.doc_id for r in curate(
+        docs, thresholds=permissive,
+        outlier_band=(0.05, 0.95)).collect()}
+    # both tails (the 1-token doc and the 400-token doc) are gone,
+    # the 19 median docs survive; default path unchanged
+    assert base == set(range(21))
+    assert clipped == set(range(1, 20))
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        curate(docs, thresholds=permissive, outlier_band=(0.9, 0.1))
