@@ -3029,6 +3029,26 @@ def _mmr_oracle_sql(k: int = 5) -> str:
               "ORDER BY step")
 
 
+def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-eval audit: per-document OOV rate of the corpus's own
+    top-10 token vocabulary (deterministic: count DESC, token ASC) —
+    the model-is-broadcast coverage pass run before an encode bakes a
+    bad vocabulary in. (testdata's generator vocabulary is 31 words,
+    so top-10 leaves real OOV mass.)"""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.functions.text import tokens
+    from rust_graph_db_spark.operators.bpe import vocab_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    vocab = (docs.select(F.explode(tokens(F.col("text"))).alias("w"))
+             .where(F.col("w") != "")
+             .groupBy("w").count()
+             .orderBy(F.desc("count"), F.asc("w")).limit(10)
+             .select(F.col("w").alias("p")))
+    return vocab_coverage(docs, vocab)
+
+
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join-key skew preflight on lineitem.l_orderkey: one combinable
     count shuffle + the a9 quantile substrate over the count table —
@@ -3410,6 +3430,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "c18_budget_by_group": _q_budget_by_group,
         "e13_mmr_topk": _q_mmr_topk,
         "k4_key_skew": _q_key_skew,
+        "t23_vocab_coverage": _q_vocab_coverage,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3612,13 +3633,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the code under these moved in r5/r6 while their green rows did
 # not).
 # ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
-# 36 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# 37 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
 # d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
 # j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
 # x5_network_analysis, plus s14/s15/g5/g6 displaced from this window
 # by the four session-2 additions, g9/g10/t11/t12/t13 displaced by
-# the five session-3 additions, and g2/g3/g4/g8 displaced by the four
-# session-3b additions); (3) the r5-green block, oldest first.
+# the five session-3 additions, and g1/g2/g3/g4/g8 displaced by the
+# five session-3b additions); (3) the r5-green block, oldest first.
 # c5b_classifier_train stays OUT of the window by design (rows-only
 # GD training; its SQL-mirrorable half c5 carries the hash verdict).
 _R7_WINDOW = [
@@ -3632,10 +3653,10 @@ _R7_WINDOW = [
     "k3_kmv_sketch", "a7_rollup",
     "a8_cube", "a9_quantiles", "c17_outlier_clip", "o3_topk_group",
     "r6_salted_join",
-    # session-3b additions (displace g2/g3/g4/g8 — traversal stays
-    # covered in-window via g1 BFS)
+    # session-3b additions (displace g1/g2/g3/g4/g8 — iterative-graph
+    # coverage stays in-window via g18 betweenness in the stale block)
     "a10_grouped_quantiles", "c18_budget_by_group", "e13_mmr_topk",
-    "k4_key_skew",
+    "k4_key_skew", "t23_vocab_coverage",
     # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
     "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
     "d9_chunk_dedup", "d10_containment", "d11_semdedup",
@@ -3652,7 +3673,6 @@ _R7_WINDOW = [
     "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
     "s3_point_lookup", "s7_json_roundtrip", "s8_csv_roundtrip",
     "s12_bulk_load",
-    "g1_bfs_distances",
 ]
 
 
@@ -5203,6 +5223,22 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END"),
         # e13: the greedy MMR loop replayed as unrolled CTEs
         "e13_mmr_topk": _mmr_oracle_sql(5),
+        # t23: OOV audit vs the deterministic top-10 corpus vocab;
+        # the count() in the vocab CTE is fine unhashed (it never
+        # reaches the output)
+        "t23_vocab_coverage": (
+            r"WITH occ AS (SELECT doc_id, unnest(string_split_regex("
+            r"lower(text), '\s+')) AS w FROM documents), "
+            "occ2 AS (SELECT * FROM occ WHERE w <> ''), "
+            "v AS (SELECT w AS p FROM occ2 GROUP BY w "
+            "ORDER BY count(*) DESC, w LIMIT 10) "
+            "SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "CAST(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) AS "
+            "BIGINT) AS n_oov, "
+            "round(sum(CASE WHEN p IS NULL THEN 1 ELSE 0 END) "
+            "/ CAST(count(*) AS DOUBLE), 6) AS oov_rate "
+            "FROM occ2 LEFT JOIN v ON occ2.w = v.p "
+            "GROUP BY doc_id ORDER BY doc_id"),
         # k4: count-of-counts skew profile (sum of counts is HUGEINT
         # in DuckDB — CAST AS BIGINT, the c6 class)
         "k4_key_skew": (

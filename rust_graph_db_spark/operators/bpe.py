@@ -521,3 +521,43 @@ def wordpiece_encode(df: DataFrame, vocab, text_col: str = "text",
                                     for p in encode_word(w)])
 
     return df.withColumn(out_col, enc(F.col(text_col)))
+
+
+def vocab_coverage(docs: DataFrame, vocab: DataFrame,
+                   text_col: str = "text", id_col: str = "doc_id",
+                   piece_col: str = "p") -> DataFrame:
+    """``(doc_id, n_tokens, n_oov, oov_rate)``: per-document
+    vocabulary-coverage audit — the evaluation step run after training
+    any of the t11/t18/t19 tokenizers (or against any word list):
+    what fraction of the corpus's whitespace-token OCCURRENCES falls
+    outside ``vocab``? High OOV on a slice is the standard signal
+    that the vocabulary was trained on the wrong distribution before
+    an expensive encode pass bakes it in.
+
+    ``vocab`` is any DataFrame with a ``piece_col`` string column
+    (t18's pieces, a frequency cut, a language lexicon). Tokens are
+    the package-standard lowercased whitespace tokens.
+
+    100 TB shape: the vocabulary is a MODEL — deduplicated and
+    BROADCAST (never shuffle the exploded corpus by token: the §17
+    broadcast-the-model rule); the corpus pays ONE explode scan and
+    one map-side-combinable per-document aggregation. ``oov_rate``
+    rounds to 6 so the double is oracle-stable.
+    """
+    from rust_graph_db_spark.functions.text import tokens
+
+    v = (vocab.select(F.col(piece_col).cast("string").alias("_piece"))
+         .where(F.col("_piece").isNotNull()).distinct())
+    occ = (docs.select(F.col(id_col),
+                       F.explode(tokens(F.col(text_col))).alias("_w"))
+           .where(F.col("_w") != ""))
+    hit = occ.join(F.broadcast(v), occ["_w"] == v["_piece"], "left")
+    return (hit.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("long").alias("n_tokens"),
+                 F.sum(F.col("_piece").isNull().cast("long"))
+                 .cast("long").alias("n_oov"))
+            .select(id_col, "n_tokens", "n_oov",
+                    F.round(F.col("n_oov")
+                            / F.col("n_tokens").cast("double"), 6)
+                    .alias("oov_rate"))
+            .orderBy(id_col))

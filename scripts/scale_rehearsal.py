@@ -292,6 +292,18 @@ def main() -> None:
         return mmr_topk(emb, q, k=8, lam=0.5)
     stage("mmr_top8_quartercorpus", _mmr)
 
+    from rust_graph_db_spark.operators.bpe import vocab_coverage
+    stage("vocab_coverage_audit",
+          lambda: vocab_coverage(
+              docs,
+              docs.select(F.explode(F.split(F.lower("text"), r"\s+"))
+                          .alias("p")).groupBy("p").count()
+              .orderBy(F.desc("count"), F.asc("p")).limit(100_000)
+              .select("p"))
+          .agg(F.sum("n_oov").alias("oov"),
+               F.sum("n_tokens").alias("nt"))
+          .where(F.col("nt") != F.lit(-1)))
+
     from rust_graph_db_spark.operators.skew import key_skew_profile
     stage("key_skew_profile",
           lambda: key_skew_profile(

@@ -2521,3 +2521,37 @@ def test_curate_outlier_band_stage(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         curate(docs, thresholds=permissive, outlier_band=(0.9, 0.1))
+
+
+def test_vocab_coverage_counts_oov_occurrences(spark):
+    from rust_graph_db_spark.operators.bpe import vocab_coverage
+
+    docs = spark.createDataFrame(
+        [(1, "a b a c"), (2, "a A a"), (3, "x y z"), (4, None)],
+        "doc_id LONG, text STRING")
+    vocab = spark.createDataFrame([("a",), ("b",), ("a",), (None,)],
+                                  "p STRING")
+    out = {r.doc_id: (r.n_tokens, r.n_oov, r.oov_rate)
+           for r in vocab_coverage(docs, vocab).collect()}
+    # occurrences, not distinct tokens; text is lowercased ("A" -> a);
+    # duplicate/NULL vocab rows don't multiply or match; NULL-text
+    # docs have no occurrences and are absent
+    assert out == {1: (4, 1, 0.25), 2: (3, 0, 0.0), 3: (3, 3, 1.0)}
+
+
+def test_vocab_coverage_against_trained_unigram(spark):
+    """The audit composes with a trained tokenizer's piece table:
+    pieces that are whole words cover those occurrences."""
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.bpe import (unigram_vocab,
+                                                   vocab_coverage)
+
+    docs = spark.read.parquet(
+        "/root/testdata/sf0.001/documents.parquet").limit(50)
+    vocab = unigram_vocab(docs).select(F.col("p"))
+    out = vocab_coverage(docs, vocab)
+    rows = out.collect()
+    assert len(rows) == 50
+    assert all(0.0 <= r.oov_rate <= 1.0 and r.n_oov <= r.n_tokens
+               for r in rows)
