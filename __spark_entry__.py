@@ -1816,6 +1816,42 @@ def _q_stream_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", F.col("_batch_id").alias("batch_id")))
 
 
+def _q_stream_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """w14: STREAMING heavy-hitter tracking — the corpus arrives as 2
+    ordered micro-batches; ``stream_gram_cms`` appends each batch's
+    count-min cells to a durable log (bounded state: ≤ depth×width
+    cells per batch whatever the batch size), ``stream_cms_state``
+    merges cell-for-cell on read, and the top-25 bigram estimates are
+    probed from the MERGED sketch. Width 2^21 >> the corpus
+    vocabulary, so every estimate is EXACT and the oracle is the
+    plain exact bigram count — which verifies the cross-batch merge,
+    not just one batch's sketch. (CMS hashing is xxhash64, so the
+    CELL table itself has no SQL twin; exactness at wide geometry is
+    the k2 oracle discipline.)"""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.operators.curation import ngram_stream
+    from rust_graph_db_spark.operators.sketches import cms_estimate
+    from rust_graph_db_spark.streaming.ingest import (stream_cms_state,
+                                                      stream_gram_cms)
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet") \
+                .select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="rgds_w14_")
+    watch = _ordered_batch_watch(
+        tmp, [docs.where(F.col("doc_id") % 2 == b) for b in range(2)])
+    stream = (spark.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(watch))
+    stream_gram_cms(stream, f"{tmp}/state", n=2,
+                    checkpoint=f"{tmp}/ckpt").awaitTermination(300)
+    sketch = stream_cms_state(spark, f"{tmp}/state")
+    grams = ngram_stream(docs, "text", 2)
+    return (cms_estimate(sketch, grams, "gram")
+            .orderBy(F.desc("est"), F.asc("gram")).limit(25))
+
+
 def _q_top_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """t5: corpus-wide vocabulary scan — the 25 most frequent word
     bigrams (ties broken by gram text: total order, deterministic).
@@ -3431,6 +3467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "e13_mmr_topk": _q_mmr_topk,
         "k4_key_skew": _q_key_skew,
         "t23_vocab_coverage": _q_vocab_coverage,
+        "w14_stream_cms": _q_stream_cms,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3633,7 +3670,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the code under these moved in r5/r6 while their green rows did
 # not).
 # ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
-# 37 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# 38 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# s3_point_lookup,
 # d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
 # j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
 # x5_network_analysis, plus s14/s15/g5/g6 displaced from this window
@@ -3656,7 +3694,7 @@ _R7_WINDOW = [
     # session-3b additions (displace g1/g2/g3/g4/g8 — iterative-graph
     # coverage stays in-window via g18 betweenness in the stale block)
     "a10_grouped_quantiles", "c18_budget_by_group", "e13_mmr_topk",
-    "k4_key_skew", "t23_vocab_coverage",
+    "k4_key_skew", "t23_vocab_coverage", "w14_stream_cms",
     # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
     "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
     "d9_chunk_dedup", "d10_containment", "d11_semdedup",
@@ -3671,7 +3709,7 @@ _R7_WINDOW = [
     # DML writes, IO/generator roundtrips, traversal + graph core,
     # tokenizer/LM/DSIR
     "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
-    "s3_point_lookup", "s7_json_roundtrip", "s8_csv_roundtrip",
+    "s7_json_roundtrip", "s8_csv_roundtrip",
     "s12_bulk_load",
 ]
 
@@ -5223,6 +5261,18 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END"),
         # e13: the greedy MMR loop replayed as unrolled CTEs
         "e13_mmr_topk": _mmr_oracle_sql(5),
+        # w14: merged streaming CMS estimates are EXACT at width >>
+        # vocabulary, so the oracle is the plain exact bigram count
+        # (the k2 discipline) — this hash-verifies the cross-batch
+        # cell merge end to end
+        "w14_stream_cms": (
+            "SELECT gram, CAST(count(*) AS BIGINT) AS est "
+            "FROM (SELECT unnest(list_transform(generate_series(1, "
+            "greatest(len(toks)-1, 1)), i -> array_to_string("
+            "toks[i:i+1], ' '))) AS gram FROM (SELECT "
+            r"string_split_regex(lower(text), '\s+') AS toks "
+            "FROM documents)) "
+            "GROUP BY gram ORDER BY est DESC, gram LIMIT 25"),
         # t23: OOV audit vs the deterministic top-10 corpus vocab;
         # the count() in the vocab CTE is fine unhashed (it never
         # reaches the output)

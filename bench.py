@@ -238,7 +238,8 @@ def main() -> None:
                  "a8_cube", "a9_quantiles", "a10_grouped_quantiles",
                  "c17_outlier_clip", "c18_budget_by_group",
                  "o3_topk_group", "e13_mmr_topk", "k4_key_skew",
-                 "r6_salted_join", "t23_vocab_coverage"]:
+                 "r6_salted_join", "t23_vocab_coverage",
+                 "w14_stream_cms"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()
