@@ -3082,7 +3082,7 @@ def _q_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
              .groupBy("w").count()
              .orderBy(F.desc("count"), F.asc("w")).limit(10)
              .select(F.col("w").alias("p")))
-    return vocab_coverage(docs, vocab)
+    return vocab_coverage(docs, vocab).orderBy("doc_id")
 
 
 def _q_key_skew(spark: SparkSession, sf_dir: str) -> DataFrame:

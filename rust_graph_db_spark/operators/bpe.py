@@ -536,7 +536,10 @@ def vocab_coverage(docs: DataFrame, vocab: DataFrame,
 
     ``vocab`` is any DataFrame with a ``piece_col`` string column
     (t18's pieces, a frequency cut, a language lexicon). Tokens are
-    the package-standard lowercased whitespace tokens.
+    the package-standard lowercased whitespace tokens, and the vocab
+    side is LOWERCASED to match — an uncased lexicon ('The', 'Paris')
+    must not read as 100% OOV. Output is unordered (sort at the
+    consumer); rows for NULL-text documents are absent.
 
     100 TB shape: the vocabulary is a MODEL — deduplicated and
     BROADCAST (never shuffle the exploded corpus by token: the §17
@@ -546,7 +549,8 @@ def vocab_coverage(docs: DataFrame, vocab: DataFrame,
     """
     from rust_graph_db_spark.functions.text import tokens
 
-    v = (vocab.select(F.col(piece_col).cast("string").alias("_piece"))
+    v = (vocab.select(F.lower(F.col(piece_col).cast("string"))
+                      .alias("_piece"))
          .where(F.col("_piece").isNotNull()).distinct())
     occ = (docs.select(F.col(id_col),
                        F.explode(tokens(F.col(text_col))).alias("_w"))
@@ -559,5 +563,4 @@ def vocab_coverage(docs: DataFrame, vocab: DataFrame,
             .select(id_col, "n_tokens", "n_oov",
                     F.round(F.col("n_oov")
                             / F.col("n_tokens").cast("double"), 6)
-                    .alias("oov_rate"))
-            .orderBy(id_col))
+                    .alias("oov_rate")))

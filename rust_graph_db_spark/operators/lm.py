@@ -107,6 +107,11 @@ def perplexity(docs: DataFrame, lm: BackoffLM, text_col: str = "text",
         raise ValueError("perplexity: empty language model")
     occ = (docs.select(F.col(id_col), tokens(F.col(text_col))
                        .alias("_toks"))
+           # NULL text: size(NULL) = -1 and sequence(1, -1) is the
+           # DESCENDING [1, 0, -1] — three phantom NULL-token rows
+           # per NULL doc. Such docs produce ZERO token rows in the
+           # SQL oracle (unnest of NULL), so they are absent here too.
+           .where(F.col("_toks").isNotNull() & (F.size("_toks") >= 1))
            .select(id_col, F.explode(F.expr(
                # get() is 0-based and returns NULL out of bounds, so
                # the first token's prev is NULL without a branch
@@ -270,6 +275,9 @@ def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
         raise ValueError("kn_perplexity: empty language model")
     occ = (docs.select(F.col(id_col), tokens(F.col(text_col))
                        .alias("_toks"))
+           # same NULL-text guard as perplexity(): phantom
+           # sequence(1, -1) tokens must not score a NULL doc
+           .where(F.col("_toks").isNotNull() & (F.size("_toks") >= 1))
            .select(id_col, F.explode(F.expr(
                "transform(sequence(1, size(_toks)),"
                " i -> struct(get(_toks, i - 2) AS prev,"
@@ -299,8 +307,29 @@ def kn_perplexity(docs: DataFrame, lm: KneserNeyLM,
     p = (F.when(F.col("_hprev").isNull() | F.col("cp").isNull(),
                 s_cont)
          .otherwise(p_kn))
-    hint = (F.broadcast if lm.types <= int(broadcast_max_types)
-            else (lambda frame: frame))
+    use_broadcast = lm.types <= int(broadcast_max_types)
+    if use_broadcast:
+        # the broadcast BUILD collects through the driver and is
+        # charged against spark.driver.maxResultSize — on a session
+        # not built by get_spark() (which pins 8g) the 1g default
+        # kills a model-sized broadcast with an opaque task error
+        # (the §19 attempt-2 FATAL). Fail fast with the fix instead.
+        mrs = str(docs.sparkSession.conf.get(
+            "spark.driver.maxResultSize", "1g")).strip().lower()
+        units = {"k": 10, "m": 20, "g": 30, "t": 40}
+        digits = mrs.rstrip("kmgtb")
+        cap = (int(digits or 0)
+               << units.get(mrs.rstrip("b")[-1:], 0)) if digits else 0
+        est = lm.types * 24
+        if cap and est > cap:
+            raise ValueError(
+                f"kn_perplexity: broadcasting a {lm.types:,}-type "
+                f"model collects ~{est >> 20} MiB through the driver, "
+                f"above spark.driver.maxResultSize={mrs}. Raise it "
+                "(rust_graph_db_spark.get_spark() sets 8g), or force "
+                "the shuffle path with broadcast_max_types=0 — whose "
+                "DISK cost grows with the corpus (SCALE.md §19).")
+    hint = F.broadcast if use_broadcast else (lambda frame: frame)
     scored = (occ.join(hint(cont), "_hw", "left")
               .join(hint(ctx), "_hprev", "left")
               .join(hint(big), ["_hprev", "_hw"], "left")

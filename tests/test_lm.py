@@ -412,3 +412,45 @@ def test_ccnet_ppl_buckets(spark, corpus_df):
     assert {got[d][2] for d in (7, 8)} == {1, 2}
     # the NULL-lang singleton survives as bucket 1 of its own group
     assert got[9][0] is None and got[9][2] == 1 and got[9][3]
+
+
+def test_perplexity_null_text_docs_absent(spark):
+    """NULL text must yield ZERO token rows (the oracle's unnest-of-
+    NULL behavior), never the three phantom sequence(1, -1) tokens."""
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  perplexity,
+                                                  train_backoff_lm,
+                                                  train_kn_lm)
+
+    train = spark.createDataFrame(
+        [(i, "the cat sat on the mat") for i in range(4)],
+        "doc_id LONG, text STRING")
+    score = spark.createDataFrame(
+        [(1, "the cat sat"), (2, None), (3, "the mat")],
+        "doc_id LONG, text STRING")
+    got = {r.doc_id: r.n_tokens for r in perplexity(
+        score, train_backoff_lm(train)).collect()}
+    assert got == {1: 3, 3: 2}
+    got_kn = {r.doc_id: r.n_tokens for r in kn_perplexity(
+        score, train_kn_lm(train)).collect()}
+    assert got_kn == {1: 3, 3: 2}
+
+
+def test_kn_perplexity_broadcast_needs_result_size(spark):
+    """The broadcast path fails FAST with the config fix when the
+    model would exceed spark.driver.maxResultSize."""
+    import pytest as _pytest
+
+    from rust_graph_db_spark.operators.lm import (kn_perplexity,
+                                                  train_kn_lm)
+
+    import dataclasses
+
+    train = spark.createDataFrame(
+        [(0, "a b c d e")], "doc_id LONG, text STRING")
+    lm = dataclasses.replace(train_kn_lm(train),
+                             types=10**9)  # pretend a 24 GB model
+    with _pytest.raises(ValueError, match="maxResultSize"):
+        kn_perplexity(spark.createDataFrame([(1, "a b")],
+                                            "doc_id LONG, text STRING"),
+                      lm, broadcast_max_types=10**10)
