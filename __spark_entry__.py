@@ -2755,6 +2755,35 @@ def _q_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return v.crossJoin(e)
 
 
+def _q_compact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """s16: small-file compaction (Delta-OPTIMIZE analog) — nation
+    committed as a deliberately shattered 32-file store, compacted
+    through the versioned claim/manifest/_LATEST protocol, reloaded;
+    the row hash verifies content identity across the rewrite (the
+    oracle reads the source table directly). File counts and the
+    bucketed-layout skip are pytest-asserted (tests/test_storage.py)."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from rust_graph_db_spark.model import PropertyGraph
+    from rust_graph_db_spark.storage import (compact, load_graph,
+                                             save_graph)
+
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    g = PropertyGraph(spark, "cmp")
+    g.put_vertices("Nation", nation.select(
+        F.col("n_nationkey").alias("k"), "n_name", "n_regionkey")
+        .repartition(32), locid_col="k")
+    root = tempfile.mkdtemp(prefix="rgds_s16_") + "/store"
+    save_graph(g, root)
+    compact(spark, root, target_bytes=64 * 1024 * 1024)
+    out = load_graph(spark, root).vertex_frame("Nation")
+    return (out.select(
+        (F.col("id") % (1 << 48)).alias("n_nationkey"),
+        "n_name", "n_regionkey").orderBy("n_nationkey"))
+
+
 def _q_bulk_load(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S12/S13: bulk vertex/edge load with range-allocated local ids
     (model.next_locids — reference rocksdb_store.rs:379-494's batched
@@ -3468,6 +3497,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "k4_key_skew": _q_key_skew,
         "t23_vocab_coverage": _q_vocab_coverage,
         "w14_stream_cms": _q_stream_cms,
+        "s16_compact": _q_compact,
         # cross-split verbatim-window leakage audit (r5; full oracle)
         "c11_split_leakage": _q_split_leakage,
         # interpolated Kneser-Ney perplexity, count-of-counts discount
@@ -3670,8 +3700,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 # the code under these moved in r5/r6 while their green rows did
 # not).
 # ROUND-8 ROTATION QUEUE, priority order: (1) any r7 reds; (2) the
-# 38 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
-# s3_point_lookup,
+# 39 remaining r4-green keys (a4_lineitem_pricing, c7_stratified_exact,
+# s3_point_lookup, s12_bulk_load,
 # d12_sorted_neighborhood, g14-g16, g19-g22, j2_two_hop_region,
 # j6_undirected, p2/p7/p11/p15/p16/p22, r3-r5, x3_order_totals,
 # x5_network_analysis, plus s14/s15/g5/g6 displaced from this window
@@ -3695,6 +3725,7 @@ _R7_WINDOW = [
     # coverage stays in-window via g18 betweenness in the stale block)
     "a10_grouped_quantiles", "c18_budget_by_group", "e13_mmr_topk",
     "k4_key_skew", "t23_vocab_coverage", "w14_stream_cms",
+    "s16_compact",
     # the full 28-key r3-stale block (r6 verdict item 2, verbatim)
     "d6_decontaminate", "d7_drop_neardups", "d8_stream_dedup",
     "d9_chunk_dedup", "d10_containment", "d11_semdedup",
@@ -3710,7 +3741,6 @@ _R7_WINDOW = [
     # tokenizer/LM/DSIR
     "w4_dml_pipeline", "w5_dml_delete", "w6_detach_delete",
     "s7_json_roundtrip", "s8_csv_roundtrip",
-    "s12_bulk_load",
 ]
 
 
@@ -5261,6 +5291,11 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN lang = 'en' THEN 5000 ELSE 3000 END"),
         # e13: the greedy MMR loop replayed as unrolled CTEs
         "e13_mmr_topk": _mmr_oracle_sql(5),
+        # s16: content identity across the compaction rewrite — the
+        # oracle is the source table itself
+        "s16_compact": (
+            "SELECT n_nationkey, n_name, n_regionkey FROM nation "
+            "ORDER BY n_nationkey"),
         # w14: merged streaming CMS estimates are EXACT at width >>
         # vocabulary, so the oracle is the plain exact bigram count
         # (the k2 discipline) — this hash-verifies the cross-batch

@@ -239,7 +239,7 @@ def main() -> None:
                  "c17_outlier_clip", "c18_budget_by_group",
                  "o3_topk_group", "e13_mmr_topk", "k4_key_skew",
                  "r6_salted_join", "t23_vocab_coverage",
-                 "w14_stream_cms"]:
+                 "w14_stream_cms", "s16_compact"]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
         n = df.count()

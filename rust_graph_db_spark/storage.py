@@ -543,3 +543,68 @@ def load_graph(spark: SparkSession, root: str,
     g._storage_layout = dict(layout)
     g._storage_schemas = dict(schemas)
     return g
+
+
+def compact(spark: SparkSession, root: str,
+            target_bytes: int = 128 * 1024 * 1024) -> dict:
+    """Small-file compaction (the Delta ``OPTIMIZE`` / Iceberg
+    ``rewrite_data_files`` maintenance pass): rewrite every UNBUCKETED
+    dataset of the current version whose file count exceeds
+    ``ceil(dataset_bytes / target_bytes)`` into exactly that many
+    files, committed as a NEW version through the standard
+    claim/manifest/``_LATEST`` protocol — readers never tear, and time
+    travel keeps the uncompacted version loadable until ``vacuum``.
+    Content-identical: same rows, fewer files; right-sized and clean
+    datasets commit metadata-only (path reuse). Returns
+    ``{"version": v, "datasets": {rel: (files_before, files_after)}}``
+    — and does NOT commit at all (version unchanged) when nothing
+    qualifies.
+
+    Bucketed datasets are deliberately left alone: their
+    one-pre-sorted-file-per-bucket layout IS the contract that elides
+    the expand join's Exchange and Sort; "compacting" them would break
+    the catalog's bucket spec.
+
+    100 TB rationale: streaming commits (w10) and incremental DML
+    append a few files per micro-batch; scan scheduling costs one task
+    + one footer read per file, so a million 1 MB files cost ~100× the
+    I/O schedule of eight thousand 128 MB ones. This pass is one
+    ``repartition(n)`` write per oversized dataset — the shuffle is
+    the point (it re-packs rows into full-size files) and is paid once
+    per maintenance window, not per query.
+    """
+    import math
+
+    g = load_graph(spark, root)
+    before = current_version(root)
+    stats: dict[str, tuple[int, int]] = {}
+    layout = getattr(g, "_storage_layout", {})
+    frames = getattr(g, "_storage_frames", {})
+
+    def _files(full: str) -> list[str]:
+        out = []
+        for dirpath, _dirs, names in os.walk(full):
+            out += [os.path.join(dirpath, n) for n in names
+                    if n.startswith("part-")]
+        return out
+
+    def _sweep(holder: dict, kind: str) -> None:
+        for lbl, df in list(holder.items()):
+            rel = frames[(kind, lbl)][0]
+            if layout.get(rel):              # bucketed: layout is law
+                continue
+            files = _files(os.path.join(root, rel))
+            nbytes = sum(os.path.getsize(f) for f in files)
+            want = max(1, math.ceil(nbytes / int(target_bytes)))
+            if len(files) > want:
+                # a NEW frame object marks the label dirty, so
+                # save_graph rewrites exactly these datasets and
+                # reuses every other path manifest-only
+                holder[lbl] = df.repartition(want)
+                stats[rel] = (len(files), want)
+
+    _sweep(g._vertices, "vertices")
+    _sweep(g._edges, "edges")
+    if not stats:
+        return {"version": before, "datasets": {}}
+    return {"version": save_graph(g, root), "datasets": stats}

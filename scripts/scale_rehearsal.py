@@ -292,6 +292,7 @@ def main() -> None:
         return mmr_topk(emb, q, k=8, lam=0.5)
     stage("mmr_top8_quartercorpus", _mmr)
 
+
     from rust_graph_db_spark.operators.bpe import vocab_coverage
     stage("vocab_coverage_audit",
           lambda: vocab_coverage(
@@ -393,6 +394,27 @@ def main() -> None:
         return spark.read.parquet(out)
 
     stage("stream_neardup_fullcorpus", _neardup_stream)
+
+    # w14: bounded-state streaming heavy hitters — the whole corpus in
+    # 8 micro-batches; state grows by <= the batch's DISTINCT cells
+    # (capped at depth x width) per batch, never by corpus volume.
+    def _stream_cms():
+        from rust_graph_db_spark.operators.curation import ngram_stream
+        from rust_graph_db_spark.operators.sketches import cms_estimate
+        from rust_graph_db_spark.streaming.ingest import (
+            stream_cms_state, stream_gram_cms)
+        st = f"{tmp}/cms_state"
+        q = stream_gram_cms(_batched_stream(), st, n=2,
+                            checkpoint=f"{tmp}/cms_ckpt")
+        q.awaitTermination()
+        cells = spark.read.parquet(st).count()
+        sk = stream_cms_state(spark, st)
+        print(json.dumps({"stage": "stream_cms_state",
+                          "cell_log_rows": int(cells)}))
+        probe = docs.limit(200000).select(
+            F.col("text").substr(1, 40).alias("gram"))
+        return cms_estimate(sk, probe, "gram")
+    stage("stream_gram_cms_fullcorpus", _stream_cms)
 
     def _curate_stream():
         out, st = f"{tmp}/sc_out", f"{tmp}/sc_state"

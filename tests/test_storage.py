@@ -518,3 +518,72 @@ def test_path_traversal_labels_rejected(spark):
     for bad in ("..", ".", "a/b", "a'b"):
         with pytest.raises(ValueError):
             g.put_vertices(bad, df, locid_col="k")
+
+
+def _file_count(root, rel):
+    n = 0
+    for dirpath, _dirs, names in os.walk(os.path.join(root, rel)):
+        n += sum(1 for x in names if x.startswith("part-"))
+    return n
+
+
+def test_compact_rewrites_small_files_content_identical(spark, tmp_path):
+    import json
+
+    from rust_graph_db_spark.storage import compact
+
+    root = str(tmp_path / "store")
+    g = PropertyGraph(spark, "t")
+    # a deliberately shattered vertex dataset: 40 files for ~40 KB
+    g.put_vertices("Person", spark.range(2000).select(
+        F.col("id").alias("k"), (F.col("id") % 7).alias("grp"))
+        .repartition(40), locid_col="k")
+    g.put_edges("KNOWS", spark.createDataFrame(
+        [(0, 1 << 48 | 0, 1 << 48 | 1, 2020)],
+        "k LONG, src LONG, dst LONG, since LONG").coalesce(1),
+        locid_col="k")
+    save_graph(g, root)
+
+    before = load_graph(spark, root)
+    rel_before = before._storage_frames[("vertices", "Person")][0]
+    assert _file_count(root, rel_before) == 40
+    rows_before = sorted(
+        (r.k, r.grp) for r in
+        (before.vertex_frame("Person").select(F.col("id") % (1 << 48),
+                                              "grp")
+         .toDF("k", "grp").collect()))
+
+    out = compact(spark, root, target_bytes=64 * 1024 * 1024)
+    assert out["version"] == 2
+    assert rel_before in out["datasets"]
+    assert out["datasets"][rel_before] == (40, 1)
+
+    after = load_graph(spark, root)
+    rel_after = after._storage_frames[("vertices", "Person")][0]
+    assert _file_count(root, rel_after) == 1
+    rows_after = sorted(
+        (r.k, r.grp) for r in
+        (after.vertex_frame("Person").select(F.col("id") % (1 << 48),
+                                             "grp")
+         .toDF("k", "grp").collect()))
+    assert rows_after == rows_before
+    # the small edge dataset was right-sized already: path reused
+    # manifest-only (no rewrite)
+    erel_before = before._storage_frames[("edges", "KNOWS")][0]
+    erel_after = after._storage_frames[("edges", "KNOWS")][0]
+    assert erel_before == erel_after and erel_before not in out["datasets"]
+    # time travel: the uncompacted version is still loadable
+    assert load_graph(spark, root, version=1) \
+        .vertex_frame("Person").count() == 2000
+
+
+def test_compact_noop_and_bucketed_skip(spark, tmp_path):
+    from rust_graph_db_spark.storage import compact
+
+    root = str(tmp_path / "store")
+    g = _small_graph(spark)
+    save_graph(g, root, buckets=4)
+    out = compact(spark, root)
+    # bucketed datasets are layout-law; nothing qualifies -> NO commit
+    assert out == {"version": 1, "datasets": {}}
+    assert current_version(root) == 1
