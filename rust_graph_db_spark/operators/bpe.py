@@ -54,6 +54,99 @@ def _merge_pair(syms: Column, left: str, right: str,
         ).otherwise(F.concat(acc, F.array(x))))
 
 
+# Distinct-word tables at or below this row count train driver-side
+# (exact same merges/usage counts, ~30 Spark jobs fewer per call — the
+# same size-gate discipline as graph_algos' driver-Tarjan SCC and lm's
+# broadcast-the-model). Above it the distributed loops below run
+# unchanged: a 100 TB natural-language corpus has tens of millions of
+# distinct words and must never collect. 65 536 words ≈ 3 MB collected.
+DRIVER_VOCAB_GATE = 65536
+
+
+def _merge_fold(syms: list, left: str, right: str, joined: str) -> list:
+    """Python twin of :func:`_merge_pair`'s JVM array fold — the exact
+    tail-check semantics matter: a just-merged tail CAN re-merge when
+    ``joined == left`` (WordPiece's 'x'+'##' → 'x'), which a
+    scan-and-skip rewrite would miss."""
+    acc: list = []
+    for x in syms:
+        if acc and acc[-1] == left and x == right:
+            acc[-1] = joined
+        else:
+            acc.append(x)
+    return acc
+
+
+def _merges_local(rows: list, num_merges: int, min_pair_freq: int,
+                  wordpiece: bool) -> list:
+    """Exact driver-side replay of the train_bpe / train_wordpiece
+    round loop over a collected ``[(freq, syms), ...]`` word table.
+
+    Incremental bookkeeping (pair counts + a pair→rows index, updated
+    only for rewritten rows) keeps each round O(rows containing the
+    merged pair), not O(corpus vocabulary). Determinism is identical
+    to the distributed loop: Python's per-code-point string order
+    equals Spark's UTF8String byte order (UTF-8 preserves code-point
+    order), and the WordPiece score is the same one IEEE-double divide
+    of exact integer counts.
+    """
+    from collections import Counter, defaultdict
+
+    pc: Counter = Counter()
+    occ: dict = defaultdict(set)
+    symf: Counter = Counter()
+    for idx, (f, syms) in enumerate(rows):
+        for p in zip(syms, syms[1:]):
+            pc[p] += f
+            occ[p].add(idx)
+        if wordpiece:
+            for s in syms:
+                symf[s] += f
+    merges = []
+    for rank in range(int(num_merges)):
+        best, bc = None, 0
+        if wordpiece:
+            bs = None
+            for p, c in pc.items():
+                if c < min_pair_freq:
+                    continue
+                sc = float(c) / (float(symf[p[0]]) * float(symf[p[1]]))
+                if best is None or (-sc, p) < (-bs, best):
+                    best, bs, bc = p, sc, c
+            if best is None:
+                break
+        else:
+            for p, c in pc.items():
+                if c <= 0:
+                    continue
+                if best is None or (-c, p) < (-bc, best):
+                    best, bc = p, c
+            if best is None or bc < min_pair_freq:
+                break
+        left, right = best
+        joined = left + right[len(WP_CONT):] if wordpiece else left + right
+        if wordpiece:
+            merges.append((rank, left, right, joined, int(bc)))
+        else:
+            merges.append((rank, left, right, int(bc)))
+        touched = sorted(occ.pop(best))
+        for idx in touched:
+            f, syms = rows[idx]
+            new = _merge_fold(syms, left, right, joined)
+            for p in zip(syms, syms[1:]):
+                pc[p] -= f
+            for p in zip(new, new[1:]):
+                pc[p] += f
+                occ[p].add(idx)
+            if wordpiece:
+                for s in syms:
+                    symf[s] -= f
+                for s in new:
+                    symf[s] += f
+            rows[idx] = (f, new)
+    return merges
+
+
 def word_frequencies(df: DataFrame, text_col: str = "text",
                      min_freq: int = 1) -> DataFrame:
     """(word, freq) over whitespace tokens of the corpus."""
@@ -66,18 +159,33 @@ def word_frequencies(df: DataFrame, text_col: str = "text",
 
 def train_bpe(df: DataFrame, text_col: str = "text",
               num_merges: int = 50, min_freq: int = 2,
-              min_pair_freq: int = 2) -> DataFrame:
+              min_pair_freq: int = 2,
+              driver_gate: int | None = None) -> DataFrame:
     """Learn ``num_merges`` BPE merges; returns (rank, left, right,
     freq) ordered by rank. Deterministic: ties break on (left, right)
     lexicographically, so the merge list is a pure function of the
     corpus. Each round shuffles only (pair, partial-count) — map-side
     combine keeps the exchange at reducer-cardinality = live pair
     vocabulary. Stops early when no pair reaches ``min_pair_freq``.
+
+    The corpus-volume work (word counting) is always distributed; the
+    merge loop itself runs on the vocabulary-bound word table, so at
+    or below ``driver_gate`` distinct words (default
+    ``DRIVER_VOCAB_GATE``) it replays exactly on the driver — 2 Spark
+    jobs per merge round become 0 (r7 optimization; pytest asserts
+    both paths emit identical merge lists).
     """
     words = (word_frequencies(df, text_col, min_freq)
              .withColumn("syms", _chars_with_end(F.col("word")))
              .select("freq", "syms")
              .localCheckpoint(eager=True))
+    gate = DRIVER_VOCAB_GATE if driver_gate is None else int(driver_gate)
+    if words.count() <= gate:
+        rows = [(int(r["freq"]), list(r["syms"])) for r in words.collect()]
+        merges = _merges_local(rows, int(num_merges), int(min_pair_freq),
+                               wordpiece=False)
+        return df.sparkSession.createDataFrame(
+            merges or [], "rank INT, left STRING, right STRING, freq BIGINT")
     merges = []
     for rank in range(int(num_merges)):
         pairs = words.select(
@@ -168,10 +276,57 @@ def bpe_encode(df: DataFrame, merges, text_col: str = "text",
     return df.withColumn(out_col, enc(F.col(text_col)))
 
 
+def _unigram_local(words: list, lp: int, min_piece_freq: int,
+                   rounds: int) -> list:
+    """Exact driver-side replay of unigram_vocab's seed + hard-EM loop
+    over a collected ``[(w, freq), ...]`` distinct-word table. The
+    integer (fewest-pieces, max-score-sum, lexicographically-smallest
+    path) objective and the ' '-joined path tie-break are identical to
+    the distributed DP, so usage counts match bit-for-bit."""
+    from collections import Counter
+
+    pieces: Counter = Counter()
+    for w, f in words:
+        l = len(w)
+        for i in range(l):
+            for n in range(1, min(lp, l - i) + 1):
+                pieces[w[i:i + n]] += f
+    scores = {p: s for p, s in pieces.items()
+              if s >= min_piece_freq or len(p) == 1}
+    usage: Counter = Counter()
+    for _ in range(max(1, int(rounds))):
+        usage = Counter()
+        for w, f in words:
+            l = len(w)
+            dp: list = [None] * (l + 1)
+            dp[0] = (0, 0, "")
+            for j in range(1, l + 1):
+                best = None
+                for i in range(max(0, j - lp), j):
+                    if dp[i] is None:
+                        continue
+                    s = scores.get(w[i:j])
+                    if s is None:
+                        continue
+                    c = (dp[i][0] + 1, dp[i][1] + s,
+                         dp[i][2] + " " + w[i:j])
+                    if best is None or (c[0], -c[1], c[2]) < (
+                            best[0], -best[1], best[2]):
+                        best = c
+                dp[j] = best
+            for p in dp[l][2][1:].split(" "):
+                usage[p] += f
+        # M-step over the FULL seed-piece domain (unused pieces
+        # re-enter at 0, same as the distributed left join)
+        scores = {p: usage.get(p, 0) for p in scores}
+    return [(p, int(u)) for p, u in usage.items() if u > 0]
+
+
 def unigram_vocab(df: DataFrame, text_col: str = "text",
                   max_piece_len: int = 4, max_word_len: int = 12,
                   min_freq: int = 2, min_piece_freq: int = 2,
-                  rounds: int = 1) -> DataFrame:
+                  rounds: int = 1,
+                  driver_gate: int | None = None) -> DataFrame:
     """Unigram-LM tokenizer vocabulary (Kudo, "Subword Regularization",
     ACL 2018 — the SentencePiece unigram trainer) in its DETERMINISTIC
     hard-EM form: seed pieces are all substrings up to
@@ -210,6 +365,12 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
     words are whitespace-split, so no piece can ever contain the
     separator — the path both splits losslessly into its pieces and
     tie-breaks identically in Spark, DuckDB, and the Python encoder.
+
+    Like :func:`train_bpe`, the seed + EM loop replays exactly on the
+    driver at or below ``driver_gate`` distinct words (default
+    ``DRIVER_VOCAB_GATE``) — the 12-position DP costs ~`lw`
+    checkpoint jobs distributed, 0 driver-side; corpora above the
+    gate take the distributed DP unchanged.
     """
     lp, lw = int(max_piece_len), int(max_word_len)
     from pyspark.sql import Window
@@ -222,6 +383,13 @@ def unigram_vocab(df: DataFrame, text_col: str = "text",
              .where(F.col("freq") >= int(min_freq))
              .withColumn("l", F.length("w"))
              .localCheckpoint(eager=True))
+    gate = DRIVER_VOCAB_GATE if driver_gate is None else int(driver_gate)
+    if words.count() <= gate:
+        wl = [(r["w"], int(r["freq"])) for r in words.collect()]
+        out = _unigram_local(wl, lp, int(min_piece_freq), rounds)
+        return (df.sparkSession.createDataFrame(
+                    out or [], "p STRING, usage BIGINT")
+                .orderBy(F.desc("usage"), F.asc("p")))
     subs = words.select("freq", F.explode(F.expr(
         f"flatten(transform(sequence(1, l), i -> "
         f"transform(sequence(1, least({lp}, l - i + 1)), "
@@ -366,7 +534,8 @@ def _chars_wordpiece(word: Column) -> Column:
 
 def train_wordpiece(df: DataFrame, text_col: str = "text",
                     num_merges: int = 50, min_freq: int = 2,
-                    min_pair_freq: int = 2) -> DataFrame:
+                    min_pair_freq: int = 2,
+                    driver_gate: int | None = None) -> DataFrame:
     """WordPiece tokenizer training (Schuster & Nakajima, "Japanese
     and Korean Voice Search", ICASSP 2012 — the BERT trainer): like
     BPE, but each round merges the adjacent pair maximizing the
@@ -404,11 +573,25 @@ def train_wordpiece(df: DataFrame, text_col: str = "text",
     all share the behavior (no oracle split), and BERT-style
     pipelines avoid it by vocabulary-level '#' handling upstream;
     pre-escape '#' in inputs if your corpus hits this.
+
+    Like :func:`train_bpe`, the merge loop replays exactly on the
+    driver at or below ``driver_gate`` distinct words (default
+    ``DRIVER_VOCAB_GATE``); corpora above the gate take the
+    distributed loop unchanged.
     """
     words = (word_frequencies(df, text_col, min_freq)
              .withColumn("syms", _chars_wordpiece(F.col("word")))
              .select("freq", "syms")
              .localCheckpoint(eager=True))
+    gate = DRIVER_VOCAB_GATE if driver_gate is None else int(driver_gate)
+    if words.count() <= gate:
+        rows = [(int(r["freq"]), list(r["syms"])) for r in words.collect()]
+        merges = _merges_local(rows, int(num_merges), int(min_pair_freq),
+                               wordpiece=True)
+        return df.sparkSession.createDataFrame(
+            merges or [],
+            "rank INT, left STRING, right STRING, merged STRING, "
+            "freq BIGINT")
     merges = []
     for rank in range(int(num_merges)):
         symf = (words.select("freq", F.explode("syms").alias("s"))

@@ -1161,10 +1161,16 @@ def sorted_neighborhood_pairs(
     base = df.select(F.col(id_col).cast("long").alias("id"),
                      F.col(text_col).alias("_txt"),
                      key_col.alias("_k"))
+    # rank on (key, id) ONLY — the document text used to ride the
+    # range-partition shuffle and the rank window for nothing (the
+    # verify stage re-reads it from `base` for candidate rows alone);
+    # at corpus scale that shuffled every byte of every document to
+    # compute a long (r7, guide §2.3 "project before the exchange")
     ranked = global_cumsum(
-        base.withColumn("_one", F.lit(1))
+        base.select("id", "_k")
+            .withColumn("_one", F.lit(1))
             .withColumn("_ord", F.struct("_k", "id")),
-        "_ord", "_one", out_col="rn").select("id", "_txt", "rn")
+        "_ord", "_one", out_col="rn").select("id", "rn")
     w = int(window)
     lb = ranked.select(
         F.col("id").alias("i"), F.col("rn").alias("ri"),
@@ -1301,10 +1307,14 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                         "g", "occ")
     rhs = prefix.select(F.col("id").alias("id2"), F.col("l").alias("l2"),
                         "g", "occ")
+    # no .distinct() here or on cand_short: the union-level distinct
+    # below covers both, and dedup(long) ∪ dedup(short) then dedup is
+    # the same set — the inner aggregates were two redundant Exchanges
+    # shuffling the same (id1, id2) keys twice (r7, guide §2.4)
     cand_long = (lhs.join(rhs, ["g", "occ"])
                  .where((F.col("id1") < F.col("id2"))
                         & (F.abs(F.col("l1") - F.col("l2")) <= d))
-                 .select("id1", "id2").distinct())
+                 .select("id1", "id2"))
     # short-string fallback: all pairs within a length band of width d
     short_bound = d * qq + qq - 1
     shorts = base.where(F.col("l") <= short_bound).select("id", "l")
@@ -1323,8 +1333,7 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                   .where((F.col("id1") != F.col("id2"))
                          & (F.abs(F.col("l1") - F.col("l2")) <= d))
                   .select(F.least("id1", "id2").alias("id1"),
-                          F.greatest("id1", "id2").alias("id2"))
-                  .distinct())
+                          F.greatest("id1", "id2").alias("id2")))
     cands = cand_long.unionAll(cand_short).distinct()
     s1 = base.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
     s2 = base.select(F.col("id").alias("id2"), F.col("s").alias("s2"))

@@ -1243,6 +1243,30 @@ def test_train_wordpiece_matches_reference(spark):
     assert got == want
 
 
+def test_trainer_driver_path_matches_distributed(spark):
+    """r7 optimization: at or below DRIVER_VOCAB_GATE distinct words
+    the three trainers replay their round loops exactly on the driver.
+    driver_gate=0 forces the distributed loop; both paths must emit
+    identical rows — including on '#'-adversarial tokens, where the
+    WordPiece merged spelling can equal its own left symbol and the
+    merge fold cascades."""
+    from rust_graph_db_spark.operators.bpe import (train_bpe,
+                                                   train_wordpiece,
+                                                   unigram_vocab)
+
+    docs = BPE_DOCS + ["a ## ##x x## xx ##", "zz zz zz aaaa aaaa aaa"]
+    df = spark.createDataFrame([(d,) for d in docs], "text STRING")
+    for fn, kw in [
+        (train_bpe, dict(num_merges=12, min_freq=1, min_pair_freq=1)),
+        (train_wordpiece,
+         dict(num_merges=12, min_freq=1, min_pair_freq=1)),
+        (unigram_vocab, dict(min_freq=1, min_piece_freq=1, rounds=2)),
+    ]:
+        driver = [tuple(r) for r in fn(df, **kw).collect()]
+        dist = [tuple(r) for r in fn(df, driver_gate=0, **kw).collect()]
+        assert driver == dist, fn.__name__
+
+
 def test_wordpiece_prefers_likelihood_over_raw_count(spark):
     """The WordPiece score freq(ab)/(freq(a)·freq(b)) picks the rarer
     but tighter pair where raw-count BPE would pick the frequent one:
