@@ -591,15 +591,21 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     """Keep ONE row (lowest id) per canonical URL — crawl stage zero:
     re-crawls, tracking-tagged shares, and fragment variants of the
     same page collapse before any text-derived stage runs. Returns
-    the surviving rows plus their ``url_canon`` key. One row_number
-    window keyed on the canonical URL; at 100 TB the shuffle carries
-    (id, canon-hash)-sized rows and nothing else grows."""
-    from pyspark.sql import Window
-
-    w = Window.partitionBy("url_canon").orderBy(id_col)
-    return (df.withColumn("url_canon", canonicalize_url(F.col(url_col)))
-            .withColumn("_rn", F.row_number().over(w))
-            .where(F.col("_rn") == 1).drop("_rn"))
+    the surviving rows plus their ``url_canon`` key. One map-side-
+    combinable min(struct(id, row)) aggregate keyed on the canonical
+    URL (the struct compares the unique id first, so the survivor is
+    the same row the former row_number window kept) — re-crawl
+    duplicates collapse BEFORE the exchange instead of riding it into
+    a per-partition sort (r7, guide §2.3/§2.4)."""
+    wc = df.withColumn("url_canon", canonicalize_url(F.col(url_col)))
+    others = [c for c in wc.columns if c not in (id_col, "url_canon")]
+    return (wc.groupBy("url_canon")
+            .agg(F.min(F.struct(F.col(id_col),
+                                *[F.col(c) for c in others])).alias("_m"))
+            .select(F.col(f"_m.{id_col}").alias(id_col),
+                    *[F.col(f"_m.{c}").alias(c) for c in others],
+                    "url_canon")
+            .select(*df.columns, "url_canon"))
 
 
 def with_domain(df: DataFrame, url_col: str = "url",
@@ -822,8 +828,6 @@ def curate(
     each the standalone operator's own audited shape. Each stage has a
     SQL twin, so the composition is oracle-checkable end to end.
     """
-    from pyspark.sql import Window
-
     if url_col is None and (max_per_domain is not None
                             or domain_blocklist is not None
                             or dedup_urls):
@@ -902,12 +906,18 @@ def curate(
         df = df.join(oc.where(F.col("kept")).select(id_col),
                      id_col, "left_semi")
     red = filter_redact(df, id_col, text_col, thresholds)
-    # Min-id-per-digest as ONE window pass (same survivors as the
-    # groupBy + semi-join form, half the plan evaluations; the shuffle
-    # carries (id, clean_text) keyed by 16-byte digest).
-    w = Window.partitionBy(F.md5(F.col("clean_text"))).orderBy(id_col)
-    deduped = (red.withColumn("_rn", F.row_number().over(w))
-               .where(F.col("_rn") == 1).drop("_rn"))
+    # Min-id-per-digest as ONE map-side-combinable min(struct(id,
+    # text)) aggregate (same survivors as the former row_number
+    # window: the struct compares the unique id first). The window
+    # shipped EVERY row through the digest exchange and sorted each
+    # partition; the partial aggregate collapses duplicates before
+    # the shuffle — on a dedup stage, duplicates are the point — and
+    # needs no sort (r7, guide §2.3/§2.4).
+    deduped = (red.groupBy(F.md5(F.col("clean_text")).alias("_dig"))
+               .agg(F.min(F.struct(F.col(id_col), F.col("clean_text")))
+                    .alias("_m"))
+               .select(F.col(f"_m.{id_col}").alias(id_col),
+                       F.col("_m.clean_text").alias("clean_text")))
     if neardup_keep is not None:
         if neardup_keep not in ("best", "min_id", "maximal"):
             raise ValueError(

@@ -813,7 +813,8 @@ def minhash_signature(text: Column, num_hashes: int = 64, k: int = 5) -> Column:
 def _minhash_sig(df: DataFrame, id_col: str, text_col: str,
                  num_hashes: int, k: int,
                  hash_mode: str = "xxhash",
-                 checkpoint_rows: bool = True):
+                 checkpoint_rows: bool = True,
+                 checkpoint_sig: bool = True):
     """(rows, sig): the checkpointed (id, gh) shingle-hash occurrence
     rows and the (id, m0..m{n-1}) MinHash signature frame.
 
@@ -890,7 +891,14 @@ def _minhash_sig(df: DataFrame, id_col: str, text_col: str,
     sig = inv.groupBy("id").agg(
         *[F.min((F.col("h1") + F.lit(s) * F.col("h2")).bitwiseAND(m32))
            .alias(f"m{s}")
-          for s in range(num_hashes)]).localCheckpoint(eager=True)
+          for s in range(num_hashes)])
+    # same ≥2-consumers rule as checkpoint_rows: minhash_lsh_pairs
+    # reads sig three times (bucket explode + both verify sides), but
+    # minhash_band_buckets feeds ONE band explode — pinning there paid
+    # a full materialization job per call for nothing (twice per d15
+    # run, once per w13 micro-batch) (r7)
+    if checkpoint_sig:
+        sig = sig.localCheckpoint(eager=True)
     return rows, sig
 
 
@@ -931,7 +939,7 @@ def minhash_band_buckets(df: DataFrame, id_col: str = "doc_id",
     ``streaming.stream_neardup_dedup`` persists across micro-batches.
     """
     _, sig = _minhash_sig(df, id_col, text_col, num_hashes, k, hash_mode,
-                          checkpoint_rows=False)
+                          checkpoint_rows=False, checkpoint_sig=False)
     return _band_buckets(sig, num_hashes, bands, hash_mode)
 
 
@@ -1126,8 +1134,14 @@ def simhash_pairs(
         .select(F.col("a.id").alias("i"), F.col("b.id").alias("j"),
                 F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
                  .alias("hamming"))
-        .dropDuplicates(["i", "j"])
+        # filter BEFORE the dedup exchange: hamming is a pure function
+        # of the pair, so the two commute — but Catalyst cannot push a
+        # non-grouping-column predicate below the distinct itself, and
+        # on templated corpora hot 16-bit slices make the unfiltered
+        # candidate volume orders of magnitude larger than the ≤ d
+        # survivors (r7, guide §2.3 "shuffle fewer bytes")
         .where(F.col("hamming") <= max_hamming)
+        .dropDuplicates(["i", "j"])
     )
 
 
@@ -1277,20 +1291,30 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                  F.lit(1), F.col("l") - qq + 1)).alias("i"),
                  F.col("s"))
              .select("id", "l",
-                     F.col("s").substr(F.col("i"), F.lit(qq)).alias("g"),
-                     F.col("i")))
+                     F.col("s").substr(F.col("i"), F.lit(qq)).alias("g")))
+    # occurrence index via count + explode, NOT a row_number window:
+    # the multiset element is (gram, occ) with occ ∈ 1..count — WHICH
+    # position gets which occ never matters downstream (the prefix
+    # rank orders by (df_, g, occ), the join matches on equality), so
+    # the per-(id, g) count is enough. The count aggregate combines
+    # map-side (shuffles one (id, g, cnt) row per distinct gram, not
+    # one per occurrence) and needs no per-partition sort, where the
+    # former Window.partitionBy(id, g).orderBy(i) shuffled and sorted
+    # every gram occurrence row (r7, guide §2.3 "aggregate before you
+    # shuffle"; sf0.1 cold 12.4 → ~9 s).
     # pinned: occ feeds BOTH the doc-frequency agg and the prefix
     # join, and prefix feeds BOTH sides of the candidate self-join
     # (the ≥2-consumers checkpoint rule, SCALE.md §17). Measured at
     # sf0.1: cold 32.6 → 14.2 s (the un-pinned plan re-executed the
-    # gram+window chain per consumer); warm 11.2 → 9.8 s (exchange
-    # reuse already deduped most of the warm plan — the remaining
-    # warm cost is the banded-levenshtein verify volume itself)
-    occ = grams.select(
-        "id", "l", "g",
-        F.row_number().over(Window.partitionBy("id", "g")
-                            .orderBy("i")).alias("occ")
-    ).localCheckpoint(eager=True)
+    # gram chain per consumer); warm 11.2 → 9.8 s (exchange reuse
+    # already deduped most of the warm plan — the remaining warm cost
+    # is the banded-levenshtein verify volume itself)
+    occ = (grams.groupBy("id", "l", "g")
+           .agg(F.count(F.lit(1)).cast("int").alias("_c"))
+           .select("id", "l", "g",
+                   F.explode(F.sequence(F.lit(1), F.col("_c")))
+                   .alias("occ"))
+           .localCheckpoint(eager=True))
     # corpus doc-frequency of each (gram, occ) element — each doc
     # contributes an element at most once, so count(*) IS doc-freq
     freq = occ.groupBy("g", "occ").agg(F.count("*").alias("df_"))

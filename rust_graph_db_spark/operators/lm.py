@@ -429,10 +429,17 @@ def language_id(docs: DataFrame, profiles: DataFrame,
     scores = (grams.join(F.broadcast(prof), "_gh")
               .groupBy(id_col, "lang")
               .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
-    rk = Window.partitionBy(id_col).orderBy(
-        F.desc("overlap"), F.asc("lang"))
-    best = (scores.withColumn("_r", F.row_number().over(rk))
-            .where(F.col("_r") == 1).select(id_col, "lang", "overlap"))
+    # argmax as a map-side-combinable min(struct(-overlap, lang)) —
+    # the former row_number window re-shuffled AND sorted the
+    # (doc, lang) score rows; the struct aggregate picks the same
+    # winner ((overlap DESC, lang ASC) == (-overlap, lang) ASC) with a
+    # partial aggregate and no sort (r7, guide §2.3/§2.4)
+    best = (scores.groupBy(id_col)
+            .agg(F.min(F.struct((-F.col("overlap")).alias("_no"),
+                                F.col("lang"),
+                                F.col("overlap"))).alias("_b"))
+            .select(id_col, F.col("_b.lang").alias("lang"),
+                    F.col("_b.overlap").alias("overlap")))
     return (docs.select(id_col).distinct()
             .join(best, id_col, "left")
             .select(id_col, "lang",

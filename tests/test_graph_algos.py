@@ -627,6 +627,34 @@ def test_betweenness_path_graph(spark):
     assert got == {0: 0.0, 1: 3.0, 2: 4.0, 3: 3.0, 4: 0.0}
 
 
+def test_betweenness_driver_path_matches_distributed(spark):
+    """r7 optimization: at or below driver_gate recurrence steps the
+    Brandes loops replay on the driver. driver_gate=0 forces the
+    distributed loops; on integer-valued graphs (trees/paths/random
+    sparse here) both paths must agree to float tolerance, and pivot
+    selection (the salted-hash draw) must be identical."""
+    import random
+
+    from rust_graph_db_spark.operators.graph_algos import (
+        betweenness_centrality,
+    )
+
+    rng = random.Random(7)
+    n = 40
+    edges = list({(rng.randrange(n), rng.randrange(n))
+                  for _ in range(140)})
+    e = spark.createDataFrame(edges, "u LONG, v LONG")
+    for kw in [dict(), dict(sample=6, seed=2), dict(max_hops=2)]:
+        drv = {r.id: r.betweenness
+               for r in betweenness_centrality(e, **kw).collect()}
+        dist = {r.id: r.betweenness
+                for r in betweenness_centrality(
+                    e, driver_gate=0, **kw).collect()}
+        assert set(drv) == set(dist)
+        for v in drv:
+            assert abs(drv[v] - dist[v]) < 1e-9, (kw, v)
+
+
 def test_betweenness_sampled_scales(spark):
     from rust_graph_db_spark.operators.graph_algos import (
         betweenness_centrality,
