@@ -593,15 +593,16 @@ def url_dedup(df: DataFrame, url_col: str = "url",
     same page collapse before any text-derived stage runs. Returns
     the surviving rows plus their ``url_canon`` key. One map-side-
     combinable min(struct(id, row)) aggregate keyed on the canonical
-    URL (the struct compares the unique id first, so the survivor is
-    the same row the former row_number window kept) — re-crawl
-    duplicates collapse BEFORE the exchange instead of riding it into
-    a per-partition sort (r7, guide §2.3/§2.4)."""
+    URL (the id ordering key is unique, so the survivor is the same
+    row the former row_number window kept) — re-crawl duplicates
+    collapse to one row per canonical URL per map task BEFORE the
+    exchange instead of all riding it (r7, guide §2.3/§2.4)."""
     wc = df.withColumn("url_canon", canonicalize_url(F.col(url_col)))
     others = [c for c in wc.columns if c not in (id_col, "url_canon")]
     return (wc.groupBy("url_canon")
-            .agg(F.min(F.struct(F.col(id_col),
-                                *[F.col(c) for c in others])).alias("_m"))
+            .agg(F.min_by(F.struct(F.col(id_col),
+                                   *[F.col(c) for c in others]),
+                          F.col(id_col)).alias("_m"))
             .select(F.col(f"_m.{id_col}").alias(id_col),
                     *[F.col(f"_m.{c}").alias(c) for c in others],
                     "url_canon")
@@ -906,16 +907,19 @@ def curate(
         df = df.join(oc.where(F.col("kept")).select(id_col),
                      id_col, "left_semi")
     red = filter_redact(df, id_col, text_col, thresholds)
-    # Min-id-per-digest as ONE map-side-combinable min(struct(id,
-    # text)) aggregate (same survivors as the former row_number
-    # window: the struct compares the unique id first). The window
+    # Min-id-per-digest as ONE map-side-combinable min_by aggregate
+    # (same survivors as the former row_number window — the id
+    # ordering key is unique, so min_by has no ties to break). The
+    # struct buffer plans as SortAggregate, but its sorts run over
+    # rows the PARTIAL aggregate has already collapsed to one per
+    # digest per map task, where the window
     # shipped EVERY row through the digest exchange and sorted each
     # partition; the partial aggregate collapses duplicates before
     # the shuffle — on a dedup stage, duplicates are the point — and
     # needs no sort (r7, guide §2.3/§2.4).
     deduped = (red.groupBy(F.md5(F.col("clean_text")).alias("_dig"))
-               .agg(F.min(F.struct(F.col(id_col), F.col("clean_text")))
-                    .alias("_m"))
+               .agg(F.min_by(F.struct(F.col(id_col), F.col("clean_text")),
+                             F.col(id_col)).alias("_m"))
                .select(F.col(f"_m.{id_col}").alias(id_col),
                        F.col("_m.clean_text").alias("clean_text")))
     if neardup_keep is not None:

@@ -429,15 +429,18 @@ def language_id(docs: DataFrame, profiles: DataFrame,
     scores = (grams.join(F.broadcast(prof), "_gh")
               .groupBy(id_col, "lang")
               .agg(F.count(F.lit(1)).cast("long").alias("overlap")))
-    # argmax as a map-side-combinable min(struct(-overlap, lang)) —
-    # the former row_number window re-shuffled AND sorted the
-    # (doc, lang) score rows; the struct aggregate picks the same
-    # winner ((overlap DESC, lang ASC) == (-overlap, lang) ASC) with a
-    # partial aggregate and no sort (r7, guide §2.3/§2.4)
+    # argmax as a map-side-combinable min_by on (-overlap, lang)
+    # (unique per row within a document, so min_by has no ties to
+    # break): the former row_number window shipped every (doc, lang)
+    # score row through the exchange; the partial aggregate collapses
+    # to one row per document per map task first, and picks the same
+    # winner ((overlap DESC, lang ASC) == (-overlap, lang) ASC)
+    # (r7, guide §2.3/§2.4)
     best = (scores.groupBy(id_col)
-            .agg(F.min(F.struct((-F.col("overlap")).alias("_no"),
-                                F.col("lang"),
-                                F.col("overlap"))).alias("_b"))
+            .agg(F.min_by(
+                    F.struct(F.col("lang"), F.col("overlap")),
+                    F.struct((-F.col("overlap")).alias("_no"),
+                             F.col("lang"))).alias("_b"))
             .select(id_col, F.col("_b.lang").alias("lang"),
                     F.col("_b.overlap").alias("overlap")))
     return (docs.select(id_col).distinct()
