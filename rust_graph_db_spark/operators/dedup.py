@@ -1216,6 +1216,54 @@ def sorted_neighborhood_pairs(
     return out
 
 
+_HIST_BUCKETS = 32
+
+
+def _char_hist(col: str, n: int = _HIST_BUCKETS) -> Column:
+    """Bucketed character histogram of string column ``col``: a fixed
+    ``n``-int array with ``h[i] = #chars whose codepoint ≡ i (mod n)``.
+    ASCII lowercase maps injectively at n=32 (97..122 mod 32 = 1..26),
+    so on plain-text corpora the buckets ARE the per-letter counts.
+
+    One interpreted pass over the chars (codepoints -> buckets once,
+    then one fold that rebuilds the small accumulator array;
+    higher-order lambdas are interpreted, so pass count dominates — a
+    per-bucket filter(split(...)) form measured ~20x slower per doc;
+    a 4-long bit-packed variant made the per-PAIR compare 8x slower,
+    so plain ints it is).
+    """
+    return F.expr(
+        f"aggregate(transform(split({col}, ''), ch -> pmod(ascii(ch), {n})), "
+        f"array_repeat(0, {n}), "
+        f"(acc, b) -> transform(acc, (v, j) -> IF(b = j, v + 1, v)))")
+
+
+def _hist_prune(cands: DataFrame, hists: DataFrame, d: int) -> DataFrame:
+    """Drop candidate pairs whose bucketed char-histogram L1 distance
+    exceeds ``2*d`` — a NECESSARY condition for Levenshtein ≤ d (count
+    filter, Gravano et al. VLDB 2001): one indel changes the char
+    multiset by 1, one substitution by 2, so lev ≤ d ⇒ exact-hist
+    L1 ≤ 2d; bucketing only MERGES bins and |Σa-Σb| ≤ Σ|a-b|, so the
+    bucketed L1 is ≤ the exact L1 and the bound stays necessary. No
+    true pair is ever pruned, so the verified output is unchanged —
+    this exists purely so the O(d·l) banded levenshtein (and the text
+    join feeding it) runs on ~10x fewer pairs (guide §8: decide with
+    small rows — 32 bytes — before moving the heavy text bytes).
+    Saturation at 255 is a per-bucket contraction too
+    (|min(a,255)-min(b,255)| <= |a-b|), so packing keeps the bound.
+    Empty-string edge: split('','') yields [''] (one phantom bucket-0
+    count); a true pair with an empty side has lev = l_other ≤ d, so
+    measured L1 ≤ l_other + 1 ≤ d + 1 ≤ 2d for d ≥ 1, and at d = 0
+    both sides are empty with identical phantoms — still safe.
+    """
+    h1 = hists.select(F.col("id").alias("id1"), F.col("_h").alias("_h1"))
+    h2 = hists.select(F.col("id").alias("id2"), F.col("_h").alias("_h2"))
+    l1d = F.expr("aggregate(zip_with(_h1, _h2, (a, b) -> abs(a - b)), "
+                 "0, (acc, x) -> acc + x)")
+    return (cands.join(h1, "id1").join(h2, "id2")
+            .where(l1d <= 2 * d).select("id1", "id2"))
+
+
 def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                         text_col: str = "text", max_dist: int = 20,
                         q: int = 3) -> DataFrame:
@@ -1285,8 +1333,12 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
              .where(F.col("s").isNotNull())
     # positional q-grams with per-doc occurrence index: the multiset
     # element is (gram, occ), so a gram repeated c1/c2 times matches
-    # exactly min(c1, c2) elements across a pair (multiset semantics)
-    grams = (base.where(F.col("l") >= qq)
+    # exactly min(c1, c2) elements across a pair (multiset semantics).
+    # spread: the explode + substr chain is CPU-bound per-row work on
+    # a possibly-single input split (no-op at scale); scoped HERE, not
+    # on base, so the repartition runs once (occ is checkpointed) and
+    # the plain projections (s1/s2/shorts) don't each re-pay it
+    grams = (spread(base.where(F.col("l") >= qq))
              .select("id", "l", F.explode(F.sequence(
                  F.lit(1), F.col("l") - qq + 1)).alias("i"),
                  F.col("s"))
@@ -1359,6 +1411,20 @@ def edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                   .select(F.least("id1", "id2").alias("id1"),
                           F.greatest("id1", "id2").alias("id2")))
     cands = cand_long.unionAll(cand_short).distinct()
+    # histogram count filter AFTER the distinct, BEFORE the verify
+    # join: necessary-only (see _hist_prune — output provably
+    # unchanged), prunes ~92% of candidates at bench SF (978k → 73k
+    # measured) so the banded levenshtein and both text joins run on
+    # the survivors only. Deliberately NOT inside the candidate join
+    # condition: there it would run on every raw (g, occ) match (~8x
+    # the distinct count) and the 32-term bit-field compare measured
+    # interpreted, 2.3 → 30.5 s at sf0.1. spread: the interpreted
+    # per-doc fold otherwise runs on however few partitions the doc
+    # scan produced. pinned: feeds both sides of the pair join
+    hists = (spread(base.select("id", "s"))
+             .select("id", _char_hist_packed("s").alias("_h"))
+             .localCheckpoint(eager=True))
+    cands = _hist_prune(cands, hists, d)
     s1 = base.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
     s2 = base.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
     return (cands.join(s1, "id1").join(s2, "id2")
@@ -1490,6 +1556,13 @@ def blocked_edit_distance_pairs(df: DataFrame, id_col: str = "doc_id",
                               F.greatest("id1", "id2").alias("id2"))
                       .distinct())
         cands = cands.unionAll(cand_short).distinct()
+    # histogram count filter before the verify join (see _hist_prune:
+    # necessary-only bound, output unchanged); same ~10x verify-volume
+    # cut as d17. spread + pin as in d17 (≥2 consumers)
+    hists = (spread(base.select("id", "s"))
+             .select("id", _char_hist_packed("s").alias("_h"))
+             .localCheckpoint(eager=True))
+    cands = _hist_prune(cands, hists, d)
     s1 = base.select(F.col("id").alias("id1"), F.col("s").alias("s1"))
     s2 = base.select(F.col("id").alias("id2"), F.col("s").alias("s2"))
     return (cands.join(s1, "id1").join(s2, "id2")
